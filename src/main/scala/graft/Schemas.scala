@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Explicit `StructType` constants for every input the engine reads.
+  *
+  * The reference pins its schemas twice — pydantic models at scrape time
+  * (`web_scraper/web_scraping.py:232-247`) and an alembic-migrated DDL at
+  * load time (`database/yelp_db/yelp_db/alembic/versions/199c98997e89_create_tables.py:21-100`).
+  * We mirror that schema-on-write discipline: no schema inference anywhere in
+  * the verified path (SURVEY.md §1.4). At 100 TB, inference is also a
+  * correctness *and* cost bug (a full pre-scan or a sampled guess).
+  */
+object Schemas {
+
+  val region = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nation = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customer = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val part = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val orders = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitem = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** `ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); it is read as raw nanos
+    * (LongType) and converted to a microsecond TimestampType in
+    * [[Tables.load]]. */
+  val eventsRaw = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch, see Tables.load
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documents = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Nested scraped-record schema (reference `README.md:82-105`, producer
+    * `web_scraper/web_scraping.py:232-247,407-408`): the ETL input shape. */
+  val scrapedBusiness = StructType(Seq(
+    StructField("bizId", StringType, nullable = false),
+    StructField("ranking", LongType),
+    StructField("name", StringType, nullable = false),
+    StructField("website", StringType),
+    StructField("phone_number", StringType),
+    StructField("address", StringType),
+    StructField("price", StringType),
+    StructField("health_score", StringType),
+    StructField("open_hours", ArrayType(StructType(Seq(
+      StructField("weekday", StringType),
+      StructField("open_hours", StringType))))),
+    StructField("food_category", ArrayType(StringType)),
+    StructField("highlights", ArrayType(StringType)),
+    StructField("related_search_terms", ArrayType(StringType)),
+    StructField("amenities", ArrayType(StructType(Seq(
+      StructField("amenity", StringType),
+      StructField("is_available", BooleanType)))))))
+
+  val byName: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> eventsRaw,
+    "documents" -> documents, "embeddings" -> embeddings)
+}
+
+/** Loader for the driver-provided warehouse tables (TESTDATA.md).
+  * Always schema-pinned parquet scans — Catalyst pushes filters and prunes
+  * columns into these scans for free (verify with `.explain`: PushedFilters /
+  * ReadSchema). */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") {
+        // TIMESTAMP(NANOS) parquet → read as long nanos, convert to µs
+        // timestamps (`ts div 1000` keeps integer precision; a double
+        // division would lose it above 2^53). DuckDB's CAST(ts AS TIMESTAMP)
+        // performs the identical truncation, so oracle parity holds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(Schemas.eventsRaw)
+          .parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        spark.read.schema(Schemas.byName(name)).parquet(s"$dir/$name.parquet")
+      }
+    df
+  }
+}

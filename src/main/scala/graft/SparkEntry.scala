@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The "open now" endpoint analog (SURVEY.md §3.1): one declarative plan —
+    * 5-table join, pushed-down filter, two-phase aggregate, topK — where the
+    * reference issued four Postgres round-trips plus a pandas loop. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_totalprice") > 1000.0)
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("r_name"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (77 O+Q ids). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SourceQueries.all ++ RelationalQueries.all ++ AggQueries.all ++
+      SortSetQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (Q-tier). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

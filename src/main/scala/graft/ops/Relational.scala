@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators beyond the raw DataFrame surface.
+  *
+  * Everything here is a *plan combinator*: it builds a declarative Catalyst
+  * plan and lets the optimizer pick the physical strategy, so each operator
+  * scales from local[32] to a 1000-executor cluster unchanged. No collect(),
+  * no driver-side loops.
+  */
+object Relational {
+
+  /** Top-K rows per group (reference: per-category pagination
+    * `database/app.py:74-82` generalized).
+    *
+    * Physical shape: one shuffle on `partitionCols`, then a per-partition
+    * sort + running `row_number` — no global sort. At scale, prefer small K;
+    * Spark's `WindowExec` keeps only the current partition in memory.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Deterministic offset pagination (reference `database/app.py:74-82`:
+    * `LIMIT page_size OFFSET (page-1)*page_size`).
+    *
+    * Spark has no stable OFFSET on unsorted data; a total order over a
+    * key-complete column list makes pages disjoint and covering (property
+    * test in PaginationSpec). Single-partition window is acceptable because
+    * pagination is inherently a total-order operator; at 100 TB you'd
+    * pre-compute a global rank via range-partitioned sort instead.
+    */
+  def paginate(df: DataFrame, orderCols: Seq[Column], page: Int,
+               pageSize: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    val lo = (page - 1) * pageSize
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) > lo && col(rankCol) <= lo + pageSize)
+  }
+
+  /** Keep the first row per key under an explicit order — the deterministic
+    * form of `dropDuplicates` (which keeps an arbitrary row and would break
+    * oracle hash parity; SURVEY.md §7.5). Mirrors the reference's
+    * `get_or_create` keep-existing semantics
+    * (`database/parse_and_upload_to_db.py:31-47`). */
+  def dedupKeepFirst(df: DataFrame, keyCols: Seq[Column],
+                     orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** As-of join: for each left row, the latest right row with the same key
+    * and `rightTs <= leftTs` (reference: "previous weekday" modular lookup
+    * `database/app.py:157-160` generalized to event time).
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` over one
+    * partition-local window: one shuffle on the key, no range join, no
+    * broadcast requirement on either side — this is the shape that survives
+    * a 100× scale-up (a BNL range join would not). Ties (`rightTs ==
+    * leftTs`) resolve to the right row, matching DuckDB `ASOF JOIN`'s `>=`.
+    *
+    * @param payloadCols right-side columns to carry (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Map[String, String]): DataFrame = {
+    val lTagged = left.withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+    val rTagged = payloadCols.foldLeft(
+      right.withColumn("__t", col(rightTs)).withColumn("__side", lit(0))) {
+        case (d, (from, to)) => d.withColumn(to, col(from))
+      }
+    val lCols = left.columns
+    val unioned = lTagged.select(
+        (lCols.map(col) ++ payloadCols.values.map(c => lit(null).cast(
+          rTagged.schema(c).dataType).as(c)) :+ col(key).as("__k")
+          :+ col("__t") :+ col("__side")): _*)
+      .unionByName(rTagged.select(
+        (lCols.map(c => if (c == key) col(key) else lit(null).cast(
+          left.schema(c).dataType).as(c)) ++
+          payloadCols.values.map(col) :+ col(key).as("__k")
+          :+ col("__t") :+ col("__side")): _*))
+    // __side ASC puts the right row first on ts ties so `last` sees it.
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.values.foldLeft(unioned) { case (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__k", "__t", "__side")
+  }
+
+  /** Interval-containment (range) join: `probe.v ∈ [bounds.lo, bounds.hi)`.
+    * The bounds side is broadcast — at any scale the tier table is small
+    * (reference analog: the 3-disjunct time-window filter
+    * `database/app.py:177-193` turned into a join against a probe
+    * relation). Catalyst plans this as BroadcastNestedLoopJoin; with a
+    * non-broadcastable right side you would bucketize instead. */
+  def rangeJoin(probe: DataFrame, bounds: DataFrame, v: Column,
+                lo: Column, hi: Column): DataFrame =
+    probe.join(broadcast(bounds), v >= lo && v < hi, "inner")
+}

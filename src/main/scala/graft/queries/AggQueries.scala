@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.D aggregations. All group-bys are Spark's default two-phase
+  * HashAggregate (partial map-side combine → final), which is the shape
+  * that scales: the shuffle carries one row per (partition, group), not per
+  * input row. Float sums are rounded to 4 decimals for oracle parity
+  * (SURVEY.md §7.5.2).
+  */
+object AggQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_agg_count — global count over a join (ref count round-trip
+    * `database/app.py:66-72,195-201`; here it is the *same* plan as the
+    * page query, not a second execution — SURVEY.md §3.1). */
+  private val aggCount: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q_agg_group — hash group-by count (ref per-endpoint counts
+    * `database/app.py:66-72`). */
+  private val aggGroup: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q_agg_multi — sum/avg/min/max in one pass (ref numeric analytics over
+    * price tiers `web_scraper/web_scraping.py:242`). */
+  private val aggMulti: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(min("l_discount"), 4).as("min_disc"),
+        round(max("l_tax"), 4).as("max_tax"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_distinct — count(DISTINCT) (ref dim cardinality implied by
+    * `get_or_create` dedup `database/parse_and_upload_to_db.py:31-47`).
+    * Catalyst rewrites to a two-level aggregate (RewriteDistinctAggregates). */
+  private val aggDistinct: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+
+  /** q_dedup_distinct — distinct row set = dim build
+    * (`database/parse_and_upload_to_db.py:37-44` at set level). */
+  private val dedupDistinct: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .select("c_mktsegment").distinct()
+      .orderBy("c_mktsegment")
+
+  /** q_agg_approx — HLL distinct (scale extension of q_agg_distinct: exact
+    * distinct at 100 TB shuffles every key; HLL ships a constant-size
+    * sketch per group). Algorithm differs from DuckDB's → Q-tier, bounds
+    * checked in ApproxSpec. */
+  private val aggApprox: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_rollup — hierarchical subtotals region→nation (ref dim hierarchy
+    * `nation.n_regionkey`; category dims `model.py:35-38`). */
+  private val aggRollup: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      // Dataset.rollup on a post-join frame trips Spark 4.1's
+      // ambiguous-self-join detector (Expand duplicates the grouping
+      // attributes); GROUP BY ROLLUP builds the identical logical plan
+      // without the false positive.
+      .transform { j =>
+        j.createOrReplaceTempView("rollup_in")
+        j.sparkSession.sql(
+          """SELECT r_name, n_name, count(*) AS n_cust,
+                    round(sum(c_acctbal), 4) AS sum_bal
+             FROM rollup_in GROUP BY ROLLUP (r_name, n_name)
+             ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+      }
+
+  /** q_agg_cube — all grouping sets (same family as rollup). */
+  private val aggCube: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** q_agg_collect — order-stable list rebuild, the denormalization dual of
+    * explode (ref nested arrays `README.md:95-103`). */
+  private val aggCollect: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .orderBy("l_orderkey")
+
+  /** q_agg_pivot — long→wide amenity-matrix pattern
+    * (`database/parse_and_upload_to_db.py:159-171`). Explicit pivot values:
+    * an unbounded pivot would need an extra distinct-collect job. */
+  private val aggPivot: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val all: Map[String, Q] = Map(
+    "q_agg_count" -> aggCount,
+    "q_agg_group" -> aggGroup,
+    "q_agg_multi" -> aggMulti,
+    "q_agg_distinct" -> aggDistinct,
+    "q_dedup_distinct" -> dedupDistinct,
+    "q_agg_approx" -> aggApprox,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_agg_collect" -> aggCollect,
+    "q_agg_pivot" -> aggPivot)
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.B projections/filters and §2.C joins of the SURVEY.md contract.
+  *
+  * Each query is a deterministic, totally-ordered instantiation of one
+  * operator over the driver's warehouse tables (determinism rules
+  * SURVEY.md §7.5). Filters/projections sit directly on schema-pinned
+  * parquet scans so Catalyst pushes them into the scan (PushedFilters /
+  * ReadSchema in `.explain`).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_proj_select — projection + rename (ref `database/app.py:204-210`). */
+  private val projSelect: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("cust_name"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("cust_id")
+
+  /** q_proj_derived — computed column (ref URL normalization
+    * `web_scraper/web_scraping.py:114`; `time_until_close`
+    * `database/app.py:226`). */
+  private val projDerived: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .withColumn("gross", round(col("o_totalprice") * 1.05, 4))
+      .select("o_orderkey", "o_totalprice", "gross")
+      .orderBy("o_orderkey")
+
+  /** q_filter_eq — equality predicate (ref `database/app.py:79,118`). */
+  private val filterEq: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .orderBy("l_orderkey")
+
+  /** q_filter_bool — boolean-flag filter (ref ad removal
+    * `web_scraper/web_scraping.py:112`). */
+  private val filterBool: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("is_error", col("event_type") === "error")
+      .filter(!col("is_error"))
+      .select("event_id", "event_type", "is_error")
+      .orderBy("event_id")
+
+  /** q_filter_ilike — case-insensitive match (ref `database/app.py:60,107`). */
+  private val filterIlike: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment").ilike("%auto%"))
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** q_filter_rlike — regex validation split (ref pydantic patterns
+    * `web_scraper/web_scraping.py:242-244`): flag rows instead of dropping,
+    * the quarantine pattern. */
+  private val filterRlike: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .withColumn("is_valid", col("p_brand").rlike("Brand#1[0-9]"))
+      .select("p_partkey", "p_brand", "is_valid")
+      .orderBy("p_partkey")
+
+  /** q_filter_range_disj — 3-disjunct time-of-day window filter (ref
+    * "open now incl. overnight" `database/app.py:177-193`). Seconds since
+    * midnight as long (SURVEY.md §7.4.1). */
+  private val filterRangeDisj: Q = (s, dir) => {
+    val sec = (hour(col("ts")) * 3600 + minute(col("ts")) * 60 +
+      second(col("ts"))).cast("long")
+    Tables.load(s, dir, "events")
+      .withColumn("sec_of_day", sec)
+      .filter((col("sec_of_day") >= 0 && col("sec_of_day") < 21600) ||
+        (col("sec_of_day") >= 43200 && col("sec_of_day") < 64800) ||
+        col("sec_of_day") >= 79200)
+      .select("event_id", "sec_of_day")
+      .orderBy("event_id")
+  }
+
+  /** q_filter_null — null semantics: nullif/coalesce/isNull (ref nullable
+    * cols `database/yelp_db/yelp_db/model.py:13-17`, `.get()` defaults
+    * `database/parse_and_upload_to_db.py:93-97`). */
+  private val filterNull: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .withColumn("status_raw", expr("nullif(o_orderstatus, 'P')"))
+      .withColumn("status_filled", coalesce(col("status_raw"), lit("PENDING")))
+      .withColumn("is_pending", col("status_raw").isNull)
+      .select("o_orderkey", "status_raw", "status_filled", "is_pending")
+      .orderBy("o_orderkey")
+
+  /** q_join_inner — hub⋈detail equi-join (ref `database/app.py:66-82`).
+    * AQE broadcasts the small side automatically. */
+  private val joinInner: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select("o_orderkey", "c_custkey", "c_name")
+      .orderBy("o_orderkey")
+
+  /** q_join_bridge3 — 3-way hub⋈bridge⋈detail chain (ref two-step
+    * name→id→rows lookup `database/app.py:60-82`). */
+  private val joinBridge3: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("l_orderkey", "l_linenumber", "c_custkey", "c_name")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q_join_left — left outer + isNull branch (ref `get_or_create` get-path
+    * `database/parse_and_upload_to_db.py:37-47`). */
+  private val joinLeft: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("has_order", col("o_orderkey").isNotNull)
+      .select("c_custkey", "o_orderkey", "has_order")
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+
+  /** q_join_semi — set-semantics EXISTS (ref dup-free "businesses having
+    * category" `database/app.py:76-82`). */
+  private val joinSemi: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q_join_anti — NOT EXISTS, the scraper's resume set
+    * (`web_scraper/web_scraping.py:517-521`): customers with no URGENT
+    * order left to "scrape". */
+  private val joinAnti: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q_join_broadcast — explicit map-side join of a tiny dim (ref 7-row
+    * weekday dim fetched whole `database/app.py:148-150`). */
+  private val joinBroadcast: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+      .orderBy("c_custkey")
+
+  /** q_join_range — interval-containment join against a broadcast tier
+    * table (ref time-containment predicate `database/app.py:179-186`). */
+  private val joinRange: Q = (s, dir) => {
+    import s.implicits._
+    val tiers = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+      (150.0, 1.0e9, "high")).toDF("lo", "hi", "tier")
+    Relational.rangeJoin(Tables.load(s, dir, "events"), tiers,
+        col("value"), col("lo"), col("hi"))
+      .select("event_id", "tier")
+      .orderBy("event_id")
+  }
+
+  /** q_join_asof — latest click at-or-before each purchase per user (ref
+    * "previous weekday" lookup `database/app.py:157-160` generalized).
+    * Shuffle-once union+window emulation: [[Relational.asofJoin]]. */
+  private val joinAsof: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    Relational.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        Map("click_id" -> "prior_click"))
+      .select("event_id", "prior_click")
+      .orderBy("event_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_proj_select" -> projSelect,
+    "q_proj_derived" -> projDerived,
+    "q_filter_eq" -> filterEq,
+    "q_filter_bool" -> filterBool,
+    "q_filter_ilike" -> filterIlike,
+    "q_filter_rlike" -> filterRlike,
+    "q_filter_range_disj" -> filterRangeDisj,
+    "q_filter_null" -> filterNull,
+    "q_join_inner" -> joinInner,
+    "q_join_bridge3" -> joinBridge3,
+    "q_join_left" -> joinLeft,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_range" -> joinRange,
+    "q_join_asof" -> joinAsof)
+}
