@@ -25,7 +25,8 @@ object OracleSql {
          FROM customer ORDER BY cust_id""",
     "q_proj_derived" ->
       """SELECT o_orderkey, o_totalprice,
-                round(o_totalprice * 1.05, 4) AS gross
+                CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(1.05 AS DECIMAL(3,2)), 4) AS DOUBLE) AS gross
          FROM orders ORDER BY o_orderkey""",
     "q_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
@@ -112,8 +113,10 @@ object OracleSql {
          ORDER BY l_returnflag, l_linestatus""",
     "q_agg_multi" ->
       """SELECT l_returnflag,
-                round(sum(l_quantity), 4) AS sum_qty,
-                round(avg(l_extendedprice), 4) AS avg_price,
+                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 4) AS avg_price,
                 round(min(l_discount), 4) AS min_disc,
                 round(max(l_tax), 4) AS max_tax,
                 count(*) AS n
@@ -125,7 +128,8 @@ object OracleSql {
       """SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
     "q_agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-                round(sum(c_acctbal), 4) AS sum_bal
+                CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_bal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -133,7 +137,8 @@ object OracleSql {
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                round(sum(o_totalprice), 4) AS sum_price
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4)
+                     AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
@@ -162,6 +167,212 @@ object OracleSql {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    // ───── §2.E windows ─────
+    "q_win_rownum" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS id,
+                c_custkey, c_name
+         FROM customer ORDER BY id""",
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                CAST(rank() OVER w AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+         ORDER BY o_orderkey""",
+    "q_win_lag" ->
+      """SELECT event_id, user_id, value,
+                lag(value, 1) OVER w AS prev_value,
+                lead(value, 1) OVER w AS next_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "q_win_running" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS DOUBLE) AS running_spend
+         FROM orders ORDER BY o_orderkey""",
+    "q_win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_win_paginate" ->
+      """SELECT rn, c_custkey, c_name FROM (
+           SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS rn,
+                  c_custkey, c_name
+           FROM customer) t
+         WHERE rn > 40 AND rn <= 60 ORDER BY rn""",
+
+    // ───── §2.H strings ─────
+    "q_str_concat" ->
+      """SELECT c_custkey,
+                concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+                'https://' || lower(c_name) AS url
+         FROM customer ORDER BY c_custkey""",
+    "q_str_split" ->
+      """SELECT p_partkey,
+                p_name || '?ref=1' AS url,
+                split_part(p_name || '?ref=1', '?', 1) AS clean_url,
+                split_part(p_name, ' ', 1) AS first_word
+         FROM part ORDER BY p_partkey""",
+    "q_str_trim_replace" ->
+      """SELECT p_partkey,
+                '  ' || p_name || ' (Next day)' AS raw,
+                trim(replace('  ' || p_name || ' (Next day)',
+                             ' (Next day)', '')) AS clean
+         FROM part ORDER BY p_partkey""",
+    "q_str_case" ->
+      """SELECT r_regionkey, lower(r_name) AS lo, upper(r_name) AS up,
+                array_to_string(list_transform(
+                  string_split(lower(r_name), ' '),
+                  x -> upper(x[1]) || x[2:]), ' ') AS cap
+         FROM region ORDER BY r_regionkey""",
+    "q_str_regex_extract" ->
+      """SELECT doc_id,
+                regexp_extract(text, '\b(\w{6,})\b', 1) AS first_num_word,
+                regexp_extract_all(text, '\b([a-z]{5})\b', 1)
+                  AS five_letter_words
+         FROM documents ORDER BY doc_id""",
+    "q_str_like" ->
+      """SELECT p_partkey, p_type,
+                (p_type LIKE 'ECO%') AS is_eco,
+                contains(p_type, 'RO') AS has_ro,
+                (p_type LIKE '%MY') AS ends_my
+         FROM part ORDER BY p_partkey""",
+    "q_str_len" ->
+      """SELECT doc_id, n_chars,
+                CAST(length(text) AS BIGINT) AS text_len,
+                CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos
+         FROM documents ORDER BY doc_id""",
+
+    // ───── §2.I date / time / math ─────
+    "q_dt_parse" ->
+      """WITH base AS (
+           SELECT event_id,
+                  date_part('hour', ts) AS h24,
+                  date_part('minute', ts) AS m
+           FROM events),
+         strs AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 3 = 0 THEN 'n/a'
+                       ELSE printf('%d:%02d %s',
+                              CASE WHEN h24 % 12 = 0 THEN 12 ELSE h24 % 12 END,
+                              m,
+                              CASE WHEN h24 < 12 THEN 'AM' ELSE 'PM' END)
+                  END AS s_full,
+                  printf('%d %s',
+                         CASE WHEN h24 % 12 = 0 THEN 12 ELSE h24 % 12 END,
+                         CASE WHEN h24 < 12 THEN 'AM' ELSE 'PM' END) AS s_coarse
+           FROM base),
+         parsed AS (
+           SELECT event_id, s_full, s_coarse,
+                  coalesce(try_strptime(s_full, '%-I:%M %p'),
+                           try_strptime(s_coarse, '%-I %p')) AS p
+           FROM strs)
+         SELECT event_id, s_full, s_coarse,
+                CAST(date_part('hour', p) * 3600 + date_part('minute', p) * 60
+                     + date_part('second', p) AS BIGINT) AS parsed_sec
+         FROM parsed ORDER BY event_id""",
+    "q_dt_format" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%a') AS dow,
+                strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
+    "q_dt_arith" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                CAST(CASE WHEN date_part('hour', ts) < 6
+                          THEN ts + INTERVAL 1 DAY
+                          ELSE ts + INTERVAL 2 HOUR END AS TIMESTAMP) AS close_ts,
+                CAST(CASE WHEN date_part('hour', ts) < 6 THEN 1440
+                          ELSE 120 END AS BIGINT) AS mins_ahead
+         FROM events ORDER BY event_id""",
+    "q_dt_extract" ->
+      """SELECT event_id,
+                CAST(date_part('year', ts) AS BIGINT) AS y,
+                CAST(date_part('month', ts) AS BIGINT) AS mo,
+                CAST(date_part('day', ts) AS BIGINT) AS d,
+                CAST(date_part('hour', ts) AS BIGINT) AS h,
+                CAST(date_part('dow', ts) + 1 AS BIGINT) AS dow,
+                CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+                     + date_part('second', ts) AS BIGINT) AS sec_of_day
+         FROM events ORDER BY event_id""",
+    "q_dt_tz" ->
+      """SELECT event_id,
+                CAST(ts AS TIMESTAMP) - INTERVAL 8 HOUR AS la_ts,
+                CAST(date_part('hour', ts - INTERVAL 8 HOUR) AS BIGINT) AS la_hour
+         FROM events ORDER BY event_id""",
+    "q_dt_trunc" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+                count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY hour_ts ORDER BY hour_ts""",
+    "q_math_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           * (1 + CAST(l_tax AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS charge,
+                CAST(l_quantity AS BIGINT) AS qty_int,
+                l_orderkey % 7 AS mod7,
+                CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    // ───── §2.J arrays / maps / JSON ─────
+    "q_arr_explode" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents ORDER BY doc_id, word""",
+    "q_arr_posexplode" ->
+      """SELECT doc_id,
+                unnest(range(len(string_split(text, ' ')))) AS pos,
+                unnest(string_split(text, ' ')) AS word
+         FROM documents ORDER BY doc_id, pos""",
+    "q_arr_ops" ->
+      """SELECT doc_id,
+                list_contains(string_split(text, ' '), 'spark') AS has_spark,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                list_sort(list_distinct(string_split(text, ' ')))
+                  AS distinct_sorted
+         FROM documents ORDER BY doc_id""",
+    "q_arr_transform" ->
+      """SELECT doc_id,
+                list_filter(string_split(text, ' '),
+                            x -> length(x) > 4) AS long_words,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                              x -> length(x))) AS BIGINT) AS total_len
+         FROM documents ORDER BY doc_id""",
+    "q_arr_position" ->
+      """SELECT event_id, event_type,
+                CAST(nullif(list_position(['signup', 'view', 'click',
+                                           'purchase'], event_type), 0)
+                     AS BIGINT) AS pos
+         FROM events ORDER BY event_id""",
+    "q_json_get" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+         FROM events ORDER BY event_id""",
+    "q_json_from" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_json_to" ->
+      """SELECT event_id,
+                '{"event_id":' || event_id || ',"event_type":"' || event_type
+                  || '"}' AS js
+         FROM events ORDER BY event_id""",
+    "q_map_ops" ->
+      """SELECT event_id,
+                event_type AS type_val,
+                CAST(user_id AS VARCHAR) AS uid_val,
+                CAST(2 AS BIGINT) AS n_keys,
+                ['type', 'uid'] AS keys_sorted
+         FROM events ORDER BY event_id""",
 
     // ───── §2.G set ops ─────
     "q_set_union" ->

@@ -33,7 +33,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (77 O+Q ids). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SourceQueries.all ++ RelationalQueries.all ++ AggQueries.all ++
-      SortSetQueries.all
+      SortSetQueries.all ++ WindowQueries.all ++ ScalarQueries.all ++
+      CollectionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (Q-tier). */

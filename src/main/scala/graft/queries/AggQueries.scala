@@ -32,12 +32,18 @@ object AggQueries {
 
   /** q_agg_multi — sum/avg/min/max in one pass (ref numeric analytics over
     * price tiers `web_scraper/web_scraping.py:242`). */
+  /* Money sums go through exact DECIMAL(18,2) accumulation, then round →
+   * double: a double sum is addition-order-dependent (partition layout,
+   * AQE) and its rounding can diverge from the oracle on half-cases. min/
+   * max stay double — selection, not arithmetic. */
   private val aggMulti: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
+        expr("CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_qty"),
+        expr("""round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(1), 4)""").as("avg_price"),
         round(min("l_discount"), 4).as("min_disc"),
         round(max("l_tax"), 4).as("max_tax"),
         count(lit(1)).as("n"))
@@ -86,7 +92,8 @@ object AggQueries {
         j.createOrReplaceTempView("rollup_in")
         j.sparkSession.sql(
           """SELECT r_name, n_name, count(*) AS n_cust,
-                    round(sum(c_acctbal), 4) AS sum_bal
+                    CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4)
+                         AS DOUBLE) AS sum_bal
              FROM rollup_in GROUP BY ROLLUP (r_name, n_name)
              ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
       }
@@ -95,7 +102,9 @@ object AggQueries {
   private val aggCube: Q = (s, dir) =>
     Tables.load(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 

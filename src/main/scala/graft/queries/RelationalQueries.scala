@@ -28,7 +28,10 @@ object RelationalQueries {
     * `database/app.py:226`). */
   private val projDerived: Q = (s, dir) =>
     Tables.load(s, dir, "orders")
-      .withColumn("gross", round(col("o_totalprice") * 1.05, 4))
+      // exact decimal product → round → double (oracle parity on half-cases)
+      .withColumn("gross", expr(
+        """CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(1.05 AS DECIMAL(3,2)), 4) AS DOUBLE)"""))
       .select("o_orderkey", "o_totalprice", "gross")
       .orderBy("o_orderkey")
 

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.H string and §2.I date/time/math scalar functions.
+  *
+  * All pure `org.apache.spark.sql.functions` column expressions — fully
+  * codegen'd inside WholeStageCodegen, no UDFs (SURVEY.md §4.2). Computed
+  * integers are cast to long on the Spark side and BIGINT in the oracle so
+  * result schemas agree (DuckDB's date_part/len return BIGINT).
+  */
+object ScalarQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Seconds since midnight — the engine's TIME representation
+    * (SURVEY.md §7.4.1: Spark has no TIME type). */
+  private[graft] def secOfDay(ts: Column): Column =
+    (hour(ts) * 3600 + minute(ts) * 60 + second(ts)).cast("long")
+
+  // ───── §2.H strings ─────
+
+  /** q_str_concat — concat / concat_ws (ref URL build
+    * `web_scraper/web_scraping.py:114`). */
+  private val strConcat: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .withColumn("tag",
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")))
+      .withColumn("url", concat(lit("https://"), lower(col("c_name"))))
+      .select("c_custkey", "tag", "url")
+      .orderBy("c_custkey")
+
+  /** q_str_split — query-string strip via substring_index (ref
+    * `url.rsplit("?", 1)[0]` `web_scraper/web_scraping.py:114`). */
+  private val strSplit: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .withColumn("url", concat(col("p_name"), lit("?ref=1")))
+      .withColumn("clean_url", substring_index(col("url"), "?", 1))
+      .withColumn("first_word", substring_index(col("p_name"), " ", 1))
+      .select("p_partkey", "url", "clean_url", "first_word")
+      .orderBy("p_partkey")
+
+  /** q_str_trim_replace — suffix strip + trim (ref `"(Next day)"` removal
+    * `database/parse_and_upload_to_db.py:70`). */
+  private val strTrimReplace: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .withColumn("raw", concat(lit("  "), col("p_name"), lit(" (Next day)")))
+      .withColumn("clean", trim(expr("replace(raw, ' (Next day)', '')")))
+      .select("p_partkey", "raw", "clean")
+      .orderBy("p_partkey")
+
+  /** q_str_case — case folding (ref ilike impl `database/app.py:60,107`). */
+  private val strCase: Q = (s, dir) =>
+    Tables.load(s, dir, "region")
+      .withColumn("lo", lower(col("r_name")))
+      .withColumn("up", upper(col("r_name")))
+      .withColumn("cap", initcap(lower(col("r_name"))))
+      .select("r_regionkey", "lo", "up", "cap")
+      .orderBy("r_regionkey")
+
+  /** q_str_regex_extract — single group + all matches (ref hours-range
+    * findall `database/parse_and_upload_to_db.py:76`; business-blob regex
+    * `web_scraper/web_scraping.py:94-99`). */
+  private val strRegexExtract: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("first_num_word", regexp_extract(col("text"), "\\b(\\w{6,})\\b", 1))
+      .withColumn("five_letter_words",
+        regexp_extract_all(col("text"), lit("\\b([a-z]{5})\\b"), lit(1)))
+      .select("doc_id", "first_num_word", "five_letter_words")
+      .orderBy("doc_id")
+
+  /** q_str_like — LIKE / prefix / contains (ref `startswith`
+    * `web_scraper/web_scraping.py:63,266`). */
+  private val strLike: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .withColumn("is_eco", col("p_type").like("ECO%"))
+      .withColumn("has_ro", col("p_type").contains("RO"))
+      .withColumn("ends_my", col("p_type").endsWith("MY"))
+      .select("p_partkey", "p_type", "is_eco", "has_ro", "ends_my")
+      .orderBy("p_partkey")
+
+  /** q_str_len — length + position (ref `n_chars` in documents; substring
+    * probe `web_scraper/web_scraping.py:117,345`). */
+  private val strLen: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withColumn("spark_pos", instr(col("text"), "spark").cast("long"))
+      .select("doc_id", "n_chars", "text_len", "spark_pos")
+      .orderBy("doc_id")
+
+  // ───── §2.I date / time / math ─────
+
+  /** q_dt_parse — 12-hour time parsing with format fallback (ref
+    * `strptime("%I:%M %p")` falling back to `"%I %p"`
+    * `database/parse_and_upload_to_db.py:50-55`). Time strings are
+    * synthesized from `events.ts`; every 3rd row's primary string is
+    * corrupted so the fallback path actually executes. */
+  private val dtParse: Q = (s, dir) => {
+    val h24 = hour(col("ts"))
+    val h12 = when(h24 % 12 === 0, 12).otherwise(h24 % 12)
+    val ap = when(h24 < 12, "AM").otherwise("PM")
+    Tables.load(s, dir, "events")
+      .withColumn("s_full",
+        when(col("event_id") % 3 === 0, lit("n/a"))
+          .otherwise(format_string("%d:%02d %s", h12, minute(col("ts")), ap)))
+      .withColumn("s_coarse", format_string("%d %s", h12, ap))
+      .withColumn("parsed", coalesce(
+        try_to_timestamp(col("s_full"), lit("h:mm a")),
+        try_to_timestamp(col("s_coarse"), lit("h a"))))
+      .withColumn("parsed_sec", secOfDay(col("parsed")))
+      .select("event_id", "s_full", "s_coarse", "parsed_sec")
+      .orderBy("event_id")
+  }
+
+  /** q_dt_format — weekday abbrev + month render (ref `strftime("%a")`
+    * `database/app.py:151`). */
+  private val dtFormat: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .withColumn("dow", date_format(col("o_orderdate"), "EEE"))
+      .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "dow", "ym")
+      .orderBy("o_orderkey")
+
+  /** q_dt_arith — timestamp ± interval with conditional day rollover (ref
+    * overnight close `datetime.combine(...) + timedelta(days=1)`
+    * `database/app.py:219-224`). */
+  private val dtArith: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("close_ts",
+        when(hour(col("ts")) < 6, col("ts") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("ts") + expr("INTERVAL 2 HOUR")))
+      .withColumn("mins_ahead",
+        ((unix_micros(col("close_ts")) - unix_micros(col("ts"))) / 60000000L)
+          .cast("long"))
+      .select("event_id", "ts", "close_ts", "mins_ahead")
+      .orderBy("event_id")
+
+  /** q_dt_extract — field extraction + seconds-since-midnight (ref
+    * time-of-day compares `database/app.py:174,180-191`). dayofweek is
+    * Sunday=1 in Spark; the oracle shifts DuckDB's Sunday=0. */
+  private val dtExtract: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("y", year(col("ts")).cast("long"))
+      .withColumn("mo", month(col("ts")).cast("long"))
+      .withColumn("d", dayofmonth(col("ts")).cast("long"))
+      .withColumn("h", hour(col("ts")).cast("long"))
+      .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .withColumn("sec_of_day", secOfDay(col("ts")))
+      .select("event_id", "y", "mo", "d", "h", "dow", "sec_of_day")
+      .orderBy("event_id")
+
+  /** q_dt_tz — UTC → America/Los_Angeles (ref hardcoded LA zone
+    * `database/app.py:21,151,174,215`). The oracle uses a fixed -8 h
+    * offset, valid because `events.ts` spans January 2024 only (PST, no
+    * DST transition inside the data); the Spark side does the real
+    * zone-rules conversion. */
+  private val dtTz: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("la_ts", from_utc_timestamp(col("ts"), "America/Los_Angeles"))
+      .withColumn("la_hour", hour(col("la_ts")).cast("long"))
+      .select("event_id", "la_ts", "la_hour")
+      .orderBy("event_id")
+
+  /** q_dt_trunc — temporal bucketing, the batch shadow of the streaming
+    * tumbling window (§2.K). */
+  private val dtTrunc: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy("hour_ts")
+
+  /** q_math_arith — arithmetic, casts, mod, floor/ceil (ref
+    * `offset=(page-1)*page_size` `database/app.py:74`; price×(1−disc)
+    * facts). */
+  private val mathArith: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      // exact decimal product → round → double: double arithmetic here
+      // would hit HALF_UP-vs-binary rounding divergence on half-cases and
+      // is partition-order-dependent under sums (SURVEY.md §7.5.2)
+      .withColumn("charge", expr(
+        """CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 4) AS DOUBLE)"""))
+      .withColumn("qty_int", col("l_quantity").cast("long"))
+      .withColumn("mod7", col("l_orderkey") % 7)
+      .withColumn("disc_pct", floor(col("l_discount") * 100).cast("long"))
+      .select("l_orderkey", "l_linenumber", "charge", "qty_int", "mod7",
+        "disc_pct")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val all: Map[String, Q] = Map(
+    "q_str_concat" -> strConcat,
+    "q_str_split" -> strSplit,
+    "q_str_trim_replace" -> strTrimReplace,
+    "q_str_case" -> strCase,
+    "q_str_regex_extract" -> strRegexExtract,
+    "q_str_like" -> strLike,
+    "q_str_len" -> strLen,
+    "q_dt_parse" -> dtParse,
+    "q_dt_format" -> dtFormat,
+    "q_dt_arith" -> dtArith,
+    "q_dt_extract" -> dtExtract,
+    "q_dt_tz" -> dtTz,
+    "q_dt_trunc" -> dtTrunc,
+    "q_math_arith" -> mathArith)
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.E window functions. Partitioned windows shuffle once on the
+  * partition key and sort within partitions — the scalable shape. The two
+  * global-order windows (surrogate keys, pagination) are single-partition
+  * by nature; at 100 TB you'd range-partition a global sort and add
+  * per-partition offsets instead (noted per query). */
+object WindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_win_rownum — deterministic surrogate-key assignment (ref
+    * autoincrement PKs `database/yelp_db/yelp_db/model.py:11`;
+    * SURVEY.md §7.5.4: row_number over a natural unique key, never
+    * monotonically_increasing_id, which is partition-layout-dependent). */
+  private val winRownum: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .withColumn("id", row_number().over(Window.orderBy("c_custkey")).cast("long"))
+      .select("id", "c_custkey", "c_name")
+      .orderBy("id")
+
+  /** q_win_rank — rank + dense_rank per partition (ref search `ranking`
+    * `web_scraper/web_scraping.py:96,107` + category bridges). Ranking by
+    * a low-cardinality key keeps ties deterministic: equal inputs get
+    * equal ranks in both engines. */
+  private val winRank: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    Tables.load(s, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "rnk", "drnk")
+      .orderBy("o_orderkey")
+  }
+
+  /** q_win_lag — lag/lead over event time per user (ref previous-weekday
+    * lookup `database/app.py:157-160`). */
+  private val winLag: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .select("event_id", "user_id", "value", "prev_value", "next_value")
+      .orderBy("event_id")
+  }
+
+  /** q_win_running — running aggregate with explicit frame
+    * (rows unbounded preceding → current). */
+  private val winRunning: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      // decimal accumulation: exact prefix sums, oracle-stable (§7.5.2)
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w), 4)
+          .cast("double"))
+      .select("o_orderkey", "o_custkey", "running_spend")
+      .orderBy("o_orderkey")
+  }
+
+  /** q_win_topk_group — top-3 orders per customer by price
+    * ([[Relational.topKPerGroup]]; ref per-category pagination
+    * `database/app.py:74-82`). */
+  private val winTopkGroup: Q = (s, dir) =>
+    Relational.topKPerGroup(Tables.load(s, dir, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .withColumn("rn", col("rn").cast("long"))
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+
+  /** q_win_paginate — page 3 of 20 over a total order
+    * ([[Relational.paginate]]; ref offset pagination
+    * `database/app.py:74-82`). */
+  private val winPaginate: Q = (s, dir) =>
+    Relational.paginate(Tables.load(s, dir, "customer"),
+        Seq(col("c_custkey")), page = 3, pageSize = 20)
+      .withColumn("rn", col("rn").cast("long"))
+      .select("rn", "c_custkey", "c_name")
+      .orderBy("rn")
+
+  val all: Map[String, Q] = Map(
+    "q_win_rownum" -> winRownum,
+    "q_win_rank" -> winRank,
+    "q_win_lag" -> winLag,
+    "q_win_running" -> winRunning,
+    "q_win_topk_group" -> winTopkGroup,
+    "q_win_paginate" -> winPaginate)
+}
