@@ -374,6 +374,128 @@ object OracleSql {
                 ['type', 'uid'] AS keys_sorted
          FROM events ORDER BY event_id""",
 
+    // ───── §2.K streaming batch shadows ─────
+    "q_stream_tumble" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, event_type FROM (
+           SELECT event_id, event_type FROM events
+           UNION ALL
+           SELECT event_id, event_type FROM events)
+         ORDER BY event_id""",
+
+    // ───── §2.L domain functions ─────
+    "q_udf_parse_hours" ->
+      """WITH base AS (
+           SELECT event_id,
+                  CAST(date_part('hour', ts) AS INTEGER) AS h,
+                  CAST(date_part('minute', ts) AS INTEGER) AS m
+           FROM events),
+         f AS (
+           SELECT event_id, h, m,
+                  printf('%d:%02d %s',
+                    CASE WHEN h % 12 = 0 THEN 12 ELSE h % 12 END, m,
+                    CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END)
+                  || ' - ' ||
+                  printf('%d:%02d %s',
+                    CASE WHEN (h+3) % 24 % 12 = 0 THEN 12
+                         ELSE (h+3) % 24 % 12 END, m,
+                    CASE WHEN (h+3) % 24 < 12 THEN 'AM' ELSE 'PM' END) AS one,
+                  printf('%d:%02d %s',
+                    CASE WHEN (h+5) % 24 % 12 = 0 THEN 12
+                         ELSE (h+5) % 24 % 12 END, 30,
+                    CASE WHEN (h+5) % 24 < 12 THEN 'AM' ELSE 'PM' END)
+                  || ' - ' ||
+                  printf('%d:%02d %s',
+                    CASE WHEN (h+8) % 24 % 12 = 0 THEN 12
+                         ELSE (h+8) % 24 % 12 END, 45,
+                    CASE WHEN (h+8) % 24 < 12 THEN 'AM' ELSE 'PM' END) AS two
+           FROM base)
+         SELECT event_id,
+                CASE WHEN event_id % 10 = 0 THEN 'Closed'
+                     WHEN event_id % 10 = 1 THEN 'Open 24 hours'
+                     WHEN event_id % 10 = 2 THEN one || two
+                     ELSE one END AS hours_str,
+                CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                     WHEN event_id % 10 = 1 THEN [CAST(0 AS BIGINT)]
+                     WHEN event_id % 10 = 2 THEN [
+                       CAST(h*3600 + m*60 AS BIGINT),
+                       CAST(((h+5) % 24)*3600 + 1800 AS BIGINT)]
+                     ELSE [CAST(h*3600 + m*60 AS BIGINT)] END AS opens,
+                CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                     WHEN event_id % 10 = 1 THEN [CAST(86399 AS BIGINT)]
+                     WHEN event_id % 10 = 2 THEN [
+                       CAST(((h+3) % 24)*3600 + m*60 AS BIGINT),
+                       CAST(((h+8) % 24)*3600 + 2700 AS BIGINT)]
+                     ELSE [CAST(((h+3) % 24)*3600 + m*60 AS BIGINT)]
+                END AS closes
+         FROM f ORDER BY event_id""",
+    "q_udtf_hours_explode" ->
+      """WITH base AS (
+           SELECT event_id,
+                  CAST(date_part('hour', ts) AS INTEGER) AS h,
+                  CAST(date_part('minute', ts) AS INTEGER) AS m
+           FROM events),
+         lists AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(0 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(h*3600 + m*60 AS BIGINT),
+                         CAST(((h+5) % 24)*3600 + 1800 AS BIGINT)]
+                       ELSE [CAST(h*3600 + m*60 AS BIGINT)] END AS opens,
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(86399 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(((h+3) % 24)*3600 + m*60 AS BIGINT),
+                         CAST(((h+8) % 24)*3600 + 2700 AS BIGINT)]
+                       ELSE [CAST(((h+3) % 24)*3600 + m*60 AS BIGINT)]
+                  END AS closes
+           FROM base)
+         SELECT event_id,
+                unnest(range(len(opens))) AS range_idx,
+                unnest(opens) AS open_sec,
+                unnest(closes) AS close_sec
+         FROM lists ORDER BY event_id, range_idx""",
+    "q_udaf_wavg" ->
+      """SELECT l_returnflag,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                      4) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_udf_time_until_close" ->
+      """SELECT event_id,
+                CAST(date_part('hour', ts)*3600 + date_part('minute', ts)*60
+                     + date_part('second', ts) AS BIGINT) AS close_sec,
+                CAST(((date_part('hour', ts)*3600 + date_part('minute', ts)*60
+                       + date_part('second', ts) - 43200 + 86400) % 86400)
+                     // 60 AS BIGINT) AS mins_until_close
+         FROM events ORDER BY event_id""",
+
+    // ───── §2.M text / vector ─────
+    "q_text_tokenize" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY word""",
+    "q_text_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
+                count(*) AS n_copies
+         FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+    "q_vec_cosine_topk" ->
+      """SELECT vec_id, label,
+                round(list_cosine_similarity(
+                  CAST(embedding AS DOUBLE[]),
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                   WHERE vec_id = 0)), 4) AS sim_r
+         FROM embeddings ORDER BY sim_r DESC, vec_id LIMIT 10""",
+
     // ───── §2.G set ops ─────
     "q_set_union" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'

@@ -34,7 +34,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SourceQueries.all ++ RelationalQueries.all ++ AggQueries.all ++
       SortSetQueries.all ++ WindowQueries.all ++ ScalarQueries.all ++
-      CollectionQueries.all
+      CollectionQueries.all ++ StreamingQueries.all ++ HoursQueries.all ++
+      TextQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (Q-tier). */

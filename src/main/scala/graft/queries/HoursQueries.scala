@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Aggregators, HoursParser}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.L — the reference's domain functions, Spark-first.
+  *
+  * Hours strings are synthesized deterministically from `events.ts`
+  * (SURVEY.md §2.L: format ints → string → parse back), covering all
+  * parser branches: sentinels, single range, glued multi-range. */
+object HoursQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def h12(h: Column): Column = when(h % 12 === 0, 12).otherwise(h % 12)
+  private def ap(h: Column): Column = when(h < 12, "AM").otherwise("PM")
+  private def fmt(h: Column, m: Column): Column =
+    format_string("%d:%02d %s", h12(h), m, ap(h))
+
+  /** events + synthesized `hours_str` exercising every grammar branch
+    * (reference corpus `database/parse_and_upload_to_db.py:64-74`). */
+  private[graft] def withHoursStr(df: DataFrame): DataFrame = {
+    val h = hour(col("ts"))
+    val m = minute(col("ts"))
+    val one = concat(fmt(h, m), lit(" - "), fmt((h + 3) % 24, m))
+    val glued = concat(one, fmt((h + 5) % 24, lit(30)), lit(" - "),
+      fmt((h + 8) % 24, lit(45)))
+    df.withColumn("hours_str",
+      when(col("event_id") % 10 === 0, "Closed")
+        .when(col("event_id") % 10 === 1, "Open 24 hours")
+        .when(col("event_id") % 10 === 2, glued)
+        .otherwise(one))
+  }
+
+  /** q_udf_parse_hours — hours-string → open/close second lists via the
+    * pure-expression parser ([[HoursParser]]; ref `parse_hours`
+    * `database/parse_and_upload_to_db.py:58-81`). */
+  private val parseHours: Q = (s, dir) =>
+    withHoursStr(Tables.load(s, dir, "events"))
+      .withColumn("opens", HoursParser.opens(col("hours_str")))
+      .withColumn("closes", HoursParser.closes(col("hours_str")))
+      .select("event_id", "hours_str", "opens", "closes")
+      .orderBy("event_id")
+
+  /** q_udtf_hours_explode — one row per open interval (ref nested
+    * insert loop `database/parse_and_upload_to_db.py:111-118`); generator
+    * = explode over the parser's array output, no custom Generator needed
+    * (SURVEY.md §7.3). */
+  private val hoursExplode: Q = (s, dir) =>
+    withHoursStr(Tables.load(s, dir, "events"))
+      .withColumn("opens", HoursParser.opens(col("hours_str")))
+      .withColumn("closes", HoursParser.closes(col("hours_str")))
+      .select(col("event_id"), col("closes"), posexplode(col("opens")))
+      .withColumn("range_idx", col("pos").cast("long"))
+      .withColumn("open_sec", col("col"))
+      .withColumn("close_sec", element_at(col("closes"), col("pos") + 1))
+      .select("event_id", "range_idx", "open_sec", "close_sec")
+      .orderBy("event_id", "range_idx")
+
+  /** q_udaf_wavg — weighted average via the typed Aggregator surface
+    * ([[Aggregators.WeightedAvg]]). */
+  private val wavg: Q = (s, dir) => {
+    val wavgUdf = udaf(new Aggregators.WeightedAvg(),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(wavgUdf(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_udf_time_until_close — the reference's client-side pandas apply
+    * (`database/app.py:217-226`) folded into plan arithmetic
+    * ([[HoursParser.minutesUntilClose]]); "now" is the fixed anchor
+    * 12:00:00 (SURVEY.md §7.5.3 — never the clock). */
+  private val timeUntilClose: Q = (s, dir) => {
+    val closeSec = ScalarQueries.secOfDay(col("ts"))
+    Tables.load(s, dir, "events")
+      .withColumn("close_sec", closeSec)
+      .withColumn("mins_until_close",
+        HoursParser.minutesUntilClose(col("close_sec"), lit(43200L))
+          .cast("long"))
+      .select("event_id", "close_sec", "mins_until_close")
+      .orderBy("event_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_udf_parse_hours" -> parseHours,
+    "q_udtf_hours_explode" -> hoursExplode,
+    "q_udaf_wavg" -> wavg,
+    "q_udf_time_until_close" -> timeUntilClose)
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.M text / similarity / vector extensions over `documents` and
+  * `embeddings` — the training-data-pipeline operators (dedup, ANN,
+  * text analysis). */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_text_tokenize — tokenize + word counts (ref text fields of
+    * `web_scraper/web_scraping.py:325-333`). Two-phase hash aggregate:
+    * the shuffle carries one row per distinct word per partition. */
+  private val tokenize: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(explode(TextSim.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  /** q_text_dedup_exact — content-hash dedup (ref resume dedup on bizId
+    * `web_scraper/web_scraping.py:517-521`): keep the lowest doc_id per
+    * sha256(text). Deterministic keeper, unlike dropDuplicates. */
+  private val dedupExact: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .groupBy("text_sha")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "text_sha", "n_copies")
+      .orderBy("doc_id")
+
+  /** q_text_minhash — MinHash+LSH near-dup candidates
+    * ([[TextSim.minhashCandidates]]): shingle → signature → banded
+    * bucket-join. Q-tier (no DuckDB parity for the hash family);
+    * Jaccard-vs-candidates property covered in TextSimSpec. */
+  private val minhash: Q = (s, dir) =>
+    TextSim.minhashCandidates(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_a", "doc_b")
+
+  /** q_vec_cosine_topk — brute-force cosine top-10 against the vec_id=0
+    * probe ([[TextSim.cosine]]: sequential double fold on both engines).
+    * Ties break on vec_id after rounding, so the top-k set is stable. */
+  private val cosineTopk: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_vec"))
+    emb.crossJoin(broadcast(probe))
+      .withColumn("sim_r",
+        round(TextSim.cosine(col("embedding"), col("probe_vec")), 4))
+      .select("vec_id", "label", "sim_r")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** q_vec_knn_join — top-3 cosine neighbours for probes vec_id<20
+    * ([[TextSim.knnJoin]]). Q-tier: float order sensitivity + BNL cost
+    * (SURVEY.md §2.M); exactness covered in TextSimSpec. */
+  private val knnJoin: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    TextSim.knnJoin(emb.filter(col("vec_id") < 20), emb, 3)
+      .select("probe_id", "neighbor_id", "sim", "rn")
+      .orderBy("probe_id", "rn")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_text_tokenize" -> tokenize,
+    "q_text_dedup_exact" -> dedupExact,
+    "q_text_minhash" -> minhash,
+    "q_vec_cosine_topk" -> cosineTopk,
+    "q_vec_knn_join" -> knnJoin)
+}
