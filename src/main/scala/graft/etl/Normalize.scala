@@ -1,0 +1,161 @@
+package graft.etl
+
+import graft.Schemas
+import graft.ops.HoursParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NDJSON → 11-table normalized warehouse: the set-oriented replacement of
+  * the reference's sequential per-record loader
+  * (`database/parse_and_upload_to_db.py:89-175`, traced in SURVEY.md §3.2).
+  *
+  * Where the reference pays one Postgres round-trip per record plus an
+  * N+1 `get_or_create` per attribute value (`:31-47`), this pipeline is
+  * five declarative stages — read → validate/quarantine → hub →
+  * per-collection explode/distinct/join-back → write — whose only
+  * synchronization points are the distinct/window shuffles. Every
+  * `get_or_create` becomes one broadcast hash join against a distinct'd
+  * dim; at 100 TB the dims stay broadcastable because they are bounded
+  * vocabularies, and the fact-side work is embarrassingly parallel.
+  *
+  * Surrogate ids are `row_number() OVER (ORDER BY natural key)` —
+  * deterministic across runs and cluster layouts (SURVEY.md §7.5.4); the
+  * reference's autoincrement ids are insertion-order-dependent and
+  * unreproducible.
+  */
+object Normalize {
+
+  /** Reference weekday collation (`database/app.py:22` WEEKDAY_ORDER). */
+  val weekdays: Seq[String] = Seq("Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday", "Sunday")
+
+  val priceRe = "^\\${1,4}$" // pydantic, web_scraping.py:242
+  val healthRe = "^[A-Z]$" //        pydantic, web_scraping.py:243-244
+
+  /** Read the scraper's NDJSON with the pinned nested schema
+    * (schema-on-write mirror of pydantic, SURVEY.md §1.4). */
+  def readScraped(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.scrapedBusiness).json(path)
+
+  /** Validation split (the pydantic regexes as a quarantine operator,
+    * §2 q_filter_rlike pattern): `_1` = valid, `_2` = quarantined. */
+  def validate(raw: DataFrame): (DataFrame, DataFrame) = {
+    val ok = (col("price").isNull || col("price").rlike(priceRe)) &&
+      (col("health_score").isNull || col("health_score").rlike(healthRe)) &&
+      col("bizId").isNotNull && col("name").isNotNull
+    (raw.filter(ok), raw.filter(!coalesce(ok, lit(false))))
+  }
+
+  /** Build a 1-column name dim with deterministic ids from exploded
+    * values (the set form of `get_or_create`,
+    * `parse_and_upload_to_db.py:31-47`). */
+  private def dim(values: DataFrame, nameCol: String): DataFrame =
+    values.select(col(nameCol).as("name")).filter(col("name").isNotNull)
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy("name")).cast("long"))
+      .select("id", "name")
+
+  /** Explode one string-array attribute into a (dim, bridge) pair. */
+  private def bridgeFor(business: DataFrame, attr: String,
+                        dimIdCol: String): (DataFrame, DataFrame) = {
+    val exploded = business
+      .select(col("id").as("business_id"), explode(col(attr)).as("name"))
+    val d = dim(exploded, "name")
+    val bridge = exploded.join(broadcast(d), "name")
+      .select(col("business_id"), col("id").as(dimIdCol))
+      .withColumn("id", row_number().over(
+        Window.orderBy("business_id", dimIdCol)).cast("long"))
+      .select("id", "business_id", dimIdCol)
+    (d, bridge)
+  }
+
+  /** Full normalization: valid records → the 11 tables of SURVEY.md §1.3,
+    * keyed by reference table name. */
+  def normalize(valid: DataFrame): Map[String, DataFrame] = {
+    val spark = valid.sparkSession
+
+    // hub ids first; `withId` keeps the nested collections for the
+    // explode stages below, `business` is the scalar hub projection
+    val withId = valid
+      .withColumn("id", row_number().over(Window.orderBy("bizId")).cast("long"))
+    val business = withId
+      .select("id", "bizId", "name", "website", "phone_number", "address",
+        "price", "health_score")
+      // bizId is carried for joins below; the reference hub table
+      // (model.py:9-17) does not persist it — dropped at write time.
+
+    val weekday = spark.createDataFrame(
+      weekdays.zipWithIndex.map { case (w, i) => (i + 1L, w) })
+      .toDF("id", "name")
+
+    // open_hours: explode day rows, parse the hours grammar, explode
+    // ranges (the §2.L generator) → one row per contiguous open interval
+    // (parse_and_upload_to_db.py:111-118); unparseable strings are
+    // dropped like the reference's raise-per-record, but set-wise.
+    val dayRows = withId.select(col("id").as("business_id"),
+        explode(col("open_hours")).as("oh"))
+      .select(col("business_id"), col("oh.weekday").as("weekday_name"),
+        col("oh.open_hours").as("hours_str"))
+      .filter(HoursParser.isParseable(col("hours_str")))
+    val openHours = dayRows
+      .withColumn("opens", HoursParser.opens(col("hours_str")))
+      .withColumn("closes", HoursParser.closes(col("hours_str")))
+      .select(col("business_id"), col("weekday_name"), col("closes"),
+        posexplode(col("opens")))
+      .withColumn("open_time", col("col"))
+      .withColumn("close_time", element_at(col("closes"), col("pos") + 1))
+      .join(broadcast(weekday.select(col("id").as("weekday_id"),
+        col("name").as("weekday_name"))), "weekday_name")
+      .withColumn("id", row_number().over(Window.orderBy(
+        "business_id", "weekday_id", "open_time")).cast("long"))
+      .select("id", "business_id", "open_time", "close_time", "weekday_id")
+
+    val (foodCategory, bizFood) =
+      bridgeFor(withId, "food_category", "food_category_id")
+    val (searchTerm, bizSearch) =
+      bridgeFor(withId, "related_search_terms", "search_term_id")
+    val (highlight, bizHighlight) =
+      bridgeFor(withId, "highlights", "highlight_id")
+
+    // amenities carry a payload on the bridge (model.py:80-85)
+    val amenityRows = withId.select(col("id").as("business_id"),
+        explode(col("amenities")).as("am"))
+      .select(col("business_id"), col("am.amenity").as("name"),
+        col("am.is_available").as("is_available"))
+    val amenity = dim(amenityRows, "name")
+    val bizAmenity = amenityRows.join(broadcast(amenity), "name")
+      .select(col("business_id"), col("id").as("amenity_id"),
+        col("is_available"))
+      .withColumn("id", row_number().over(
+        Window.orderBy("business_id", "amenity_id")).cast("long"))
+      .select("id", "business_id", "amenity_id", "is_available")
+
+    Map(
+      "business" -> business.drop("bizId"),
+      "weekday" -> weekday,
+      "open_hours" -> openHours,
+      "food_category" -> foodCategory,
+      "search_term" -> searchTerm,
+      "highlight" -> highlight,
+      "amenity" -> amenity,
+      "business_food_category" -> bizFood,
+      "business_search_term" -> bizSearch,
+      "business_highlight" -> bizHighlight,
+      "business_amenity" -> bizAmenity)
+  }
+
+  /** End-to-end: NDJSON path → warehouse dir. Returns (row counts per
+    * table, quarantined count). */
+  def run(spark: SparkSession, ndjsonPath: String,
+          warehouseDir: String): (Map[String, Long], Long) = {
+    val (valid, quarantined) = validate(readScraped(spark, ndjsonPath))
+    val tables = normalize(valid)
+    val counts = tables.map { case (name, df) =>
+      Sinks.writeWarehouseTable(df, s"$warehouseDir/$name")
+      name -> spark.read.parquet(s"$warehouseDir/$name").count()
+    }
+    Sinks.appendNdjson(quarantined, s"$warehouseDir/_quarantine")
+    (counts, quarantined.count())
+  }
+}

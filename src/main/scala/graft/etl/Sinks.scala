@@ -1,0 +1,34 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** §2.A sinks.
+  *
+  * The reference's two write paths: locked append of one JSON line per
+  * record (`web_scraper/web_scraping.py:221-224,410-413`) and a
+  * single-transaction ORM load into Postgres
+  * (`database/parse_and_upload_to_db.py:99-175`). Our analogs are an
+  * append-mode NDJSON sink and an idempotent overwrite parquet warehouse
+  * sink — overwrite-per-table replaces the reference's all-or-nothing
+  * rollback (`:178-180`): a failed job leaves the previous table intact,
+  * a rerun converges (no partial-append dedup problem).
+  *
+  * JDBC is a config swap (`df.write.format("jdbc")`) but the offline build
+  * has no driver jar (SURVEY.md §2.A), so the warehouse stays parquet.
+  */
+object Sinks {
+
+  /** Append-only NDJSON sink (scraper-style event log). */
+  def appendNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode("append").json(path)
+
+  /** Idempotent warehouse table write. `partitionByCols` for fact tables
+    * whose downstream reads prune on the partition column; dims stay
+    * unpartitioned (small files beat empty-partition sprawl). */
+  def writeWarehouseTable(df: DataFrame, path: String,
+                          partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(path)
+  }
+}

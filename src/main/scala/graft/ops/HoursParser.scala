@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object HoursParser {
 
-  private val timePattern = "(\\d{1,2}:\\d{2} [AP]M)"
+  /** Minutes are optional: the reference's fallback time format `"%I %p"`
+    * (`parse_and_upload_to_db.py:54-55`) accepts `"11 AM"`. */
+  private val timePattern = "(\\d{1,2}(?::\\d{2})? [AP]M)"
 
-  /** Parse one `"h:mm AM"` time string to seconds since midnight. */
+  /** Parse one `"h:mm AM"` / `"h AM"` time string to seconds since
+    * midnight. */
   def timeToSec(t: Column): Column = {
-    val h = split(t, ":").getItem(0).cast("int")
-    val m = substring(split(t, ":").getItem(1), 1, 2).cast("int")
+    val h = regexp_extract(t, "^(\\d{1,2})", 1).cast("int")
+    val m = coalesce(
+      nullif(regexp_extract(t, ":(\\d{2})", 1), lit("")), lit("0"))
+      .cast("int")
     val isPm = substring_index(t, " ", -1) === "PM"
     ((when(isPm, (h % 12) + 12).otherwise(h % 12)) * 3600 + m * 60).cast("long")
   }

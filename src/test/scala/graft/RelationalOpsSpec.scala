@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the reusable plan combinators in [[Relational]]. */
+class RelationalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val scores = Seq(
+    ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+    ("b", 5, 5.0), ("c", 6, 1.0), ("c", 7, 2.0))
+    .toDF("grp", "id", "score")
+
+  test("topKPerGroup keeps k rows per group, ties broken by id") {
+    val got = Relational.topKPerGroup(scores, Seq(col("grp")),
+        Seq(col("score").desc, col("id")), 2)
+      .select("grp", "id").as[(String, Int)].collect().toSet
+    assert(got == Set(("a", 2), ("a", 4), ("b", 5), ("c", 7), ("c", 6)))
+  }
+
+  test("paginate: pages are disjoint and covering") {
+    val all = (1 to 10).map(i =>
+      Relational.paginate(scores, Seq(col("id")), i, 3)
+        .select("id").as[Int].collect().toSeq)
+    val flat = all.flatten
+    assert(flat == flat.distinct, "pages overlap")
+    assert(flat.sorted == (1 to 7).toSeq, "pages don't cover")
+    assert(all.head == Seq(1, 2, 3), "page order broken")
+  }
+
+  test("dedupKeepFirst keeps the first row per key under the given order") {
+    val got = Relational.dedupKeepFirst(scores, Seq(col("grp")),
+        Seq(col("score").desc, col("id")))
+      .select("grp", "id").as[(String, Int)].collect().toSet
+    assert(got == Set(("a", 2), ("b", 5), ("c", 7)))
+  }
+
+  test("asofJoin picks latest right row at-or-before, ties to right row") {
+    val left = Seq((1, "k", 100L), (2, "k", 205L), (3, "k", 50L),
+      (4, "other", 100L)).toDF("id", "k", "ts")
+    val right = Seq((10, "k", 100L), (11, "k", 200L), (12, "k", 300L))
+      .toDF("rid", "k", "ts")
+    val got = Relational.asofJoin(left, right, "k", "ts", "ts",
+        Map("rid" -> "prior_rid"))
+      .select("id", "prior_rid").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toSet
+    assert(got == Set((1, Some(10)), // tie at ts=100 → right row wins (>=)
+      (2, Some(11)), (3, None), (4, None)))
+  }
+
+  test("rangeJoin matches half-open intervals") {
+    val probe = Seq((1, 0.0), (2, 49.9), (3, 50.0), (4, 200.0))
+      .toDF("id", "v")
+    val bounds = Seq((0.0, 50.0, "lo"), (50.0, 1000.0, "hi"))
+      .toDF("lo", "hi", "tier")
+    val got = Relational.rangeJoin(probe, bounds, col("v"), col("lo"),
+        col("hi"))
+      .select("id", "tier").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "lo"), (2, "lo"), (3, "hi"), (4, "hi")))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.TextSim
+import org.apache.spark.sql.functions._
+
+/** §2.M verification: MinHash/LSH candidate quality vs exact Jaccard,
+  * cosine/kNN vs a scalar reference implementation. */
+class TextSimSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("jaccard expression matches set arithmetic") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(TextSim.jaccard(col("x"), col("y")))
+    assert(math.abs(df.as[Double].head() - 0.5) < 1e-12)
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips disjoint docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i =>
+      if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val disjoint = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, disjoint))
+      .toDF("doc_id", "text")
+    val cand = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)), "near-dup pair missed")
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc produced a candidate")
+  }
+
+  test("minhash candidates on the documents table include all exact dups") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val cand = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    // every pair of byte-identical texts must be a candidate (Jaccard=1
+    // collides in all bands)
+    val dups = docs.as[(Long, String, String, String, Long)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2)
+        .map(p => (p(0), p(1))))
+      .toSet
+    assert(dups.subsetOf(cand),
+      s"missed exact-dup pairs: ${dups -- cand}")
+  }
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(ad.map(x => x * x).sum) *
+      math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  test("cosine expression matches scalar reference on real embeddings") {
+    val rows = Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probe = rows(0L)
+    val got = Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 10)
+      .withColumn("sim", TextSim.cosine(col("embedding"),
+        typedLit(probe.toSeq)))
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, vec) =>
+      assert(math.abs(got(id) - cosRef(probe, vec)) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("knnJoin returns the true top-k neighbours") {
+    val all = Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 30)
+    val got = TextSim.knnJoin(all.filter(col("vec_id") < 3), all, 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val vecs = all.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    (0L to 2L).foreach { p =>
+      val expected = vecs.keys.filter(_ != p).toSeq
+        .map(id => (id, BigDecimal.valueOf(cosRef(vecs(p), vecs(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      assert(got(p) == expected, s"probe $p")
+    }
+  }
+}
