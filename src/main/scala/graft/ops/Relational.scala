@@ -96,6 +96,26 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__k", "__t", "__side")
   }
 
+  /** Salted equi-join for skewed keys: explode the small side `factor`
+    * ways, scatter the large side's hot keys across the replicas, join on
+    * (key, salt). AQE's skew-join handles sort-merge skew at runtime;
+    * salting is the plan-level tool when one key dominates so hard that a
+    * single task would still own it (the 100 TB hot-key case). */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 factor: Int): DataFrame = {
+    val salted = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    // deterministic pseudo-random scatter: hash of the large row's key
+    // and a per-row discriminator would need a unique col; xxhash64 of all
+    // columns is stable and spreads rows of one key across salts
+    val largeSalted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(factor)))
+    largeSalted.join(salted,
+        largeSalted(key) === salted(key) &&
+          largeSalted("__salt") === salted("__salt"))
+      .drop(salted(key)).drop("__salt")
+  }
+
   /** Interval-containment (range) join: `probe.v ∈ [bounds.lo, bounds.hi)`.
     * The bounds side is broadcast — at any scale the tier table is small
     * (reference analog: the 3-disjunct time-window filter

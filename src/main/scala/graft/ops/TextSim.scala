@@ -100,8 +100,11 @@ object TextSim {
     * probe side or move to the LSH/IVF bucketed variant; the per-probe
     * top-k window keeps only k rows per probe after the join. */
   def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = probes.select(col("vec_id").as("probe_id"),
-        col("embedding").as("probe_vec"))
+    // broadcast the (small) probe side: the BNL join then streams the
+    // corpus once per task with probes resident, instead of shipping the
+    // corpus to the probes
+    val joined = broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_vec")))
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("neighbor_vec")),
         col("probe_id") =!= col("neighbor_id"))

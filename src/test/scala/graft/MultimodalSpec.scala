@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, partition-batched decode, frame sampling,
+  * binary dedup. The codec is the documented deterministic stub. */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 30)
+
+  test("byte stats are expression-only metadata (no decode)") {
+    val df = Multimodal.withByteStats(media.toDF())
+    val r = df.filter(col("media_id") === 0)
+      .select("n_bytes", "payload_sha", "is_empty").head()
+    assert(r.getLong(0) == 64)
+    assert(r.getString(1).length == 64)
+    assert(!r.getBoolean(2))
+  }
+
+  test("feature extraction is deterministic and partition-batched") {
+    val f1 = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f1 == f2, "features depend on partitioning")
+    assert(f1(0L).length == Multimodal.FakeCodec.featureDim)
+    // histogram features are a distribution
+    assert(math.abs(f1(0L).sum - 1.0f) < 1e-5)
+  }
+
+  test("frame sampling explodes every Nth fixed-size frame") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32,
+      every = 2, targetBytes = 16).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_bytes.length == 16), "resize broken")
+    assert(frames.forall(_.frame_idx % 2 == 0), "sampling stride broken")
+    // media_id=2 is video with 64+2*32=128 bytes → frames 0,1,2,3 → keep 0,2
+    assert(frames.filter(_.media_id == 2L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2))
+  }
+
+  test("payload dedup keeps first media_id per content hash") {
+    val dup = media.toDF().unionByName(
+      media.toDF().withColumn("media_id", col("media_id") + 100))
+    val kept = Multimodal.dedupPayloads(dup)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == (0L until 30L).toSet, "kept wrong copies")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates (SURVEY.md §4.2): these are the properties
+  * that decide whether a query survives a 100× scale-up — filters reaching
+  * the parquet scan, projections pruning the read schema, small dims
+  * broadcast, windows not collapsing to a global sort. Asserted on the
+  * formatted explain output so regressions fail CI, not the cluster. */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_src_parquet prunes the read schema to the projected columns") {
+    val p = plan("q_src_parquet")
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_linenumber") &&
+      readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q_filter_eq pushes the predicate into the parquet scan") {
+    val p = plan("q_filter_eq")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("EqualTo(l_linenumber,1)"), pushed)
+  }
+
+  test("q_join_broadcast plans a broadcast hash join, no shuffle of the dim") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(12
+      ).mkString("\n"))
+  }
+
+  test("q_agg_group uses two-phase hash aggregation (partial before shuffle)") {
+    val p = plan("q_agg_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregate")
+    assert(p.contains("Exchange"))
+  }
+
+  test("entry broadcasts the small dims and keeps one shuffle stage chain") {
+    val df = SparkEntry.entry(spark)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation/region not broadcast")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // AQE shows codegen stages only in the finalized plan → execute first
+    val df = SparkEntry.queries("q_filter_range_disj")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // '*' prefixes mark nodes inside a WholeStageCodegen stage
+    assert(p.contains("* Filter") && p.contains("* Project"),
+      "expression pipeline fell out of codegen")
+  }
+}

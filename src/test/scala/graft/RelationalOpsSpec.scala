@@ -50,6 +50,17 @@ class RelationalOpsSpec extends SparkSpecBase {
       (2, Some(11)), (3, None), (4, None)))
   }
 
+  test("saltedJoin equals a plain join on a skewed key") {
+    val large = (1 to 1000).map(i =>
+      (if (i % 10 == 0) "cold" + i else "hot", i)).toDF("k", "v")
+    val small = Seq(("hot", 1), ("cold10", 2)).toDF("k", "dim")
+    val plain = large.join(small, "k").select("v", "dim")
+      .as[(Int, Int)].collect().toSet
+    val salted = Relational.saltedJoin(large, small, "k", 8)
+      .select("v", "dim").as[(Int, Int)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("rangeJoin matches half-open intervals") {
     val probe = Seq((1, 0.0), (2, 49.9), (3, 50.0), (4, 200.0))
       .toDF("id", "v")
