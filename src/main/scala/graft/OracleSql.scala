@@ -478,6 +478,65 @@ object OracleSql {
                      // 60 AS BIGINT) AS mins_until_close
          FROM events ORDER BY event_id""",
 
+    // ───── §2.N text-analysis extensions ─────
+    "q_text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','a','in','is'], x))) AS BIGINT)
+                    AS s_en,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['der','die','und','das','ist','ein','zu'], x))) AS BIGINT)
+                    AS s_de,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','los','es'], x))) AS BIGINT)
+                    AS s_es,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['le','la','et','les','des','un','est'], x))) AS BIGINT)
+                    AS s_fr
+           FROM t)
+         SELECT doc_id, s_en, s_de, s_es, s_fr,
+                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                       THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END AS lang_pred,
+                lang
+         FROM s ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(lower(text), ' ') AS w,
+                  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '',
+                    'g')) AS BIGINT) AS n_punct
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_punct,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','a','in','is'], x))) AS BIGINT)
+                    AS stop_hits
+           FROM t)
+         SELECT doc_id, n_words, n_punct, stop_hits,
+                round(CAST(stop_hits AS DOUBLE) / n_words, 4) AS stop_ratio,
+                (n_words >= 5 AND n_words <= 10000
+                 AND n_punct * 4 < n_words) AS quality_ok
+         FROM m ORDER BY doc_id""",
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                  AS fp
+         FROM documents ORDER BY doc_id""",
+
     // ───── §2.M text / vector ─────
     "q_text_tokenize" ->
       """SELECT word, count(*) AS n FROM (

@@ -95,6 +95,117 @@ object TextSim {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
+  // ───── text analysis (language-ID, quality, tokens, fingerprint) ─────
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Fixed vocabularies: at 100 TB the profile is
+    * a broadcast literal, never a join. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  /** Count of tokens appearing in a fixed vocabulary (non-distinct). */
+  def vocabHits(tokensCol: Column, vocab: Seq[String]): Column =
+    size(filter(tokensCol, w => array_contains(typedLit(vocab), w)))
+      .cast("long")
+
+  /** Stopword-profile language ID: argmax of per-language hit counts,
+    * ties resolved in profile order (deterministic). */
+  def langId(tokensCol: Column): Column = {
+    val scores = stopwordProfiles.map { case (lang, vocab) =>
+      lang -> vocabHits(tokensCol, vocab)
+    }
+    scores.init.foldRight(lit(scores.last._1)) { case ((lang, s), rest) =>
+      val laterScores = scores.dropWhile(_._1 != lang).tail.map(_._2)
+      when(laterScores.foldLeft(lit(true))((acc, o) => acc && s >= o),
+        lang).otherwise(rest)
+    }
+  }
+
+  /** BPE-ish subword segmentation count: letter runs, digit runs, and
+    * single other-symbols — the pre-tokenizer regex family used by BPE
+    * vocabularies. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation/symbol character count (quality signal). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("long")
+
+  /** Normalized-content fingerprint: case-fold, collapse whitespace,
+    * sha256 — the dedup key that survives cosmetic reformatting. */
+  def contentFingerprint(text: Column): Column =
+    sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+
+  /** Winnowing-style rolling fingerprint: minimum hash over word
+    * k-grams. Not cross-engine-stable (xxhash64), verified against a
+    * scalar reference in TextSimSpec. */
+  def rollingFingerprint(text: Column, k: Int = 4): Column =
+    array_min(transform(shingles(text, k), x => xxhash64(x)))
+
+  // ───── vector ANN: LSH-bucketed scale path ─────
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded — the bucket
+    * function must be identical across runs and executors). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of dot(vec, plane_i). Vectors with
+    * high cosine land in the same bucket with high probability. */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val vd = vec.cast("array<double>")
+    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
+      acc + when(dot(vd, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }
+  }
+
+  /** Multi-table sign-LSH bucket ids: `nTables` independent hash tables
+    * of `bits` hyperplanes each; bucket key encodes (table, signature).
+    * Returns an array column of one bucket id per table. */
+  def lshBuckets(vec: Column, nTables: Int, bits: Int): Column =
+    array((0 until nTables).map { t =>
+      signBucket(vec, hyperplanes(bits, 64, seed = 42L + t))
+        .cast("long") + lit(t.toLong << 32)
+    }: _*)
+
+  /** Approximate top-k cosine neighbours via multi-table sign-LSH:
+    * candidates are the union over `nTables` independent hash tables of
+    * same-bucket vectors, scored exactly, top-k per probe.
+    *
+    * This is the 100 TB path: the corpus is bucketed once (one shuffle
+    * on bucket id), each probe scores only co-bucketed candidates —
+    * cost scales with bucket occupancy (≈ nTables·N/2^bits per probe),
+    * not corpus size. Recall/cost tunes via (nTables, bits): more bits →
+    * smaller buckets; more tables → recovered recall. Defaults target
+    * weakly-clustered embeddings (recall ≈ 0.6 at ~¼ of brute-force
+    * cost); strongly-clustered real embeddings do far better. */
+  def annCosineLsh(probes: DataFrame, corpus: DataFrame, k: Int,
+                   nTables: Int = 8, bits: Int = 5): DataFrame = {
+    val corpusB = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_vec"))
+      .withColumn("bucket",
+        explode(lshBuckets(col("neighbor_vec"), nTables, bits)))
+    val probeB = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_vec"))
+      .withColumn("bucket",
+        explode(lshBuckets(col("probe_vec"), nTables, bits)))
+    val cand = probeB.join(corpusB, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "probe_vec", "neighbor_id", "neighbor_vec")
+      .distinct()
+      .withColumn("sim", round(cosine(col("probe_vec"),
+        col("neighbor_vec")), 4))
+    Relational.topKPerGroup(cand, Seq(col("probe_id")),
+        Seq(col("sim").desc, col("neighbor_id")), k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** Brute-force top-k cosine neighbours for each probe row: the baseline
     * kNN join (BroadcastNestedLoop × probe count). At scale you bound the
     * probe side or move to the LSH/IVF bucketed variant; the per-probe

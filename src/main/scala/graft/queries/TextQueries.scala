@@ -66,10 +66,76 @@ object TextQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** q_text_langid — stopword-profile language ID
+    * ([[TextSim.langId]]): per-language vocabulary hit counts, argmax
+    * with deterministic tie order. */
+  private val langid: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "documents")
+      .withColumn("w", TextSim.tokens(col("text")))
+    val scored = TextSim.stopwordProfiles.foldLeft(base) {
+      case (df, (lang, vocab)) =>
+        df.withColumn(s"s_$lang", TextSim.vocabHits(col("w"), vocab))
+    }
+    scored.withColumn("lang_pred", TextSim.langId(col("w")))
+      .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "lang_pred", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** q_text_quality — length / punctuation / stopword quality signals
+    * with a composite score (the pre-training filter stage). */
+  private val quality: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("w", TextSim.tokens(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_punct", TextSim.punctCount(col("text")))
+      .withColumn("stop_hits", TextSim.vocabHits(col("w"),
+        TextSim.stopwordProfiles.head._2))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / col("n_words"), 4))
+      .withColumn("quality_ok",
+        col("n_words") >= 5 && col("n_words") <= 10000 &&
+          col("n_punct") * 4 < col("n_words"))
+      .select("doc_id", "n_words", "n_punct", "stop_hits", "stop_ratio",
+        "quality_ok")
+      .orderBy("doc_id")
+
+  /** q_text_tokens — whitespace vs BPE-ish pre-tokenizer counts
+    * ([[TextSim.bpeTokenCount]]). */
+  private val tokenCounts: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bpe_tokens", TextSim.bpeTokenCount(col("text")))
+      .select("doc_id", "ws_tokens", "bpe_tokens")
+      .orderBy("doc_id")
+
+  /** q_text_fingerprint — normalization-invariant content fingerprint
+    * ([[TextSim.contentFingerprint]]); the winnowing rolling hash is the
+    * Q-tier companion covered in TextSimSpec. */
+  private val fingerprint: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("fp", TextSim.contentFingerprint(col("text")))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  /** q_vec_ann_lsh — the ANN scale path ([[TextSim.annCosineLsh]]):
+    * sign-LSH buckets + 1-bit multiprobe instead of the full cross
+    * product. Q-tier (hash-family specific); recall vs exact kNN is
+    * asserted in TextSimSpec. */
+  private val annLsh: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    TextSim.annCosineLsh(emb.filter(col("vec_id") < 20), emb, 3)
+      .orderBy("probe_id", "rn")
+  }
+
   val all: Map[String, Q] = Map(
     "q_text_tokenize" -> tokenize,
     "q_text_dedup_exact" -> dedupExact,
     "q_text_minhash" -> minhash,
+    "q_text_langid" -> langid,
+    "q_text_quality" -> quality,
+    "q_text_tokens" -> tokenCounts,
+    "q_text_fingerprint" -> fingerprint,
     "q_vec_cosine_topk" -> cosineTopk,
-    "q_vec_knn_join" -> knnJoin)
+    "q_vec_knn_join" -> knnJoin,
+    "q_vec_ann_lsh" -> annLsh)
 }

@@ -68,6 +68,43 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("rollingFingerprint matches a scalar winnowing reference") {
+    val texts = Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") < 5).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val got = Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), TextSim.rollingFingerprint(col("text")))
+      .as[(Long, Long)].collect().toMap
+    // reference: min xxhash64 over word 4-grams — recompute via Spark's
+    // own hash on a literal to confirm the expression composes correctly
+    texts.foreach { case (id, text) =>
+      val grams = text.toLowerCase.split(" ").sliding(4).map(_.mkString(" "))
+        .toSeq
+      val expected = grams.map(g =>
+        Seq(g).toDF("g").select(xxhash64(col("g"))).as[Long].head()).min
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
+  test("annCosineLsh recall vs exact kNN is usable (scale path)") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 15)
+    val exact = TextSim.knnJoin(probes, emb, 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = TextSim.annCosineLsh(probes, emb, 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, truth) =>
+      truth.intersect(ann.getOrElse(p, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@3 = $mean")
+  }
+
   test("knnJoin returns the true top-k neighbours") {
     val all = Tables.load(spark, sf0001, "embeddings")
       .filter(col("vec_id") < 30)
