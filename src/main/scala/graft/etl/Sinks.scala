@@ -22,6 +22,20 @@ object Sinks {
   def appendNdjson(df: DataFrame, path: String): Unit =
     df.write.mode("append").json(path)
 
+  /** Bucketed warehouse table (catalog-managed): co-locates rows by join
+    * key so repeated large⋈large joins on `bucketCols` skip the shuffle
+    * entirely — both sides arrive pre-partitioned (verified plan-level in
+    * BucketingSpec). This is the 100 TB answer to the reference's
+    * repeated per-request joins (`database/app.py:66-82`): pay the
+    * shuffle once at load, never per query. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Idempotent warehouse table write. `partitionByCols` for fact tables
     * whose downstream reads prune on the partition column; dims stay
     * unpartitioned (small files beat empty-partition sprawl). */

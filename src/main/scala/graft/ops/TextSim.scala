@@ -22,25 +22,42 @@ object TextSim {
       i => concat_ws(" ", slice(w, i + 1, lit(n))))
   }
 
-  /** MinHash signature: for each of `numHashes` seed-perturbed hash
-    * functions, the minimum hash over the shingle set. One pass, no
-    * shuffle — the signature is a per-row expression. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol,
-        x => xxhash64(lit(seed), x)))
-    }: _*)
+  /* Hash-family construction: each shingle STRING is xxhash64'd once,
+   * and the i-th hash function is xxhash64(i, baseHash) — integer-input
+   * hashing, ~64× less string hashing than seeding the full hash per
+   * function, and overflow-free under ANSI mode (a multiply-mix family
+   * would throw ARITHMETIC_OVERFLOW on Spark 4's ANSI default). */
 
-  /** LSH band hashes computed directly from the shingle array — one
-    * shingle pass per (band, row-in-band), never materializing then
-    * re-deriving the full signature (projection collapse would otherwise
-    * inline the whole signature expression into every band and multiply
-    * the work ×bands). Returns array of `bands` hashes. */
+  /** MinHash signature: min over the shingle set of `numHashes` derived
+    * hash functions. One pass, no shuffle — the signature is a per-row
+    * expression. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val base = transform(shingleCol, x => xxhash64(x))
+    array((0 until numHashes).map { i =>
+      array_min(transform(base, h => xxhash64(lit(i), h)))
+    }: _*)
+  }
+
+  /** LSH band hashes from the shingle array: one shared base
+    * string-hash subtree, then cheap integer mixes per (band,
+    * row-in-band) — subexpression elimination evaluates the base pass
+    * once per row. Returns array of `bands` hashes. */
   def bandHashes(shingleCol: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64((0 until rowsPerBand).map(j =>
-        array_min(transform(shingleCol,
-          x => xxhash64(b * rowsPerBand + j, x)))): _*))
+    bandHashesOfHashes(transform(shingleCol, x => xxhash64(x)), bands,
+      rowsPerBand)
+
+  /** Same, over an already-hashed long array (materialize that column in
+    * its own projection: 64 references to a non-cheap expression keep
+    * CollapseProject from inlining it, guaranteeing one string-hash pass
+    * per row). */
+  def bandHashesOfHashes(hashCol: Column, bands: Int,
+                         rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map { j =>
+        array_min(transform(hashCol,
+          h => xxhash64(lit(b * rowsPerBand + j), h)))
+      }: _*)
+    }: _*)
 
   /** Candidate near-duplicate pairs via LSH band collisions
     * (doc_a < doc_b, distinct).
@@ -57,8 +74,11 @@ object TextSim {
     val sh = df.select(docId.as("doc_id"),
         shingles(text, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), x => xxhash64(x)).as("shh"))
     val banded = sh.select(col("doc_id"),
-        posexplode(bandHashes(col("sh"), bands, numHashes / bands)))
+        posexplode(bandHashesOfHashes(col("shh"), bands,
+          numHashes / bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val buckets = banded.groupBy("band", "band_hash")
@@ -80,10 +100,14 @@ object TextSim {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Dot product of two equal-length double arrays: sequential fold —
-    * deterministic order, codegen'd. */
+  /** Dot product of two equal-length double arrays: sequential sum,
+    * native codegen'd expression
+    * ([[org.apache.spark.sql.graftfns.DotProduct]] — the interpreted
+    * `aggregate∘zip_with` fold it replaces dominated the kNN join at 10⁶
+    * pairs). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftfns.VectorFunctions.dot_product(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -187,19 +211,24 @@ object TextSim {
   def annCosineLsh(probes: DataFrame, corpus: DataFrame, k: Int,
                    nTables: Int = 8, bits: Int = 5): DataFrame = {
     val corpusB = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("neighbor_vec"))
+        col("embedding").cast("array<double>").as("neighbor_vec"))
+      .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
       .withColumn("bucket",
         explode(lshBuckets(col("neighbor_vec"), nTables, bits)))
     val probeB = probes.select(col("vec_id").as("probe_id"),
-        col("embedding").as("probe_vec"))
+        col("embedding").cast("array<double>").as("probe_vec"))
+      .withColumn("probe_norm", l2Norm(col("probe_vec")))
       .withColumn("bucket",
         explode(lshBuckets(col("probe_vec"), nTables, bits)))
+    // score before distinct, then drop the vectors: the dedup and top-k
+    // shuffles move (id, id, sim) rows, not 64-double payloads
     val cand = probeB.join(corpusB, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "probe_vec", "neighbor_id", "neighbor_vec")
+      .withColumn("sim", round(
+        dot(col("probe_vec"), col("neighbor_vec")) /
+          (col("probe_norm") * col("neighbor_norm")), 4))
+      .select("probe_id", "neighbor_id", "sim")
       .distinct()
-      .withColumn("sim", round(cosine(col("probe_vec"),
-        col("neighbor_vec")), 4))
     Relational.topKPerGroup(cand, Seq(col("probe_id")),
         Seq(col("sim").desc, col("neighbor_id")), k)
       .select(col("probe_id"), col("neighbor_id"), col("sim"),
@@ -213,14 +242,21 @@ object TextSim {
   def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // broadcast the (small) probe side: the BNL join then streams the
     // corpus once per task with probes resident, instead of shipping the
-    // corpus to the probes
+    // corpus to the probes. Norms are precomputed per side — the join
+    // then computes only the dot product per pair, not three folds.
     val joined = broadcast(probes.select(col("vec_id").as("probe_id"),
-        col("embedding").as("probe_vec")))
+        col("embedding").cast("array<double>").as("probe_vec"))
+        .withColumn("probe_norm", l2Norm(col("probe_vec"))))
       .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("neighbor_vec")),
+          col("embedding").cast("array<double>").as("neighbor_vec"))
+        .withColumn("neighbor_norm", l2Norm(col("neighbor_vec"))),
         col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("probe_vec"),
-        col("neighbor_vec")), 4))
+      .withColumn("sim", round(
+        dot(col("probe_vec"), col("neighbor_vec")) /
+          (col("probe_norm") * col("neighbor_norm")), 4))
+      // drop the vectors before the top-k shuffle: (id, id, sim) rows
+      // instead of 64-double payloads
+      .select("probe_id", "neighbor_id", "sim")
     Relational.topKPerGroup(joined, Seq(col("probe_id")),
         Seq(col("sim").desc, col("neighbor_id")), k)
       .select(col("probe_id"), col("neighbor_id"), col("sim"),
