@@ -81,6 +81,23 @@ class EtlGoldenSpec extends SparkSpecBase {
       (4L, 1L, true), (5L, 2L, true), (6L, 1L, true), (6L, 2L, true)))
   }
 
+  test("denormalization round-trips the nested arrays") {
+    val nested = graft.etl.Denormalize.toNested(tables)
+    assert(nested.count() == 6)
+    val byName = nested.collect().map(r =>
+      r.getString(r.fieldIndex("name")) -> r).toMap
+    val alpha = byName("Alpha Diner")
+    assert(alpha.getSeq[String](alpha.fieldIndex("food_category")) ==
+      Seq("Burgers", "Diners"))
+    assert(alpha.getSeq[Row](alpha.fieldIndex("open_hours")).size == 3)
+    val charlie = byName("Charlie Cafe")
+    assert(charlie.getSeq[String](charlie.fieldIndex("food_category"))
+      .isEmpty)
+    val bravo = byName("Bravo Bar")
+    assert(bravo.getSeq[String](bravo.fieldIndex("related_search_terms")) ==
+      Seq("breakfast", "cocktails"))
+  }
+
   test("normalization is idempotent (re-run produces identical tables)") {
     val again = Normalize.normalize(split._1)
     Seq("business", "open_hours", "business_amenity").foreach { t =>
