@@ -55,6 +55,14 @@ class PlanQualitySpec extends SparkSpecBase {
       "nation/region not broadcast")
   }
 
+  test("GraftExtensions exposes dot_product to SQL") {
+    // the shared test session is built withExtensions(new GraftExtensions)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE shows codegen stages only in the finalized plan → execute first
     val df = SparkEntry.queries("q_filter_range_disj")(spark, sf0001)
