@@ -29,33 +29,31 @@ object TextSim {
    * would throw ARITHMETIC_OVERFLOW on Spark 4's ANSI default). */
 
   /** MinHash signature: min over the shingle set of `numHashes` derived
-    * hash functions. One pass, no shuffle — the signature is a per-row
+    * hash functions — computed by the one-pass codegen'd
+    * [[org.apache.spark.sql.graftfns.MinHashes]] expression (the
+    * interpreted `array_min∘transform` per function walked the array
+    * `numHashes` times). No shuffle — the signature is a per-row
     * expression. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val base = transform(shingleCol, x => xxhash64(x))
-    array((0 until numHashes).map { i =>
-      array_min(transform(base, h => xxhash64(lit(i), h)))
-    }: _*)
-  }
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftfns.VectorFunctions.minhashes(
+      transform(shingleCol, x => xxhash64(x)), numHashes)
 
   /** LSH band hashes from the shingle array: one shared base
     * string-hash subtree, then cheap integer mixes per (band,
     * row-in-band) — subexpression elimination evaluates the base pass
     * once per row. Returns array of `bands` hashes. */
   def bandHashes(shingleCol: Column, bands: Int, rowsPerBand: Int): Column =
-    bandHashesOfHashes(transform(shingleCol, x => xxhash64(x)), bands,
-      rowsPerBand)
+    bandHashesOfSig(
+      minhashSignature(shingleCol, bands * rowsPerBand), rowsPerBand, bands)
 
-  /** Same, over an already-hashed long array (materialize that column in
-    * its own projection: 64 references to a non-cheap expression keep
-    * CollapseProject from inlining it, guaranteeing one string-hash pass
-    * per row). */
-  def bandHashesOfHashes(hashCol: Column, bands: Int,
-                         rowsPerBand: Int): Column =
+  /** Band hashes from a materialized signature array: band b combines its
+    * `rowsPerBand` minima with one xxhash64 (cheap element_at reads —
+    * keep the signature in its own projection so CollapseProject doesn't
+    * inline the one-pass computation into all `bands` references). */
+  def bandHashesOfSig(sig: Column, rowsPerBand: Int, bands: Int): Column =
     array((0 until bands).map { b =>
       xxhash64((0 until rowsPerBand).map { j =>
-        array_min(transform(hashCol,
-          h => xxhash64(lit(b * rowsPerBand + j), h)))
+        element_at(sig, b * rowsPerBand + j + 1)
       }: _*)
     }: _*)
 
@@ -75,10 +73,9 @@ object TextSim {
         shingles(text, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        transform(col("sh"), x => xxhash64(x)).as("shh"))
+        minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sh.select(col("doc_id"),
-        posexplode(bandHashesOfHashes(col("shh"), bands,
-          numHashes / bands)))
+        posexplode(bandHashesOfSig(col("sig"), numHashes / bands, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val buckets = banded.groupBy("band", "band_hash")

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftfns
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -64,9 +64,74 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numHashes` MinHash minima of a pre-hashed shingle array in ONE
+  * array pass (vs. `numHashes` interpreted `array_min∘transform` passes):
+  * for each element the i-th hash function is XXH64(baseHash, seed=i),
+  * and a running minimum per function is kept in a local array. Output:
+  * `array<long>` of length `numHashes`. */
+case class MinHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhashes"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var e = 0
+    while (e < xs.numElements()) {
+      val h = xs.getLong(e)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, i.toLong)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      e += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val mins = ctx.freshName("mins")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $e = 0; $e < $in.numElements(); $e++) {
+         |  long $h = $in.getLong($e);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = $xxh.hashLong($h, (long) $i);
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** One-pass MinHash minima over a pre-hashed (`array<long>`) shingle
+    * column. */
+  def minhashes(hashes: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashes(
+      ExpressionUtils.expression(hashes), numHashes))
 }
