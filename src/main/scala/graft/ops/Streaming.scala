@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** §2.K streaming operator builders. Each takes a DataFrame and returns a
   * transformed one, so the same builder runs in batch (oracle-checkable
@@ -44,4 +45,35 @@ object Streaming {
   /** Batch shadow of dedup: replayed input → exactly-once output. */
   def dedupBatch(ev: DataFrame, keys: Seq[String]): DataFrame =
     ev.dropDuplicates(keys)
+
+  case class UserActivity(user_id: Long, n_events: Long, n_purchases: Long,
+                          last_value: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
+    * activity profile that emits an updated row whenever the user's
+    * micro-batch arrives — the arbitrary-state surface the built-in
+    * window aggregations can't express (reference analog: the scraper's
+    * mutable already-scraped set, `web_scraper/web_scraping.py:513-521`,
+    * generalized to per-key accumulators).
+    *
+    * State is one small case class per key, partitioned by user — at any
+    * scale each executor holds only its keys' state in the state store. */
+  def userActivityState(ev: Dataset[(Long, String, Double)])
+      : Dataset[UserActivity] = {
+    implicit val enc = Encoders.product[UserActivity]
+    ev.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserActivity, UserActivity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Double)],
+         state: GroupState[UserActivity]) =>
+          val prev = state.getOption
+            .getOrElse(UserActivity(user, 0L, 0L, 0.0))
+          val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
+            UserActivity(user, acc.n_events + 1,
+              acc.n_purchases + (if (typ == "purchase") 1 else 0), v)
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }

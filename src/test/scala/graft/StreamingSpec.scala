@@ -70,6 +70,56 @@ class StreamingSpec extends SparkSpecBase {
       Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Streaming.userActivityState(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_test").start()
+    mem.addData((1L, "click", 1.0), (1L, "purchase", 2.0), (2L, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData((1L, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // batch 1 emits user1 (2 events, 1 purchase) and user2; batch 2 emits
+    // user1 again with state carried over (3 events, 2 purchases)
+    assert(rows.contains((1L, 2L, 1L, 2.0)))
+    assert(rows.contains((2L, 1L, 0L, 3.0)))
+    assert(rows.contains((1L, 3L, 2L, 9.0)), rows.mkString(", "))
+  }
+
+  test("checkpointed file-sink restart is exactly-once") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_ckpt").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, ts(i % 60), 1L, "a", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").json(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .json(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(0 until 10)
+    runOnce()
+    writeBatch(10 until 25) // new files arrive while "down"
+    runOnce() //               restart from checkpoint
+    val got = spark.read.parquet(out).select("event_id").as[Long]
+      .collect().sorted
+    // exactly once: every id exactly once despite the restart
+    assert(got.toSeq == (0L until 25L), s"got ${got.length} rows")
+  }
+
   test("late data beyond the watermark is dropped (q_stream_late)") {
     val out = runStream(
       Seq(
