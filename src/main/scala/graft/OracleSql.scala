@@ -537,6 +537,27 @@ object OracleSql {
                   AS fp
          FROM documents ORDER BY doc_id""",
 
+    "q_text_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_transform(range(len(string_split(lower(text), ' ')) - 2),
+                    i -> array_to_string(
+                      string_split(lower(text), ' ')[i+1:i+3], ' ')) AS gr
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(len(list_intersect(a.gr, b.gr))
+                      / len(list_distinct(a.gr || b.gr)), 4) AS jaccard
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+         ORDER BY doc_a""",
+    "q_vec_cosine_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.42
+         ORDER BY id_a, id_b""",
+
     // ───── §2.M text / vector ─────
     "q_text_tokenize" ->
       """SELECT word, count(*) AS n FROM (

@@ -116,6 +116,46 @@ object TextSim {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
+  /** 64-bit SimHash of a text (token-level;
+    * [[org.apache.spark.sql.graftfns.SimHash64]]). */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graftfns.VectorFunctions.simhash64(
+      transform(tokens(text), x => xxhash64(x)))
+
+  /** SimHash near-duplicate candidates: fingerprints are cut into 4
+    * 16-bit bands; by pigeonhole, any pair within Hamming distance ≤ 3
+    * shares at least one exact band → one equi-join shuffle on (band,
+    * value) finds all such pairs, then `bit_count(a xor b)` filters
+    * exactly. Same scale shape as MinHash banding. */
+  def simhashCandidates(df: DataFrame, docId: Column, text: Column,
+                        maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(docId.as("doc_id"), simhash(text).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("fp"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard similarity between two text columns (set
+    * semantics — the exact-measure companion to MinHash's estimate). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val (ga, gb) = (shingles(a, n), shingles(b, n))
+    round(size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double"), 4)
+  }
+
   // ───── text analysis (language-ID, quality, tokens, fingerprint) ─────
 
   /** Tiny per-language stopword profiles for the n-gram/stopword

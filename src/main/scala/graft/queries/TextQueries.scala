@@ -127,7 +127,54 @@ object TextQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** q_text_simhash — per-doc SimHash fingerprint + dedup bands
+    * ([[TextSim.simhash]]). Q-tier (xxhash64-based; candidate semantics
+    * covered in TextSimSpec with planted near-dups). */
+  private val simhashQ: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("fp", TextSim.simhash(col("text")))
+      .select(Seq(col("doc_id"), col("fp")) ++
+        (0 until 4).map(b => shiftright(col("fp"), b * 16)
+          .bitwiseAND(0xffffL).as(s"band$b")): _*)
+      .orderBy("doc_id")
+
+  /** q_text_ngram_jaccard — exact word-3-gram Jaccard over adjacent doc
+    * pairs ([[TextSim.ngramJaccard]]): the exact-measure companion to the
+    * MinHash estimate. */
+  private val ngramJaccardQ: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("jaccard",
+        TextSim.ngramJaccard(col("text_a"), col("text_b"), 3))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a")
+  }
+
+  /** q_vec_cosine_dedup — embedding-cosine near-duplicate pairs above a
+    * corpus-calibrated threshold (brute-force at this scale; the LSH
+    * bucketing of q_vec_ann_lsh is the same operator's scale path). */
+  private val cosineDedup: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"),
+      col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", TextSim.l2Norm(col("va")))
+    val b = e.select(col("vec_id").as("id_b"),
+      col("embedding").cast("array<double>").as("vb"))
+      .withColumn("nb", TextSim.l2Norm(col("vb")))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        TextSim.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.42)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_text_simhash" -> simhashQ,
+    "q_text_ngram_jaccard" -> ngramJaccardQ,
+    "q_vec_cosine_dedup" -> cosineDedup,
     "q_text_tokenize" -> tokenize,
     "q_text_dedup_exact" -> dedupExact,
     "q_text_minhash" -> minhash,

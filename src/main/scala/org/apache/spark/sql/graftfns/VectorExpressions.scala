@@ -123,6 +123,64 @@ case class MinHashes(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** 64-bit SimHash of a pre-hashed token array in one pass: per bit, sum
+  * +1/−1 over all token hashes; fingerprint bit = sign of the sum.
+  * Near-duplicate texts differ in few bits (small Hamming distance). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var e = 0
+    while (e < xs.numElements()) {
+      val h = xs.getLong(e)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      e += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val counts = ctx.freshName("counts")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $counts = new int[64];
+         |for (int $e = 0; $e < $in.numElements(); $e++) {
+         |  long $h = $in.getLong($e);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $counts[$i]++; else $counts[$i]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0) $fp |= (1L << $i);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -134,4 +192,9 @@ object VectorFunctions {
   def minhashes(hashes: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashes(
       ExpressionUtils.expression(hashes), numHashes))
+
+  /** One-pass 64-bit SimHash over a pre-hashed (`array<long>`) token
+    * column. */
+  def simhash64(hashes: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes)))
 }

@@ -68,6 +68,41 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash: near-dups land within small Hamming distance, found by bands") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i =>
+      if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val disjoint = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, disjoint))
+      .toDF("doc_id", "text")
+    val cand = TextSim.simhashCandidates(docs, col("doc_id"), col("text"),
+        maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)), "near-dup pair missed")
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc produced a candidate")
+    // identical docs: Hamming 0
+    val same = TextSim.simhashCandidates(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), maxHamming = 0)
+      .select("hamming").as[Long].collect()
+    assert(same.toSeq == Seq(0L))
+  }
+
+  test("ngramJaccard matches scalar set arithmetic") {
+    def gramsOf(s: String) = s.toLowerCase.split(" ").sliding(3)
+      .map(_.mkString(" ")).toSet
+    val a = "a b c d e f"; val b = "a b c d x y"
+    val expected = BigDecimal(
+      gramsOf(a).intersect(gramsOf(b)).size.toDouble /
+        gramsOf(a).union(gramsOf(b)).size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Seq((a, b)).toDF("x", "y")
+      .select(TextSim.ngramJaccard(col("x"), col("y"), 3))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
   test("rollingFingerprint matches a scalar winnowing reference") {
     val texts = Tables.load(spark, sf0001, "documents")
       .filter(col("doc_id") < 5).select("doc_id", "text")
