@@ -30,7 +30,9 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("r_name"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2 (77 O+Q ids). */
+  /** One entry per implemented operator from SURVEY.md §2 (the O+Q ids;
+    * exact inventory counts are pinned by ContractSpec against SURVEY's
+    * totals line). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SourceQueries.all ++ RelationalQueries.all ++ AggQueries.all ++
       SortSetQueries.all ++ WindowQueries.all ++ ScalarQueries.all ++

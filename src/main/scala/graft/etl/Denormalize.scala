@@ -38,7 +38,7 @@ object Denormalize {
       .agg(sort_array(collect_list(struct(col("name").as("amenity"),
         col("is_available")))).as("amenities"))
 
-    Seq(
+    val joined = Seq(
       collectNames(tables("business_food_category"), tables("food_category"),
         "food_category_id", "food_category"),
       collectNames(tables("business_search_term"), tables("search_term"),
@@ -49,11 +49,12 @@ object Denormalize {
       .foldLeft(tables("business").withColumnRenamed("id", "business_id")) {
         (acc, side) => acc.join(side, Seq("business_id"), "left")
       }
-      .withColumn("food_category",
-        coalesce(col("food_category"), array().cast("array<string>")))
-      .withColumn("related_search_terms",
-        coalesce(col("related_search_terms"), array().cast("array<string>")))
-      .withColumn("highlights",
-        coalesce(col("highlights"), array().cast("array<string>")))
+    // businesses with no rows on a collection get an EMPTY array for all
+    // five collections (the scraped shape never has null arrays) — each
+    // empty literal cast to that column's element type
+    Seq("food_category", "related_search_terms", "highlights", "open_hours",
+      "amenities").foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), array().cast(df.schema(c).dataType)))
+    }
   }
 }

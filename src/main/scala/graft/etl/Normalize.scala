@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.Schemas
-import graft.ops.HoursParser
+import graft.ops.{HoursParser, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,9 +75,14 @@ object Normalize {
   def normalize(valid: DataFrame): Map[String, DataFrame] = {
     val spark = valid.sparkSession
 
-    // hub ids first; `withId` keeps the nested collections for the
-    // explode stages below, `business` is the scalar hub projection
-    val withId = valid
+    // Resume-append inputs can repeat a bizId (the scraper's NDJSON is
+    // append-only, web_scraping.py:221-224); keep one record per bizId
+    // deterministically — get_or_create's keep-existing semantics — then
+    // assign hub ids. `withId` keeps the nested collections for the
+    // explode stages below, `business` is the scalar hub projection.
+    val deduped = Relational.dedupKeepFirst(valid, Seq(col("bizId")),
+      Seq(col("ranking").asc_nulls_first, col("name").asc_nulls_first))
+    val withId = deduped
       .withColumn("id", row_number().over(Window.orderBy("bizId")).cast("long"))
     val business = withId
       .select("id", "bizId", "name", "website", "phone_number", "address",
@@ -155,7 +160,11 @@ object Normalize {
       Sinks.writeWarehouseTable(df, s"$warehouseDir/$name")
       name -> spark.read.parquet(s"$warehouseDir/$name").count()
     }
-    Sinks.appendNdjson(quarantined, s"$warehouseDir/_quarantine")
-    (counts, quarantined.count())
+    // overwrite, not append: the quarantine report belongs to THIS run —
+    // appending would break the pipeline's rerun-converges idempotence
+    quarantined.write.mode("overwrite").json(s"$warehouseDir/_quarantine")
+    (counts,
+      spark.read.schema(Schemas.scrapedBusiness)
+        .json(s"$warehouseDir/_quarantine").count())
   }
 }

@@ -87,8 +87,13 @@ object Relational {
           left.schema(c).dataType).as(c)) ++
           payloadCols.values.map(col) :+ col(key).as("__k")
           :+ col("__t") :+ col("__side")): _*))
-    // __side ASC puts the right row first on ts ties so `last` sees it.
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    // __side ASC puts the right row first on ts ties so `last` sees it;
+    // payload columns break (key, ts) ties between right rows — without
+    // them, duplicate right timestamps would make the kept payload
+    // partition-order-dependent (§7.5 determinism).
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(Seq(col("__t"), col("__side")) ++
+        payloadCols.values.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payloadCols.values.foldLeft(unioned) { case (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))

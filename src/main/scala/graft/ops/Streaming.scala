@@ -35,12 +35,16 @@ object Streaming {
       .select(col("user_id"), col("win.start").as("session_start"),
         col("win.end").as("session_end"), col("n_events"))
 
-  /** Watermarked streaming dedup on a key — bounded state: rows older than
-    * the watermark are dropped from the seen-set. Streaming only (batch
-    * shadow below). */
+  /** Watermarked streaming dedup on a key — bounded state: per-key state
+    * is evicted once the watermark passes it. `dropDuplicatesWithinWatermark`
+    * is required for eviction here: plain `dropDuplicates(keys)` only
+    * bounds state when the event-time column is itself one of the keys,
+    * otherwise the seen-set grows forever. Streaming only (batch shadow
+    * below). */
   def dedupStream(ev: DataFrame, eventTimeCol: String, delay: String,
                   keys: Seq[String]): DataFrame =
-    ev.withWatermark(eventTimeCol, delay).dropDuplicates(keys)
+    ev.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Batch shadow of dedup: replayed input → exactly-once output. */
   def dedupBatch(ev: DataFrame, keys: Seq[String]): DataFrame =

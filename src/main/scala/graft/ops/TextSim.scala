@@ -15,11 +15,16 @@ object TextSim {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Word n-gram shingles (the MinHash input unit). */
+  /** Word n-gram shingles (the MinHash input unit). Texts with fewer
+    * than `n` tokens yield an empty shingle set — without the guard,
+    * `sequence(0, size-n)` would run descending and `slice` would throw
+    * on the negative index, aborting the job on the first short doc. */
   def shingles(text: Column, n: Int): Column = {
     val w = tokens(text)
-    transform(sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /* Hash-family construction: each shingle STRING is xxhash64'd once,
@@ -210,7 +215,9 @@ object TextSim {
   // ───── vector ANN: LSH-bucketed scale path ─────
 
   /** Deterministic random hyperplanes for sign-LSH (seeded — the bucket
-    * function must be identical across runs and executors). */
+    * function must be identical across runs and executors). `dim` must
+    * match the embedding dimensionality: shorter planes would silently
+    * bucket on a prefix of the vector. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
@@ -227,10 +234,13 @@ object TextSim {
 
   /** Multi-table sign-LSH bucket ids: `nTables` independent hash tables
     * of `bits` hyperplanes each; bucket key encodes (table, signature).
-    * Returns an array column of one bucket id per table. */
-  def lshBuckets(vec: Column, nTables: Int, bits: Int): Column =
+    * Returns an array column of one bucket id per table. `dim` is the
+    * embedding dimensionality (a smaller value would silently bucket on
+    * a prefix of each vector and quietly destroy recall). */
+  def lshBuckets(vec: Column, nTables: Int, bits: Int,
+                 dim: Int = 64): Column =
     array((0 until nTables).map { t =>
-      signBucket(vec, hyperplanes(bits, 64, seed = 42L + t))
+      signBucket(vec, hyperplanes(bits, dim, seed = 42L + t))
         .cast("long") + lit(t.toLong << 32)
     }: _*)
 
@@ -246,17 +256,18 @@ object TextSim {
     * weakly-clustered embeddings (recall ≈ 0.6 at ~¼ of brute-force
     * cost); strongly-clustered real embeddings do far better. */
   def annCosineLsh(probes: DataFrame, corpus: DataFrame, k: Int,
-                   nTables: Int = 8, bits: Int = 5): DataFrame = {
+                   nTables: Int = 8, bits: Int = 5,
+                   dim: Int = 64): DataFrame = {
     val corpusB = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("neighbor_vec"))
       .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
       .withColumn("bucket",
-        explode(lshBuckets(col("neighbor_vec"), nTables, bits)))
+        explode(lshBuckets(col("neighbor_vec"), nTables, bits, dim)))
     val probeB = probes.select(col("vec_id").as("probe_id"),
         col("embedding").cast("array<double>").as("probe_vec"))
       .withColumn("probe_norm", l2Norm(col("probe_vec")))
       .withColumn("bucket",
-        explode(lshBuckets(col("probe_vec"), nTables, bits)))
+        explode(lshBuckets(col("probe_vec"), nTables, bits, dim)))
     // score before distinct, then drop the vectors: the dedup and top-k
     // shuffles move (id, id, sim) rows, not 64-double payloads
     val cand = probeB.join(corpusB, Seq("bucket"))

@@ -36,7 +36,9 @@ object SourceQueries {
         "value DOUBLE, props STRING")
       .json(path)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
       .orderBy("event_type")
   }
 

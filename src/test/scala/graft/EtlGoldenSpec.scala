@@ -98,6 +98,18 @@ class EtlGoldenSpec extends SparkSpecBase {
       Seq("breakfast", "cocktails"))
   }
 
+  test("duplicate bizId records collapse to one hub row (resume appends)") {
+    // simulate the scraper's append-after-resume: the whole file twice
+    val doubled = split._1.unionByName(split._1)
+    val tables2 = Normalize.normalize(doubled)
+    assert(tables2("business").count() == 6)
+    val ids = tables2("business").select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 6L))
+    assert(tables2("business_food_category").count() ==
+      tables("business_food_category").count())
+  }
+
   test("normalization is idempotent (re-run produces identical tables)") {
     val again = Normalize.normalize(split._1)
     Seq("business", "open_hours", "business_amenity").foreach { t =>

@@ -8,6 +8,29 @@ import org.apache.spark.sql.functions._
 class TextSimSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("shingles of short texts are empty, not a crash") {
+    val got = Seq((1L, "only two"), (2L, "one"), (3L, ""), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextSim.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).size).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 2))
+    // and the pipelines built on shingles survive short docs
+    val cand = TextSim.minhashCandidates(
+      Seq((1L, "x y"), (2L, "a b c d e f g h"), (3L, "a b c d e f g h"))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((2L, 3L)))
+  }
+
+  test("dot product is NULL on length mismatch (corrupt-vector guard)") {
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(TextSim.dot(col("a"), col("b")).as("d"))
+      .head()
+    assert(r.isNullAt(0), "mismatched lengths must yield NULL, not a " +
+      "truncated dot")
+  }
+
   test("jaccard expression matches set arithmetic") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("x", "y")
