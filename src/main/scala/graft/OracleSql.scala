@@ -85,6 +85,17 @@ object OracleSql {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_join_full" ->
+      """SELECT c_custkey, o_orderkey,
+                CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+                       THEN 'both'
+                     WHEN c_custkey IS NOT NULL THEN 'left_only'
+                     ELSE 'right_only' END AS match_kind
+         FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+         FULL OUTER JOIN
+              (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
     "q_join_broadcast" ->
       """SELECT c_custkey, n_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -143,6 +143,25 @@ object RelationalQueries {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** q_join_full — full outer join with both-sided null branches: negative-
+    * balance customers ⟗ urgent orders exercises left-only (customer with
+    * no urgent order), right-only (urgent order of a non-negative
+    * customer) and matched rows. Completes the outer-join family of §2.C
+    * (declared in SURVEY §2.N). */
+  private val joinFull: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") < 0)
+      .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("match_kind",
+        when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .select("c_custkey", "o_orderkey", "match_kind")
+      .orderBy(col("c_custkey").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+
   /** q_join_broadcast — explicit map-side join of a tiny dim (ref 7-row
     * weekday dim fetched whole `database/app.py:148-150`). */
   private val joinBroadcast: Q = (s, dir) =>
@@ -193,6 +212,7 @@ object RelationalQueries {
     "q_join_left" -> joinLeft,
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
+    "q_join_full" -> joinFull,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_range" -> joinRange,
     "q_join_asof" -> joinAsof)

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 88, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 76)
+    assert(declared.size == 89, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 77)
     assert(declared.values.count(_ == "Q") == 9)
     assert(declared.values.count(_ == "U") == 3)
   }
