@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        // arity-checked here: raw args(1) indexing would surface as an
+        // IndexOutOfBoundsException during resolution instead of an
+        // analysis error naming the function
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"dot_product requires exactly 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }))
   }
 }

@@ -25,8 +25,12 @@ object SparkEntry {
       .join(broadcast(Tables.load(spark, dir, "region")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-        .as("revenue"))
+      // decimal-exact revenue (§7.5.2): a double sum is partition-order-
+      // dependent and its rounding can flip between runs
+      .agg(expr(
+        """CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
+                AS DOUBLE)""").as("revenue"))
       .orderBy(col("revenue").desc, col("r_name"))
   }
 

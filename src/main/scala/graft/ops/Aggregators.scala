@@ -14,26 +14,29 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Aggregators {
 
-  /** (sum of price×weight scaled 1e4, sum of weight scaled 1e2). */
-  case class WavgBuf(sumPW: Long, sumW: Long)
+  /** Exact decimal sums (price×weight, weight). BigDecimal, not scaled
+    * longs: a cents-scaled long product is ~5e10 per row, which wraps
+    * silently past ~2e8 rows per group — far below the 100 TB design
+    * point. Spark encodes these as DECIMAL(38,18): exact and 38 digits
+    * of headroom. */
+  case class WavgBuf(sumPW: BigDecimal, sumW: BigDecimal)
 
   /** Weighted average of `price` weighted by `weight`, both 2-decimal
     * doubles; result rounded HALF_UP to 4 decimals. */
   class WeightedAvg extends Aggregator[(Double, Double), WavgBuf, Double] {
-    override def zero: WavgBuf = WavgBuf(0L, 0L)
+    private def d2(x: Double): BigDecimal =
+      BigDecimal.valueOf(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    override def zero: WavgBuf = WavgBuf(BigDecimal(0), BigDecimal(0))
     override def reduce(b: WavgBuf, in: (Double, Double)): WavgBuf =
-      WavgBuf(b.sumPW + math.round(in._1 * 100) * math.round(in._2 * 100),
-        b.sumW + math.round(in._2 * 100))
+      WavgBuf(b.sumPW + d2(in._1) * d2(in._2), b.sumW + d2(in._2))
     override def merge(a: WavgBuf, b: WavgBuf): WavgBuf =
       WavgBuf(a.sumPW + b.sumPW, a.sumW + b.sumW)
     override def finish(b: WavgBuf): Double =
-      if (b.sumW == 0L) Double.NaN
+      if (b.sumW == 0) Double.NaN
       else {
         // mirror the oracle's evaluation: exact decimal sums → double →
         // divide → round(4)
-        val num = (BigDecimal(b.sumPW) / 10000).toDouble
-        val den = (BigDecimal(b.sumW) / 100).toDouble
-        BigDecimal.valueOf(num / den)
+        BigDecimal.valueOf(b.sumPW.toDouble / b.sumW.toDouble)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     override def bufferEncoder: Encoder[WavgBuf] = Encoders.product[WavgBuf]

@@ -59,12 +59,25 @@ object HoursParser {
       .when(s === "Open 24 hours", array(open24))
       .otherwise(parsed)
 
+  /** One token's fields must form a real 12-hour clock time: hour 1–12,
+    * minute ≤ 59 ("11:99 AM" and "19:00 AM" tokenize but are garbage the
+    * reference's strptime would raise on). */
+  private def tokenValid(t: Column): Column = {
+    val h = regexp_extract(t, "^(\\d{1,2})", 1).cast("int")
+    val m = coalesce(
+      nullif(regexp_extract(t, ":(\\d{2})", 1), lit("")), lit("0"))
+      .cast("int")
+    h >= 1 && h <= 12 && m <= 59
+  }
+
   /** Row-wise validity: a non-sentinel string must contain an even,
-    * positive number of time tokens (reference raises ValueError on
-    * garbage, `parse_and_upload_to_db.py:78-79`; we quarantine instead). */
+    * positive number of time tokens, all in 12-hour range (reference
+    * raises ValueError on garbage, `parse_and_upload_to_db.py:78-79`; we
+    * quarantine instead). */
   def isParseable(s: Column): Column =
     s.isin("Closed", "Open 24 hours") ||
-      (size(times(s)) > 0 && size(times(s)) % 2 === 0)
+      (size(times(s)) > 0 && size(times(s)) % 2 === 0 &&
+        forall(times(s), tokenValid _))
 
   /** Overnight membership: is `probeSec` inside [open, close), where
     * close < open wraps past midnight — the 3-disjunct filter of

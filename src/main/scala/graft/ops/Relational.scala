@@ -73,32 +73,35 @@ object Relational {
                payloadCols: Map[String, String]): DataFrame = {
     val lTagged = left.withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
-    val rTagged = payloadCols.foldLeft(
-      right.withColumn("__t", col(rightTs)).withColumn("__side", lit(0))) {
-        case (d, (from, to)) => d.withColumn(to, col(from))
-      }
+    // payload travels as ONE struct so the filled columns always come
+    // from the same right row — independent per-column last() fills
+    // could stitch a payload tuple together from different tying rows
+    val rTagged = right.withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__p", struct(payloadCols.map { case (from, to) =>
+        col(from).as(to)
+      }.toSeq: _*))
+    val pType = rTagged.schema("__p").dataType
     val lCols = left.columns
     val unioned = lTagged.select(
-        (lCols.map(col) ++ payloadCols.values.map(c => lit(null).cast(
-          rTagged.schema(c).dataType).as(c)) :+ col(key).as("__k")
-          :+ col("__t") :+ col("__side")): _*)
+        (lCols.map(col) :+ lit(null).cast(pType).as("__p")
+          :+ col(key).as("__k") :+ col("__t") :+ col("__side")): _*)
       .unionByName(rTagged.select(
         (lCols.map(c => if (c == key) col(key) else lit(null).cast(
-          left.schema(c).dataType).as(c)) ++
-          payloadCols.values.map(col) :+ col(key).as("__k")
-          :+ col("__t") :+ col("__side")): _*))
+          left.schema(c).dataType).as(c)) :+ col("__p")
+          :+ col(key).as("__k") :+ col("__t") :+ col("__side")): _*))
     // __side ASC puts the right row first on ts ties so `last` sees it;
-    // payload columns break (key, ts) ties between right rows — without
-    // them, duplicate right timestamps would make the kept payload
+    // the payload struct breaks (key, ts) ties between right rows —
+    // without it, duplicate right timestamps would make the kept payload
     // partition-order-dependent (§7.5 determinism).
     val w = Window.partitionBy(col("__k"))
-      .orderBy(Seq(col("__t"), col("__side")) ++
-        payloadCols.values.map(c => col(c).asc_nulls_first): _*)
+      .orderBy(col("__t"), col("__side"), col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.values.foldLeft(unioned) { case (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__k", "__t", "__side")
+    val filled = unioned.withColumn("__p",
+      last(col("__p"), ignoreNulls = true).over(w))
+    payloadCols.values.foldLeft(filled.filter(col("__side") === 1)) {
+      (d, to) => d.withColumn(to, col(s"__p.$to"))
+    }.drop("__k", "__t", "__side", "__p")
   }
 
   /** Salted equi-join for skewed keys: explode the small side `factor`

@@ -50,8 +50,12 @@ object Streaming {
   def dedupBatch(ev: DataFrame, keys: Seq[String]): DataFrame =
     ev.dropDuplicates(keys)
 
+  /** Per-user accumulator. All fields are order-independent aggregates —
+    * flatMapGroupsWithState gives no intra-batch row ordering after the
+    * shuffle, so a "last value" field would be nondeterministic
+    * (SURVEY §7.5); value_cents keeps the sum exact. */
   case class UserActivity(user_id: Long, n_events: Long, n_purchases: Long,
-                          last_value: Double)
+                          value_cents: Long)
 
   /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
     * activity profile that emits an updated row whenever the user's
@@ -71,10 +75,11 @@ object Streaming {
         (user: Long, rows: Iterator[(Long, String, Double)],
          state: GroupState[UserActivity]) =>
           val prev = state.getOption
-            .getOrElse(UserActivity(user, 0L, 0L, 0.0))
+            .getOrElse(UserActivity(user, 0L, 0L, 0L))
           val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
             UserActivity(user, acc.n_events + 1,
-              acc.n_purchases + (if (typ == "purchase") 1 else 0), v)
+              acc.n_purchases + (if (typ == "purchase") 1 else 0),
+              acc.value_cents + math.round(v * 100))
           }
           state.update(next)
           Iterator.single(next)

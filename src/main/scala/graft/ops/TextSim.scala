@@ -47,10 +47,6 @@ object TextSim {
     * string-hash subtree, then cheap integer mixes per (band,
     * row-in-band) — subexpression elimination evaluates the base pass
     * once per row. Returns array of `bands` hashes. */
-  def bandHashes(shingleCol: Column, bands: Int, rowsPerBand: Int): Column =
-    bandHashesOfSig(
-      minhashSignature(shingleCol, bands * rowsPerBand), rowsPerBand, bands)
-
   /** Band hashes from a materialized signature array: band b combines its
     * `rowsPerBand` minima with one xxhash64 (cheap element_at reads —
     * keep the signature in its own projection so CollapseProject doesn't
@@ -74,6 +70,9 @@ object TextSim {
   def minhashCandidates(df: DataFrame, docId: Column, text: Column,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands " +
+        s"($bands) — otherwise part of the signature is silently unused")
     val sh = df.select(docId.as("doc_id"),
         shingles(text, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -224,19 +223,25 @@ object TextSim {
   }
 
   /** Sign-LSH bucket id: bit i = sign of dot(vec, plane_i). Vectors with
-    * high cosine land in the same bucket with high probability. */
+    * high cosine land in the same bucket with high probability. A vector
+    * whose length differs from the planes' yields a NULL bucket (the dot
+    * is NULL) — the row then matches nothing in the bucket equi-join,
+    * which fails loudly-empty instead of silently degrading. */
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val vd = vec.cast("array<double>")
     planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
-      acc + when(dot(vd, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+      val d = dot(vd, typedLit(p))
+      acc + when(d.isNull, lit(null).cast("int"))
+        .when(d > 0, lit(1 << i)).otherwise(lit(0))
     }
   }
 
   /** Multi-table sign-LSH bucket ids: `nTables` independent hash tables
     * of `bits` hyperplanes each; bucket key encodes (table, signature).
-    * Returns an array column of one bucket id per table. `dim` is the
-    * embedding dimensionality (a smaller value would silently bucket on
-    * a prefix of each vector and quietly destroy recall). */
+    * Returns an array column of one bucket id per table. `dim` must be
+    * the embedding dimensionality: on a mismatch every bucket id is NULL
+    * (see [[signBucket]]) and the candidate join returns no rows — an
+    * immediately visible failure rather than degraded recall. */
   def lshBuckets(vec: Column, nTables: Int, bits: Int,
                  dim: Int = 64): Column =
     array((0 until nTables).map { t =>

@@ -124,7 +124,10 @@ object AggQueries {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivot count columns: a blanket fill would also
+      // rewrite a NULL user_id grouping key to 0 and diverge from the
+      // oracle's CASE-count formulation
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   val all: Map[String, Q] = Map(

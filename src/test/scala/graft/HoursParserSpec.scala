@@ -30,10 +30,14 @@ class HoursParserSpec extends SparkSpecBase {
   }
 
   test("garbage is flagged unparseable, valid strings are not") {
-    val flags = Seq("gibberish", "11:00 AM - 3:00 PM", "Closed", "3:00 PM")
+    val flags = Seq("gibberish", "11:00 AM - 3:00 PM", "Closed", "3:00 PM",
+      "11:99 AM - 3:00 PM", // minute out of range — strptime would raise
+      "19:00 AM - 9:00 PM", // hour 19 impossible on a 12-hour clock
+      "0:30 AM - 1:00 PM") //  hour 0 likewise
       .toDF("s").select(HoursParser.isParseable(col("s"))).as[Boolean]
       .collect()
-    assert(flags.toSeq == Seq(false, true, true, false))
+    assert(flags.toSeq ==
+      Seq(false, true, true, false, false, false, false))
   }
 
   private def fmt12(sec: Long): String = {

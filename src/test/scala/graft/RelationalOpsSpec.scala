@@ -50,6 +50,18 @@ class RelationalOpsSpec extends SparkSpecBase {
       (2, Some(11)), (3, None), (4, None)))
   }
 
+  test("asofJoin multi-payload stays consistent across tying right rows") {
+    val left = Seq((1, "k", 100L)).toDF("id", "k", "ts")
+    val right = Seq((10, "x", "k", 100L), (11, "y", "k", 100L))
+      .toDF("rid", "tag", "k", "ts")
+    val got = Relational.asofJoin(left, right, "k", "ts", "ts",
+        Map("rid" -> "prior_rid", "tag" -> "prior_tag"))
+      .select("prior_rid", "prior_tag").head()
+    // both fields must come from the SAME right row (the struct-ordered
+    // last of the tie), never a cross-row mixture
+    assert((got.getInt(0), got.getString(1)) == ((11, "y")))
+  }
+
   test("saltedJoin equals a plain join on a skewed key") {
     val large = (1 to 1000).map(i =>
       (if (i % 10 == 0) "cold" + i else "hot", i)).toDF("k", "v")

@@ -83,12 +83,12 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     val rows = spark.table("state_test")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // batch 1 emits user1 (2 events, 1 purchase) and user2; batch 2 emits
-    // user1 again with state carried over (3 events, 2 purchases)
-    assert(rows.contains((1L, 2L, 1L, 2.0)))
-    assert(rows.contains((2L, 1L, 0L, 3.0)))
-    assert(rows.contains((1L, 3L, 2L, 9.0)), rows.mkString(", "))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch 1 emits user1 (2 events, 1 purchase, 300 cents) and user2;
+    // batch 2 emits user1 again with state carried over
+    assert(rows.contains((1L, 2L, 1L, 300L)))
+    assert(rows.contains((2L, 1L, 0L, 300L)))
+    assert(rows.contains((1L, 3L, 2L, 1200L)), rows.mkString(", "))
   }
 
   test("checkpointed file-sink restart is exactly-once") {
