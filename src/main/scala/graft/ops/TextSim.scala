@@ -73,11 +73,16 @@ object TextSim {
     require(numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands " +
         s"($bands) — otherwise part of the signature is silently unused")
+    // one string-hash pass over tokens, then integer-only shingle and
+    // minhash passes ([[org.apache.spark.sql.graftfns.ShingleHashes]]):
+    // shingle STRINGS are never materialized
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
     val sh = df.select(docId.as("doc_id"),
-        shingles(text, shingleSize).as("sh"))
+        fns.shingle_hashes(
+          transform(tokens(text), x => xxhash64(x)), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
+        fns.minhashes(col("sh"), numHashes).as("sig"))
     val banded = sh.select(col("doc_id"),
         posexplode(bandHashesOfSig(col("sig"), numHashes / bands, bands)))
       .withColumnRenamed("pos", "band")

@@ -133,6 +133,70 @@ case class MinHashes(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Hashes of all `n`-token shingles from a pre-hashed token array: the
+  * shingle hash is an XXH64 chain over the n consecutive token hashes —
+  * no shingle STRING is ever materialized. At web scale the dominant
+  * MinHash cost is exactly that string churn (slice + concat per
+  * shingle); combining token hashes is pure integer work in one pass.
+  * Output length max(0, numTokens − n + 1). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData]
+    val m = xs.numElements() - n + 1
+    if (m <= 0) {
+      org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[Long])
+    } else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 42L
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(xs.getLong(i + j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $m = $in.numElements() - $n + 1;
+         |if ($m < 0) $m = 0;
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = 42L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $h = $xxh.hashLong($in.getLong($i + $j), $h);
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a pre-hashed token array in one pass: per bit, sum
   * +1/−1 over all token hashes; fingerprint bit = sign of the sum.
   * Near-duplicate texts differ in few bits (small Hamming distance). */
@@ -207,4 +271,10 @@ object VectorFunctions {
     * column. */
   def simhash64(hashes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(hashes)))
+
+  /** Rolling n-shingle hashes over a pre-hashed (`array<long>`) token
+    * column — no shingle strings materialized. */
+  def shingle_hashes(tokenHashes: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(
+      ExpressionUtils.expression(tokenHashes), n))
 }

@@ -50,6 +50,30 @@ class RelationalOpsSpec extends SparkSpecBase {
       (2, Some(11)), (3, None), (4, None)))
   }
 
+  test("property: asofJoin matches a brute-force reference (300 seeded rows)") {
+    val rnd = new scala.util.Random(11)
+    val leftRows = (0 until 150).map(i =>
+      (i, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+    val rightRows = (0 until 150).map(i =>
+      (1000 + i, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("rid", "k", "ts")
+    val got = Relational.asofJoin(left, right, "k", "ts", "ts",
+        Map("rid" -> "prior_rid"))
+      .select("id", "prior_rid").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    leftRows.foreach { case (id, k, ts) =>
+      // reference: right rows with same key, ts<=left ts; keep max ts,
+      // ties broken by max payload (the operator's documented tie rule)
+      val cands = rightRows.filter(r => r._2 == k && r._3 <= ts)
+      val expected =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._3, r._1))._1)
+      assert(got(id) == expected, s"left id=$id k=$k ts=$ts")
+    }
+  }
+
   test("asofJoin multi-payload stays consistent across tying right rows") {
     val left = Seq((1, "k", 100L)).toDF("id", "k", "ts")
     val right = Seq((10, "x", "k", 100L), (11, "y", "k", 100L))
