@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** §2.K streaming operator builders. Each takes a DataFrame and returns a
   * transformed one, so the same builder runs in batch (oracle-checkable
@@ -84,5 +84,42 @@ object Streaming {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** The same per-user profile on the modern `transformWithState` API
+    * (Spark 4 StatefulProcessor): typed per-key `ValueState` with
+    * optional TTL instead of a single opaque GroupState — the
+    * forward-looking arbitrary-state surface. Kept alongside the
+    * `flatMapGroupsWithState` form to cover both APIs. */
+  class UserActivityProcessor
+      extends StatefulProcessor[Long, (Long, String, Double), UserActivity] {
+    @transient private var state: ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserActivity]("activity",
+        Encoders.product[UserActivity], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, String, Double)],
+                                 timerValues: TimerValues)
+        : Iterator[UserActivity] = {
+      val prev = Option(state.get()).getOrElse(UserActivity(user, 0L, 0L, 0L))
+      val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
+        UserActivity(user, acc.n_events + 1,
+          acc.n_purchases + (if (typ == "purchase") 1 else 0),
+          acc.value_cents + math.round(v * 100))
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[userActivityState]] via transformWithState. */
+  def userActivityTws(ev: Dataset[(Long, String, Double)])
+      : Dataset[UserActivity] = {
+    implicit val enc = Encoders.product[UserActivity]
+    ev.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new UserActivityProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 }

@@ -91,6 +91,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.contains((1L, 3L, 2L, 1200L)), rows.mkString(", "))
   }
 
+  test("transformWithState carries typed ValueState across batches") {
+    implicit val sq = spark.sqlContext
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); the HDFS-backed default cannot host it
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Streaming.userActivityTws(mem.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_test").start()
+    mem.addData((5L, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((5L, "purchase", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val rows = spark.table("tws_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.contains((5L, 1L, 0L, 100L)))
+    assert(rows.contains((5L, 2L, 1L, 350L)), rows.mkString(", "))
+  }
+
   test("checkpointed file-sink restart is exactly-once") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_ckpt").toString
