@@ -164,7 +164,7 @@ object OracleSql {
                 count(*) FILTER (event_type = 'purchase') AS purchase,
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS view
-         FROM events GROUP BY user_id ORDER BY user_id""",
+         FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
 
     // ───── §2.F sorts / limits ─────
     "q_sort_multi" ->

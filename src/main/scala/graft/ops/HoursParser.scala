@@ -59,25 +59,21 @@ object HoursParser {
       .when(s === "Open 24 hours", array(open24))
       .otherwise(parsed)
 
-  /** One token's fields must form a real 12-hour clock time: hour 1–12,
-    * minute ≤ 59 ("11:99 AM" and "19:00 AM" tokenize but are garbage the
-    * reference's strptime would raise on). */
-  private def tokenValid(t: Column): Column = {
-    val h = regexp_extract(t, "^(\\d{1,2})", 1).cast("int")
-    val m = coalesce(
-      nullif(regexp_extract(t, ":(\\d{2})", 1), lit("")), lit("0"))
-      .cast("int")
-    h >= 1 && h <= 12 && m <= 59
-  }
+  /** Full-string grammar for a non-sentinel hours value: one or more
+    * glued `T - T` ranges, optional `" (Next day)"` suffix, where T is a
+    * strict 12-hour time (hour 1–12, minute 00–59, minutes optional).
+    * Anchored whole-string matching is essential: token-level checks let
+    * a malformed prefix re-tokenize into a shorter valid token (e.g.
+    * `"1:5 PM"` → token `"5 PM"`) and fabricate intervals from garbage
+    * the reference's strptime raises on. */
+  private val timeStrict = "(?:1[0-2]|[1-9])(?::[0-5][0-9])? [AP]M"
+  private val hoursGrammar =
+    s"^(?:$timeStrict - $timeStrict)+(?: \\(Next day\\))?$$"
 
-  /** Row-wise validity: a non-sentinel string must contain an even,
-    * positive number of time tokens, all in 12-hour range (reference
-    * raises ValueError on garbage, `parse_and_upload_to_db.py:78-79`; we
-    * quarantine instead). */
+  /** Row-wise validity (reference raises ValueError on garbage,
+    * `parse_and_upload_to_db.py:78-79`; we quarantine instead). */
   def isParseable(s: Column): Column =
-    s.isin("Closed", "Open 24 hours") ||
-      (size(times(s)) > 0 && size(times(s)) % 2 === 0 &&
-        forall(times(s), tokenValid _))
+    s.isin("Closed", "Open 24 hours") || s.rlike(hoursGrammar)
 
   /** Overnight membership: is `probeSec` inside [open, close), where
     * close < open wraps past midnight — the 3-disjunct filter of

@@ -57,6 +57,18 @@ object Streaming {
   case class UserActivity(user_id: Long, n_events: Long, n_purchases: Long,
                           value_cents: Long)
 
+  /** One shared accumulation for both state APIs — a drifting copy would
+    * silently desynchronize the flatMapGroupsWithState and
+    * transformWithState variants. */
+  private def accumulate(user: Long, prev: UserActivity,
+                         rows: Iterator[(Long, String, Double)])
+      : UserActivity =
+    rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
+      UserActivity(user, acc.n_events + 1,
+        acc.n_purchases + (if (typ == "purchase") 1 else 0),
+        acc.value_cents + math.round(v * 100))
+    }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
     * activity profile that emits an updated row whenever the user's
     * micro-batch arrives — the arbitrary-state surface the built-in
@@ -74,13 +86,8 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[(Long, String, Double)],
          state: GroupState[UserActivity]) =>
-          val prev = state.getOption
-            .getOrElse(UserActivity(user, 0L, 0L, 0L))
-          val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
-            UserActivity(user, acc.n_events + 1,
-              acc.n_purchases + (if (typ == "purchase") 1 else 0),
-              acc.value_cents + math.round(v * 100))
-          }
+          val next = accumulate(user,
+            state.getOption.getOrElse(UserActivity(user, 0L, 0L, 0L)), rows)
           state.update(next)
           Iterator.single(next)
       }
@@ -103,12 +110,8 @@ object Streaming {
                                  rows: Iterator[(Long, String, Double)],
                                  timerValues: TimerValues)
         : Iterator[UserActivity] = {
-      val prev = Option(state.get()).getOrElse(UserActivity(user, 0L, 0L, 0L))
-      val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
-        UserActivity(user, acc.n_events + 1,
-          acc.n_purchases + (if (typ == "purchase") 1 else 0),
-          acc.value_cents + math.round(v * 100))
-      }
+      val next = accumulate(user,
+        Option(state.get()).getOrElse(UserActivity(user, 0L, 0L, 0L)), rows)
       state.update(next)
       Iterator.single(next)
     }

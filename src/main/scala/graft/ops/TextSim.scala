@@ -27,26 +27,24 @@ object TextSim {
       .otherwise(array().cast("array<string>"))
   }
 
-  /* Hash-family construction: each shingle STRING is xxhash64'd once,
-   * and the i-th hash function is xxhash64(i, baseHash) — integer-input
-   * hashing, ~64× less string hashing than seeding the full hash per
-   * function, and overflow-free under ANSI mode (a multiply-mix family
-   * would throw ARITHMETIC_OVERFLOW on Spark 4's ANSI default). */
+  /* Hash-family construction: each token STRING is xxhash64'd once;
+   * shingle hashes are XXH64 chains over consecutive token hashes
+   * (ShingleHashes) and the i-th MinHash function derives by seeded
+   * integer hashing (MinHashes) — overflow-free under ANSI mode (a
+   * multiply-mix family would throw ARITHMETIC_OVERFLOW on Spark 4's
+   * ANSI default) and no shingle string is ever materialized. */
 
-  /** MinHash signature: min over the shingle set of `numHashes` derived
-    * hash functions — computed by the one-pass codegen'd
-    * [[org.apache.spark.sql.graftfns.MinHashes]] expression (the
-    * interpreted `array_min∘transform` per function walked the array
-    * `numHashes` times). No shuffle — the signature is a per-row
-    * expression. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    org.apache.spark.sql.graftfns.VectorFunctions.minhashes(
-      transform(shingleCol, x => xxhash64(x)), numHashes)
+  /** MinHash signature of a text: `numHashes` minima over the hashed
+    * `shingleSize`-token shingle set. Per-row expression, no shuffle;
+    * one string-hash pass over tokens, integer work after. */
+  def minhashSignature(text: Column, shingleSize: Int,
+                       numHashes: Int): Column = {
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    fns.minhashes(
+      fns.shingle_hashes(transform(tokens(text), x => xxhash64(x)),
+        shingleSize), numHashes)
+  }
 
-  /** LSH band hashes from the shingle array: one shared base
-    * string-hash subtree, then cheap integer mixes per (band,
-    * row-in-band) — subexpression elimination evaluates the base pass
-    * once per row. Returns array of `bands` hashes. */
   /** Band hashes from a materialized signature array: band b combines its
     * `rowsPerBand` minima with one xxhash64 (cheap element_at reads —
     * keep the signature in its own projection so CollapseProject doesn't
@@ -70,19 +68,15 @@ object TextSim {
   def minhashCandidates(df: DataFrame, docId: Column, text: Column,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
+    require(bands > 0 && shingleSize > 0,
+      s"bands ($bands) and shingleSize ($shingleSize) must be positive")
     require(numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands " +
         s"($bands) — otherwise part of the signature is silently unused")
-    // one string-hash pass over tokens, then integer-only shingle and
-    // minhash passes ([[org.apache.spark.sql.graftfns.ShingleHashes]]):
-    // shingle STRINGS are never materialized
-    val fns = org.apache.spark.sql.graftfns.VectorFunctions
-    val sh = df.select(docId.as("doc_id"),
-        fns.shingle_hashes(
-          transform(tokens(text), x => xxhash64(x)), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = df.select(docId.as("doc_id"), text.as("__text"))
+      .filter(size(tokens(col("__text"))) >= shingleSize)
       .select(col("doc_id"),
-        fns.minhashes(col("sh"), numHashes).as("sig"))
+        minhashSignature(col("__text"), shingleSize, numHashes).as("sig"))
     val banded = sh.select(col("doc_id"),
         posexplode(bandHashesOfSig(col("sig"), numHashes / bands, bands)))
       .withColumnRenamed("pos", "band")

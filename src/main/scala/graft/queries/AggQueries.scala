@@ -128,7 +128,7 @@ object AggQueries {
       // rewrite a NULL user_id grouping key to 0 and diverge from the
       // oracle's CASE-count formulation
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
-      .orderBy("user_id")
+      .orderBy(col("user_id").asc_nulls_first)
 
   val all: Map[String, Q] = Map(
     "q_agg_count" -> aggCount,

@@ -33,11 +33,15 @@ class HoursParserSpec extends SparkSpecBase {
     val flags = Seq("gibberish", "11:00 AM - 3:00 PM", "Closed", "3:00 PM",
       "11:99 AM - 3:00 PM", // minute out of range — strptime would raise
       "19:00 AM - 9:00 PM", // hour 19 impossible on a 12-hour clock
-      "0:30 AM - 1:00 PM") //  hour 0 likewise
+      "0:30 AM - 1:00 PM", //  hour 0 likewise
+      "1:5 PM - 2:00 PM", //   single-digit minute: must not re-tokenize
+      "11:00 AM - 3:00 PM4:30 PM - 10:00 PM", // glued ranges are valid
+      "4:00 PM - 12:00 AM (Next day)", "11 AM - 3 PM")
       .toDF("s").select(HoursParser.isParseable(col("s"))).as[Boolean]
       .collect()
     assert(flags.toSeq ==
-      Seq(false, true, true, false, false, false, false))
+      Seq(false, true, true, false, false, false, false, false,
+        true, true, true))
   }
 
   private def fmt12(sec: Long): String = {

@@ -102,12 +102,17 @@ class StreamingSpec extends SparkSpecBase {
     val q = Streaming.userActivityTws(mem.toDS()).toDF()
       .writeStream.outputMode("append").format("memory")
       .queryName("tws_test").start()
-    mem.addData((5L, "click", 1.0))
-    q.processAllAvailable()
-    mem.addData((5L, "purchase", 2.5))
-    q.processAllAvailable()
-    q.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      mem.addData((5L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((5L, "purchase", 2.5))
+      q.processAllAvailable()
+    } finally {
+      // always restore the session default: leaking RocksDB into later
+      // suites would silently change what the other streaming tests cover
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     val rows = spark.table("tws_test").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.contains((5L, 1L, 0L, 100L)))
