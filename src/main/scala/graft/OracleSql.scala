@@ -155,7 +155,8 @@ object OracleSql {
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_agg_collect" ->
       """SELECT l_orderkey,
-                list(l_linenumber ORDER BY l_linenumber) AS lines
+                array_to_string(list(l_linenumber ORDER BY l_linenumber), '|')
+                  AS lines
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_agg_pivot" ->
       """SELECT user_id,
@@ -246,8 +247,8 @@ object OracleSql {
     "q_str_regex_extract" ->
       """SELECT doc_id,
                 regexp_extract(text, '\b(\w{6,})\b', 1) AS first_num_word,
-                regexp_extract_all(text, '\b([a-z]{5})\b', 1)
-                  AS five_letter_words
+                array_to_string(regexp_extract_all(text, '\b([a-z]{5})\b', 1),
+                                '|') AS five_letter_words
          FROM documents ORDER BY doc_id""",
     "q_str_like" ->
       """SELECT p_partkey, p_type,
@@ -347,13 +348,14 @@ object OracleSql {
       """SELECT doc_id,
                 list_contains(string_split(text, ' '), 'spark') AS has_spark,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                list_sort(list_distinct(string_split(text, ' ')))
+                array_to_string(
+                  list_sort(list_distinct(string_split(text, ' '))), '|')
                   AS distinct_sorted
          FROM documents ORDER BY doc_id""",
     "q_arr_transform" ->
       """SELECT doc_id,
-                list_filter(string_split(text, ' '),
-                            x -> length(x) > 4) AS long_words,
+                array_to_string(list_filter(string_split(text, ' '),
+                            x -> length(x) > 4), '|') AS long_words,
                 CAST(list_sum(list_transform(string_split(text, ' '),
                               x -> length(x))) AS BIGINT) AS total_len
          FROM documents ORDER BY doc_id""",
@@ -382,7 +384,7 @@ object OracleSql {
                 event_type AS type_val,
                 CAST(user_id AS VARCHAR) AS uid_val,
                 CAST(2 AS BIGINT) AS n_keys,
-                ['type', 'uid'] AS keys_sorted
+                'type|uid' AS keys_sorted
          FROM events ORDER BY event_id""",
 
     // ───── §2.K streaming batch shadows ─────
@@ -432,19 +434,22 @@ object OracleSql {
                      WHEN event_id % 10 = 1 THEN 'Open 24 hours'
                      WHEN event_id % 10 = 2 THEN one || two
                      ELSE one END AS hours_str,
-                CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
-                     WHEN event_id % 10 = 1 THEN [CAST(0 AS BIGINT)]
-                     WHEN event_id % 10 = 2 THEN [
-                       CAST(h*3600 + m*60 AS BIGINT),
-                       CAST(((h+5) % 24)*3600 + 1800 AS BIGINT)]
-                     ELSE [CAST(h*3600 + m*60 AS BIGINT)] END AS opens,
-                CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
-                     WHEN event_id % 10 = 1 THEN [CAST(86399 AS BIGINT)]
-                     WHEN event_id % 10 = 2 THEN [
-                       CAST(((h+3) % 24)*3600 + m*60 AS BIGINT),
-                       CAST(((h+8) % 24)*3600 + 2700 AS BIGINT)]
-                     ELSE [CAST(((h+3) % 24)*3600 + m*60 AS BIGINT)]
-                END AS closes
+                coalesce(array_to_string(
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(0 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(h*3600 + m*60 AS BIGINT),
+                         CAST(((h+5) % 24)*3600 + 1800 AS BIGINT)]
+                       ELSE [CAST(h*3600 + m*60 AS BIGINT)] END, '|'), '')
+                  AS opens,
+                coalesce(array_to_string(
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(86399 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(((h+3) % 24)*3600 + m*60 AS BIGINT),
+                         CAST(((h+8) % 24)*3600 + 2700 AS BIGINT)]
+                       ELSE [CAST(((h+3) % 24)*3600 + m*60 AS BIGINT)]
+                  END, '|'), '') AS closes
          FROM f ORDER BY event_id""",
     "q_udtf_hours_explode" ->
       """WITH base AS (

@@ -130,7 +130,15 @@ object Tables {
         // timestamps (`ts div 1000` keeps integer precision; a double
         // division would lose it above 2^53). DuckDB's CAST(ts AS TIMESTAMP)
         // performs the identical truncation, so oracle parity holds.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Requires spark.sql.legacy.parquet.nanosAsLong=true, set at session
+        // build time by every entry point (Verify/Bench/PlanDump/specs) —
+        // not here: a runtime conf.set would leak into and race with other
+        // readers sharing the session.
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .contains("true"),
+          "events.parquet is TIMESTAMP(NANOS): build the SparkSession with " +
+            "spark.sql.legacy.parquet.nanosAsLong=true")
         spark.read.schema(Schemas.eventsRaw)
           .parquet(s"$dir/events.parquet")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -87,15 +87,19 @@ object AggQueries {
       // Dataset.rollup on a post-join frame trips Spark 4.1's
       // ambiguous-self-join detector (Expand duplicates the grouping
       // attributes); GROUP BY ROLLUP builds the identical logical plan
-      // without the false positive.
+      // without the false positive. The view name is unique per invocation:
+      // a session-global fixed name would let concurrent runs clobber each
+      // other between createOrReplaceTempView and sql().
       .transform { j =>
-        j.createOrReplaceTempView("rollup_in")
-        j.sparkSession.sql(
-          """SELECT r_name, n_name, count(*) AS n_cust,
+        val view = s"rollup_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        j.createOrReplaceTempView(view)
+        try j.sparkSession.sql(
+          s"""SELECT r_name, n_name, count(*) AS n_cust,
                     CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4)
                          AS DOUBLE) AS sum_bal
-             FROM rollup_in GROUP BY ROLLUP (r_name, n_name)
+             FROM $view GROUP BY ROLLUP (r_name, n_name)
              ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+        finally j.sparkSession.catalog.dropTempView(view)
       }
 
   /** q_agg_cube — all grouping sets (same family as rollup). */
@@ -109,11 +113,16 @@ object AggQueries {
         col("o_orderpriority").asc_nulls_first)
 
   /** q_agg_collect — order-stable list rebuild, the denormalization dual of
-    * explode (ref nested arrays `README.md:95-103`). */
+    * explode (ref nested arrays `README.md:95-103`). The list is serialized
+    * to a '|'-joined string in the final projection ONLY so the driver's
+    * scalar comparator can hash it; the aggregation under test is
+    * collect_list. */
   private val aggCollect: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .agg(concat_ws("|",
+        sort_array(collect_list(col("l_linenumber"))).cast("array<string>"))
+        .as("lines"))
       .orderBy("l_orderkey")
 
   /** q_agg_pivot — long→wide amenity-matrix pattern

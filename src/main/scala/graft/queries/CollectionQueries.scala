@@ -37,7 +37,11 @@ object CollectionQueries {
     words(Tables.load(s, dir, "documents"))
       .withColumn("has_spark", array_contains(col("w"), "spark"))
       .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("distinct_sorted", sort_array(array_distinct(col("w"))))
+      // serialized to a scalar in the final projection only — the driver's
+      // comparator cannot hash array cells; the ops under test are
+      // array_distinct/sort_array
+      .withColumn("distinct_sorted",
+        concat_ws("|", sort_array(array_distinct(col("w")))))
       .select("doc_id", "has_spark", "n_words", "distinct_sorted")
       .orderBy("doc_id")
 
@@ -46,8 +50,8 @@ object CollectionQueries {
     * `web_scraper/web_scraping.py:312-332`). */
   private val arrTransform: Q = (s, dir) =>
     words(Tables.load(s, dir, "documents"))
-      .withColumn("long_words", filter(col("w"),
-        x => length(x) > 4))
+      .withColumn("long_words", concat_ws("|", filter(col("w"),
+        x => length(x) > 4)))
       .withColumn("total_len", aggregate(col("w"), lit(0),
         (acc, x) => acc + length(x)).cast("long"))
       .select("doc_id", "long_words", "total_len")
@@ -105,7 +109,7 @@ object CollectionQueries {
       .withColumn("type_val", element_at(col("m"), "type"))
       .withColumn("uid_val", element_at(col("m"), "uid"))
       .withColumn("n_keys", size(map_keys(col("m"))).cast("long"))
-      .withColumn("keys_sorted", sort_array(map_keys(col("m"))))
+      .withColumn("keys_sorted", concat_ws("|", sort_array(map_keys(col("m")))))
       .select("event_id", "type_val", "uid_val", "n_keys", "keys_sorted")
       .orderBy("event_id")
 

@@ -38,8 +38,13 @@ object HoursQueries {
     * `database/parse_and_upload_to_db.py:58-81`). */
   private val parseHours: Q = (s, dir) =>
     withHoursStr(Tables.load(s, dir, "events"))
-      .withColumn("opens", HoursParser.opens(col("hours_str")))
-      .withColumn("closes", HoursParser.closes(col("hours_str")))
+      // the parser returns BIGINT arrays; the final projection serializes
+      // them to '|'-joined strings only so the driver's scalar comparator
+      // can hash them (q_udtf_hours_explode covers the array form)
+      .withColumn("opens",
+        concat_ws("|", HoursParser.opens(col("hours_str")).cast("array<string>")))
+      .withColumn("closes",
+        concat_ws("|", HoursParser.closes(col("hours_str")).cast("array<string>")))
       .select("event_id", "hours_str", "opens", "closes")
       .orderBy("event_id")
 

@@ -66,7 +66,8 @@ object ScalarQueries {
     Tables.load(s, dir, "documents")
       .withColumn("first_num_word", regexp_extract(col("text"), "\\b(\\w{6,})\\b", 1))
       .withColumn("five_letter_words",
-        regexp_extract_all(col("text"), lit("\\b([a-z]{5})\\b"), lit(1)))
+        concat_ws("|",
+          regexp_extract_all(col("text"), lit("\\b([a-z]{5})\\b"), lit(1))))
       .select("doc_id", "first_num_word", "five_letter_words")
       .orderBy("doc_id")
 
