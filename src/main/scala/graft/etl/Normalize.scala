@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * dim; at 100 TB the dims stay broadcastable because they are bounded
   * vocabularies, and the fact-side work is embarrassingly parallel.
   *
-  * Surrogate ids are `row_number() OVER (ORDER BY natural key)` —
-  * deterministic across runs and cluster layouts (SURVEY.md §7.5.4); the
-  * reference's autoincrement ids are insertion-order-dependent and
-  * unreproducible.
+  * Surrogate ids are global row numbers over the natural key
+  * ([[Relational.globalRowNumber]]: range-partitioned local ranks +
+  * per-partition offsets, no single-partition window) — deterministic
+  * across runs and cluster layouts (SURVEY.md §7.5.4); the reference's
+  * autoincrement ids are insertion-order-dependent and unreproducible.
   */
 object Normalize {
 
@@ -51,9 +52,10 @@ object Normalize {
     * values (the set form of `get_or_create`,
     * `parse_and_upload_to_db.py:31-47`). */
   private def dim(values: DataFrame, nameCol: String): DataFrame =
-    values.select(col(nameCol).as("name")).filter(col("name").isNotNull)
-      .distinct()
-      .withColumn("id", row_number().over(Window.orderBy("name")).cast("long"))
+    Relational.globalRowNumber(
+        values.select(col(nameCol).as("name")).filter(col("name").isNotNull)
+          .distinct(),
+        Seq(col("name")), rankCol = "id")
       .select("id", "name")
 
   /** Explode one string-array attribute into a (dim, bridge) pair. */
@@ -62,10 +64,10 @@ object Normalize {
     val exploded = business
       .select(col("id").as("business_id"), explode(col(attr)).as("name"))
     val d = dim(exploded, "name")
-    val bridge = exploded.join(broadcast(d), "name")
-      .select(col("business_id"), col("id").as(dimIdCol))
-      .withColumn("id", row_number().over(
-        Window.orderBy("business_id", dimIdCol)).cast("long"))
+    val bridge = Relational.globalRowNumber(
+        exploded.join(broadcast(d), "name")
+          .select(col("business_id"), col("id").as(dimIdCol)),
+        Seq(col("business_id"), col(dimIdCol)), rankCol = "id")
       .select("id", "business_id", dimIdCol)
     (d, bridge)
   }
@@ -82,8 +84,8 @@ object Normalize {
     // explode stages below, `business` is the scalar hub projection.
     val deduped = Relational.dedupKeepFirst(valid, Seq(col("bizId")),
       Seq(col("ranking").asc_nulls_first, col("name").asc_nulls_first))
-    val withId = deduped
-      .withColumn("id", row_number().over(Window.orderBy("bizId")).cast("long"))
+    val withId = Relational.globalRowNumber(deduped, Seq(col("bizId")),
+      rankCol = "id")
     val business = withId
       .select("id", "bizId", "name", "website", "phone_number", "address",
         "price", "health_score")
@@ -112,8 +114,9 @@ object Normalize {
       .withColumn("close_time", element_at(col("closes"), col("pos") + 1))
       .join(broadcast(weekday.select(col("id").as("weekday_id"),
         col("name").as("weekday_name"))), "weekday_name")
-      .withColumn("id", row_number().over(Window.orderBy(
-        "business_id", "weekday_id", "open_time")).cast("long"))
+      .transform(df => Relational.globalRowNumber(df,
+        Seq(col("business_id"), col("weekday_id"), col("open_time")),
+        rankCol = "id"))
       .select("id", "business_id", "open_time", "close_time", "weekday_id")
 
     val (foodCategory, bizFood) =
@@ -129,11 +132,11 @@ object Normalize {
       .select(col("business_id"), col("am.amenity").as("name"),
         col("am.is_available").as("is_available"))
     val amenity = dim(amenityRows, "name")
-    val bizAmenity = amenityRows.join(broadcast(amenity), "name")
-      .select(col("business_id"), col("id").as("amenity_id"),
-        col("is_available"))
-      .withColumn("id", row_number().over(
-        Window.orderBy("business_id", "amenity_id")).cast("long"))
+    val bizAmenity = Relational.globalRowNumber(
+        amenityRows.join(broadcast(amenity), "name")
+          .select(col("business_id"), col("id").as("amenity_id"),
+            col("is_available")),
+        Seq(col("business_id"), col("amenity_id")), rankCol = "id")
       .select("id", "business_id", "amenity_id", "is_available")
 
     Map(

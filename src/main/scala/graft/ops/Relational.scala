@@ -27,20 +27,58 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Global `row_number` over a total order WITHOUT a single-partition
+    * window — the scale-safe surrogate-id assigner.
+    *
+    * `Window.orderBy(...)` with no partitionBy funnels the whole dataset
+    * through one task; at 100 TB one executor core sorts the world. This
+    * variant keeps the sort distributed: range-repartition on the order
+    * key (each partition owns a disjoint, ordered key range), rank locally
+    * within each partition, then add the per-partition row-count prefix
+    * sums as offsets. The offsets table is one row per partition — the
+    * only driver-scale piece — and is broadcast back.
+    *
+    * Deterministic for any input layout PROVIDED `orderCols` is a total
+    * order (key-complete, §7.5.4): global rank = (rows in lower key
+    * ranges) + (local rank), both of which depend only on key values —
+    * partition boundaries shift the split of the sum, never its value.
+    * Equal keys would make ranks partition-dependent, exactly as they
+    * would under a global window.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      rankCol: String = "rn"): DataFrame = {
+    require(orderCols.nonEmpty, "globalRowNumber needs a total order")
+    val sorted = df
+      .repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // the window re-clusters by __pid (partitions move wholesale, stay
+    // balanced — the range partitioner sized them) and sorts locally
+    val local = sorted.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)))
+    // one row per partition: counts → exclusive prefix sums. The global
+    // window here is over ≤ numPartitions rows, not data.
+    val offsets = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum("__cnt").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, (col("__offset") + col("__lrn")).cast("long"))
+      .drop("__pid", "__lrn", "__offset")
+  }
+
   /** Deterministic offset pagination (reference `database/app.py:74-82`:
     * `LIMIT page_size OFFSET (page-1)*page_size`).
     *
     * Spark has no stable OFFSET on unsorted data; a total order over a
-    * key-complete column list makes pages disjoint and covering (property
-    * test in PaginationSpec). Single-partition window is acceptable because
-    * pagination is inherently a total-order operator; at 100 TB you'd
-    * pre-compute a global rank via range-partitioned sort instead.
-    */
+    * key-complete column list makes pages disjoint and covering. The
+    * global rank comes from [[globalRowNumber]] (range-partitioned, no
+    * single-partition window); the page filter then touches only the
+    * partitions whose key range overlaps the page. */
   def paginate(df: DataFrame, orderCols: Seq[Column], page: Int,
                pageSize: Int, rankCol: String = "rn"): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
     val lo = (page - 1) * pageSize
-    df.withColumn(rankCol, row_number().over(w))
+    globalRowNumber(df, orderCols, rankCol)
       .filter(col(rankCol) > lo && col(rankCol) <= lo + pageSize)
   }
 

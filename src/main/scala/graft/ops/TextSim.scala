@@ -287,6 +287,69 @@ object TextSim {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (sim ≥ threshold) via
+    * multi-table sign-LSH bucketing + exact rescore — the scale path for
+    * the cosine-dedup operator.
+    *
+    * Shape: the corpus is bucketed once per table (one explode + one
+    * shuffle on bucket id), pairs are generated only inside buckets by an
+    * equi-join, each candidate is rescored with the exact dot product, and
+    * the threshold filter is exact — so precision is always 1. Recall is
+    * governed by (nTables, bits): a pair at cosine s collides in one table
+    * with probability (1 - arccos(s)/π)^bits and must collide in at least
+    * one of nTables. Per-pair work stays O(nTables · bucket occupancy),
+    * never the corpus cross product, and the join is a shuffled hash join —
+    * no BroadcastNestedLoopJoin anywhere in the plan (PlanQualitySpec
+    * gates this).
+    *
+    * Defaults are sized for the calibrated 0.42 threshold of
+    * q_vec_cosine_dedup (collision p ≈ 0.64 per plane): bits=3 keeps
+    * 8 buckets per table (occupancy N/8) and nTables=32 drives the
+    * per-pair miss rate below 10⁻⁴ at the threshold margin; TextSimSpec
+    * asserts exact equality with the brute-force pair set on the test
+    * corpora.
+    *
+    * Cost honesty: 0.42 (≈ 65° angle) is the adversarial case for ANY
+    * cosine-LSH family — pairs near the threshold are barely more
+    * collision-prone than random pairs, so full-recall parameters make
+    * candidate coverage approach the full pair set (measured ≈ 98% of
+    * C(N,2) on the weakly-clustered test embeddings) and the rescore
+    * stage does ≈ brute-force work, distributed over bucket-join tasks.
+    * The structure still wins at scale for two reasons: (1) the work is
+    * a shuffled equi-join — partitioned by bucket across the cluster —
+    * not a broadcast nested loop, and (2) real near-dup pipelines run at
+    * thresholds ≥ 0.8 (p ≥ 0.86 per plane), where the same code with
+    * more bits / fewer tables prunes candidates aggressively. */
+  def cosineDedupLsh(emb: DataFrame, threshold: Double,
+                     nTables: Int = 32, bits: Int = 3,
+                     dim: Int = 64): DataFrame = {
+    // bucket join carries IDS ONLY: a pair colliding in many of the
+    // nTables tables would otherwise be rescored once per collision
+    // (32× the dot products) and drag 64-double payloads through the
+    // join — distinct first, fetch vectors once per unique pair after
+    val bucketed = emb.select(col("vec_id"),
+        explode(lshBuckets(col("embedding").cast("array<double>"),
+          nTables, bits, dim)).as("bucket"))
+    val pairs = bucketed.select(col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("bucket"), col("vec_id").as("id_b")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("va"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+        col("norm").as("nb")), Seq("id_b"))
+      .withColumn("sim", round(
+        dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Brute-force top-k cosine neighbours for each probe row: the baseline
     * kNN join (BroadcastNestedLoop × probe count). At scale you bound the
     * probe side or move to the LSH/IVF bucketed variant; the per-probe

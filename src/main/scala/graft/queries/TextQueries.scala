@@ -153,23 +153,15 @@ object TextQueries {
   }
 
   /** q_vec_cosine_dedup — embedding-cosine near-duplicate pairs above a
-    * corpus-calibrated threshold (brute-force at this scale; the LSH
-    * bucketing of q_vec_ann_lsh is the same operator's scale path). */
-  private val cosineDedup: Q = (s, dir) => {
-    val e = Tables.load(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"),
-      col("embedding").cast("array<double>").as("va"))
-      .withColumn("na", TextSim.l2Norm(col("va")))
-    val b = e.select(col("vec_id").as("id_b"),
-      col("embedding").cast("array<double>").as("vb"))
-      .withColumn("nb", TextSim.l2Norm(col("vb")))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(
-        TextSim.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("sim") >= 0.42)
-      .select("id_a", "id_b", "sim")
+    * corpus-calibrated threshold via LSH bucket candidates + exact rescore
+    * ([[TextSim.cosineDedupLsh]]). No all-pairs join anywhere: candidates
+    * come from sign-LSH bucket collisions (shuffled equi-join), scored
+    * exactly, thresholded exactly — PlanQualitySpec gates the absence of
+    * BroadcastNestedLoopJoin, TextSimSpec pins equality with the
+    * brute-force pair set on the test corpora. */
+  private val cosineDedup: Q = (s, dir) =>
+    TextSim.cosineDedupLsh(Tables.load(s, dir, "embeddings"), 0.42)
       .orderBy("id_a", "id_b")
-  }
 
   val all: Map[String, Q] = Map(
     "q_text_simhash" -> simhashQ,

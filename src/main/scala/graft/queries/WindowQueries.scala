@@ -8,19 +8,22 @@ import org.apache.spark.sql.functions._
 
 /** §2.E window functions. Partitioned windows shuffle once on the
   * partition key and sort within partitions — the scalable shape. The two
-  * global-order windows (surrogate keys, pagination) are single-partition
-  * by nature; at 100 TB you'd range-partition a global sort and add
-  * per-partition offsets instead (noted per query). */
+  * global-order operators (surrogate keys, pagination) go through
+  * [[Relational.globalRowNumber]]: range-partitioned local ranks plus
+  * per-partition count offsets, so no single task ever owns the total
+  * order. */
 object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** q_win_rownum — deterministic surrogate-key assignment (ref
     * autoincrement PKs `database/yelp_db/yelp_db/model.py:11`;
     * SURVEY.md §7.5.4: row_number over a natural unique key, never
-    * monotonically_increasing_id, which is partition-layout-dependent). */
+    * monotonically_increasing_id, which is partition-layout-dependent).
+    * Ids come from [[Relational.globalRowNumber]]: range-partitioned
+    * local ranks + per-partition offsets — no single-partition window. */
   private val winRownum: Q = (s, dir) =>
-    Tables.load(s, dir, "customer")
-      .withColumn("id", row_number().over(Window.orderBy("c_custkey")).cast("long"))
+    Relational.globalRowNumber(Tables.load(s, dir, "customer"),
+        Seq(col("c_custkey")), rankCol = "id")
       .select("id", "c_custkey", "c_name")
       .orderBy("id")
 

@@ -55,6 +55,47 @@ class PlanQualitySpec extends SparkSpecBase {
       "nation/region not broadcast")
   }
 
+  test("q_vec_cosine_dedup has no nested-loop join (LSH buckets, not all-pairs)") {
+    val p = plan("q_vec_cosine_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "cosine dedup regressed to an all-pairs join:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on bucket id")
+  }
+
+  test("q_join_bridge3 broadcasts both dimension sides") {
+    // lineitem⋈orders⋈customer at sf0.001: both joins must be broadcast
+    // hash joins (orders+customer are dims vs the lineitem fact)
+    val p = plan("q_join_bridge3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bridge join shuffles a dim side:\n" +
+        p.linesIterator.take(16).mkString("\n"))
+  }
+
+  test("q_filter_range_disj filters on the scan before any exchange") {
+    // The disjunction is hour()/minute()/second() of a timestamp derived
+    // from raw nanos, so it can never appear in PushedFilters (parquet
+    // pushdown carries only raw-column predicates). The scale property to
+    // gate instead: the scan reads only the two referenced columns, and
+    // the filter is applied directly on scan output — before any
+    // Exchange — so the full-table rows never cross the network.
+    val p = plan("q_filter_range_disj")
+    val lines = p.linesIterator.toSeq
+    val readSchema = lines.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("event_id") && readSchema.contains("ts") &&
+      !readSchema.contains("event_type"), s"unpruned scan: $readSchema")
+    val tree = lines.takeWhile(!_.startsWith("(1)"))
+    val filterDepth = tree.indexWhere(_.contains("Filter"))
+    val scanDepth = tree.indexWhere(_.contains("Scan parquet"))
+    val exchangeDepth = tree.indexWhere(_.contains("Exchange"))
+    assert(filterDepth >= 0 && scanDepth == filterDepth + 1,
+      "filter is not directly on the scan:\n" + tree.mkString("\n"))
+    assert(exchangeDepth < filterDepth,
+      "rows are shuffled before the filter:\n" + tree.mkString("\n"))
+  }
+
   test("GraftExtensions exposes dot_product to SQL") {
     // the shared test session is built withExtensions(new GraftExtensions)
     val r = spark.sql(

@@ -19,6 +19,46 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got == Set(("a", 2), ("a", 4), ("b", 5), ("c", 7), ("c", 6)))
   }
 
+  test("globalRowNumber equals a global window, for any input layout") {
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 500).toList).map(i => (i, s"v$i"))
+    val expected = (1 to 500).map(i => (i.toLong, i)).toSet
+    // the rank must be a pure function of the key order — identical across
+    // pathological input partitionings (1 partition, 7, 64 ≫ rows/partition)
+    for (parts <- Seq(1, 7, 64)) {
+      val df = rows.toDF("k", "payload").repartition(parts)
+      val got = Relational.globalRowNumber(df, Seq(col("k")))
+        .select(col("rn"), col("k")).as[(Long, Int)].collect().toSet
+      assert(got == expected, s"layout parts=$parts")
+    }
+  }
+
+  test("globalRowNumber never funnels raw rows through one partition") {
+    // The one legitimate SinglePartition exchange is the offsets prefix
+    // sum, whose direct input is the per-partition count aggregate
+    // (≤ numShufflePartitions rows of metadata). A SinglePartition
+    // exchange fed by anything else is the global-window regression this
+    // operator exists to avoid. The formatted explain is the only surface
+    // that shows the prepared plan with exchanges under AQE.
+    val df = Relational.globalRowNumber(
+      Tables.load(spark, sf0001, "customer"), Seq(col("c_custkey")))
+    val lines = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.toSeq
+    val tree = lines.takeWhile(!_.trim.startsWith("(1)"))
+    val details = lines.drop(tree.size).mkString("\n")
+    val singleIds = "\\((\\d+)\\) Exchange\\n[^(]*SinglePartition".r
+      .findAllMatchIn(details).map(_.group(1)).toSeq
+    assert(singleIds.nonEmpty, "expected the metadata-scale offsets exchange")
+    singleIds.foreach { id =>
+      val at = tree.indexWhere(_.contains(s"Exchange ($id)"))
+      assert(at >= 0 && at + 1 < tree.size, s"exchange $id not in tree")
+      assert(tree(at + 1).contains("HashAggregate"),
+        s"raw rows cross SinglePartition exchange ($id):\n" +
+          tree.mkString("\n"))
+    }
+  }
+
   test("paginate: pages are disjoint and covering") {
     val all = (1 to 10).map(i =>
       Relational.paginate(scores, Seq(col("id")), i, 3)

@@ -17,4 +17,5 @@ trait SparkSpecBase extends AnyFunSuite {
     .getOrCreate()
 
   lazy val sf0001 = "/root/testdata/sf0.001"
+  lazy val sf001 = "/root/testdata/sf0.01"
 }

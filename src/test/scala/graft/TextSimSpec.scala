@@ -163,6 +163,31 @@ class TextSimSpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean recall@3 = $mean")
   }
 
+  test("cosineDedupLsh equals the brute-force pair set (recall oracle)") {
+    // the brute-force all-pairs form lives HERE as the equality oracle at
+    // test scale; the registered q_vec_cosine_dedup runs the LSH-bucketed
+    // operator only
+    for (sf <- Seq(sf0001, sf001)) {
+      val emb = Tables.load(spark, sf, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .withColumn("na", TextSim.l2Norm(col("va")))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nb", TextSim.l2Norm(col("vb")))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", round(
+          TextSim.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        .filter(col("sim") >= 0.42)
+        .select("id_a", "id_b", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+      val lsh = TextSim.cosineDedupLsh(emb, 0.42)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(lsh == brute,
+        s"$sf: missed=${brute -- lsh} spurious=${lsh -- brute}")
+    }
+  }
+
   test("knnJoin returns the true top-k neighbours") {
     val all = Tables.load(spark, sf0001, "embeddings")
       .filter(col("vec_id") < 30)
