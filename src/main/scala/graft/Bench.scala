@@ -20,6 +20,7 @@ object Bench {
     // outside the timed region — the operators under test are the scans,
     // not the one-off fixture write
     graft.queries.SourceQueries.prepareFixtures(spark, sfDir)
+    graft.ops.Multimodal.mediaFixture(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -247,8 +247,9 @@ object OracleSql {
     "q_str_regex_extract" ->
       """SELECT doc_id,
                 regexp_extract(text, '\b(\w{6,})\b', 1) AS first_num_word,
-                array_to_string(regexp_extract_all(text, '\b([a-z]{5})\b', 1),
-                                '|') AS five_letter_words
+                coalesce(array_to_string(
+                  regexp_extract_all(text, '\b([a-z]{5})\b', 1), '|'), '')
+                  AS five_letter_words
          FROM documents ORDER BY doc_id""",
     "q_str_like" ->
       """SELECT p_partkey, p_type,
@@ -354,8 +355,8 @@ object OracleSql {
          FROM documents ORDER BY doc_id""",
     "q_arr_transform" ->
       """SELECT doc_id,
-                array_to_string(list_filter(string_split(text, ' '),
-                            x -> length(x) > 4), '|') AS long_words,
+                coalesce(array_to_string(list_filter(string_split(text, ' '),
+                            x -> length(x) > 4), '|'), '') AS long_words,
                 CAST(list_sum(list_transform(string_split(text, ' '),
                               x -> length(x))) AS BIGINT) AS total_len
          FROM documents ORDER BY doc_id""",
@@ -395,6 +396,19 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY window_start, event_type
          ORDER BY window_start, event_type""",
+    "q_stream_slide" ->
+      // every event belongs to exactly 4 overlapping (1 h, 15 min) windows:
+      // its 15-min bucket minus k·15 min, k ∈ 0..3 (ts − start < 15+45 min).
+      // Both engines align the grid to :00 (Spark: epoch origin; DuckDB
+      // time_bucket: 2000-01-03 00:00, also :00-aligned).
+      """WITH x AS (
+           SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                    - k * INTERVAL 15 MINUTE AS window_start
+           FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+         SELECT window_start,
+                window_start + INTERVAL 1 HOUR AS window_end,
+                count(*) AS n
+         FROM x GROUP BY window_start ORDER BY window_start""",
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM (
            SELECT event_id, event_type FROM events
@@ -591,6 +605,19 @@ object OracleSql {
                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                    WHERE vec_id = 0)), 4) AS sim_r
          FROM embeddings ORDER BY sim_r DESC, vec_id LIMIT 10""",
+
+    // ───── §2.N multimodal ─────
+    // reads the synthetic media fixture Verify materializes before the
+    // oracle runs (Multimodal.fixturePath — a fixed, SF-independent path)
+    "q_media_dedup" ->
+      """SELECT min(media_id) AS media_id,
+                min_by(media_type, media_id) AS media_type,
+                hex(payload) AS payload_hex,
+                min(octet_length(payload)) AS n_bytes,
+                count(*) AS n_copies
+         FROM '/root/repo/target/tmp/media_fixture_v1/*.parquet'
+         GROUP BY hex(payload)
+         ORDER BY media_id""",
 
     // ───── §2.G set ops ─────
     "q_set_union" ->

@@ -117,6 +117,26 @@ object Multimodal {
     Relational.dedupKeepFirst(
       withByteStats(df), Seq(col("payload_sha")), Seq(col("media_id")))
 
+  /** Fixed on-disk media fixture for the registered q_media_dedup query
+    * and its DuckDB oracle: [[syntheticMedia]] written once to a stable
+    * path (content is a pure function of the generator version, so the
+    * path carries a version suffix; _SUCCESS gates the write). SF-
+    * independent by design — the media table is synthetic, not part of
+    * the driver's testdata. 2400 rows makes the payload cycle (lcm of the
+    * 256-value byte cycle and the 5-value length cycle = 1280) wrap:
+    * ids 0–1119 each have exactly one byte-identical partner at id+1280,
+    * so the dedup has real work. */
+  val fixturePath = "/root/repo/target/tmp/media_fixture_v1"
+  val fixtureRows = 2400
+
+  def mediaFixture(spark: SparkSession): String = {
+    if (!new java.io.File(s"$fixturePath/_SUCCESS").exists()) {
+      syntheticMedia(spark, fixtureRows).write
+        .mode("overwrite").parquet(fixturePath)
+    }
+    fixturePath
+  }
+
   /** Deterministic synthetic media table for tests/demos (no binary
     * fixtures in the repo): payloads derived from seed strings. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.N multimodal registration: the binary-payload operators surfaced as
+  * a driver-verified query (the rest of the family — decode batching,
+  * frame sampling — is U-tier in MultimodalSpec; codec is an honest stub,
+  * [[Multimodal.FakeCodec]]). */
+object MediaQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_media_dedup — exact binary-payload dedup over the media fixture:
+    * byte stats ([[Multimodal.withByteStats]]) then group-by content hash
+    * (sha2 over the binary) with a deterministic keeper (min media_id) —
+    * the q_text_dedup_exact family applied to a binary column. The
+    * comparable group key in the output is `hex(payload)` rather than the
+    * sha because DuckDB 1.0 has no cryptographic hash over BLOBs; hex is
+    * injective, so group membership — what the dedup must get right — is
+    * fully verified. `sfDir` is unused: the media fixture is synthetic
+    * and SF-independent. */
+  private val mediaDedup: Q = (s, _) => {
+    val path = Multimodal.mediaFixture(s)
+    Multimodal.withByteStats(s.read.parquet(path))
+      .withColumn("payload_hex", hex(col("payload")))
+      .groupBy("payload_sha")
+      .agg(
+        min("media_id").as("media_id"),
+        min_by(col("media_type"), col("media_id")).as("media_type"),
+        min("payload_hex").as("payload_hex"),
+        min("n_bytes").as("n_bytes"),
+        count(lit(1)).as("n_copies"))
+      .select("media_id", "media_type", "payload_hex", "n_bytes", "n_copies")
+      .orderBy("media_id")
+  }
+
+  val all: Map[String, Q] = Map("q_media_dedup" -> mediaDedup)
+}

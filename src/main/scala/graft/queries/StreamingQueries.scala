@@ -18,8 +18,10 @@ object StreamingQueries {
     Streaming.tumbling(Tables.load(s, dir, "events"), "1 hour")
       .orderBy("window_start", "event_type")
 
-  /** q_stream_slide — overlapping 1 h windows every 15 min. Q-tier: the
-    * window-explode SQL is DuckDB-expressible but fragile (SURVEY §2.K). */
+  /** q_stream_slide — overlapping 1 h windows every 15 min. O-tier: the
+    * DuckDB shadow joins each event to its 4 window starts
+    * (`time_bucket − k·15min`, k ∈ 0..3 — both engines' grids are
+    * :00-aligned). */
   private val slide: Q = (s, dir) =>
     Streaming.sliding(Tables.load(s, dir, "events"), "1 hour", "15 minutes")
       .orderBy("window_start")

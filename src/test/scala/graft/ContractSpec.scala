@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 89, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 77)
-    assert(declared.values.count(_ == "Q") == 9)
+    assert(declared.size == 90, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 79)
+    assert(declared.values.count(_ == "Q") == 8)
     assert(declared.values.count(_ == "U") == 3)
   }
 
