@@ -409,6 +409,31 @@ object OracleSql {
                 window_start + INTERVAL 1 HOUR AS window_end,
                 count(*) AS n
          FROM x GROUP BY window_start ORDER BY window_start""",
+    "q_stream_session" ->
+      // gap-sessionization shadow: a session breaks where the gap to the
+      // previous event is ≥ 30 min (Spark merges [t,t+g) windows on
+      // overlap, i.e. strictly-less gaps); session_end = last event + gap.
+      // Equal timestamps sort arbitrarily but their gap is 0 → same
+      // session either way.
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         b AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b)
+         SELECT user_id,
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id NULLS FIRST, session_start""",
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, event_type FROM (
            SELECT event_id, event_type FROM events

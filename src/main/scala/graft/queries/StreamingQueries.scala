@@ -27,10 +27,11 @@ object StreamingQueries {
       .orderBy("window_start")
 
   /** q_stream_session — 30 min gap session windows per user (stateful in
-    * streaming; Q-tier). */
+    * streaming). O-tier: the DuckDB shadow rebuilds sessions from
+    * lag-gap break flags + prefix sums. */
   private val session: Q = (s, dir) =>
     Streaming.sessionize(Tables.load(s, dir, "events"), "30 minutes")
-      .orderBy("user_id", "session_start")
+      .orderBy(col("user_id").asc_nulls_first, col("session_start"))
 
   /** q_stream_dedup — exactly-once under replay (ref already-scraped set
     * `web_scraper/web_scraping.py:517-521`): the input unioned with itself

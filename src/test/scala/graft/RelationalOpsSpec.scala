@@ -114,6 +114,42 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("property: asof tie-break is layout-independent under duplicate right ts") {
+    // The determinism argument for the payload-struct tie-break
+    // (Relational.asofJoin: orderBy __t, __side, __p) previously lived
+    // only in a comment. Construct heavy (key, ts) duplication — 240 right
+    // rows over 5 keys × 12 timestamps ⇒ ~4 tying rows per (key, ts) —
+    // and assert the result equals the documented rule (max by ts, then
+    // max payload struct in field order: tag first here, then rid) for
+    // every input partitioning.
+    val rnd = new scala.util.Random(23)
+    val leftRows = (0 until 120).map(i =>
+      (i, s"k${rnd.nextInt(5)}", rnd.nextInt(14).toLong))
+    val rightRows = (0 until 240).map(i =>
+      (1000 + i, s"t${rnd.nextInt(6)}", s"k${rnd.nextInt(5)}",
+        rnd.nextInt(12).toLong))
+    val expected: Map[Int, Option[(String, Int)]] = leftRows.map {
+      case (id, k, ts) =>
+        val cands = rightRows.filter(r => r._3 == k && r._4 <= ts)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.map(r => (r._4, r._2, r._1)).max)
+                 .map { case (_, tag, rid) => (tag, rid) })
+    }.toMap
+    for (parts <- Seq(1, 3, 17)) {
+      val left = leftRows.toDF("id", "k", "ts").repartition(parts)
+      val right = rightRows.toDF("rid", "tag", "k", "ts").repartition(parts)
+      // payload field order (tag, rid): ties on (key, ts) must resolve by
+      // tag first, then rid — the struct's lexicographic comparison
+      val got = Relational.asofJoin(left, right, "k", "ts", "ts",
+          scala.collection.immutable.ListMap(
+            "tag" -> "prior_tag", "rid" -> "prior_rid"))
+        .select("id", "prior_tag", "prior_rid").collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(2)) None
+          else Some((r.getString(1), r.getInt(2))))).toMap
+      assert(got == expected, s"layout parts=$parts")
+    }
+  }
+
   test("asofJoin multi-payload stays consistent across tying right rows") {
     val left = Seq((1, "k", 100L)).toDF("id", "k", "ts")
     val right = Seq((10, "x", "k", 100L), (11, "y", "k", 100L))
