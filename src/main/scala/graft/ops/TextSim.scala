@@ -350,6 +350,71 @@ object TextSim {
       .select("id_a", "id_b", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k cosine neighbours — the other
+    * canonical ANN scale shape next to [[annCosineLsh]]: the corpus is
+    * partitioned into `nCells` cells by nearest centroid, probes search
+    * only their `nProbe` nearest cells.
+    *
+    * Centroids are `nCells` deterministic corpus samples (lowest vec_ids),
+    * L2-normalized on the driver and embedded as literals — so cell
+    * assignment is a codegen'd argmax of `nCells` dot products per row,
+    * no shuffle. (Real deployments train centroids with k-means offline;
+    * that changes centroid VALUES, not this index/search dataflow.) The
+    * driver-side collect touches exactly `nCells` rows of index metadata —
+    * the same role a broadcast dim plays — never the corpus.
+    *
+    * Cost: one shuffle to group the corpus by cell, probe-side explode
+    * ×nProbe, equi-join on cell, exact rescore, per-probe top-k. Per
+    * probe the work is ≈ nProbe·N/nCells instead of N; recall tunes via
+    * nProbe (nProbe = nCells degenerates to exact search). */
+  def annCosineIvf(probes: DataFrame, corpus: DataFrame, k: Int,
+                   nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
+      s"need 0 < nProbe ($nProbe) <= nCells ($nCells)")
+    val centroids: Seq[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(nCells)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](0)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }.toSeq
+    // argmax_j dot(v, ĉ_j): the row's own norm is constant across j, so
+    // normalized centroids suffice for the cosine argmax
+    def cellDots(vec: Column): Column =
+      array(centroids.map(c => dot(vec, typedLit(c))): _*)
+    val corpusCells = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("neighbor_vec"))
+      .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
+      .withColumn("__d", cellDots(col("neighbor_vec")))
+      // first max wins on ties — deterministic cell assignment
+      .withColumn("cell", expr("array_position(__d, array_max(__d))"))
+      .drop("__d")
+    val probeCells = {
+      val withDots = probes.select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("probe_vec"))
+        .withColumn("probe_norm", l2Norm(col("probe_vec")))
+        .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
+          posexplode(cellDots(col("probe_vec"))))
+        .withColumnRenamed("pos", "cell0")
+        .withColumnRenamed("col", "cdot")
+      Relational.topKPerGroup(withDots, Seq(col("probe_id")),
+          Seq(col("cdot").desc, col("cell0")), nProbe)
+        .withColumn("cell", col("cell0") + 1) // align with array_position's 1-base
+        .select("probe_id", "probe_vec", "probe_norm", "cell")
+    }
+    val cand = probeCells.join(corpusCells, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        dot(col("probe_vec"), col("neighbor_vec")) /
+          (col("probe_norm") * col("neighbor_norm")), 4))
+      .select("probe_id", "neighbor_id", "sim")
+    Relational.topKPerGroup(cand, Seq(col("probe_id")),
+        Seq(col("sim").desc, col("neighbor_id")), k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** Brute-force top-k cosine neighbours for each probe row: the baseline
     * kNN join (BroadcastNestedLoop × probe count). At scale you bound the
     * probe side or move to the LSH/IVF bucketed variant; the per-probe

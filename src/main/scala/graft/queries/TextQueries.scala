@@ -127,6 +127,16 @@ object TextQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** q_vec_ann_ivf — the IVF ANN scale path ([[TextSim.annCosineIvf]]):
+    * corpus partitioned by nearest centroid, probes search their nProbe
+    * nearest cells. Q-tier (centroid samples + float order); recall vs
+    * exact kNN asserted in TextSimSpec. */
+  private val annIvf: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    TextSim.annCosineIvf(emb.filter(col("vec_id") < 20), emb, 3)
+      .orderBy("probe_id", "rn")
+  }
+
   /** q_text_simhash — per-doc SimHash fingerprint + dedup bands
     * ([[TextSim.simhash]]). Q-tier (xxhash64-based; candidate semantics
     * covered in TextSimSpec with planted near-dups). */
@@ -176,5 +186,6 @@ object TextQueries {
     "q_text_fingerprint" -> fingerprint,
     "q_vec_cosine_topk" -> cosineTopk,
     "q_vec_knn_join" -> knnJoin,
-    "q_vec_ann_lsh" -> annLsh)
+    "q_vec_ann_lsh" -> annLsh,
+    "q_vec_ann_ivf" -> annIvf)
 }

@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 90, s"got ${declared.size}")
+    assert(declared.size == 91, s"got ${declared.size}")
     assert(declared.values.count(_ == "O") == 80)
-    assert(declared.values.count(_ == "Q") == 7)
+    assert(declared.values.count(_ == "Q") == 8)
     assert(declared.values.count(_ == "U") == 3)
   }
 

@@ -188,6 +188,31 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("annCosineIvf recall vs exact kNN is usable; nProbe=nCells is exact") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 15)
+    val exact = TextSim.knnJoin(probes, emb, 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = TextSim.annCosineIvf(probes, emb, 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, truth) =>
+      truth.intersect(ivf.getOrElse(p, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@3 = $mean")
+    // searching every cell must reproduce exact kNN — the approximation
+    // comes ONLY from probing a subset of cells
+    val full = TextSim.annCosineIvf(probes, emb, 3, nCells = 8, nProbe = 8)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == exact, "nProbe=nCells must equal exact kNN")
+  }
+
   test("knnJoin returns the true top-k neighbours") {
     val all = Tables.load(spark, sf0001, "embeddings")
       .filter(col("vec_id") < 30)
