@@ -39,8 +39,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout interleaves with sbt log prefixes; the file copy is the
-    // parse-safe artifact (the driver's BENCH parser reads either)
-    val out = new java.io.File("target/bench.json")
+    // parse-safe artifact (the driver's BENCH parser reads either).
+    // Absolute path: a cwd-relative one would land outside the repo when
+    // launched from elsewhere (same contract as SourceQueries.scratch).
+    val out = new java.io.File("/root/repo/target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
     try w.println(json) finally w.close()

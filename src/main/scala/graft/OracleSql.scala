@@ -633,14 +633,15 @@ object OracleSql {
 
     // ───── §2.N multimodal ─────
     // reads the synthetic media fixture Verify materializes before the
-    // oracle runs (Multimodal.fixturePath — a fixed, SF-independent path)
+    // oracle runs (interpolated from Multimodal.fixturePath — one source
+    // of truth for the version-suffixed path)
     "q_media_dedup" ->
-      """SELECT min(media_id) AS media_id,
+      s"""SELECT min(media_id) AS media_id,
                 min_by(media_type, media_id) AS media_type,
                 hex(payload) AS payload_hex,
                 min(octet_length(payload)) AS n_bytes,
                 count(*) AS n_copies
-         FROM '/root/repo/target/tmp/media_fixture_v1/*.parquet'
+         FROM '${graft.ops.Multimodal.fixturePath}/*.parquet'
          GROUP BY hex(payload)
          ORDER BY media_id""",
 

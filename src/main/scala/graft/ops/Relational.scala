@@ -48,6 +48,13 @@ object Relational {
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
                       rankCol: String = "rn"): DataFrame = {
     require(orderCols.nonEmpty, "globalRowNumber needs a total order")
+    // fail loudly instead of silently replacing/dropping caller columns
+    // that collide with the rank output or the internal helper names
+    val reserved = Seq(rankCol, "__pid", "__lrn", "__offset")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"globalRowNumber would overwrite input column(s) ${clash.mkString(", ")}; " +
+        "rename them or pass a different rankCol")
     val sorted = df
       .repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())

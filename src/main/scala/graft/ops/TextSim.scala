@@ -390,20 +390,24 @@ object TextSim {
       // first max wins on ties — deterministic cell assignment
       .withColumn("cell", expr("array_position(__d, array_max(__d))"))
       .drop("__d")
+    // pick cells over slim (probe_id, cell, dot) rows — the nCells-way
+    // explode and the top-k window shuffle must not carry the 64-double
+    // probe vector; it is joined back once per surviving (probe, cell)
+    val probeVecs = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("probe_vec"))
+      .withColumn("probe_norm", l2Norm(col("probe_vec")))
     val probeCells = {
-      val withDots = probes.select(col("vec_id").as("probe_id"),
-          col("embedding").cast("array<double>").as("probe_vec"))
-        .withColumn("probe_norm", l2Norm(col("probe_vec")))
-        .select(col("probe_id"), col("probe_vec"), col("probe_norm"),
-          posexplode(cellDots(col("probe_vec"))))
+      val dots = probeVecs
+        .select(col("probe_id"), posexplode(cellDots(col("probe_vec"))))
         .withColumnRenamed("pos", "cell0")
         .withColumnRenamed("col", "cdot")
-      Relational.topKPerGroup(withDots, Seq(col("probe_id")),
+      Relational.topKPerGroup(dots, Seq(col("probe_id")),
           Seq(col("cdot").desc, col("cell0")), nProbe)
         .withColumn("cell", col("cell0") + 1) // align with array_position's 1-base
-        .select("probe_id", "probe_vec", "probe_norm", "cell")
+        .select("probe_id", "cell")
     }
-    val cand = probeCells.join(corpusCells, Seq("cell"))
+    val cand = probeCells.join(probeVecs, Seq("probe_id"))
+      .join(corpusCells, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim", round(
         dot(col("probe_vec"), col("neighbor_vec")) /

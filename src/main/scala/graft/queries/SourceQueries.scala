@@ -66,9 +66,18 @@ object SourceQueries {
     * aggregated into a memory sink. Q-tier; MemoryStream-driven coverage in
     * StreamingSpec. The memory-sink name is unique per invocation so
     * concurrent runs in one session cannot clobber each other's table. */
+  /** Previous run's memory-sink name, dropped on the next invocation so
+    * repeated runs in one session don't accumulate unbounded in-memory
+    * sink tables (unique names exist only to avoid clobbering a
+    * *concurrent* run's live table). */
+  private val lastStreamSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private val srcStreamFile: Q = (s, dir) => {
     val path = ndjsonFixture(s, dir)
     val sink = s"src_stream_file_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Option(lastStreamSink.getAndSet(sink))
+      .foreach(old => s.catalog.dropTempView(old))
     val stream = s.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
       .json(path)
