@@ -55,13 +55,22 @@ object Relational {
     require(clash.isEmpty,
       s"globalRowNumber would overwrite input column(s) ${clash.mkString(", ")}; " +
         "rename them or pass a different rankCol")
+    // Local ranks WITHOUT a second full-data shuffle: after the explicit
+    // range partition + in-partition sort, monotonically_increasing_id is
+    // (partitionId << 33) + localRowIndex — so the local index is
+    // recoverable by mask. mono_id alone is banned for surrogate keys
+    // (§7.5.4: partition-layout-dependent); HERE the layout is pinned by
+    // repartitionByRange and the in-partition order by the sort, and the
+    // final rank = offset(pid) + localIndex is a pure function of key
+    // order (layout-independence asserted in RelationalOpsSpec). A
+    // window partitioned by pid would compute the same local ranks at
+    // the price of re-shuffling every row by pid hash.
     val sorted = df
       .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-    // the window re-clusters by __pid (partitions move wholesale, stay
-    // balanced — the range partitioner sized them) and sorts locally
-    val local = sorted.withColumn("__lrn",
-      row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)))
+      .withColumn("__lrn",
+        (monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L))
     // one row per partition: counts → exclusive prefix sums. The global
     // window here is over ≤ numPartitions rows, not data.
     val offsets = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -69,7 +78,7 @@ object Relational {
         coalesce(sum("__cnt").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__offset")
-    local.join(broadcast(offsets), "__pid")
+    sorted.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, (col("__offset") + col("__lrn")).cast("long"))
       .drop("__pid", "__lrn", "__offset")
   }
