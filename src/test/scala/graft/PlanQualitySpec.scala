@@ -65,6 +65,13 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), "expected an equi-join on bucket id")
   }
 
+  test("q_vec_ann_ivf joins candidates on cell ids, no nested loop") {
+    val p = plan("q_vec_ann_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "IVF regressed to an all-pairs join")
+  }
+
   test("q_join_bridge3 broadcasts both dimension sides") {
     // lineitem⋈orders⋈customer at sf0.001: both joins must be broadcast
     // hash joins (orders+customer are dims vs the lineitem fact)
