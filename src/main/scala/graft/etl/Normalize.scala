@@ -73,8 +73,16 @@ object Normalize {
   }
 
   /** Full normalization: valid records → the 11 tables of SURVEY.md §1.3,
-    * keyed by reference table name. */
-  def normalize(valid: DataFrame): Map[String, DataFrame] = {
+    * keyed by reference table name.
+    *
+    * @param stageDir when set, the deduped + id-assigned hub is written
+    *   to this path and read back, so the 9 downstream table builds scan
+    *   the staged parquet instead of each re-running the dedup window
+    *   and id shuffles over the raw input (8 redundant passes at scale —
+    *   the standard multi-output staging pattern). [[run]] always stages;
+    *   `None` keeps the fully-lazy plan for in-memory/spec use. */
+  def normalize(valid: DataFrame,
+                stageDir: Option[String] = None): Map[String, DataFrame] = {
     val spark = valid.sparkSession
 
     // Resume-append inputs can repeat a bizId (the scraper's NDJSON is
@@ -84,8 +92,14 @@ object Normalize {
     // explode stages below, `business` is the scalar hub projection.
     val deduped = Relational.dedupKeepFirst(valid, Seq(col("bizId")),
       Seq(col("ranking").asc_nulls_first, col("name").asc_nulls_first))
-    val withId = Relational.globalRowNumber(deduped, Seq(col("bizId")),
+    val withIdLazy = Relational.globalRowNumber(deduped, Seq(col("bizId")),
       rankCol = "id")
+    val withId = stageDir match {
+      case Some(dir) =>
+        withIdLazy.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None => withIdLazy
+    }
     val business = withId
       .select("id", "bizId", "name", "website", "phone_number", "address",
         "price", "health_score")
@@ -158,7 +172,7 @@ object Normalize {
   def run(spark: SparkSession, ndjsonPath: String,
           warehouseDir: String): (Map[String, Long], Long) = {
     val (valid, quarantined) = validate(readScraped(spark, ndjsonPath))
-    val tables = normalize(valid)
+    val tables = normalize(valid, Some(s"$warehouseDir/_stage_hub"))
     val counts = tables.map { case (name, df) =>
       Sinks.writeWarehouseTable(df, s"$warehouseDir/$name")
       name -> spark.read.parquet(s"$warehouseDir/$name").count()
