@@ -18,6 +18,21 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
 
+    // The two file-source queries read the NDJSON copy of events that
+    // Verify materializes; their oracles aggregate the SAME logical rows
+    // from the events parquet — doubles survive the JSON round-trip
+    // bit-exactly (shortest-repr serialization), so results must match.
+    "q_src_ndjson" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+    "q_src_stream_file" ->
+      """SELECT event_type, count(*) AS n
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+
     // ───── §2.B projections / filters ─────
     "q_proj_select" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,

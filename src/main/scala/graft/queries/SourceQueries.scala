@@ -47,7 +47,8 @@ object SourceQueries {
   /** q_src_ndjson — line-delimited JSON scan (ref `json.loads` per line
     * `database/parse_and_upload_to_db.py:26-28`): events dumped once as
     * NDJSON ([[ndjsonFixture]]), read back with the explicit schema,
-    * aggregated. Q-tier (the oracle reads parquet, not our scratch file). */
+    * aggregated. O-tier: the oracle aggregates the same logical rows
+    * from the events parquet (doubles round-trip JSON bit-exactly). */
   private val srcNdjson: Q = (s, dir) => {
     val path = ndjsonFixture(s, dir)
     s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
@@ -57,15 +58,17 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"),
         expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
           .as("sum_value"))
-      .orderBy("event_type")
+      .orderBy(col("event_type").asc_nulls_first)
   }
 
   /** q_src_stream_file — incremental file source (ref scraper resume
     * `web_scraper/web_scraping.py:191-229,513-521`): the same NDJSON dir
     * consumed through Structured Streaming with an AvailableNow trigger,
-    * aggregated into a memory sink. Q-tier; MemoryStream-driven coverage in
-    * StreamingSpec. The memory-sink name is unique per invocation so
-    * concurrent runs in one session cannot clobber each other's table. */
+    * aggregated into a memory sink. O-tier: the oracle aggregates the
+    * same logical rows from the events parquet; MemoryStream-driven
+    * incremental coverage in StreamingSpec. The memory-sink name is
+    * unique per invocation so concurrent runs in one session cannot
+    * clobber each other's table. */
   /** Previous run's memory-sink name, dropped on the next invocation so
     * repeated runs in one session don't accumulate unbounded in-memory
     * sink tables (unique names exist only to avoid clobbering a
@@ -90,7 +93,7 @@ object SourceQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink).orderBy("event_type")
+    s.table(sink).orderBy(col("event_type").asc_nulls_first)
   }
 
   val all: Map[String, Q] = Map(
