@@ -41,6 +41,21 @@ class MultimodalSpec extends SparkSpecBase {
       Seq(0, 2))
   }
 
+  test("media fixture has the documented duplicate structure") {
+    // q_media_dedup's oracle value depends on this: with 2400 rows the
+    // payload generator's cycle (lcm of 256-value byte phase and 5-value
+    // length phase = 1280) wraps, so ids 0..1119 each have exactly one
+    // byte-identical partner at id+1280 and 1120..1279 have none. If the
+    // generator changes, bump Multimodal.fixturePath's version suffix.
+    val n = Multimodal.fixtureRows
+    assert(n == 2400)
+    val groups = Multimodal.dedupPayloads(
+        Multimodal.syntheticMedia(spark, n).toDF())
+      .select("media_id").as[Long].collect().toSet
+    assert(groups == (0L until 1280L).toSet,
+      "keeper set drifted — fixture version bump required")
+  }
+
   test("payload dedup keeps first media_id per content hash") {
     val dup = media.toDF().unionByName(
       media.toDF().withColumn("media_id", col("media_id") + 100))
