@@ -138,11 +138,11 @@ object Relational {
     val pType = rTagged.schema("__p").dataType
     val lCols = left.columns
     val unioned = lTagged.select(
-        (lCols.map(col) :+ lit(null).cast(pType).as("__p")
+        (lCols.map(col).toIndexedSeq :+ lit(null).cast(pType).as("__p")
           :+ col(key).as("__k") :+ col("__t") :+ col("__side")): _*)
       .unionByName(rTagged.select(
         (lCols.map(c => if (c == key) col(key) else lit(null).cast(
-          left.schema(c).dataType).as(c)) :+ col("__p")
+          left.schema(c).dataType).as(c)).toIndexedSeq :+ col("__p")
           :+ col(key).as("__k") :+ col("__t") :+ col("__side")): _*))
     // __side ASC puts the right row first on ts ties so `last` sees it;
     // the payload struct breaks (key, ts) ties between right rows —
@@ -171,7 +171,7 @@ object Relational {
     // and a per-row discriminator would need a unique col; xxhash64 of all
     // columns is stable and spreads rows of one key across salts
     val largeSalted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(factor)))
+      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(factor)))
     largeSalted.join(salted,
         largeSalted(key) === salted(key) &&
           largeSalted("__salt") === salted("__salt"))
