@@ -26,20 +26,15 @@ object Bench {
       // JIT/codegen compilation and first-touch setup are one-time costs
       // that amortize at scale and otherwise get attributed to whichever
       // operator runs first (same principle as the session warm-up above)
-      val ok = try {
-        fn(spark, sfDir).count()
-        true
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-      }
+      def runOnce(): Boolean =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      val ok = runOnce()
       val t0 = System.nanoTime()
-      val ok2 = ok && (try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-      })
+      val ok2 = ok && runOnce()
       // -1 marks a failed query instead of silently reporting its
       // time-to-crash as a (fast) success
       name -> (if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -111,6 +111,14 @@ object TextSim {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Oracle-stable cosine from precomputed norms: every candidate-scoring
+    * site (kNN, both ANN paths, LSH dedup) rescores with this same
+    * rounded form — norms are computed once per row before the join, so
+    * the per-pair work is one dot product. */
+  private def roundedSim(va: Column, vb: Column,
+                         na: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 4)
+
   /** Cosine similarity over float-vector columns (cast to double before
     * arithmetic — float accumulation drifts between engines). */
   def cosine(a: Column, b: Column): Column = {
@@ -276,9 +284,8 @@ object TextSim {
     // shuffles move (id, id, sim) rows, not 64-double payloads
     val cand = probeB.join(corpusB, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(
-        dot(col("probe_vec"), col("neighbor_vec")) /
-          (col("probe_norm") * col("neighbor_norm")), 4))
+      .withColumn("sim", roundedSim(col("probe_vec"), col("neighbor_vec"),
+        col("probe_norm"), col("neighbor_norm")))
       .select("probe_id", "neighbor_id", "sim")
       .distinct()
     Relational.topKPerGroup(cand, Seq(col("probe_id")),
@@ -344,8 +351,8 @@ object TextSim {
         col("norm").as("na")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vb"),
         col("norm").as("nb")), Seq("id_b"))
-      .withColumn("sim", round(
-        dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("sim",
+        roundedSim(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -409,9 +416,8 @@ object TextSim {
     val cand = probeCells.join(probeVecs, Seq("probe_id"))
       .join(corpusCells, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(
-        dot(col("probe_vec"), col("neighbor_vec")) /
-          (col("probe_norm") * col("neighbor_norm")), 4))
+      .withColumn("sim", roundedSim(col("probe_vec"), col("neighbor_vec"),
+        col("probe_norm"), col("neighbor_norm")))
       .select("probe_id", "neighbor_id", "sim")
     Relational.topKPerGroup(cand, Seq(col("probe_id")),
         Seq(col("sim").desc, col("neighbor_id")), k)
@@ -435,9 +441,8 @@ object TextSim {
           col("embedding").cast("array<double>").as("neighbor_vec"))
         .withColumn("neighbor_norm", l2Norm(col("neighbor_vec"))),
         col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(
-        dot(col("probe_vec"), col("neighbor_vec")) /
-          (col("probe_norm") * col("neighbor_norm")), 4))
+      .withColumn("sim", roundedSim(col("probe_vec"), col("neighbor_vec"),
+        col("probe_norm"), col("neighbor_norm")))
       // drop the vectors before the top-k shuffle: (id, id, sim) rows
       // instead of 64-double payloads
       .select("probe_id", "neighbor_id", "sim")
