@@ -638,6 +638,25 @@ object OracleSql {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
                 count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+    "q_vec_knn_join" ->
+      // exact brute-force kNN is DuckDB-replicable: rank by the ROUNDED
+      // sim (Spark's topKPerGroup orders the already-rounded column),
+      // ties on neighbor_id — deterministic in both engines
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+           FROM e a JOIN e b ON b.vec_id != a.vec_id
+           WHERE a.vec_id < 20),
+         ranked AS (
+           SELECT probe_id, neighbor_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+           FROM scored)
+         SELECT probe_id, neighbor_id, sim, rn
+         FROM ranked WHERE rn <= 3
+         ORDER BY probe_id, rn""",
     "q_vec_cosine_topk" ->
       """SELECT vec_id, label,
                 round(list_cosine_similarity(

@@ -24,8 +24,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("SURVEY declares the expected inventory size") {
     assert(declared.size == 91, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 82)
-    assert(declared.values.count(_ == "Q") == 6)
+    assert(declared.values.count(_ == "O") == 83)
+    assert(declared.values.count(_ == "Q") == 5)
     assert(declared.values.count(_ == "U") == 3)
   }
 
