@@ -33,6 +33,34 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("property: globalRowNumber ranks = sorted position, random keys/layouts") {
+    // seeded trials over hostile inputs: sparse negative longs, string
+    // keys, sizes around partition-count boundaries — the rank must
+    // always be the 1-based position in the sorted key order
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(400)
+      val keys = rnd.shuffle(
+        Iterator.continually(rnd.nextLong() % 1000000).distinct.take(n).toList)
+      val parts = 1 + rnd.nextInt(40)
+      val byLong = Relational.globalRowNumber(
+          keys.map(k => (k, k.toString)).toDF("k", "p").repartition(parts),
+          Seq(col("k")))
+        .select("rn", "k").as[(Long, Long)].collect().toMap
+      keys.sorted.zipWithIndex.foreach { case (k, i) =>
+        assert(byLong(i + 1L) == k, s"seed=$seed long rank ${i + 1}")
+      }
+      val skeys = keys.map(k => f"s$k%020d") // zero-padded: string order = numeric
+      val byString = Relational.globalRowNumber(
+          skeys.map(k => Tuple1(k)).toDF("k").repartition(parts),
+          Seq(col("k")))
+        .select("rn", "k").as[(Long, String)].collect().toMap
+      skeys.sorted.zipWithIndex.foreach { case (k, i) =>
+        assert(byString(i + 1L) == k, s"seed=$seed string rank ${i + 1}")
+      }
+    }
+  }
+
   test("globalRowNumber never funnels raw rows through one partition") {
     // The one legitimate SinglePartition exchange is the offsets prefix
     // sum, whose direct input is the per-partition count aggregate

@@ -18,4 +18,5 @@ trait SparkSpecBase extends AnyFunSuite {
 
   lazy val sf0001 = "/root/testdata/sf0.001"
   lazy val sf001 = "/root/testdata/sf0.01"
+  lazy val sf01 = "/root/testdata/sf0.1"
 }
