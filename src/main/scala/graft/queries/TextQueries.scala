@@ -163,14 +163,15 @@ object TextQueries {
   }
 
   /** q_vec_cosine_dedup — embedding-cosine near-duplicate pairs above a
-    * corpus-calibrated threshold via LSH bucket candidates + exact rescore
-    * ([[TextSim.cosineDedupLsh]]). No all-pairs join anywhere: candidates
-    * come from sign-LSH bucket collisions (shuffled equi-join), scored
-    * exactly, thresholded exactly — PlanQualitySpec gates the absence of
-    * BroadcastNestedLoopJoin, TextSimSpec pins equality with the
-    * brute-force pair set on the test corpora. */
+    * corpus-calibrated threshold ([[TextSim.cosineDedup]]): the collision
+    * model dispatches between LSH bucket candidates (pruning regime,
+    * τ ≳ 0.8) and the block-partitioned exact equi-join (low thresholds,
+    * where any cosine-LSH family degenerates to all pairs — τ=0.42 here,
+    * so this runs the blocked-exact shape and recall is exactly 1). No
+    * nested-loop join on either path — PlanQualitySpec gates it;
+    * TextSimSpec pins equality with the brute-force pair set. */
   private val cosineDedup: Q = (s, dir) =>
-    TextSim.cosineDedupLsh(Tables.load(s, dir, "embeddings"), 0.42)
+    TextSim.cosineDedup(Tables.load(s, dir, "embeddings"), 0.42)
       .orderBy("id_a", "id_b")
 
   val all: Map[String, Q] = Map(

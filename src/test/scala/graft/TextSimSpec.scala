@@ -163,30 +163,96 @@ class TextSimSpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean recall@3 = $mean")
   }
 
-  test("cosineDedupLsh equals the brute-force pair set (recall oracle)") {
-    // the brute-force all-pairs form lives HERE as the equality oracle at
-    // test scale; the registered q_vec_cosine_dedup runs the LSH-bucketed
-    // operator only. sf0.1 (2000 vectors, 441 qualifying pairs) is the
-    // bench corpus — full recall there is load-bearing for BENCH rounds.
+  private def bruteDedupPairs(sf: String, threshold: Double)
+      : Set[(Long, Long, Double)] = {
+    val e = Tables.load(spark, sf, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .withColumn("na", TextSim.l2Norm(col("va")))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("nb", TextSim.l2Norm(col("vb")))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        TextSim.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("cosineDedup equals the brute-force pair set at the registered τ") {
+    // τ=0.42 is below the LSH pruning regime → the dispatcher runs the
+    // blocked-exact path, so equality holds by construction on ANY
+    // corpus (no dependence on seeded hyperplanes — the round-2 ADVICE
+    // fragility). sf0.1 (2000 vectors, 441 qualifying pairs) is the
+    // bench corpus.
     for (sf <- Seq(sf0001, sf001, sf01)) {
-      val emb = Tables.load(spark, sf, "embeddings")
-      val e = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-        .withColumn("na", TextSim.l2Norm(col("va")))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        .withColumn("nb", TextSim.l2Norm(col("vb")))
-      val brute = a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim", round(
-          TextSim.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-        .filter(col("sim") >= 0.42)
-        .select("id_a", "id_b", "sim")
-        .as[(Long, Long, Double)].collect().toSet
-      val lsh = TextSim.cosineDedupLsh(emb, 0.42)
-        .as[(Long, Long, Double)].collect().toSet
-      assert(lsh == brute,
-        s"$sf: missed=${brute -- lsh} spurious=${lsh -- brute}")
+      val got = TextSim.cosineDedup(Tables.load(spark, sf, "embeddings"),
+        0.42).as[(Long, Long, Double)].collect().toSet
+      val brute = bruteDedupPairs(sf, 0.42)
+      assert(got == brute,
+        s"$sf: missed=${brute -- got} spurious=${got -- brute}")
     }
+  }
+
+  test("blocked-exact dedup visits every pair exactly once") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val n = emb.count()
+    // threshold -1 keeps every pair: count == C(N,2) catches both missed
+    // block-pair keys and double-counted orientations
+    val pairs = TextSim.cosineDedupBlockedExact(emb, -1.0)
+    assert(pairs.count() == n * (n - 1) / 2)
+    assert(pairs.select("id_a", "id_b").distinct().count() ==
+      n * (n - 1) / 2, "duplicate pair emitted")
+  }
+
+  test("lshDedupParams: no pruning regime at τ=0.42, bounded at τ=0.9") {
+    // at the registered threshold the collision model must refuse LSH —
+    // full recall there forces ≈ all-pairs coverage (the round-2 verdict)
+    assert(TextSim.lshDedupParams(0.42).isEmpty,
+      "model claims LSH prunes at τ=0.42")
+    val p = TextSim.lshDedupParams(0.9)
+    assert(p.nonEmpty, "model refuses LSH in the pruning regime")
+    assert(p.get.expectedCoverage <= 0.2 && p.get.nTables <= 64,
+      s"infeasible params: $p")
+    // a near-exact threshold needs almost no tables
+    val hi = TextSim.lshDedupParams(0.99).get
+    assert(hi.expectedCoverage < p.get.expectedCoverage ||
+      hi.nTables <= p.get.nTables)
+  }
+
+  test("cosineDedup at τ=0.9 takes the LSH path and equals brute force") {
+    // planted clustered corpus: 24 clusters of 5 near-identical unit
+    // vectors (cosine ≥ 0.99 inside a cluster; cross-cluster pairs are
+    // ≈ orthogonal 64-dim Gaussians, far below 0.9). Deterministic seed +
+    // seeded hyperplanes → this either always passes or the params model
+    // is wrong.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 24).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        val v = base.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+        (c * 5L + m, v.toSeq)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .withColumn("na", TextSim.l2Norm(col("va")))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("nb", TextSim.l2Norm(col("vb")))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        TextSim.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.9)
+      .select("id_a", "id_b", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.size >= 24 * 10 * 9 / 10, // ≥ 90% of C(5,2)·24 planted
+      s"fixture lost its clusters: ${brute.size} pairs")
+    val got = TextSim.cosineDedup(emb, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"missed=${brute -- got} spurious=${got -- brute}")
   }
 
   test("annCosineIvf recall vs exact kNN is usable; nProbe=nCells is exact") {
