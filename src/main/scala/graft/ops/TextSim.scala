@@ -221,40 +221,33 @@ object TextSim {
   // ───── vector ANN: LSH-bucketed scale path ─────
 
   /** Deterministic random hyperplanes for sign-LSH (seeded — the bucket
-    * function must be identical across runs and executors). `dim` must
-    * match the embedding dimensionality: shorter planes would silently
-    * bucket on a prefix of the vector. */
+    * function must be identical across runs and executors); the
+    * driver-side reference for the executor-regenerated family
+    * ([[org.apache.spark.sql.graftfns.SignBuckets.planes]] — spec-pinned
+    * equal). `dim` must match the embedding dimensionality: shorter
+    * planes would silently bucket on a prefix of the vector. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: bit i = sign of dot(vec, plane_i). Vectors with
-    * high cosine land in the same bucket with high probability. A vector
-    * whose length differs from the planes' yields a NULL bucket (the dot
-    * is NULL) — the row then matches nothing in the bucket equi-join,
-    * which fails loudly-empty instead of silently degrading. */
-  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val vd = vec.cast("array<double>")
-    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
-      val d = dot(vd, typedLit(p))
-      acc + when(d.isNull, lit(null).cast("int"))
-        .when(d > 0, lit(1 << i)).otherwise(lit(0))
-    }
-  }
-
   /** Multi-table sign-LSH bucket ids: `nTables` independent hash tables
     * of `bits` hyperplanes each; bucket key encodes (table, signature).
     * Returns an array column of one bucket id per table. `dim` must be
-    * the embedding dimensionality: on a mismatch every bucket id is NULL
-    * (see [[signBucket]]) and the candidate join returns no rows — an
-    * immediately visible failure rather than degraded recall. */
+    * the embedding dimensionality: on a mismatch the array is EMPTY and
+    * the candidate join returns no rows — an immediately visible failure
+    * rather than degraded recall.
+    *
+    * One codegen'd expression ([[org.apache.spark.sql.graftfns
+    * .SignBuckets]]) evaluates all tables in a single pass; the planes
+    * are regenerated from the seed on each executor (never shipped,
+    * never codegen literals), so the collision model may ask for
+    * arbitrarily many tables × bits without hitting Janino's method
+    * limit — the τ=0.9 dedup params (57×14) broke the literal form. */
   def lshBuckets(vec: Column, nTables: Int, bits: Int,
                  dim: Int = 64): Column =
-    array((0 until nTables).map { t =>
-      signBucket(vec, hyperplanes(bits, dim, seed = 42L + t))
-        .cast("long") + lit(t.toLong << 32)
-    }: _*)
+    org.apache.spark.sql.graftfns.VectorFunctions.sign_buckets(
+      vec.cast("array<double>"), nTables, bits, dim, 42L)
 
   /** Approximate top-k cosine neighbours via multi-table sign-LSH:
     * candidates are the union over `nTables` independent hash tables of
@@ -468,64 +461,114 @@ object TextSim {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Session-scoped IVF centroid cache, keyed by (application, corpus
+    * plan, requested cell count): the centroid sample is a deterministic
+    * function of the corpus, so re-collecting and re-broadcasting it per
+    * invocation (the round-2 behavior) only re-ran the same tiny job. The
+    * value carries the corpus row count (for auto-sizing) and the
+    * broadcast handle. */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int),
+    (Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])]
+
+  /** Centroids for an IVF index over `corpus`: the `nCells` lowest
+    * vec_ids, L2-normalized on the driver, shipped as ONE torrent
+    * broadcast (the broadcast-dim role — the collect touches exactly
+    * `nCells` index-metadata rows, never the corpus). `nCellsReq = 0`
+    * auto-sizes to the FAISS rule of thumb ≈ 4·√N, rounded up to a power
+    * of two and clamped to [16, 1024] ∩ [1, N] — sf0.1's 2000-vector
+    * bench corpus gets 256 cells. (Real deployments train centroids with
+    * k-means offline; that changes centroid VALUES, not this dataflow.) */
+  private def ivfIndex(corpus: DataFrame, nCellsReq: Int): (Long,
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
+    val sc = corpus.sparkSession.sparkContext
+    val key = (sc.applicationId,
+      corpus.queryExecution.analyzed.semanticHash(), nCellsReq)
+    ivfCache.computeIfAbsent(key, _ => {
+      val n = corpus.count()
+      val auto = Integer.highestOneBit(
+        math.max(1, (4 * math.sqrt(n.toDouble)).toInt)) * 2
+      val nCells = math.min(n,
+        if (nCellsReq > 0) nCellsReq.toLong
+        else math.min(1024, math.max(16, auto)).toLong).toInt
+      val cents = corpus.orderBy("vec_id").limit(nCells)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map { r =>
+          val v = r.getSeq[Double](0).toArray
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          if (norm == 0) v else v.map(_ / norm)
+        }
+      (n, sc.broadcast(cents))
+    })
+  }
+
   /** IVF (inverted-file) approximate top-k cosine neighbours — the other
     * canonical ANN scale shape next to [[annCosineLsh]]: the corpus is
     * partitioned into `nCells` cells by nearest centroid, probes search
     * only their `nProbe` nearest cells.
     *
-    * Centroids are `nCells` deterministic corpus samples (lowest vec_ids),
-    * L2-normalized on the driver and embedded as literals — so cell
-    * assignment is a codegen'd argmax of `nCells` dot products per row,
-    * no shuffle. (Real deployments train centroids with k-means offline;
-    * that changes centroid VALUES, not this index/search dataflow.) The
-    * driver-side collect touches exactly `nCells` rows of index metadata —
-    * the same role a broadcast dim plays — never the corpus.
+    * Scale shape (each piece exists to survive a 100× scale-up):
+    *   - Centroids ride a broadcast read by the codegen'd
+    *     [[org.apache.spark.sql.graftfns.TopCells]] expression — NOT
+    *     codegen literals, so generated-code size is O(1) and nCells can
+    *     reach the 10⁴–10⁵ real IVF needs (auto-sizing picks ≈ 4·√N:
+    *     256 on the sf0.1 bench corpus). Cell choice is per-row, no
+    *     shuffle, and the probe side needs no top-k window for it.
+    *   - The candidate equi-join key is (cell, shard) with the corpus
+    *     sharded by id hash: reduce parallelism is nCells·`shards`, never
+    *     bounded by the cell count alone (the round-2 ceiling was ≤16
+    *     reduce partitions owning the whole corpus). Probes replicate
+    *     ×shards as slim (id, cell, shard) rows; vectors join back once.
+    *   - Exact rescore + per-probe top-k on slim (id, id, sim) rows.
     *
-    * Cost: one shuffle to group the corpus by cell, probe-side explode
-    * ×nProbe, equi-join on cell, exact rescore, per-probe top-k. Per
-    * probe the work is ≈ nProbe·N/nCells instead of N; recall tunes via
-    * nProbe (nProbe = nCells degenerates to exact search). */
+    * Per probe the work is ≈ nProbe·N/nCells instead of N; recall tunes
+    * via nProbe (nProbe = nCells degenerates to exact search — spec-
+    * pinned). `nCells`/`nProbe` = 0 auto-size to 4·√N and nCells/4;
+    * `shards` = 0 auto-sizes to the smallest count with nCells·shards ≥
+    * `spark.sql.shuffle.partitions` — sharding exists to decouple reduce
+    * parallelism from the cell count, so when cells already exceed the
+    * cluster's partitioning (256 ≥ 32 on the bench rig) one shard is
+    * correct and the probe fan-out stays ×nProbe only. */
   def annCosineIvf(probes: DataFrame, corpus: DataFrame, k: Int,
-                   nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    require(nCells > 0 && nProbe > 0 && nProbe <= nCells,
-      s"need 0 < nProbe ($nProbe) <= nCells ($nCells)")
-    val centroids: Seq[Seq[Double]] = corpus
-      .orderBy("vec_id").limit(nCells)
-      .select(col("embedding").cast("array<double>"))
-      .collect().map { r =>
-        val v = r.getSeq[Double](0)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0) v else v.map(_ / n)
-      }.toSeq
-    // argmax_j dot(v, ĉ_j): the row's own norm is constant across j, so
-    // normalized centroids suffice for the cosine argmax
-    def cellDots(vec: Column): Column =
-      array(centroids.map(c => dot(vec, typedLit(c))): _*)
+                   nCells: Int = 0, nProbe: Int = 0,
+                   shards: Int = 0): DataFrame = {
+    require(nCells >= 0 && nProbe >= 0 && shards >= 0,
+      s"need nCells ($nCells), nProbe ($nProbe), shards ($shards) >= 0")
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    val (_, bc) = ivfIndex(corpus, nCells)
+    val cells = bc.value.length
+    val probeK = if (nProbe > 0) nProbe else math.max(4, cells / 4)
+    require(probeK <= cells,
+      s"nProbe ($probeK) must be <= nCells ($cells)")
+    val nShards =
+      if (shards > 0) shards
+      else {
+        val target = corpus.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        math.max(1, (target + cells - 1) / cells)
+      }
     val corpusCells = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("neighbor_vec"))
       .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
-      .withColumn("__d", cellDots(col("neighbor_vec")))
-      // first max wins on ties — deterministic cell assignment
-      .withColumn("cell", expr("array_position(__d, array_max(__d))"))
-      .drop("__d")
-    // pick cells over slim (probe_id, cell, dot) rows — the nCells-way
-    // explode and the top-k window shuffle must not carry the 64-double
-    // probe vector; it is joined back once per surviving (probe, cell)
-    val probeVecs = probes.select(col("vec_id").as("probe_id"),
+      // loud-empty on dim mismatch: top_cells yields [], try_element_at
+      // NULL, and the equi-join matches nothing (never a wrong bucket)
+      .withColumn("cell",
+        try_element_at(fns.top_cells(col("neighbor_vec"), bc, 1), lit(1)))
+      .withColumn("shard",
+        pmod(xxhash64(col("neighbor_id")), lit(nShards.toLong)).cast("int"))
+    // cell choice is per-row inside top_cells (no posexplode + top-k
+    // window like round 2), so the probe explode is a NARROW op — the
+    // vector rides along for free until the one real shuffle, the
+    // (cell, shard) candidate join, which needs it for the rescore
+    // anyway. Fan-out is ×probeK×nShards rows per probe.
+    val probeCells = probes.select(col("vec_id").as("probe_id"),
         col("embedding").cast("array<double>").as("probe_vec"))
       .withColumn("probe_norm", l2Norm(col("probe_vec")))
-    val probeCells = {
-      val dots = probeVecs
-        .select(col("probe_id"), posexplode(cellDots(col("probe_vec"))))
-        .withColumnRenamed("pos", "cell0")
-        .withColumnRenamed("col", "cdot")
-      Relational.topKPerGroup(dots, Seq(col("probe_id")),
-          Seq(col("cdot").desc, col("cell0")), nProbe)
-        .withColumn("cell", col("cell0") + 1) // align with array_position's 1-base
-        .select("probe_id", "cell")
-    }
-    val cand = probeCells.join(probeVecs, Seq("probe_id"))
-      .join(corpusCells, Seq("cell"))
+      .withColumn("cell",
+        explode(fns.top_cells(col("probe_vec"), bc, probeK)))
+      .withColumn("shard", explode(sequence(lit(0), lit(nShards - 1))))
+    val cand = probeCells
+      .join(corpusCells, Seq("cell", "shard"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim", roundedSim(col("probe_vec"), col("neighbor_vec"),
         col("probe_norm"), col("neighbor_norm")))

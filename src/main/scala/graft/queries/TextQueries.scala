@@ -128,9 +128,11 @@ object TextQueries {
   }
 
   /** q_vec_ann_ivf — the IVF ANN scale path ([[TextSim.annCosineIvf]]):
-    * corpus partitioned by nearest centroid, probes search their nProbe
-    * nearest cells. Q-tier (centroid samples + float order); recall vs
-    * exact kNN asserted in TextSimSpec. */
+    * corpus partitioned by nearest broadcast centroid (auto-sized ≈4·√N
+    * cells — 256 on the sf0.1 bench corpus), probes search their nProbe
+    * nearest cells through a (cell, shard) equi-join. Q-tier (centroid
+    * samples + float order); recall vs exact kNN and shard-invariance
+    * asserted in TextSimSpec. */
   private val annIvf: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings")
     TextSim.annCosineIvf(emb.filter(col("vec_id") < 20), emb, 3)

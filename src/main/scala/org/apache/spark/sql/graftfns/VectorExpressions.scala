@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graftfns
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the vector hot path (graft engine).
   *
@@ -255,6 +256,196 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** Top-`k` IVF cells (indices of the `k` largest dot products against the
+  * centroid matrix) for an `array<double>` vector — ties break to the
+  * lower cell id; a vector whose length mismatches the centroids yields
+  * an EMPTY array (loud-empty, like `signBucket`'s NULL bucket).
+  *
+  * The centroid matrix rides a Spark `Broadcast`, NOT codegen literals:
+  * generated-code size stays O(1) regardless of cell count (literal
+  * centroids capped nCells at ~hundreds before Janino degraded — the
+  * round-2 scale ceiling), the matrix ships to each executor once via
+  * torrent broadcast instead of once per task closure, and 10⁴–10⁵ cells
+  * — what real IVF needs at 100 TB — are just a bigger broadcast. The
+  * scoring loop lives in [[TopCells.topCells]] (compiled Scala, JIT'd);
+  * the generated code only invokes it, so the expression stays inside
+  * whole-stage codegen without Janino ever seeing the O(nCells·dim)
+  * arithmetic. */
+case class TopCells(child: Expression,
+                    centroids: Broadcast[Array[Array[Double]]], k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  override def nullSafeEval(in: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      TopCells.topCells(in.asInstanceOf[ArrayData], centroids.value, k))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val bc = ctx.addReferenceObj("centroidsBc", centroids,
+        classOf[Broadcast[_]].getName)
+      s"""
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |    org.apache.spark.sql.graftfns.TopCells.topCells(
+         |      $in, (double[][]) $bc.value(), $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TopCells {
+  /** Indices of the `k` centroids with the largest dot products against
+    * `vec`, ordered (dot desc, cell asc); strict-inequality insertion so
+    * dot ties keep the lower cell — the deterministic tie rule every IVF
+    * consumer (cell assignment, probe cell choice) shares. */
+  def topCells(vec: ArrayData, cents: Array[Array[Double]],
+               k: Int): Array[Int] = {
+    val n = vec.numElements()
+    if (cents.length == 0 || cents(0).length != n) return Array.emptyIntArray
+    val kk = math.min(k, cents.length)
+    val bestDot = new Array[Double](kk)
+    val bestCell = new Array[Int](kk)
+    java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * cent(i); i += 1 }
+      if (s > bestDot(kk - 1)) {
+        var pos = kk - 1
+        while (pos > 0 && bestDot(pos - 1) < s) {
+          bestDot(pos) = bestDot(pos - 1)
+          bestCell(pos) = bestCell(pos - 1)
+          pos -= 1
+        }
+        bestDot(pos) = s
+        bestCell(pos) = c
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(bestCell, kk)
+  }
+}
+
+/** Multi-table sign-LSH bucket ids for an `array<double>` vector: for
+  * table t, bit i of the signature is `dot(vec, plane_{t,i}) > 0`, and
+  * the bucket id is `signature + (t << 32)` (table-disambiguated, so all
+  * tables share one explode + one equi-join key space). Output:
+  * `array<long>` of length `nTables`; a vector whose length differs from
+  * `dim` yields an EMPTY array — its rows then produce no candidates
+  * (loud-empty, like [[TopCells]]).
+  *
+  * The hyperplanes are NOT codegen literals and NOT shipped at all: they
+  * are a pure function of `(nTables, bits, dim, seed)`, regenerated
+  * deterministically on each executor JVM and memoized
+  * ([[SignBuckets.planes]]). The `typedLit` form this replaces embedded
+  * O(nTables·bits·dim) doubles into the generated source — at the
+  * collision-model dedup params for τ=0.9 (57 tables × 14 bits × 64
+  * dims ≈ 51k literals) Janino's 64KB method limit forced an interpreted
+  * fallback, the same scale ceiling round 2 flagged for IVF centroids.
+  * Here the generated code is O(1) and the per-row work is a compiled
+  * Scala loop, so bits/nTables scale to whatever the collision model
+  * asks for. */
+case class SignBuckets(child: Expression, nTables: Int, bits: Int,
+                       dim: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nTables > 0 && bits > 0 && bits <= 31 && dim > 0,
+    s"need nTables ($nTables) > 0, 0 < bits ($bits) <= 31, dim ($dim) > 0")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+
+  override def nullSafeEval(in: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      SignBuckets.buckets(in.asInstanceOf[ArrayData],
+        nTables, bits, dim, seed))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |    org.apache.spark.sql.graftfns.SignBuckets.buckets(
+         |      $in, $nTables, $bits, $dim, ${seed}L));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SignBuckets {
+  /** Per-JVM memo of the deterministic hyperplane family — regenerating
+    * ~nTables·bits·dim gaussians per task would dominate small tasks. */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Long), Array[Array[Double]]]
+
+  /** Hyperplanes for all tables, flattened `[t * bits + i][dim]`. Table
+    * t's planes come from `Random(seed + t)` in generation order —
+    * bit-identical to the driver-side `TextSim.hyperplanes(bits, dim,
+    * seed + t)` family the literal form used, so bucket ids (and every
+    * seeded recall result pinned on them) are unchanged. */
+  def planes(nTables: Int, bits: Int, dim: Int,
+             seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nTables, bits, dim, seed), _ => {
+      val out = new Array[Array[Double]](nTables * bits)
+      var t = 0
+      while (t < nTables) {
+        val rnd = new scala.util.Random(seed + t)
+        var i = 0
+        while (i < bits) {
+          val p = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { p(j) = rnd.nextGaussian(); j += 1 }
+          out(t * bits + i) = p
+          i += 1
+        }
+        t += 1
+      }
+      out
+    })
+
+  /** All `nTables` bucket ids of `vec`; empty on dimension mismatch.
+    * Dot products accumulate left-to-right like [[DotProduct]], so the
+    * sign (hence the bucket) matches the expression form exactly. */
+  def buckets(vec: ArrayData, nTables: Int, bits: Int, dim: Int,
+              seed: Long): Array[Long] = {
+    if (vec.numElements() != dim) return Array.emptyLongArray
+    val ps = planes(nTables, bits, dim, seed)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        val p = ps(t * bits + i)
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += vec.getDouble(j) * p(j); j += 1 }
+        if (s > 0) sig |= (1L << i)
+        i += 1
+      }
+      out(t) = sig + (t.toLong << 32)
+      t += 1
+    }
+    out
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -277,4 +468,19 @@ object VectorFunctions {
   def shingle_hashes(tokenHashes: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(
       ExpressionUtils.expression(tokenHashes), n))
+
+  /** Top-`k` IVF cell ids for an `array<double>` vector against a
+    * broadcast centroid matrix (codegen'd; see [[TopCells]]). */
+  def top_cells(vec: Column, centroids: Broadcast[Array[Array[Double]]],
+                k: Int): Column =
+    ExpressionUtils.column(TopCells(
+      ExpressionUtils.expression(vec), centroids, k))
+
+  /** Multi-table sign-LSH bucket ids for an `array<double>` vector
+    * (codegen'd, planes regenerated per-JVM from the seed; see
+    * [[SignBuckets]]). */
+  def sign_buckets(vec: Column, nTables: Int, bits: Int, dim: Int,
+                   seed: Long): Column =
+    ExpressionUtils.column(SignBuckets(
+      ExpressionUtils.expression(vec), nTables, bits, dim, seed))
 }

@@ -65,11 +65,33 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), "expected an equi-join on bucket id")
   }
 
-  test("q_vec_ann_ivf joins candidates on cell ids, no nested loop") {
+  test("q_vec_ann_ivf joins candidates on (cell, shard), no nested loop") {
     val p = plan("q_vec_ann_ivf")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "IVF regressed to an all-pairs join")
+    // the composite key is the scale guarantee: reduce parallelism is
+    // nCells x shards, never bounded by the cell count alone
+    assert(p.contains("shard"),
+      "candidate join lost its shard key — parallelism capped at nCells")
+    // centroids ride a broadcast read by the top_cells expression; if
+    // they regressed to codegen literals the plan string would carry the
+    // O(nCells·dim) centroid arrays (megabytes at 256 cells)
+    assert(p.contains("top_cells"), "broadcast-centroid expression missing")
+    assert(p.length < 200000,
+      s"plan string is ${p.length} chars — literal arrays are back")
+  }
+
+  test("q_vec_ann_lsh buckets via the plane-free expression, no nested loop") {
+    val p = plan("q_vec_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "LSH regressed to an all-pairs join")
+    // hyperplanes are executor-regenerated from the seed; a typedLit
+    // regression re-embeds nTables·bits·dim doubles into plan + codegen
+    // (the Janino 64KB ceiling at the τ=0.9 dedup params)
+    assert(p.contains("sign_buckets"), "bucket expression missing from plan")
+    assert(p.length < 200000,
+      s"plan string is ${p.length} chars — literal hyperplanes are back")
   }
 
   test("q_join_bridge3 broadcasts both dimension sides") {

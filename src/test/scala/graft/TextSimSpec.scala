@@ -145,6 +145,43 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("executor-regenerated LSH planes equal the driver-side reference") {
+    // SignBuckets regenerates planes from the seed on each executor;
+    // recall results are pinned on the exact plane values, so the two
+    // families must be bit-identical
+    val fromExpr = org.apache.spark.sql.graftfns.SignBuckets
+      .planes(nTables = 3, bits = 5, dim = 8, seed = 42L)
+    for (t <- 0 until 3) {
+      val ref = TextSim.hyperplanes(5, 8, seed = 42L + t)
+      for (i <- 0 until 5)
+        assert(fromExpr(t * 5 + i).toSeq == ref(i), s"table $t plane $i")
+    }
+  }
+
+  test("sign_buckets matches the scalar sign/bucket definition") {
+    val dim = 8
+    val vecs = Seq((1L, Seq.fill(dim)(0.5)), (2L, (1 to dim).map(_ * -0.3)))
+    val got = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), TextSim.lshBuckets(col("v"), 4, 6, dim))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v) <- vecs) {
+      val expected = (0 until 4).map { t =>
+        val planes = TextSim.hyperplanes(6, dim, 42L + t)
+        val sig = planes.zipWithIndex.map { case (p, i) =>
+          val d = p.zip(v).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+          if (d > 0) 1L << i else 0L
+        }.sum
+        sig + (t.toLong << 32)
+      }
+      assert(got(id) == expected, s"vec $id")
+    }
+    // dimension mismatch is loud-empty: no buckets, not wrong buckets
+    val short = Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+      .select(TextSim.lshBuckets(col("v"), 4, 6, dim))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("annCosineLsh recall vs exact kNN is usable (scale path)") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val probes = emb.filter(col("vec_id") < 15)
@@ -278,6 +315,20 @@ class TextSimSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     assert(full == exact, "nProbe=nCells must equal exact kNN")
+  }
+
+  test("IVF results are shard-invariant (sharding is a parallelism knob)") {
+    // the shard key exists to decouple reduce parallelism from nCells;
+    // it partitions each cell's corpus disjointly, so the candidate UNION
+    // and therefore the top-k must be identical for any shard count
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 15)
+    def run(shards: Int) =
+      TextSim.annCosineIvf(probes, emb, 3, nCells = 16, nProbe = 4,
+          shards = shards)
+        .select("probe_id", "neighbor_id", "sim", "rn")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(1) == run(8))
   }
 
   test("knnJoin returns the true top-k neighbours") {
