@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep `runMain graft.Bench`'s final stdout line the compact JSON the
+// driver parses: sbt's "[success] Total time" epilogue would otherwise
+// land after it inside the driver's stdout tail window
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

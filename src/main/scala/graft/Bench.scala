@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every registered query at
+  * `SPARK_GRAFT_SF_DIR`, prints ONE compact JSON line as the FINAL stdout
+  * line, and writes the full-precision report to
+  * `/root/repo/target/bench.json`.
+  *
+  * Methodology: one untimed warm-up execution per query (JIT/codegen and
+  * first-touch setup are one-time costs that amortize at scale), then
+  * `SPARK_GRAFT_BENCH_RUNS` (default 3) timed runs; the reported figure
+  * is the per-query MEDIAN — single warm samples at sub-second scale
+  * showed 2-4x jitter across rounds, which medians suppress.
+  *
+  * Output discipline: the driver keeps only a tail window of stdout, so
+  * the final line must stay small — per-query times are rounded to 10 ms
+  * there, and the full-precision medians plus every raw sample live in
+  * target/bench.json (the parse-safe artifact). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,38 +39,58 @@ object Bench {
     graft.queries.SourceQueries.prepareFixtures(spark, sfDir)
     graft.ops.Multimodal.mediaFixture(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // one untimed warm-up execution per query, then one timed run:
-      // JIT/codegen compilation and first-touch setup are one-time costs
-      // that amortize at scale and otherwise get attributed to whichever
-      // operator runs first (same principle as the session warm-up above)
-      def runOnce(): Boolean =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      val ok = runOnce()
-      val t0 = System.nanoTime()
-      val ok2 = ok && runOnce()
       // -1 marks a failed query instead of silently reporting its
       // time-to-crash as a (fast) success
-      name -> (if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def runOnce(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      val samples =
+        if (runOnce() < 0) Seq(-1.0) else Seq.fill(runs)(runOnce())
+      val median =
+        if (samples.exists(_ < 0)) -1.0
+        else samples.sorted.apply(samples.size / 2)
+      name -> (median, samples)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"warm",""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout interleaves with sbt log prefixes; the file copy is the
-    // parse-safe artifact (the driver's BENCH parser reads either).
-    // Absolute path: a cwd-relative one would land outside the repo when
-    // launched from elsewhere (same contract as SourceQueries.scratch).
+    val total = results.values.map(_._1).sum
+    def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
+    val fullJson = obj(Seq(
+      s""""metric":"total"""", s""""value":$total""", s""""unit":"sec"""",
+      s""""method":"median-warm"""", s""""n":$runs""",
+      s""""queries":${obj(results.map { case (k, (m, _)) => s""""$k":$m""" })}""",
+      s""""samples":${obj(results.map { case (k, (_, ss)) =>
+        s""""$k":${ss.mkString("[", ",", "]")}""" })}""",
+      s""""sf":"$sfDir""""))
+    // absolute path: a cwd-relative one would land outside the repo when
+    // launched from elsewhere (same contract as SourceQueries.scratch)
     val out = new java.io.File("/root/repo/target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
-    try w.println(json) finally w.close()
+    try w.println(fullJson) finally w.close()
+    // stop BEFORE the final println so no shutdown logging can land after
+    // it; reduced time resolution keeps the line inside the driver's
+    // ~2000-char stdout tail window (full precision is in bench.json)
     spark.stop()
+    def fmt(v: Double, dp: Int) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        Double.box(v))
+    def compact(qs: Option[Int]): String = obj(Seq(
+      s""""metric":"total"""", s""""value":${fmt(total, 3)}""",
+      s""""unit":"sec"""", s""""method":"median-warm"""", s""""n":$runs""") ++
+      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _)) =>
+        s""""$k":${fmt(m, dp)}""" })}""") ++
+      Seq(s""""queries_file":"${out.getAbsolutePath}"""",
+        s""""sf":"$sfDir""""))
+    // degrade per-query resolution (then drop the map) until the line
+    // fits the tail window with headroom — a decapitated JSON line is
+    // exactly the round-2 "parsed: null" failure
+    println(Seq(Some(2), Some(1), None).map(compact)
+      .find(_.length <= 1850).getOrElse(compact(None)))
   }
 }
