@@ -122,6 +122,11 @@ object OracleSql {
                       (150.0, 1000000000.0, 'high')) AS t(lo, hi, tier)
            ON e.value >= t.lo AND e.value < t.hi
          ORDER BY e.event_id""",
+    "q_join_salted" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     "q_join_asof" ->
       """SELECT p.event_id, c.event_id AS prior_click
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

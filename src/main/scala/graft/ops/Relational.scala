@@ -33,10 +33,14 @@ object Relational {
     * `Window.orderBy(...)` with no partitionBy funnels the whole dataset
     * through one task; at 100 TB one executor core sorts the world. This
     * variant keeps the sort distributed: range-repartition on the order
-    * key (each partition owns a disjoint, ordered key range), rank locally
-    * within each partition, then add the per-partition row-count prefix
-    * sums as offsets. The offsets table is one row per partition — the
-    * only driver-scale piece — and is broadcast back.
+    * key (each partition owns a disjoint, ordered key range), sort within
+    * partitions, then attach rank = per-partition count prefix sum +
+    * local index in one pass over the SAME materialized shuffle
+    * ([[org.apache.spark.sql.graftfns.GlobalIndex]], the zipWithIndex
+    * pattern — see its scaladoc for why the declarative two-branch
+    * formulation is unsound: without guaranteed exchange reuse each
+    * branch samples its own range boundaries and the offsets silently
+    * key against the wrong partition space).
     *
     * Deterministic for any input layout PROVIDED `orderCols` is a total
     * order (key-complete, §7.5.4): global rank = (rows in lower key
@@ -48,39 +52,14 @@ object Relational {
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
                       rankCol: String = "rn"): DataFrame = {
     require(orderCols.nonEmpty, "globalRowNumber needs a total order")
-    // fail loudly instead of silently replacing/dropping caller columns
-    // that collide with the rank output or the internal helper names
-    val reserved = Seq(rankCol, "__pid", "__lrn", "__offset")
-    val clash = df.columns.filter(reserved.contains)
-    require(clash.isEmpty,
-      s"globalRowNumber would overwrite input column(s) ${clash.mkString(", ")}; " +
-        "rename them or pass a different rankCol")
-    // Local ranks WITHOUT a second full-data shuffle: after the explicit
-    // range partition + in-partition sort, monotonically_increasing_id is
-    // (partitionId << 33) + localRowIndex — so the local index is
-    // recoverable by mask. mono_id alone is banned for surrogate keys
-    // (§7.5.4: partition-layout-dependent); HERE the layout is pinned by
-    // repartitionByRange and the in-partition order by the sort, and the
-    // final rank = offset(pid) + localIndex is a pure function of key
-    // order (layout-independence asserted in RelationalOpsSpec). A
-    // window partitioned by pid would compute the same local ranks at
-    // the price of re-shuffling every row by pid hash.
-    val sorted = df
-      .repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn",
-        (monotonically_increasing_id().bitwiseAND((1L << 33) - 1) + 1L))
-    // one row per partition: counts → exclusive prefix sums. The global
-    // window here is over ≤ numPartitions rows, not data.
-    val offsets = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset",
-        coalesce(sum("__cnt").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    sorted.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, (col("__offset") + col("__lrn")).cast("long"))
-      .drop("__pid", "__lrn", "__offset")
+    // fail loudly instead of silently replacing a caller column
+    require(!df.columns.contains(rankCol),
+      s"globalRowNumber would overwrite input column $rankCol; " +
+        "rename it or pass a different rankCol")
+    org.apache.spark.sql.graftfns.GlobalIndex.attach(
+      df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*),
+      rankCol)
   }
 
   /** Deterministic offset pagination (reference `database/app.py:74-82`:

@@ -198,6 +198,21 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q_join_salted — the skew tool as a registered surface: the same
+    * inner join as a plain equi-join (salting is semantics-preserving —
+    * the oracle IS the plain join), but the plan scatters each key's rows
+    * across `factor` salt replicas so one hot key cannot pin a single
+    * task at 100 TB ([[Relational.saltedJoin]]; scatter shape gated in
+    * PlanQualitySpec). events.user_id is the natural hot-key column. */
+  private val joinSalted: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events").select("event_id", "user_id")
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    Relational.saltedJoin(ev, dim, "user_id", factor = 8)
+      .select("event_id", "user_id", "c_name")
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_proj_select" -> projSelect,
     "q_proj_derived" -> projDerived,
@@ -215,5 +230,6 @@ object RelationalQueries {
     "q_join_full" -> joinFull,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_range" -> joinRange,
-    "q_join_asof" -> joinAsof)
+    "q_join_asof" -> joinAsof,
+    "q_join_salted" -> joinSalted)
 }

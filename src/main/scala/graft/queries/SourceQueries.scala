@@ -13,14 +13,34 @@ object SourceQueries {
     * Must stay inside /root/repo (environment contract). */
   private[graft] val scratch = "/root/repo/target/tmp"
 
+  /** Fingerprint of the source file(s) backing a fixture: CRC32 over
+    * (relative path, length, mtime) of every file, sorted. Folded into
+    * the fixture directory name so a REGENERATED source (same path, new
+    * content) can never be read through a stale fixture that survived in
+    * target/tmp from an earlier JVM — that failure mode would look like
+    * an engine correctness bug (fixture rows vs fresh-parquet oracle). */
+  private def sourceStamp(src: String): String = {
+    val crc = new java.util.zip.CRC32
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toSeq
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length}:${f.lastModified}")
+    walk(new java.io.File(src), "").foreach(l =>
+      crc.update(l.getBytes("UTF-8")))
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   /** Materialize the NDJSON fixture for `dir` once and reuse it: the
     * fixture is a deterministic function of the (immutable) events table,
     * so re-writing it on every query invocation only pollutes the timing
-    * of the operator under test with sink throughput. Keyed by SF dir so
-    * different scales never share a fixture. */
+    * of the operator under test with sink throughput. Keyed by SF dir AND
+    * a content stamp of the source parquet ([[sourceStamp]]), so neither
+    * different scales nor regenerated data ever share a fixture. */
   private def ndjsonFixture(s: SparkSession, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"$scratch/ndjson_$key"
+    val stamp = sourceStamp(s"$dir/events.parquet")
+    val path = s"$scratch/ndjson_${key}_$stamp"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -69,18 +89,20 @@ object SourceQueries {
     * incremental coverage in StreamingSpec. The memory-sink name is
     * unique per invocation so concurrent runs in one session cannot
     * clobber each other's table. */
-  /** Previous run's memory-sink name, dropped on the next invocation so
-    * repeated runs in one session don't accumulate unbounded in-memory
-    * sink tables (unique names exist only to avoid clobbering a
-    * *concurrent* run's live table). */
-  private val lastStreamSink =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** THIS THREAD's previous memory-sink name, dropped on the thread's
+    * next invocation so repeated runs don't accumulate unbounded
+    * in-memory sink tables. Thread-local on purpose: a global register
+    * would let invocation A drop the sink a concurrent invocation B is
+    * still reading (the drop fires before B's DataFrame is consumed) —
+    * the exact cross-run interference the unique names exist to prevent.
+    * A thread only ever drops a sink whose result IT produced earlier. */
+  private val lastStreamSink = new ThreadLocal[String]
 
   private val srcStreamFile: Q = (s, dir) => {
     val path = ndjsonFixture(s, dir)
     val sink = s"src_stream_file_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    Option(lastStreamSink.getAndSet(sink))
-      .foreach(old => s.catalog.dropTempView(old))
+    Option(lastStreamSink.get()).foreach(old => s.catalog.dropTempView(old))
+    lastStreamSink.set(sink)
     val stream = s.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
       .json(path)

@@ -94,6 +94,26 @@ class PlanQualitySpec extends SparkSpecBase {
       s"plan string is ${p.length} chars — literal hyperplanes are back")
   }
 
+  test("q_join_salted scatters the key across salt replicas in the join key") {
+    // at test scale the dim would be auto-broadcast (no shuffle at all),
+    // which hides the property the operator exists for; disable broadcast
+    // to see the 100 TB shape — a SHUFFLED equi-join whose key includes
+    // the salt, so one hot user_id spreads over `factor` reduce tasks
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thr)
+    try {
+      spark.conf.set(thr, "-1")
+      val p = plan("q_join_salted")
+      assert(p.contains("__salt"),
+        "salt key missing from the join:\n" +
+          p.linesIterator.take(20).mkString("\n"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on (key, salt)")
+      assert(p.contains("Generate") || p.contains("explode"),
+        "dim side is not replicated across salts")
+    } finally spark.conf.set(thr, old)
+  }
+
   test("q_join_bridge3 broadcasts both dimension sides") {
     // lineitem⋈orders⋈customer at sf0.001: both joins must be broadcast
     // hash joins (orders+customer are dims vs the lineitem fact)
@@ -123,6 +143,26 @@ class PlanQualitySpec extends SparkSpecBase {
       "filter is not directly on the scan:\n" + tree.mkString("\n"))
     assert(exchangeDepth < filterDepth,
       "rows are shuffled before the filter:\n" + tree.mkString("\n"))
+  }
+
+  test("q_win_rownum attaches ranks without a window or single partition") {
+    // globalRowNumber is the zipWithIndex pattern: ONE materialized range
+    // shuffle, counts + rank attachment over the same shuffle files. A
+    // `Window` or a SinglePartition exchange in this plan means someone
+    // reverted to the global-window (or two-branch offsets-join)
+    // formulation — the one-task funnel / double-evaluated-boundaries
+    // regressions respectively. (Downstream of the attachment the plan
+    // roots at the RDD scan; the output-ordering sort is range-based.)
+    val df = SparkEntry.queries("q_win_rownum")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"),
+      "rank comes from a window again:\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "a single-partition exchange reappeared:\n" + p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "expected the zipWithIndex RDD scan root:\n" + p)
   }
 
   test("GraftExtensions exposes dot_product to SQL") {
