@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Per-query bench budgets as a CI gate: loads the most recent
+  * `target/bench.json` (written by `graft.Bench` at sf0.1) and fails any
+  * query whose median exceeds 2× its committed budget — so a perf
+  * regression fails the build instead of surfacing a round later in the
+  * judged bench. Budgets are the sf0.1 warm medians rounded UP with
+  * headroom; update them deliberately when an operator's cost profile
+  * changes, never to silence a regression you can't explain.
+  *
+  * The spec is skipped (canceled) when no bench.json exists — unit-test
+  * runs shouldn't require a prior bench — but any query present in the
+  * file MUST have a budget (and vice versa), so the budget table cannot
+  * silently drift from the registered query set. */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  /** Committed sf0.1 budgets (seconds, warm medians + headroom).
+    * Baseline: round-3 medians, local[32], n=3. */
+  private val budgets: Map[String, Double] = Map(
+    // sources
+    "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
+    "q_src_stream_file" -> 2.0,
+    // projections / filters
+    "q_proj_select" -> 0.3, "q_proj_derived" -> 0.3,
+    "q_filter_eq" -> 0.3, "q_filter_bool" -> 0.3,
+    "q_filter_ilike" -> 0.3, "q_filter_rlike" -> 0.3,
+    "q_filter_range_disj" -> 0.4, "q_filter_null" -> 0.3,
+    // joins
+    "q_join_inner" -> 0.5, "q_join_bridge3" -> 0.6, "q_join_left" -> 0.5,
+    "q_join_semi" -> 0.4, "q_join_anti" -> 0.4, "q_join_full" -> 0.5,
+    "q_join_broadcast" -> 0.5, "q_join_range" -> 0.4, "q_join_asof" -> 0.6,
+    "q_join_salted" -> 0.6,
+    // aggregations
+    "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,
+    "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
+    "q_agg_approx" -> 0.5, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
+    "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
+    // windows
+    "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
+    "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
+    "q_win_paginate" -> 0.7,
+    // sort / set
+    "q_sort_multi" -> 0.3, "q_limit" -> 0.3, "q_topk" -> 0.3,
+    "q_set_union" -> 0.4, "q_set_except" -> 0.5, "q_set_intersect" -> 0.5,
+    // scalar: strings / datetime / math
+    "q_str_concat" -> 0.3, "q_str_split" -> 0.3,
+    "q_str_trim_replace" -> 0.3, "q_str_case" -> 0.3,
+    "q_str_regex_extract" -> 0.3, "q_str_like" -> 0.3, "q_str_len" -> 0.3,
+    "q_dt_parse" -> 0.3, "q_dt_format" -> 0.3, "q_dt_arith" -> 0.3,
+    "q_dt_extract" -> 0.3, "q_dt_tz" -> 0.5, "q_dt_trunc" -> 0.3,
+    "q_math_arith" -> 0.3,
+    // collections / json
+    "q_arr_explode" -> 0.4, "q_arr_posexplode" -> 0.5, "q_arr_ops" -> 0.7,
+    "q_arr_transform" -> 0.5, "q_arr_position" -> 0.3,
+    "q_json_get" -> 0.4, "q_json_from" -> 0.5, "q_json_to" -> 0.4,
+    "q_map_ops" -> 0.4,
+    // streaming batch shadows
+    "q_stream_tumble" -> 0.4, "q_stream_slide" -> 0.5,
+    "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.5,
+    // UDF family
+    "q_udf_parse_hours" -> 0.8, "q_udtf_hours_explode" -> 1.8,
+    "q_udaf_wavg" -> 0.4, "q_udf_time_until_close" -> 0.8,
+    // text / vector pipeline
+    "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
+    "q_text_minhash" -> 1.0, "q_vec_cosine_topk" -> 0.4,
+    "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.4,
+    "q_text_quality" -> 0.4, "q_text_tokens" -> 0.3,
+    "q_text_fingerprint" -> 0.6, "q_vec_ann_lsh" -> 0.8,
+    "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
+    "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
+    "q_media_dedup" -> 0.8)
+
+  private val benchFile = new java.io.File("/root/repo/target/bench.json")
+
+  test("every query stays within 2x its committed bench budget") {
+    assume(benchFile.exists(), "no target/bench.json — run graft.Bench")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(benchFile)
+    assume(root.path("sf").asText().endsWith("sf0.1"),
+      "bench.json is not an sf0.1 run; budgets are sf0.1 figures")
+    val qs = root.path("queries")
+    val actual = qs.fieldNames.asScala
+      .map(n => n -> qs.get(n).asDouble()).toMap
+    val unbudgeted = actual.keySet -- budgets.keySet
+    assert(unbudgeted.isEmpty,
+      s"queries with no committed budget: $unbudgeted")
+    val failed = actual.filter(_._2 < 0).keys
+    assert(failed.isEmpty, s"queries FAILED in the bench run: $failed")
+    val over = actual.collect {
+      case (q, t) if t > 2 * budgets(q) =>
+        f"$q: $t%.2fs > 2x budget ${budgets(q)}%.2fs"
+    }
+    assert(over.isEmpty,
+      "bench regressions (update the budget only with a root cause):\n  " +
+        over.mkString("\n  "))
+  }
+
+  test("budget table covers exactly the registered query set") {
+    // keeps the table honest even when bench.json is absent/stale
+    val missing = SparkEntry.queries.keySet -- budgets.keySet
+    assert(missing.isEmpty, s"registered queries without a budget: $missing")
+    val orphan = budgets.keySet -- SparkEntry.queries.keySet
+    assert(orphan.isEmpty, s"budgets for unregistered queries: $orphan")
+  }
+}
