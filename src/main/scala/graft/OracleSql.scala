@@ -460,6 +460,16 @@ object OracleSql {
            UNION ALL
            SELECT event_id, event_type FROM events)
          ORDER BY event_id""",
+    "q_stream_state" ->
+      """SELECT user_id,
+                count(*) AS n_events,
+                count(*) FILTER (WHERE event_type = 'purchase')
+                  AS n_purchases,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
 
     // ───── §2.L domain functions ─────
     "q_udf_parse_hours" ->

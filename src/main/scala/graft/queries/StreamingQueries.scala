@@ -43,9 +43,32 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  /** q_stream_state — arbitrary per-key state
+    * ([[Streaming.userActivityState]]), run as its batch shadow: in batch
+    * execution each user's rows reach the state function in one call, so
+    * the emitted accumulator equals the exact per-user aggregate and an
+    * O-tier SQL oracle exists. All accumulator fields are
+    * order-independent (sums/counts; cents kept in LONG), so the result
+    * is deterministic under any partitioning — the §7.5 requirement.
+    * The registered shadow is the `flatMapGroupsWithState` form, which
+    * batch-executes with no state store; the `transformWithState` twin
+    * (same shared accumulator) would instantiate a per-query RocksDB
+    * state store and leak a session-wide provider override into
+    * co-resident queries — it keeps its incremental, checkpoint-resume
+    * coverage in StreamingSpec instead. */
+  private val state: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+    Streaming.userActivityState(ev).toDF()
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_stream_tumble" -> tumble,
     "q_stream_slide" -> slide,
     "q_stream_session" -> session,
-    "q_stream_dedup" -> dedup)
+    "q_stream_dedup" -> dedup,
+    "q_stream_state" -> state)
 }

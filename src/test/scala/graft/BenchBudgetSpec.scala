@@ -60,6 +60,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // streaming batch shadows
     "q_stream_tumble" -> 0.4, "q_stream_slide" -> 0.5,
     "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.5,
+    "q_stream_state" -> 1.2,
     // UDF family
     "q_udf_parse_hours" -> 0.8, "q_udtf_hours_explode" -> 1.8,
     "q_udaf_wavg" -> 0.4, "q_udf_time_until_close" -> 0.8,
