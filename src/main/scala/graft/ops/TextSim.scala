@@ -462,28 +462,108 @@ object TextSim {
   }
 
   /** Session-scoped IVF centroid cache, keyed by (application, corpus
-    * plan, requested cell count): the centroid sample is a deterministic
-    * function of the corpus, so re-collecting and re-broadcasting it per
-    * invocation (the round-2 behavior) only re-ran the same tiny job. The
-    * value carries the corpus row count (for auto-sizing) and the
-    * broadcast handle. */
+    * plan, requested cell count, training iterations): the centroids are
+    * a deterministic-per-session function of the corpus, so
+    * re-collecting and re-broadcasting them per invocation (the round-2
+    * behavior) only re-ran the same tiny job. The value carries the
+    * corpus row count (for auto-sizing) and the broadcast handle. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int),
+    (String, Int, Int, Int),
     (Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])]
 
-  /** Centroids for an IVF index over `corpus`: the `nCells` lowest
-    * vec_ids, L2-normalized on the driver, shipped as ONE torrent
-    * broadcast (the broadcast-dim role — the collect touches exactly
-    * `nCells` index-metadata rows, never the corpus). `nCellsReq = 0`
-    * auto-sizes to the FAISS rule of thumb ≈ 4·√N, rounded up to a power
-    * of two and clamped to [16, 1024] ∩ [1, N] — sf0.1's 2000-vector
-    * bench corpus gets 256 cells. (Real deployments train centroids with
-    * k-means offline; that changes centroid VALUES, not this dataflow.) */
-  private def ivfIndex(corpus: DataFrame, nCellsReq: Int): (Long,
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    if (norm == 0) v else v.map(_ / norm)
+  }
+
+  /** Deterministic initial centroids: the `nCells` lowest vec_ids,
+    * L2-normalized on the driver (the collect touches exactly `nCells`
+    * index-metadata rows, never the corpus — the broadcast-dim role). */
+  private def sampleCentroids(corpus: DataFrame,
+                              nCells: Int): Array[Array[Double]] =
+    corpus.orderBy("vec_id").limit(nCells)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(r => l2normalize(r.getSeq[Double](0).toArray))
+
+  /** Distributed spherical k-means (Lloyd) over the corpus — the IVF
+    * centroid TRAINER, Spark-first: per iteration, (1) assign each row
+    * to its max-dot centroid with the broadcast-reading codegen'd
+    * [[org.apache.spark.sql.graftfns.TopCells]] expression (no shuffle),
+    * (2) compute per-cell means as a two-phase hash aggregate over
+    * `posexplode`d (cell, dim-position, value) rows — map-side partial
+    * aggregation collapses each task's output to ≤ nCells·dim rows, so
+    * the shuffle moves index metadata, not data — then (3) collect the
+    * nCells·dim sums (driver-scale), renormalize to unit length
+    * (spherical = the cosine-metric variant), and re-broadcast. Empty
+    * cells keep their previous centroid. Unordered double summation
+    * makes training runs bit-nondeterministic in the last ulps — fine
+    * for an index structure whose queries rescore exactly (registered
+    * queries keep the deterministic sample centroids; training is the
+    * recall knob for clustered real-world corpora). */
+  def trainIvfCentroids(corpus: DataFrame, init: Array[Array[Double]],
+                        iters: Int): Array[Array[Double]] = {
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    val sc = corpus.sparkSession.sparkContext
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val bc = sc.broadcast(cents)
+      val sums = corpus
+        .select(
+          try_element_at(fns.top_cells(
+            col("embedding").cast("array<double>"), bc, 1), lit(1))
+            .as("cell"),
+          posexplode(col("embedding").cast("array<double>")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val dim = cents(cell).length
+        val mean = new Array[Double](dim)
+        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        next(cell) = l2normalize(mean)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Mean cosine between each row and its nearest centroid — the
+    * spherical k-means objective (higher = tighter clustering;
+    * spec-gated to improve under [[trainIvfCentroids]]). Assignment via
+    * the broadcast [[org.apache.spark.sql.graftfns.TopCells]] expression,
+    * centroid values joined back from a broadcast dim of nCells rows. */
+  def ivfObjective(corpus: DataFrame,
+                   cents: Array[Array[Double]]): Double = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    val bc = spark.sparkContext.broadcast(cents)
+    // top_cells yields 0-based centroid indices
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cent")
+    val vec = col("embedding").cast("array<double>")
+    corpus.select(vec.as("v"),
+        try_element_at(fns.top_cells(vec, bc, 1), lit(1)).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .agg(avg(dot(col("v"), col("cent")) / l2Norm(col("v"))))
+      .head().getDouble(0)
+  }
+
+  /** Centroids for an IVF index over `corpus`: deterministic corpus
+    * sample, optionally refined by `trainIters` rounds of
+    * [[trainIvfCentroids]]; shipped as ONE torrent broadcast.
+    * `nCellsReq = 0` auto-sizes to the FAISS rule of thumb ≈ 4·√N,
+    * rounded up to a power of two and clamped to [16, 1024] ∩ [1, N] —
+    * sf0.1's 2000-vector bench corpus gets 256 cells. */
+  private def ivfIndex(corpus: DataFrame, nCellsReq: Int,
+                       trainIters: Int = 0): (Long,
       org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     val sc = corpus.sparkSession.sparkContext
     val key = (sc.applicationId,
-      corpus.queryExecution.analyzed.semanticHash(), nCellsReq)
+      corpus.queryExecution.analyzed.semanticHash(), nCellsReq, trainIters)
     ivfCache.computeIfAbsent(key, _ => {
       val n = corpus.count()
       val auto = Integer.highestOneBit(
@@ -491,13 +571,10 @@ object TextSim {
       val nCells = math.min(n,
         if (nCellsReq > 0) nCellsReq.toLong
         else math.min(1024, math.max(16, auto)).toLong).toInt
-      val cents = corpus.orderBy("vec_id").limit(nCells)
-        .select(col("embedding").cast("array<double>"))
-        .collect().map { r =>
-          val v = r.getSeq[Double](0).toArray
-          val norm = math.sqrt(v.map(x => x * x).sum)
-          if (norm == 0) v else v.map(_ / norm)
-        }
+      val init = sampleCentroids(corpus, nCells)
+      val cents =
+        if (trainIters > 0) trainIvfCentroids(corpus, init, trainIters)
+        else init
       (n, sc.broadcast(cents))
     })
   }
@@ -531,11 +608,12 @@ object TextSim {
     * correct and the probe fan-out stays ×nProbe only. */
   def annCosineIvf(probes: DataFrame, corpus: DataFrame, k: Int,
                    nCells: Int = 0, nProbe: Int = 0,
-                   shards: Int = 0): DataFrame = {
-    require(nCells >= 0 && nProbe >= 0 && shards >= 0,
-      s"need nCells ($nCells), nProbe ($nProbe), shards ($shards) >= 0")
+                   shards: Int = 0, trainIters: Int = 0): DataFrame = {
+    require(nCells >= 0 && nProbe >= 0 && shards >= 0 && trainIters >= 0,
+      s"need nCells ($nCells), nProbe ($nProbe), shards ($shards), " +
+        s"trainIters ($trainIters) >= 0")
     val fns = org.apache.spark.sql.graftfns.VectorFunctions
-    val (_, bc) = ivfIndex(corpus, nCells)
+    val (_, bc) = ivfIndex(corpus, nCells, trainIters)
     val cells = bc.value.length
     val probeK = if (nProbe > 0) nProbe else math.max(4, cells / 4)
     require(probeK <= cells,

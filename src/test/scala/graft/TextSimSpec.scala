@@ -317,6 +317,42 @@ class TextSimSpec extends SparkSpecBase {
     assert(full == exact, "nProbe=nCells must equal exact kNN")
   }
 
+  test("k-means training tightens the IVF objective on a clustered corpus") {
+    // 12 clusters of 6 vectors; sample-init centroids (lowest ids) all
+    // come from the first clusters, so Lloyd iterations must measurably
+    // raise the mean row↔centroid cosine. Assignment runs through the
+    // same broadcast TopCells expression the index uses.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 12).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian())
+      (0 until 6).map { m =>
+        val v = base.map(x => x + 0.05 * rnd.nextGaussian())
+        (c * 6L + m, v.toSeq)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val init = emb.orderBy("vec_id").limit(12)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    val before = TextSim.ivfObjective(emb, init)
+    val trained = TextSim.trainIvfCentroids(emb, init, iters = 5)
+    val after = TextSim.ivfObjective(emb, trained)
+    assert(after > before + 0.05,
+      s"training did not tighten clustering: $before -> $after")
+    assert(trained.forall(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9),
+      "trained centroids are not unit length (spherical k-means)")
+    // the trained index still answers queries: top-k per probe intact
+    val got = TextSim.annCosineIvf(emb.filter(col("vec_id") < 6), emb, 3,
+        nCells = 12, nProbe = 3, trainIters = 5)
+      .select("probe_id", "rn").as[(Long, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+  }
+
   test("IVF results are shard-invariant (sharding is a parallelism knob)") {
     // the shard key exists to decouple reduce parallelism from nCells;
     // it partitions each cell's corpus disjointly, so the candidate UNION
