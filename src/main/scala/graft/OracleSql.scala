@@ -28,6 +28,18 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    "q_sink_append" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+    "q_sink_warehouse" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_src_stream_file" ->
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type

@@ -4,14 +4,42 @@ import graft.{Schemas, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.A scans / sources. Sinks (q_sink_append, q_sink_warehouse) are
-  * U-tier: exercised in SinkSpec, not registered as queries. */
+/** §2.A scans / sources / sinks. The sink operators are registered as
+  * write→read-back ROUND TRIPS: the property a sink must guarantee —
+  * what was written is exactly what comes back (append accumulates,
+  * overwrite converges) — is oracle-checkable by aggregating the
+  * read-back against the original table. Unit-level sink semantics stay
+  * in SinksAndApproxSpec. */
 object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Scratch dir for sources that need a materialized intermediate file.
     * Must stay inside /root/repo (environment contract). */
   private[graft] val scratch = "/root/repo/target/tmp"
+
+  /** Per-thread previous scratch output dir per sink query, deleted on
+    * the thread's next invocation (same rationale as [[lastStreamSink]]:
+    * bounded scratch growth without one run deleting a dir a concurrent
+    * run still reads). */
+  private val lastSinkDir =
+    new ThreadLocal[scala.collection.mutable.Map[String, String]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
+
+  private def freshSinkDir(kind: String): String = {
+    val dirs = lastSinkDir.get()
+    dirs.get(kind).foreach { old =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(old))
+    }
+    val d = s"$scratch/${kind}_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    dirs(kind) = d
+    d
+  }
 
   /** Fingerprint of the source file(s) backing a fixture: CRC32 over
     * (relative path, length, mtime) of every file, sorted. Folded into
@@ -118,8 +146,53 @@ object SourceQueries {
     s.table(sink).orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** Shared read-back aggregate: count + decimal-exact value sum per
+    * event_type (same form as [[srcNdjson]] — doubles round-trip JSON
+    * and parquet bit-exactly, and DECIMAL partial sums are
+    * order-independent). */
+  private def roundTripAgg(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** q_sink_append — append-only NDJSON sink (ref locked `outfile
+    * .open("a")` one-JSON-per-line `web_scraper/web_scraping.py:221-224,
+    * 410-413`), verified as a round trip that exercises ACCUMULATION:
+    * two disjoint halves of events are appended in separate batches and
+    * the read-back aggregate must equal the whole table — missed or
+    * double-appended rows both break the oracle hash. */
+  private val sinkAppend: Q = (s, dir) => {
+    val out = freshSinkDir("sink_append")
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    graft.etl.Sinks.appendNdjson(ev.filter(col("event_id") % 2 === 0), out)
+    graft.etl.Sinks.appendNdjson(ev.filter(col("event_id") % 2 === 1), out)
+    roundTripAgg(s.read.schema(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(out))
+  }
+
+  /** q_sink_warehouse — idempotent partitioned warehouse sink (ref ORM
+    * load `database/parse_and_upload_to_db.py:99-100,173-175`; JDBC is a
+    * config swap, SURVEY §2.A), verified as a round trip that exercises
+    * OVERWRITE-idempotency: the table is written twice (a rerun) and the
+    * read-back must equal exactly ONE copy; the partition column
+    * round-trips through the directory layout. */
+  private val sinkWarehouse: Q = (s, dir) => {
+    val out = freshSinkDir("sink_warehouse")
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    graft.etl.Sinks.writeWarehouseTable(ev, out, Seq("event_type"))
+    graft.etl.Sinks.writeWarehouseTable(ev, out, Seq("event_type"))
+    roundTripAgg(s.read.parquet(out))
+  }
+
   val all: Map[String, Q] = Map(
     "q_src_parquet" -> srcParquet,
     "q_src_ndjson" -> srcNdjson,
-    "q_src_stream_file" -> srcStreamFile)
+    "q_src_stream_file" -> srcStreamFile,
+    "q_sink_append" -> sinkAppend,
+    "q_sink_warehouse" -> sinkWarehouse)
 }

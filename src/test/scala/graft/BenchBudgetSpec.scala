@@ -23,6 +23,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // sources
     "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
     "q_src_stream_file" -> 2.0,
+    "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
     // projections / filters
     "q_proj_select" -> 0.3, "q_proj_derived" -> 0.3,
     "q_filter_eq" -> 0.3, "q_filter_bool" -> 0.3,

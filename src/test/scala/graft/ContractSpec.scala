@@ -24,9 +24,9 @@ class ContractSpec extends AnyFunSuite {
 
   test("SURVEY declares the expected inventory size") {
     assert(declared.size == 93, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 85)
+    assert(declared.values.count(_ == "O") == 87)
     assert(declared.values.count(_ == "Q") == 5)
-    assert(declared.values.count(_ == "U") == 3)
+    assert(declared.values.count(_ == "U") == 1)
   }
 
   test("every declared O/Q operator has a queries entry") {
