@@ -61,6 +61,18 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("globalRowNumber on empty and single-row inputs") {
+    // Normalize can legitimately see an empty collection table; the
+    // zipWithIndex path must not choke on a zero-partition count job
+    val empty = Relational.globalRowNumber(
+      Seq.empty[(Long, String)].toDF("k", "p"), Seq(col("k")))
+    assert(empty.count() == 0 && empty.columns.contains("rn"))
+    val one = Relational.globalRowNumber(
+      Seq((42L, "x")).toDF("k", "p"), Seq(col("k")))
+      .select("rn", "k").as[(Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 42L)))
+  }
+
   test("globalRowNumber never funnels raw rows through one partition") {
     // The zipWithIndex formulation has no window, no SinglePartition
     // exchange and no offsets join at all — ranks are attached in one
