@@ -242,6 +242,47 @@ class TextSimSpec extends SparkSpecBase {
       n * (n - 1) / 2, "duplicate pair emitted")
   }
 
+  test("property: blocked-exact pair cover holds for any block count") {
+    // the block-pair key algebra (left → keys (b, j≥b), right → keys
+    // (i≤b, b), same-block halved by id order) must cover C(N,2) exactly
+    // for degenerate and non-divisor block counts alike
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 40)
+    for (blocks <- Seq(1, 2, 3, 7, 16, 40)) {
+      val pairs = TextSim.cosineDedupBlockedExact(emb, -1.0, blocks)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(pairs.length == 40 * 39 / 2, s"blocks=$blocks")
+      assert(pairs.distinct.length == pairs.length,
+        s"blocks=$blocks emitted duplicates")
+      assert(pairs.forall { case (a, b) => a < b }, s"blocks=$blocks order")
+    }
+  }
+
+  test("property: topCells matches a scalar argsort on random inputs") {
+    // the insertion-sort top-k inside the codegen'd expression must equal
+    // (dot desc, cell asc) argsort for hostile shapes: duplicated
+    // centroids (dot ties), k > nCells, k = 1, negative dots
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val g = org.apache.spark.sql.graftfns.TopCells
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 1 + rnd.nextInt(8)
+      val nc = 1 + rnd.nextInt(12)
+      val cents = Array.fill(nc)(Array.fill(dim)(
+        (rnd.nextInt(5) - 2).toDouble)) // small ints → frequent dot ties
+      val vec = Array.fill(dim)((rnd.nextInt(5) - 2).toDouble)
+      val k = 1 + rnd.nextInt(nc + 3)
+      val got = g.topCells(ArrayData.toArrayData(vec), cents, k).toSeq
+      val dots = cents.map(c => c.zip(vec).map { case (a, b) => a * b }.sum)
+      val want = dots.zipWithIndex
+        .sortBy { case (d, i) => (-d, i) }.take(math.min(k, nc))
+        .map(_._2).toSeq
+      assert(got == want, s"seed=$seed k=$k dots=${dots.toSeq}")
+      // dimension mismatch is loud-empty
+      assert(g.topCells(ArrayData.toArrayData(vec :+ 0.0), cents, k).isEmpty)
+    }
+  }
+
   test("lshDedupParams: no pruning regime at τ=0.42, bounded at τ=0.9") {
     // at the registered threshold the collision model must refuse LSH —
     // full recall there forces ≈ all-pairs coverage (the round-2 verdict)
