@@ -198,12 +198,15 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
-  /** q_join_salted — the skew tool as a registered surface: the same
-    * inner join as a plain equi-join (salting is semantics-preserving —
-    * the oracle IS the plain join), but the plan scatters each key's rows
-    * across `factor` salt replicas so one hot key cannot pin a single
-    * task at 100 TB ([[Relational.saltedJoin]]; scatter shape gated in
-    * PlanQualitySpec). events.user_id is the natural hot-key column. */
+  /** q_join_salted — the skew tool as a registered surface (ref: the
+    * scraper's per-business fan-in loop `web_scraper/web_scraping.py:
+    * 112-151`, where one dominant business owns most review rows): the
+    * same inner join as a plain equi-join (salting is
+    * semantics-preserving — the oracle IS the plain join), but the plan
+    * scatters each key's rows across `factor` salt replicas so one hot
+    * key cannot pin a single task at 100 TB ([[Relational.saltedJoin]];
+    * scatter shape gated in PlanQualitySpec). events.user_id is the
+    * natural hot-key column. */
   private val joinSalted: Q = (s, dir) => {
     val ev = Tables.load(s, dir, "events").select("event_id", "user_id")
     val dim = Tables.load(s, dir, "customer")
