@@ -654,6 +654,25 @@ object OracleSql {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.42
          ORDER BY id_a, id_b""",
+    "q_vec_dedup_groups" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.42),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM p
+           UNION ALL
+           SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT vec_id AS src, vec_id AS dst FROM embeddings
+           UNION
+           SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src)
+         SELECT src AS vec_id, min(dst) AS group_id,
+                CAST(min(dst) = src AS INTEGER) AS is_canonical
+         FROM reach GROUP BY src
+         ORDER BY vec_id""",
 
     // ───── §2.M text / vector ─────
     "q_text_tokenize" ->

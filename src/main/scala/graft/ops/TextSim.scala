@@ -657,6 +657,81 @@ object TextSim {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns PAIRS into dedup GROUPS (training-data dedup keeps one
+    * canonical doc per component; ref dedup-by-key family
+    * `web_scraper/web_scraping.py:517-521` lifted from keys to graphs).
+    *
+    * Iterative min-label propagation (the Pregel shape on DataFrames):
+    * every node starts labeled with its own id; each round takes the min
+    * of its own and its neighbours' labels; fixpoint = every node holds
+    * its component's minimum id. Each round is one equi-join + one
+    * groupBy — all shuffles on node id — and `localCheckpoint()`
+    * truncates the plan after every round, without which iterative
+    * lineage growth makes round k cost O(k) to plan and re-execute.
+    * Rounds needed = graph diameter: right for near-dup graphs (dup
+    * clusters are dense and shallow); an adversarial long-path graph
+    * would want the large-star/small-star variant (O(log n) rounds),
+    * which this dataflow extends to directly. The driver-side loop holds
+    * only a changed-row COUNT per round — never data.
+    *
+    * Deterministic: labels are a pure function of the edge set (min over
+    * a component), independent of partitioning or iteration interleave. */
+  def dedupGroups(nodes: DataFrame, pairs: DataFrame,
+                  maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .localCheckpoint() // materialize once; re-read every round
+    // iterate ONLY over nodes that touch an edge: the dup graph is a
+    // small fraction of the corpus at any scale, and isolates can never
+    // change label — they rejoin with label = own id at the end
+    var labels = edges.select(col("src").as("vec_id")).distinct()
+      .withColumn("group_id", col("vec_id")).localCheckpoint()
+    // labels strictly decrease toward component minima, so the label SUM
+    // is a strictly-decreasing convergence witness — one metadata-cheap
+    // agg per round instead of a change-count join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("group_id")).head().getLong(0)
+    var prevSum = if (labels.isEmpty) 0L else labelSum(labels)
+    var round = 0
+    var converged = prevSum == 0L
+    while (!converged) {
+      require(round < maxIters,
+        s"dedupGroups did not converge in $maxIters rounds")
+      val nbrMin = edges
+        .join(labels.select(col("vec_id").as("dst"),
+          col("group_id").as("nlab")), "dst")
+        .groupBy("src").agg(min("nlab").as("nmin"))
+        .withColumnRenamed("src", "vec_id")
+      val relaxed = labels.join(nbrMin, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
+            .as("group_id"))
+      // pointer jumping: label(v) ← label(label(v)). A label is always an
+      // in-graph node id, so the self-join is total; composing it with
+      // the neighbor relaxation halves the remaining distance to the
+      // component minimum every round — convergence in O(log diameter)
+      // rounds instead of O(diameter) (the long-chain case where plain
+      // min propagation crawls)
+      val next = relaxed
+        .join(relaxed.select(col("vec_id").as("group_id"),
+          col("group_id").as("__root")), Seq("group_id"))
+        .select(col("vec_id"), col("__root").as("group_id"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    nodes.select(col("vec_id"))
+      .join(labels.withColumnRenamed("group_id", "__g"), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"), coalesce(col("__g"), col("vec_id"))
+        .as("group_id"))
+  }
+
   /** Brute-force top-k cosine neighbours for each probe row: the baseline
     * kNN join (BroadcastNestedLoop × probe count). At scale you bound the
     * probe side or move to the LSH/IVF bucketed variant; the per-probe

@@ -176,10 +176,28 @@ object TextQueries {
     TextSim.cosineDedup(Tables.load(s, dir, "embeddings"), 0.42)
       .orderBy("id_a", "id_b")
 
+  /** q_vec_dedup_groups — pairs → dedup GROUPS: connected components
+    * over the τ=0.42 cosine near-dup graph ([[TextSim.dedupGroups]],
+    * iterative min-label propagation), each vector labeled with its
+    * component's minimum id and flagged canonical iff it IS that
+    * minimum — the keeper-selection step a training-data dedup pipeline
+    * runs after pair generation. O-tier: the DuckDB oracle rebuilds the
+    * same components with a recursive transitive-closure CTE. */
+  private val dedupGroupsQ: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val pairs = TextSim.cosineDedup(emb, 0.42)
+    TextSim.dedupGroups(emb.select("vec_id"),
+        pairs.select("id_a", "id_b"))
+      .withColumn("is_canonical",
+        (col("vec_id") === col("group_id")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_text_simhash" -> simhashQ,
     "q_text_ngram_jaccard" -> ngramJaccardQ,
     "q_vec_cosine_dedup" -> cosineDedup,
+    "q_vec_dedup_groups" -> dedupGroupsQ,
     "q_text_tokenize" -> tokenize,
     "q_text_dedup_exact" -> dedupExact,
     "q_text_minhash" -> minhash,

@@ -73,6 +73,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_fingerprint" -> 0.6, "q_vec_ann_lsh" -> 0.8,
     "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
     "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
+    "q_vec_dedup_groups" -> 3.0, // iterative CC: ~5 log-diameter rounds
     "q_media_dedup" -> 0.8)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")

@@ -258,6 +258,36 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupGroups labels every component with its minimum id") {
+    // two components + isolates, plus a diameter-5 chain (propagation
+    // must run past the first round, and the round cap must not bite)
+    val nodes = (1L to 10L).map(Tuple1(_)).toDF("vec_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("id_a", "id_b")
+    val got = TextSim.dedupGroups(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 10L)
+    assert(got == want)
+    // and on a real pair graph: group ids equal a scalar union-find
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val realPairs = TextSim.cosineDedup(emb, 0.42).select("id_a", "id_b")
+      .as[(Long, Long)].collect()
+    val ids = emb.select("vec_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    realPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantReal = ids.map(i => i -> find(i)).toMap
+    val gotReal = TextSim.dedupGroups(emb.select("vec_id"),
+        TextSim.cosineDedup(emb, 0.42).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotReal == wantReal)
+  }
+
   test("property: topCells matches a scalar argsort on random inputs") {
     // the insertion-sort top-k inside the codegen'd expression must equal
     // (dot desc, cell asc) argsort for hostile shapes: duplicated
