@@ -15,6 +15,10 @@ run / fork := true
 // driver parses: sbt's "[success] Total time" epilogue would otherwise
 // land after it inside the driver's stdout tail window
 Global / showSuccess := false
+// ... and write the forked run's stdout through unprefixed: the default
+// LoggedOutput strategy decorates every child line with "[info] ", which
+// broke the driver's `json.loads(last_line)` in rounds 2-3
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

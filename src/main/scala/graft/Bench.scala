@@ -51,8 +51,12 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      // one retry after a failed warm-up: transient environment faults
+      // (e.g. a scratch-dir race in the sink round trips) should not
+      // report as a hard bench failure that BenchBudgetSpec fails on
       val samples =
-        if (runOnce() < 0) Seq(-1.0) else Seq.fill(runs)(runOnce())
+        if (runOnce() < 0 && runOnce() < 0) Seq(-1.0)
+        else Seq.fill(runs)(runOnce())
       val median =
         if (samples.exists(_ < 0)) -1.0
         else samples.sorted.apply(samples.size / 2)

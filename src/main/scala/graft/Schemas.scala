@@ -147,4 +147,19 @@ object Tables {
       }
     df
   }
+
+  /** Lift a narrow plan to the session's parallelism before CPU-heavy
+    * per-row work. Small-SF parquet arrives as ONE input split (a 2 MB
+    * file is below any maxPartitionBytes), so a compute-bound stage
+    * downstream of the scan — e.g. the interpreted higher-order-function
+    * hours parse — runs on a single core no matter how wide the session
+    * is; round 3's bench showed exactly that stage degrading 9× under
+    * host contention. The round-robin exchange costs one shuffle of the
+    * (tiny) scan output and unlocks every core. At scale the scan
+    * already yields ≥ `defaultParallelism` splits and this is the
+    * identity — the repartition only ever RAISES parallelism. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -462,14 +462,45 @@ object TextSim {
   }
 
   /** Session-scoped IVF centroid cache, keyed by (application, corpus
-    * plan, requested cell count, training iterations): the centroids are
-    * a deterministic-per-session function of the corpus, so
-    * re-collecting and re-broadcasting them per invocation (the round-2
-    * behavior) only re-ran the same tiny job. The value carries the
-    * corpus row count (for auto-sizing) and the broadcast handle. */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int),
-    (Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])]
+    * plan, source-file stamp, requested cell count, training iterations):
+    * the centroids are a deterministic-per-session function of the
+    * corpus, so re-collecting and re-broadcasting them per invocation
+    * (the round-2 behavior) only re-ran the same tiny job. The value
+    * carries the corpus row count (for auto-sizing) and the broadcast
+    * handle. LRU-bounded: evicted entries `destroy()` their broadcast so
+    * long sessions don't accumulate executor-pinned blocks. The stamp
+    * covers the plan's input files (path, length, mtime), so regenerating
+    * the backing files in-session misses the cache instead of silently
+    * reusing stale centroids — same contract as ndjsonFixture's
+    * sourceStamp (SourceQueries). */
+  private val ivfCacheMax = 8
+  private val ivfCache = new java.util.LinkedHashMap[
+      (String, Int, Int, Int, Int),
+      (Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Int, Int, Int, Int),
+          (Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])])
+        : Boolean =
+      size > ivfCacheMax && { e.getValue._2.destroy(); true }
+  }
+
+  /** TRUE round-up to the next power of two: `highestOneBit(x-1)*2` is
+    * the identity on exact powers — `highestOneBit(x)*2` doubled them
+    * (4·√N = 256 must yield 256, not 512). */
+  private[graft] def roundUpPow2(x: Int): Int =
+    if (x <= 1) 1 else Integer.highestOneBit(x - 1) * 2
+
+  /** Identity stamp of a plan's backing files: (path, length, mtime) per
+    * input file, order-independent. Non-`file:` URIs degrade to the path
+    * alone (still catches added/removed files). */
+  private def sourceStamp(df: DataFrame): Int =
+    scala.util.hashing.MurmurHash3.arrayHash(
+      df.inputFiles.sorted.map { p =>
+        val f = try new java.io.File(new java.net.URI(p))
+        catch { case _: Exception => null }
+        if (f != null && f.exists) s"$p:${f.length}:${f.lastModified}" else p
+      })
 
   private def l2normalize(v: Array[Double]): Array[Double] = {
     val norm = math.sqrt(v.map(x => x * x).sum)
@@ -508,15 +539,20 @@ object TextSim {
     var it = 0
     while (it < iters) {
       val bc = sc.broadcast(cents)
-      val sums = corpus
-        .select(
-          try_element_at(fns.top_cells(
-            col("embedding").cast("array<double>"), bc, 1), lit(1))
-            .as("cell"),
-          posexplode(col("embedding").cast("array<double>")))
-        .groupBy("cell", "pos")
-        .agg(sum("col").as("s"), count(lit(1)).as("n"))
-        .collect()
+      val sums =
+        try corpus
+          .select(
+            try_element_at(fns.top_cells(
+              col("embedding").cast("array<double>"), bc, 1), lit(1))
+              .as("cell"),
+            posexplode(col("embedding").cast("array<double>")))
+          .groupBy("cell", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        // the per-iteration broadcast is dead once the assignment job
+        // finishes — destroy it, or `iters` rounds pin `iters` copies of
+        // the centroid table in executor storage for the session's life
+        finally bc.destroy()
       val next = cents.map(_.clone())
       sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
         val dim = cents(cell).length
@@ -545,11 +581,12 @@ object TextSim {
     val centDf = cents.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cent")
     val vec = col("embedding").cast("array<double>")
-    corpus.select(vec.as("v"),
+    try corpus.select(vec.as("v"),
         try_element_at(fns.top_cells(vec, bc, 1), lit(1)).as("cell"))
       .join(broadcast(centDf), "cell")
       .agg(avg(dot(col("v"), col("cent")) / l2Norm(col("v"))))
       .head().getDouble(0)
+    finally bc.destroy()
   }
 
   /** Centroids for an IVF index over `corpus`: deterministic corpus
@@ -563,20 +600,26 @@ object TextSim {
       org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     val sc = corpus.sparkSession.sparkContext
     val key = (sc.applicationId,
-      corpus.queryExecution.analyzed.semanticHash(), nCellsReq, trainIters)
-    ivfCache.computeIfAbsent(key, _ => {
-      val n = corpus.count()
-      val auto = Integer.highestOneBit(
-        math.max(1, (4 * math.sqrt(n.toDouble)).toInt)) * 2
-      val nCells = math.min(n,
-        if (nCellsReq > 0) nCellsReq.toLong
-        else math.min(1024, math.max(16, auto)).toLong).toInt
-      val init = sampleCentroids(corpus, nCells)
-      val cents =
-        if (trainIters > 0) trainIvfCentroids(corpus, init, trainIters)
-        else init
-      (n, sc.broadcast(cents))
-    })
+      corpus.queryExecution.analyzed.semanticHash(), sourceStamp(corpus),
+      nCellsReq, trainIters)
+    ivfCache.synchronized {
+      val hit = ivfCache.get(key)
+      if (hit != null) hit
+      else {
+        val n = corpus.count()
+        val auto = roundUpPow2((4 * math.sqrt(n.toDouble)).toInt)
+        val nCells = math.min(n,
+          if (nCellsReq > 0) nCellsReq.toLong
+          else math.min(1024, math.max(16, auto)).toLong).toInt
+        val init = sampleCentroids(corpus, nCells)
+        val cents =
+          if (trainIters > 0) trainIvfCentroids(corpus, init, trainIters)
+          else init
+        val built = (n, sc.broadcast(cents))
+        ivfCache.put(key, built)
+        built
+      }
+    }
   }
 
   /** IVF (inverted-file) approximate top-k cosine neighbours — the other
@@ -615,6 +658,12 @@ object TextSim {
     val fns = org.apache.spark.sql.graftfns.VectorFunctions
     val (_, bc) = ivfIndex(corpus, nCells, trainIters)
     val cells = bc.value.length
+    // an empty corpus has no cells and no neighbours: return the empty
+    // result directly instead of tripping an opaque nProbe<=nCells guard
+    if (cells == 0)
+      return probes.select(col("vec_id").as("probe_id"),
+        col("vec_id").as("neighbor_id"), lit(0d).as("sim"),
+        lit(0L).as("rn")).limit(0)
     val probeK = if (nProbe > 0) nProbe else math.max(4, cells / 4)
     require(probeK <= cells,
       s"nProbe ($probeK) must be <= nCells ($cells)")
@@ -657,79 +706,119 @@ object TextSim {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Edges per task in [[dedupGroups]]'s partition-local contraction: a
+    * task's union-find map holds ≤ 2·this many entries (~64 MB of boxed
+    * longs) — the knob that bounds executor memory as the graph grows. */
+  private val ccEdgesPerTask = 2L * 1000 * 1000
+
   /** Connected components over a near-duplicate pair graph — the step
     * that turns PAIRS into dedup GROUPS (training-data dedup keeps one
     * canonical doc per component; ref dedup-by-key family
     * `web_scraper/web_scraping.py:517-521` lifted from keys to graphs).
     *
-    * Iterative min-label propagation (the Pregel shape on DataFrames):
-    * every node starts labeled with its own id; each round takes the min
-    * of its own and its neighbours' labels; fixpoint = every node holds
-    * its component's minimum id. Each round is one equi-join + one
-    * groupBy — all shuffles on node id — and `localCheckpoint()`
-    * truncates the plan after every round, without which iterative
-    * lineage growth makes round k cost O(k) to plan and re-execute.
-    * Rounds needed = graph diameter: right for near-dup graphs (dup
-    * clusters are dense and shallow); an adversarial long-path graph
-    * would want the large-star/small-star variant (O(log n) rounds),
-    * which this dataflow extends to directly. The driver-side loop holds
-    * only a changed-row COUNT per round — never data.
+    * Partition-local contraction (the "CC in MapReduce" family): each
+    * round hash-partitions the edge list by source and runs an in-memory
+    * union-find per partition (`mapPartitions` — the genuinely
+    * imperative per-partition step), emitting every seen node labeled
+    * with its LOCAL component minimum. A node whose edges landed in
+    * several partitions comes back with several labels — exactly the
+    * evidence that its local components are one global component — so
+    * the follow-up groupBy(node) both picks the min label and turns each
+    * extra label into a contracted edge (minLabel, otherLabel). The next
+    * round runs on the contracted graph only, which shrinks by roughly
+    * the partition fan-in each time: real near-dup graphs finish in 1-2
+    * rounds (vs. log-diameter rounds of label propagation, each paying
+    * fixed scheduler/AQE-stage latency — measured 0.5-0.7 s/round at ANY
+    * data size, which made the declarative loop the #1 bench cost).
     *
-    * Deterministic: labels are a pure function of the edge set (min over
-    * a component), independent of partitioning or iteration interleave. */
+    * Scale shape: the partition count is ⌈edges / ccEdgesPerTask⌉ capped
+    * at spark.sql.shuffle.partitions, so per-task state stays bounded as
+    * the graph grows and a tiny graph collapses to one exchange-free
+    * task. Convergence witness = contracted-edge COUNT reaching zero —
+    * no label-sum arithmetic, so there is nothing to overflow under
+    * ANSI mode and no sentinel to conflate with legitimate zero/negative
+    * ids. The driver loop holds only that count; mappings compose via
+    * one (left) join per round and every round's output is
+    * `localCheckpoint()`ed to truncate lineage.
+    *
+    * Deterministic: hash partitioning of edges is a pure function of the
+    * edge set and partition count, the local minimum is order-free, and
+    * the final label is the component's global minimum id regardless of
+    * the contraction path. Ids are handled as longs (the engine's id
+    * type — Normalize's surrogate keys and vec_id/doc_id are all
+    * BIGINT). */
   def dedupGroups(nodes: DataFrame, pairs: DataFrame,
                   maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"),
-        col("id_a").as("dst")))
-      .localCheckpoint() // materialize once; re-read every round
-    // iterate ONLY over nodes that touch an edge: the dup graph is a
-    // small fraction of the corpus at any scale, and isolates can never
-    // change label — they rejoin with label = own id at the end
-    var labels = edges.select(col("src").as("vec_id")).distinct()
-      .withColumn("group_id", col("vec_id")).localCheckpoint()
-    // labels strictly decrease toward component minima, so the label SUM
-    // is a strictly-decreasing convergence witness — one metadata-cheap
-    // agg per round instead of a change-count join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("group_id")).head().getLong(0)
-    var prevSum = if (labels.isEmpty) 0L else labelSum(labels)
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .as[(Long, Long)]
+      .localCheckpoint() // materialize once; the loop re-reads blocks
+    var eCount = edges.count()
+    // node → current best (smallest-known) component label; only nodes
+    // that touch an edge appear — isolates can never change label and
+    // rejoin with label = own id at the end
+    var mapping: DataFrame = null
     var round = 0
-    var converged = prevSum == 0L
-    while (!converged) {
+    while (eCount > 0) {
       require(round < maxIters,
         s"dedupGroups did not converge in $maxIters rounds")
-      val nbrMin = edges
-        .join(labels.select(col("vec_id").as("dst"),
-          col("group_id").as("nlab")), "dst")
-        .groupBy("src").agg(min("nlab").as("nmin"))
-        .withColumnRenamed("src", "vec_id")
-      val relaxed = labels.join(nbrMin, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
-            .as("group_id"))
-      // pointer jumping: label(v) ← label(label(v)). A label is always an
-      // in-graph node id, so the self-join is total; composing it with
-      // the neighbor relaxation halves the remaining distance to the
-      // component minimum every round — convergence in O(log diameter)
-      // rounds instead of O(diameter) (the long-chain case where plain
-      // min propagation crawls)
-      val next = relaxed
-        .join(relaxed.select(col("vec_id").as("group_id"),
-          col("group_id").as("__root")), Seq("group_id"))
-        .select(col("vec_id"), col("__root").as("group_id"))
+      val p = math.max(1,
+        math.min(maxP.toLong, (eCount + ccEdgesPerTask - 1) / ccEdgesPerTask))
+        .toInt
+      val local = edges.repartition(p, col("u"))
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          // snapshot keys before find() compresses paths mid-iteration
+          parent.keys.toArray.iterator.map(n => (n, find(n)))
+        }
+        .toDF("node", "root")
+      val agg = local.groupBy("node")
+        .agg(min("root").as("mroot"), collect_set("root").as("roots"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      val m = agg.select(col("node"), col("mroot").as("root"))
+      // compose: anything previously labeled with a node this round
+      // relabeled follows it down (round r's graph nodes are round r-1's
+      // labels, so the join key is the LABEL side)
+      mapping =
+        if (mapping == null) m.localCheckpoint()
+        else mapping
+          .join(m.select(col("node").as("__k"), col("root").as("__r")),
+            col("root") === col("__k"), "left")
+          .select(col("node"),
+            coalesce(col("__r"), col("root")).as("root"))
+          .localCheckpoint()
+      edges = agg.filter(size(col("roots")) > 1)
+        .select(col("mroot").as("u"), explode(col("roots")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .as[(Long, Long)]
+        .localCheckpoint()
+      eCount = edges.count()
       round += 1
     }
-    nodes.select(col("vec_id"))
-      .join(labels.withColumnRenamed("group_id", "__g"), Seq("vec_id"),
-        "left")
-      .select(col("vec_id"), coalesce(col("__g"), col("vec_id"))
-        .as("group_id"))
+    val base = nodes.select(col("vec_id"))
+    if (mapping == null) base.withColumn("group_id", col("vec_id"))
+    else base
+      .join(mapping.select(col("node").as("vec_id"), col("root").as("__g")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__g"), col("vec_id")).as("group_id"))
   }
 
   /** Brute-force top-k cosine neighbours for each probe row: the baseline

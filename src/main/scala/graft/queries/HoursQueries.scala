@@ -53,10 +53,20 @@ object HoursQueries {
     * = explode over the parser's array output, no custom Generator needed
     * (SURVEY.md §7.3). */
   private val hoursExplode: Q = (s, dir) =>
-    withHoursStr(Tables.load(s, dir, "events"))
+    // the parse is the one interpreted-HOF hot path (filter∘transform is
+    // CodegenFallback) — lift the single-split scan to full parallelism
+    // before it, or the whole stage runs on one core (round-3 bench)
+    withHoursStr(Tables.parallelized(Tables.load(s, dir, "events")))
       .withColumn("opens", HoursParser.opens(col("hours_str")))
       .withColumn("closes", HoursParser.closes(col("hours_str")))
-      .select(col("event_id"), col("closes"), posexplode(col("opens")))
+      // posexplode_OUTER + pos-not-null ≡ inner posexplode, but dodges
+      // InferFiltersFromGenerate: the inner form infers `size(opens)>0`,
+      // and predicate pushdown drags that filter — with the ENTIRE
+      // interpreted parse inlined — below the repartition exchange into
+      // the single-split scan task, re-running the whole parse serially
+      // (measured: ~70% of this query's round-3 bench cost)
+      .select(col("event_id"), col("closes"), posexplode_outer(col("opens")))
+      .filter(col("pos").isNotNull)
       .withColumn("range_idx", col("pos").cast("long"))
       .withColumn("open_sec", col("col"))
       .withColumn("close_sec", element_at(col("closes"), col("pos") + 1))

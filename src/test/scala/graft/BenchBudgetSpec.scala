@@ -63,7 +63,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.5,
     "q_stream_state" -> 1.2,
     // UDF family
-    "q_udf_parse_hours" -> 0.8, "q_udtf_hours_explode" -> 1.8,
+    // hours_explode: outer-explode form, parse parallelized (round 4)
+    "q_udf_parse_hours" -> 0.8, "q_udtf_hours_explode" -> 0.8,
     "q_udaf_wavg" -> 0.4, "q_udf_time_until_close" -> 0.8,
     // text / vector pipeline
     "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
@@ -73,7 +74,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_fingerprint" -> 0.6, "q_vec_ann_lsh" -> 0.8,
     "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
     "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
-    "q_vec_dedup_groups" -> 3.0, // iterative CC: ~5 log-diameter rounds
+    "q_vec_dedup_groups" -> 1.6, // partition-local UF contraction (r4)
     "q_media_dedup" -> 0.8)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")

@@ -165,6 +165,28 @@ class PlanQualitySpec extends SparkSpecBase {
       "expected the zipWithIndex RDD scan root:\n" + p)
   }
 
+  test("q_udtf_hours_explode keeps the parse above the exchange, run once") {
+    // the inner-posexplode form lets InferFiltersFromGenerate add
+    // `size(opens) > 0`, which predicate pushdown drags — with the whole
+    // interpreted parse inlined — below the repartition exchange into the
+    // single-split scan task (the round-3 19.5 s driver bench). The
+    // outer-explode + pos-not-null form must plan with NO Filter carrying
+    // the parse regex, and the lifted parallelism must survive.
+    val p = plan("q_udtf_hours_explode")
+    val lines = p.linesIterator.toSeq
+    // formatted mode: filter predicates print on "Condition :" lines and
+    // scan-level residuals on "DataFilters" — the parse regex on either
+    // means the inferred filter is back
+    val filterLines = lines.filter(l =>
+      (l.contains("Condition") || l.contains("DataFilters")) &&
+        l.contains("regexp_extract_all"))
+    assert(filterLines.isEmpty,
+      "the parse is re-run inside an inferred filter:\n" +
+        filterLines.mkString("\n").take(500))
+    assert(p.contains("RoundRobinPartitioning"),
+      "the parallelism-lifting repartition is gone")
+  }
+
   test("GraftExtensions exposes dot_product to SQL") {
     // the shared test session is built withExtensions(new GraftExtensions)
     val r = spark.sql(

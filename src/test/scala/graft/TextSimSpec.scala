@@ -288,6 +288,37 @@ class TextSimSpec extends SparkSpecBase {
     assert(gotReal == wantReal)
   }
 
+  test("dedupGroups: zero/negative ids converge correctly (no sum sentinel)") {
+    // initial label sum of {-1, 1} is 0 — the old `sum == 0` emptiness
+    // sentinel declared instant convergence and skipped propagation
+    val nodes = Seq(-1L, 0L, 1L).map(Tuple1(_)).toDF("vec_id")
+    val pairs = Seq((-1L, 1L)).toDF("id_a", "id_b")
+    val got = TextSim.dedupGroups(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(-1L -> -1L, 0L -> 0L, 1L -> -1L))
+    // and the genuinely-empty edge set still short-circuits to identity
+    val none = TextSim.dedupGroups(nodes,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(none == Map(-1L -> -1L, 0L -> 0L, 1L -> 1L))
+  }
+
+  test("roundUpPow2 is the next power of two (identity on exact powers)") {
+    for (x <- 1 to 2048) {
+      val r = TextSim.roundUpPow2(x)
+      assert(Integer.bitCount(r) == 1 && r >= x && (x <= 1 || r < 2 * x),
+        s"x=$x r=$r")
+    }
+  }
+
+  test("annCosineIvf on an empty corpus is loud-empty, not a require crash") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val got = TextSim.annCosineIvf(emb.limit(3), emb.filter(lit(false)), 3)
+    assert(got.columns.toSeq ==
+      Seq("probe_id", "neighbor_id", "sim", "rn"))
+    assert(got.count() == 0)
+  }
+
   test("property: topCells matches a scalar argsort on random inputs") {
     // the insertion-sort top-k inside the codegen'd expression must equal
     // (dot desc, cell asc) argsort for hostile shapes: duplicated
