@@ -748,7 +748,9 @@ object TextSim {
     * type — Normalize's surrogate keys and vec_id/doc_id are all
     * BIGINT). */
   def dedupGroups(nodes: DataFrame, pairs: DataFrame,
-                  maxIters: Int = 50): DataFrame = {
+                  maxIters: Int = 50,
+                  edgesPerTask: Long = ccEdgesPerTask): DataFrame = {
+    require(edgesPerTask > 0, s"edgesPerTask ($edgesPerTask) must be > 0")
     val spark = nodes.sparkSession
     import spark.implicits._
     val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -767,7 +769,7 @@ object TextSim {
       require(round < maxIters,
         s"dedupGroups did not converge in $maxIters rounds")
       val p = math.max(1,
-        math.min(maxP.toLong, (eCount + ccEdgesPerTask - 1) / ccEdgesPerTask))
+        math.min(maxP.toLong, (eCount + edgesPerTask - 1) / edgesPerTask))
         .toInt
       val local = edges.repartition(p, col("u"))
         .mapPartitions { it =>

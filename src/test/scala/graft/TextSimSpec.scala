@@ -303,6 +303,48 @@ class TextSimSpec extends SparkSpecBase {
     assert(none == Map(-1L -> -1L, 0L -> 0L, 1L -> 1L))
   }
 
+  test("property: multi-partition contraction matches a scalar union-find") {
+    // the 100 TB path: edgesPerTask small enough that edges spread over
+    // MANY partitions, so cross-partition merging (multi-root nodes →
+    // contracted edges → mapping composition over several rounds) is
+    // actually exercised — at bench scale p collapses to 1 and that code
+    // would otherwise never run. Random graphs with hostile shapes:
+    // long chains (deep diameter), stars (hub fan-in), dense blobs
+    // (duplicate edges both orientations), isolates.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(60)
+      val ids = (0 until n).map(_ => rnd.between(-1000L, 1000L)).distinct
+      val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      // chain over a random subset (forces multi-round contraction)
+      val chain = rnd.shuffle(ids).take(ids.size / 3)
+      chain.sliding(2).foreach { case Seq(a, b) => edges += ((a, b))
+        case _ => }
+      // star + random blob edges, some duplicated/reversed
+      val hub = ids(rnd.nextInt(ids.size))
+      rnd.shuffle(ids).take(8).foreach(x => if (x != hub) edges += ((hub, x)))
+      (0 until n / 2).foreach { _ =>
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        if (a != b) { edges += ((a, b)); if (rnd.nextBoolean()) edges += ((b, a)) }
+      }
+      // scalar union-find ground truth
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = TextSim.dedupGroups(
+          ids.map(Tuple1(_)).toDF("vec_id"),
+          edges.toSeq.toDF("id_a", "id_b"),
+          edgesPerTask = 4) // ⌈|E|/4⌉ partitions → real contraction rounds
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed n=$n edges=${edges.size}")
+    }
+  }
+
   test("roundUpPow2 is the next power of two (identity on exact powers)") {
     for (x <- 1 to 2048) {
       val r = TextSim.roundUpPow2(x)
