@@ -185,6 +185,17 @@ object OracleSql {
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4)
+                     AS DOUBLE) AS sum_qty,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                  g_flag, g_status""",
     "q_agg_collect" ->
       """SELECT l_orderkey,
                 array_to_string(list(l_linenumber ORDER BY l_linenumber), '|')
@@ -251,6 +262,14 @@ object OracleSql {
                   c_custkey, c_name
            FROM customer) t
          WHERE rn > 40 AND rn <= 60 ORDER BY rn""",
+    "q_win_ntile" ->
+      """SELECT doc_id, lang, n_chars,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+         ORDER BY doc_id""",
 
     // ───── §2.H strings ─────
     "q_str_concat" ->
@@ -357,6 +376,17 @@ object OracleSql {
                 CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
                   AS sum_value
          FROM events GROUP BY hour_ts ORDER BY hour_ts""",
+    "q_dt_series" ->
+      """WITH days AS (
+           SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                    DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS day),
+         per AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS c
+           FROM orders GROUP BY 1)
+         SELECT d.day, CAST(coalesce(c, 0) AS BIGINT) AS n_orders,
+                CAST(d.day - DATE '1995-01-01' AS BIGINT) AS day_idx,
+                CAST((d.day - DATE '1995-01-01') % 7 AS BIGINT) AS dow7
+         FROM days d LEFT JOIN per USING (day) ORDER BY day""",
     "q_math_arith" ->
       """SELECT l_orderkey, l_linenumber,
                 CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -622,6 +652,20 @@ object OracleSql {
                 (n_words >= 5 AND n_words <= 10000
                  AND n_punct * 4 < n_words) AS quality_ok
          FROM m ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct,
+                round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
+                  AS distinct_ratio,
+                round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
+                  AS top_token_share
+         FROM counts GROUP BY doc_id ORDER BY doc_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

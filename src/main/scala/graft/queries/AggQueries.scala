@@ -112,6 +112,25 @@ object AggQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** q_agg_gsets — explicit GROUPING SETS ((flag,status),(flag),()) —
+    * the general form that rollup/cube specialize (same reporting family
+    * as q_agg_rollup; ref dim hierarchy `database/model.py:35-38`).
+    * `grouping()` flags disambiguate subtotal rows from genuine NULL
+    * groups, which also makes the output order total (§7.5). */
+  private val aggGsets: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("g_flag"), col("g_status"))
+
   /** q_agg_collect — order-stable list rebuild, the denormalization dual of
     * explode (ref nested arrays `README.md:95-103`). The list is serialized
     * to a '|'-joined string in the final projection ONLY so the driver's
@@ -148,6 +167,7 @@ object AggQueries {
     "q_agg_approx" -> aggApprox,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
+    "q_agg_gsets" -> aggGsets,
     "q_agg_collect" -> aggCollect,
     "q_agg_pivot" -> aggPivot)
 }

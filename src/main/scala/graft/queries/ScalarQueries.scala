@@ -173,6 +173,29 @@ object ScalarQueries {
           .as("sum_value"))
       .orderBy("hour_ts")
 
+  /** q_dt_series — generated date spine (calendar dim) with zero-filled
+    * per-day order counts: `sequence` + `explode` builds the dim inside
+    * the plan (no driver loop), the left join makes missing days explicit
+    * rows — the warehouse calendar pattern behind "orders per day
+    * including quiet days" (ref the weekday dim fully materialized
+    * client-side, `database/app.py:148-150`). dow7 is modular day
+    * arithmetic from a fixed epoch, not locale dayofweek — engine-neutral
+    * and deterministic (§7.5). */
+  private val dtSeries: Q = (s, dir) => {
+    val epoch = lit(java.sql.Date.valueOf("1995-01-01"))
+    val spine = s.range(1).select(explode(sequence(
+        epoch, lit(java.sql.Date.valueOf("1995-12-31")))).as("day"))
+    val perDay = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("c"), lit(0L)).as("n_orders"),
+        datediff(col("day"), epoch).cast("long").as("day_idx"),
+        pmod(datediff(col("day"), epoch), lit(7)).cast("long").as("dow7"))
+      .orderBy("day")
+  }
+
   /** q_math_arith — arithmetic, casts, mod, floor/ceil (ref
     * `offset=(page-1)*page_size` `database/app.py:74`; price×(1−disc)
     * facts). */
@@ -206,5 +229,6 @@ object ScalarQueries {
     "q_dt_extract" -> dtExtract,
     "q_dt_tz" -> dtTz,
     "q_dt_trunc" -> dtTrunc,
+    "q_dt_series" -> dtSeries,
     "q_math_arith" -> mathArith)
 }

@@ -99,6 +99,29 @@ object TextQueries {
         "quality_ok")
       .orderBy("doc_id")
 
+  /** q_text_repetition — token-uniqueness quality signals (the
+    * repetition-filter family of pre-training curation: heavily
+    * repetitive docs score low on distinct-token ratio and high on
+    * top-token share). Distributed shape: explode → two-phase
+    * (doc, token) count → per-doc aggregate — the shuffles carry one row
+    * per distinct (doc, token), never the raw token stream, so cost
+    * tracks vocabulary, not corpus length. */
+  private val repetition: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(TextSim.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        round(col("top_count").cast("double") / col("n_tokens"), 4)
+          .as("top_token_share"))
+      .orderBy("doc_id")
+
   /** q_text_tokens — whitespace vs BPE-ish pre-tokenizer counts
     * ([[TextSim.bpeTokenCount]]). */
   private val tokenCounts: Q = (s, dir) =>
@@ -203,6 +226,7 @@ object TextQueries {
     "q_text_minhash" -> minhash,
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
+    "q_text_repetition" -> repetition,
     "q_text_tokens" -> tokenCounts,
     "q_text_fingerprint" -> fingerprint,
     "q_vec_cosine_topk" -> cosineTopk,

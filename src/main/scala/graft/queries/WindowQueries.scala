@@ -76,6 +76,23 @@ object WindowQueries {
       .select("o_custkey", "o_orderkey", "rn")
       .orderBy("o_custkey", "rn")
 
+  /** q_win_ntile — percentile bucketing per language: ntile quartiles +
+    * percent_rank + cume_dist over doc length — the corpus-curation step
+    * that keeps a quality percentile per language (the training-data
+    * analog of the reference's `ranking` ordering
+    * `web_scraper/web_scraping.py:96,107`). The (n_chars, doc_id) order
+    * key is total, so every rank function is deterministic (§7.5). */
+  private val winNtile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("doc_id")
+  }
+
   /** q_win_paginate — page 3 of 20 over a total order
     * ([[Relational.paginate]]; ref offset pagination
     * `database/app.py:74-82`). */
@@ -92,5 +109,6 @@ object WindowQueries {
     "q_win_lag" -> winLag,
     "q_win_running" -> winRunning,
     "q_win_topk_group" -> winTopkGroup,
+    "q_win_ntile" -> winNtile,
     "q_win_paginate" -> winPaginate)
 }

@@ -38,11 +38,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
     "q_agg_approx" -> 0.5, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
-    "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
+    "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
-    "q_win_paginate" -> 0.7,
+    "q_win_ntile" -> 0.5, "q_win_paginate" -> 0.7,
     // sort / set
     "q_sort_multi" -> 0.3, "q_limit" -> 0.3, "q_topk" -> 0.3,
     "q_set_union" -> 0.4, "q_set_except" -> 0.5, "q_set_intersect" -> 0.5,
@@ -52,6 +52,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_str_regex_extract" -> 0.3, "q_str_like" -> 0.3, "q_str_len" -> 0.3,
     "q_dt_parse" -> 0.3, "q_dt_format" -> 0.3, "q_dt_arith" -> 0.3,
     "q_dt_extract" -> 0.3, "q_dt_tz" -> 0.5, "q_dt_trunc" -> 0.3,
+    "q_dt_series" -> 0.6,
     "q_math_arith" -> 0.3,
     // collections / json
     "q_arr_explode" -> 0.4, "q_arr_posexplode" -> 0.5, "q_arr_ops" -> 0.7,
@@ -70,7 +71,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
     "q_text_minhash" -> 1.0, "q_vec_cosine_topk" -> 0.4,
     "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.4,
-    "q_text_quality" -> 0.4, "q_text_tokens" -> 0.3,
+    "q_text_quality" -> 0.4, "q_text_repetition" -> 0.7,
+    "q_text_tokens" -> 0.3,
     "q_text_fingerprint" -> 0.6, "q_vec_ann_lsh" -> 0.8,
     "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
     "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
