@@ -44,6 +44,24 @@ object OracleSql {
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    "q_src_partition_prune" ->
+      """SELECT count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events WHERE event_type = 'purchase'""",
+    "q_sink_bucketed" ->
+      """WITH clicks AS (
+           SELECT user_id, count(*) AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+         spend AS (
+           SELECT user_id,
+                  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                    AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT c.user_id, c.n_clicks, s.purchase_value
+         FROM clicks c LEFT JOIN spend s USING (user_id)
+         ORDER BY user_id""",
 
     // ───── §2.B projections / filters ─────
     "q_proj_select" ->
@@ -196,6 +214,29 @@ object OracleSql {
                                  (l_returnflag), ())
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
                   g_flag, g_status""",
+    "q_agg_quantile" ->
+      """SELECT event_type, count(*) AS n,
+                round(quantile_cont(value, 0.25), 4) AS p25,
+                round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.75), 4) AS p75,
+                round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 6)
+                  AS corr_qty_price,
+                round(covar_samp(l_quantity, l_extendedprice), 4)
+                  AS covar_qty_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin,
+                count(*) AS n,
+                round(min(o_totalprice), 4) AS lo,
+                round(max(o_totalprice), 4) AS hi,
+                CAST(floor(o_totalprice / 20000) AS BIGINT) * 20000 AS bin_lo
+         FROM orders GROUP BY 1 ORDER BY bin""",
     "q_agg_collect" ->
       """SELECT l_orderkey,
                 array_to_string(list(l_linenumber ORDER BY l_linenumber), '|')
@@ -666,6 +707,53 @@ object OracleSql {
                 round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
                   AS top_token_share
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                    % 100 AS bucket
+           FROM documents),
+         sp AS (
+           SELECT doc_id, n_chars,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM b)
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM sp GROUP BY split ORDER BY split""",
+    "q_text_scrub" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  concat('reach user', doc_id, '@', source, '.org or +1-555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' re: ', substr(text, 1, 40)) AS raw
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(raw,
+                    '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+                  '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(raw,
+                  '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+         FROM r ORDER BY doc_id""",
+    "q_text_urls" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  concat('https://', source, '.example.com/docs/', lang, '/',
+                    doc_id, '?ref=', lang, '&p=', doc_id % 7) AS url
+           FROM documents)
+         SELECT doc_id,
+                regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+                regexp_extract(url, '\?(.*)$', 1) AS query,
+                regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+         FROM u ORDER BY doc_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -784,5 +872,47 @@ object OracleSql {
       """SELECT c_custkey FROM customer
          INTERSECT
          SELECT o_custkey AS c_custkey FROM orders
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+
+    // ───── §2.O pipeline patterns ─────
+    "q_evt_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         v AS (
+           SELECT user_id, min(ts) AS t_view FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT ev.user_id, min(ev.ts) AS t_click
+           FROM ev JOIN v ON ev.user_id = v.user_id
+           WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+           GROUP BY ev.user_id),
+         p AS (
+           SELECT ev.user_id, min(ev.ts) AS t_purchase
+           FROM ev JOIN c ON ev.user_id = c.user_id
+           WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+           GROUP BY ev.user_id)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                1 + CAST(c.t_click IS NOT NULL AS BIGINT)
+                  + CAST(p.t_purchase IS NOT NULL AS BIGINT) AS stage
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
+    "q_etl_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(0 AS BIGINT) AS version
+           FROM orders WHERE o_orderkey % 4 != 3),
+         updates AS (
+           SELECT o_orderkey, 'U' AS o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice,
+                  CAST(1 AS BIGINT) AS version
+           FROM orders WHERE o_orderkey % 2 = 1),
+         merged AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY version DESC) AS rn
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+         SELECT o_orderkey, o_orderstatus, o_totalprice, version
+         FROM merged WHERE rn = 1 ORDER BY o_orderkey""")
 }

@@ -131,6 +131,58 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first, col("g_flag"), col("g_status"))
 
+  /** q_agg_quantile — exact interpolated percentiles per group (the
+    * distribution profile behind curation cutoffs — "drop the bottom
+    * quartile by quality" needs the quartile first; ref numeric analytics
+    * over price tiers `web_scraper/web_scraping.py:242`). Both engines
+    * use linear interpolation at position p·(n−1), so values agree
+    * exactly; rounded to 4 dp because the interpolation arithmetic is
+    * float. Exact percentile sorts within each group — at 100 TB, swap
+    * to `approx_percentile` (t-digest sketch, constant memory/group) and
+    * keep this as the small-group/audit path. */
+  private val aggQuantile: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy("event_type")
+
+  /** q_agg_stats — second-moment statistics per group: sample
+    * stddev/variance and the quantity↔price correlation/covariance
+    * (textbook definitions shared by both engines; single-pass co-moment
+    * accumulation, order-independent up to float rounding → 4 dp).
+    * Everything is one two-phase HashAggregate — moments compose from
+    * (n, Σx, Σx², Σxy) partials, so the shuffle carries four numbers per
+    * group regardless of corpus size. */
+  private val aggStats: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_histogram — fixed-width binning of order totals (the
+    * distribution-sketch dual of q_agg_quantile: constant bin edges, one
+    * group-by; price histogram analog of the reference's price-tier
+    * analytics `web_scraper/web_scraping.py:242`). Bin math is integer
+    * floor division — exact in both engines. */
+  private val aggHistogram: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 4).as("lo"),
+        round(max("o_totalprice"), 4).as("hi"))
+      .withColumn("bin_lo", col("bin") * 20000)
+      .orderBy("bin")
+
   /** q_agg_collect — order-stable list rebuild, the denormalization dual of
     * explode (ref nested arrays `README.md:95-103`). The list is serialized
     * to a '|'-joined string in the final projection ONLY so the driver's
@@ -168,6 +220,9 @@ object AggQueries {
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
     "q_agg_gsets" -> aggGsets,
+    "q_agg_quantile" -> aggQuantile,
+    "q_agg_stats" -> aggStats,
+    "q_agg_histogram" -> aggHistogram,
     "q_agg_collect" -> aggCollect,
     "q_agg_pivot" -> aggPivot)
 }

@@ -189,8 +189,68 @@ object SourceQueries {
     roundTripAgg(s.read.parquet(out))
   }
 
+  /** q_src_partition_prune — hive-layout partitioned write, then a
+    * pruned read-back: the scan must touch ONLY the `event_type=purchase`
+    * directory (ref the per-category output layout of the scraper's
+    * outfile family, `web_scraper/web_scraping.py:221-224`, promoted to
+    * the warehouse layout that makes 100 TB queryable — partition
+    * elimination is THE first-order scan reducer, ahead of any row-group
+    * statistics). PlanQualitySpec gates the plan: the read-back scan
+    * reports the pushed partition filter and one matched partition. */
+  private val srcPartitionPrune: Q = (s, dir) => {
+    val out = freshSinkDir("part_prune")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+  }
+
+  /** Per-thread previous bucketed catalog table, dropped on the next
+    * invocation (same bounded-scratch rationale as [[freshSinkDir]];
+    * the table is external so the data dir is reclaimed by
+    * freshSinkDir's delete, the DROP reclaims the catalog entry). */
+  private val lastBucketedTable = new ThreadLocal[String]
+
+  /** q_sink_bucketed — bucketed warehouse table + shuffle-free
+    * aggregation/join: events written `bucketBy(8, user_id)`, then two
+    * per-user aggregates and their join all reuse the bucket layout —
+    * ZERO hash exchanges in the whole dataflow (PlanQualitySpec gates
+    * the plan). This is the co-located-join answer at 100 TB: pay the
+    * shuffle once at write time, every downstream user_id-keyed
+    * query — daily — reads pre-partitioned data. Ref: the load layout
+    * choice `database/parse_and_upload_to_db.py:173-175`, re-expressed
+    * as a Spark bucketed table. */
+  private val sinkBucketed: Q = (s, dir) => {
+    val out = freshSinkDir("sink_bucketed")
+    val tbl = s"bucketed_events_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    Option(lastBucketedTable.get())
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    lastBucketedTable.set(tbl)
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .option("path", out).mode("overwrite").saveAsTable(tbl)
+    val t = s.table(tbl)
+    val clicks = t.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val spend = t.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+        .as("purchase_value"))
+    clicks.join(spend, Seq("user_id"), "left")
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_src_parquet" -> srcParquet,
+    "q_src_partition_prune" -> srcPartitionPrune,
+    "q_sink_bucketed" -> sinkBucketed,
     "q_src_ndjson" -> srcNdjson,
     "q_src_stream_file" -> srcStreamFile,
     "q_sink_append" -> sinkAppend,

@@ -216,7 +216,82 @@ object TextQueries {
       .orderBy("vec_id")
   }
 
+  /** q_sample_hash — deterministic content-hash train/val/test split
+    * (80/10/10): bucket = first 7 hex chars of sha256(doc_id) mod 100.
+    * THE split mechanism for training corpora at scale — stable under
+    * reruns, reshuffles, and corpus growth (a doc's split never depends
+    * on what else is in the corpus), unlike `randomSplit`, which is
+    * partition-layout-dependent. Pure per-row expression: no shuffle at
+    * all until the audit aggregate at the end. Production keys the hash
+    * on the content fingerprint (q_text_fingerprint) rather than the id
+    * so exact dupes land in the same split and cannot leak train→test. */
+  private val sampleHash: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 7), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split")
+
+  /** q_text_scrub — PII redaction (the pre-training scrub pass: emails
+    * and phone numbers → placeholder tokens before anything ships to a
+    * training corpus). Contact strings are synthesized deterministically
+    * from doc columns (the corpus is word-salad; same pattern as the
+    * hours parser, [[HoursQueries.withHoursStr]]), then scrubbed with
+    * regexes kept inside the Java∩RE2 portable subset so the DuckDB
+    * oracle runs the identical patterns. Pure per-row codegen'd
+    * expressions — embarrassingly parallel at any scale. */
+  private val textScrub: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("raw",
+        concat(lit("reach user"), col("doc_id"), lit("@"), col("source"),
+          lit(".org or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" re: "), substring(col("text"), 1, 40)))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(col("raw"),
+            "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]", "<EMAIL>"),
+          "\\+1-555-[0-9]{4}", "<PHONE>"))
+      .withColumn("n_emails",
+        size(expr("regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', 0)"))
+          .cast("long"))
+      .withColumn("n_phones",
+        size(expr("regexp_extract_all(raw, '\\\\+1-555-[0-9]{4}', 0)"))
+          .cast("long"))
+      .select("doc_id", "scrubbed", "n_emails", "n_phones")
+      .orderBy("doc_id")
+
+  /** q_text_urls — URL decomposition via Spark's native `parse_url`
+    * (host/path/query + single-parameter extraction) — the
+    * domain-filtering step of web-corpus curation (blocklists and
+    * quality priors key on the registrable host, not the full URL).
+    * URLs are synthesized deterministically from doc columns; the DuckDB
+    * oracle decomposes with equivalent anchored regexes. Per-row
+    * expression pipeline, no shuffle before the output sort. */
+  private val textUrls: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("lang"), lit("/"), col("doc_id"),
+          lit("?ref="), col("lang"), lit("&p="), col("doc_id") % 7))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
+    "q_sample_hash" -> sampleHash,
+    "q_text_scrub" -> textScrub,
+    "q_text_urls" -> textUrls,
     "q_text_simhash" -> simhashQ,
     "q_text_ngram_jaccard" -> ngramJaccardQ,
     "q_vec_cosine_dedup" -> cosineDedup,

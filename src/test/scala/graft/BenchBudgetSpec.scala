@@ -24,6 +24,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
     "q_src_stream_file" -> 2.0,
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
+    "q_src_partition_prune" -> 1.2, "q_sink_bucketed" -> 1.5,
     // projections / filters
     "q_proj_select" -> 0.3, "q_proj_derived" -> 0.3,
     "q_filter_eq" -> 0.3, "q_filter_bool" -> 0.3,
@@ -39,6 +40,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
     "q_agg_approx" -> 0.5, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
     "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
+    "q_agg_quantile" -> 0.5, "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
@@ -77,7 +79,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
     "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
     "q_vec_dedup_groups" -> 1.6, // partition-local UF contraction (r4)
-    "q_media_dedup" -> 0.8)
+    "q_media_dedup" -> 0.8,
+    // curation / pipeline patterns (round 4)
+    "q_sample_hash" -> 0.4, "q_text_scrub" -> 0.5, "q_text_urls" -> 0.5,
+    "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 0.7)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -187,6 +187,41 @@ class PlanQualitySpec extends SparkSpecBase {
       "the parallelism-lifting repartition is gone")
   }
 
+  test("q_src_partition_prune pushes the partition predicate into the scan") {
+    // the filter on the partition column must become a PartitionFilter
+    // (directory elimination — no I/O on other partitions), never a data
+    // filter evaluated per row after a full scan
+    val p = plan("q_src_partition_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, "read-back scan reports no PartitionFilters:\n" +
+      p.linesIterator.take(20).mkString("\n"))
+    assert(pf.get.contains("event_type") && pf.get.contains("purchase"),
+      s"partition predicate not pushed: ${pf.get}")
+  }
+
+  test("q_sink_bucketed dataflow reuses the bucket layout — no hash exchange") {
+    // the whole point of paying the shuffle at write time: both per-user
+    // aggregates and their join must consume the bucketed distribution
+    // directly. Any hashpartitioning exchange in the plan means the
+    // layout was lost (the orderBy's rangepartitioning is expected).
+    // Broadcast is disabled so the join can't sidestep the property
+    // under the tiny test scale.
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thr)
+    try {
+      spark.conf.set(thr, "-1")
+      val p = plan("q_sink_bucketed")
+      assert(p.contains("Bucketed: true"),
+        "read-back scan is not bucketed:\n" +
+          p.linesIterator.take(20).mkString("\n"))
+      assert(!p.contains("hashpartitioning"),
+        "bucket layout lost — a hash exchange reappeared:\n" +
+          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(p.contains("SortMergeJoin"),
+        "expected a shuffle-free sort-merge join on the bucket key")
+    } finally spark.conf.set(thr, old)
+  }
+
   test("GraftExtensions exposes dot_product to SQL") {
     // the shared test session is built withExtensions(new GraftExtensions)
     val r = spark.sql(
