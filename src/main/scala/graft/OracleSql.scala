@@ -297,6 +297,29 @@ object OracleSql {
                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_win_locf" ->
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+                    AS v_sparse
+           FROM events)
+         SELECT event_id, user_id, v_sparse,
+                last_value(v_sparse IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS v_filled
+         FROM e ORDER BY event_id""",
+    "q_win_moving" ->
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events)
+         SELECT event_id, user_id,
+                round(avg(value) OVER w, 4) AS mov_avg,
+                count(*) OVER w AS n_frame
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_win_paginate" ->
       """SELECT rn, c_custkey, c_name FROM (
            SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS rn,
@@ -492,6 +515,18 @@ object OracleSql {
          FROM events ORDER BY event_id""",
 
     // ───── §2.K streaming batch shadows ─────
+    "q_stream_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events)
+         SELECT v.event_id AS view_id, c.event_id AS click_id,
+                v.user_id,
+                (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS delay_sec
+         FROM ev v JOIN ev c
+           ON v.user_id = c.user_id
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+         WHERE v.event_type = 'view' AND c.event_type = 'click'
+         ORDER BY view_id, click_id""",
     "q_stream_tumble" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                 event_type, count(*) AS n,

@@ -50,6 +50,29 @@ object Streaming {
   def dedupBatch(ev: DataFrame, keys: Seq[String]): DataFrame =
     ev.dropDuplicates(keys)
 
+  /** Stream-stream interval join: every left event matched to right
+    * events of the same key that occur strictly after it and within
+    * `window` — the attribution join (view → click within 30 min). The
+    * equi-key plus BOTH time bounds is what makes this work in
+    * streaming: with each side watermarked, the bounds tell the state
+    * store exactly when a buffered row can never match again and is
+    * evicted, so state is O(key-rate × window), not O(stream). The same
+    * builder runs in batch (oracle shadow, registered) and under
+    * readStream (watermarked incremental run in StreamingSpec).
+    * Columns are prefixed l_/r_ before the join so the condition never
+    * self-references one plan's attributes (ambiguous-self-join). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   window: String): DataFrame = {
+    val l = left.select(
+      left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.select(
+      right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Per-user accumulator. All fields are order-independent aggregates —
     * flatMapGroupsWithState gives no intra-batch row ordering after the
     * shuffle, so a "last value" field would be nondeterministic

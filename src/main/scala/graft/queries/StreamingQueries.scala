@@ -65,7 +65,30 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q_stream_join — stream-stream interval join
+    * ([[Streaming.intervalJoin]]): views attributed to same-user clicks
+    * within 30 minutes, run as the batch shadow (watermarked incremental
+    * twin in StreamingSpec). Output is the (view, click) pair list with
+    * the attribution latency in seconds — a total order on
+    * (l_event_id, r_event_id). */
+  private val streamJoin: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    Streaming.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "30 minutes")
+      .select(col("l_event_id").as("view_id"),
+        col("r_event_id").as("click_id"),
+        col("l_user_id").as("user_id"),
+        // `div` (integral): Column./ would promote to double
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+          .as("delay_sec"))
+      .orderBy("view_id", "click_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_stream_join" -> streamJoin,
     "q_stream_tumble" -> tumble,
     "q_stream_slide" -> slide,
     "q_stream_session" -> session,

@@ -93,6 +93,40 @@ object WindowQueries {
       .orderBy("doc_id")
   }
 
+  /** q_win_locf — forward fill (last observation carried forward): nulls
+    * in a sensor-style series take the most recent non-null value within
+    * the key's timeline — the gap-repair step of time-series feature
+    * pipelines. Nulls are synthesized deterministically (every 5th
+    * event); the frame is running (unbounded preceding → current), so
+    * per-partition state is one value and the window never materializes
+    * the tail. The (ts, event_id) order key is total (§7.5). */
+  private val winLocf: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("v_sparse",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"), col("v_sparse"),
+        last("v_sparse", ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy("event_id")
+  }
+
+  /** q_win_moving — bounded-frame moving aggregate (7-row trailing mean
+    * per user): the rolling-feature primitive of event featurization.
+    * The ROWS frame is O(1) incremental state per partition; both
+    * engines sum the same 7 values in the same frame order, so the
+    * float mean is bit-identical before the defensive round. */
+  private val winMoving: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(avg("value").over(w), 4).as("mov_avg"),
+        count(lit(1)).over(w).as("n_frame"))
+      .orderBy("event_id")
+  }
+
   /** q_win_paginate — page 3 of 20 over a total order
     * ([[Relational.paginate]]; ref offset pagination
     * `database/app.py:74-82`). */
@@ -110,5 +144,7 @@ object WindowQueries {
     "q_win_running" -> winRunning,
     "q_win_topk_group" -> winTopkGroup,
     "q_win_ntile" -> winNtile,
+    "q_win_locf" -> winLocf,
+    "q_win_moving" -> winMoving,
     "q_win_paginate" -> winPaginate)
 }

@@ -44,7 +44,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
-    "q_win_ntile" -> 0.5, "q_win_paginate" -> 0.7,
+    "q_win_ntile" -> 0.5, "q_win_locf" -> 0.5, "q_win_moving" -> 0.5, "q_win_paginate" -> 0.7,
     // sort / set
     "q_sort_multi" -> 0.3, "q_limit" -> 0.3, "q_topk" -> 0.3,
     "q_set_union" -> 0.4, "q_set_except" -> 0.5, "q_set_intersect" -> 0.5,
@@ -62,7 +62,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_json_get" -> 0.4, "q_json_from" -> 0.5, "q_json_to" -> 0.4,
     "q_map_ops" -> 0.4,
     // streaming batch shadows
-    "q_stream_tumble" -> 0.4, "q_stream_slide" -> 0.5,
+    "q_stream_join" -> 0.9, "q_stream_tumble" -> 0.4, "q_stream_slide" -> 0.5,
     "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.5,
     "q_stream_state" -> 1.2,
     // UDF family

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 108, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 102)
+    assert(declared.size == 111, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 105)
     assert(declared.values.count(_ == "Q") == 5)
     assert(declared.values.count(_ == "U") == 1)
   }

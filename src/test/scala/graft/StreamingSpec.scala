@@ -44,6 +44,28 @@ class StreamingSpec extends SparkSpecBase {
       ("2024-01-01 10:15:00.0", 1L), ("2024-01-01 10:30:00.0", 1L)))
   }
 
+  test("stream-stream interval join emits exactly the in-window pairs") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = Streaming.intervalJoin(
+      views.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "30 minutes")
+    val q = joined.select("l_event_id", "r_event_id").writeStream
+      .outputMode("append").format("memory").queryName("ssjoin_test").start()
+    views.addData(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(5), 2, "view", 0))
+    clicks.addData(
+      Ev(10, ts(10), 1, "click", 0), // 10 min after view 1 — in window
+      Ev(11, ts(45), 1, "click", 0), // 45 min after view 1 — outside
+      Ev(12, ts(6), 2, "click", 0))  // 1 min after view 2 — in window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 12L)))
+  }
+
   test("session windows close on gap") {
     val out = runStream(
       Seq(Seq(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(10), 7, "click", 1.0),
