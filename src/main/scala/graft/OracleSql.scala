@@ -372,6 +372,14 @@ object OracleSql {
                 contains(p_type, 'RO') AS has_ro,
                 (p_type LIKE '%MY') AS ends_my
          FROM part ORDER BY p_partkey""",
+    "q_str_levenshtein" ->
+      """WITH d AS (
+           SELECT doc_id, substr(text, 1, 30) AS prefix FROM documents)
+         SELECT a.doc_id,
+                CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist,
+                levenshtein(a.prefix, b.prefix) <= 10 AS near
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+         ORDER BY a.doc_id""",
     "q_str_len" ->
       """SELECT doc_id, n_chars,
                 CAST(length(text) AS BIGINT) AS text_len,

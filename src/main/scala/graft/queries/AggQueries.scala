@@ -131,6 +131,26 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first, col("g_flag"), col("g_status"))
 
+  /** q_agg_sketch — MERGEABLE distinct-count sketches (Apache
+    * DataSketches HLL): per-day sketches built once, then unioned into a
+    * per-type rolling estimate — the incremental-stats pattern at
+    * 100 TB, where "distinct users last N days" must come from merging
+    * N daily sketches (constant bytes each), never from re-scanning N
+    * days of raw events. `hll_sketch_agg` → binary sketch column
+    * (persistable to the warehouse); `hll_union_agg` merges without
+    * precision loss. Q-tier: sketch internals have no DuckDB parity;
+    * the estimate is deterministic and bounds-checked vs exact in
+    * SinksAndApproxSpec. */
+  private val aggSketch: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), false))
+          .cast("long").as("apx_users"))
+      .orderBy("event_type")
+
   /** q_agg_quantile — exact interpolated percentiles per group (the
     * distribution profile behind curation cutoffs — "drop the bottom
     * quartile by quality" needs the quartile first; ref numeric analytics
@@ -220,6 +240,7 @@ object AggQueries {
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
     "q_agg_gsets" -> aggGsets,
+    "q_agg_sketch" -> aggSketch,
     "q_agg_quantile" -> aggQuantile,
     "q_agg_stats" -> aggStats,
     "q_agg_histogram" -> aggHistogram,

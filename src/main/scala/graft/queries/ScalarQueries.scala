@@ -90,6 +90,25 @@ object ScalarQueries {
       .select("doc_id", "n_chars", "text_len", "spark_pos")
       .orderBy("doc_id")
 
+  /** q_str_levenshtein — edit distance between neighbouring documents'
+    * prefixes (the fuzzy-match primitive of entity resolution and
+    * near-dup triage; adjacent-pair join form shared with
+    * q_text_ngram_jaccard). O(len²) per row but embarrassingly
+    * parallel; at corpus scale the quadratic pair space is cut by a
+    * blocking key first (the LSH/SimHash candidate generators of §2.N),
+    * and levenshtein rescoring runs only inside candidate pairs. */
+  private val strLevenshtein: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+    val b = d.select(col("doc_id").as("doc_b"),
+      col("prefix").as("prefix_b"))
+    d.join(b, col("doc_b") === col("doc_id") + 1)
+      .select(col("doc_id"),
+        levenshtein(col("prefix"), col("prefix_b")).cast("long").as("dist"),
+        (levenshtein(col("prefix"), col("prefix_b")) <= 10).as("near"))
+      .orderBy("doc_id")
+  }
+
   // ───── §2.I date / time / math ─────
 
   /** q_dt_parse — 12-hour time parsing with format fallback (ref
@@ -223,6 +242,7 @@ object ScalarQueries {
     "q_str_regex_extract" -> strRegexExtract,
     "q_str_like" -> strLike,
     "q_str_len" -> strLen,
+    "q_str_levenshtein" -> strLevenshtein,
     "q_dt_parse" -> dtParse,
     "q_dt_format" -> dtFormat,
     "q_dt_arith" -> dtArith,

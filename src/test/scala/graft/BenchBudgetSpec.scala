@@ -38,7 +38,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // aggregations
     "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
-    "q_agg_approx" -> 0.5, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
+    "q_agg_approx" -> 0.5, "q_agg_sketch" -> 0.6, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
     "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
     "q_agg_quantile" -> 0.5, "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,
     // windows
@@ -51,7 +51,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // scalar: strings / datetime / math
     "q_str_concat" -> 0.3, "q_str_split" -> 0.3,
     "q_str_trim_replace" -> 0.3, "q_str_case" -> 0.3,
-    "q_str_regex_extract" -> 0.3, "q_str_like" -> 0.3, "q_str_len" -> 0.3,
+    "q_str_regex_extract" -> 0.3, "q_str_like" -> 0.3, "q_str_len" -> 0.3, "q_str_levenshtein" -> 0.5,
     "q_dt_parse" -> 0.3, "q_dt_format" -> 0.3, "q_dt_arith" -> 0.3,
     "q_dt_extract" -> 0.3, "q_dt_tz" -> 0.5, "q_dt_trunc" -> 0.3,
     "q_dt_series" -> 0.6,

@@ -32,6 +32,31 @@ class SinksAndApproxSpec extends SparkSpecBase {
     assert(back.filter(col("part_col") === "x").count() == 2)
   }
 
+  test("merged daily HLL sketches track exact distinct users (q_agg_sketch)") {
+    // the property that matters at scale: union-of-daily-sketches must
+    // estimate the same cardinality as one sketch over the whole span
+    // (mergeability), and both must be within HLL error of exact
+    val ev = Tables.load(spark, sf0001, "events")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val merged = SparkEntry.queries("q_agg_sketch")(spark, sf0001)
+    val whole = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+        .cast("long").as("apx_whole"))
+    val joined = merged.join(exact, "event_type").join(whole, "event_type")
+      .select("event_type", "apx_users", "exact", "apx_whole")
+      .as[(String, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (t, apx, exact, apxWhole) =>
+      val err = math.abs(apx - exact).toDouble / exact
+      assert(err < 0.1, s"$t: merged=$apx exact=$exact err=$err")
+      // merge-invariance: daily-union estimate == whole-span estimate
+      // (identical sketch family/precision over identical values)
+      assert(apx == apxWhole,
+        s"$t: merged=$apx != whole-span=$apxWhole — union lost precision")
+    }
+  }
+
   test("approx_count_distinct within declared rsd of exact (q_agg_approx)") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val rows = li.groupBy("l_returnflag")
