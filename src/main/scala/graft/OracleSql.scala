@@ -157,6 +157,17 @@ object OracleSql {
          FROM events e
          JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    "q_join_nullsafe" ->
+      """WITH l AS (
+           SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n
+           FROM orders),
+         d AS (
+           SELECT DISTINCT status_n,
+                  concat(coalesce(status_n, 'NONE'), '_lbl') AS label
+           FROM l)
+         SELECT l.o_orderkey, l.status_n, d.label
+         FROM l JOIN d ON l.status_n IS NOT DISTINCT FROM d.status_n
+         ORDER BY l.o_orderkey""",
     "q_join_asof" ->
       """SELECT p.event_id, c.event_id AS prior_click
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -821,6 +832,17 @@ object OracleSql {
                       / len(list_distinct(a.gr || b.gr)), 4) AS jaccard
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          ORDER BY doc_a""",
+    "q_vec_normalize" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+           FROM e)
+         SELECT vec_id, round(norm, 4) AS norm,
+                round(v[1] / norm, 4) AS c0,
+                CAST(len(v) AS BIGINT) AS dim
+         FROM n ORDER BY vec_id""",
     "q_vec_cosine_dedup" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -35,5 +35,31 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
-  val all: Map[String, Q] = Map("q_media_dedup" -> mediaDedup)
+  /** q_media_frames — frame-sample the video payloads
+    * ([[Multimodal.sampleFrames]]: 256-byte fake frames, keep every 4th,
+    * resize to 128 bytes) and emit per-frame metadata + content hash —
+    * the generator-over-binary shape (explode for media). Partition-
+    * batched flatMap: decoder init once per partition, no driver
+    * involvement, output rows ≪ input bytes (the point of sampling
+    * before shipping frames to a feature extractor at 100 TB).
+    * Q-tier: DuckDB 1.0 cannot chunk+pad BLOBs to replicate the frame
+    * slicing; determinism + frame-count/byte-count invariants are
+    * spec-pinned in MultimodalSpec. `sfDir` unused (fixture is
+    * SF-independent, as q_media_dedup). */
+  private val mediaFrames: Q = (s, _) => {
+    import s.implicits._
+    val path = Multimodal.mediaFixture(s)
+    val rows = s.read.parquet(path).as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(rows, frameBytes = 256, every = 4,
+        targetBytes = 128)
+      .toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        sha2(col("frame_bytes"), 256).as("frame_sha"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_media_dedup" -> mediaDedup,
+    "q_media_frames" -> mediaFrames)
 }

@@ -216,7 +216,28 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q_join_nullsafe — null-safe equality join (`<=>`): NULL keys match
+    * NULL keys instead of silently dropping (the dim-lookup case where
+    * "unknown" is itself a dimension member — ref the reference's
+    * nullable dim columns, `database/model.py:35-38`). Still an
+    * equi-join to the planner: `<=>` is a valid shuffle/broadcast hash
+    * key, so the plan is identical in shape to q_join_inner — no
+    * degradation to a nested loop for the null bucket. */
+  private val joinNullsafe: Q = (s, dir) => {
+    val l = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_n"))
+    val dim = l.select("status_n").distinct()
+      .withColumn("label",
+        concat(coalesce(col("status_n"), lit("NONE")), lit("_lbl")))
+      .withColumnRenamed("status_n", "d_status")
+    l.join(dim, col("status_n") <=> col("d_status"))
+      .select("o_orderkey", "status_n", "label")
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_join_nullsafe" -> joinNullsafe,
     "q_proj_select" -> projSelect,
     "q_proj_derived" -> projDerived,
     "q_filter_eq" -> filterEq,

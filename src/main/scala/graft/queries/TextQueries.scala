@@ -288,7 +288,25 @@ object TextQueries {
         parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
       .orderBy("doc_id")
 
+  /** q_vec_normalize — L2 vector normalization (the prep step every
+    * cosine-space operator assumes: unit vectors make cosine = dot, so
+    * ANN/dedup pipelines normalize once at ingest and never re-divide).
+    * Pure per-row `aggregate` fold — codegen'd, no shuffle; both engines
+    * fold the array left-to-right so the float sum is order-identical. */
+  private val vecNormalize: Q = (s, dir) => {
+    def v = col("embedding").cast("array<double>")
+    def sumsq =
+      aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(sqrt(sumsq), 4).as("norm"),
+        round(element_at(v, 1) / sqrt(sumsq), 4).as("c0"),
+        size(v).cast("long").as("dim"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_vec_normalize" -> vecNormalize,
     "q_sample_hash" -> sampleHash,
     "q_text_scrub" -> textScrub,
     "q_text_urls" -> textUrls,

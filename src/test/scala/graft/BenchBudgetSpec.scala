@@ -34,7 +34,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_join_inner" -> 0.5, "q_join_bridge3" -> 0.6, "q_join_left" -> 0.5,
     "q_join_semi" -> 0.4, "q_join_anti" -> 0.4, "q_join_full" -> 0.5,
     "q_join_broadcast" -> 0.5, "q_join_range" -> 0.4, "q_join_asof" -> 0.6,
-    "q_join_salted" -> 0.6,
+    "q_join_salted" -> 0.6, "q_join_nullsafe" -> 0.5,
     // aggregations
     "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
@@ -71,7 +71,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_udaf_wavg" -> 0.4, "q_udf_time_until_close" -> 0.8,
     // text / vector pipeline
     "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
-    "q_text_minhash" -> 1.0, "q_vec_cosine_topk" -> 0.4,
+    "q_text_minhash" -> 1.0, "q_vec_cosine_topk" -> 0.4, "q_vec_normalize" -> 0.4,
     "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.4,
     "q_text_quality" -> 0.4, "q_text_repetition" -> 0.7,
     "q_text_tokens" -> 0.3,
@@ -79,7 +79,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
     "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
     "q_vec_dedup_groups" -> 1.6, // partition-local UF contraction (r4)
-    "q_media_dedup" -> 0.8,
+    "q_media_dedup" -> 0.8, "q_media_frames" -> 0.8,
     // curation / pipeline patterns (round 4)
     "q_sample_hash" -> 0.4, "q_text_scrub" -> 0.5, "q_text_urls" -> 0.5,
     "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 0.7)

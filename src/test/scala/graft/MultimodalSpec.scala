@@ -41,6 +41,17 @@ class MultimodalSpec extends SparkSpecBase {
       Seq(0, 2))
   }
 
+  test("q_media_frames is deterministic with the declared frame shape") {
+    // the registered Q-tier query: two runs hash-identical, every kept
+    // frame exactly targetBytes and on the sampling stride
+    val q = SparkEntry.queries("q_media_frames")
+    val a = q(spark, sf0001).collect()
+    val b = q(spark, sf0001).collect()
+    assert(a.nonEmpty && a.sameElements(b), "frame sampling nondeterministic")
+    assert(a.forall(_.getLong(2) == 128L), "resize target violated")
+    assert(a.forall(_.getLong(1) % 4 == 0L), "sampling stride violated")
+  }
+
   test("media fixture has the documented duplicate structure") {
     // q_media_dedup's oracle value depends on this: with 2400 rows the
     // payload generator's cycle (lcm of 256-value byte phase and 5-value
