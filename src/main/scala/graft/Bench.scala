@@ -53,23 +53,31 @@ object Bench {
         }
       // one retry after a failed warm-up: transient environment faults
       // (e.g. a scratch-dir race in the sink round trips) should not
-      // report as a hard bench failure that BenchBudgetSpec fails on
+      // report as a hard bench failure that BenchBudgetSpec fails on —
+      // but the retry is RECORDED (bench.json "retried" list + stderr),
+      // so an intermittently flaky query stays distinguishable from a
+      // clean run instead of being silently absorbed
+      val firstWarmFailed = runOnce() < 0
+      if (firstWarmFailed)
+        System.err.println(s"[bench] $name warm-up failed once; retrying")
       val samples =
-        if (runOnce() < 0 && runOnce() < 0) Seq(-1.0)
+        if (firstWarmFailed && runOnce() < 0) Seq(-1.0)
         else Seq.fill(runs)(runOnce())
       val median =
         if (samples.exists(_ < 0)) -1.0
         else samples.sorted.apply(samples.size / 2)
-      name -> (median, samples)
+      name -> (median, samples, firstWarmFailed)
     }
+    val retried = results.collect { case (k, (_, _, true)) => k }
     val total = results.values.map(_._1).sum
     def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
     val fullJson = obj(Seq(
       s""""metric":"total"""", s""""value":$total""", s""""unit":"sec"""",
       s""""method":"median-warm"""", s""""n":$runs""",
-      s""""queries":${obj(results.map { case (k, (m, _)) => s""""$k":$m""" })}""",
-      s""""samples":${obj(results.map { case (k, (_, ss)) =>
+      s""""queries":${obj(results.map { case (k, (m, _, _)) => s""""$k":$m""" })}""",
+      s""""samples":${obj(results.map { case (k, (_, ss, _)) =>
         s""""$k":${ss.mkString("[", ",", "]")}""" })}""",
+      s""""retried":${retried.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""sf":"$sfDir""""))
     // absolute path: a cwd-relative one would land outside the repo when
     // launched from elsewhere (same contract as SourceQueries.scratch)
@@ -77,6 +85,15 @@ object Bench {
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
     try w.println(fullJson) finally w.close()
+    // per-SF copy (bench_sf0.01.json, bench_sf0.1.json, ...): two runs at
+    // different scales feed BenchSlopeSpec's growth-slope gate — absolute
+    // budgets can't tell O(N) from O(N²) until it's too late
+    val sfBase = sfDir.replaceAll("/+$", "")
+      .substring(sfDir.replaceAll("/+$", "").lastIndexOf('/') + 1)
+      .replaceAll("[^A-Za-z0-9.]", "_")
+    val perSf = new java.io.File(s"/root/repo/target/bench_$sfBase.json")
+    val w2 = new java.io.PrintWriter(perSf)
+    try w2.println(fullJson) finally w2.close()
     // stop BEFORE the final println so no shutdown logging can land after
     // it; reduced time resolution keeps the line inside the driver's
     // ~2000-char stdout tail window (full precision is in bench.json)
@@ -87,7 +104,7 @@ object Bench {
     def compact(qs: Option[Int]): String = obj(Seq(
       s""""metric":"total"""", s""""value":${fmt(total, 3)}""",
       s""""unit":"sec"""", s""""method":"median-warm"""", s""""n":$runs""") ++
-      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _)) =>
+      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _, _)) =>
         s""""$k":${fmt(m, dp)}""" })}""") ++
       Seq(s""""queries_file":"${out.getAbsolutePath}"""",
         s""""sf":"$sfDir""""))

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.TextSim
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: cost/benefit of trained IVF centroids vs the deterministic
+  * sampled ones, at a given SF dir —
+  * `sbt "runMain graft.IvfBench /root/testdata/sf0.1"`.
+  *
+  * Prints, per variant: index BUILD time (first call, cold ivfCache key)
+  * and warm QUERY time (index cached — the registered-query regime), plus
+  * mean recall@10 vs exact kNN. Findings are recorded in SCALE.md; the
+  * registered q_vec_ann_ivf keeps sampled centroids for determinism
+  * (SURVEY §7.5), with training the documented recall knob for clustered
+  * real-world corpora. */
+object IvfBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("ivf-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 100)
+    val exact = TextSim.knnJoin(probes, emb, 10)
+      .select("probe_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    def run(label: String, iters: Int): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        TextSim.annCosineIvf(probes, emb, 10, trainIters = iters)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once() // builds (and trains) the index: cold cache key
+      val warm = Seq.fill(3)(once()).sorted.apply(1)
+      val got = TextSim.annCosineIvf(probes, emb, 10, trainIters = iters)
+        .select("probe_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+      val recalls = exact.map { case (p, truth) =>
+        truth.intersect(got.getOrElse(p, Set.empty)).size.toDouble /
+          truth.size
+      }
+      println(f"IVF $label%-12s build=$cold%.2fs warmQuery=$warm%.2fs " +
+        f"meanRecall@10=${recalls.sum / recalls.size}%.3f")
+    }
+    run("sampled", 0)
+    run("trained(3)", 3)
+    spark.stop()
+  }
+}

@@ -979,5 +979,70 @@ object OracleSql {
                        ORDER BY version DESC) AS rn
            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
          SELECT o_orderkey, o_orderstatus, o_totalprice, version
-         FROM merged WHERE rn = 1 ORDER BY o_orderkey""")
+         FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_etl_normalize" ->
+      // The flat mirror of the WHOLE normalize lifecycle: synthesize the
+      // scraped records' derived fields per event row (same grammar as
+      // PipelineQueries.syntheticScraped), quarantine-filter, keep-first
+      // dedup per business key (min event_id = min ranking), dense_rank
+      // = the hub's globalRowNumber ids (zero-padded bizId string order
+      // equals numeric key order), re-derive the hours parse
+      // arithmetically (branch structure proven equal to HoursParser by
+      // q_udf_parse_hours / q_udtf_hours_explode), zip-unnest the open
+      // intervals, and aggregate per weekday.
+      """WITH src AS (
+           SELECT event_id,
+                  event_id % 997 AS bk,
+                  CAST(date_part('hour', ts) AS INTEGER) AS h,
+                  CAST(date_part('minute', ts) AS INTEGER) AS m
+           FROM events
+           WHERE event_id % 13 <> 0 AND event_id % 17 <> 0),
+         kept AS (
+           SELECT bk, event_id, h, m FROM (
+             SELECT bk, event_id, h, m,
+                    row_number() OVER (PARTITION BY bk ORDER BY event_id)
+                      AS rn
+             FROM src) WHERE rn = 1),
+         hub AS (
+           SELECT event_id, h, m,
+                  CAST(dense_rank() OVER (ORDER BY bk) AS BIGINT) AS bid,
+                  CAST(event_id % 7 + 1 AS BIGINT) AS weekday_id,
+                  CAST(event_id % 4 + 1 AS BIGINT) AS price_len,
+                  CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END
+                       AS BIGINT) AS n_cat
+           FROM kept),
+         lists AS (
+           SELECT bid, weekday_id, price_len, n_cat,
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(0 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(h*3600 + m*60 AS BIGINT),
+                         CAST(((h+5) % 24)*3600 + 1800 AS BIGINT)]
+                       ELSE [CAST(h*3600 + m*60 AS BIGINT)] END AS opens,
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(86399 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(((h+3) % 24)*3600 + m*60 AS BIGINT),
+                         CAST(((h+8) % 24)*3600 + 2700 AS BIGINT)]
+                       ELSE [CAST(((h+3) % 24)*3600 + m*60 AS BIGINT)]
+                  END AS closes
+           FROM hub),
+         iv AS (
+           SELECT bid, weekday_id, price_len, n_cat,
+                  unnest(opens) AS open_sec, unnest(closes) AS close_sec
+           FROM lists)
+         SELECT weekday_id,
+                ['Monday','Tuesday','Wednesday','Thursday','Friday',
+                 'Saturday','Sunday'][CAST(weekday_id AS INTEGER)]
+                  AS weekday_name,
+                count(*) AS n_intervals,
+                CAST(count(DISTINCT bid) AS BIGINT) AS n_biz,
+                CAST(sum(bid) AS BIGINT) AS sum_biz_id,
+                CAST(sum(open_sec) AS BIGINT) AS sum_open_sec,
+                CAST(sum(close_sec) AS BIGINT) AS sum_close_sec,
+                CAST(sum(n_cat) AS BIGINT) AS n_cat_links,
+                CAST(sum(price_len) AS BIGINT) AS sum_price_len
+         FROM iv
+         GROUP BY weekday_id
+         ORDER BY weekday_id""")
 }

@@ -168,20 +168,26 @@ object Normalize {
   }
 
   /** End-to-end: NDJSON path → warehouse dir. Returns (row counts per
-    * table, quarantined count). */
+    * table, quarantined count).
+    *
+    * Side-channel dirs deliberately do NOT start with `_`: Hadoop's
+    * hidden-file filter silently ignores underscore-prefixed paths at
+    * listing time, so a `_stage_hub` staging dir reads back as ZERO rows
+    * (with only a WARN) — an empty warehouse masquerading as a clean
+    * run. None of the names collides with the 11 table names. */
   def run(spark: SparkSession, ndjsonPath: String,
           warehouseDir: String): (Map[String, Long], Long) = {
     val (valid, quarantined) = validate(readScraped(spark, ndjsonPath))
-    val tables = normalize(valid, Some(s"$warehouseDir/_stage_hub"))
+    val tables = normalize(valid, Some(s"$warehouseDir/stage.hub"))
     val counts = tables.map { case (name, df) =>
       Sinks.writeWarehouseTable(df, s"$warehouseDir/$name")
       name -> spark.read.parquet(s"$warehouseDir/$name").count()
     }
     // overwrite, not append: the quarantine report belongs to THIS run —
     // appending would break the pipeline's rerun-converges idempotence
-    quarantined.write.mode("overwrite").json(s"$warehouseDir/_quarantine")
+    quarantined.write.mode("overwrite").json(s"$warehouseDir/quarantine")
     (counts,
       spark.read.schema(Schemas.scrapedBusiness)
-        .json(s"$warehouseDir/_quarantine").count())
+        .json(s"$warehouseDir/quarantine").count())
   }
 }

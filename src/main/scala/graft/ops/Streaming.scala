@@ -60,17 +60,29 @@ object Streaming {
     * builder runs in batch (oracle shadow, registered) and under
     * readStream (watermarked incremental run in StreamingSpec).
     * Columns are prefixed l_/r_ before the join so the condition never
-    * self-references one plan's attributes (ambiguous-self-join). */
+    * self-references one plan's attributes (ambiguous-self-join).
+    * `tsCol` names the event-time column on both sides (misuse fails
+    * with a clear require, not an unresolved l_ts deep in analysis);
+    * the window string is validated up front for the same reason —
+    * `expr` would otherwise surface a malformed interval as an opaque
+    * parser error at plan time. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   window: String): DataFrame = {
+                   window: String, tsCol: String = "ts"): DataFrame = {
+    require(window.trim.toLowerCase(java.util.Locale.ROOT)
+        .matches("""\d+\s+(second|minute|hour|day)s?"""),
+      s"window must look like '30 minutes' (got '$window')")
+    require(left.columns.contains(tsCol) && right.columns.contains(tsCol),
+      s"both sides need event-time column '$tsCol' " +
+        s"(left: ${left.columns.mkString(",")}; " +
+        s"right: ${right.columns.mkString(",")})")
     val l = left.select(
       left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
     val r = right.select(
       right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
-        col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+        col(s"r_$tsCol") > col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"))
   }
 
   /** Per-user accumulator. All fields are order-independent aggregates —

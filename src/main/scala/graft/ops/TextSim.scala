@@ -467,8 +467,12 @@ object TextSim {
     * corpus, so re-collecting and re-broadcasting them per invocation
     * (the round-2 behavior) only re-ran the same tiny job. The value
     * carries the corpus row count (for auto-sizing) and the broadcast
-    * handle. LRU-bounded: evicted entries `destroy()` their broadcast so
-    * long sessions don't accumulate executor-pinned blocks. The stamp
+    * handle. LRU-bounded: evicted entries `unpersist()` their broadcast
+    * so long sessions don't accumulate executor-pinned blocks —
+    * unpersist, NOT destroy, because a lazy DataFrame returned by
+    * annCosineIvf may still reference the evicted broadcast; unpersist
+    * drops the executor copies but re-broadcasts from the driver on next
+    * use, so late execution recomputes instead of throwing. The stamp
     * covers the plan's input files (path, length, mtime), so regenerating
     * the backing files in-session misses the cache instead of silently
     * reusing stale centroids — same contract as ndjsonFixture's
@@ -482,7 +486,8 @@ object TextSim {
         e: java.util.Map.Entry[(String, Int, Int, Int, Int),
           (Long, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])])
         : Boolean =
-      size > ivfCacheMax && { e.getValue._2.destroy(); true }
+      size > ivfCacheMax &&
+        { e.getValue._2.unpersist(blocking = false); true }
   }
 
   /** TRUE round-up to the next power of two: `highestOneBit(x-1)*2` is
@@ -771,7 +776,14 @@ object TextSim {
       val p = math.max(1,
         math.min(maxP.toLong, (eCount + edgesPerTask - 1) / edgesPerTask))
         .toInt
-      val local = edges.repartition(p, col("u"))
+      // partition on BOTH endpoints: the contraction is correct under
+      // any edge partitioning, but hashing by u alone sends every edge
+      // of a hub component (one canonical doc paired with millions of
+      // near-copies, or contracted edges that all share u = mroot) to a
+      // single task, making its union-find map unbounded. Hashing the
+      // (u, v) pair spreads hub edges uniformly, so per-task state
+      // actually tracks edgesPerTask.
+      val local = edges.repartition(p, col("u"), col("v"))
         .mapPartitions { it =>
           val parent = scala.collection.mutable.HashMap.empty[Long, Long]
           def find(x: Long): Long = {

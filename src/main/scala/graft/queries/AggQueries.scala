@@ -170,6 +170,26 @@ object AggQueries {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy("event_type")
 
+  /** q_agg_quantile_approx — the SCALE TWIN of q_agg_quantile:
+    * `approx_percentile` (Greenwald–Khanna sketch, constant memory per
+    * group, mergeable partials) instead of the exact per-group sort.
+    * This is the variant that actually runs at 100 TB — q_agg_quantile's
+    * scaladoc claims the swap is one function name; this query EXECUTES
+    * that claim so the plan shape (two-phase ObjectHashAggregate over
+    * sketch partials) is driver-run every round, not just asserted.
+    * Q-tier: the sketch's error model is implementation-specific (no
+    * DuckDB parity); SinksAndApproxSpec bounds it against the exact
+    * percentiles at matching accuracy. */
+  private val aggQuantileApprox: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("approx_percentile(value, 0.25, 10000)"), 4).as("p25"),
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.75, 10000)"), 4).as("p75"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"))
+      .orderBy("event_type")
+
   /** q_agg_stats — second-moment statistics per group: sample
     * stddev/variance and the quantity↔price correlation/covariance
     * (textbook definitions shared by both engines; single-pass co-moment
@@ -242,6 +262,7 @@ object AggQueries {
     "q_agg_gsets" -> aggGsets,
     "q_agg_sketch" -> aggSketch,
     "q_agg_quantile" -> aggQuantile,
+    "q_agg_quantile_approx" -> aggQuantileApprox,
     "q_agg_stats" -> aggStats,
     "q_agg_histogram" -> aggHistogram,
     "q_agg_collect" -> aggCollect,

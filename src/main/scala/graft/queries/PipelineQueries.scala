@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.etl.Normalize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,7 +86,117 @@ object PipelineQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Synthetic scraped-business records derived deterministically from
+    * `events` — the ETL input for [[etlNormalize]]. Field grammar (each
+    * branch mirrored arithmetically in the DuckDB oracle):
+    *   - bizId = "biz-" + lpad(event_id % 997): ~997 businesses, each
+    *     scraped many times (the resume-append duplicate case);
+    *     zero-padding makes string order equal numeric order so the
+    *     oracle's dense_rank over the numeric key reproduces the hub ids.
+    *   - ranking = event_id (unique) → dedupKeepFirst keeps the MIN
+    *     event_id record per business, so every downstream field is a
+    *     pure function of that keeper row.
+    *   - price/health_score: valid by construction except event_id %13=0
+    *     (price '$$$$$') and %17=0 ('ZZ') — the quarantine split.
+    *   - open_hours: ONE day entry, weekday = weekdays[event_id % 7],
+    *     hours string from [[HoursQueries.withHoursStr]] (all parser
+    *     branches: Closed / 24h sentinel / glued double range / single).
+    *   - food_category: 1 name when event_id % 3 = 0 else 2 distinct
+    *     names from a 5-value vocabulary (exercises dim dedup + bridge). */
+  private def syntheticScraped(s: SparkSession, dir: String): DataFrame = {
+    val e = col("event_id")
+    HoursQueries.withHoursStr(Tables.load(s, dir, "events"))
+      .select(
+        concat(lit("biz-"),
+          lpad((e % 997).cast("string"), 4, "0")).as("bizId"),
+        e.as("ranking"),
+        concat(lit("Biz "), (e % 997).cast("string")).as("name"),
+        lit(null).cast("string").as("website"),
+        lit(null).cast("string").as("phone_number"),
+        lit(null).cast("string").as("address"),
+        when(e % 13 === 0, lit("$$$$$"))
+          .otherwise(expr("repeat('$', CAST(event_id % 4 AS INT) + 1)"))
+          .as("price"),
+        when(e % 17 === 0, lit("ZZ"))
+          .otherwise(
+            expr("substr('ABCDEFGH', CAST(event_id % 8 AS INT) + 1, 1)"))
+          .as("health_score"),
+        array(struct(
+          element_at(typedlit(Normalize.weekdays), (e % 7).cast("int") + 1)
+            .as("weekday"),
+          col("hours_str").as("open_hours"))).as("open_hours"),
+        when(e % 3 === 0,
+            array(concat(lit("cat"), (e % 5).cast("string"))))
+          .otherwise(array(
+            concat(lit("cat"), (e % 5).cast("string")),
+            concat(lit("cat"), ((e + 1) % 5).cast("string"))))
+          .as("food_category"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("highlights"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("related_search_terms"),
+        expr("CAST(array() AS " +
+          "ARRAY<STRUCT<amenity: STRING, is_available: BOOLEAN>>)")
+          .as("amenities"))
+  }
+
+  /** Build the 11-table warehouse for `dir` ONCE per (scale, source
+    * content) and reuse it — same build-once contract and stamp key as
+    * [[SourceQueries.sourceStamp]]'s NDJSON fixture: the warehouse is a
+    * deterministic function of the (immutable) events table, so
+    * rebuilding it per invocation would only time sink throughput, and a
+    * regenerated source can never be read through a stale warehouse. */
+  private def etlWarehouse(s: SparkSession, dir: String): String =
+    this.synchronized {
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stamp = SourceQueries.sourceStamp(s"$dir/events.parquet")
+      val wh = s"${SourceQueries.scratch}/etl_wh_${key}_$stamp"
+      val done = new java.io.File(s"$wh/_DONE")
+      if (!done.exists()) {
+        // NOT underscore-prefixed: Hadoop's hidden-file filter would
+        // silently list the dir as empty on read-back (see Normalize.run)
+        val input = s"$wh/input.ndjson"
+        syntheticScraped(s, dir).write.mode("overwrite").json(input)
+        Normalize.run(s, input, wh)
+        done.createNewFile(): Unit
+      }
+      wh
+    }
+
+  /** q_etl_normalize — the reference's core lifecycle END TO END
+    * (`database/parse_and_upload_to_db.py:89-175`, SURVEY §3.2): scraped
+    * NDJSON → validate/quarantine → dedup resume-appends → surrogate-id
+    * hub → 11-table warehouse ([[Normalize.run]]) → a join-back aggregate
+    * over four of the tables (open-interval facts × weekday dim ×
+    * business hub × food-category bridge). The oracle recomputes the
+    * same aggregate in DuckDB directly from the flat synthesized
+    * records, so the hash check covers the whole composition — the
+    * validation regexes, the keep-first dedup, the globalRowNumber id
+    * assignment, the hours parse/explode, and the dim/bridge joins —
+    * not just each piece in isolation. */
+  private val etlNormalize: Q = (s, dir) => {
+    val wh = etlWarehouse(s, dir)
+    val oh = s.read.parquet(s"$wh/open_hours")
+    val wd = s.read.parquet(s"$wh/weekday")
+    val biz = s.read.parquet(s"$wh/business")
+    val bfc = s.read.parquet(s"$wh/business_food_category")
+    val catCnt = bfc.groupBy("business_id").agg(count(lit(1)).as("n_cat"))
+    oh.join(broadcast(wd.select(col("id").as("weekday_id"),
+        col("name").as("weekday_name"))), Seq("weekday_id"))
+      .join(biz.select(col("id").as("business_id"), col("price")),
+        Seq("business_id"))
+      .join(catCnt, Seq("business_id"))
+      .groupBy("weekday_id", "weekday_name")
+      .agg(count(lit(1)).as("n_intervals"),
+        countDistinct(col("business_id")).as("n_biz"),
+        sum(col("business_id")).as("sum_biz_id"),
+        sum(col("open_time")).as("sum_open_sec"),
+        sum(col("close_time")).as("sum_close_sec"),
+        sum(col("n_cat")).as("n_cat_links"),
+        sum(length(col("price")).cast("long")).as("sum_price_len"))
+      .orderBy("weekday_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_evt_funnel" -> evtFunnel,
-    "q_etl_upsert" -> etlUpsert)
+    "q_etl_upsert" -> etlUpsert,
+    "q_etl_normalize" -> etlNormalize)
 }

@@ -26,17 +26,61 @@ object SourceQueries {
       override def initialValue() = scala.collection.mutable.Map.empty
     }
 
+  /** Age horizon for the global scratch sweep: far beyond any single
+    * query's read window, so the sweep can never delete a dir a live
+    * concurrent invocation still reads. Test-settable. */
+  @volatile private[graft] var sinkDirMaxAgeMs: Long = 10 * 60 * 1000L
+
+  /** ALL live scratch dirs (dir → creation millis), across threads —
+    * the global complement to [[lastSinkDir]]: the thread-local delete
+    * keeps steady-state scratch at one dir per kind for a serial
+    * harness, but a thread that dies would otherwise pin its last dir
+    * until JVM exit, so every allocation also sweeps dirs older than
+    * [[sinkDirMaxAgeMs]] regardless of owning thread. */
+  private val liveSinkDirs =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Basename shape of every [[freshSinkDir]] allocation: kind + 32-hex
+    * stripped UUID. Deliberately does NOT match the stamp-keyed
+    * persistent fixtures (`ndjson_*`, `etl_wh_*` — their content-stamp
+    * tails are ≤16 hex and their keys contain dots), so the cross-JVM
+    * sweep can never reclaim a fixture that is MEANT to outlive the
+    * process. */
+  private val sinkDirNameRe = java.util.regex.Pattern
+    .compile("[a-z_]+_[0-9a-f]{32}")
+
   private def freshSinkDir(kind: String): String = {
+    val now = System.currentTimeMillis()
     val dirs = lastSinkDir.get()
-    dirs.get(kind).foreach { old =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(old))
-    }
+    val mine = dirs.get(kind)
     val d = s"$scratch/${kind}_${java.util.UUID.randomUUID()
       .toString.replace("-", "")}"
+    // sink dirs abandoned by DEAD JVMs are invisible to the in-memory
+    // registry; reclaim them by name shape + mtime age (a crashed bench
+    // or verify run would otherwise grow scratch forever)
+    val onDisk = Option(new java.io.File(scratch).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && sinkDirNameRe.matcher(f.getName).matches()
+        && now - f.lastModified > sinkDirMaxAgeMs)
+      .map(_.getPath).toSeq
+    val doomed = liveSinkDirs.synchronized {
+      mine.foreach(liveSinkDirs.remove)
+      val expired = liveSinkDirs.collect {
+        case (dir, born) if now - born > sinkDirMaxAgeMs => dir
+      }.toSeq
+      expired.foreach(liveSinkDirs.remove)
+      // never sweep a dir this JVM registered but whose age is still
+      // inside the horizon — a live concurrent run may be reading it
+      val stale = onDisk.filterNot(liveSinkDirs.contains)
+      liveSinkDirs(d) = now
+      (mine.toSeq ++ expired ++ stale).distinct
+    }
+    doomed.foreach(old => rmTree(new java.io.File(old)))
     dirs(kind) = d
     d
   }
@@ -47,7 +91,7 @@ object SourceQueries {
     * content) can never be read through a stale fixture that survived in
     * target/tmp from an earlier JVM — that failure mode would look like
     * an engine correctness bug (fixture rows vs fresh-parquet oracle). */
-  private def sourceStamp(src: String): String = {
+  private[graft] def sourceStamp(src: String): String = {
     val crc = new java.util.zip.CRC32
     def walk(f: java.io.File, rel: String): Seq[String] =
       if (f.isDirectory)

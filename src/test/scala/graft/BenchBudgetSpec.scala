@@ -40,7 +40,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
     "q_agg_approx" -> 0.5, "q_agg_sketch" -> 0.6, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
     "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
-    "q_agg_quantile" -> 0.5, "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,
+    "q_agg_quantile" -> 0.5, "q_agg_quantile_approx" -> 0.6,
+    "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
@@ -82,7 +83,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_media_dedup" -> 0.8, "q_media_frames" -> 0.8,
     // curation / pipeline patterns (round 4)
     "q_sample_hash" -> 0.4, "q_text_scrub" -> 0.5, "q_text_urls" -> 0.5,
-    "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 0.7)
+    "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 0.7,
+    // warehouse is a stamped build-once fixture; the timed part is the
+    // 4-table join-back aggregate
+    "q_etl_normalize" -> 0.9)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Growth-slope gate: compares per-query warm medians between an sf0.01
+  * and an sf0.1 bench run (both written by `graft.Bench` as
+  * `target/bench_<sf>.json`) and fails any query whose time grew more
+  * than [[BenchSlopeSpec.maxRatio]]× across the 10× data step.
+  *
+  * This is the gate BenchBudgetSpec cannot be: an absolute sf0.1 budget
+  * passes an O(N²) operator right up until the round where it explodes
+  * (the round-2 quadratic cosine-dedup cost exactly that), while the
+  * slope between two scales exposes the exponent immediately — a linear
+  * operator lands well under 10× (fixed scheduler/setup cost inflates
+  * the small-SF denominator), a quadratic one lands near 100×.
+  *
+  * Queries below [[floorSec]] at sf0.1 are skipped: they are dominated
+  * by the ~0.2-0.5 s per-query scheduling floor at BOTH scales, so their
+  * ratio measures jitter, not growth. Like BenchBudgetSpec, the spec
+  * cancels when either file is missing — unit-test runs shouldn't
+  * require two prior bench runs.
+  */
+class BenchSlopeSpec extends AnyFunSuite {
+
+  private val maxRatio = 15.0 // 10× data + headroom for shuffle log-terms
+  private val floorSec = 0.30 // below this, scheduling floor ≈ total
+
+  private def load(f: java.io.File): Map[String, Double] = {
+    val qs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(f).path("queries")
+    qs.fieldNames.asScala.map(n => n -> qs.get(n).asDouble()).toMap
+  }
+
+  test("no query's sf0.01→sf0.1 growth exceeds the linear-ish envelope") {
+    val small = new java.io.File("/root/repo/target/bench_sf0.01.json")
+    val big = new java.io.File("/root/repo/target/bench_sf0.1.json")
+    assume(small.exists() && big.exists(),
+      "need bench_sf0.01.json + bench_sf0.1.json — run graft.Bench at both SFs")
+    val s = load(small)
+    val b = load(big)
+    // the two runs must cover the same query set or ratios silently skip
+    val diff = (b.keySet -- s.keySet) ++ (s.keySet -- b.keySet)
+    assert(diff.isEmpty, s"query sets differ: ${diff.mkString(", ")}")
+    val offenders = b.collect {
+      case (q, tBig)
+          if tBig >= floorSec && s(q) > 0 && tBig / s(q) > maxRatio =>
+        f"$q: ${s(q)}%.3fs -> $tBig%.3fs (${tBig / s(q)}%.1fx)"
+    }
+    assert(offenders.isEmpty,
+      "superlinear growth across the 10x data step (O(N^2) suspects):\n  " +
+        offenders.mkString("\n  "))
+  }
+}

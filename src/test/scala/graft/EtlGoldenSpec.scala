@@ -110,6 +110,29 @@ class EtlGoldenSpec extends SparkSpecBase {
       tables("business_food_category").count())
   }
 
+  test("run() writes a readable warehouse and counts the quarantine") {
+    // end-to-end through the DISK path (NDJSON in, parquet out): guards
+    // the read-back of every side-channel dir — an underscore-prefixed
+    // staging dir is silently listed as EMPTY by Hadoop's hidden-file
+    // filter, which once turned the whole warehouse into zero-row tables
+    // with only a WARN
+    val whDir = java.nio.file.Files
+      .createTempDirectory("graft_etl_run").toString + "/wh"
+    val (counts, nQuarantined) = Normalize.run(spark, fixture, whDir)
+    assert(nQuarantined == 2L) // biz-echo, biz-foxtrot
+    assert(counts("business") == 6L)
+    assert(counts("weekday") == 7L)
+    assert(counts("open_hours") == 8L)
+    assert(counts("food_category") == 3L)
+    assert(counts("business_amenity") == 7L)
+    // the written tables are what normalize() computed, not empty shells
+    val backBiz = spark.read.parquet(s"$whDir/business")
+    assert(backBiz.count() == 6L)
+    assert(backBiz.columns.toSet ==
+      Set("id", "name", "website", "phone_number", "address", "price",
+        "health_score"))
+  }
+
   test("normalization is idempotent (re-run produces identical tables)") {
     val again = Normalize.normalize(split._1)
     Seq("business", "open_hours", "business_amenity").foreach { t =>

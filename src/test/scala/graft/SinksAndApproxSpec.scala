@@ -32,6 +32,32 @@ class SinksAndApproxSpec extends SparkSpecBase {
     assert(back.filter(col("part_col") === "x").count() == 2)
   }
 
+  test("sink scratch dirs from dead threads are reclaimed by the age sweep") {
+    import graft.queries.SourceQueries
+    val scratchDir = new java.io.File(SourceQueries.scratch)
+    def appendDirs = Option(scratchDir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("sink_append_"))
+    // short-lived threads each run the sink query once and die: their
+    // ThreadLocal cleanup can never fire again, so each leaves one dir
+    val threads = (1 to 3).map { _ =>
+      val t = new Thread(() => {
+        SparkEntry.queries("q_sink_append")(spark, sf0001).count(): Unit
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(appendDirs >= 3, s"expected >=3 leftover dirs, got $appendDirs")
+    // age horizon 0 → the next allocation (any kind, any thread) sweeps
+    // every dead thread's dir; only the fresh invocation's dir survives
+    val saved = SourceQueries.sinkDirMaxAgeMs
+    try {
+      SourceQueries.sinkDirMaxAgeMs = 0L
+      SparkEntry.queries("q_sink_append")(spark, sf0001).count(): Unit
+      assert(appendDirs <= 2,
+        s"age sweep left $appendDirs sink_append dirs behind")
+    } finally SourceQueries.sinkDirMaxAgeMs = saved
+  }
+
   test("merged daily HLL sketches track exact distinct users (q_agg_sketch)") {
     // the property that matters at scale: union-of-daily-sketches must
     // estimate the same cardinality as one sketch over the whole span
@@ -54,6 +80,34 @@ class SinksAndApproxSpec extends SparkSpecBase {
       // (identical sketch family/precision over identical values)
       assert(apx == apxWhole,
         s"$t: merged=$apx != whole-span=$apxWhole — union lost precision")
+    }
+  }
+
+  test("approx_percentile tracks exact percentiles (q_agg_quantile_approx)") {
+    // the registered query's accuracy (10000) guarantees rank error
+    // ≤ n/10000; at these group sizes that means the sketch answer must
+    // be within a tight VALUE band of the exact interpolated percentile
+    // (values are ~uniform, so rank error ≈ value error / range)
+    val apx = SparkEntry.queries("q_agg_quantile_approx")(spark, sf0001)
+      .select("event_type", "p25", "p50", "p75", "p90")
+    val exact = SparkEntry.queries("q_agg_quantile")(spark, sf0001)
+      .select(col("event_type"), col("p25").as("e25"), col("p50").as("e50"),
+        col("p75").as("e75"), col("p90").as("e90"))
+    val lo = Tables.load(spark, sf0001, "events").agg(min("value"))
+      .head().getDouble(0)
+    val hi = Tables.load(spark, sf0001, "events").agg(max("value"))
+      .head().getDouble(0)
+    val tol = (hi - lo) * 0.05
+    val rows = apx.join(exact, "event_type")
+      .as[(String, Double, Double, Double, Double,
+        Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, p25, p50, p75, p90, e25, e50, e75, e90) =>
+      Seq(("p25", p25, e25), ("p50", p50, e50), ("p75", p75, e75),
+        ("p90", p90, e90)).foreach { case (n, a, e) =>
+        assert(math.abs(a - e) <= tol,
+          s"$t $n: approx=$a exact=$e tol=$tol")
+      }
     }
   }
 

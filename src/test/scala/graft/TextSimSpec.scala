@@ -461,6 +461,54 @@ class TextSimSpec extends SparkSpecBase {
     assert(full == exact, "nProbe=nCells must equal exact kNN")
   }
 
+  test("a returned IVF plan survives cache eviction under concurrent builds") {
+    // annCosineIvf returns a LAZY plan holding the index broadcast; LRU
+    // eviction must unpersist (re-broadcast from driver on next use),
+    // never destroy() — destroy would make executing a previously
+    // returned plan after >ivfCacheMax interleaved builds throw
+    // SparkException(destroyed broadcast) instead of recomputing
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 3)
+    val first = TextSim.annCosineIvf(probes, emb, 3, nCells = 16)
+    @volatile var raced: Throwable = null
+    val executor = new Thread(() => {
+      try (1 to 5).foreach(_ => first.count(): Unit)
+      catch { case t: Throwable => raced = t }
+    })
+    executor.start()
+    // 10 distinct (corpus, nCells) keys > ivfCacheMax(8): evicts `first`'s
+    // broadcast while the executor thread is still running its plan
+    (0 until 10).foreach { i =>
+      TextSim.annCosineIvf(probes, emb, 3, nCells = 17 + i).count(): Unit
+    }
+    executor.join()
+    assert(raced == null, s"concurrent execution failed: $raced")
+    assert(first.count() > 0, "evicted plan no longer executable")
+  }
+
+  test("trained-centroid IVF path holds the recall gate (100 TB path)") {
+    // the registered query uses deterministic sample centroids; at
+    // 100 TB the trained path is what keeps recall-at-nProbe from
+    // collapsing on clustered corpora — gate it on the same real
+    // embeddings + ground truth as the untrained recall test
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 15)
+    val exact = TextSim.knnJoin(probes, emb, 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val trained = TextSim.annCosineIvf(probes, emb, 3, trainIters = 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, truth) =>
+      truth.intersect(trained.getOrElse(p, Set.empty)).size.toDouble /
+        truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"trained-path mean recall@3 = $mean")
+  }
+
   test("k-means training tightens the IVF objective on a clustered corpus") {
     // 12 clusters of 6 vectors; sample-init centroids (lowest ids) all
     // come from the first clusters, so Lloyd iterations must measurably
