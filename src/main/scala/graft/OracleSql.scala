@@ -44,6 +44,25 @@ object OracleSql {
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    // CSV/ORC fixtures hold the same logical rows as the events parquet
+    // (numeric text round trip is bit-exact; ORC keeps µs timestamps and
+    // µs-truncation commutes with max), so the oracles aggregate the
+    // parquet directly — same contract as q_src_ndjson.
+    "q_src_csv" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+    "q_src_orc" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value,
+                max(CAST(ts AS TIMESTAMP)) AS max_ts
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_src_partition_prune" ->
       """SELECT count(*) AS n,
                 CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
@@ -843,6 +862,64 @@ object OracleSql {
                 round(v[1] / norm, 4) AS c0,
                 CAST(len(v) AS BIGINT) AS dim
          FROM n ORDER BY vec_id""",
+    // Mirrors Curation.chunkTokens exactly: window=32, stride=24,
+    // overlap=8; exclusive range(0, max(n-8,1), 24) = Spark's inclusive
+    // sequence(0, max(n-8,1)-1, 24); list_slice truncates at the array
+    // end like Spark's slice(w, st+1, 32).
+    "q_text_chunk" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         st AS (
+           SELECT doc_id, w, n,
+                  unnest(range(0, greatest(n - 8, 1), 24)) AS st
+           FROM w)
+         SELECT doc_id, st // 24 AS chunk_idx,
+                CAST(len(list_slice(w, st + 1, least(st + 32, n)))
+                  AS BIGINT) AS n_tokens,
+                sha256(array_to_string(
+                  list_slice(w, st + 1, least(st + 32, n)), ' ')) AS chunk_sha
+         FROM st ORDER BY doc_id, chunk_idx""",
+    // Mirrors Curation.quantizeInt8: scale = 127/max|x| (zero-vector
+    // guarded), code = floor(x*scale + 0.5) — floor-based half-up is
+    // bit-identical on both engines, unlike round().
+    "q_vec_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding AS v,
+                  127.0 / greatest(CAST(list_max(
+                    list_transform(embedding, x -> abs(x))) AS DOUBLE),
+                    1e-30) AS scale
+           FROM embeddings)
+         SELECT vec_id,
+                list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT))
+                  AS codes,
+                round(scale, 4) AS scale_r
+         FROM s ORDER BY vec_id""",
+    // Mirrors Curation.tfidfTopK: rational IDF (n_docs/df) so the sort
+    // key is integer-derived double arithmetic — bit-deterministic,
+    // no libm log in the ranking.
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         tot AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                  (CAST(tf.tf AS DOUBLE) * n_docs) / df AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+         ranked AS (
+           SELECT doc_id, term, tf, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rn
+           FROM scored)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf,
+                round(score, 4) AS score_r
+         FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q_vec_cosine_dedup" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -980,6 +1057,23 @@ object OracleSql {
            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
          SELECT o_orderkey, o_orderstatus, o_totalprice, version
          FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
+    // Mirrors Curation.scd2: the window and the final sort order by the
+    // µs-TRUNCATED timestamp (CAST(ts AS TIMESTAMP)) with event_id
+    // tie-break — the same total order Spark sees, so lead() picks the
+    // same successor even where nanosecond ts values collide at µs.
+    "q_etl_scd2" ->
+      """WITH c AS (
+           SELECT user_id, event_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts_us
+           FROM events)
+         SELECT user_id, event_id, event_type,
+                ts_us AS valid_from,
+                coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id),
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                lead(ts_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) IS NULL AS is_current
+         FROM c ORDER BY user_id, valid_from, event_id""",
     "q_etl_normalize" ->
       // The flat mirror of the WHOLE normalize lifecycle: synthesize the
       // scraped records' derived fields per event row (same grammar as

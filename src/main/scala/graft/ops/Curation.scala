@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: sliding-window
+  * document chunking, int8 embedding quantization, TF-IDF term scoring
+  * and SCD-2 validity intervals (SURVEY.md §2.P). Reference basis: the
+  * text/embedding curation family mandated by the north star on top of
+  * the reference's text fields (`web_scraper/web_scraping.py:325-333`)
+  * and its append-driven change records
+  * (`database/parse_and_upload_to_db.py:31-47`).
+  *
+  * Everything here is a pure expression pipeline or a single-shuffle
+  * window/aggregate — per-row work is codegen'd, shuffles only on the
+  * declared keys, so each operator scales linearly with the corpus.
+  */
+object Curation {
+
+  /** Sliding-window token chunks: split each document into windows of
+    * `window` tokens taken every `stride` tokens (overlap = window −
+    * stride). Chunk starts are `0, stride, 2·stride, … < max(n − overlap,
+    * 1)` — the upper bound skips tail windows that would add no token not
+    * already covered (a start within `overlap` of the end is fully
+    * contained in the previous window). Emits one row per chunk with its
+    * token count and a content hash; per-row generator, no shuffle — the
+    * 100 TB shape is scan → explode → scan-local projection.
+    *
+    * The start grid, slice semantics and hash are mirrored exactly by the
+    * DuckDB oracle (`range`/`list_slice`/`sha256`), so the operator is
+    * O-tier despite the generator. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val overlap = window - stride
+    val w = split(col(textCol), " ")
+    // sequence(0, L-1, stride) = all starts < L (inclusive bound lands on
+    // the grid only when L-1 is a multiple of stride — same set as the
+    // oracle's exclusive range(0, L, stride))
+    val lastStart = greatest(size(col("w")) - lit(overlap), lit(1)) - 1
+    val chunk = slice(col("w"), col("start") + 1, lit(window))
+    df.select(col(idCol), w.as("w"))
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(0), lastStart, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(chunk).cast("long").as("n_tokens"),
+        sha2(concat_ws(" ", chunk), 256).as("chunk_sha"))
+  }
+
+  /** Symmetric int8 scalar quantization of a float-vector column: scale
+    * = 127 / max|x| (guarded for the zero vector), code = ⌊x·scale +
+    * 0.5⌋ — floor-based half-up, chosen over `round()` because both
+    * engines define `floor` identically on doubles, so the codes are
+    * bit-deterministic. This is the 4× embedding-compression step before
+    * ANN at 100 TB (codes ship a quarter of the bytes through every
+    * downstream shuffle); reconstruction error ≤ 1/(2·scale) per
+    * coordinate is asserted in CurationSpec.
+    *
+    * `scale` is materialized in its own projection below the code map:
+    * CollapseProject keeps non-cheap expressions that are referenced more
+    * than once in the lower project, so max|x| is computed once per row,
+    * not once per element. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
+      .cast("double")
+    df.select(col(idCol), col(vecCol).as("v"),
+        (lit(127.0) / greatest(maxAbs, lit(1e-30))).as("scale"))
+      .select(col(idCol),
+        transform(col("v"),
+          x => floor(x * col("scale") + lit(0.5)).cast("int")).as("codes"),
+        round(col("scale"), 4).as("scale_r"))
+  }
+
+  /** Per-document top-k TF-IDF terms. IDF is the rational form n_docs/df
+    * rather than ln(n_docs/df): the two differ only by a per-term
+    * monotone map, and integer-derived double arithmetic is
+    * bit-deterministic across engines, where libm `log` is not — the
+    * ranking therefore never flips on a last-ulp disagreement with the
+    * oracle. Dataflow: explode → (doc, term) count → term-keyed df join →
+    * per-doc window top-k. The shuffles carry the distinct (doc, term)
+    * pairs and the vocabulary — never the raw token stream — and the
+    * per-doc window state is one row, so the shape holds at corpus scale
+    * (the df side broadcasts when the vocabulary fits, which AQE decides
+    * from runtime sizes). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextSim.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("term"), col("tf"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  /** SCD-2 validity intervals from an append-only change stream: each
+    * key's records, ordered by event time (id tie-break), become
+    * [valid_from, valid_to) intervals with `valid_to = next change` and
+    * an open current interval (the reference's latest-wins upsert
+    * `parse_and_upload_to_db.py:31-47` widened to keep history — the
+    * warehouse dimension-build pattern). One shuffle on the key; window
+    * state is a single lookahead row, so a hot key costs sort time, not
+    * memory. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           idCol: String): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(win))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+}

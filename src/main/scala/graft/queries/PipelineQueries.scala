@@ -195,7 +195,31 @@ object PipelineQueries {
       .orderBy("weekday_id")
   }
 
+  /** q_etl_scd2 — SCD-2 dimension build ([[graft.ops.Curation.scd2]]):
+    * the event stream read as per-user attribute-change records becomes
+    * [valid_from, valid_to) history intervals with an open current row
+    * (the reference's latest-wins load `parse_and_upload_to_db.py:31-47`
+    * widened to keep history). The window orders by the µs-truncated
+    * timestamp with event_id tie-break — the same total order the
+    * oracle's `CAST(ts AS TIMESTAMP)` yields, so `lead` picks the same
+    * successor in both engines. */
+  private val etlScd2: Q = (s, dir) =>
+    graft.ops.Curation.scd2(
+        Tables.load(s, dir, "events")
+          .select("user_id", "event_id", "event_type", "ts"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"),
+        // canonical warehouse high-date sentinel for the open interval
+        // (range predicates like `BETWEEN valid_from AND valid_to` then
+        // need no null branch; also keeps the dumped parquet null-free)
+        coalesce(col("valid_to"),
+          lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+
   val all: Map[String, Q] = Map(
+    "q_etl_scd2" -> etlScd2,
     "q_evt_funnel" -> evtFunnel,
     "q_etl_upsert" -> etlUpsert,
     "q_etl_normalize" -> etlNormalize)

@@ -122,10 +122,45 @@ object SourceQueries {
     path
   }
 
+  /** Materialize the CSV fixture for `dir` once (same stamp-keyed reuse
+    * rationale as [[ndjsonFixture]]). Header on, no props column (its
+    * free-form JSON would only exercise quoting, which stays a CSV-reader
+    * concern — the round trip under test is typed columns). */
+  private def csvFixture(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stamp = sourceStamp(s"$dir/events.parquet")
+    val path = s"$scratch/csv_${key}_$stamp"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(path)
+    }
+    path
+  }
+
+  /** Materialize the ORC fixture for `dir` once (stamp-keyed like
+    * [[ndjsonFixture]]). Includes the µs timestamp: ORC round-trips
+    * TimestampType exactly, which the read-back aggregate checks via
+    * max(ts). */
+  private def orcFixture(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stamp = sourceStamp(s"$dir/events.parquet")
+    val path = s"$scratch/orc_${key}_$stamp"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .write.mode("overwrite").orc(path)
+    }
+    path
+  }
+
   /** Pre-build fixtures outside any timed region (Bench calls this before
     * the timing loop). */
-  def prepareFixtures(s: SparkSession, dir: String): Unit =
+  def prepareFixtures(s: SparkSession, dir: String): Unit = {
     ndjsonFixture(s, dir)
+    csvFixture(s, dir)
+    orcFixture(s, dir): Unit
+  }
 
   /** q_src_parquet — schema-pinned columnar scan with projection (ref
     * Postgres table read `database/app.py:76-82`; our at-rest format is
@@ -291,7 +326,48 @@ object SourceQueries {
       .orderBy("user_id")
   }
 
+  /** q_src_csv — header'd CSV scan with an explicit schema (ref: the
+    * scraper's tabular export surface; CSV is the interchange format a
+    * warehouse still ingests daily). The fixture is written once
+    * ([[csvFixture]]); doubles survive the text round trip bit-exactly
+    * (shortest-repr serialization, same contract as NDJSON). The
+    * read-back aggregate adds an exact distinct-user count so the check
+    * is not satisfied by row counts alone. O-tier: the oracle aggregates
+    * the same logical rows from the events parquet. */
+  private val srcCsv: Q = (s, dir) => {
+    val path = csvFixture(s, dir)
+    s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE")
+      .option("header", "true").csv(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_src_orc — ORC columnar scan ([[orcFixture]]): the second
+    * columnar at-rest format (striped, predicate-pushdown-capable — the
+    * warehouse migration case). The aggregate includes max(ts): ORC
+    * round-trips TimestampType at µs precision, and the truncation to µs
+    * commutes with max, so the DuckDB oracle's CAST(ts AS TIMESTAMP)
+    * agrees. */
+  private val srcOrc: Q = (s, dir) => {
+    val path = orcFixture(s, dir)
+    s.read.orc(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"),
+        max("ts").as("max_ts"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_src_csv" -> srcCsv,
+    "q_src_orc" -> srcOrc,
     "q_src_parquet" -> srcParquet,
     "q_src_partition_prune" -> srcPartitionPrune,
     "q_sink_bucketed" -> sinkBucketed,

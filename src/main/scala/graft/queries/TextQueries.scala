@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.TextSim
+import graft.ops.{Curation, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -305,7 +305,35 @@ object TextQueries {
       .orderBy("vec_id")
   }
 
+  /** q_text_chunk — sliding-window token chunking
+    * ([[Curation.chunkTokens]]): 32-token windows every 24 tokens, the
+    * context-window prep step of a training corpus. O-tier: the start
+    * grid, slice and sha256 are mirrored exactly in the DuckDB oracle. */
+  private val textChunk: Q = (s, dir) =>
+    Curation.chunkTokens(Tables.load(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q_vec_quantize — int8 symmetric embedding quantization
+    * ([[Curation.quantizeInt8]]): the 4× compression step before ANN.
+    * Codes are bit-deterministic (floor-based half-up on doubles). */
+  private val vecQuantize: Q = (s, dir) =>
+    Curation.quantizeInt8(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  /** q_text_tfidf — per-document top-3 TF-IDF terms
+    * ([[Curation.tfidfTopK]]): rational IDF keeps the ranking
+    * bit-deterministic vs the oracle (no libm log in the sort key). */
+  private val textTfidf: Q = (s, dir) =>
+    Curation.tfidfTopK(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rn")
+
   val all: Map[String, Q] = Map(
+    "q_text_chunk" -> textChunk,
+    "q_vec_quantize" -> vecQuantize,
+    "q_text_tfidf" -> textTfidf,
     "q_vec_normalize" -> vecNormalize,
     "q_sample_hash" -> sampleHash,
     "q_text_scrub" -> textScrub,

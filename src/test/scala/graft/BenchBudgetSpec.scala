@@ -22,6 +22,7 @@ class BenchBudgetSpec extends AnyFunSuite {
   private val budgets: Map[String, Double] = Map(
     // sources
     "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
+    "q_src_csv" -> 0.6, "q_src_orc" -> 0.5,
     "q_src_stream_file" -> 2.0,
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
     "q_src_partition_prune" -> 1.2, "q_sink_bucketed" -> 1.5,
@@ -86,7 +87,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 0.7,
     // warehouse is a stamped build-once fixture; the timed part is the
     // 4-table join-back aggregate
-    "q_etl_normalize" -> 0.9)
+    "q_etl_normalize" -> 0.9,
+    // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
+    // tfidf 0.89, scd2 0.07)
+    "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
+    "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

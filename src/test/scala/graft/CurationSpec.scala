@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/** §2.P verification: chunk coverage/overlap invariants, int8
+  * quantization error bounds, TF-IDF ranking sanity, SCD-2 interval
+  * chaining. The cross-engine value parity of each registered query is
+  * the driver's DuckDB gate; these tests pin the SEMANTIC properties the
+  * hash compare can't express. */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val W = 32
+  private val S = 24
+
+  private def docs = Seq(
+    (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens → 4 chunks
+    (2L, (1 to 32).map(i => s"w$i").mkString(" ")),  // exactly one window
+    (3L, "a"),                                       // shorter than stride
+    (4L, (1 to 40).map(i => s"w$i").mkString(" "))   // tail inside overlap
+  ).toDF("doc_id", "text")
+
+  test("chunks cover every token and start on the stride grid") {
+    val rows = Curation.chunkTokens(docs, "doc_id", "text", W, S)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val nTokens = Map(1L -> 100, 2L -> 32, 3L -> 1, 4L -> 40)
+    for ((doc, n) <- nTokens) {
+      val chunks = byDoc(doc)
+      // chunk_idx is dense from 0; start = idx·stride; the last covered
+      // index is start + n_tokens which must reach n exactly
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong),
+        s"doc $doc: non-dense chunk_idx")
+      val covered = chunks.map { case (_, idx, len, _) => idx * S + len }.max
+      assert(covered == n, s"doc $doc: covered $covered of $n tokens")
+      // every non-final chunk is a full window
+      chunks.dropRight(1).foreach { case (_, idx, len, _) =>
+        assert(len == W, s"doc $doc chunk $idx: $len tokens, want $W")
+      }
+      // no tail chunk that adds nothing: a start inside the final
+      // `overlap` tokens would be fully contained in the previous window
+      val lastStart = chunks.last._2 * S
+      assert(lastStart == 0 || lastStart < n - (W - S),
+        s"doc $doc: redundant tail start $lastStart for n=$n")
+    }
+    // 100 tokens → starts 0,24,48,72 (96 ≥ 100−8 excluded)
+    assert(byDoc(1L).size == 4)
+    // 32 tokens → exactly one full window (start 24 ≥ 32−8 is redundant)
+    assert(byDoc(2L).size == 1)
+    // 40 tokens → 0 and 24 (the 24-start window adds tokens 33..40)
+    assert(byDoc(4L).size == 2 && byDoc(4L).last._3 == 16L)
+  }
+
+  test("quantization reconstructs within half a step, codes within int8") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Curation.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = emb.join(q, "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("codes"), col("scale_r"))
+      .as[(Long, Seq[Double], Seq[Int], Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, v, codes, scaleR) =>
+      assert(v.size == codes.size)
+      // recover the unrounded scale from the data (scale_r is rounded)
+      val maxAbs = v.map(math.abs).max max 1e-30
+      val scale = 127.0 / maxAbs
+      assert(math.abs(scale - scaleR) <= 5e-5 * (1 + scale))
+      codes.foreach(c => assert(c >= -127 && c <= 127,
+        s"vec $id: code $c outside int8 range"))
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c / scale) <= 0.5 / scale + 1e-12,
+          s"vec $id: reconstruction error above half a quantization step")
+      }
+    }
+  }
+
+  test("tfidf ranks are dense, scores non-increasing, tf exact") {
+    val d = Seq(
+      (1L, "apple apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "cherry date common")).toDF("doc_id", "text")
+    val rows = Curation.tfidfTopK(d, "doc_id", "text", 3)
+      .orderBy("doc_id", "rn")
+      .as[(Long, Long, String, Long, Double)].collect()
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.size).toSeq)
+      val scores = rs.sortBy(_._2).map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc: scores increase along rank")
+    }
+    // doc 1: apple tf=3, df=1, n_docs=3 → score 9; beats banana (1·3/2)
+    // and common (1·3/3)
+    val top1 = rows.filter(r => r._1 == 1L && r._2 == 1L).head
+    assert(top1._3 == "apple" && top1._4 == 3L && top1._5 == 9.0)
+    // rarity ranks doc 3's equal-tf terms: date (df=1, score 3) >
+    // cherry (df=2, 1.5) > common (df=3, 1 — idf can't lift a term
+    // present everywhere)
+    val doc3 = rows.filter(_._1 == 3L).sortBy(_._2)
+    assert(doc3.map(_._3).toSeq == Seq("date", "cherry", "common"))
+  }
+
+  test("scd2 intervals chain per key with exactly one open row") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val rows = Curation.scd2(ev, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        col("valid_from").cast("long").as("from_us"),
+        col("valid_to").cast("long").as("to_us"),
+        col("is_current"))
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+    assert(rows.length == ev.count())
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2))
+      // exactly one open (current) interval, and it is the last one
+      assert(ordered.count(_._5) == 1, s"user $user: open-row count != 1")
+      assert(ordered.last._5 && ordered.last._4.isEmpty)
+      // each closed interval's end is exactly the next interval's start
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3),
+          s"user $user: interval chain broken at event ${a._2}")
+        assert(!a._5)
+      }
+    }
+  }
+}

@@ -230,6 +230,48 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(r == 11.0)
   }
 
+  test("q_vec_quantize materializes scale once per row, no pre-sort shuffle") {
+    val p = plan("q_vec_quantize")
+    // CollapseProject must NOT inline the non-cheap max|x| into the
+    // per-element lambda — inlined it appears once per reference and the
+    // code map becomes O(d²) per row (SCALE.md §round-6)
+    assert("array_max".r.findAllIn(p).size == 1,
+      "scale expression duplicated into the element lambda")
+    assert(!p.contains("hashpartitioning"),
+      "per-row quantization should not shuffle")
+  }
+
+  test("q_text_chunk is scan→generate→project with only the final sort") {
+    val p = plan("q_text_chunk")
+    assert(p.contains("Generate"))
+    assert(!p.contains("hashpartitioning"),
+      "chunking is per-row; only the presentation sort may exchange")
+    // the round-3 generator hazard: an inferred size() filter would drag
+    // the split below an exchange and re-evaluate it per reference
+    assert("rangepartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("q_text_tfidf pushes the top-k filter into the window sort") {
+    val p = plan("q_text_tfidf")
+    // rn <= k must become WindowGroupLimit (partial + final): the
+    // per-doc sort then keeps k rows per group instead of the whole
+    // vocabulary of every document
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter not pushed into the window — full per-doc sort")
+    // the df (vocabulary) side joins without a nested loop; only the
+    // 1-row corpus total may cross-join (formatted explain prints each
+    // node twice: tree line + detail header → one node = 2 matches)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary df join fell out of hash join")
+  }
+
+  test("q_etl_scd2 shuffles once on the key, then windows in place") {
+    val p = plan("q_etl_scd2")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      "SCD-2 needs exactly the one key shuffle")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE shows codegen stages only in the finalized plan → execute first
     val df = SparkEntry.queries("q_filter_range_disj")(spark, sf0001)
