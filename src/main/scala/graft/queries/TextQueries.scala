@@ -330,7 +330,18 @@ object TextQueries {
         "doc_id", "text", k = 3)
       .orderBy("doc_id", "rn")
 
+  /** q_vec_ann_pq — product-quantized ANN
+    * ([[graft.ops.ProductQuant.annCosinePq]]): 8×16 sample codebooks,
+    * ADC shortlist of 50 from the 4-byte codes, exact top-10 rescore.
+    * Q-tier (codebook geometry has no DuckDB parity); recall and
+    * reconstruction gates in TextSimSpec. */
+  private val annPq: Q = (s, dir) =>
+    graft.ops.ProductQuant.annCosinePq(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      probeId = 0L, k = 10, shortlist = 50)
+
   val all: Map[String, Q] = Map(
+    "q_vec_ann_pq" -> annPq,
     "q_text_chunk" -> textChunk,
     "q_vec_quantize" -> vecQuantize,
     "q_text_tfidf" -> textTfidf,

@@ -91,7 +91,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
-    "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4)
+    "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
+    "q_vec_ann_pq" -> 0.8)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

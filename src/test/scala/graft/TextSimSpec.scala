@@ -200,6 +200,67 @@ class TextSimSpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean recall@3 = $mean")
   }
 
+  test("pq codes of sampled vectors reconstruct exactly") {
+    import graft.ops.ProductQuant
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cb = ProductQuant.sampleCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val coded = ProductQuant.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("codes"))
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+    assert(coded.length == emb.count())
+    val dsub = cb(0)(0).length
+    def recon(codes: Seq[Int]): Array[Double] =
+      codes.zipWithIndex.flatMap { case (c, mi) => cb(mi)(c) }.toArray
+    // every vector: valid code range, and the per-subspace argmin can
+    // only beat whole-vector 1-NN over the same sample — PQ's
+    // factorization mixes subvectors across samples, so
+    // err = Σ_m min_c ‖v_m − c‖² ≤ min_j ‖v − sample_j‖²
+    val samples = coded.filter(c => c._1 < 16).sortBy(_._1).map(_._2)
+    assert(samples.length == 16)
+    coded.foreach { case (id, v, codes) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      val vh = recon(codes)
+      val err = v.zip(vh).map { case (a, b) => (a - b) * (a - b) }.sum
+      val best1nn = samples.map(s =>
+        v.zip(s).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      assert(err <= best1nn + 1e-9,
+        s"vec $id: PQ worse than whole-vector 1-NN over the sample")
+    }
+    // the 16 sampled vectors ARE codebook entries in every subspace →
+    // their reconstruction must be exact (ties keep an equal-distance
+    // entry, which reconstructs the same subvector only if identical —
+    // so compare distances, not code ids)
+    val sampleIds = coded.map(_._1).sorted.take(16).toSet
+    coded.filter(c => sampleIds(c._1)).foreach { case (id, v, codes) =>
+      val vh = recon(codes)
+      val err = v.zip(vh).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(err < 1e-18, s"sampled vec $id reconstructs with error $err")
+    }
+  }
+
+  test("annCosinePq: full shortlist is exact; cut shortlist recall usable") {
+    import graft.ops.ProductQuant
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val n = emb.count().toInt
+    val exact = TextSim.knnJoin(emb.filter(col("vec_id") === 0), emb, 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    // shortlist = corpus ⇒ the ADC cut removes nothing and the exact
+    // rescore must reproduce brute-force kNN bit-for-bit
+    val full = ProductQuant.annCosinePq(emb, "vec_id", "embedding",
+        probeId = 0L, k = 10, shortlist = n)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(full == exact, s"full-shortlist PQ != exact: ${full -- exact}")
+    // the registered 10% shortlist: the ADC approximation decides the
+    // cut; require usable recall (same floor as the LSH/IVF gates)
+    val cut = ProductQuant.annCosinePq(emb, "vec_id", "embedding",
+        probeId = 0L, k = 10, shortlist = 50)
+      .select("neighbor_id").as[Long].collect().toSet
+    val recall = exact.intersect(cut).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@10 = $recall")
+  }
+
   private def bruteDedupPairs(sf: String, threshold: Double)
       : Set[(Long, Long, Double)] = {
     val e = Tables.load(spark, sf, "embeddings").select(col("vec_id"),
