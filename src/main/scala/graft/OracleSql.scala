@@ -1057,6 +1057,40 @@ object OracleSql {
            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
          SELECT o_orderkey, o_orderstatus, o_totalprice, version
          FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+         r AS (
+           SELECT user_id, event_type, n,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY n DESC, event_type) AS rn
+           FROM c)
+         SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "q_etl_dq" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS custkey_nulls,
+                CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  AS custkey_distinct,
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS price_nulls,
+                min(o_totalprice) AS price_min,
+                max(o_totalprice) AS price_max,
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                  AS status_distinct,
+                min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
+         FROM orders""",
+    // compaction is content-neutral: the oracle aggregates the source
+    // rows directly (same contract as the sink round trips)
+    "q_etl_compact" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors Curation.scd2: the window and the final sort order by the
     // µs-TRUNCATED timestamp (CAST(ts AS TIMESTAMP)) with event_id
     // tie-break — the same total order Spark sees, so lead() picks the

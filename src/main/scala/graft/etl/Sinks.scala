@@ -36,6 +36,22 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-files compaction: rewrite a directory of many small parquet
+    * files into `targetFiles` right-sized ones (round-robin repartition —
+    * content-neutral, no shuffle key to skew). THE recurring 100 TB
+    * warehouse maintenance job: a streaming/append ingest leaves
+    * file-per-micro-batch debris whose per-file open/footer cost comes
+    * to dominate scans (and the driver's file index); nightly compaction
+    * restores scan efficiency. At scale `targetFiles` derives from
+    * `dir size / spark.sql.files.maxPartitionBytes`; correctness is a
+    * pure round trip (verified by q_etl_compact's oracle + file-count
+    * assertion in SinksAndApproxSpec). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetFiles: Int): Unit =
+    spark.read.parquet(inDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(outDir)
+
   /** Idempotent warehouse table write. `partitionByCols` for fact tables
     * whose downstream reads prune on the partition column; dims stay
     * unpartitioned (small files beat empty-partition sprawl). */

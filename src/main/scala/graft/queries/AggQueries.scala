@@ -250,7 +250,28 @@ object AggQueries {
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy(col("user_id").asc_nulls_first)
 
+  /** q_agg_mode — most-frequent value per group with a deterministic
+    * tie rule (count desc, value asc): the categorical summary the
+    * reference's pandas post-processing reaches for with `.mode()`
+    * (`database/app.py:214-226` family). Two-phase (group, value) count
+    * then a per-group top-1 window — the shuffle carries one row per
+    * distinct (user, event_type), never the event stream, and the rank
+    * filter compiles to WindowGroupLimit (state = 1 row per group). */
+  private val aggMode: Q = (s, dir) => {
+    val counts = Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,
     "q_agg_group" -> aggGroup,
     "q_agg_multi" -> aggMulti,

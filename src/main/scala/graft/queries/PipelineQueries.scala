@@ -218,7 +218,58 @@ object PipelineQueries {
         col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** q_etl_dq — one-pass data-quality profile of `orders` (the ANALYZE
+    * TABLE / ingest-gate pattern; ref: the schema the pydantic validator
+    * enforces row-by-row at `web_scraper/web_scraping.py:232-247`,
+    * re-expressed as a table-level audit): row count, per-column null
+    * counts, exact distinct cardinalities, numeric/date ranges — one
+    * aggregate job, no joins. The two exact count(DISTINCT) force one
+    * Expand (×3 row replication) in exchange for exactness; the 100 TB
+    * swap is `approx_count_distinct` (same query shape, constant-size
+    * HLL partials — registered separately as q_agg_approx). */
+  private val etlDq: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("custkey_nulls"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("price_nulls"),
+        min("o_totalprice").as("price_min"),
+        max("o_totalprice").as("price_max"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min("o_orderdate").as("date_min"),
+        max("o_orderdate").as("date_max"))
+
+  /** q_etl_compact — small-files compaction round trip
+    * ([[graft.etl.Sinks.compact]]): events written as 16 deliberate
+    * shards, compacted to 2 right-sized files, read back and
+    * aggregated — content must survive both rewrites exactly (the
+    * oracle aggregates the source parquet). The file-count reduction
+    * itself is asserted in SinksAndApproxSpec; at 100 TB this is the
+    * nightly maintenance job that keeps scan cost ∝ bytes, not
+    * ∝ file count. */
+  private val etlCompact: Q = (s, dir) => {
+    val small = SourceQueries.freshSinkDir("compact_small")
+    val out = SourceQueries.freshSinkDir("compact_out")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(16)
+      .write.mode("overwrite").parquet(small)
+    graft.etl.Sinks.compact(s, small, out, targetFiles = 2)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_etl_dq" -> etlDq,
+    "q_etl_compact" -> etlCompact,
     "q_etl_scd2" -> etlScd2,
     "q_evt_funnel" -> evtFunnel,
     "q_etl_upsert" -> etlUpsert,

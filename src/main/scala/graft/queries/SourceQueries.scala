@@ -54,7 +54,7 @@ object SourceQueries {
   private val sinkDirNameRe = java.util.regex.Pattern
     .compile("[a-z_]+_[0-9a-f]{32}")
 
-  private def freshSinkDir(kind: String): String = {
+  private[graft] def freshSinkDir(kind: String): String = {
     val now = System.currentTimeMillis()
     val dirs = lastSinkDir.get()
     val mine = dirs.get(kind)

@@ -92,7 +92,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
     "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
-    "q_vec_ann_pq" -> 0.8)
+    "q_vec_ann_pq" -> 0.8, "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
+    "q_etl_compact" -> 1.2)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -111,6 +111,25 @@ class SinksAndApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction reduces file count and preserves content (q_etl_compact)") {
+    val small = graft.queries.SourceQueries.freshSinkDir("compact_small")
+    val out = graft.queries.SourceQueries.freshSinkDir("compact_out")
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.repartition(16).write.mode("overwrite").parquet(small)
+    graft.etl.Sinks.compact(spark, small, out, targetFiles = 2)
+    def parquetFiles(d: String) =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) == 16)
+    assert(parquetFiles(out) == 2,
+      "compaction did not hit the target file count")
+    // content-neutral: same rows, nothing duplicated or dropped
+    val before = ev.orderBy("event_id").collect()
+    val after = spark.read.parquet(out).orderBy("event_id").collect()
+    assert(after.sameElements(before))
+  }
+
   test("approx_count_distinct within declared rsd of exact (q_agg_approx)") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val rows = li.groupBy("l_returnflag")
