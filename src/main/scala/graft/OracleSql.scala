@@ -1082,6 +1082,23 @@ object OracleSql {
                   AS status_distinct,
                 min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
          FROM orders""",
+    // mirrors the V1/V2 file split arithmetically: even event_ids were
+    // written before the event_type column existed → 'legacy'
+    "q_etl_schema_evolve" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy'
+                     ELSE event_type END AS bucket,
+                count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "q_win_pctrank" ->
+      """SELECT o_custkey, o_orderkey,
+                round(percent_rank() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank,
+                round(cume_dist() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice, o_orderkey), 4) AS cume
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderkey""",
     // compaction is content-neutral: the oracle aggregates the source
     // rows directly (same contract as the sink round trips)
     "q_etl_compact" ->

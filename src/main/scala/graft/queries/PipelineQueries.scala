@@ -267,7 +267,35 @@ object PipelineQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_etl_schema_evolve — schema-evolution read: a warehouse directory
+    * whose older files predate a column (the reference added fields to
+    * its scraped schema over time — `web_scraping.py:232-247`'s optional
+    * fields are exactly fossilized schema versions). V1 files (no
+    * event_type) and V2 files land in one dir; `mergeSchema` unions the
+    * footers and back-fills nulls, and the aggregate buckets legacy rows
+    * explicitly. At 100 TB this is why columnar evolution beats
+    * rewrite-the-table: old files are never touched, the scan pays one
+    * footer-union at planning. The oracle rebuilds the same V1/V2 split
+    * arithmetically from the source table. */
+  private val etlSchemaEvolve: Q = (s, dir) => {
+    val out = SourceQueries.freshSinkDir("schema_evolve")
+    val ev = Tables.load(s, dir, "events")
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(out)
+    ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_etl_schema_evolve" -> etlSchemaEvolve,
     "q_etl_dq" -> etlDq,
     "q_etl_compact" -> etlCompact,
     "q_etl_scd2" -> etlScd2,

@@ -137,7 +137,25 @@ object WindowQueries {
       .select("rn", "c_custkey", "c_name")
       .orderBy("rn")
 
+  /** q_win_pctrank — relative standing within a group: percent_rank
+    * (rank−1)/(n−1) and cume_dist (≤x count)/n per order within its
+    * customer's orders — the distributional companions to rank that the
+    * reference's ranking field implies (`web_scraping.py:336-340`).
+    * Both are rational functions of integer window state (rank, count) —
+    * bit-deterministic, same one-shuffle shape as every §2.E window. */
+  private val winPctrank: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_pctrank" -> winPctrank,
     "q_win_rownum" -> winRownum,
     "q_win_rank" -> winRank,
     "q_win_lag" -> winLag,
