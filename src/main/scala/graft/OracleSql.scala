@@ -1064,10 +1064,10 @@ object OracleSql {
          r AS (
            SELECT user_id, event_type, n,
                   row_number() OVER (PARTITION BY user_id
-                    ORDER BY n DESC, event_type) AS rn
+                    ORDER BY n DESC, event_type NULLS FIRST) AS rn
            FROM c)
          SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
-         FROM r WHERE rn = 1 ORDER BY user_id""",
+         FROM r WHERE rn = 1 ORDER BY user_id NULLS FIRST""",
     "q_etl_dq" ->
       """SELECT count(*) AS n_rows,
                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
@@ -1083,9 +1083,14 @@ object OracleSql {
                 min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
          FROM orders""",
     // mirrors the V1/V2 file split arithmetically: even event_ids were
-    // written before the event_type column existed → 'legacy'
+    // written before the event_type column existed → 'legacy'. The
+    // OR IS NULL arm matches the Spark side's coalesce semantics exactly
+    // (a V2 row whose event_type is legitimately null also lands in
+    // 'legacy') — today's fixtures have no null event_type, but the two
+    // formulations must agree if that ever changes.
     "q_etl_schema_evolve" ->
-      """SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy'
+      """SELECT CASE WHEN event_id % 2 = 0 OR event_type IS NULL
+                     THEN 'legacy'
                      ELSE event_type END AS bucket,
                 count(*) AS n,
                 CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
@@ -1120,11 +1125,14 @@ object OracleSql {
          SELECT user_id, event_id, event_type,
                 ts_us AS valid_from,
                 coalesce(lead(ts_us) OVER (PARTITION BY user_id
-                    ORDER BY ts_us, event_id),
+                    ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST),
                   TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
                 lead(ts_us) OVER (PARTITION BY user_id
-                  ORDER BY ts_us, event_id) IS NULL AS is_current
-         FROM c ORDER BY user_id, valid_from, event_id""",
+                  ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) IS NULL
+                  AS is_current
+         FROM c
+         ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
+                  event_id NULLS FIRST""",
     "q_etl_normalize" ->
       // The flat mirror of the WHOLE normalize lifecycle: synthesize the
       // scraped records' derived fields per event row (same grammar as

@@ -103,56 +103,46 @@ object SourceQueries {
     java.lang.Long.toHexString(crc.getValue)
   }
 
-  /** Materialize the NDJSON fixture for `dir` once and reuse it: the
-    * fixture is a deterministic function of the (immutable) events table,
-    * so re-writing it on every query invocation only pollutes the timing
-    * of the operator under test with sink throughput. Keyed by SF dir AND
-    * a content stamp of the source parquet ([[sourceStamp]]), so neither
-    * different scales nor regenerated data ever share a fixture. */
-  private def ndjsonFixture(s: SparkSession, dir: String): String = {
+  /** Materialize a file-format fixture of the events table once and
+    * reuse it: a fixture is a deterministic function of the (immutable)
+    * source table, so re-writing it per query invocation would only
+    * pollute the timing of the operator under test with sink throughput.
+    * Keyed by SF dir AND a content stamp of the source parquet
+    * ([[sourceStamp]]), so neither different scales nor regenerated data
+    * ever share a fixture; one shared protocol so the stamp/caching/
+    * sweeper-name contract (see [[sinkDirNameRe]]) lives in one place. */
+  private def eventsFixture(s: SparkSession, dir: String, prefix: String,
+                            cols: Seq[String])(
+      write: (DataFrame, String) => Unit): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val stamp = sourceStamp(s"$dir/events.parquet")
-    val path = s"$scratch/ndjson_${key}_$stamp"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("props"))
-        .write.mode("overwrite").json(path)
-    }
+    val path = s"$scratch/${prefix}_${key}_$stamp"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      write(Tables.load(s, dir, "events").select(cols.map(col): _*), path)
     path
   }
 
-  /** Materialize the CSV fixture for `dir` once (same stamp-keyed reuse
-    * rationale as [[ndjsonFixture]]). Header on, no props column (its
-    * free-form JSON would only exercise quoting, which stays a CSV-reader
-    * concern — the round trip under test is typed columns). */
-  private def csvFixture(s: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val stamp = sourceStamp(s"$dir/events.parquet")
-    val path = s"$scratch/csv_${key}_$stamp"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      Tables.load(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-        .write.mode("overwrite").option("header", "true").csv(path)
-    }
-    path
-  }
+  /** NDJSON fixture (scraper-log shape, nested props included). */
+  private def ndjsonFixture(s: SparkSession, dir: String): String =
+    eventsFixture(s, dir, "ndjson",
+      Seq("event_id", "user_id", "event_type", "value", "props"))(
+      _.write.mode("overwrite").json(_))
 
-  /** Materialize the ORC fixture for `dir` once (stamp-keyed like
-    * [[ndjsonFixture]]). Includes the µs timestamp: ORC round-trips
+  /** CSV fixture: header on, no props column (its free-form JSON would
+    * only exercise quoting, which stays a CSV-reader concern — the round
+    * trip under test is typed columns). */
+  private def csvFixture(s: SparkSession, dir: String): String =
+    eventsFixture(s, dir, "csv",
+      Seq("event_id", "user_id", "event_type", "value"))(
+      _.write.mode("overwrite").option("header", "true").csv(_))
+
+  /** ORC fixture: includes the µs timestamp — ORC round-trips
     * TimestampType exactly, which the read-back aggregate checks via
     * max(ts). */
-  private def orcFixture(s: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val stamp = sourceStamp(s"$dir/events.parquet")
-    val path = s"$scratch/orc_${key}_$stamp"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      Tables.load(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value", "ts")
-        .write.mode("overwrite").orc(path)
-    }
-    path
-  }
+  private def orcFixture(s: SparkSession, dir: String): String =
+    eventsFixture(s, dir, "orc",
+      Seq("event_id", "user_id", "event_type", "value", "ts"))(
+      _.write.mode("overwrite").orc(_))
 
   /** Pre-build fixtures outside any timed region (Bench calls this before
     * the timing loop). */

@@ -41,13 +41,11 @@ def cmp_cell(a, b):
     a, b = norm(a), norm(b)
     if a is None and b is None:
         return True
-    try:
-        import pandas as pd
-        # pd.NaT (null timestamp) compares False to itself, like NaN
-        if pd.isna(a) and pd.isna(b) and not isinstance(a, (list, tuple)):
-            return True
-    except (ImportError, TypeError, ValueError):
-        pass
+    # pd.NaT (null timestamp) compares False to itself, like NaN — but
+    # ONLY same-kind na values are equal: None-vs-NaN stays a mismatch
+    # (a null-propagation regression must not pass the local gate)
+    if type(a).__name__ == "NaTType" and type(b).__name__ == "NaTType":
+        return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
