@@ -69,6 +69,13 @@ object OracleSql {
                   AS sum_value,
                 min(event_id) AS min_id, max(event_id) AS max_id
          FROM events WHERE event_type = 'purchase'""",
+    // the derived-column dim filter reduces to the IN list arithmetically
+    "q_join_dpp" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events WHERE event_type IN ('purchase', 'signup')
+         GROUP BY event_type ORDER BY event_type""",
     "q_sink_bucketed" ->
       """WITH clicks AS (
            SELECT user_id, count(*) AS n_clicks FROM events

@@ -355,7 +355,40 @@ object SourceQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_join_dpp — DYNAMIC partition pruning: the fact table is
+    * partitioned by event_type; the dimension's filter is on a DERIVED
+    * column (`kind`), so no static predicate on the partition column
+    * exists at plan time — the optimizer must instead build a runtime
+    * filter from the broadcast dim and prune fact DIRECTORIES with it
+    * (`PartitionFilters: dynamicpruning#...`, gated in
+    * PlanQualitySpec). This is the star-schema workhorse at 100 TB:
+    * "join facts to the date dim WHERE fiscal_quarter = ..." scans only
+    * the qualifying partitions even though the fact predicate is not
+    * known until the dim side runs. Ref: the reference's per-category
+    * endpoint filter (`database/app.py:66-82`) re-expressed against a
+    * partitioned warehouse. */
+  private val joinDpp: Q = (s, dir) => {
+    val out = freshSinkDir("dpp_fact")
+    Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val dim = Tables.load(s, dir, "events")
+      .select("event_type").distinct()
+      .withColumn("kind",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("other"))
+      .filter(col("kind") === "conversion")
+    s.read.parquet(out)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
     "q_src_orc" -> srcOrc,
     "q_src_parquet" -> srcParquet,

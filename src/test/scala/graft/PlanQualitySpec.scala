@@ -266,6 +266,13 @@ class PlanQualitySpec extends SparkSpecBase {
       "vocabulary df join fell out of hash join")
   }
 
+  test("q_join_dpp prunes fact partitions with a runtime filter") {
+    val p = plan("q_join_dpp")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("dynamicpruning"),
+      s"no dynamic pruning expression in the fact scan: $pf")
+  }
+
   test("q_etl_scd2 shuffles once on the key, then windows in place") {
     val p = plan("q_etl_scd2")
     assert("hashpartitioning".r.findAllIn(p).size == 1,
