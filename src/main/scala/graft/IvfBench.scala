@@ -52,6 +52,25 @@ object IvfBench {
     }
     run("sampled", 0)
     run("trained(3)", 3)
+
+    // PQ single-probe regime (the registered q_vec_ann_pq shape):
+    // ADC-shortlist accuracy vs the brute-force probe, measured not
+    // assumed. Uses the first 20 probe ids serially — the per-probe
+    // cost INCLUDES codebook build + probe collect (PQ's driver-side
+    // metadata), which is the honest cost of the registered query.
+    val pqProbes = (0L until 20L)
+    val t0 = System.nanoTime()
+    val pqRecalls = pqProbes.map { pid =>
+      val got = graft.ops.ProductQuant.annCosinePq(
+          emb, "vec_id", "embedding", pid, k = 10, shortlist = 50)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      val truth = exact.getOrElse(pid, Set.empty)
+      if (truth.isEmpty) 1.0
+      else truth.intersect(got).size.toDouble / truth.size
+    }
+    val pqSec = (System.nanoTime() - t0) / 1e9
+    println(f"PQ  adc50       perProbe=${pqSec / pqProbes.size}%.2fs " +
+      f"meanRecall@10=${pqRecalls.sum / pqRecalls.size}%.3f")
     spark.stop()
   }
 }

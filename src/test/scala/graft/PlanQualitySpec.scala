@@ -230,6 +230,31 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(r == 11.0)
   }
 
+  test("GraftExtensions: the SQL hash family matches the column API") {
+    import org.apache.spark.sql.functions.{col, split, transform, xxhash64}
+    import graft.ops.TextSim
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("text")
+    val hashed = transform(split(col("text"), " "), t => xxhash64(t))
+    val viaCol = df.select(
+        fns.simhash64(hashed).as("sh"),
+        fns.minhashes(fns.shingle_hashes(hashed, 3), 16).as("mh"))
+      .as[(Long, Seq[Long])].head()
+    df.createOrReplaceTempView("gx_probe")
+    val viaSql = spark.sql(
+      """SELECT simhash64(transform(split(text, ' '), t -> xxhash64(t))),
+                minhashes(shingle_hashes(
+                  transform(split(text, ' '), t -> xxhash64(t)), 3), 16)
+         FROM gx_probe""").as[(Long, Seq[Long])].head()
+    assert(viaSql == viaCol,
+      "SQL-registered hash functions diverge from the column API")
+    // and the Scala-side simhash wrapper agrees too (lower-cased input
+    // differs, so feed it pre-lowered text)
+    val wrapper = df.select(TextSim.simhash(col("text"))).head().getLong(0)
+    assert(wrapper == viaCol._1)
+  }
+
   test("q_vec_quantize materializes scale once per row, no pre-sort shuffle") {
     val p = plan("q_vec_quantize")
     // CollapseProject must NOT inline the non-cheap max|x| into the
