@@ -59,18 +59,23 @@ object IvfBench {
     // cost INCLUDES codebook build + probe collect (PQ's driver-side
     // metadata), which is the honest cost of the registered query.
     val pqProbes = (0L until 20L)
-    val t0 = System.nanoTime()
-    val pqRecalls = pqProbes.map { pid =>
-      val got = graft.ops.ProductQuant.annCosinePq(
-          emb, "vec_id", "embedding", pid, k = 10, shortlist = 50)
-        .select("neighbor_id").collect().map(_.getLong(0)).toSet
-      val truth = exact.getOrElse(pid, Set.empty)
-      if (truth.isEmpty) 1.0
-      else truth.intersect(got).size.toDouble / truth.size
+    def pqRun(label: String, trainIters: Int): Unit = {
+      val t0 = System.nanoTime()
+      val recalls = pqProbes.map { pid =>
+        val got = graft.ops.ProductQuant.annCosinePq(
+            emb, "vec_id", "embedding", pid, k = 10, shortlist = 50,
+            trainIters = trainIters)
+          .select("neighbor_id").collect().map(_.getLong(0)).toSet
+        val truth = exact.getOrElse(pid, Set.empty)
+        if (truth.isEmpty) 1.0
+        else truth.intersect(got).size.toDouble / truth.size
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PQ  $label%-12s perProbe=${sec / pqProbes.size}%.2fs " +
+        f"meanRecall@10=${recalls.sum / recalls.size}%.3f")
     }
-    val pqSec = (System.nanoTime() - t0) / 1e9
-    println(f"PQ  adc50       perProbe=${pqSec / pqProbes.size}%.2fs " +
-      f"meanRecall@10=${pqRecalls.sum / pqRecalls.size}%.3f")
+    pqRun("adc50", 0)
+    pqRun("adc50+tr3", 3)
     spark.stop()
   }
 }

@@ -52,6 +52,73 @@ object ProductQuant {
         (mi + 1) * dsub)))
   }
 
+  /** Distributed k-means refinement of PQ codebooks — plain (not
+    * spherical) Lloyd, because PQ minimizes per-subspace L2
+    * reconstruction error, not cosine. Per iteration: assign every
+    * row's subvectors with [[encode]] (broadcast codebooks, codegen'd
+    * TopCells argmin), then compute per-(subspace, code, position)
+    * means as ONE two-phase aggregate over the posexploded vector —
+    * map-side partials collapse each task's output to ≤ m·ksub·dsub
+    * rows (1 024 here), so the shuffle ships index metadata, not the
+    * corpus; the collect is m·ksub·dsub doubles (driver-scale). Empty
+    * cells keep their previous centroid. Lloyd monotonicity
+    * (reconstruction error never increases) is spec-gated; training is
+    * run-to-run deterministic up to float summation order, which is why
+    * the REGISTERED query keeps sampled codebooks (SURVEY §7.5) and
+    * training stays the recall knob for clustered corpora. */
+  def trainCodebooks(corpus: DataFrame, vecCol: String,
+                     init: Array[Array[Array[Double]]],
+                     iters: Int): Array[Array[Array[Double]]] = {
+    val m = init.length
+    val ksub = init(0).length
+    val dsub = init(0)(0).length
+    var cb = init
+    var it = 0
+    while (it < iters) {
+      val sums = encode(corpus, vecCol, cb)
+        .select(col(vecCol).cast("array<double>").as("v"), col("codes"))
+        .select(posexplode(col("v")).as(Seq("j", "x")), col("codes"))
+        .select(
+          (col("j") / dsub).cast("int").as("mi"),
+          (col("j") % dsub).as("pos"),
+          element_at(col("codes"), (col("j") / dsub).cast("int") + 1)
+            .as("code"),
+          col("x"))
+        .groupBy("mi", "code", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((mi, code), rows) =>
+          rows.foreach { r =>
+            next(mi)(code)(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+          }
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** Mean squared reconstruction error of `codebooks` over the corpus —
+    * the Lloyd objective (spec gate + IvfBench reporting). */
+  def reconstructionMse(corpus: DataFrame, vecCol: String,
+                        codebooks: Array[Array[Array[Double]]]): Double = {
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    encode(corpus, vecCol, codebooks)
+      .select(col(vecCol).cast("array<double>").as("v"), col("codes"))
+      .select(posexplode(col("v")).as(Seq("j", "x")), col("codes"))
+      .select(col("x"),
+        element_at(
+          element_at(
+            element_at(cbLit, (col("j") / dsub).cast("int") + 1),
+            element_at(col("codes"), (col("j") / dsub).cast("int") + 1) + 1),
+          (col("j") % dsub).cast("int") + 1).as("xh"))
+      .agg(avg(pow(col("x") - col("xh"), 2)))
+      .head().getDouble(0)
+  }
+
   /** Augment each subspace codebook for the max-dot argmin trick:
     * entry c of subspace m becomes `[c…, −‖c‖²/2]`, so
     * `dot([v,1], entry)` orders by −L2-distance. */
@@ -118,8 +185,14 @@ object ProductQuant {
     * the whole point of PQ at 100 TB. */
   def annCosinePq(corpus: DataFrame, idCol: String, vecCol: String,
                   probeId: Long, k: Int, shortlist: Int,
-                  m: Int = 8, ksub: Int = 16): DataFrame = {
-    val cb = sampleCodebooks(corpus, idCol, vecCol, m, ksub)
+                  m: Int = 8, ksub: Int = 16,
+                  trainIters: Int = 0): DataFrame = {
+    val sampled = sampleCodebooks(corpus, idCol, vecCol, m, ksub)
+    // trainIters > 0 = the recall knob for clustered corpora (Lloyd per
+    // subspace); the registered query keeps 0 for bit-determinism
+    val cb =
+      if (trainIters > 0) trainCodebooks(corpus, vecCol, sampled, trainIters)
+      else sampled
     val probe = corpus.filter(col(idCol) === probeId)
       .select(col(vecCol).cast("array<double>"))
       .collect()

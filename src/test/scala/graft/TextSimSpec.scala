@@ -240,6 +240,20 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("pq codebook training tightens reconstruction error (Lloyd)") {
+    import graft.ops.ProductQuant
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val init = ProductQuant.sampleCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val before = ProductQuant.reconstructionMse(emb, "embedding", init)
+    val trained = ProductQuant.trainCodebooks(emb, "embedding", init, 3)
+    val after = ProductQuant.reconstructionMse(emb, "embedding", trained)
+    // Lloyd never increases the objective; on this corpus the sampled
+    // start is far from a local optimum, so require a real improvement
+    assert(after <= before * 0.95,
+      s"training did not tighten the objective: $before -> $after")
+  }
+
   test("annCosinePq: full shortlist is exact; cut shortlist recall usable") {
     import graft.ops.ProductQuant
     val emb = Tables.load(spark, sf0001, "embeddings")
