@@ -1064,6 +1064,14 @@ object OracleSql {
            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
          SELECT o_orderkey, o_orderstatus, o_totalprice, version
          FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
+    // the segment dim is a pure function of user_id → re-derived inline
+    "q_stream_enrich" ->
+      """SELECT concat('seg_', CAST(user_id % 10 AS VARCHAR)) AS segment,
+                count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY 1
+         ORDER BY segment NULLS FIRST""",
     "q_agg_mode" ->
       """WITH c AS (
            SELECT user_id, event_type, count(*) AS n

@@ -50,6 +50,21 @@ object Streaming {
   def dedupBatch(ev: DataFrame, keys: Seq[String]): DataFrame =
     ev.dropDuplicates(keys)
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * joins the (slowly-changing, re-readable) dimension — the lookup
+    * pattern of every event pipeline (ref: the scraper resolving each
+    * search hit against its static category map,
+    * `web_scraper/web_scraping.py:325-368`). Left join so an event
+    * whose key is missing from the dim survives with nulls (an inner
+    * join would silently drop it — a data-loss bug at ingest). The dim
+    * is broadcast: in streaming it participates from every micro-batch
+    * without shuffling the stream side; at 100 TB the dim either fits
+    * (broadcast) or the join keys co-partition (bucketed dim). Same
+    * builder runs batch (oracle shadow) and under readStream
+    * (incremental run in StreamingSpec). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: every left event matched to right
     * events of the same key that occur strictly after it and within
     * `window` — the attribution join (view → click within 30 min). The

@@ -87,7 +87,28 @@ object StreamingQueries {
       .orderBy("view_id", "click_id")
   }
 
+  /** q_stream_enrich — stream-static enrichment join
+    * ([[Streaming.enrich]]), batch shadow: events left-joined to a
+    * derived user-segment dim (user_id % 10 deciles — deterministic,
+    * so the oracle re-derives it arithmetically), aggregated per
+    * segment. Incremental (MemoryStream × static dim) twin in
+    * StreamingSpec. */
+  private val enrich: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = ev.select("user_id").distinct()
+      .withColumn("segment",
+        concat(lit("seg_"), (col("user_id") % 10).cast("string")))
+    Streaming.enrich(ev, dim, "user_id")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("segment").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_stream_enrich" -> enrich,
     "q_stream_join" -> streamJoin,
     "q_stream_tumble" -> tumble,
     "q_stream_slide" -> slide,

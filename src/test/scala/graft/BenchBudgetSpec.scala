@@ -94,7 +94,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
     "q_vec_ann_pq" -> 0.8, "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
-    "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2)
+    "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,
+    "q_stream_enrich" -> 0.6)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

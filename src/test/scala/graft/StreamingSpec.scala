@@ -44,6 +44,24 @@ class StreamingSpec extends SparkSpecBase {
       ("2024-01-01 10:15:00.0", 1L), ("2024-01-01 10:30:00.0", 1L)))
   }
 
+  test("stream-static enrich joins every micro-batch against the dim") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = runStream(
+      Seq(Seq(Ev(1, ts(1), 1, "click", 1.0)),
+        // second micro-batch: dim row 2 AND an unknown user 9
+        Seq(Ev(2, ts(2), 2, "view", 2.0), Ev(3, ts(3), 9, "view", 3.0))),
+      "enrich_test",
+      df => Streaming.enrich(df, dim, "user_id")
+        .select("event_id", "user_id", "tier"),
+      "append")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).sortBy(_._1)
+    // left join: the unknown user survives with a null tier (an inner
+    // join would silently drop event 3 — the ingest data-loss bug)
+    assert(rows.toSeq == Seq((1L, Some("gold")), (2L, Some("basic")),
+      (3L, None)))
+  }
+
   test("stream-stream interval join emits exactly the in-window pairs") {
     implicit val sq = spark.sqlContext
     val views = MemoryStream[Ev]
