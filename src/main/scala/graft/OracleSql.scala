@@ -787,6 +787,20 @@ object OracleSql {
                 round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
                   AS top_token_share
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """WITH b AS (
+           SELECT event_id, event_type,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(event_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 100 AS bucket
+           FROM events)
+         SELECT event_type, count(*) AS n_kept,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM b
+         WHERE bucket < CASE event_type WHEN 'purchase' THEN 100
+                        WHEN 'view' THEN 10 ELSE 50 END
+         GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_sample_hash" ->
       """WITH b AS (
            SELECT doc_id, n_chars,

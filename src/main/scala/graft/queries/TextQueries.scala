@@ -340,7 +340,32 @@ object TextQueries {
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       probeId = 0L, k = 10, shortlist = 50)
 
+  /** q_sample_stratified — deterministic stratified downsampling over
+    * `events`: per-stratum keep fractions (purchases kept whole, views
+    * cut to 10%, the rest to 50% — the class-rebalancing step of a
+    * training pipeline) via the same sha-bucket arithmetic as
+    * [[sampleHash]], so membership is a pure function of (event_id,
+    * stratum): reruns, repartitions and corpus growth never resample a
+    * row (`sampleBy`'s RNG guarantees none of these). Per-row
+    * expression, no shuffle before the aggregate. */
+  private val sampleStratified: Q = (s, dir) => {
+    val bucket =
+      conv(substring(sha2(col("event_id").cast("string"), 256), 1, 7),
+        16, 10).cast("long") % 100
+    val keepPct = when(col("event_type") === "purchase", 100)
+      .when(col("event_type") === "view", 10)
+      .otherwise(50)
+    Tables.load(s, dir, "events")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < keepPct)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_sample_stratified" -> sampleStratified,
     "q_vec_ann_pq" -> annPq,
     "q_text_chunk" -> textChunk,
     "q_vec_quantize" -> vecQuantize,

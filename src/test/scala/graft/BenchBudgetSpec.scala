@@ -95,7 +95,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_ann_pq" -> 0.8, "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,
-    "q_stream_enrich" -> 0.6)
+    "q_stream_enrich" -> 0.6, "q_sample_stratified" -> 0.5)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 132, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 122)
+    assert(declared.size == 133, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 123)
     assert(declared.values.count(_ == "Q") == 9)
     assert(declared.values.count(_ == "U") == 1)
   }

@@ -53,6 +53,35 @@ class CurationSpec extends SparkSpecBase {
     assert(byDoc(4L).size == 2 && byDoc(4L).last._3 == 16L)
   }
 
+  test("property: chunk invariants hold for every doc length 1..130") {
+    // one doc per length; tokens are position-numbered so slices are
+    // checkable by value, not just by count
+    val docs = (1 to 130).map(n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Curation.chunkTokens(docs, "doc_id", "text", W, S)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = rows.groupBy(_._1)
+    (1 to 130).foreach { n =>
+      val chunks = byDoc(n.toLong).sortBy(_._2)
+      // dense indices from 0
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+      // full coverage: the final chunk reaches token n exactly
+      assert(chunks.map(c => c._2 * S + c._3).max == n, s"n=$n")
+      // every non-final chunk is a full window; the final one is 1..W
+      chunks.dropRight(1).foreach(c => assert(c._3 == W, s"n=$n"))
+      assert(chunks.last._3 >= 1 && chunks.last._3 <= W)
+      // no redundant tail: a start inside the last `overlap` tokens
+      // would add no token the previous window lacks
+      val lastStart = chunks.last._2 * S
+      assert(lastStart == 0 || lastStart < n - (W - S), s"n=$n")
+      // chunk count is the closed form of the grid rule
+      val expected = math.max(1,
+        math.ceil((n - (W - S)).toDouble / S).toInt)
+      assert(chunks.size == expected, s"n=$n: ${chunks.size} != $expected")
+    }
+  }
+
   test("quantization reconstructs within half a step, codes within int8") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = Curation.quantizeInt8(emb, "vec_id", "embedding")
