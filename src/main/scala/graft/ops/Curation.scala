@@ -60,19 +60,24 @@ object Curation {
     * downstream shuffle); reconstruction error ≤ 1/(2·scale) per
     * coordinate is asserted in CurationSpec.
     *
-    * `scale` is materialized in its own projection below the code map:
-    * CollapseProject keeps non-cheap expressions that are referenced more
-    * than once in the lower project, so max|x| is computed once per row,
-    * not once per element. */
+    * Implemented as ONE codegen'd expression
+    * ([[org.apache.spark.sql.graftfns.QuantizeInt8]]): the equivalent
+    * higher-order formulation (`transform(v, x -> floor(x·s + 0.5))`
+    * over a separately-projected `s = 127/array_max(...)`) runs on the
+    * interpreted lambda path AND needs a CollapseProject-shaped plan to
+    * avoid re-evaluating max|x| per element; the expression computes
+    * codes + scale in one compiled traversal. Same arithmetic → same
+    * DuckDB oracle. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
-      .cast("double")
-    df.select(col(idCol), col(vecCol).as("v"),
-        (lit(127.0) / greatest(maxAbs, lit(1e-30))).as("scale"))
+    val q = org.apache.spark.sql.graftfns.QuantFunctions
+      .quantize_int8(col(vecCol).cast("array<double>"))
+    // struct materialized below the field extraction: the upper select
+    // references it twice (codes, scale), and an attribute is cheap to
+    // duplicate where the quantization kernel is not
+    df.select(col(idCol), q.as("q"))
       .select(col(idCol),
-        transform(col("v"),
-          x => floor(x * col("scale") + lit(0.5)).cast("int")).as("codes"),
-        round(col("scale"), 4).as("scale_r"))
+        col("q.codes").as("codes"),
+        round(col("q.scale"), 4).as("scale_r"))
   }
 
   /** Per-document top-k TF-IDF terms. IDF is the rational form n_docs/df

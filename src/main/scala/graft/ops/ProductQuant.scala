@@ -156,25 +156,24 @@ object ProductQuant {
     * of `dot(probe, v)` whose error is bounded by ‖probe‖·‖v−v̂‖
     * (Cauchy-Schwarz on the reconstruction residual), so better
     * codebooks tighten the shortlist, and the exact rescore fixes the
-    * rest. The lut is a literal m×ksub table — scalar-subquery-free,
-    * fully codegen'd. */
+    * rest. The lut rides into generated code as a reference object via
+    * the codegen'd [[org.apache.spark.sql.graftfns.AdcScore]] — the
+    * `aggregate(zip_with(...))` composition it replaces is
+    * CodegenFallback (interpreted lambda per element), which is the
+    * wrong path for the operator that touches every corpus row. */
   def adcScore(codesCol: Column, probe: Array[Double],
                codebooks: Array[Array[Array[Double]]]): Column = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val lut: Seq[Seq[Double]] = (0 until m).map { mi =>
-      codebooks(mi).toSeq.map { c =>
+    val lut: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      codebooks(mi).map { c =>
         var s = 0.0
         var i = 0
         while (i < dsub) { s += probe(mi * dsub + i) * c(i); i += 1 }
         s
       }
     }
-    val lutLit = typedLit(lut)
-    aggregate(
-      zip_with(lutLit, codesCol, (row, code) =>
-        try_element_at(row, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftfns.QuantFunctions.adc_score(codesCol, lut)
   }
 
   /** ADC-shortlist + exact-rescore kNN for a single probe id: encode

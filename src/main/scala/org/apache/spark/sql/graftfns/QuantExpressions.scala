@@ -1,0 +1,144 @@
+package org.apache.spark.sql.graftfns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
+
+/** Codegen'd quantization hot path (graft engine; see
+  * VectorExpressions.scala for the shim-package rationale).
+  *
+  * Why custom expressions (SURVEY.md §7.3 ladder): the higher-order
+  * built-ins these replace — `transform(v, x -> floor(x·s + 0.5))` and
+  * `aggregate(zip_with(lut, codes, ...), 0.0, +)` — are semantically
+  * right but run on the INTERPRETED lambda path (HigherOrderFunction is
+  * CodegenFallback): per element they allocate a lambda frame and box
+  * the value. Encoding a 100 TB embedding corpus or ADC-scoring 10⁹
+  * candidates pays that interpreter tax on every coordinate; these
+  * compile to primitive loops inside whole-stage codegen.
+  *
+  * Arithmetic is IDENTICAL to the HOF formulations (same op order, same
+  * floor-half-up), so DuckDB oracle parity is unchanged.
+  */
+
+/** One-pass int8 symmetric quantization of an `array<double>` vector:
+  * scale = 127 / max(|x|, 1e-30), code_i = ⌊x_i·scale + 0.5⌋. Returns
+  * `struct<codes: array<int>, scale: double>` — one traversal computes
+  * both, so the two-projection CollapseProject dance the HOF version
+  * needed (to avoid re-evaluating max|x| per element) disappears. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(in: Any): Any =
+    QuantizeInt8.quantize(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} =
+       |  org.apache.spark.sql.graftfns.QuantizeInt8.quantize($in);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object QuantizeInt8 {
+  /** Compiled two-loop kernel: pass 1 max|x|, pass 2 codes. Same
+    * float→double widening and floor-half-up as the HOF pipeline (and
+    * the DuckDB oracle), so codes are bit-identical. */
+  def quantize(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 1e-30 // zero-vector guard, as in the HOF formulation
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = 127.0 / maxAbs
+    val codes = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      codes(i) = math.floor(v.getDouble(i) * scale + 0.5).toInt
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](ArrayData.toArrayData(codes), scale))
+  }
+}
+
+/** Asymmetric-distance (ADC) score of a PQ code vector against a
+  * per-probe lookup table: `Σ_m lut(m)(codes(m))`. The lut is a plain
+  * driver-built array carried as a reference object into the generated
+  * code (the TopCells pattern) — no per-row literal array construction,
+  * no lambda frames. NULL (loud, not truncated) when the code vector's
+  * length differs from the lut's or a code is out of range — a corrupt
+  * code must not silently score. */
+case class AdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(in: Any): Any =
+    AdcScore.score(in.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val lutRef = ctx.addReferenceObj("adcLut", lut,
+        classOf[Array[Array[Double]]].getName)
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed =
+         |  org.apache.spark.sql.graftfns.AdcScore.score($in, $lutRef);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AdcScore {
+  /** Boxed so the out-of-contract cases can return null (see class
+    * doc); the loop itself is primitive. */
+  def score(codes: ArrayData, lut: Array[Array[Double]]): java.lang.Double = {
+    val m = codes.numElements()
+    if (m != lut.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val c = codes.getInt(i)
+      if (c < 0 || c >= lut(i).length) return null
+      s += lut(i)(c)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Column wrappers (same bridge as [[VectorFunctions]]). */
+object QuantFunctions {
+  def quantize_int8(vec: Column): Column =
+    ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(vec)))
+
+  def adc_score(codes: Column, lut: Array[Array[Double]]): Column =
+    ExpressionUtils.column(AdcScore(ExpressionUtils.expression(codes), lut))
+}

@@ -105,6 +105,42 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("quantize/adc codegen kernels match the higher-order formulations") {
+    import org.apache.spark.sql.graftfns.QuantFunctions
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the interpreted HOF reference the expression replaced — kept here
+    // as the executable spec of the kernel's arithmetic
+    val maxAbs = array_max(transform(col("v"), x => abs(x)))
+    val hof = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        (lit(127.0) / greatest(maxAbs, lit(1e-30))).as("scale"))
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x * col("scale") + lit(0.5)).cast("int")).as("codes"),
+        col("scale"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    val expr = emb.select(col("vec_id"),
+        QuantFunctions.quantize_int8(
+          col("embedding").cast("array<double>")).as("q"))
+      .select(col("vec_id"), col("q.codes"), col("q.scale"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    assert(expr.toSeq == hof.toSeq,
+      "codegen kernel diverges from the HOF reference")
+    // ADC: reference-object lut vs literal-array fold, same sums
+    val lut = Array(Array(0.5, -1.0), Array(2.0, 4.0))
+    val codes = Seq((Seq(0, 1), 4.5), (Seq(1, 0), 1.0)).toDF("codes", "want")
+    val got = codes.select(
+        QuantFunctions.adc_score(col("codes"), lut).as("s"), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (s, want) => assert(s == want) }
+    // loud null on a corrupt code, not a truncated sum
+    val bad = Seq(Seq(0, 7)).toDF("codes")
+      .select(QuantFunctions.adc_score(col("codes"), lut).as("s"))
+      .head()
+    assert(bad.isNullAt(0), "out-of-range code must score NULL")
+  }
+
   test("tfidf ranks are dense, scores non-increasing, tf exact") {
     val d = Seq(
       (1L, "apple apple apple banana common"),

@@ -255,13 +255,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(wrapper == viaCol._1)
   }
 
-  test("q_vec_quantize materializes scale once per row, no pre-sort shuffle") {
+  test("q_vec_quantize runs the one-pass kernel once, no pre-sort shuffle") {
     val p = plan("q_vec_quantize")
-    // CollapseProject must NOT inline the non-cheap max|x| into the
-    // per-element lambda — inlined it appears once per reference and the
-    // code map becomes O(d²) per row (SCALE.md §round-6)
-    assert("array_max".r.findAllIn(p).size == 1,
-      "scale expression duplicated into the element lambda")
+    // the codegen'd struct-returning kernel must be materialized ONCE
+    // below the field extraction — duplicated (inlined into both the
+    // codes and scale outputs) it would quantize every row twice
+    assert("quantize_int8".r.findAllIn(p).size == 1,
+      "quantization kernel duplicated across output columns")
     assert(!p.contains("hashpartitioning"),
       "per-row quantization should not shuffle")
   }
