@@ -291,12 +291,14 @@ object TextQueries {
   /** q_vec_normalize — L2 vector normalization (the prep step every
     * cosine-space operator assumes: unit vectors make cosine = dot, so
     * ANN/dedup pipelines normalize once at ingest and never re-divide).
-    * Pure per-row `aggregate` fold — codegen'd, no shuffle; both engines
-    * fold the array left-to-right so the float sum is order-identical. */
+    * Per-row, no shuffle; the sum of squares is the codegen'd
+    * [[TextSim.dot]](v, v) — the `aggregate` fold it replaced is
+    * CodegenFallback (interpreted lambda per element) and both loops
+    * sum left-to-right, so the value (and the DuckDB `list_sum` oracle)
+    * is unchanged. */
   private val vecNormalize: Q = (s, dir) => {
     def v = col("embedding").cast("array<double>")
-    def sumsq =
-      aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    def sumsq = TextSim.dot(v, v)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         round(sqrt(sumsq), 4).as("norm"),
