@@ -41,7 +41,9 @@ object TextSim {
                        numHashes: Int): Column = {
     val fns = org.apache.spark.sql.graftfns.VectorFunctions
     fns.minhashes(
-      fns.shingle_hashes(transform(tokens(text), x => xxhash64(x)),
+      fns.shingle_hashes(
+        org.apache.spark.sql.graftfns.QuantFunctions
+          .token_hashes(tokens(text)),
         shingleSize), numHashes)
   }
 
@@ -131,7 +133,8 @@ object TextSim {
     * [[org.apache.spark.sql.graftfns.SimHash64]]). */
   def simhash(text: Column): Column =
     org.apache.spark.sql.graftfns.VectorFunctions.simhash64(
-      transform(tokens(text), x => xxhash64(x)))
+      org.apache.spark.sql.graftfns.QuantFunctions
+        .token_hashes(tokens(text)))
 
   /** SimHash near-duplicate candidates: fingerprints are cut into 4
     * 16-bit bands; by pigeonhole, any pair within Hamming distance ≤ 3

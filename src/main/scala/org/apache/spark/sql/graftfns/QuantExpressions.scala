@@ -134,6 +134,57 @@ object AdcScore {
   }
 }
 
+/** All token hashes of an `array<string>` column in one compiled pass —
+  * the input stage of every hash-family pipeline (MinHash shingles,
+  * SimHash fingerprints). Replaces `transform(tokens, x => xxhash64(x))`:
+  * ArrayTransform is CodegenFallback, so that formulation pays an
+  * interpreted lambda per TOKEN of every document. Hash values are
+  * bit-identical — both call XxHash64Function.hash(UTF8String,
+  * StringType, seed=42), Spark's own `xxhash64()` kernel — which the
+  * equivalence spec pins. Null tokens (impossible from `split`, the only
+  * producer) hash like `xxhash64(null)` folds: the seed is returned
+  * unchanged, keeping the expression total. */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    TokenHashes.hashAll(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} =
+       |  org.apache.spark.sql.graftfns.TokenHashes.hashAll($in);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenHashes {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+
+  def hashAll(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (tokens.isNullAt(i)) 42L // xxhash64 seed, see class doc
+        else XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Column wrappers (same bridge as [[VectorFunctions]]). */
 object QuantFunctions {
   def quantize_int8(vec: Column): Column =
@@ -141,4 +192,7 @@ object QuantFunctions {
 
   def adc_score(codes: Column, lut: Array[Array[Double]]): Column =
     ExpressionUtils.column(AdcScore(ExpressionUtils.expression(codes), lut))
+
+  def token_hashes(tokens: Column): Column =
+    ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(tokens)))
 }

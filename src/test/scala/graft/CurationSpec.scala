@@ -139,6 +139,16 @@ class CurationSpec extends SparkSpecBase {
       .select(QuantFunctions.adc_score(col("codes"), lut).as("s"))
       .head()
     assert(bad.isNullAt(0), "out-of-range code must score NULL")
+    // token_hashes ≡ transform(tokens, xxhash64) bit-for-bit — the
+    // contract that lets the MinHash/SimHash pipelines swap kernels
+    // without moving a single candidate pair
+    val toks = Seq("the quick brown fox", "a", "").toDF("text")
+      .select(split(col("text"), " ").as("w"))
+    val viaHof = toks.select(transform(col("w"), x => xxhash64(x)).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    val viaExpr = toks.select(QuantFunctions.token_hashes(col("w")).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(viaExpr == viaHof, "token_hashes diverges from xxhash64")
   }
 
   test("tfidf ranks are dense, scores non-increasing, tf exact") {
