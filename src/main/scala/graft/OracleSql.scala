@@ -886,12 +886,14 @@ object OracleSql {
     // Mirrors Curation.chunkTokens exactly: window=32, stride=24,
     // overlap=8; exclusive range(0, max(n-8,1), 24) = Spark's inclusive
     // sequence(0, max(n-8,1)-1, 24); list_slice truncates at the array
-    // end like Spark's slice(w, st+1, 32).
+    // end like Spark's slice(w, st+1, 32). `text IS NOT NULL` mirrors
+    // chunkTokens' explicit null-doc filter (DuckDB's range would
+    // otherwise emit one NULL row where Spark's posexplode drops it).
     "q_text_chunk" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS w,
                   len(string_split(text, ' ')) AS n
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          st AS (
            SELECT doc_id, w, n,
                   unnest(range(0, greatest(n - 8, 1), 24)) AS st
@@ -904,7 +906,8 @@ object OracleSql {
          FROM st ORDER BY doc_id, chunk_idx""",
     // Mirrors Curation.quantizeInt8: scale = 127/max|x| (zero-vector
     // guarded), code = floor(x*scale + 0.5) — floor-based half-up is
-    // bit-identical on both engines, unlike round().
+    // bit-identical on both engines, unlike round(). Codes are
+    // pipe-joined for the driver hasher (the q_agg_collect protocol).
     "q_vec_quantize" ->
       """WITH s AS (
            SELECT vec_id, embedding AS v,
@@ -913,8 +916,8 @@ object OracleSql {
                     1e-30) AS scale
            FROM embeddings)
          SELECT vec_id,
-                list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT))
-                  AS codes,
+                array_to_string(list_transform(v,
+                  x -> CAST(floor(x * scale + 0.5) AS INT)), '|') AS codes_s,
                 round(scale, 4) AS scale_r
          FROM s ORDER BY vec_id""",
     // Mirrors Curation.tfidfTopK: rational IDF (n_docs/df) so the sort
@@ -1078,9 +1081,12 @@ object OracleSql {
            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
          SELECT o_orderkey, o_orderstatus, o_totalprice, version
          FROM merged WHERE rn = 1 ORDER BY o_orderkey""",
-    // the segment dim is a pure function of user_id → re-derived inline
+    // The segment dim is a pure function of user_id → re-derived inline.
+    // `||` (not concat) so a null user_id yields a NULL segment, matching
+    // Spark, where concat propagates null AND a null key never equi-joins
+    // the dim (DuckDB's concat would swallow the null into 'seg_').
     "q_stream_enrich" ->
-      """SELECT concat('seg_', CAST(user_id % 10 AS VARCHAR)) AS segment,
+      """SELECT 'seg_' || CAST(user_id % 10 AS VARCHAR) AS segment,
                 count(*) AS n,
                 CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
                   AS sum_value
@@ -1155,7 +1161,7 @@ object OracleSql {
                 ts_us AS valid_from,
                 coalesce(lead(ts_us) OVER (PARTITION BY user_id
                     ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST),
-                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
                 lead(ts_us) OVER (PARTITION BY user_id
                   ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) IS NULL
                   AS is_current

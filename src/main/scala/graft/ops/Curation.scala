@@ -41,7 +41,12 @@ object Curation {
     // oracle's exclusive range(0, L, stride))
     val lastStart = greatest(size(col("w")) - lit(overlap), lit(1)) - 1
     val chunk = slice(col("w"), col("start") + 1, lit(window))
-    df.select(col(idCol), w.as("w"))
+    // explicit: a null document yields no chunks. posexplode over the
+    // null sequence would drop the row anyway, but engines disagree on
+    // that edge (DuckDB's range(NULL,...) emits a row), so the contract
+    // is stated here rather than left to generator semantics.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), w.as("w"))
       .select(col(idCol), col("w"),
         posexplode(sequence(lit(0), lastStart, lit(stride)))
           .as(Seq("chunk_idx", "start")))

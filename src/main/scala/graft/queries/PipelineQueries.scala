@@ -210,11 +210,14 @@ object PipelineQueries {
         keyCol = "user_id", tsCol = "ts", idCol = "event_id")
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("valid_from"),
-        // canonical warehouse high-date sentinel for the open interval
-        // (range predicates like `BETWEEN valid_from AND valid_to` then
-        // need no null branch; also keeps the dumped parquet null-free)
+        // warehouse high-date sentinel for the open interval (range
+        // predicates like `BETWEEN valid_from AND valid_to` then need no
+        // null branch; also keeps the dumped parquet null-free). The
+        // customary 9999-12-31 overflows pandas datetime64[ns] (max
+        // 2262-04-11) and splits the driver's hash normalization, so the
+        // sentinel is a ns-safe high date instead.
         coalesce(col("valid_to"),
-          lit("9999-12-31 00:00:00").cast("timestamp")).as("valid_to"),
+          lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_to"),
         col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 

@@ -318,10 +318,17 @@ object TextQueries {
 
   /** q_vec_quantize — int8 symmetric embedding quantization
     * ([[Curation.quantizeInt8]]): the 4× compression step before ANN.
-    * Codes are bit-deterministic (floor-based half-up on doubles). */
+    * Codes are bit-deterministic (floor-based half-up on doubles). The
+    * codes array is serialized `concat_ws("|", ...)` for the driver's
+    * row hasher (the q_agg_collect protocol — pandas cannot sort raw
+    * array cells); downstream consumers use [[Curation.quantizeInt8]]
+    * directly and keep the typed array. */
   private val vecQuantize: Q = (s, dir) =>
     Curation.quantizeInt8(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding")
+      .select(col("vec_id"),
+        concat_ws("|", col("codes").cast("array<string>")).as("codes_s"),
+        col("scale_r"))
       .orderBy("vec_id")
 
   /** q_text_tfidf — per-document top-3 TF-IDF terms

@@ -84,8 +84,8 @@ object QuantizeInt8 {
   * driver-built array carried as a reference object into the generated
   * code (the TopCells pattern) — no per-row literal array construction,
   * no lambda frames. NULL (loud, not truncated) when the code vector's
-  * length differs from the lut's or a code is out of range — a corrupt
-  * code must not silently score. */
+  * length differs from the lut's, a code is out of range, or a code
+  * element is null — a corrupt code must not silently score. */
 case class AdcScore(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -125,6 +125,10 @@ object AdcScore {
     var s = 0.0
     var i = 0
     while (i < m) {
+      // null code elements can reach here (encode's try_element_at yields
+      // NULL on a dim/codebook mismatch); ArrayData.getInt on a null slot
+      // reads garbage, so they must NULL the score, not silently score 0
+      if (codes.isNullAt(i)) return null
       val c = codes.getInt(i)
       if (c < 0 || c >= lut(i).length) return null
       s += lut(i)(c)

@@ -275,6 +275,38 @@ class TextSimSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall@10 = $recall")
   }
 
+  test("trained-codebook PQ path holds the recall gate (100 TB path)") {
+    // the PQ twin of the trained-centroid IVF test: the REGISTERED query
+    // keeps sampled codebooks for bit-determinism, but at 100 TB the
+    // Lloyd-trained path is the recall knob — measure both over the same
+    // probes/ground truth so the swap is an executed claim, not an
+    // asserted one (SCALE.md records the delta)
+    import graft.ops.ProductQuant
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = Seq(0L, 1L, 2L)
+    val recalls = probes.map { p =>
+      val exact = TextSim.knnJoin(emb.filter(col("vec_id") === p), emb, 10)
+        .select("neighbor_id").as[Long].collect().toSet
+      def recallAt(iters: Int): Double = {
+        val got = ProductQuant.annCosinePq(emb, "vec_id", "embedding",
+            probeId = p, k = 10, shortlist = 50, trainIters = iters)
+          .select("neighbor_id").as[Long].collect().toSet
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      (recallAt(0), recallAt(3))
+    }
+    val sampled = recalls.map(_._1).sum / recalls.size
+    val trained = recalls.map(_._2).sum / recalls.size
+    info(f"PQ shortlist recall@10: sampled=$sampled%.2f trained=$trained%.2f")
+    assert(trained >= 0.4, s"trained-path mean recall@10 = $trained")
+    // training tightens reconstruction (Lloyd gate above); the shortlist
+    // it produces must not be materially worse than the sampled one on
+    // this corpus — a collapse here means the ADC cut, not the codebook,
+    // regressed
+    assert(trained >= sampled - 0.2,
+      s"trained recall $trained collapsed vs sampled $sampled")
+  }
+
   private def bruteDedupPairs(sf: String, threshold: Double)
       : Set[(Long, Long, Double)] = {
     val e = Tables.load(spark, sf, "embeddings").select(col("vec_id"),
