@@ -357,6 +357,50 @@ object OracleSql {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // Mirrors winSessionize: lag → 30-min-gap flag → running sum →
+    // per-(user, session) aggregate; gap arithmetic is integer µs on
+    // the µs-truncated timestamps both engines see.
+    "q_win_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         l AS (
+           SELECT event_id, user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_ts
+           FROM e),
+         f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR
+                  epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM l),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sess_idx
+           FROM f)
+         SELECT user_id, sess_idx, count(*) AS n_events,
+                min(event_id) AS first_event,
+                epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+         FROM s GROUP BY user_id, sess_idx
+         ORDER BY user_id NULLS FIRST, sess_idx""",
+    // Mirrors winRangeFrame: the frame is bounded by integer
+    // epoch-seconds (exact comparison), the sum by exact decimals —
+    // peers at the same second share one frame in both engines.
+    "q_win_range_frame" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+           FROM events)
+         SELECT event_id, user_id, sec,
+                count(*) OVER w AS n_1h,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 4)
+                  AS DOUBLE) AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_win_paginate" ->
       """SELECT rn, c_custkey, c_name FROM (
            SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS rn,
@@ -546,6 +590,16 @@ object OracleSql {
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
+    // jsonFlatten's payload is a pure function of event_id, so the
+    // flattened rows re-derive arithmetically — no JSON engine needed.
+    "q_json_flatten" ->
+      """SELECT event_id, s, v FROM (
+           SELECT event_id, CAST(1 AS BIGINT) AS s, event_id % 7 AS v
+           FROM events
+           UNION ALL
+           SELECT event_id, CAST(2 AS BIGINT) AS s, event_id % 5 AS v
+           FROM events)
+         ORDER BY event_id, s""",
     "q_json_to" ->
       """SELECT event_id,
                 '{"event_id":' || event_id || ',"event_type":"' || event_type
@@ -920,6 +974,59 @@ object OracleSql {
                   x -> CAST(floor(x * scale + 0.5) AS INT)), '|') AS codes_s,
                 round(scale, 4) AS scale_r
          FROM s ORDER BY vec_id""",
+    // Mirrors textFeatureHash: the q_sample_hash sha-bucket arithmetic
+    // keyed on the token, 64 feature buckets.
+    "q_text_feature_hash" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(sha256(tok), 1, 7)) AS BIGINT)
+                    % 64 AS bucket
+           FROM t)
+         SELECT doc_id, bucket, count(*) AS n
+         FROM b GROUP BY doc_id, bucket
+         ORDER BY doc_id, bucket""",
+    // Mirrors textCooccur: 1-based inclusive list slice w[i+1:i+2] =
+    // Spark's slice(w, i+1, 2); the len>=2 guard = shingles' empty-set
+    // branch; (n DESC, pair) is a total order so the LIMIT cut agrees.
+    "q_text_cooccur" ->
+      """WITH t AS (
+           SELECT string_split(lower(text), ' ') AS w FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(len(w) - 1),
+                    i -> array_to_string(w[i+1:i+2], ' '))) AS pair
+           FROM t WHERE len(w) >= 2)
+         SELECT pair, count(*) AS n
+         FROM b GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 100""",
+    // Mirrors vecCentroid: zipped unnest = posexplode, exact decimal
+    // sums, then ONE double division per (cluster, pos) on both sides.
+    "q_vec_centroid" ->
+      """WITH x AS (
+           SELECT vec_id % 8 AS cluster,
+                  unnest(range(len(embedding))) AS pos,
+                  unnest(embedding) AS x
+           FROM embeddings)
+         SELECT cluster, pos, count(*) AS n,
+                round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 6) AS centroid
+         FROM x GROUP BY cluster, pos
+         ORDER BY cluster, pos""",
+    // Mirrors textDecontaminate: content-sha anti-join against the
+    // doc_id % 97 eval slice; NOT EXISTS = Spark's left_anti (both
+    // null-safe the same way: a non-matching row is kept).
+    "q_text_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id, lang, sha256(text) AS text_sha FROM documents),
+         e AS (
+           SELECT DISTINCT text_sha FROM d WHERE doc_id % 97 = 0)
+         SELECT lang, count(*) AS n_kept,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM d
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.text_sha = d.text_sha)
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
     // Mirrors Curation.tfidfTopK: rational IDF (n_docs/df) so the sort
     // key is integer-derived double arithmetic — bit-deterministic,
     // no libm log in the ranking.
@@ -1092,6 +1199,16 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY 1
          ORDER BY segment NULLS FIRST""",
+    // Mirrors aggMaxby: arg_max/arg_min on the unique event_id; the
+    // payload is coalesced on BOTH sides because DuckDB's arg_max skips
+    // NULL payloads where Spark's max_by returns them.
+    "q_agg_maxby" ->
+      """SELECT user_id, count(*) AS n_events,
+                max(event_id) AS last_id,
+                arg_max(coalesce(event_type, 'none'), event_id) AS last_type,
+                round(arg_max(value, event_id), 4) AS last_value,
+                arg_min(coalesce(event_type, 'none'), event_id) AS first_type
+         FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
     "q_agg_mode" ->
       """WITH c AS (
            SELECT user_id, event_type, count(*) AS n

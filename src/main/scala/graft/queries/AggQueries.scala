@@ -270,7 +270,33 @@ object AggQueries {
       .orderBy("user_id")
   }
 
+  /** q_agg_maxby — latest/earliest record per key in ONE aggregation
+    * pass (`max_by`/`min_by` on the unique event_id): the "current
+    * state per entity" read the reference's latest-wins upsert implies
+    * (`database/parse_and_upload_to_db.py:31-47`), without the window
+    * formulation's per-partition sort — partial max_by state is one
+    * (value, ordering) pair per key per task, so map-side combine
+    * collapses the stream before the shuffle (q_agg_mode pays a
+    * (key, value)-pair shuffle + WindowGroupLimit for the same
+    * question; max_by is the cheaper plan when the "top 1 by a unique
+    * key" is all that's asked). event_id is unique → deterministic;
+    * event_type is coalesced identically on both sides because DuckDB's
+    * arg_max skips NULL payloads where Spark's max_by returns them. */
+  private val aggMaxby: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("event_id").as("last_id"),
+        max_by(coalesce(col("event_type"), lit("none")), col("event_id"))
+          .as("last_type"),
+        round(max_by(col("value"), col("event_id")).cast("double"), 4)
+          .as("last_value"),
+        min_by(coalesce(col("event_type"), lit("none")), col("event_id"))
+          .as("first_type"))
+      .orderBy(col("user_id").asc_nulls_first)
+
   val all: Map[String, Q] = Map(
+    "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,
     "q_agg_group" -> aggGroup,

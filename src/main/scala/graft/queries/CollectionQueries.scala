@@ -89,6 +89,28 @@ object CollectionQueries {
       .select("event_id", "k_val")
       .orderBy("event_id")
 
+  /** q_json_flatten — nested JSON → relational: parse an ARRAY<STRUCT>
+    * payload with an explicit schema and `inline` it to one row per
+    * element — the schema-on-read ingestion step for nested API
+    * payloads (the reference's scraped records carry exactly such
+    * lists-of-objects, `web_scraper/web_scraping.py:309-332`; q_json_from
+    * covers the flat-struct case, this is the nested one). The payload
+    * is synthesized deterministically per event so the oracle can
+    * re-derive the flattened rows arithmetically, no JSON engine
+    * needed. Per-row parse + generate, no shuffle before the
+    * presentation sort. */
+  private val jsonFlatten: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("js", concat(
+        lit("""[{"s":1,"v":"""), col("event_id") % 7,
+        lit("""},{"s":2,"v":"""), col("event_id") % 5, lit("}]")))
+      .select(col("event_id"),
+        inline(from_json(col("js"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "s INT, v BIGINT")))))
+      .select(col("event_id"), col("s").cast("long").as("s"), col("v"))
+      .orderBy("event_id", "s")
+
   /** q_json_to — struct → JSON string (ref `json.dump`
     * `web_scraper/web_scraping.py:223,412`). */
   private val jsonTo: Q = (s, dir) =>
@@ -121,6 +143,7 @@ object CollectionQueries {
     "q_arr_position" -> arrPosition,
     "q_json_get" -> jsonGet,
     "q_json_from" -> jsonFrom,
+    "q_json_flatten" -> jsonFlatten,
     "q_json_to" -> jsonTo,
     "q_map_ops" -> mapOps)
 }

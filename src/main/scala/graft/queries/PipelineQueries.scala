@@ -245,6 +245,32 @@ object PipelineQueries {
         min("o_orderdate").as("date_min"),
         max("o_orderdate").as("date_max"))
 
+  /** q_etl_dq_approx — the 100 TB twin of q_etl_dq: same one-pass
+    * profile with `approx_count_distinct` (HLL++, rsd 0.05) in place of
+    * the two exact count(DISTINCT). The exact profile pays an Expand ×3
+    * (every input row replicated per distinct column); the sketch
+    * version keeps ONE pass with constant-size partials, which is the
+    * profile a petabyte table can actually afford. Q-tier: HLL estimates
+    * have no DuckDB-equality oracle — SinksAndApproxSpec gates the
+    * estimates against the exact profile's cardinalities (±3·rsd) and
+    * pins the no-Expand plan property that justifies the swap. */
+  private val etlDqApprox: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("custkey_nulls"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.05)
+          .as("custkey_distinct_est"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("price_nulls"),
+        min("o_totalprice").as("price_min"),
+        max("o_totalprice").as("price_max"),
+        approx_count_distinct(col("o_orderstatus"), rsd = 0.05)
+          .as("status_distinct_est"),
+        min("o_orderdate").as("date_min"),
+        max("o_orderdate").as("date_max"))
+
   /** q_etl_compact — small-files compaction round trip
     * ([[graft.etl.Sinks.compact]]): events written as 16 deliberate
     * shards, compacted to 2 right-sized files, read back and
@@ -300,6 +326,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_etl_schema_evolve" -> etlSchemaEvolve,
     "q_etl_dq" -> etlDq,
+    "q_etl_dq_approx" -> etlDqApprox,
     "q_etl_compact" -> etlCompact,
     "q_etl_scd2" -> etlScd2,
     "q_evt_funnel" -> evtFunnel,

@@ -127,6 +127,56 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** q_win_range_frame — time-based RANGE frame (trailing 1 hour per
+    * user): the value-bounded twin of q_win_moving's row-bounded frame.
+    * A ROWS frame answers "last 7 events"; features like "spend in the
+    * last hour" need the frame bounded by the ORDER-BY VALUE — peers at
+    * the same second share one frame regardless of row count. Ordered
+    * by integer epoch-seconds (not raw timestamps) so the frame
+    * arithmetic is exact integer comparison in both engines; decimal
+    * accumulation keeps the windowed sum oracle-stable (§7.5.2). Same
+    * one-shuffle shape as every §2.E window; the running frame holds a
+    * deque bounded by the hour's event count, not the partition. */
+  private val winRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3600L, 0L)
+    Tables.load(s, dir, "events")
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w), 4)
+          .cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** q_win_sessionize — batch gap-sessionization (30-minute idle gap
+    * starts a new session): lag → boundary flag → running sum assigns
+    * session INDEXES per user, then one aggregate per (user, session)
+    * — the composition every event pipeline builds sessions from when
+    * the data is at rest (the streaming twin is q_stream_session's
+    * session_window). Gap arithmetic is integer µs; both windows are
+    * running (O(1) state); two shuffles total (user window, then the
+    * two-phase session aggregate). */
+  private val winSessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(ts) - unix_micros(prev_ts)") >
+            30L * 60 * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(run))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        expr("unix_micros(max(ts)) - unix_micros(min(ts))").as("dur_us"))
+      .orderBy("user_id", "sess_idx")
+  }
+
   /** q_win_paginate — page 3 of 20 over a total order
     * ([[Relational.paginate]]; ref offset pagination
     * `database/app.py:74-82`). */
@@ -155,6 +205,8 @@ object WindowQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q_win_sessionize" -> winSessionize,
+    "q_win_range_frame" -> winRangeFrame,
     "q_win_pctrank" -> winPctrank,
     "q_win_rownum" -> winRownum,
     "q_win_rank" -> winRank,

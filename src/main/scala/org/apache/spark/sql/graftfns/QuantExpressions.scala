@@ -189,6 +189,66 @@ object TokenHashes {
   }
 }
 
+/** Adjacent-token bigram strings of an `array<string>` column in one
+  * compiled pass — the co-occurrence input unit (q_text_cooccur).
+  * Replaces `transform(sequence(0, n−2), i -> concat_ws(' ',
+  * slice(w, i+1, 2)))` (the [[graft.ops.TextSim.shingles]] n=2 path):
+  * ArrayTransform is CodegenFallback, so that formulation pays an
+  * interpreted lambda frame + a slice allocation PER BIGRAM of every
+  * document. Semantics are pinned equal to shingles(text, 2) by
+  * CurationSpec: fewer than 2 tokens → empty array; null tokens
+  * (impossible from `split`, the only producer) follow concat_ws's
+  * skip-null rule so the expression stays total. */
+case class TokenBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_bigrams"
+
+  override def nullSafeEval(in: Any): Any =
+    TokenBigrams.bigrams(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} =
+       |  org.apache.spark.sql.graftfns.TokenBigrams.bigrams($in);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenBigrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val space = UTF8String.fromString(" ")
+
+  def bigrams(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      val b = if (tokens.isNullAt(i + 1)) null
+        else tokens.getUTF8String(i + 1)
+      // concat_ws(" ", a, b) semantics: nulls are skipped, not joined
+      out(i) =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concat(a, space, b)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Column wrappers (same bridge as [[VectorFunctions]]). */
 object QuantFunctions {
   def quantize_int8(vec: Column): Column =
@@ -199,4 +259,7 @@ object QuantFunctions {
 
   def token_hashes(tokens: Column): Column =
     ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(tokens)))
+
+  def token_bigrams(tokens: Column): Column =
+    ExpressionUtils.column(TokenBigrams(ExpressionUtils.expression(tokens)))
 }

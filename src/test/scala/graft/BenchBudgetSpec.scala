@@ -95,7 +95,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_ann_pq" -> 0.8, "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,
-    "q_stream_enrich" -> 0.6, "q_sample_stratified" -> 0.5)
+    "q_stream_enrich" -> 0.6, "q_sample_stratified" -> 0.5,
+    // round-7 additions: range window + single-pass agg are §2.E/§2.C
+    // shapes; cooccur shuffles distinct bigrams (tokenize-like ×2);
+    // centroid is one posexplode aggregate; decontaminate a broadcast
+    // anti-join + sha scan; dq_approx replaces Expand with HLL partials
+    "q_win_range_frame" -> 0.6, "q_agg_maxby" -> 0.5,
+    "q_text_cooccur" -> 0.8, "q_vec_centroid" -> 0.6,
+    "q_text_decontaminate" -> 0.6, "q_etl_dq_approx" -> 0.5,
+    "q_win_sessionize" -> 0.6, "q_text_feature_hash" -> 0.6,
+    "q_json_flatten" -> 0.6)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

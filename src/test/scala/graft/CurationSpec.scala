@@ -200,4 +200,47 @@ class CurationSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("token_bigrams codegen kernel equals the shingles(·,2) HOF path") {
+    import graft.ops.TextSim
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+        org.apache.spark.sql.graftfns.QuantFunctions
+          .token_bigrams(TextSim.tokens(col("text"))).as("fast"),
+        TextSim.shingles(col("text"), 2).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (fast, hof) => assert(fast == hof) }
+    // edge cases the corpus may not cover: empty, 1-token, 2-token
+    val edge = Seq("", "one", "a b", "x y z").toDF("text")
+    val got = edge.select(org.apache.spark.sql.graftfns.QuantFunctions
+        .token_bigrams(TextSim.tokens(col("text"))))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq(), Seq(), Seq("a b"), Seq("x y", "y z")))
+  }
+
+  test("q_vec_centroid equals the exact per-cluster mean, long format") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val dim = vecs.head._2.length
+    // exact replica of the query's arithmetic: per-element decimal-12
+    // rounding (the cast), exact sums, one double division
+    val expected = vecs.groupBy(_._1 % 8).flatMap { case (cl, g) =>
+      (0 until dim).map { pos =>
+        val sx = g.map(v => BigDecimal(v._2(pos))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        val mean = BigDecimal(sx.toDouble / g.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cl, pos.toLong, g.length.toLong, mean)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_vec_centroid")(spark,
+        "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 8 * dim, s"expected ${8 * dim} long-format rows")
+    val mismatches = got.toSet.diff(expected)
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} cells diverge, e.g. ${mismatches.take(3)}")
+  }
 }

@@ -70,28 +70,38 @@ class DriverProtocolSpec extends SparkSpecBase {
         s"q_agg_collect concat_ws protocol):\n${violations.mkString("\n")}")
   }
 
-  test("O-tier timestamp outputs stay inside pandas datetime64[ns]") {
+  test("O-tier timestamp outputs stay inside datetime64[ns], no NaT") {
+    // two normalization splitters in one pass: extrema outside the ns
+    // window (the q_etl_scd2 9999-12-31 failure) and null timestamps
+    // (NaT compares diverge between the driver's ns path and the µs
+    // read — the repo's standing "no NaT in output" rule)
     val violations = oTier.flatMap { id =>
       val df = SparkEntry.queries(id)(spark, sf0001)
       val tsCols = df.schema.fields
         .filter(_.dataType == TimestampType).map(_.name).toSeq
       if (tsCols.isEmpty) None
       else {
-        val aggs = tsCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val aggs = tsCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(col(c).isNull, 1L)
+              .otherwise(0L)).as(s"nulls_$c")))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        val outOfRange = tsCols.flatMap { c =>
-          Seq(s"min_$c", s"max_$c").flatMap { a =>
+        val bad = tsCols.flatMap { c =>
+          val range = Seq(s"min_$c", s"max_$c").flatMap { a =>
             Option(row.getAs[java.sql.Timestamp](a))
               .filter(t => t.before(nsMin) || t.after(nsMax))
               .map(t => s"$id.$c = $t")
           }
+          val nat = Option(row.getAs[Long](s"nulls_$c")).filter(_ > 0)
+            .map(n => s"$id.$c has $n null timestamps (NaT)")
+          range ++ nat
         }
-        if (outOfRange.isEmpty) None else Some(outOfRange.mkString(", "))
+        if (bad.isEmpty) None else Some(bad.mkString(", "))
       }
     }
     assert(violations.isEmpty,
-      "timestamps outside datetime64[ns] split the driver's hash " +
-        s"normalization (use a ns-safe sentinel):\n${violations.mkString("\n")}")
+      "timestamp outputs the driver cannot normalize stably:\n" +
+        violations.mkString("\n"))
   }
 }

@@ -304,6 +304,63 @@ class PlanQualitySpec extends SparkSpecBase {
       "SCD-2 needs exactly the one key shuffle")
   }
 
+  test("q_text_cooccur top-100 is a heap cut, counts partial-aggregated") {
+    val p = plan("q_text_cooccur")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k regressed to a full sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bigram counts lost the map-side partial aggregate")
+  }
+
+  test("q_text_decontaminate anti-joins against a broadcast eval set") {
+    val p = plan("q_text_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "decontamination must stream the corpus against broadcast " +
+        "fingerprints, never shuffle it:\n" +
+        p.linesIterator.take(16).mkString("\n"))
+  }
+
+  test("q_vec_centroid contracts map-side before the (cluster,pos) shuffle") {
+    val p = plan("q_vec_centroid")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "posexploded corpus is shuffled raw — partial aggregate missing")
+  }
+
+  test("q_win_range_frame shuffles once on the key") {
+    val p = plan("q_win_range_frame")
+    assert("hashpartitioning".r.findAllIn(p).nonEmpty &&
+      p.contains("Window"), "expected the one-shuffle window shape")
+  }
+
+  test("q_agg_maxby is one aggregation pass, no window, no sort") {
+    val p = plan("q_agg_maxby")
+    assert(!p.contains("Window"),
+      "latest-per-key regressed to a window formulation")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      "expected two-phase aggregation")
+  }
+
+  test("q_json_flatten is parse→generate per row, no pre-sort shuffle") {
+    val p = plan("q_json_flatten")
+    assert(p.contains("Generate"), "inline generator missing")
+    assert(!p.contains("hashpartitioning"),
+      "per-row flatten should not shuffle")
+  }
+
+  test("q_win_sessionize composes running windows with a two-phase agg") {
+    val p = plan("q_win_sessionize")
+    assert(p.contains("Window"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "session aggregate lost its map-side partial")
+  }
+
+  test("q_text_feature_hash partial-aggregates (doc,bucket) before shuffling") {
+    val p = plan("q_text_feature_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "token stream shuffled raw — partial aggregate missing")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE shows codegen stages only in the finalized plan → execute first
     val df = SparkEntry.queries("q_filter_range_disj")(spark, sf0001)

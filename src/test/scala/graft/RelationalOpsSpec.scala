@@ -227,4 +227,77 @@ class RelationalOpsSpec extends SparkSpecBase {
       .select("id", "tier").as[(Int, String)].collect().toSet
     assert(got == Set((1, "lo"), (2, "lo"), (3, "hi"), (4, "hi")))
   }
+
+  test("q_win_range_frame equals a brute-force trailing hour") {
+    val got = SparkEntry.queries("q_win_range_frame")(spark, sf0001)
+      .collect()
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "user_id",
+        "unix_micros(ts) div 1000000 AS sec",
+        "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getDouble(3)))
+    val byUser = raw.groupBy(_._2)
+    assert(got.nonEmpty && got.length == raw.length)
+    got.foreach { r =>
+      val (uid, sec) = (r.get(1), r.getLong(2))
+      val frame = byUser(uid).filter(e => e._3 >= sec - 3600 && e._3 <= sec)
+      assert(r.getLong(3) == frame.length,
+        s"event ${r.getLong(0)}: n_1h ${r.getLong(3)} != ${frame.length}")
+      val bf = BigDecimal(frame.map(e => BigDecimal(e._4)).sum
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert((bf - r.getDouble(4)).abs < 1e-9,
+        s"event ${r.getLong(0)}: sum_1h ${r.getDouble(4)} != $bf")
+    }
+  }
+
+  test("q_win_sessionize equals brute-force gap sessionization") {
+    val got = SparkEntry.queries("q_win_sessionize")(spark, sf0001)
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2)))
+    val expected = raw.groupBy(_._2).toSeq.flatMap { case (uid, g) =>
+      val ordered = g.sortBy(e => (e._3, e._1))
+      // assign session indexes by walking the gap structure
+      var idx = 0L
+      var prev = Long.MinValue
+      val tagged = ordered.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > 1800000000L) idx += 1
+        prev = e._3
+        (idx, e)
+      }
+      tagged.groupBy(_._1).map { case (si, es) =>
+        (uid, si, es.length.toLong, es.map(_._2._1).min,
+          es.map(_._2._3).max - es.map(_._2._3).min)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.length > raw.map(_._2).distinct.length,
+      "fixture produced one session per user — gap threshold untested")
+  }
+
+  test("q_agg_maxby picks the payload at the extreme unique id") {
+    val got = SparkEntry.queries("q_agg_maxby")(spark, sf0001).collect()
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "event_id",
+        "coalesce(event_type, 'none') AS t", "value")
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byUser = raw.groupBy(_._1)
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val g = byUser(r.get(0))
+      val last = g.maxBy(_._2)
+      val first = g.minBy(_._2)
+      assert(r.getLong(1) == g.length && r.getLong(2) == last._2)
+      assert(r.getString(3) == last._3, s"last_type for user ${r.get(0)}")
+      assert((r.getDouble(4) -
+        BigDecimal(last._4).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble).abs < 1e-9)
+      assert(r.getString(5) == first._3, s"first_type for user ${r.get(0)}")
+    }
+  }
 }

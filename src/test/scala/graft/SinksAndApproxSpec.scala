@@ -141,4 +141,35 @@ class SinksAndApproxSpec extends SparkSpecBase {
       assert(err < 0.1, s"approx=$approx exact=$exact err=$err")
     }
   }
+
+  test("q_etl_dq_approx tracks the exact profile and drops the Expand") {
+    // the Q-tier gate for the registered query: the sketch profile's
+    // cardinalities must sit within ±3·rsd of q_etl_dq's exact ones,
+    // every non-sketch column must agree EXACTLY (same pass, same
+    // inputs), and the plan must NOT pay the multi-count(DISTINCT)
+    // Expand — the property that makes it the 100 TB profile
+    val exact = SparkEntry.queries("q_etl_dq")(spark, sf0001).head()
+    val approxDf = SparkEntry.queries("q_etl_dq_approx")(spark, sf0001)
+    val approx = approxDf.head()
+    for (c <- Seq("n_rows", "custkey_nulls", "price_nulls", "price_min",
+        "price_max", "date_min", "date_max")) {
+      assert(approx.getAs[Any](c) == exact.getAs[Any](c),
+        s"non-sketch column $c diverged")
+    }
+    for ((est, ex) <- Seq(
+        ("custkey_distinct_est", "custkey_distinct"),
+        ("status_distinct_est", "status_distinct"))) {
+      val e = exact.getAs[Long](ex)
+      val a = approx.getAs[Long](est)
+      val err = math.abs(a - e).toDouble / e
+      assert(err <= 0.15, s"$est=$a vs $ex=$e err=$err > 3*rsd")
+    }
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "sketch profile still pays the count(DISTINCT) Expand")
+    val exactPlan = SparkEntry.queries("q_etl_dq")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact profile lost its Expand — the comparison is vacuous")
+  }
 }

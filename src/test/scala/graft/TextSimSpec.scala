@@ -683,4 +683,60 @@ class TextSimSpec extends SparkSpecBase {
       assert(got(p) == expected, s"probe $p")
     }
   }
+
+  test("q_text_cooccur equals hand-counted bigrams with the declared cut") {
+    val got = SparkEntry.queries("q_text_cooccur")(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    val texts = Tables.load(spark, sf0001, "documents")
+      .select("text").as[String].collect()
+    val counts = texts.iterator
+      .map(_.toLowerCase.split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).map(_.mkString(" ")))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq
+      .sortBy { case (pair, n) => (-n, pair) }.take(100)
+    assert(got == expected)
+  }
+
+  test("q_text_feature_hash buckets are in range and counts conserve tokens") {
+    val got = SparkEntry.queries("q_text_feature_hash")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._2 >= 0 && r._2 < 64), "bucket out of range")
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      assert(perDoc(id) == toks.length,
+        s"doc $id: bucket counts ${perDoc(id)} != token count ${toks.length}")
+    }
+    // replicate the sha-bucket arithmetic for one doc end-to-end
+    val (id0, text0) = docs.minBy(_._1)
+    val expected0 = text0.toLowerCase.split(" ", -1).toSeq.map { tok =>
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got0 = got.filter(_._1 == id0).map(r => r._2 -> r._3).toMap
+    assert(got0 == expected0, s"doc $id0 bucket histogram diverges")
+  }
+
+  test("q_text_decontaminate drops verbatim eval copies wherever they live") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "lang", "sha2(text, 256) AS sha")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalShas = docs.filter(_._1 % 97 == 0).map(_._3).toSet
+    val kept = docs.filter(d => !evalShas(d._3))
+    // the eval rows themselves are gone AND any doc sharing their
+    // content is gone, regardless of id
+    val expected = kept.groupBy(_._2).map { case (lang, g) =>
+      (lang, g.length.toLong, g.map(_._1).min, g.map(_._1).max)
+    }.toSet
+    val got = SparkEntry.queries("q_text_decontaminate")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(kept.length < docs.length, "fixture has no eval overlap at all")
+  }
 }
