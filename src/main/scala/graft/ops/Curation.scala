@@ -114,6 +114,61 @@ object Curation {
         round(col("score"), 4).as("score_r"))
   }
 
+  /** Per-cluster centroid of a vector column, long format (cluster,
+    * pos, n, centroid) — the k-means M-step / embedding-pooling
+    * primitive. ONE two-phase aggregate over the posexploded corpus:
+    * map-side partials collapse each task to ≤ clusters·dim rows, so
+    * the shuffle ships centroid-sized metadata regardless of corpus
+    * size. Sums accumulate in exact decimals — float summation order is
+    * the classic distributed-mean nondeterminism, so the result is a
+    * pure function of the DATA, independent of partition layout
+    * (LayoutInvarianceSpec executes that claim) — and the single IEEE
+    * division afterwards is bit-identical across engines. */
+  def clusterCentroids(df: DataFrame, clusterCol: Column,
+                       vecCol: String): DataFrame =
+    df.select(clusterCol.as("cluster"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("sx"))
+      .select(col("cluster"), col("pos").cast("long").as("pos"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("centroid"))
+
+  /** Hashing-trick featurizer: tokens map into a fixed `buckets`-sized
+    * feature space via sha-bucket arithmetic (the q_sample_hash split
+    * mechanism keyed on the token), counts per (id, bucket) — long
+    * format, the sparse layout trainers consume. Bag-of-words with NO
+    * vocabulary build: no vocab broadcast, no OOV path, and a
+    * document's features never depend on what else is in the corpus
+    * (rerun/growth-stable). Shuffle carries ≤ `buckets` partials per
+    * document per task after map-side combine. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    df.select(col(idCol), explode(TextSim.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(sha2(col("tok"), 256), 1, 7), 16, 10)
+          .cast("long") % buckets)
+      .groupBy(idCol, "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Benchmark decontamination: drop every corpus row whose CONTENT
+    * fingerprint (sha256 of `textCol`) appears in `evalDocs` — matching
+    * on the hash, not the id, removes verbatim copies of an eval
+    * document wherever they live. The eval side reduces to fingerprints
+    * (hashes, never text) and broadcasts: at 100 TB the corpus streams
+    * map-side against a few MB of benchmark hashes, zero corpus
+    * shuffle. */
+  def decontaminate(corpus: DataFrame, textCol: String,
+                    evalDocs: DataFrame, evalTextCol: String): DataFrame = {
+    val tagged = corpus.withColumn("text_sha", sha2(col(textCol), 256))
+    val evalShas = evalDocs
+      .select(sha2(col(evalTextCol), 256).as("eval_sha")).distinct()
+    tagged.join(broadcast(evalShas),
+      col("text_sha") === col("eval_sha"), "left_anti")
+  }
+
   /** SCD-2 validity intervals from an append-only change stream: each
     * key's records, ordered by event time (id tie-break), become
     * [valid_from, valid_to) intervals with `valid_to = next change` and

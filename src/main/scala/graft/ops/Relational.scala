@@ -166,4 +166,27 @@ object Relational {
   def rangeJoin(probe: DataFrame, bounds: DataFrame, v: Column,
                 lo: Column, hi: Column): DataFrame =
     probe.join(broadcast(bounds), v >= lo && v < hi, "inner")
+
+  /** Gap-based sessionization: appends a per-key `sess_idx` column —
+    * a new session starts when the gap since the key's previous record
+    * exceeds `gapUs` microseconds. lag → boundary flag → running sum,
+    * both windows running (O(1) state), one shuffle on the key; the
+    * (ts, id) order key must be total for determinism (id breaks ts
+    * ties). The at-rest twin of Structured Streaming's session_window
+    * (see Streaming.scala); same gap semantics, pinned against each
+    * other by the q_win_sessionize / q_stream_session row counts. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"need gapUs > 0, got $gapUs")
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val run = byKey.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev_ts")) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("sess_idx", sum("__new_sess").over(run))
+      .drop("__prev_ts", "__new_sess")
+  }
 }

@@ -239,24 +239,15 @@ object TextQueries {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("split")
 
-  /** q_text_feature_hash — the hashing trick: tokens map to a fixed
-    * 64-bucket feature space via the same sha-bucket arithmetic as the
-    * train/val/test split (q_sample_hash), counts per (doc, bucket) —
-    * the bag-of-words featurizer that needs NO vocabulary build, so the
-    * featurization is one pass with no global state: at 100 TB there is
-    * no vocab broadcast to construct, no OOV handling, and a new
+  /** q_text_feature_hash — the hashing trick
+    * ([[Curation.featureHash]]): tokens map to a fixed 64-bucket
+    * feature space via the q_sample_hash sha-bucket arithmetic — the
+    * bag-of-words featurizer that needs NO vocabulary build, so a new
     * document featurizes identically whether the corpus holds 1 row or
-    * 10¹². Long-format (doc_id, bucket, n) output — the sparse-vector
-    * layout trainers consume. Shuffle carries (doc, bucket) partials,
-    * ≤ 64 rows per doc per task after map-side combine. */
+    * 10¹². Long-format (doc_id, bucket, n) output. */
   private val textFeatureHash: Q = (s, dir) =>
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(TextSim.tokens(col("text"))).as("tok"))
-      .withColumn("bucket",
-        conv(substring(sha2(col("tok"), 256), 1, 7), 16, 10)
-          .cast("long") % 64)
-      .groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("n"))
+    Curation.featureHash(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", buckets = 64)
       .orderBy("doc_id", "bucket")
 
   /** q_text_scrub — PII redaction (the pre-training scrub pass: emails
@@ -375,48 +366,29 @@ object TextQueries {
       .orderBy(col("n").desc, col("pair"))
       .limit(100)
 
-  /** q_vec_centroid — per-cluster centroid of the embedding corpus (the
-    * k-means M-step / embedding-pooling primitive), cluster = vec_id % 8
-    * so assignment is deterministic. Shape: posexplode → ONE two-phase
-    * aggregate keyed (cluster, position) — map-side partials collapse
-    * each task to ≤ clusters·dim rows, so the shuffle ships centroid
-    * metadata, not the corpus (the same contraction trainCodebooks
-    * exploits). Output stays LONG-format (cluster, pos, mean) — 8·dim
-    * rows — rather than re-assembled arrays: driver-protocol-clean and
-    * the shape downstream matrix ops actually want. Decimal accumulation
-    * makes the sum exact under any partition order (float summation
-    * order is the classic distributed-mean divergence); the mean is then
-    * ONE IEEE division of the same two numbers on both engines, so the
-    * rounding is defensive, not load-bearing. */
+  /** q_vec_centroid — per-cluster centroid of the embedding corpus
+    * ([[Curation.clusterCentroids]]: the k-means M-step / pooling
+    * primitive), cluster = vec_id % 8 so assignment is deterministic.
+    * Long-format output (8·dim rows) — driver-protocol-clean and the
+    * shape downstream matrix ops consume; exact decimal sums make the
+    * mean independent of partition order, and the one IEEE division
+    * afterwards is bit-identical across engines. */
   private val vecCentroid: Q = (s, dir) =>
-    Tables.load(s, dir, "embeddings")
-      .select((col("vec_id") % 8).as("cluster"),
-        posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("pos", "x")))
-      .groupBy("cluster", "pos")
-      .agg(count(lit(1)).as("n"),
-        sum(col("x").cast("decimal(28,12)")).as("sx"))
-      .select(col("cluster"), col("pos").cast("long").as("pos"), col("n"),
-        round(col("sx").cast("double") / col("n"), 6).as("centroid"))
+    Curation.clusterCentroids(Tables.load(s, dir, "embeddings"),
+        clusterCol = col("vec_id") % 8, vecCol = "embedding")
       .orderBy("cluster", "pos")
 
-  /** q_text_decontaminate — benchmark-decontamination anti-join: drop
-    * every training document whose CONTENT fingerprint appears in a
-    * held-out eval set (here the deterministic doc_id % 97 == 0 slice
-    * stands in for the benchmark corpus). Matching on sha256(text), not
-    * id, is the point — verbatim copies of an eval doc are removed
-    * wherever they live. The eval side is fingerprints only (hashes,
-    * never text) and broadcast: at 100 TB the corpus streams map-side
-    * against a few MB of benchmark hashes, no shuffle of the corpus.
-    * Output is the kept corpus with per-language counts to keep the
-    * result driver-hashable at any SF. */
+  /** q_text_decontaminate — benchmark-decontamination anti-join
+    * ([[Curation.decontaminate]]): drop every training document whose
+    * CONTENT fingerprint appears in a held-out eval set (here the
+    * deterministic doc_id % 97 == 0 slice stands in for the benchmark
+    * corpus). Output is the kept corpus's per-language counts to keep
+    * the result driver-hashable at any SF. */
   private val textDecontaminate: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-      .withColumn("text_sha", sha2(col("text"), 256))
-    val evalSet = docs.filter(col("doc_id") % 97 === 0)
-      .select(col("text_sha").as("eval_sha"))
-    docs.join(broadcast(evalSet), col("text_sha") === col("eval_sha"),
-        "left_anti")
+    Curation.decontaminate(docs, "text",
+        evalDocs = docs.filter(col("doc_id") % 97 === 0),
+        evalTextCol = "text")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))

@@ -150,32 +150,24 @@ object WindowQueries {
   }
 
   /** q_win_sessionize — batch gap-sessionization (30-minute idle gap
-    * starts a new session): lag → boundary flag → running sum assigns
-    * session INDEXES per user, then one aggregate per (user, session)
-    * — the composition every event pipeline builds sessions from when
-    * the data is at rest (the streaming twin is q_stream_session's
-    * session_window). Gap arithmetic is integer µs; both windows are
-    * running (O(1) state); two shuffles total (user window, then the
-    * two-phase session aggregate). */
-  private val winSessionize: Q = (s, dir) => {
-    val byUser = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
-    val run = byUser.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
-    Tables.load(s, dir, "events")
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .withColumn("prev_ts", lag("ts", 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          expr("unix_micros(ts) - unix_micros(prev_ts)") >
-            30L * 60 * 1000000L, 1L).otherwise(0L))
-      .withColumn("sess_idx", sum("new_sess").over(run))
+    * starts a new session) via [[Relational.sessionize]] (lag →
+    * boundary flag → running sum), then one aggregate per (user,
+    * session) — the composition every event pipeline builds sessions
+    * from when the data is at rest (the streaming twin is
+    * q_stream_session's session_window). Gap arithmetic is integer µs;
+    * both windows are running (O(1) state); two shuffles total (user
+    * window, then the two-phase session aggregate). */
+  private val winSessionize: Q = (s, dir) =>
+    Relational.sessionize(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        gapUs = 30L * 60 * 1000000L)
       .groupBy("user_id", "sess_idx")
       .agg(count(lit(1)).as("n_events"),
         min("event_id").as("first_event"),
         expr("unix_micros(max(ts)) - unix_micros(min(ts))").as("dur_us"))
       .orderBy("user_id", "sess_idx")
-  }
 
   /** q_win_paginate — page 3 of 20 over a total order
     * ([[Relational.paginate]]; ref offset pagination

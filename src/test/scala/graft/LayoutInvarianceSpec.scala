@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Curation, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Executes the partition-layout-independence claims the ops docs make:
+  * a distributed operator whose result depends on partition count or
+  * row order inside partitions is broken at exactly the moment the
+  * cluster re-splits its input (AQE coalescing, file growth, executor
+  * loss). Each op here is run over pathological layouts — 1 partition,
+  * 7, 64 (≫ rows/partition for small keys) — and must produce the
+  * IDENTICAL result set every time:
+  *
+  *  - clusterCentroids: float summation order is the classic
+  *    distributed-mean divergence; the decimal accumulator is the fix,
+  *    and this spec is where that claim is executed, not asserted.
+  *  - sessionize: windows sort within partitions, so the assignment
+  *    must be a pure function of the (key, ts, id) order, never the
+  *    arrival layout.
+  *  - featureHash / decontaminate: pure per-row hash arithmetic +
+  *    aggregation; invariance should be trivial — gating it keeps a
+  *    future "optimization" from accidentally introducing layout
+  *    dependence (e.g. a first()/limit-based keeper).
+  */
+class LayoutInvarianceSpec extends SparkSpecBase {
+
+  private val layouts = Seq(1, 7, 64)
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("clusterCentroids is identical across partition layouts") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val results = layouts.map { p =>
+      canon(Curation.clusterCentroids(emb.repartition(p),
+        col("vec_id") % 8, "embedding"))
+    }
+    assert(results.head.nonEmpty)
+    assert(results.distinct.size == 1,
+      "centroid means depend on partition layout — decimal sum regressed")
+  }
+
+  test("sessionize is identical across partition layouts") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    val results = layouts.map { p =>
+      canon(Relational.sessionize(ev.repartition(p),
+        "user_id", "ts", "event_id", gapUs = 30L * 60 * 1000000L))
+    }
+    assert(results.head.nonEmpty)
+    assert(results.distinct.size == 1,
+      "session assignment depends on partition layout")
+  }
+
+  test("featureHash and decontaminate are identical across layouts") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val fh = layouts.map(p => canon(
+      Curation.featureHash(docs.repartition(p), "doc_id", "text", 64)))
+    assert(fh.head.nonEmpty && fh.distinct.size == 1,
+      "feature buckets depend on partition layout")
+    val dc = layouts.map { p =>
+      val d = docs.repartition(p)
+      canon(Curation.decontaminate(d, "text",
+          d.filter(col("doc_id") % 97 === 0), "text")
+        .select("doc_id"))
+    }
+    assert(dc.head.nonEmpty && dc.distinct.size == 1,
+      "decontamination keep-set depends on partition layout")
+  }
+}
