@@ -357,6 +357,32 @@ object OracleSql {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // Mirrors winStreak: gaps-and-islands via the row_number difference
+    // trick on the distinct-day grid; pure integer date arithmetic.
+    "q_win_streak" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+         r AS (
+           SELECT user_id, day,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS rn
+           FROM d),
+         i AS (
+           SELECT user_id, day, day - CAST(rn AS INTEGER) AS island
+           FROM r),
+         g AS (
+           SELECT user_id, island, count(*) AS len,
+                  min(day) AS start_day, max(day) AS end_day
+           FROM i GROUP BY user_id, island),
+         t AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY len DESC, start_day) AS k
+           FROM g)
+         SELECT user_id, CAST(len AS BIGINT) AS len, start_day, end_day
+         FROM t WHERE k = 1
+         ORDER BY user_id NULLS FIRST""",
     // Mirrors winSessionize: lag → 30-min-gap flag → running sum →
     // per-(user, session) aggregate; gap arithmetic is integer µs on
     // the µs-truncated timestamps both engines see.

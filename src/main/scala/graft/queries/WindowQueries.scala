@@ -169,6 +169,32 @@ object WindowQueries {
         expr("unix_micros(max(ts)) - unix_micros(min(ts))").as("dur_us"))
       .orderBy("user_id", "sess_idx")
 
+  /** q_win_streak — longest consecutive-day activity streak per user:
+    * the gaps-and-islands idiom (row_number difference trick — a run of
+    * consecutive days shares `day − rn`, which names its island)
+    * applied to engagement analytics. Distinct-day reduction first, so
+    * the windows rank days, never raw events; all arithmetic is integer
+    * date math; ties on streak length break on earliest start. Same
+    * one-shuffle-per-window shape as every §2.E operator, plus the
+    * WindowGroupLimit top-1. */
+  private val winStreak: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val top = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("start_day"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", expr("date_sub(day, rn)"))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"),
+        min("day").as("start_day"), max("day").as("end_day"))
+      .withColumn("k", row_number().over(top))
+      .filter(col("k") === 1)
+      .select(col("user_id"), col("len"), col("start_day"),
+        col("end_day"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
   /** q_win_paginate — page 3 of 20 over a total order
     * ([[Relational.paginate]]; ref offset pagination
     * `database/app.py:74-82`). */
@@ -197,6 +223,7 @@ object WindowQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q_win_streak" -> winStreak,
     "q_win_sessionize" -> winSessionize,
     "q_win_range_frame" -> winRangeFrame,
     "q_win_pctrank" -> winPctrank,

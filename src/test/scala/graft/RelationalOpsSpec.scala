@@ -279,6 +279,33 @@ class RelationalOpsSpec extends SparkSpecBase {
       "fixture produced one session per user — gap threshold untested")
   }
 
+  test("q_win_streak equals brute-force longest consecutive-day runs") {
+    val got = SparkEntry.queries("q_win_streak")(spark, sf0001)
+      .selectExpr("user_id", "len", "CAST(start_day AS STRING)",
+        "CAST(end_day AS STRING)")
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day")
+      .distinct().collect().map(r => (r.get(0), r.getString(1)))
+    val expected = raw.groupBy(_._1).map { case (uid, g) =>
+      val days = g.map(d => java.time.LocalDate.parse(d._2))
+        .sortBy(_.toEpochDay)
+      // walk the sorted day grid accumulating runs
+      val runs = days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (Nil, d) => List(List(d))
+        case (h :: t, d) =>
+          if (d.toEpochDay == h.head.toEpochDay + 1) (d :: h) :: t
+          else List(d) :: h :: t
+      }.map(_.reverse).reverse
+      val best = runs.maxBy(r => (r.length, -r.head.toEpochDay))
+      (uid, best.length.toLong, best.head.toString, best.last.toString)
+    }.toSet
+    assert(got == expected)
+    assert(got.exists(_._2 > 1), "fixture has no multi-day streak at all")
+  }
+
   test("q_agg_maxby picks the payload at the extreme unique id") {
     val got = SparkEntry.queries("q_agg_maxby")(spark, sf0001).collect()
     val raw = Tables.load(spark, sf0001, "events")
