@@ -1311,6 +1311,51 @@ object OracleSql {
          FROM c
          ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
                   event_id NULLS FIRST""",
+    // Mirrors etlSnapshotDiff: same snapshot grammar as q_etl_upsert,
+    // full outer join on the key, DIRECT column comparison (never
+    // float hashing), scale-3 decimal delta sum (see the query doc).
+    "q_etl_snapshot_diff" ->
+      """WITH a AS (
+           SELECT o_orderkey AS key, o_orderstatus AS status_a,
+                  o_totalprice AS price_a
+           FROM orders WHERE o_orderkey % 4 != 3),
+         b AS (
+           SELECT o_orderkey AS key,
+                  CASE WHEN o_orderkey % 2 = 1 THEN 'U'
+                       ELSE o_orderstatus END AS status_b,
+                  CASE WHEN o_orderkey % 2 = 1 THEN
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+                       ELSE o_totalprice END AS price_b
+           FROM orders),
+         j AS (
+           SELECT coalesce(a.key, b.key) AS key,
+                  status_a, price_a, status_b, price_b,
+                  CASE WHEN status_a IS NULL THEN 'added'
+                       WHEN status_b IS NULL THEN 'removed'
+                       WHEN status_a != status_b OR price_a != price_b
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS class
+           FROM a FULL OUTER JOIN b ON a.key = b.key)
+         SELECT class, count(*) AS n,
+                min(key) AS min_key, max(key) AS max_key,
+                CAST(round(sum(CAST(coalesce(price_b, 0) AS DECIMAL(19,3))
+                  - CAST(coalesce(price_a, 0) AS DECIMAL(19,3))), 4)
+                  AS DOUBLE) AS sum_delta
+         FROM j GROUP BY class ORDER BY class""",
+    // Mirrors evtPaths: list(... ORDER BY ts, event_id)[1:50] = Spark's
+    // slice(array_sort(collect_list(struct)), 1, 50); the (ts, id)
+    // order key is total so both engines build the identical string.
+    "q_evt_paths" ->
+      """WITH p AS (
+           SELECT user_id,
+                  array_to_string(
+                    list(event_type ORDER BY CAST(ts AS TIMESTAMP),
+                         event_id)[1:50], '>') AS path
+           FROM events GROUP BY user_id)
+         SELECT path, count(*) AS n
+         FROM p GROUP BY path
+         ORDER BY n DESC, path LIMIT 20""",
     "q_etl_normalize" ->
       // The flat mirror of the WHOLE normalize lifecycle: synthesize the
       // scraped records' derived fields per event row (same grammar as

@@ -271,6 +271,75 @@ object PipelineQueries {
         min("o_orderdate").as("date_min"),
         max("o_orderdate").as("date_max"))
 
+  /** q_etl_snapshot_diff — table-diff between two warehouse snapshots
+    * (the CDC-derivation / data-reconciliation pattern: "what changed
+    * between yesterday's load and today's?"): full outer join on the
+    * key, rows classified added / removed / changed / unchanged by
+    * DIRECT column comparison — never by hashing floats, whose string
+    * formatting is engine-specific — then one summary row per class
+    * with the exact decimal sum of price deltas. Snapshots derive
+    * deterministically from `orders` (the same version grammar as
+    * q_etl_upsert). One co-keyed shuffle join + a 4-group aggregate; at
+    * 100 TB both sides bucket on the key and the join is
+    * exchange-free. */
+  private val etlSnapshotDiff: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val snapA = o.filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status_a"),
+        col("o_totalprice").as("price_a"))
+    val snapB = o.select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 2 === 1, lit("U"))
+          .otherwise(col("o_orderstatus")).as("status_b"),
+        when(col("o_orderkey") % 2 === 1,
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+            "* CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)"))
+          .otherwise(col("o_totalprice")).as("price_b"))
+    snapA.join(snapB, Seq("key"), "full_outer")
+      .withColumn("class",
+        when(col("status_a").isNull, "added")
+          .when(col("status_b").isNull, "removed")
+          .when(col("status_a") =!= col("status_b") ||
+            col("price_a") =!= col("price_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n"),
+        min("key").as("min_key"), max("key").as("max_key"),
+        // scale-3 decimals: the mutated price is exactly 3-decimal
+        // (decimal ×1.1 of a 2-decimal value), so its double sits 1e-13
+        // from the 3-decimal grid and the cast recovers it identically
+        // in both engines; a scale-2 cast would land on x.xx5 HALF-UP
+        // boundaries where the engines' double→decimal rounding differs
+        expr("CAST(round(sum(CAST(coalesce(price_b, 0) AS DECIMAL(19,3))" +
+          " - CAST(coalesce(price_a, 0) AS DECIMAL(19,3))), 4) AS DOUBLE)")
+          .as("sum_delta"))
+      .orderBy("class")
+  }
+
+  /** q_evt_paths — clickstream path analysis: each user's event-type
+    * sequence (time order, capped at the first 50 events) becomes a
+    * path string, then paths are counted and the top 20 kept — the
+    * "what do journeys look like" query behind funnel design. The
+    * per-user state is the user's OWN event list, bounded by the cap
+    * (the standard guard against hot entities); the path aggregate
+    * shuffles one row per user, the count one row per distinct path.
+    * The (ts, event_id) order key is total, so both engines build the
+    * identical string. */
+  private val evtPaths: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_join(
+        slice(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")),
+          1, 50), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+
   /** q_etl_compact — small-files compaction round trip
     * ([[graft.etl.Sinks.compact]]): events written as 16 deliberate
     * shards, compacted to 2 right-sized files, read back and
@@ -327,6 +396,8 @@ object PipelineQueries {
     "q_etl_schema_evolve" -> etlSchemaEvolve,
     "q_etl_dq" -> etlDq,
     "q_etl_dq_approx" -> etlDqApprox,
+    "q_etl_snapshot_diff" -> etlSnapshotDiff,
+    "q_evt_paths" -> evtPaths,
     "q_etl_compact" -> etlCompact,
     "q_etl_scd2" -> etlScd2,
     "q_evt_funnel" -> evtFunnel,

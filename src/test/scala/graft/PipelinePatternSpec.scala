@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force verification of the round-7 pipeline patterns (the
+  * oracle hash is the primary gate; these pin the SEMANTICS against an
+  * in-memory reference so a wrong-but-self-consistent oracle pair
+  * cannot slip through). */
+class PipelinePatternSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("q_etl_snapshot_diff classes partition the key space correctly") {
+    val got = SparkEntry.queries("q_etl_snapshot_diff")(spark, sf0001)
+      .select("class", "n").as[(String, Long)].collect().toMap
+    val keys = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey").as[Long].collect()
+    // the snapshot grammar is pure arithmetic on the key:
+    // %4==3 keys exist only in B (added); odd non-%4==3 keys are
+    // mutated (changed); even keys are identical (unchanged); B holds
+    // every key, so nothing is removed
+    val expected = Map(
+      "added" -> keys.count(_ % 4 == 3).toLong,
+      "changed" -> keys.count(k => k % 2 == 1 && k % 4 != 3).toLong,
+      "unchanged" -> keys.count(_ % 2 == 0).toLong)
+    assert(got == expected, s"got $got expected $expected")
+    assert(!got.contains("removed"))
+    // delta direction: added contributes +price, changed +0.1*price
+    val deltas = SparkEntry.queries("q_etl_snapshot_diff")(spark, sf0001)
+      .select("class", "sum_delta").as[(String, Double)].collect().toMap
+    assert(deltas("unchanged") == 0.0)
+    assert(deltas("added") > 0 && deltas("changed") > 0)
+  }
+
+  test("q_evt_paths counts conserve users and order deterministically") {
+    val top = SparkEntry.queries("q_evt_paths")(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    assert(top.size <= 20 && top.nonEmpty)
+    // tie rule: (n desc, path asc) is a total order
+    top.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    case _ => ()
+    }
+    // brute-force the full path histogram and check the top-20 cut
+    val ev = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val hist = ev.groupBy(_._1).map { case (_, g) =>
+      g.sortBy(e => (e._2, e._3)).take(50).map(_._4).mkString(">")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = hist.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(top == expected)
+  }
+}
