@@ -1225,6 +1225,23 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY 1
          ORDER BY segment NULLS FIRST""",
+    // Mirrors aggTtest: FILTERed aggregates = Spark's conditional
+    // when() aggregates over the same scan; sqrt is IEEE-exact.
+    "q_agg_ttest" ->
+      """SELECT event_type,
+                count(*) FILTER (user_id % 2 = 1) AS n_t,
+                count(*) FILTER (user_id % 2 = 0) AS n_c,
+                round(avg(value) FILTER (user_id % 2 = 1), 4) AS mean_t,
+                round(avg(value) FILTER (user_id % 2 = 0), 4) AS mean_c,
+                round((avg(value) FILTER (user_id % 2 = 1)
+                       - avg(value) FILTER (user_id % 2 = 0))
+                  / sqrt(var_samp(value) FILTER (user_id % 2 = 1)
+                           / count(*) FILTER (user_id % 2 = 1)
+                       + var_samp(value) FILTER (user_id % 2 = 0)
+                           / count(*) FILTER (user_id % 2 = 0)), 4)
+                  AS t_welch
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors aggMaxby: arg_max/arg_min on the unique event_id; the
     // payload is coalesced on BOTH sides because DuckDB's arg_max skips
     // NULL payloads where Spark's max_by returns them.

@@ -295,7 +295,38 @@ object AggQueries {
           .as("first_type"))
       .orderBy(col("user_id").asc_nulls_first)
 
+  /** q_agg_ttest — A/B experiment summary (Welch's t statistic per
+    * event_type, treatment = odd user_id): the readout query of every
+    * experimentation pipeline. One aggregation pass — both arms'
+    * moments come from conditional aggregates over the same scan, no
+    * self-join of the two cohorts; the t statistic composes mergeable
+    * moments, so the shape is identical at any corpus size. Float
+    * discipline matches q_agg_stats: engine aggregate algorithms agree
+    * to ~1e-10 at these magnitudes and sqrt is IEEE-correctly-rounded,
+    * so the 4-dp round is a tolerance for summation order, not for
+    * algorithmic divergence. (The t→p mapping needs the incomplete
+    * beta function — that final scalar lookup belongs client-side, not
+    * in the scan.) */
+  private val aggTtest: Q = (s, dir) => {
+    val t = col("user_id") % 2 === 1
+    val c = col("user_id") % 2 === 0
+    val vT = when(t, col("value"))
+    val vC = when(c, col("value"))
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(when(t, 1)).as("n_t"),
+        count(when(c, 1)).as("n_c"),
+        round(avg(vT), 4).as("mean_t"),
+        round(avg(vC), 4).as("mean_c"),
+        round((avg(vT) - avg(vC)) /
+          sqrt(var_samp(vT) / count(when(t, 1)) +
+            var_samp(vC) / count(when(c, 1))), 4).as("t_welch"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_ttest" -> aggTtest,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

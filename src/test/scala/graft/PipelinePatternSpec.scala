@@ -31,6 +31,39 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(deltas("added") > 0 && deltas("changed") > 0)
   }
 
+  test("q_agg_ttest matches a two-pass Welch computation") {
+    val got = SparkEntry.queries("q_agg_ttest")(spark, sf0001)
+      .selectExpr("event_type", "n_t", "n_c", "mean_t", "mean_c",
+        "t_welch")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val raw = Tables.load(spark, sf0001, "events")
+      .select("event_type", "user_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def moments(xs: Seq[Double]): (Long, Double, Double) = {
+      val n = xs.length
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n.toLong, m, v)
+    }
+    got.foreach { case (et, nT, nC, meanT, meanC, tW) =>
+      val g = raw(et)
+      val (en, em, ev) = moments(g.filter(_._2 % 2 == 1).map(_._3).toSeq)
+      val (cn, cm, cv) = moments(g.filter(_._2 % 2 == 0).map(_._3).toSeq)
+      assert(nT == en && nC == cn, s"$et cohort sizes")
+      // the engine computes single-pass moments; a two-pass reference
+      // agrees to ~1e-10, so rounded values sit within one last-digit
+      // step of each other
+      assert((meanT - em).abs < 2e-4 && (meanC - cm).abs < 2e-4, s"$et means")
+      val t = (em - cm) / math.sqrt(ev / en + cv / cn)
+      assert((tW - t).abs < 2e-4, s"$et t: got $tW expected $t")
+    }
+  }
+
   test("q_evt_paths counts conserve users and order deterministically") {
     val top = SparkEntry.queries("q_evt_paths")(spark, sf0001)
       .as[(String, Long)].collect().toSeq
