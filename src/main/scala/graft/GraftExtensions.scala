@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftfns.{DotProduct, MinHashes, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graftfns.{DotProduct, MinHashes, ShingleHashes, SimHash64, TokenBigrams, TokenHashes}
 import org.apache.spark.sql.types.IntegerType
 
 /** Session extension wiring: exposes the engine's custom Catalyst
@@ -14,11 +14,11 @@ import org.apache.spark.sql.types.IntegerType
   * `spark.sql.extensions=graft.GraftExtensions`; afterwards
   * `SELECT dot_product(a, b)` resolves like a built-in (parsed,
   * analyzed, codegen'd — no UDF registry indirection), and the whole
-  * MinHash/SimHash near-dup pipeline is writable in pure SQL (all three
-  * take pre-hashed tokens, `array<long>`):
-  * `minhashes(shingle_hashes(transform(split(text, ' '),
-  * t -> xxhash64(t)), 3), 64)`,
-  * `simhash64(transform(split(text, ' '), t -> xxhash64(t)))`.
+  * MinHash/SimHash near-dup pipeline is writable in pure SQL — with
+  * `token_hashes` replacing the interpreted per-token lambda:
+  * `minhashes(shingle_hashes(token_hashes(split(text, ' ')), 3), 64)`,
+  * `simhash64(token_hashes(split(text, ' ')))`; `token_bigrams` exposes
+  * the compiled co-occurrence unit the same way.
   * No custom optimizer rules or strategies are injected: the operator
   * inventory is expressible in declarative plans Catalyst already
   * optimizes (SURVEY.md §4.1). */
@@ -69,6 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("shingle_hashes", args, 2)
         ShingleHashes(args(0), litInt("shingle_hashes", args(1), 1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+      (args: Seq[Expression]) => {
+        arity("token_hashes", args, 1)
+        TokenHashes(args(0))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("token_bigrams"),
+      new ExpressionInfo(classOf[TokenBigrams].getName, "token_bigrams"),
+      (args: Seq[Expression]) => {
+        arity("token_bigrams", args, 1)
+        TokenBigrams(args(0))
       }))
   }
 }

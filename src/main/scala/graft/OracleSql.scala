@@ -1328,6 +1328,15 @@ object OracleSql {
          FROM c
          ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
                   event_id NULLS FIRST""",
+    // Mirrors etlWap: publish-then-read must be content-neutral, so the
+    // oracle aggregates the source table directly.
+    "q_etl_wap" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4)
+                  AS DOUBLE) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     // Mirrors etlSnapshotDiff: same snapshot grammar as q_etl_upsert,
     // full outer join on the key, DIRECT column comparison (never
     // float hashing), scale-3 decimal delta sum (see the query doc).

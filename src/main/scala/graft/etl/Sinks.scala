@@ -61,4 +61,41 @@ object Sinks {
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
       .parquet(path)
   }
+
+  /** Write-audit-publish commit: audit the STAGED FILES (never the
+    * in-memory plan that produced them — the point is to catch what the
+    * write itself corrupted or dropped) and only then move the staging
+    * directory to the published path. Audit = row-count conservation
+    * against the producer's count, key non-null, key unique. A failed
+    * audit throws and leaves the staging dir for forensics; readers
+    * never see a partial or corrupt table because the publish is ONE
+    * directory rename (the filesystem analog of an object-store/
+    * catalog pointer swap — on S3-like stores this step is the catalog
+    * commit). This is the reliability pattern behind every serious
+    * warehouse load; the reference's load path writes straight into the
+    * serving tables (`database/parse_and_upload_to_db.py:159-175`),
+    * which is exactly the failure mode WAP exists to close. */
+  def publishAudited(spark: org.apache.spark.sql.SparkSession,
+                     stagingDir: String, publishDir: String,
+                     keyCol: String, expectedRows: Long): String = {
+    import org.apache.spark.sql.functions._
+    val a = spark.read.parquet(stagingDir)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("n_keys"),
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"))
+      .head()
+    val (n, nKeys, nullKeys) =
+      (a.getAs[Long]("n"), a.getAs[Long]("n_keys"), a.getAs[Long]("null_keys"))
+    require(n == expectedRows,
+      s"WAP audit: staged $n rows, expected $expectedRows — not publishing")
+    require(nullKeys == 0L,
+      s"WAP audit: $nullKeys null $keyCol keys — not publishing")
+    require(nKeys == n,
+      s"WAP audit: $nKeys distinct $keyCol for $n rows — not publishing")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(stagingDir),
+      java.nio.file.Paths.get(publishDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    publishDir
+  }
 }

@@ -340,6 +340,30 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("path"))
       .limit(20)
 
+  /** q_etl_wap — write-audit-publish round trip
+    * ([[graft.etl.Sinks.publishAudited]]): orders staged to a scratch
+    * dir, the STAGED FILES audited (row conservation, key non-null,
+    * key unique), then atomically renamed to the published path and
+    * read back for the summary aggregate — readers can never observe a
+    * partial or failed load. The oracle aggregates the source table:
+    * publish-then-read must be content-neutral. */
+  private val etlWap: Q = (s, dir) => {
+    val stage = SourceQueries.freshSinkDir("wap_stage")
+    val pub = SourceQueries.freshSinkDir("wap_pub")
+    val src = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.write.mode("overwrite").parquet(stage)
+    graft.etl.Sinks.publishAudited(s, stage, pub,
+      keyCol = "o_orderkey", expectedRows = src.count())
+    s.read.parquet(pub)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) " +
+          "AS DOUBLE)").as("sum_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q_etl_compact — small-files compaction round trip
     * ([[graft.etl.Sinks.compact]]): events written as 16 deliberate
     * shards, compacted to 2 right-sized files, read back and
@@ -397,6 +421,7 @@ object PipelineQueries {
     "q_etl_dq" -> etlDq,
     "q_etl_dq_approx" -> etlDqApprox,
     "q_etl_snapshot_diff" -> etlSnapshotDiff,
+    "q_etl_wap" -> etlWap,
     "q_evt_paths" -> evtPaths,
     "q_etl_compact" -> etlCompact,
     "q_etl_scd2" -> etlScd2,

@@ -106,7 +106,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_win_sessionize" -> 0.6, "q_text_feature_hash" -> 0.6,
     "q_json_flatten" -> 0.6, "q_win_streak" -> 0.6,
     "q_etl_snapshot_diff" -> 0.7, "q_evt_paths" -> 0.7,
-    "q_agg_ttest" -> 0.5)
+    "q_agg_ttest" -> 0.5,
+    // staged write + audit aggregate + publish + read-back (I/O-bound,
+    // the sink-family cost profile)
+    "q_etl_wap" -> 1.2)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

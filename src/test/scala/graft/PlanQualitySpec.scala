@@ -253,6 +253,16 @@ class PlanQualitySpec extends SparkSpecBase {
     // differs, so feed it pre-lowered text)
     val wrapper = df.select(TextSim.simhash(col("text"))).head().getLong(0)
     assert(wrapper == viaCol._1)
+    // token_hashes / token_bigrams resolve in SQL and match their
+    // HOF/column formulations
+    val tokenKernels = spark.sql(
+      """SELECT token_hashes(split(text, ' ')),
+                token_bigrams(split(text, ' '))
+         FROM gx_probe""").as[(Seq[Long], Seq[String])].head()
+    assert(tokenKernels._1 ==
+      df.select(hashed).as[Seq[Long]].head())
+    assert(tokenKernels._2 ==
+      Seq("the quick", "quick brown", "brown fox", "fox jumps"))
   }
 
   test("q_vec_quantize runs the one-pass kernel once, no pre-sort shuffle") {

@@ -142,6 +142,44 @@ class SinksAndApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("publishAudited publishes good data atomically, refuses bad data") {
+    import graft.etl.Sinks
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("wap_spec").toString
+    val good = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+
+    // happy path: audit passes, stage dir is renamed away, publish reads
+    good.write.parquet(s"$base/stage1")
+    Sinks.publishAudited(spark, s"$base/stage1", s"$base/pub1", "k", 3L)
+    assert(!new java.io.File(s"$base/stage1").exists(),
+      "publish must consume the staging dir")
+    assert(spark.read.parquet(s"$base/pub1").count() == 3)
+
+    // row-count mismatch: refuse, keep staging for forensics, no publish
+    good.write.parquet(s"$base/stage2")
+    intercept[IllegalArgumentException] {
+      Sinks.publishAudited(spark, s"$base/stage2", s"$base/pub2", "k", 4L)
+    }
+    assert(new java.io.File(s"$base/stage2").exists())
+    assert(!new java.io.File(s"$base/pub2").exists())
+
+    // duplicate keys: refuse
+    Seq((1L, "a"), (1L, "b")).toDF("k", "v").write.parquet(s"$base/stage3")
+    intercept[IllegalArgumentException] {
+      Sinks.publishAudited(spark, s"$base/stage3", s"$base/pub3", "k", 2L)
+    }
+    assert(!new java.io.File(s"$base/pub3").exists())
+
+    // null keys: refuse
+    Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
+      .write.parquet(s"$base/stage4")
+    intercept[IllegalArgumentException] {
+      Sinks.publishAudited(spark, s"$base/stage4", s"$base/pub4", "k", 2L)
+    }
+    assert(!new java.io.File(s"$base/pub4").exists())
+  }
+
   test("q_etl_dq_approx tracks the exact profile and drops the Expand") {
     // the Q-tier gate for the registered query: the sketch profile's
     // cardinalities must sit within ±3·rsd of q_etl_dq's exact ones,
