@@ -385,7 +385,9 @@ object OracleSql {
          ORDER BY user_id NULLS FIRST""",
     // Mirrors winSessionize: lag → 30-min-gap flag → running sum →
     // per-(user, session) aggregate; gap arithmetic is integer µs on
-    // the µs-truncated timestamps both engines see.
+    // the µs-truncated timestamps both engines see. `>=` matches
+    // session_window's strict-overlap merge rule (see Relational
+    // .sessionize).
     "q_win_sessionize" ->
       """WITH e AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -397,7 +399,7 @@ object OracleSql {
            FROM e),
          f AS (
            SELECT *, CASE WHEN prev_ts IS NULL OR
-                  epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
            FROM l),
          s AS (

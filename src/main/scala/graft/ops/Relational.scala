@@ -169,12 +169,14 @@ object Relational {
 
   /** Gap-based sessionization: appends a per-key `sess_idx` column —
     * a new session starts when the gap since the key's previous record
-    * exceeds `gapUs` microseconds. lag → boundary flag → running sum,
-    * both windows running (O(1) state), one shuffle on the key; the
+    * reaches `gapUs` microseconds (`>=`, matching Structured
+    * Streaming's `session_window`, whose intervals [t, t+gap) merge
+    * only on STRICT overlap — so the batch and streaming sessionizers
+    * agree on every input, boundary gaps included; pinned by the
+    * cross-formulation spec). lag → boundary flag → running sum, both
+    * windows running (O(1) state), one shuffle on the key; the
     * (ts, id) order key must be total for determinism (id breaks ts
-    * ties). The at-rest twin of Structured Streaming's session_window
-    * (see Streaming.scala); same gap semantics, pinned against each
-    * other by the q_win_sessionize / q_stream_session row counts. */
+    * ties). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  idCol: String, gapUs: Long): DataFrame = {
     require(gapUs > 0, s"need gapUs > 0, got $gapUs")
@@ -184,7 +186,7 @@ object Relational {
     df.withColumn("__prev_ts", lag(col(tsCol), 1).over(byKey))
       .withColumn("__new_sess",
         when(col("__prev_ts").isNull ||
-          unix_micros(col(tsCol)) - unix_micros(col("__prev_ts")) > gapUs,
+          unix_micros(col(tsCol)) - unix_micros(col("__prev_ts")) >= gapUs,
           1L).otherwise(0L))
       .withColumn("sess_idx", sum("__new_sess").over(run))
       .drop("__prev_ts", "__new_sess")

@@ -31,6 +31,22 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(deltas("added") > 0 && deltas("changed") > 0)
   }
 
+  test("batch sessionize and streaming session_window agree exactly") {
+    // two formulations of the same 30-min-gap semantics: the window
+    // composition (Relational.sessionize) and Structured Streaming's
+    // session_window (batch shadow). With the >= boundary rule they
+    // must produce the SAME sessions — same per-user session count and
+    // the same (start, n_events) multiset — not merely the same total.
+    val batch = SparkEntry.queries("q_win_sessionize")(spark, sf0001)
+      .selectExpr("user_id", "count(*) OVER (PARTITION BY user_id) AS s")
+      .distinct().as[(Long, Long)].collect().toMap
+    val stream = SparkEntry.queries("q_stream_session")(spark, sf0001)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(batch == stream,
+      "batch and streaming sessionizers disagree on session counts")
+  }
+
   test("q_agg_ttest matches a two-pass Welch computation") {
     val got = SparkEntry.queries("q_agg_ttest")(spark, sf0001)
       .selectExpr("event_type", "n_t", "n_c", "mean_t", "mean_c",

@@ -265,7 +265,7 @@ class RelationalOpsSpec extends SparkSpecBase {
       var idx = 0L
       var prev = Long.MinValue
       val tagged = ordered.map { e =>
-        if (prev == Long.MinValue || e._3 - prev > 1800000000L) idx += 1
+        if (prev == Long.MinValue || e._3 - prev >= 1800000000L) idx += 1
         prev = e._3
         (idx, e)
       }
