@@ -1244,14 +1244,15 @@ object OracleSql {
                   AS t_welch
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
-    // Mirrors aggMaxby: arg_max/arg_min on the unique event_id; the
-    // payload is coalesced on BOTH sides because DuckDB's arg_max skips
-    // NULL payloads where Spark's max_by returns them.
+    // Mirrors aggMaxby: arg_max/arg_min on the unique event_id; BOTH
+    // payloads are coalesced on BOTH sides (value → 0.0 sentinel)
+    // because DuckDB's arg_max skips NULL payloads where Spark's
+    // max_by returns them.
     "q_agg_maxby" ->
       """SELECT user_id, count(*) AS n_events,
                 max(event_id) AS last_id,
                 arg_max(coalesce(event_type, 'none'), event_id) AS last_type,
-                round(arg_max(value, event_id), 4) AS last_value,
+                round(arg_max(coalesce(value, 0.0), event_id), 4) AS last_value,
                 arg_min(coalesce(event_type, 'none'), event_id) AS first_type
          FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""",
     "q_agg_mode" ->

@@ -74,15 +74,28 @@ object Sinks {
     * commit). This is the reliability pattern behind every serious
     * warehouse load; the reference's load path writes straight into the
     * serving tables (`database/parse_and_upload_to_db.py:159-175`),
-    * which is exactly the failure mode WAP exists to close. */
+    * which is exactly the failure mode WAP exists to close.
+    *
+    * Caveat for external callers: the publish is `ATOMIC_MOVE`, which
+    * requires `stagingDir` and `publishDir` to live on the SAME
+    * filesystem — a cross-filesystem move throws
+    * `AtomicMoveNotSupportedException` (by design: a non-atomic
+    * fallback would reintroduce the partial-table window WAP closes).
+    * On object stores the equivalent step is the catalog pointer swap,
+    * not a rename. */
   def publishAudited(spark: org.apache.spark.sql.SparkSession,
                      stagingDir: String, publishDir: String,
                      keyCol: String, expectedRows: Long): String = {
     import org.apache.spark.sql.functions._
+    // null-key count is coalesced explicitly: over an empty staging dir
+    // sum(...) is NULL, and relying on getAs[Long]'s accidental 0L unbox
+    // would make the empty-with-expectedRows=0 publish pass by accident
+    // rather than by design
     val a = spark.read.parquet(stagingDir)
       .agg(count(lit(1)).as("n"),
         countDistinct(col(keyCol)).as("n_keys"),
-        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"))
+        coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("null_keys"))
       .head()
     val (n, nKeys, nullKeys) =
       (a.getAs[Long]("n"), a.getAs[Long]("n_keys"), a.getAs[Long]("null_keys"))

@@ -280,8 +280,12 @@ object AggQueries {
     * (key, value)-pair shuffle + WindowGroupLimit for the same
     * question; max_by is the cheaper plan when the "top 1 by a unique
     * key" is all that's asked). event_id is unique → deterministic;
-    * event_type is coalesced identically on both sides because DuckDB's
-    * arg_max skips NULL payloads where Spark's max_by returns them. */
+    * BOTH payloads (event_type and value) are coalesced identically on
+    * both sides because DuckDB's arg_max skips NULL payloads where
+    * Spark's max_by returns them — the value sentinel is 0.0 (no nulls
+    * exist in the fixture, asserted in RelationalOpsSpec, so the
+    * sentinel never surfaces; it exists to keep the engines aligned if
+    * that ever changes). */
   private val aggMaxby: Q = (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy("user_id")
@@ -289,8 +293,8 @@ object AggQueries {
         max("event_id").as("last_id"),
         max_by(coalesce(col("event_type"), lit("none")), col("event_id"))
           .as("last_type"),
-        round(max_by(col("value"), col("event_id")).cast("double"), 4)
-          .as("last_value"),
+        round(max_by(coalesce(col("value"), lit(0.0)), col("event_id"))
+          .cast("double"), 4).as("last_value"),
         min_by(coalesce(col("event_type"), lit("none")), col("event_id"))
           .as("first_type"))
       .orderBy(col("user_id").asc_nulls_first)

@@ -319,22 +319,27 @@ object PipelineQueries {
   /** q_evt_paths — clickstream path analysis: each user's event-type
     * sequence (time order, capped at the first 50 events) becomes a
     * path string, then paths are counted and the top 20 kept — the
-    * "what do journeys look like" query behind funnel design. The
-    * per-user state is the user's OWN event list, bounded by the cap
-    * (the standard guard against hot entities); the path aggregate
-    * shuffles one row per user, the count one row per distinct path.
-    * The (ts, event_id) order key is total, so both engines build the
-    * identical string. */
+    * "what do journeys look like" query behind funnel design. The cap
+    * is applied BEFORE the collect: a `row_number() <= 50` window
+    * filter (WindowGroupLimit kernel — partial per-partition top-50,
+    * no full sort) drops a hot user's tail upstream, so the
+    * aggregation buffer holds at most 50 structs per user — a bot key
+    * with 10⁸ events costs its partitions a streaming rank, never an
+    * in-memory array. The (ts, event_id) order key is total, so the
+    * pre-cap selects exactly the events the post-cap slice kept and
+    * both engines build the identical string; the path aggregate
+    * shuffles ≤50 rows per user, the count one row per distinct path. */
   private val evtPaths: Q = (s, dir) =>
     Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("rn") <= 50)
       .groupBy("user_id")
       .agg(array_join(
-        slice(
-          transform(
-            array_sort(collect_list(struct(col("ts"), col("event_id"),
-              col("event_type")))),
-            x => x.getField("event_type")),
-          1, 50), ">").as("path"))
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
@@ -345,16 +350,25 @@ object PipelineQueries {
     * dir, the STAGED FILES audited (row conservation, key non-null,
     * key unique), then atomically renamed to the published path and
     * read back for the summary aggregate — readers can never observe a
-    * partial or failed load. The oracle aggregates the source table:
+    * partial or failed load. The producer-side expected count comes
+    * from an [[org.apache.spark.sql.Observation]] riding the staged
+    * write itself (the commit-stats pattern) — one scan of the source,
+    * not a write plus a second counting scan; at 100 TB the saved scan
+    * is the whole point. The oracle aggregates the source table:
     * publish-then-read must be content-neutral. */
   private val etlWap: Q = (s, dir) => {
     val stage = SourceQueries.freshSinkDir("wap_stage")
     val pub = SourceQueries.freshSinkDir("wap_pub")
-    val src = Tables.load(s, dir, "orders")
+    val produced = org.apache.spark.sql.Observation()
+    Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    src.write.mode("overwrite").parquet(stage)
+      .observe(produced, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(stage)
     graft.etl.Sinks.publishAudited(s, stage, pub,
-      keyCol = "o_orderkey", expectedRows = src.count())
+      keyCol = "o_orderkey",
+      expectedRows = produced.get.apply("rows").asInstanceOf[Long])
+    // (Observation.get blocks until the write's QueryExecution ends, so
+    // the audit always sees the final count)
     s.read.parquet(pub)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),

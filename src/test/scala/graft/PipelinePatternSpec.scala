@@ -95,8 +95,12 @@ class PipelinePatternSpec extends SparkSpecBase {
         "event_type")
       .collect()
       .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // null event_types are SKIPPED (not rendered as "null") to match
+    // array_join semantics — the query's array_to_string drops null
+    // elements, and mkString would silently diverge on them
     val hist = ev.groupBy(_._1).map { case (_, g) =>
-      g.sortBy(e => (e._2, e._3)).take(50).map(_._4).mkString(">")
+      g.sortBy(e => (e._2, e._3)).take(50).map(_._4)
+        .filter(_ != null).mkString(">")
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val expected = hist.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(top == expected)

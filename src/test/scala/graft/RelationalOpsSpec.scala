@@ -327,4 +327,17 @@ class RelationalOpsSpec extends SparkSpecBase {
       assert(r.getString(5) == first._3, s"first_type for user ${r.get(0)}")
     }
   }
+
+  test("fixture contract: events.value is non-null (maxby sentinel never surfaces)") {
+    // q_agg_maxby coalesces value to a 0.0 sentinel on both engines to
+    // align Spark max_by (returns NULL payloads) with DuckDB arg_max
+    // (skips them). The sentinel conflates with a real 0.0, which is
+    // safe only while the fixture holds no null values — pin that here
+    // so a fixture change fails loudly instead of silently hashing a
+    // sentinel.
+    val nulls = Tables.load(spark, sf0001, "events")
+      .filter(col("value").isNull).count()
+    assert(nulls == 0L, "events.value gained nulls: revisit the " +
+      "q_agg_maxby 0.0 sentinel (conflates with a real 0.0)")
+  }
 }
