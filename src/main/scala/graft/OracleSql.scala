@@ -1375,12 +1375,18 @@ object OracleSql {
     // Mirrors evtPaths: list(... ORDER BY ts, event_id)[1:50] = Spark's
     // slice(array_sort(collect_list(struct)), 1, 50); the (ts, id)
     // order key is total so both engines build the identical string.
+    // coalesce(path, ''): DuckDB's array_to_string returns NULL over an
+    // all-NULL (or empty) element list where Spark's array_join returns
+    // '' — without the coalesce a user whose first-50 event_types are
+    // all NULL would hash-split the engines (verified empirically,
+    // round 8; both lists INCLUDE null elements, so the [1:50] cap
+    // windows agree — parity pinned in PipelinePatternSpec).
     "q_evt_paths" ->
       """WITH p AS (
            SELECT user_id,
-                  array_to_string(
+                  coalesce(array_to_string(
                     list(event_type ORDER BY CAST(ts AS TIMESTAMP),
-                         event_id)[1:50], '>') AS path
+                         event_id)[1:50], '>'), '') AS path
            FROM events GROUP BY user_id)
          SELECT path, count(*) AS n
          FROM p GROUP BY path

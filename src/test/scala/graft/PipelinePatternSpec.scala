@@ -105,4 +105,89 @@ class PipelinePatternSpec extends SparkSpecBase {
     val expected = hist.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(top == expected)
   }
+
+  // --- Null-divergence fixtures (round 8). The sf fixtures carry zero
+  // null event_types / keys / values, so these engine-alignment edges
+  // never fire in the driver's hash compare — each case below writes a
+  // tiny synthetic table that DOES exercise them and pins the aligned
+  // behavior. DuckDB parity for every pinned value was verified by
+  // hand-running the corresponding OracleSql entry on the identical
+  // fixture (round 8); the comments record the DuckDB results.
+
+  private def nullFixtureDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_nullfix_$name")
+      .toString
+
+  test("q_agg_ttest: empty and singleton arms yield NULL t_welch") {
+    val dir = nullFixtureDir("ttest")
+    // 'x': both users even → treatment arm EMPTY; 'y': one odd user →
+    // singleton treatment arm (var_samp over n=1 is NULL in BOTH
+    // engines since divide-by-zero → NULL). DuckDB on this fixture:
+    // ('x', 0, 2, NULL, 1.5, NULL), ('y', 1, 2, 5.0, 1.5, NULL).
+    Seq(
+      (1L, 1000000000L, 2L, "x", 1.0, "{}"),
+      (2L, 2000000000L, 4L, "x", 2.0, "{}"),
+      (3L, 3000000000L, 1L, "y", 5.0, "{}"),
+      (4L, 4000000000L, 2L, "y", 1.0, "{}"),
+      (5L, 5000000000L, 4L, "y", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_agg_ttest")(spark, dir).collect()
+    val x = got.find(_.getString(0) == "x").get
+    assert(x.getLong(1) == 0L && x.isNullAt(3) && x.isNullAt(5),
+      s"empty treatment arm must yield NULL mean_t and t_welch: $x")
+    val y = got.find(_.getString(0) == "y").get
+    assert(y.getLong(1) == 1L && y.getDouble(3) == 5.0 && y.isNullAt(5),
+      s"singleton arm must yield NULL t_welch (var_samp n=1): $y")
+  }
+
+  test("q_evt_paths: all-null event_types render as '' in both engines") {
+    val dir = nullFixtureDir("paths")
+    // user 1: a null type mid-sequence is SKIPPED by array_join →
+    // 'a>b'; user 2: ALL types null → Spark array_join gives '' where
+    // DuckDB array_to_string gives NULL — the oracle coalesces to ''.
+    // Both engines' collected lists INCLUDE null elements, so the
+    // first-50 cap windows agree. DuckDB on this fixture (with the
+    // coalesce): ('', 1), ('a>b', 1).
+    Seq(
+      (1L, 1000000000L, 1L, Some("a"), 1.0, "{}"),
+      (2L, 2000000000L, 1L, None, 1.0, "{}"),
+      (3L, 3000000000L, 1L, Some("b"), 1.0, "{}"),
+      (4L, 1000000000L, 2L, None, 1.0, "{}"),
+      (5L, 2000000000L, 2L, None, 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_evt_paths")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b" -> 1L, "" -> 1L), s"got $got")
+  }
+
+  test("q_etl_snapshot_diff: NULL keys never join and class as added") {
+    val dir = nullFixtureDir("snapdiff")
+    // A NULL key is dropped from snapshot A by the %4 filter (NULL
+    // predicate) but kept in snapshot B, and NULL keys never equal in
+    // a join — so each null-key row surfaces exactly once, as 'added',
+    // in BOTH engines. DuckDB on this fixture: added(n=3, min/max
+    // key=3, sum_delta=88.0 — key 3's 10→11 plus the two null-key
+    // prices 33+44), changed(n=1, key 1, 10.0), unchanged(n=2,
+    // keys 2/4, 0.0).
+    Seq(
+      (Some(1L), "O", 100.0), (Some(2L), "F", 50.0),
+      (Some(3L), "O", 10.0), (Some(4L), "P", 20.0),
+      (None, "O", 33.0), (None, "F", 44.0))
+      .map { case (k, st, p) => (k, 7L, st, p,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q_etl_snapshot_diff")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getDouble(4)))).toMap
+    val expected = Map(
+      "added" -> ((3L, Some(3L), Some(3L), 88.0)),
+      "changed" -> ((1L, Some(1L), Some(1L), 10.0)),
+      "unchanged" -> ((2L, Some(2L), Some(4L), 0.0)))
+    assert(got == expected, s"got $got")
+  }
 }

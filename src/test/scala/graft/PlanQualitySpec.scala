@@ -314,6 +314,19 @@ class PlanQualitySpec extends SparkSpecBase {
       "SCD-2 needs exactly the one key shuffle")
   }
 
+  test("q_evt_paths pre-caps per-user state and heap-cuts the top-20") {
+    val p = plan("q_evt_paths")
+    // the row_number()<=50 pre-cap must plan as WindowGroupLimit (a
+    // streaming per-group rank limit, partial before + final after the
+    // one user_id exchange) — without it a hot user's entire history
+    // sits in the collect_list buffer, the round-7 scale flaw
+    assert(p.contains("WindowGroupLimit"),
+      "per-user 50-event pre-cap lost its group-limit kernel — " +
+        "aggregation state is unbounded again")
+    assert(p.contains("TakeOrderedAndProject"),
+      "path top-20 regressed to a full global sort")
+  }
+
   test("q_text_cooccur top-100 is a heap cut, counts partial-aggregated") {
     val p = plan("q_text_cooccur")
     assert(p.contains("TakeOrderedAndProject"),
