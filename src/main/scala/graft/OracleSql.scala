@@ -13,6 +13,134 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
 
+    // ───── round-8 additions ─────
+    // Mirrors evtRetention: distinct (user, week) grid, per-user min
+    // week, day-diff/7 offset. Monday-start 'week' truncation and the
+    // integer day arithmetic agree between engines; the diff is always
+    // a multiple of 7, so the division is exact.
+    "q_evt_retention" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS week
+           FROM events),
+         c AS (
+           SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+         SELECT c.cohort_week,
+                CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT)
+                  AS week_offset,
+                count(*) AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Mirrors evtAttribution: running last-non-null preceding touch via
+    // IGNORE NULLS over the rows frame ending at 1 PRECEDING (empty
+    // frame → NULL → the organic bucket, both engines).
+    "q_evt_attribution" ->
+      """WITH a AS (
+           SELECT event_type, value,
+                  last_value(CASE WHEN event_type IN ('view','click')
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS last_touch
+           FROM events)
+         SELECT last_touch, count(*) AS n_conversions,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS revenue
+         FROM a WHERE event_type = 'purchase'
+         GROUP BY last_touch ORDER BY last_touch NULLS FIRST""",
+    // Mirrors evtAnomaly: per-type moments joined back, identical z
+    // composition (engine aggregate divergence ~1e-10 relative on O(1)
+    // z values → the 4-dp round and the 2.5 cut are tolerances).
+    "q_evt_anomaly" ->
+      """WITH st AS (
+           SELECT event_type, avg(value) AS mu,
+                  stddev_samp(value) AS sigma
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+                round((e.value - st.mu) / st.sigma, 4) AS z
+         FROM events e JOIN st USING (event_type)
+         WHERE abs((e.value - st.mu) / st.sigma) > 2.5
+         ORDER BY e.event_id""",
+    // Mirrors etlBackfill: restates the day-15 ×2 correction
+    // arithmetically (value*2 is exact in binary floating point, so the
+    // decimal cast sees identical doubles on both paths).
+    "q_etl_backfill" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+                count(*) AS n,
+                CAST(round(sum(CAST(
+                       CASE WHEN day(CAST(ts AS TIMESTAMP)) = 15
+                            THEN value * 2 ELSE value END
+                     AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // Mirrors etlAnonymize: QI group size via window count, k=5
+    // suppression to '*'; floor-band and int→string casts agree.
+    "q_etl_anonymize" ->
+      """WITH b AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_band
+           FROM customer),
+         k AS (
+           SELECT *, count(*) OVER (PARTITION BY c_nationkey,
+                       c_mktsegment, bal_band) AS n
+           FROM b)
+         SELECT c_custkey,
+                CASE WHEN n < 5 THEN '*'
+                     ELSE CAST(c_nationkey AS VARCHAR) END AS nation_g,
+                CASE WHEN n < 5 THEN '*' ELSE c_mktsegment END AS segment_g,
+                CASE WHEN n < 5 THEN '*'
+                     ELSE CAST(bal_band AS VARCHAR) END AS band_g,
+                n < 5 AS suppressed
+         FROM k ORDER BY c_custkey""",
+    // Mirrors aggCorr: same co-moment statistics, scale-aware rounds
+    // (4 dp for O(1)-O(10) values, 2 dp where magnitudes reach 1e5).
+    "q_agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+                round(covar_samp(l_extendedprice, l_quantity), 2)
+                  AS covar_pq,
+                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 2)
+                  AS intercept,
+                round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Mirrors textBlocklist: identical RE2-portable alternation, match
+    // list de-duplicated + sorted + pipe-joined (q_agg_collect
+    // protocol).
+    "q_text_blocklist" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  regexp_extract_all(text, '\b(slow|error|dup|spam)\b')
+                    AS hits
+           FROM documents)
+         SELECT doc_id,
+                array_to_string(list_sort(list_distinct(hits)), '|')
+                  AS terms_s,
+                CAST(len(hits) AS BIGINT) AS n_hits
+         FROM h WHERE len(hits) > 0 ORDER BY doc_id""",
+    // Mirrors vecReconError: the q_vec_quantize scale/code arithmetic
+    // (float→double widening, floor-half-up, 1e-30 zero guard), then
+    // per-element |x - code/scale| maxima — order-independent, so the
+    // doubles are bit-identical across engines.
+    "q_vec_recon_error" ->
+      """WITH s AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  127.0 / greatest(CAST(list_max(
+                    list_transform(embedding, x -> abs(x))) AS DOUBLE),
+                    1e-30) AS scale
+           FROM embeddings)
+         SELECT vec_id,
+                round(list_max(list_transform(v,
+                  x -> abs(x - CAST(floor(x * scale + 0.5) AS INT)
+                             / scale))), 6) AS max_abs_err,
+                CAST(len(list_filter(v,
+                  x -> abs(CAST(floor(x * scale + 0.5) AS INT)) = 127))
+                  AS BIGINT) AS n_saturated,
+                CAST(len(v) AS BIGINT) AS n_dims
+         FROM s ORDER BY vec_id""",
+
     // ───── §2.A sources ─────
     "q_src_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -329,7 +329,39 @@ object AggQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_agg_corr — bivariate relationship profile per group: Pearson
+    * corr, sample covariance, and the OLS regression line
+    * (slope/intercept/R²) of extendedprice on quantity per return
+    * flag — the feature-vs-target readout a feature store computes for
+    * every candidate column pair. ONE aggregation pass: all five
+    * statistics are rational functions of the same co-moment state
+    * (n, Σx, Σy, Σxy, Σx², Σy²), which merges associatively, so
+    * map-side partials collapse the scan and the shuffle carries one
+    * 6-number state per (group × partition) — the q_agg_ttest shape.
+    * Rounding is scale-aware: corr/slope/R² are O(1)-O(10) → 4 dp;
+    * covariance and intercept are O(10³)-O(10⁵), where a 4-dp grid
+    * would sit inside the engines' ~1e-10 relative aggregate
+    * divergence → 2 dp keeps the round a tolerance, not a coin flip
+    * (the q_agg_stats float discipline). */
+  private val aggCorr: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2)
+          .as("covar_pq"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4)
+          .as("r2"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
+    "q_agg_corr" -> aggCorr,
     "q_agg_ttest" -> aggTtest,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,

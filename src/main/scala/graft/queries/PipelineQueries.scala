@@ -430,7 +430,150 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  /** q_evt_retention — weekly cohort retention matrix: users are
+    * cohorted by the week of their FIRST event; each (cohort_week,
+    * week_offset) cell counts the cohort's users still active that many
+    * weeks later — the engagement readout behind every growth dashboard
+    * (the reference's resume anti-join, `web_scraping.py:513-521`, is
+    * the degenerate "seen before?" form of this per-entity-history
+    * question). Dataflow: distinct (user, week) grid → per-user min
+    * week (cohort) → co-keyed join back on user_id (the grid and the
+    * cohort agg share the user_id partitioning, so the join adds no
+    * exchange) → small (cohort, offset) aggregate. Per-user state is
+    * one date; the shuffles carry the distinct user-week grid, never
+    * raw events. Week truncation + day arithmetic is integer-exact on
+    * both engines (Monday-start weeks in Spark and DuckDB both). */
+  private val evtRetention: Q = (s, dir) => {
+    val weeks = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val cohort = weeks.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    weeks.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q_evt_attribution — last-touch attribution: each purchase is
+    * credited to the user's most recent PRECEDING marketing touch
+    * (view/click), the conversion-credit query of every funnel report.
+    * One window pass: `last(touch, ignoreNulls) OVER (user, ts rows
+    * unbounded-preceding → 1 preceding)` carries O(1) running state
+    * (the latest touch seen so far) — no per-user collect, no
+    * self-join of purchases against touches (which would shuffle the
+    * event table twice and skew on hot users). Purchases with no prior
+    * touch land in the NULL bucket ("organic"), identically in both
+    * engines (DuckDB `IGNORE NULLS` + empty-frame semantics verified
+    * empirically, round 8). */
+  private val evtAttribution: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .withColumn("last_touch",
+        last(when(col("event_type").isin("view", "click"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy("last_touch")
+      .agg(count(lit(1)).as("n_conversions"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("revenue"))
+      .orderBy(col("last_touch").asc_nulls_first)
+  }
+
+  /** q_evt_anomaly — z-score outlier scan: per-type moments in one
+    * aggregate, broadcast back onto the stream, flag |z| > 2.5 — the
+    * data-quality tripwire run over every metrics feed (and the scaled
+    * form of the reference's regex quarantine `web_scraping.py:242-244`:
+    * validate rows against a learned profile instead of a pattern).
+    * The corpus NEVER shuffles: the stats side is a 5-row broadcast,
+    * the flag is a per-row projection, so cost is two scans of the
+    * fact table and the plan is identical at 100 TB. A single-member
+    * group has NULL stddev → NULL z → filtered in both engines (NULL
+    * comparison rejects). */
+  private val evtAnomaly: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** q_etl_backfill — partition backfill via DYNAMIC partition
+    * overwrite: the warehouse is laid out by event_date; a corrected
+    * slice (here: day-15 rows, values re-stated ×2) is written with
+    * `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    * partitions present in the incoming data and leaves every other
+    * day's files untouched. This is THE reprocessing primitive at
+    * 100 TB — a late-data or bug-fix backfill rewrites one day, not
+    * the table (static overwrite mode would truncate all of it — the
+    * failure this option exists to prevent). Read-back aggregates per
+    * day; the oracle restates the same day-15 correction
+    * arithmetically from the source. */
+  private val etlBackfill: Q = (s, dir) => {
+    val out = SourceQueries.freshSinkDir("backfill")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).as("event_date"))
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    ev.filter(dayofmonth(col("event_date")) === 15)
+      .withColumn("value", col("value") * 2)
+      .write.partitionBy("event_date").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(out)
+    s.read.parquet(out)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  /** q_etl_anonymize — k-anonymity masking (k=5) over the customer
+    * quasi-identifiers (nation, market segment, account-balance band):
+    * any row whose QI combination is shared by fewer than k customers
+    * gets its QI generalized to '*' — the re-identification guard a
+    * training-data pipeline applies before user-derived records leave
+    * the trust boundary (the privacy dual of q_text_scrub's PII regex:
+    * scrub hides values, k-anonymity hides MEMBERSHIP in small
+    * groups). One window count over the QI composite — per-row output,
+    * no row is dropped (suppression must be auditable), group state is
+    * one counter. The balance band (floor/5000) is integer-exact on
+    * both engines; its width is chosen so the k threshold genuinely
+    * bifurcates the fixtures (PipelinePatternSpec pins both branches
+    * at sf0.01 — and sf0.1 still suppresses rows, so the guard is not
+    * a small-data artifact). */
+  private val etlAnonymize: Q = (s, dir) => {
+    val band = floor(col("c_acctbal") / 5000).cast("long")
+    val n = count(lit(1)).over(
+      Window.partitionBy(col("c_nationkey"), col("c_mktsegment"), band))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"), band.as("bal_band"),
+        (n < 5).as("suppressed"))
+      .select(col("c_custkey"),
+        when(col("suppressed"), lit("*"))
+          .otherwise(col("c_nationkey").cast("string")).as("nation_g"),
+        when(col("suppressed"), lit("*"))
+          .otherwise(col("c_mktsegment")).as("segment_g"),
+        when(col("suppressed"), lit("*"))
+          .otherwise(col("bal_band").cast("string")).as("band_g"),
+        col("suppressed"))
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_retention" -> evtRetention,
+    "q_evt_attribution" -> evtAttribution,
+    "q_evt_anomaly" -> evtAnomaly,
+    "q_etl_backfill" -> etlBackfill,
+    "q_etl_anonymize" -> etlAnonymize,
     "q_etl_schema_evolve" -> etlSchemaEvolve,
     "q_etl_dq" -> etlDq,
     "q_etl_dq_approx" -> etlDqApprox,

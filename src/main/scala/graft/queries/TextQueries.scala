@@ -299,6 +299,56 @@ object TextQueries {
         parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
       .orderBy("doc_id")
 
+  /** q_text_blocklist — banned-term scan: flag every document matching
+    * any of a blocklist's terms and report WHICH terms hit — the
+    * toxicity/brand-safety filter every training-data curation
+    * pipeline runs (the hash-equality complement of
+    * q_text_decontaminate: that removes KNOWN documents, this removes
+    * documents CONTAINING known content). The list compiles to one
+    * alternation regex evaluated per row by codegen'd
+    * `regexp_extract_all` — no tokenize+join, no shuffle of the
+    * corpus, embarrassingly parallel at any corpus size (a blocklist
+    * too large for one regex graduates to the q_text_decontaminate
+    * broadcast-join shape). Matched terms are de-duplicated, sorted,
+    * and pipe-joined (the q_agg_collect protocol). The pattern stays
+    * in the Java∩RE2 portable subset so DuckDB runs it verbatim. */
+  private val textBlocklist: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("hits",
+        expr("regexp_extract_all(text, '\\\\b(slow|error|dup|spam)\\\\b', 0)"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(col("hits"))), "|")
+          .as("terms_s"),
+        size(col("hits")).cast("long").as("n_hits"))
+      .orderBy("doc_id")
+
+  /** q_vec_recon_error — int8 dequantization error audit: quantize
+    * ([[Curation.quantizeInt8]]'s codegen'd kernel), reconstruct
+    * code/scale, and report each vector's max absolute error plus its
+    * saturated-code count — the fidelity check a pipeline runs before
+    * committing to a compressed index (recall loss hides here). All
+    * metrics are per-element maxima/counts — order-independent, so
+    * both engines compute bit-identical doubles and the 6-dp round is
+    * cosmetic (no summation-order tolerance needed, unlike an MSE).
+    * Pure per-row expression work, no shuffle before the output
+    * sort. */
+  private val vecReconError: Q = (s, dir) => {
+    val q = org.apache.spark.sql.graftfns.QuantFunctions
+      .quantize_int8(col("embedding").cast("array<double>"))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), q.as("q"))
+      .select(col("vec_id"),
+        round(array_max(zip_with(col("v"), col("q.codes"),
+          (x, c) => abs(x - c.cast("double") / col("q.scale")))), 6)
+          .as("max_abs_err"),
+        size(filter(col("q.codes"), c => abs(c) === 127)).cast("long")
+          .as("n_saturated"),
+        size(col("v")).cast("long").as("n_dims"))
+      .orderBy("vec_id")
+  }
+
   /** q_vec_normalize — L2 vector normalization (the prep step every
     * cosine-space operator assumes: unit vectors make cosine = dot, so
     * ANN/dedup pipelines normalize once at ingest and never re-divide).
@@ -447,6 +497,8 @@ object TextQueries {
     "q_text_chunk" -> textChunk,
     "q_vec_quantize" -> vecQuantize,
     "q_text_tfidf" -> textTfidf,
+    "q_text_blocklist" -> textBlocklist,
+    "q_vec_recon_error" -> vecReconError,
     "q_vec_normalize" -> vecNormalize,
     "q_sample_hash" -> sampleHash,
     "q_text_scrub" -> textScrub,

@@ -120,7 +120,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_ttest" -> 0.5,
     // staged write + audit aggregate + publish + read-back (I/O-bound,
     // the sink-family cost profile)
-    "q_etl_wap" -> 1.2)
+    "q_etl_wap" -> 1.2,
+    // round-8 additions: retention/attribution/anomaly are one-or-two
+    // aggregate/window passes over events; backfill is a double-write
+    // I/O lifecycle (compact-family profile); anonymize one window over
+    // customer; corr one lineitem aggregate pass; blocklist/recon_error
+    // pure per-row expression scans
+    "q_evt_retention" -> 0.6, "q_evt_attribution" -> 0.6,
+    "q_evt_anomaly" -> 0.6, "q_etl_backfill" -> 1.5,
+    "q_etl_anonymize" -> 0.5, "q_agg_corr" -> 0.5,
+    "q_text_blocklist" -> 0.5, "q_vec_recon_error" -> 0.5)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -106,6 +106,126 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(top == expected)
   }
 
+  test("q_evt_retention matches the brute-force cohort matrix") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS d")
+      .as[(Long, java.sql.Date)].collect()
+    def monday(d: java.sql.Date) = d.toLocalDate.`with`(
+      java.time.temporal.TemporalAdjusters.previousOrSame(
+        java.time.DayOfWeek.MONDAY))
+    val weeks = raw.map { case (u, d) => (u, monday(d)) }.distinct
+    val cohort = weeks.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).minBy(_.toEpochDay) }
+    val expected = weeks.groupBy { case (u, w) =>
+      (cohort(u), ((w.toEpochDay - cohort(u).toEpochDay) / 7).toInt)
+    }.map { case (k, g) => k -> g.size.toLong }
+    val got = SparkEntry.queries("q_evt_retention")(spark, sf0001)
+      .collect()
+      .map(r => ((r.getDate(0).toLocalDate, r.getInt(1)), r.getLong(2)))
+      .toMap
+    assert(got == expected)
+    // offset-0 cells must conserve the user population exactly once
+    assert(got.collect { case ((_, 0), n) => n }.sum ==
+      raw.map(_._1).distinct.length)
+  }
+
+  test("q_evt_attribution matches a sequential walk of each user's events") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val conv = raw.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      var lastTouch: Option[String] = None
+      g.sortBy(e => (e._2, e._3)).flatMap { e =>
+        val credit =
+          if (e._4 == "purchase") Some(lastTouch -> e._5) else None
+        if (e._4 == "view" || e._4 == "click") lastTouch = Some(e._4)
+        credit
+      }
+    }
+    val expected = conv.groupBy(_._1).map { case (t, g) =>
+      t.orNull -> ((g.size.toLong,
+        g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode
+          .HALF_UP)).sum.toDouble))
+    }
+    val got = SparkEntry.queries("q_evt_attribution")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q_evt_anomaly flags exactly the brute-force |z|>2.5 rows") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+    val stats = raw.groupBy(_._2).map { case (t, g) =>
+      val xs = g.map(_._3)
+      val mu = xs.sum / xs.size
+      val sigma = math.sqrt(
+        xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1))
+      t -> ((mu, sigma))
+    }
+    val expected = raw.filter { case (_, t, v) =>
+      math.abs((v - stats(t)._1) / stats(t)._2) > 2.5
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q_evt_anomaly")(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet == expected)
+    got.foreach { r =>
+      val (mu, sigma) = stats(r.getString(1))
+      val z = (r.getDouble(2) - mu) / sigma
+      assert((r.getDouble(3) - z).abs < 1e-3 && math.abs(z) > 2.5)
+    }
+  }
+
+  test("q_etl_backfill rewrites only the corrected day's partitions") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("CAST(ts AS DATE) AS d", "value")
+      .as[(java.sql.Date, Double)].collect()
+    val expected = raw.groupBy(_._1.toLocalDate).map { case (d, g) =>
+      val corrected = g.map { case (_, v) =>
+        if (d.getDayOfMonth == 15) v * 2 else v }
+      d -> ((g.size.toLong,
+        corrected.map(v => BigDecimal(v).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }
+    val got = SparkEntry.queries("q_etl_backfill")(spark, sf0001)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    // the corrected day must actually exist in the fixture, or the
+    // dynamic-overwrite path was never exercised
+    assert(expected.keys.exists(_.getDayOfMonth == 15),
+      "fixture has no day-15 rows — backfill test is vacuous")
+  }
+
+  test("q_etl_anonymize masks exactly the sub-k QI groups") {
+    // sf0.01, not sf0.001: the band width is tuned so the k threshold
+    // bifurcates at 1500 customers (at 150 every QI group is sub-k and
+    // the kept branch would be vacuous)
+    val raw = Tables.load(spark, sf001, "customer")
+      .selectExpr("c_custkey", "c_nationkey", "c_mktsegment",
+        "CAST(floor(c_acctbal / 5000) AS LONG) AS band")
+      .as[(Long, Int, String, Long)].collect()
+    val sizes = raw.groupBy(r => (r._2, r._3, r._4))
+      .map { case (k, g) => k -> g.size }
+    val got = SparkEntry.queries("q_etl_anonymize")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    assert(got.size == raw.length, "anonymize must not drop rows")
+    raw.foreach { case (ck, nat, seg, band) =>
+      val small = sizes((nat, seg, band)) < 5
+      val exp =
+        if (small) ("*", "*", "*", true)
+        else (nat.toString, seg, band.toString, false)
+      assert(got(ck) == exp, s"custkey $ck")
+    }
+    // the fixture must exercise BOTH branches
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "fixture yields only one masking branch — k threshold is vacuous")
+  }
+
   // --- Null-divergence fixtures (round 8). The sf fixtures carry zero
   // null event_types / keys / values, so these engine-alignment edges
   // never fire in the driver's hash compare — each case below writes a

@@ -314,6 +314,34 @@ class PlanQualitySpec extends SparkSpecBase {
       "SCD-2 needs exactly the one key shuffle")
   }
 
+  test("q_evt_anomaly broadcasts the stats side; the event stream never shuffles") {
+    val p = plan("q_evt_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type stats must broadcast back onto the stream:\n" +
+        p.linesIterator.take(16).mkString("\n"))
+    // the only exchanges allowed are the stats aggregate's own shuffle
+    // (5 groups) and the broadcast — the fact side must not repartition
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "join-back regressed to shuffling the event stream")
+  }
+
+  test("q_evt_attribution is one window pass, no self-join") {
+    val p = plan("q_evt_attribution")
+    assert(p.contains("Window"), "expected the running-touch window")
+    assert(!p.contains("Join"),
+      "attribution regressed to a touches x purchases self-join")
+    assert("hashpartitioning".r.findAllIn(p).size <= 2,
+      "more than the user_id window shuffle + final aggregate exchange")
+  }
+
+  test("q_agg_corr is one two-phase aggregation pass") {
+    val p = plan("q_agg_corr")
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "co-moment statistics lost the map-side partial aggregate")
+  }
+
   test("q_evt_paths pre-caps per-user state and heap-cuts the top-20") {
     val p = plan("q_evt_paths")
     // the row_number()<=50 pre-cap must plan as WindowGroupLimit (a

@@ -328,6 +328,32 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_agg_corr matches the scalar co-moment computation") {
+    val rows = Tables.load(spark, sf0001, "lineitem")
+      .selectExpr("l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    val got = SparkEntry.queries("q_agg_corr")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val n = g.length.toDouble
+      val (xs, ys) = (g.map(_._2), g.map(_._3)) // x=quantity, y=price
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val r = got(flag)
+      assert(r.getLong(1) == g.length)
+      assert((r.getDouble(2) - sxy / math.sqrt(sxx * syy)).abs < 1e-3,
+        s"$flag corr")
+      assert((r.getDouble(3) - sxy / (n - 1)).abs < 0.1, s"$flag covar")
+      assert((r.getDouble(4) - sxy / sxx).abs < 1e-3, s"$flag slope")
+      assert((r.getDouble(5) - (my - sxy / sxx * mx)).abs < 0.1,
+        s"$flag intercept")
+      val r2 = sxy * sxy / (sxx * syy)
+      assert((r.getDouble(6) - r2).abs < 1e-3, s"$flag r2")
+    }
+  }
+
   test("fixture contract: events.value is non-null (maxby sentinel never surfaces)") {
     // q_agg_maxby coalesces value to a 0.0 sentinel on both engines to
     // align Spark max_by (returns NULL payloads) with DuckDB arg_max

@@ -739,4 +739,45 @@ class TextSimSpec extends SparkSpecBase {
     assert(got == expected)
     assert(kept.length < docs.length, "fixture has no eval overlap at all")
   }
+
+  test("q_text_blocklist matches a java.util.regex walk of the corpus") {
+    val pat = java.util.regex.Pattern.compile(
+      "\\b(slow|error|dup|spam)\\b")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.flatMap { case (id, text) =>
+      val m = pat.matcher(text)
+      val hits = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toSeq
+      if (hits.isEmpty) None
+      else Some((id, hits.distinct.sorted.mkString("|"),
+        hits.size.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q_text_blocklist")(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < docs.length,
+      "blocklist fixture must hit SOME but not ALL docs")
+  }
+
+  test("q_vec_recon_error matches the scalar quantize-reconstruct loop") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Seq[Double])].collect()
+    val expected = vecs.map { case (id, v) =>
+      val scale = 127.0 / math.max(v.map(math.abs).max, 1e-30)
+      val codes = v.map(x => math.floor(x * scale + 0.5).toInt)
+      val maxErr = v.zip(codes)
+        .map { case (x, c) => math.abs(x - c.toDouble / scale) }.max
+      (id, BigDecimal(maxErr).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+        codes.count(c => math.abs(c) == 127).toLong, v.size.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_vec_recon_error")(spark, sf0001)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(got == expected)
+    // every vector saturates at least its max element — if not, the
+    // scale arithmetic drifted
+    assert(got.forall(_._3 >= 1))
+  }
 }
