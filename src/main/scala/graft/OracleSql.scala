@@ -13,6 +13,159 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
 
+    // ───── round-8 additions (batch 2) ─────
+    // Mirrors evtMarkov: lead over the same total (ts, event_id) order,
+    // row-normalized by a window over the k×k transition matrix.
+    "q_evt_markov" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n,
+                round(CAST(count(*) AS DOUBLE) /
+                      sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
+         FROM p WHERE to_type IS NOT NULL
+         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    // Mirrors evtRfm: identical quartile windows with the user_id
+    // tie-break (total order ⇒ identical ntile boundaries); monetary
+    // compares as exact decimal, never a rounded double.
+    "q_evt_rfm" ->
+      """WITH u AS (
+           SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+                  count(*) AS n_events,
+                  coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,2)) END),
+                           CAST(0 AS DECIMAL(18,2))) AS monetary_d
+           FROM events GROUP BY user_id),
+         sc AS (
+           SELECT user_id,
+                  CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id)
+                    AS BIGINT) AS r_score,
+                  CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id)
+                    AS BIGINT) AS f_score,
+                  CAST(ntile(4) OVER (ORDER BY monetary_d DESC, user_id)
+                    AS BIGINT) AS m_score,
+                  CAST(monetary_d AS DOUBLE) AS monetary
+           FROM u)
+         SELECT user_id, r_score, f_score, m_score, monetary,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+                  CAST(m_score AS VARCHAR) AS segment
+         FROM sc ORDER BY user_id""",
+    // Mirrors etlCdcApply: same op synthesis, latest-wins on the total
+    // (ts DESC, event_id DESC) order, deletes erase.
+    "q_etl_cdc_apply" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  event_type, value,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+           FROM o)
+         SELECT user_id, ts AS last_ts, event_type AS last_type,
+                round(value, 4) AS last_value
+         FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""",
+    // Mirrors etlResample: per-user generate_series spine (the
+    // q_dt_series idiom), decimal-exact daily sums, LOCF via
+    // last_value IGNORE NULLS over the same (user, day) order.
+    "q_etl_resample" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  sum(CAST(value AS DECIMAL(18,2))) AS day_value
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY user_id),
+         spine AS (
+           SELECT user_id, CAST(unnest(generate_series(d0, d1,
+                    INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span)
+         SELECT s.user_id, s.day,
+                d.day_value IS NOT NULL AS observed,
+                CAST(last_value(d.day_value IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS filled_value
+         FROM spine s
+         LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
+    // Mirrors etlSkewProfile: quantile_cont interpolates identically to
+    // Spark's exact percentile (q_agg_quantile parity).
+    "q_etl_skew_profile" ->
+      """WITH g AS (
+           SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(max(n) AS BIGINT) AS max_n,
+                round(quantile_cont(n, 0.5), 4) AS p50_n,
+                round(quantile_cont(n, 0.99), 4) AS p99_n,
+                round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio,
+                round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+         FROM g""",
+    // Mirrors aggEntropy: same p·ln p / p² compositions over the
+    // (source, lang) count matrix; ln is natural log in both engines.
+    "q_agg_entropy" ->
+      """WITH c AS (
+           SELECT source, lang, count(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+         t AS (
+           SELECT *, sum(cnt) OVER (PARTITION BY source) AS tot FROM c)
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_langs,
+                round(-sum((CAST(cnt AS DOUBLE) / tot) *
+                           ln(CAST(cnt AS DOUBLE) / tot)), 4) AS entropy,
+                round(1.0 - sum(pow(CAST(cnt AS DOUBLE) / tot, 2)), 4)
+                  AS gini
+         FROM t GROUP BY source ORDER BY source""",
+    // Mirrors textUrlCanon: identical deterministic URL synthesis and
+    // the same three anchored component regexes (Java∩RE2 subset).
+    "q_text_url_canon" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                        ELSE 'https://' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                        ELSE source END) ||
+                  '.example.com/read/' || CAST(doc_id % 40 AS VARCHAR) ||
+                  '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+                  '&utm_campaign=x' ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+                    AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  'https://' ||
+                  lower(regexp_extract(url, '(?i)^https://([^/]+)', 1)) ||
+                  regexp_extract(url, '^[^?#]*//[^/]+([^?#]*)', 1) ||
+                  '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+                    AS canonical
+           FROM u)
+         SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
+         FROM c GROUP BY canonical ORDER BY canonical""",
+    // Mirrors textZipf: same tokenize → count → (freq DESC, term)
+    // heap cut → rank/share windows over the 50 survivors.
+    "q_text_zipf" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         counts AS (
+           SELECT term, count(*) AS freq FROM toks
+           WHERE len(term) > 0 GROUP BY term),
+         tot AS (SELECT sum(freq) AS tot FROM counts),
+         top AS (
+           SELECT term, freq FROM counts
+           ORDER BY freq DESC, term LIMIT 50)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, term)
+                  AS BIGINT) AS rank,
+                term, freq,
+                round(CAST(freq AS DOUBLE) / tot, 4) AS share,
+                round(CAST(sum(freq) OVER (ORDER BY freq DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / tot, 4) AS cum_share
+         FROM top CROSS JOIN tot ORDER BY rank""",
+
     // ───── round-8 additions ─────
     // Mirrors evtRetention: distinct (user, week) grid, per-user min
     // week, day-diff/7 offset. Monday-start 'week' truncation and the

@@ -55,7 +55,12 @@ object PlanDump {
     "q_evt_attribution" -> "last-touch: ONE running window (O(1) state), no touches-x-purchases self-join",
     "q_evt_anomaly" -> "z-score outliers: 5-row stats BROADCAST back onto the stream, corpus never shuffles",
     "q_etl_anonymize" -> "k-anonymity: one window count over the QI composite, per-row masking",
-    "q_agg_corr" -> "co-moment profile: ONE two-phase aggregate pass for corr/covar/OLS")
+    "q_agg_corr" -> "co-moment profile: ONE two-phase aggregate pass for corr/covar/OLS",
+    "q_evt_markov" -> "transition matrix: one lead window pass, two-phase pair count, k-by-k normalization",
+    "q_etl_cdc_apply" -> "changelog fold: latest-wins row_number plans as WindowGroupLimit, per-key state = one row",
+    "q_etl_resample" -> "calendar spine: sequence() explode generates the grid, co-keyed left join, one LOCF window",
+    "q_etl_skew_profile" -> "skew audit: two-phase per-key count, single-row reduce over group sizes",
+    "q_text_zipf" -> "zipf head: two-phase term count, TakeOrderedAndProject heap cut, windows over 50 rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

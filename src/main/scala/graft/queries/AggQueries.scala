@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.D aggregations. All group-bys are Spark's default two-phase
@@ -360,7 +361,34 @@ object AggQueries {
           .as("r2"))
       .orderBy("l_returnflag")
 
+  /** q_agg_entropy — categorical-distribution health per group:
+    * Shannon entropy (nats) and Gini impurity of the language mix
+    * within each document source — the class-balance audit a
+    * training-data pipeline runs per shard/source before sampling
+    * (collapsed entropy ⇒ a source went monolingual; the
+    * information-theoretic sibling of q_agg_histogram's raw counts).
+    * Two chained two-phase aggregates: (source, lang) counts — the
+    * only scan-sized shuffle — then a window for the per-source total
+    * over the tiny distinct-pair set and a per-source reduce. All
+    * post-scan state is category-cardinality-bounded, independent of
+    * corpus size. Per-term p·ln p summands are O(1) and ≤ ~10² terms
+    * per group → the 4-dp round dwarfs summation-order drift. */
+  private val aggEntropy: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("source")))
+    c.groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_langs"),
+        round(-sum((col("cnt") / col("tot")) *
+          log(col("cnt") / col("tot"))), 4).as("entropy"),
+        round(lit(1.0) - sum(pow(col("cnt") / col("tot"), 2)), 4)
+          .as("gini"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_entropy" -> aggEntropy,
     "q_agg_corr" -> aggCorr,
     "q_agg_ttest" -> aggTtest,
     "q_agg_maxby" -> aggMaxby,

@@ -568,7 +568,154 @@ object PipelineQueries {
       .orderBy("c_custkey")
   }
 
+  /** q_evt_markov — first-order event-transition matrix: for every
+    * observed (from → to) consecutive event-type pair within a user's
+    * timeline, the transition count and row-normalized probability —
+    * the Markov-chain readout behind next-action prediction and
+    * journey simulation (q_evt_paths' full sequences marginalized to
+    * pairwise structure, so it stays O(k²) however long histories
+    * get). ONE window pass: `lead(event_type)` over (user, ts,
+    * event_id) carries one row of state; the pair aggregate is
+    * two-phase (map-side partials collapse the scan) and the
+    * probability normalization is a window over the k×k matrix —
+    * constant-size whatever the corpus. The (ts, event_id) order key
+    * is total, so consecutive pairs are identical on both engines. */
+  private val evtMarkov: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q_evt_rfm — RFM segmentation: per user, Recency (last event ts),
+    * Frequency (event count) and Monetary (purchase revenue) collapse
+    * to quartile scores 1 (best) … 4, concatenated into the segment
+    * label ("111" = recent, frequent, high-spend) — the
+    * customer-value stratification every lifecycle campaign keys on.
+    * The user-grain rollup is one two-phase aggregate (state per user
+    * = 3 numbers); scores are `ntile(4)` over (metric, user_id) —
+    * total order, so quartile boundaries are deterministic on both
+    * engines. The three ntile windows are global sorts AT ENTITY
+    * GRAIN — fine to ~10⁸ users; past that, swap ntile for
+    * approx-quantile cut points broadcast back (the q_evt_anomaly
+    * shape) and the contract is unchanged except at the boundaries.
+    * Monetary sums decimal-exact (summation-order-free), and ntile
+    * compares the decimal, never a rounded double. */
+  private val evtRfm: Q = (s, dir) => {
+    val u = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"),
+        count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .as("monetary_d"))
+    u.select(col("user_id"),
+        ntile(4).over(Window.orderBy(col("last_ts").desc, col("user_id")))
+          .cast("long").as("r_score"),
+        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id")))
+          .cast("long").as("f_score"),
+        ntile(4).over(Window.orderBy(col("monetary_d").desc, col("user_id")))
+          .cast("long").as("m_score"),
+        col("monetary_d").cast("double").as("monetary"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .orderBy("user_id")
+  }
+
+  /** q_etl_cdc_apply — ordered changelog application: a stream of
+    * keyed upsert/delete operations (op synthesized deterministically:
+    * every 10th event_id is a DELETE, the rest UPSERTs) collapses to
+    * the final table state — latest op per key wins, keys whose latest
+    * op is a delete vanish. This is the materialization primitive
+    * under every CDC-fed lake table (Debezium → merge), and it is NOT
+    * q_etl_upsert: upsert merges two static sides, this folds an
+    * ordered op LOG where later ops shadow earlier ones and deletes
+    * erase. One `row_number() = 1` pass over (key, ts DESC, event_id
+    * DESC) — plans as WindowGroupLimit (streaming rank, per-key state
+    * = one row, the q_evt_paths pre-cap machinery), then the delete
+    * filter. The (ts, event_id) order key is total, so "latest" is
+    * identical on both engines. */
+  private val etlCdcApply: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("op",
+        when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** q_etl_resample — calendar-spine resampling with forward fill:
+    * each user's sparse daily activity is projected onto a dense
+    * per-user day spine (their own [min, max] date range), missing
+    * days LOCF-filled from the last observed day — the gap-free
+    * time-series shape feature windows and charting layers require
+    * (the dense-grid generalization of q_dt_series' single global
+    * spine, and the per-entity use of q_win_locf's fill). Dataflow:
+    * decimal-exact per-(user, day) rollup → per-user span aggregate →
+    * `sequence()` explode builds the spine WITHOUT a cross join
+    * (span rows × span length, generated not shuffled) → co-keyed
+    * left join (shares the user_id partitioning) → one LOCF window.
+    * Per-user state: one date pair + one running value; spine size is
+    * bounded by the observed span, never the calendar. */
+  private val etlResample: Q = (s, dir) => {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("day_value").isNotNull.as("observed"),
+        last("day_value", ignoreNulls = true)
+          .over(Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q_etl_skew_profile — key-distribution audit: group sizes per key
+    * (events.user_id) reduced to the skew statistics that decide a
+    * join/agg strategy at 100 TB — key count, max group, exact p50/p99
+    * group-size percentiles, max/avg skew ratio, and the hottest key's
+    * share of all rows. This is the query you run BEFORE choosing
+    * broadcast vs salt vs AQE for any key in SCALE.md — the engine
+    * profiling its own data. Two-phase count per key, then a
+    * single-row reduce; the percentile buffer holds group SIZES (key
+    * cardinality, not rows). Spark's exact `percentile` interpolates
+    * identically to DuckDB `quantile_cont` (the q_agg_quantile
+    * parity); the ratio divisions are O(1)–O(10³) doubles → 4 dp. */
+  private val etlSkewProfile: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum("n").cast("long").as("n_rows"),
+        max("n").cast("long").as("max_n"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
+        round(max("n") / avg("n"), 4).as("skew_ratio"),
+        round(max("n").cast("double") / sum("n"), 6).as("top_share"))
+
   val all: Map[String, Q] = Map(
+    "q_evt_markov" -> evtMarkov,
+    "q_evt_rfm" -> evtRfm,
+    "q_etl_cdc_apply" -> etlCdcApply,
+    "q_etl_resample" -> etlResample,
+    "q_etl_skew_profile" -> etlSkewProfile,
     "q_evt_retention" -> evtRetention,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,

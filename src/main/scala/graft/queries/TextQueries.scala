@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Curation, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.M text / similarity / vector extensions over `documents` and
@@ -349,6 +350,73 @@ object TextQueries {
       .orderBy("vec_id")
   }
 
+  /** q_text_url_canon — URL canonicalization + dedup count: crawl
+    * frontiers key on the CANONICAL form of a URL (case-folded scheme
+    * and host, tracking parameters stripped, fragment dropped) so the
+    * same page fetched via N tracking-decorated links counts once —
+    * the navigational sibling of q_text_dedup_exact (that keys on
+    * content, this on location). Messy URLs are synthesized
+    * deterministically from doc columns (the q_text_urls protocol:
+    * mixed-case scheme/host, utm_* noise, a fragment on every 4th);
+    * canonicalization is component re-assembly via three anchored
+    * `regexp_extract`s — host (case-folded), path, and the one
+    * semantic parameter — all in the Java∩RE2 portable subset, pure
+    * per-row codegen'd work. The canonical-key count is a standard
+    * two-phase aggregate; no shuffle carries raw text. */
+  private val textUrlCanon: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("url",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+            .otherwise(lit("https://")),
+          when(col("doc_id") % 3 === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".example.com/read/"), col("doc_id") % 40,
+          lit("?utm_source=feed&id="), col("doc_id") % 5,
+          lit("&utm_campaign=x"),
+          when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit(""))))
+      .withColumn("canonical",
+        concat(lit("https://"),
+          lower(regexp_extract(col("url"), "(?i)^https://([^/]+)", 1)),
+          regexp_extract(col("url"), "^[^?#]*//[^/]+([^?#]*)", 1),
+          lit("?id="),
+          regexp_extract(col("url"), "[?&]id=([0-9]+)", 1)))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        min("doc_id").as("first_doc"))
+      .orderBy("canonical")
+
+  /** q_text_zipf — rank-frequency (Zipf) profile of the corpus
+    * vocabulary: top-50 terms by frequency with their corpus share and
+    * cumulative share — the head-of-distribution readout behind
+    * stopword lists, tokenizer vocab sizing, and corpus drift checks
+    * (a head share that jumps ⇒ boilerplate flooded the crawl).
+    * Tokenization is the q_text_tfidf protocol (lowercase,
+    * space-split). Shape: two-phase term count (the only scan-sized
+    * shuffle, carrying the distinct vocabulary), `orderBy.limit(50)`
+    * heap cut — TakeOrderedAndProject, never a full vocabulary sort
+    * (the q_text_cooccur discipline) — then rank/share windows over
+    * the 50 survivors with a broadcast 1-row total. (freq DESC, term)
+    * is total, so the cut and ranks match the oracle exactly. */
+  private val textZipf: Q = (s, dir) => {
+    val counts = Tables.load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum("freq").as("tot"))
+    val top = counts.orderBy(col("freq").desc, col("term")).limit(50)
+    val wRank = Window.orderBy(col("freq").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .select(
+        row_number().over(wRank).cast("long").as("rank"),
+        col("term"), col("freq"),
+        round(col("freq") / col("tot"), 4).as("share"),
+        round(sum("freq").over(wRank.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) / col("tot"), 4)
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** q_vec_normalize — L2 vector normalization (the prep step every
     * cosine-space operator assumes: unit vectors make cosine = dot, so
     * ANN/dedup pipelines normalize once at ingest and never re-divide).
@@ -498,6 +566,8 @@ object TextQueries {
     "q_vec_quantize" -> vecQuantize,
     "q_text_tfidf" -> textTfidf,
     "q_text_blocklist" -> textBlocklist,
+    "q_text_url_canon" -> textUrlCanon,
+    "q_text_zipf" -> textZipf,
     "q_vec_recon_error" -> vecReconError,
     "q_vec_normalize" -> vecNormalize,
     "q_sample_hash" -> sampleHash,

@@ -129,7 +129,15 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_retention" -> 0.6, "q_evt_attribution" -> 0.6,
     "q_evt_anomaly" -> 0.6, "q_etl_backfill" -> 1.5,
     "q_etl_anonymize" -> 0.5, "q_agg_corr" -> 0.5,
-    "q_text_blocklist" -> 0.5, "q_vec_recon_error" -> 0.5)
+    "q_text_blocklist" -> 0.5, "q_vec_recon_error" -> 0.5,
+    // round-8 batch 2: markov/cdc/rfm are one-window-pass event scans
+    // (rfm adds entity-grain ntile sorts); resample joins the daily
+    // rollup to a generated spine; skew/entropy/canon/zipf are
+    // two-phase aggregates over counts/tokens
+    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 0.6,
+    "q_etl_cdc_apply" -> 0.5, "q_etl_resample" -> 0.7,
+    "q_etl_skew_profile" -> 0.4, "q_agg_entropy" -> 0.4,
+    "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -226,6 +226,141 @@ class PipelinePatternSpec extends SparkSpecBase {
       "fixture yields only one masking branch — k threshold is vacuous")
   }
 
+  test("q_evt_markov matches the brute-force pair walk") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val pairs = raw.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val byFrom = pairs.groupBy(_._1).map { case (f, g) => f -> g.size }
+    val expected = pairs.groupBy(identity).map { case ((f, t), g) =>
+      (f, t) -> ((g.size.toLong,
+        BigDecimal(g.size.toDouble / byFrom(f))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q_evt_markov")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // each from-row's probabilities must sum to 1 within rounding
+    got.keys.map(_._1).toSeq.distinct.foreach { f =>
+      val s = got.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert((s - 1.0).abs < 1e-2, s"from=$f sums to $s")
+    }
+  }
+
+  test("q_evt_rfm matches an exact ntile computation") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type",
+        "CAST(value AS DECIMAL(18,2)) AS v")
+      .as[(Long, Long, String, java.math.BigDecimal)].collect()
+    val users = raw.groupBy(_._1).map { case (u, g) =>
+      (u, g.map(_._2).max, g.size.toLong,
+        g.filter(_._3 == "purchase").map(e => BigDecimal(e._4)).sum)
+    }.toSeq
+    // ntile(4): first (N mod 4) buckets get ceil(N/4) members
+    def ntile4[K](sorted: Seq[K]): Map[K, Long] = {
+      val n = sorted.size; val q = n / 4; val r = n % 4
+      sorted.zipWithIndex.map { case (k, i) =>
+        val b = if (i < r * (q + 1)) i / (q + 1) else r + (i - r * (q + 1)) / q
+        k -> (b + 1).toLong
+      }.toMap
+    }
+    val rs = ntile4(users.sortBy(u => (-u._2, u._1)).map(_._1))
+    val fs = ntile4(users.sortBy(u => (-u._3, u._1)).map(_._1))
+    val ms = ntile4(users.sortBy(u => (u._4, u._1))(
+      Ordering.Tuple2(Ordering[BigDecimal].reverse, Ordering[Long]))
+      .map(_._1))
+    val got = SparkEntry.queries("q_evt_rfm")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    assert(got.size == users.size)
+    users.foreach { case (u, _, _, m) =>
+      val (r, f, mm, mon, seg) = got(u)
+      assert(r == rs(u) && f == fs(u) && mm == ms(u), s"user $u scores")
+      assert(mon == m.toDouble, s"user $u monetary")
+      assert(seg == s"$r$f$mm")
+    }
+    // quartiles must be populated 1..4 on every axis
+    assert(got.values.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("q_etl_cdc_apply keeps only latest-op survivors, deletes erase") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val expected = raw.groupBy(_._1).flatMap { case (u, g) =>
+      val last = g.maxBy(e => (e._2, e._3))
+      if (last._3 % 10 == 0) None // latest op is a delete
+      else Some(u -> ((last._2, last._4,
+        BigDecimal(last._5).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }
+    val got = SparkEntry.queries("q_etl_cdc_apply")(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(last_ts) AS us", "last_type",
+        "last_value")
+      .as[(Long, Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // the fixture must actually exercise the delete branch
+    assert(got.size < raw.map(_._1).distinct.length,
+      "no user's latest op was a delete — erase branch is vacuous")
+  }
+
+  test("q_etl_resample densifies each user's span and LOCF-fills") {
+    val raw = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS d",
+        "CAST(value AS DECIMAL(18,2)) AS v")
+      .as[(Long, java.sql.Date, java.math.BigDecimal)].collect()
+    val expected = raw.groupBy(_._1).flatMap { case (u, g) =>
+      val daily = g.groupBy(_._2.toLocalDate)
+        .map { case (d, rows) => d -> rows.map(r => BigDecimal(r._3)).sum }
+      val (d0, d1) = (daily.keys.minBy(_.toEpochDay),
+        daily.keys.maxBy(_.toEpochDay))
+      var carry: Option[BigDecimal] = None
+      Iterator.iterate(d0)(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1)).map { d =>
+          val obs = daily.get(d)
+          if (obs.isDefined) carry = obs
+          (u, d) -> ((obs.isDefined, carry.get.toDouble))
+        }.toSeq
+    }
+    val got = SparkEntry.queries("q_etl_resample")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate) ->
+        ((r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // spine must be dense: some day must be unobserved (gap actually filled)
+    assert(got.values.exists(!_._1), "fixture has no gaps — LOCF vacuous")
+  }
+
+  test("q_etl_skew_profile matches scalar skew statistics") {
+    val sizes = Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id").as[Long].collect()
+      .groupBy(identity).values.map(_.length.toLong).toSeq.sorted
+    def pct(p: Double): Double = {
+      val h = (sizes.size - 1) * p
+      val lo = h.toInt
+      if (lo + 1 < sizes.size)
+        sizes(lo) + (h - lo) * (sizes(lo + 1) - sizes(lo))
+      else sizes(lo).toDouble
+    }
+    val r = SparkEntry.queries("q_etl_skew_profile")(spark, sf0001)
+      .collect().head
+    val total = sizes.sum.toDouble
+    assert(r.getLong(0) == sizes.size)
+    assert(r.getLong(1) == sizes.sum)
+    assert(r.getLong(2) == sizes.max)
+    assert((r.getDouble(3) - pct(0.5)).abs < 1e-3)
+    assert((r.getDouble(4) - pct(0.99)).abs < 1e-3)
+    assert((r.getDouble(5) - sizes.max / (total / sizes.size)).abs < 1e-3)
+    assert((r.getDouble(6) - sizes.max / total).abs < 1e-5)
+  }
+
   // --- Null-divergence fixtures (round 8). The sf fixtures carry zero
   // null event_types / keys / values, so these engine-alignment edges
   // never fire in the driver's hash compare — each case below writes a

@@ -342,6 +342,37 @@ class PlanQualitySpec extends SparkSpecBase {
       "co-moment statistics lost the map-side partial aggregate")
   }
 
+  test("q_etl_cdc_apply plans the latest-wins rank as WindowGroupLimit") {
+    val p = plan("q_etl_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 must stream-rank with one row of per-key state, " +
+        "not materialize full partitions:\n" +
+        p.linesIterator.take(16).mkString("\n"))
+    assert(!p.contains("Join"), "changelog fold needs no join")
+  }
+
+  test("q_evt_markov is one window pass + two-phase pair count, no join") {
+    val p = plan("q_evt_markov")
+    assert(p.contains("Window"), "expected the lead window")
+    assert(!p.contains("Join"),
+      "transition matrix regressed to a self-join")
+  }
+
+  test("q_text_zipf heap-cuts the vocabulary, never full-sorts it") {
+    val p = plan("q_text_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be a heap cut over the term counts:\n" +
+        p.linesIterator.take(16).mkString("\n"))
+  }
+
+  test("q_etl_resample generates the spine, no nested-loop join") {
+    val p = plan("q_etl_resample")
+    assert(p.contains("Generate"), "expected the sequence() explode")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "spine must be generated per user, not cross-joined")
+  }
+
   test("q_evt_paths pre-caps per-user state and heap-cuts the top-20") {
     val p = plan("q_evt_paths")
     // the row_number()<=50 pre-cap must plan as WindowGroupLimit (a

@@ -354,6 +354,26 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_agg_entropy matches scalar entropy/gini over the lang mix") {
+    val rows = Tables.load(spark, sf0001, "documents")
+      .selectExpr("source", "lang").as[(String, String)].collect()
+    val got = SparkEntry.queries("q_agg_entropy")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val counts = g.groupBy(_._2).values.map(_.size.toDouble)
+      val n = g.size.toDouble
+      val entropy = -counts.map(c => (c / n) * math.log(c / n)).sum
+      val gini = 1.0 - counts.map(c => (c / n) * (c / n)).sum
+      val r = got(src)
+      assert(r.getLong(1) == g.size && r.getLong(2) == counts.size)
+      assert((r.getDouble(3) - entropy).abs < 1e-3, s"$src entropy")
+      assert((r.getDouble(4) - gini).abs < 1e-3, s"$src gini")
+    }
+    // the audit is only meaningful if some source is multilingual
+    assert(got.values.exists(_.getLong(2) > 1),
+      "every source is monolingual — entropy fixture is vacuous")
+  }
+
   test("fixture contract: events.value is non-null (maxby sentinel never surfaces)") {
     // q_agg_maxby coalesces value to a 0.0 sentinel on both engines to
     // align Spark max_by (returns NULL payloads) with DuckDB arg_max

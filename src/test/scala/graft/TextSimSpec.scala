@@ -760,6 +760,44 @@ class TextSimSpec extends SparkSpecBase {
       "blocklist fixture must hit SOME but not ALL docs")
   }
 
+  test("q_text_url_canon collapses tracking-decorated variants") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expected = docs.map { case (id, src) =>
+      val canonical = "https://" + src.toLowerCase +
+        ".example.com/read/" + (id % 40) + "?id=" + (id % 5)
+      (id, canonical)
+    }.groupBy(_._2).map { case (c, g) =>
+      c -> ((g.size.toLong, g.map(_._1).min))
+    }
+    val got = SparkEntry.queries("q_text_url_canon")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    // canonicalization must actually merge variants (case / utm / frag)
+    assert(got.values.exists(_._1 > 1),
+      "no canonical key has >1 variant — canonicalization is vacuous")
+  }
+
+  test("q_text_zipf matches the scalar rank-frequency head") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("text").as[String].collect()
+    val counts = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (t, g) => t -> g.length.toLong }
+    val total = counts.values.sum.toDouble
+    val top = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(50)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = top.zipWithIndex.map { case ((t, f), i) =>
+      val cum = top.take(i + 1).map(_._2).sum
+      (i + 1L, t, f, r4(f / total), r4(cum / total))
+    }.toSet
+    val got = SparkEntry.queries("q_text_zipf")(spark, sf0001)
+      .as[(Long, String, Long, Double, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("q_vec_recon_error matches the scalar quantize-reconstruct loop") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
