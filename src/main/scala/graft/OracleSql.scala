@@ -26,7 +26,8 @@ object OracleSql {
                 round(CAST(count(*) AS DOUBLE) /
                       sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
          FROM p WHERE to_type IS NOT NULL
-         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+         GROUP BY from_type, to_type
+         ORDER BY from_type NULLS FIRST, to_type""",
     // Mirrors evtRfm: identical quartile windows with the user_id
     // tie-break (total order ⇒ identical ntile boundaries); monetary
     // compares as exact decimal, never a rounded double.

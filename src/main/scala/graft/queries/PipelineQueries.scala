@@ -590,7 +590,7 @@ object PipelineQueries {
       .withColumn("p",
         round(col("n").cast("double") /
           sum("n").over(Window.partitionBy("from_type")), 4))
-      .orderBy("from_type", "to_type")
+      .orderBy(col("from_type").asc_nulls_first, col("to_type"))
   }
 
   /** q_evt_rfm — RFM segmentation: per user, Recency (last event ts),

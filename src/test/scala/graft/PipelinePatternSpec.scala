@@ -417,6 +417,54 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(got == Map("a>b" -> 1L, "" -> 1L), s"got $got")
   }
 
+  test("q_evt_markov: null event_types group as a null FROM state") {
+    val dir = nullFixtureDir("markov")
+    // user 1: [a, NULL, b, a] — the (a→NULL) pair is DROPPED (to_type
+    // IS NOT NULL), the (NULL→b) pair is KEPT under from_type=NULL,
+    // and the output sorts null-first on both sides (Spark default
+    // asc = nulls first; oracle says NULLS FIRST explicitly because
+    // DuckDB's ASC default is nulls LAST). DuckDB on this fixture:
+    // (NULL, 'b', 1, 1.0), ('a', 'a', 1, 1.0), ('b', 'a', 1, 1.0).
+    Seq(
+      (1L, 1000000000L, 1L, Some("a"), 1.0, "{}"),
+      (2L, 2000000000L, 1L, None, 1.0, "{}"),
+      (3L, 3000000000L, 1L, Some("b"), 1.0, "{}"),
+      (4L, 4000000000L, 1L, Some("a"), 1.0, "{}"),
+      (5L, 1000000000L, 2L, Some("a"), 1.0, "{}"),
+      (6L, 2000000000L, 2L, Some("a"), 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_evt_markov")(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (None, "b", 1L, 1.0), (Some("a"), "a", 1L, 1.0),
+      (Some("b"), "a", 1L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  test("q_etl_cdc_apply: null payloads survive, trailing deletes erase") {
+    val dir = nullFixtureDir("cdc")
+    // user 1's LATEST op carries NULL event_type and NULL value —
+    // both propagate (round(NULL)=NULL in both engines); user 2's
+    // latest op is a delete (event_id % 10 = 0) → the key vanishes.
+    // DuckDB on this fixture: one row, (1, 1970-01-01 00:00:02,
+    // NULL, NULL).
+    Seq(
+      (11L, 1000000000L, 1L, Some("x"), Some(1.0), "{}"),
+      (12L, 2000000000L, 1L, None, None, "{}"),
+      (19L, 1000000000L, 2L, Some("y"), Some(2.0), "{}"),
+      (20L, 2000000000L, 2L, Some("z"), Some(3.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_etl_cdc_apply")(spark, dir)
+      .selectExpr("user_id", "unix_micros(last_ts)", "last_type",
+        "last_value").collect()
+    assert(got.length == 1, s"delete must erase user 2: ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2000000L &&
+      r.isNullAt(2) && r.isNullAt(3), s"got $r")
+  }
+
   test("q_etl_snapshot_diff: NULL keys never join and class as added") {
     val dir = nullFixtureDir("snapdiff")
     // A NULL key is dropped from snapshot A by the %4 filter (NULL
