@@ -145,6 +145,25 @@ object OracleSql {
            FROM u)
          SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
          FROM c GROUP BY canonical ORDER BY canonical""",
+    // Mirrors textPack: whitespace token counts (q_text_tokens
+    // convention), per-source running offset, assignment by starting
+    // offset — all integer arithmetic.
+    "q_text_pack" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         o AS (
+           SELECT source, doc_id, n_tok,
+                  CAST(floor((sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_tok) / 256) AS BIGINT)
+                    AS seq_id
+           FROM d)
+         SELECT source, seq_id, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM o GROUP BY source, seq_id ORDER BY source, seq_id""",
     // Mirrors textZipf: same tokenize → count → (freq DESC, term)
     // heap cut → rank/share windows over the 50 survivors.
     "q_text_zipf" ->

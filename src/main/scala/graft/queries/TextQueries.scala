@@ -417,6 +417,36 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** q_text_pack — sequence-packing manifest: documents concatenate in
+    * a deterministic (source, doc_id) order and chunk into fixed
+    * 256-token training sequences; each doc is assigned to the
+    * sequence its STARTING OFFSET falls in, and the manifest reports
+    * per-sequence doc count, token load, and id span — the batch-prep
+    * step between a curated corpus and a pretraining dataloader
+    * (token-level materialization then just replays this index; a
+    * boundary-straddling doc spills its tail into the next window,
+    * which is why per-sequence token load may exceed 256 — the
+    * packing-efficiency readout IS the point). The running offset is a
+    * window KEYED BY SOURCE — prefix sums stay per-shard (a single
+    * global order would serialize at 100 TB; per-source is how real
+    * packers shard). Token counts are the q_text_tokens whitespace
+    * convention; all arithmetic is integer-exact on both engines. */
+  private val textPack: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("seq_id",
+        floor((sum("n_tok").over(w) - col("n_tok")) / lit(256))
+          .cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
+
   /** q_vec_normalize — L2 vector normalization (the prep step every
     * cosine-space operator assumes: unit vectors make cosine = dot, so
     * ANN/dedup pipelines normalize once at ingest and never re-divide).
@@ -568,6 +598,7 @@ object TextQueries {
     "q_text_blocklist" -> textBlocklist,
     "q_text_url_canon" -> textUrlCanon,
     "q_text_zipf" -> textZipf,
+    "q_text_pack" -> textPack,
     "q_vec_recon_error" -> vecReconError,
     "q_vec_normalize" -> vecNormalize,
     "q_sample_hash" -> sampleHash,

@@ -137,7 +137,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_markov" -> 0.5, "q_evt_rfm" -> 0.6,
     "q_etl_cdc_apply" -> 0.5, "q_etl_resample" -> 0.7,
     "q_etl_skew_profile" -> 0.4, "q_agg_entropy" -> 0.4,
-    "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7)
+    "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7,
+    // per-source prefix-sum window + small (source, seq) aggregate
+    "q_text_pack" -> 0.5)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

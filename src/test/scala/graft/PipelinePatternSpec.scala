@@ -271,9 +271,7 @@ class PipelinePatternSpec extends SparkSpecBase {
     }
     val rs = ntile4(users.sortBy(u => (-u._2, u._1)).map(_._1))
     val fs = ntile4(users.sortBy(u => (-u._3, u._1)).map(_._1))
-    val ms = ntile4(users.sortBy(u => (u._4, u._1))(
-      Ordering.Tuple2(Ordering[BigDecimal].reverse, Ordering[Long]))
-      .map(_._1))
+    val ms = ntile4(users.sortBy(u => (-u._4, u._1)).map(_._1))
     val got = SparkEntry.queries("q_evt_rfm")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getString(5)))).toMap

@@ -798,6 +798,36 @@ class TextSimSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q_text_pack conserves docs and tokens across the manifest") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n")
+      .as[(String, Long, Int)].collect()
+    // brute-force: per source, walk docs in id order, assign by
+    // starting offset into 256-token windows
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      var cum = 0L
+      g.sortBy(_._2).map { case (_, id, n) =>
+        val seq = cum / 256; cum += n; (src, seq) -> ((id, n.toLong))
+      }
+    }.groupBy(_._1).map { case (k, g) =>
+      val v = g.map(_._2)
+      k -> ((v.size.toLong, v.map(_._2).sum, v.map(_._1).min,
+        v.map(_._1).max))
+    }
+    val got = SparkEntry.queries("q_text_pack")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == expected)
+    // conservation: every doc lands in exactly one sequence, every
+    // token is accounted for
+    assert(got.values.map(_._1).sum == docs.length)
+    assert(got.values.map(_._2).sum == docs.map(_._3.toLong).sum)
+    // the fixture must actually pack multiple docs per sequence AND
+    // multiple sequences per source, or the manifest is vacuous
+    assert(got.values.exists(_._1 > 1) &&
+      got.keys.groupBy(_._1).values.exists(_.size > 1))
+  }
+
   test("q_vec_recon_error matches the scalar quantize-reconstruct loop") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
