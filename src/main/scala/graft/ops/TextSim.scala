@@ -119,14 +119,18 @@ object TextSim {
     * the per-pair work is one dot product. */
   private def roundedSim(va: Column, vb: Column,
                          na: Column, nb: Column): Column =
-    round(dot(va, vb) / (na * nb), 4)
+    round(try_divide(dot(va, vb), na * nb), 4)
 
   /** Cosine similarity over float-vector columns (cast to double before
-    * arithmetic — float accumulation drifts between engines). */
+    * arithmetic — float accumulation drifts between engines). try_divide,
+    * not `/`: a zero vector (failed encode, padding) has zero norm, and
+    * under ANSI mode a plain division aborts the whole job on that one
+    * row — NULL (similarity undefined) instead, which is also DuckDB's
+    * x/0, so both engines agree wherever a sim lands in an oracle. */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+    try_divide(dot(ad, bd), l2Norm(ad) * l2Norm(bd))
   }
 
   /** 64-bit SimHash of a text (token-level;
@@ -592,7 +596,7 @@ object TextSim {
     try corpus.select(vec.as("v"),
         try_element_at(fns.top_cells(vec, bc, 1), lit(1)).as("cell"))
       .join(broadcast(centDf), "cell")
-      .agg(avg(dot(col("v"), col("cent")) / l2Norm(col("v"))))
+      .agg(avg(try_divide(dot(col("v"), col("cent")), l2Norm(col("v")))))
       .head().getDouble(0)
     finally bc.destroy()
   }

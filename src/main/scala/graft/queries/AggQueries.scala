@@ -324,9 +324,15 @@ object AggQueries {
         count(when(c, 1)).as("n_c"),
         round(avg(vT), 4).as("mean_t"),
         round(avg(vC), 4).as("mean_c"),
-        round((avg(vT) - avg(vC)) /
+        // try_divide, not `/`: two CONSTANT arms (var 0, n ≥ 2) make
+        // the denominator exactly 0, which under ANSI mode throws
+        // DIVIDE_BY_ZERO and kills the job on one degenerate group at
+        // scale — try_divide yields NULL, which is also precisely
+        // DuckDB's x/0 semantics, so t is NULL-undefined identically
+        // on both engines (pinned in PipelinePatternSpec).
+        round(try_divide(avg(vT) - avg(vC),
           sqrt(var_samp(vT) / count(when(t, 1)) +
-            var_samp(vC) / count(when(c, 1))), 4).as("t_welch"))
+            var_samp(vC) / count(when(c, 1)))), 4).as("t_welch"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 
@@ -344,22 +350,35 @@ object AggQueries {
     * would sit inside the engines' ~1e-10 relative aggregate
     * divergence → 2 dp keeps the round a tolerance, not a coin flip
     * (the q_agg_stats float discipline). */
-  private val aggCorr: Q = (s, dir) =>
+  private val aggCorr: Q = (s, dir) => {
+    // Composed from the null-safe moment builtins + try_divide rather
+    // than corr()/regr_*(): under ANSI mode the builtins THROW
+    // DIVIDE_BY_ZERO on a degenerate group (n = 1, or a zero-variance
+    // column) — one constant-valued group would kill a 100 TB job.
+    // This formulation reproduces the Postgres/DuckDB NULL semantics
+    // the oracle's regr_* functions implement natively (n=1 → all
+    // NULL; var(x)=0 → corr/slope/intercept/r2 NULL; var(y)=0 with
+    // var(x)>0 → corr NULL, slope 0, r2 = 1 by the Postgres
+    // ssyy-degenerate rule), pinned per-branch in RelationalOpsSpec.
+    // Catalyst dedups the repeated moment aggregates: still ONE pass.
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val cv = covar_samp(y, x)
+    val vx = var_samp(x); val vy = var_samp(y)
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        round(corr(col("l_extendedprice"), col("l_quantity")), 4)
+        round(try_divide(cv, stddev_samp(y) * stddev_samp(x)), 4)
           .as("corr_pq"),
-        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2)
-          .as("covar_pq"),
-        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
-          .as("slope"),
-        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2)
-          .as("intercept"),
-        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4)
-          .as("r2"))
+        round(cv, 2).as("covar_pq"),
+        round(try_divide(cv, vx), 4).as("slope"),
+        round(avg(y) - try_divide(cv, vx) * avg(x), 2).as("intercept"),
+        round(
+          when(vx.isNull || vx === 0, lit(null).cast("double"))
+            .when(vy === 0, lit(1.0))
+            .otherwise(try_divide(cv * cv, vx * vy)), 4).as("r2"))
       .orderBy("l_returnflag")
+  }
 
   /** q_agg_entropy — categorical-distribution health per group:
     * Shannon entropy (nats) and Gini impurity of the language mix

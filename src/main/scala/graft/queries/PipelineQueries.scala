@@ -499,7 +499,14 @@ object PipelineQueries {
     val stats = ev.groupBy("event_type")
       .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
     ev.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      // try_divide: a zero-variance event_type (every value identical,
+      // n ≥ 2) has σ = 0, and a plain `/` under ANSI mode throws
+      // DIVIDE_BY_ZERO — one constant-valued group would kill the
+      // whole 100 TB scan. try_divide yields NULL z (deviation from a
+      // zero-width profile is undefined), which the |z| filter drops —
+      // exactly DuckDB's x/0 → NULL behavior, so both engines emit no
+      // outliers for such groups.
+      .withColumn("z", try_divide(col("value") - col("mu"), col("sigma")))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 4).as("z"))

@@ -91,6 +91,8 @@ object TextQueries {
       .withColumn("n_punct", TextSim.punctCount(col("text")))
       .withColumn("stop_hits", TextSim.vocabHits(col("w"),
         TextSim.stopwordProfiles.head._2))
+      // n_words ≥ 1 always: split("", " ") yields [""], so the ratio's
+      // denominator can never be 0 under ANSI division
       .withColumn("stop_ratio",
         round(col("stop_hits").cast("double") / col("n_words"), 4))
       .withColumn("quality_ok",
@@ -461,7 +463,9 @@ object TextQueries {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         round(sqrt(sumsq), 4).as("norm"),
-        round(element_at(v, 1) / sqrt(sumsq), 4).as("c0"),
+        // try_divide: a zero vector would otherwise ANSI-abort the
+        // scan; NULL c0 matches DuckDB's x/0 on the oracle side
+        round(try_divide(element_at(v, 1), sqrt(sumsq)), 4).as("c0"),
         size(v).cast("long").as("dim"))
       .orderBy("vec_id")
   }

@@ -415,6 +415,53 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(got == Map("a>b" -> 1L, "" -> 1L), s"got $got")
   }
 
+  test("q_agg_ttest: constant arms yield NULL t (never DIVIDE_BY_ZERO)") {
+    val dir = nullFixtureDir("ttest_const")
+    // both arms constant (var 0, n = 2 each): the Welch denominator is
+    // exactly 0. Under ANSI a plain `/` would ABORT the job here;
+    // try_divide yields NULL — DuckDB's x/0 semantics, same-mean and
+    // different-mean cases alike. DuckDB on this fixture:
+    // ('w', 2, 2, 3.0, 1.0, NULL), ('z', 2, 2, 2.0, 2.0, NULL).
+    Seq(
+      (1L, 1000000000L, 1L, "z", 2.0, "{}"),
+      (2L, 2000000000L, 3L, "z", 2.0, "{}"),
+      (3L, 3000000000L, 2L, "z", 2.0, "{}"),
+      (4L, 4000000000L, 4L, "z", 2.0, "{}"),
+      (5L, 5000000000L, 1L, "w", 3.0, "{}"),
+      (6L, 6000000000L, 3L, "w", 3.0, "{}"),
+      (7L, 7000000000L, 2L, "w", 1.0, "{}"),
+      (8L, 8000000000L, 4L, "w", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_agg_ttest")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.isNullAt(5)))).toMap
+    assert(got == Map(
+      "w" -> ((2L, 2L, 3.0, 1.0, true)),
+      "z" -> ((2L, 2L, 2.0, 2.0, true))), s"got $got")
+  }
+
+  test("q_evt_anomaly: zero-variance groups emit no outliers (never throw)") {
+    val dir = nullFixtureDir("anomaly_const")
+    // 'const' has σ = 0: a plain `/` under ANSI would kill the scan on
+    // its first row; try_divide yields NULL z, filtered — DuckDB's
+    // x/0 → NULL does the same. 'var' (n=12, one 9.0 among 1.0s) must
+    // still flag its outlier so the test isn't vacuous. DuckDB on
+    // this fixture: [(21, 'var', 9.0, 3.1754)].
+    val rows =
+      Seq((1L, "const", 5.0), (2L, "const", 5.0), (3L, "const", 5.0)) ++
+        (10L to 20L).map(i => (i, "var", 1.0)) :+ (21L, "var", 9.0)
+    rows.zipWithIndex.map { case ((id, t, v), i) =>
+      (id, (i + 1) * 1000000000L, 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_evt_anomaly")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((21L, "var", 9.0, 3.1754)), s"got ${got.toSeq}")
+  }
+
   test("q_evt_markov: null event_types group as a null FROM state") {
     val dir = nullFixtureDir("markov")
     // user 1: [a, NULL, b, a] — the (a→NULL) pair is DROPPED (to_type

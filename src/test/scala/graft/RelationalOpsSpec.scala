@@ -354,6 +354,42 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_agg_corr: degenerate groups follow Postgres NULL rules, never throw") {
+    // The corr()/regr_*() builtins THROW DIVIDE_BY_ZERO under ANSI on
+    // these groups; the moment+try_divide composition must instead
+    // reproduce the oracle's native semantics branch by branch.
+    // DuckDB on this fixture:
+    //   A (n=1):               all five statistics NULL
+    //   B (x constant):        corr NULL, covar 0.0, slope/intercept/r2 NULL
+    //   C (y constant, x varies): corr NULL, covar 0.0, slope 0.0,
+    //                             intercept 7.0, r2 1.0 (ssyy-degenerate rule)
+    //   D (both vary):         (0.982, 15.0, 15.0, -6.67, 0.9643)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_corrfix").toString
+    val rows = Seq(
+      ("A", 5.0, 100.0), ("B", 3.0, 10.0), ("B", 3.0, 20.0),
+      ("B", 3.0, 30.0), ("C", 1.0, 7.0), ("C", 2.0, 7.0),
+      ("D", 1.0, 10.0), ("D", 2.0, 20.0), ("D", 3.0, 40.0))
+    rows.zipWithIndex.map { case ((f, q, p), i) =>
+      (i + 1L, 1L, 1L, 1, q, p, 0.0, 0.0, f, "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def cell(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val got = SparkEntry.queries("q_agg_corr")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), cell(r, 2), cell(r, 3),
+        cell(r, 4), cell(r, 5), cell(r, 6)))).toMap
+    assert(got == Map(
+      "A" -> ((1L, None, None, None, None, None)),
+      "B" -> ((3L, None, Some(0.0), None, None, None)),
+      "C" -> ((2L, None, Some(0.0), Some(0.0), Some(7.0), Some(1.0))),
+      "D" -> ((3L, Some(0.982), Some(15.0), Some(15.0), Some(-6.67),
+        Some(0.9643)))), s"got $got")
+  }
+
   test("q_agg_entropy matches scalar entropy/gini over the lang mix") {
     val rows = Tables.load(spark, sf0001, "documents")
       .selectExpr("source", "lang").as[(String, String)].collect()
