@@ -20,7 +20,8 @@ object OracleSql {
       """WITH p AS (
            SELECT event_type AS from_type,
                   lead(event_type) OVER (PARTITION BY user_id
-                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+                    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id)
+                    AS to_type
            FROM events)
          SELECT from_type, to_type, count(*) AS n,
                 round(CAST(count(*) AS DOUBLE) /
@@ -52,7 +53,7 @@ object OracleSql {
          SELECT user_id, r_score, f_score, m_score, monetary,
                 CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
                   CAST(m_score AS VARCHAR) AS segment
-         FROM sc ORDER BY user_id""",
+         FROM sc ORDER BY user_id NULLS FIRST""",
     // Mirrors etlCdcApply: same op synthesis, latest-wins on the total
     // (ts DESC, event_id DESC) order, deletes erase.
     "q_etl_cdc_apply" ->
@@ -67,7 +68,8 @@ object OracleSql {
            FROM o)
          SELECT user_id, ts AS last_ts, event_type AS last_type,
                 round(value, 4) AS last_value
-         FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""",
+         FROM r WHERE rn = 1 AND op = 'U'
+         ORDER BY user_id NULLS FIRST""",
     // Mirrors etlResample: per-user generate_series spine (the
     // q_dt_series idiom), decimal-exact daily sums, LOCF via
     // last_value IGNORE NULLS over the same (user, day) order.
@@ -91,7 +93,7 @@ object OracleSql {
                   AS DOUBLE) AS filled_value
          FROM spine s
          LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
-         ORDER BY s.user_id, s.day""",
+         ORDER BY s.user_id NULLS FIRST, s.day""",
     // Mirrors etlSkewProfile: quantile_cont interpolates identically to
     // Spark's exact percentile (q_agg_quantile parity).
     "q_etl_skew_profile" ->
@@ -119,7 +121,7 @@ object OracleSql {
                            ln(CAST(cnt AS DOUBLE) / tot)), 4) AS entropy,
                 round(1.0 - sum(pow(CAST(cnt AS DOUBLE) / tot, 2)), 4)
                   AS gini
-         FROM t GROUP BY source ORDER BY source""",
+         FROM t GROUP BY source ORDER BY source NULLS FIRST""",
     // Mirrors textUrlCanon: identical deterministic URL synthesis and
     // the same three anchored component regexes (Java∩RE2 subset).
     "q_text_url_canon" ->
@@ -144,7 +146,7 @@ object OracleSql {
                     AS canonical
            FROM u)
          SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
-         FROM c GROUP BY canonical ORDER BY canonical""",
+         FROM c GROUP BY canonical ORDER BY canonical NULLS FIRST""",
     // Mirrors textPack: whitespace token counts (q_text_tokens
     // convention), per-source running offset, assignment by starting
     // offset — all integer arithmetic.
@@ -163,7 +165,8 @@ object OracleSql {
          SELECT source, seq_id, count(*) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM o GROUP BY source, seq_id ORDER BY source, seq_id""",
+         FROM o GROUP BY source, seq_id
+         ORDER BY source NULLS FIRST, seq_id""",
     // Mirrors textZipf: same tokenize → count → (freq DESC, term)
     // heap cut → rank/share windows over the 50 survivors.
     "q_text_zipf" ->
@@ -204,7 +207,7 @@ object OracleSql {
                   AS week_offset,
                 count(*) AS n_users
          FROM w JOIN c USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""",
     // Mirrors evtAttribution: running last-non-null preceding touch via
     // IGNORE NULLS over the rows frame ending at 1 PRECEDING (empty
     // frame → NULL → the organic bucket, both engines).
@@ -214,7 +217,8 @@ object OracleSql {
                   last_value(CASE WHEN event_type IN ('view','click')
                                   THEN event_type END IGNORE NULLS)
                     OVER (PARTITION BY user_id
-                          ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                                   event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
                                AND 1 PRECEDING) AS last_touch
            FROM events)
@@ -234,7 +238,7 @@ object OracleSql {
          SELECT e.event_id, e.event_type, e.value,
                 round((e.value - st.mu) / st.sigma, 4) AS z
          FROM events e JOIN st USING (event_type)
-         WHERE abs((e.value - st.mu) / st.sigma) > 2.5
+         WHERE abs(round((e.value - st.mu) / st.sigma, 4)) > 2.5
          ORDER BY e.event_id""",
     // Mirrors etlBackfill: restates the day-15 ×2 correction
     // arithmetically (value*2 is exact in binary floating point, so the
@@ -246,7 +250,7 @@ object OracleSql {
                        CASE WHEN day(CAST(ts AS TIMESTAMP)) = 15
                             THEN value * 2 ELSE value END
                      AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1""",
+         FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
     // Mirrors etlAnonymize: QI group size via window count, k=5
     // suppression to '*'; floor-band and int→string casts agree.
     "q_etl_anonymize" ->
@@ -1686,7 +1690,8 @@ object OracleSql {
       """WITH p AS (
            SELECT user_id,
                   coalesce(array_to_string(
-                    list(event_type ORDER BY CAST(ts AS TIMESTAMP),
+                    list(event_type
+                         ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
                          event_id)[1:50], '>'), '') AS path
            FROM events GROUP BY user_id)
          SELECT path, count(*) AS n

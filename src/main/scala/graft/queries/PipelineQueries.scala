@@ -506,10 +506,15 @@ object PipelineQueries {
       // zero-width profile is undefined), which the |z| filter drops —
       // exactly DuckDB's x/0 → NULL behavior, so both engines emit no
       // outliers for such groups.
-      .withColumn("z", try_divide(col("value") - col("mu"), col("sigma")))
+      // the cut compares the ROUNDED z: row membership near the 2.5
+      // boundary must sit on the same 4-dp grid as the output value,
+      // or sub-ulp aggregate drift between engines could emit a
+      // boundary row on one side only (the only failure rounding the
+      // output alone cannot absorb)
+      .withColumn("z",
+        round(try_divide(col("value") - col("mu"), col("sigma")), 4))
       .filter(abs(col("z")) > 2.5)
-      .select(col("event_id"), col("event_type"), col("value"),
-        round(col("z"), 4).as("z"))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy("event_id")
   }
 

@@ -165,14 +165,18 @@ class PipelinePatternSpec extends SparkSpecBase {
         xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1))
       t -> ((mu, sigma))
     }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the cut is on the ROUNDED z (membership shares the output's 4-dp
+    // grid — see the query comment)
     val expected = raw.filter { case (_, t, v) =>
-      math.abs((v - stats(t)._1) / stats(t)._2) > 2.5
+      math.abs(r4((v - stats(t)._1) / stats(t)._2)) > 2.5
     }.map(_._1).toSet
     val got = SparkEntry.queries("q_evt_anomaly")(spark, sf0001).collect()
     assert(got.map(_.getLong(0)).toSet == expected)
     got.foreach { r =>
       val (mu, sigma) = stats(r.getString(1))
-      val z = (r.getDouble(2) - mu) / sigma
+      val z = r4((r.getDouble(2) - mu) / sigma)
       assert((r.getDouble(3) - z).abs < 1e-3 && math.abs(z) > 2.5)
     }
   }
@@ -468,15 +472,20 @@ class PipelinePatternSpec extends SparkSpecBase {
     // IS NOT NULL), the (NULL→b) pair is KEPT under from_type=NULL,
     // and the output sorts null-first on both sides (Spark default
     // asc = nulls first; oracle says NULLS FIRST explicitly because
-    // DuckDB's ASC default is nulls LAST). DuckDB on this fixture:
-    // (NULL, 'b', 1, 1.0), ('a', 'a', 1, 1.0), ('b', 'a', 1, 1.0).
+    // DuckDB's ASC default is nulls LAST). User 3 carries a NULL ts:
+    // both engines place it FIRST in the timeline (Spark asc default
+    // / the oracle window's explicit NULLS FIRST) → pair (c→a).
+    // DuckDB on this fixture: (NULL, 'b', 1, 1.0), ('a', 'a', 1,
+    // 1.0), ('b', 'a', 1, 1.0), ('c', 'a', 1, 1.0).
     Seq(
-      (1L, 1000000000L, 1L, Some("a"), 1.0, "{}"),
-      (2L, 2000000000L, 1L, None, 1.0, "{}"),
-      (3L, 3000000000L, 1L, Some("b"), 1.0, "{}"),
-      (4L, 4000000000L, 1L, Some("a"), 1.0, "{}"),
-      (5L, 1000000000L, 2L, Some("a"), 1.0, "{}"),
-      (6L, 2000000000L, 2L, Some("a"), 1.0, "{}"))
+      (1L, Some(1000000000L), 1L, Some("a"), 1.0, "{}"),
+      (2L, Some(2000000000L), 1L, None, 1.0, "{}"),
+      (3L, Some(3000000000L), 1L, Some("b"), 1.0, "{}"),
+      (4L, Some(4000000000L), 1L, Some("a"), 1.0, "{}"),
+      (5L, Some(1000000000L), 2L, Some("a"), 1.0, "{}"),
+      (6L, Some(2000000000L), 2L, Some("a"), 1.0, "{}"),
+      (7L, None, 3L, Some("c"), 1.0, "{}"),
+      (8L, Some(1000000000L), 3L, Some("a"), 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = SparkEntry.queries("q_evt_markov")(spark, dir).collect()
@@ -484,7 +493,8 @@ class PipelinePatternSpec extends SparkSpecBase {
         r.getDouble(3)))
     assert(got.toSeq == Seq(
       (None, "b", 1L, 1.0), (Some("a"), "a", 1L, 1.0),
-      (Some("b"), "a", 1L, 1.0)), s"got ${got.toSeq}")
+      (Some("b"), "a", 1L, 1.0), (Some("c"), "a", 1L, 1.0)),
+      s"got ${got.toSeq}")
   }
 
   test("q_etl_cdc_apply: null payloads survive, trailing deletes erase") {
