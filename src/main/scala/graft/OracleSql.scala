@@ -917,7 +917,8 @@ object OracleSql {
     "q_json_get" ->
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
-                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  AS k_int
          FROM events ORDER BY event_id""",
     "q_json_from" ->
       """SELECT event_id,

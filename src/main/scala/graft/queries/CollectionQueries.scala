@@ -75,7 +75,10 @@ object CollectionQueries {
   private val jsonGet: Q = (s, dir) =>
     Tables.load(s, dir, "events")
       .withColumn("k_str", get_json_object(col("props"), "$.k"))
-      .withColumn("k_int", col("k_str").cast("long"))
+      // try_cast, not cast: a non-numeric k in real props would ANSI-
+      // abort the scan (and error DuckDB's CAST the same way) — NULL
+      // is the schema-on-read answer, and both engines' TRY_CAST agree
+      .withColumn("k_int", expr("try_cast(k_str AS BIGINT)"))
       .select("event_id", "k_str", "k_int")
       .orderBy("event_id")
 
