@@ -42,11 +42,14 @@ object OracleSql {
            FROM events GROUP BY user_id),
          sc AS (
            SELECT user_id,
-                  CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id)
+                  CAST(ntile(4) OVER (ORDER BY last_ts DESC,
+                                      user_id NULLS FIRST)
                     AS BIGINT) AS r_score,
-                  CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id)
+                  CAST(ntile(4) OVER (ORDER BY n_events DESC,
+                                      user_id NULLS FIRST)
                     AS BIGINT) AS f_score,
-                  CAST(ntile(4) OVER (ORDER BY monetary_d DESC, user_id)
+                  CAST(ntile(4) OVER (ORDER BY monetary_d DESC,
+                                      user_id NULLS FIRST)
                     AS BIGINT) AS m_score,
                   CAST(monetary_d AS DOUBLE) AS monetary
            FROM u)
@@ -166,7 +169,7 @@ object OracleSql {
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM o GROUP BY source, seq_id
-         ORDER BY source NULLS FIRST, seq_id""",
+         ORDER BY source NULLS FIRST, seq_id NULLS FIRST""",
     // Mirrors textZipf: same tokenize → count → (freq DESC, term)
     // heap cut → rank/share windows over the 50 survivors.
     "q_text_zipf" ->
@@ -207,7 +210,7 @@ object OracleSql {
                   AS week_offset,
                 count(*) AS n_users
          FROM w JOIN c USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""",
+         GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     // Mirrors evtAttribution: running last-non-null preceding touch via
     // IGNORE NULLS over the rows frame ending at 1 PRECEDING (empty
     // frame → NULL → the organic bucket, both engines).

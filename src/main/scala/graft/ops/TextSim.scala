@@ -97,10 +97,13 @@ object TextSim {
   }
 
   /** Exact Jaccard similarity of two token-set columns (verification
-    * companion to MinHash; used by the spec suite). */
+    * companion to MinHash; used by the spec suite). try_divide: two
+    * EMPTY sets have union size 0, and a plain `/` under ANSI mode
+    * aborts on that pair — NULL (similarity undefined), DuckDB's
+    * x/0. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    try_divide(size(array_intersect(a, b)).cast("double"),
+      size(array_union(a, b)).cast("double"))
 
   /** Dot product of two equal-length double arrays: sequential sum,
     * native codegen'd expression
@@ -167,11 +170,15 @@ object TextSim {
   }
 
   /** Word n-gram Jaccard similarity between two text columns (set
-    * semantics — the exact-measure companion to MinHash's estimate). */
+    * semantics — the exact-measure companion to MinHash's estimate).
+    * try_divide: two docs with < n tokens each yield EMPTY shingle
+    * sets (shingles' short-doc guard), union size 0, and a plain `/`
+    * under ANSI mode would abort the whole job on that one pair —
+    * NULL instead, which is the oracle's len/len → DuckDB x/0. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val (ga, gb) = (shingles(a, n), shingles(b, n))
-    round(size(array_intersect(ga, gb)).cast("double") /
-      size(array_union(ga, gb)).cast("double"), 4)
+    round(try_divide(size(array_intersect(ga, gb)).cast("double"),
+      size(array_union(ga, gb)).cast("double")), 4)
   }
 
   // ───── text analysis (language-ID, quality, tokens, fingerprint) ─────
@@ -596,7 +603,13 @@ object TextSim {
     try corpus.select(vec.as("v"),
         try_element_at(fns.top_cells(vec, bc, 1), lit(1)).as("cell"))
       .join(broadcast(centDf), "cell")
-      .agg(avg(try_divide(dot(col("v"), col("cent")), l2Norm(col("v")))))
+      // coalesce: a zero-norm vector counts as similarity 0 (maximally
+      // far from every centroid) rather than silently dropping out of
+      // the mean — and an all-zero corpus yields 0.0, not a NULL that
+      // would NPE the getDouble below
+      .agg(avg(coalesce(
+        try_divide(dot(col("v"), col("cent")), l2Norm(col("v"))),
+        lit(0.0))))
       .head().getDouble(0)
     finally bc.destroy()
   }
