@@ -150,6 +150,35 @@ object OracleSql {
            FROM u)
          SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
          FROM c GROUP BY canonical ORDER BY canonical NULLS FIRST""",
+    // Mirrors winIntervalMerge: same running-max island detector over
+    // the same total (start, end, orderkey) order; date + INTEGER is
+    // DuckDB's day addition (Spark date_add).
+    "q_win_interval_merge" ->
+      """WITH iv AS (
+           SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS start_d,
+                  CAST(o_orderdate AS DATE) +
+                    CAST(o_orderkey % 20 + 1 AS INT) AS end_d,
+                  o_orderkey
+           FROM orders),
+         f AS (
+           SELECT *, CASE WHEN max(end_d) OVER w_prev IS NULL
+                            OR start_d > max(end_d) OVER w_prev
+                          THEN 1 ELSE 0 END AS flag
+           FROM iv
+           WINDOW w_prev AS (PARTITION BY k
+             ORDER BY start_d, end_d, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (
+           SELECT *, sum(flag) OVER (PARTITION BY k
+                       ORDER BY start_d, end_d, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+           FROM f)
+         SELECT k AS custkey, CAST(island AS BIGINT) AS island,
+                min(start_d) AS merged_start, max(end_d) AS merged_end,
+                count(*) AS n_intervals
+         FROM g GROUP BY k, island
+         ORDER BY custkey NULLS FIRST, merged_start""",
     // Mirrors textPack: whitespace token counts (q_text_tokens
     // convention), per-source running offset, assignment by starting
     // offset — all integer arithmetic.

@@ -222,7 +222,48 @@ object WindowQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q_win_interval_merge — coalesce overlapping intervals per key:
+    * validity ranges (start, end) merge wherever they overlap or
+    * touch a running predecessor, yielding per-key merged spans with
+    * their component counts — the interval dual of q_win_sessionize
+    * (that merges POINT events within a gap; this merges RANGES that
+    * overlap), and the maintenance primitive under SCD validity
+    * repair, availability/downtime stitching, and booking-window
+    * coalescing. Intervals are synthesized deterministically from
+    * orders (start = order date, length = orderkey % 20 + 1 days —
+    * integer date arithmetic, exact on both engines). Shape: ONE
+    * shuffle on the key; the island detector is the running
+    * `max(end) OVER (... 1 PRECEDING)` — O(1) state — a new island
+    * starts where start > that max (or at the first row), and the
+    * island id is a running sum of the flags; the merged-span
+    * aggregate is two-phase. The (start, end, orderkey) order key is
+    * total, so island numbering is engine-identical. */
+  private val winIntervalMerge: Q = (s, dir) => {
+    val iv = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("start_d"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 20 + 1).cast("int")).as("end_d"),
+        col("o_orderkey"))
+    val ord = Window.partitionBy("k")
+      .orderBy("start_d", "end_d", "o_orderkey")
+    val prevMax = max("end_d")
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("flag",
+        when(prevMax.isNull || col("start_d") > prevMax, 1).otherwise(0))
+      .withColumn("island", sum("flag")
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min("start_d").as("merged_start"),
+        max("end_d").as("merged_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("k").as("custkey"), col("island").cast("long").as("island"),
+        col("merged_start"), col("merged_end"), col("n_intervals"))
+      .orderBy(col("custkey").asc_nulls_first, col("merged_start"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_interval_merge" -> winIntervalMerge,
     "q_win_streak" -> winStreak,
     "q_win_sessionize" -> winSessionize,
     "q_win_range_frame" -> winRangeFrame,

@@ -139,7 +139,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_skew_profile" -> 0.4, "q_agg_entropy" -> 0.4,
     "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7,
     // per-source prefix-sum window + small (source, seq) aggregate
-    "q_text_pack" -> 0.5)
+    "q_text_pack" -> 0.5,
+    // one key shuffle, two running windows, two-phase span aggregate
+    "q_win_interval_merge" -> 0.5)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 164, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 153)
+    assert(declared.size == 165, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 154)
     assert(declared.values.count(_ == "Q") == 10)
     assert(declared.values.count(_ == "U") == 1)
   }

@@ -419,6 +419,41 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(got == Map("a>b" -> 1L, "" -> 1L), s"got $got")
   }
 
+  test("q_win_interval_merge matches a sequential sweep merge") {
+    val raw = Tables.load(spark, sf0001, "orders")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d",
+        "o_orderkey")
+      .as[(Long, java.sql.Date, Long)].collect()
+    val expected = raw.groupBy(_._1).flatMap { case (k, g) =>
+      val ivs = g.map { case (_, d, okey) =>
+        val s0 = d.toLocalDate
+        (s0, s0.plusDays(okey % 20 + 1), okey)
+      }.sortBy { case (s0, e0, okey) =>
+        (s0.toEpochDay, e0.toEpochDay, okey) }
+      val merged = scala.collection.mutable.ArrayBuffer
+        .empty[(java.time.LocalDate, java.time.LocalDate, Long)]
+      ivs.foreach { case (s0, e0, _) =>
+        if (merged.nonEmpty && !s0.isAfter(merged.last._2)) {
+          val (ms, me, n) = merged.last
+          merged(merged.size - 1) =
+            (ms, if (e0.isAfter(me)) e0 else me, n + 1)
+        } else merged += ((s0, e0, 1L))
+      }
+      merged.zipWithIndex.map { case ((ms, me, n), i) =>
+        (k, i + 1L) -> ((ms, me, n)) }
+    }
+    val got = SparkEntry.queries("q_win_interval_merge")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDate(2).toLocalDate, r.getDate(3).toLocalDate,
+          r.getLong(4)))).toMap
+    assert(got == expected.toMap)
+    // fixture must exercise BOTH branches: some span merges >1
+    // interval AND some key has >1 island
+    assert(got.values.exists(_._3 > 1) &&
+      got.keys.groupBy(_._1).values.exists(_.size > 1))
+  }
+
   test("q_agg_ttest: constant arms yield NULL t (never DIVIDE_BY_ZERO)") {
     val dir = nullFixtureDir("ttest_const")
     // both arms constant (var 0, n = 2 each): the Welch denominator is
