@@ -262,15 +262,20 @@ object OracleSql {
     // Mirrors evtAnomaly: per-type moments joined back, identical z
     // composition (engine aggregate divergence ~1e-10 relative on O(1)
     // z values → the 4-dp round and the 2.5 cut are tolerances).
+    // nullif(sigma, 0): a zero-variance type gives Spark's try_divide
+    // NULL, but DuckDB ≥1.1 IEEE float division gives 0/0 → NaN, and
+    // DuckDB orders NaN above every number so `abs(NaN) > 2.5` would
+    // ADMIT the row Spark drops — the nullif pins x/0 → NULL on every
+    // DuckDB version instead of relying on pre-1.1 semantics.
     "q_evt_anomaly" ->
       """WITH st AS (
            SELECT event_type, avg(value) AS mu,
                   stddev_samp(value) AS sigma
            FROM events GROUP BY event_type)
          SELECT e.event_id, e.event_type, e.value,
-                round((e.value - st.mu) / st.sigma, 4) AS z
+                round((e.value - st.mu) / nullif(st.sigma, 0), 4) AS z
          FROM events e JOIN st USING (event_type)
-         WHERE abs(round((e.value - st.mu) / st.sigma, 4)) > 2.5
+         WHERE abs(round((e.value - st.mu) / nullif(st.sigma, 0), 4)) > 2.5
          ORDER BY e.event_id""",
     // Mirrors etlBackfill: restates the day-15 ×2 correction
     // arithmetically (value*2 is exact in binary floating point, so the
@@ -1280,6 +1285,9 @@ object OracleSql {
                   AS fp
          FROM documents ORDER BY doc_id""",
 
+    // nullif: two sub-n-token docs have EMPTY shingle sets → 0/0,
+    // which Spark's try_divide makes NULL; the guard pins DuckDB to
+    // NULL too (≥1.1 IEEE division would return NaN).
     "q_text_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,
@@ -1289,9 +1297,13 @@ object OracleSql {
            FROM documents)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 round(len(list_intersect(a.gr, b.gr))
-                      / len(list_distinct(a.gr || b.gr)), 4) AS jaccard
+                      / nullif(len(list_distinct(a.gr || b.gr)), 0), 4)
+                  AS jaccard
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          ORDER BY doc_a""",
+    // nullif(norm, 0): a zero vector's c0 is NULL via Spark's
+    // try_divide; the guard makes DuckDB agree on every version
+    // instead of only pre-1.1 (where x/0 was already NULL).
     "q_vec_normalize" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1300,7 +1312,7 @@ object OracleSql {
                   sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
            FROM e)
          SELECT vec_id, round(norm, 4) AS norm,
-                round(v[1] / norm, 4) AS c0,
+                round(v[1] / nullif(norm, 0), 4) AS c0,
                 CAST(len(v) AS BIGINT) AS dim
          FROM n ORDER BY vec_id""",
     // Mirrors Curation.chunkTokens exactly: window=32, stride=24,
@@ -1567,6 +1579,12 @@ object OracleSql {
          ORDER BY segment NULLS FIRST""",
     // Mirrors aggTtest: FILTERed aggregates = Spark's conditional
     // when() aggregates over the same scan; sqrt is IEEE-exact.
+    // nullif on the outer denominator pins constant-arm groups
+    // (var 0 both arms → sqrt 0, diff non-NULL) to NULL = Spark's
+    // try_divide on EVERY DuckDB version — ≥1.1 IEEE division would
+    // otherwise yield ±inf/NaN there. The inner var/count divisions
+    // need no guard: count = 0 forces the var FILTER to NULL, and
+    // NULL propagation wins before any division-by-zero semantics.
     "q_agg_ttest" ->
       """SELECT event_type,
                 count(*) FILTER (user_id % 2 = 1) AS n_t,
@@ -1575,10 +1593,10 @@ object OracleSql {
                 round(avg(value) FILTER (user_id % 2 = 0), 4) AS mean_c,
                 round((avg(value) FILTER (user_id % 2 = 1)
                        - avg(value) FILTER (user_id % 2 = 0))
-                  / sqrt(var_samp(value) FILTER (user_id % 2 = 1)
+                  / nullif(sqrt(var_samp(value) FILTER (user_id % 2 = 1)
                            / count(*) FILTER (user_id % 2 = 1)
                        + var_samp(value) FILTER (user_id % 2 = 0)
-                           / count(*) FILTER (user_id % 2 = 0)), 4)
+                           / count(*) FILTER (user_id % 2 = 0)), 0), 4)
                   AS t_welch
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",

@@ -327,9 +327,11 @@ object AggQueries {
         // try_divide, not `/`: two CONSTANT arms (var 0, n ≥ 2) make
         // the denominator exactly 0, which under ANSI mode throws
         // DIVIDE_BY_ZERO and kills the job on one degenerate group at
-        // scale — try_divide yields NULL, which is also precisely
-        // DuckDB's x/0 semantics, so t is NULL-undefined identically
-        // on both engines (pinned in PipelinePatternSpec).
+        // scale — try_divide yields NULL, and the oracle pins the same
+        // NULL with nullif(sqrt(...), 0) so the engines agree on every
+        // DuckDB version (pinned in PipelinePatternSpec). The inner
+        // var/count divisions never throw: count = 0 ⇒ var is NULL,
+        // and Divide checks the NULL dividend before the zero-throw.
         round(try_divide(avg(vT) - avg(vC),
           sqrt(var_samp(vT) / count(when(t, 1)) +
             var_samp(vC) / count(when(c, 1)))), 4).as("t_welch"))
