@@ -166,11 +166,12 @@ object OracleSql {
                           THEN 1 ELSE 0 END AS flag
            FROM iv
            WINDOW w_prev AS (PARTITION BY k
-             ORDER BY start_d, end_d, o_orderkey
+             ORDER BY start_d NULLS FIRST, end_d NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
          g AS (
            SELECT *, sum(flag) OVER (PARTITION BY k
-                       ORDER BY start_d, end_d, o_orderkey
+                       ORDER BY start_d NULLS FIRST, end_d NULLS FIRST,
+                                o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS island
            FROM f)
@@ -951,11 +952,17 @@ object OracleSql {
                                            'purchase'], event_type), 0)
                      AS BIGINT) AS pos
          FROM events ORDER BY event_id""",
+    // Integer-regex guard mirrors the Spark side: bare TRY_CASTs
+    // diverge on fractional/scientific strings ('1.5' → NULL in Spark
+    // but 2 here, '1e3' → NULL vs 1000), so both engines accept only
+    // [+-]?digits and NULL everything else.
     "q_json_get" ->
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
-                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  AS k_int
+                CASE WHEN regexp_matches(
+                       json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+                     THEN TRY_CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) END AS k_int
          FROM events ORDER BY event_id""",
     "q_json_from" ->
       """SELECT event_id,

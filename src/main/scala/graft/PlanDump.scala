@@ -51,7 +51,7 @@ object PlanDump {
     "q_evt_paths" -> "path analysis: WindowGroupLimit 50-event pre-cap, bounded ordered collect, path-count two-phase, top-k heap",
     "q_agg_ttest" -> "A/B readout: both cohorts' moments in one conditional-aggregate pass",
     "q_etl_wap" -> "write-audit-publish: staged write, 3-check audit aggregate, atomic rename",
-    "q_evt_retention" -> "cohort retention: distinct (user,week) grid, co-keyed cohort join, small matrix aggregate",
+    "q_evt_retention" -> "cohort retention: one collect_set pass per user (cohort + grid from the same row, join-free), small matrix aggregate",
     "q_evt_attribution" -> "last-touch: ONE running window (O(1) state), no touches-x-purchases self-join",
     "q_evt_anomaly" -> "z-score outliers: 5-row stats BROADCAST back onto the stream, corpus never shuffles",
     "q_etl_anonymize" -> "k-anonymity: one window count over the QI composite, per-row masking",

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
 object CollectionQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Pinned integer language for data-derived string→BIGINT casts:
+    * accept only `[+-]?digits`, NULL everything else. The engines'
+    * bare TRY_CASTs disagree outside that language ('1.5' → NULL in
+    * Spark but 2 in DuckDB; '1e3' → NULL vs 1000), so the regex — not
+    * the engine — defines what parses; try_cast inside the guard
+    * still absorbs >64-bit digit strings on both sides. The oracle
+    * mirrors this with regexp_matches + TRY_CAST (OracleSql
+    * q_json_get). Pinned by RelationalOpsSpec. */
+  def guardedBigintCastSql(col: String): String =
+    s"CASE WHEN $col RLIKE '^[+-]?[0-9]+$$' " +
+      s"THEN try_cast($col AS BIGINT) END"
+
   private def words(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
@@ -75,10 +87,11 @@ object CollectionQueries {
   private val jsonGet: Q = (s, dir) =>
     Tables.load(s, dir, "events")
       .withColumn("k_str", get_json_object(col("props"), "$.k"))
-      // try_cast, not cast: a non-numeric k in real props would ANSI-
-      // abort the scan (and error DuckDB's CAST the same way) — NULL
-      // is the schema-on-read answer, and both engines' TRY_CAST agree
-      .withColumn("k_int", expr("try_cast(k_str AS BIGINT)"))
+      // guarded try_cast, not cast: a non-numeric k in real props
+      // would ANSI-abort the scan, and the regex pins the integer
+      // language the engines would otherwise disagree on — see
+      // guardedBigintCastSql
+      .withColumn("k_int", expr(guardedBigintCastSql("k_str")))
       .select("event_id", "k_str", "k_int")
       .orderBy("event_id")
 

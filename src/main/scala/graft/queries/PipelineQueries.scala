@@ -436,21 +436,26 @@ object PipelineQueries {
     * weeks later — the engagement readout behind every growth dashboard
     * (the reference's resume anti-join, `web_scraping.py:513-521`, is
     * the degenerate "seen before?" form of this per-entity-history
-    * question). Dataflow: distinct (user, week) grid → per-user min
-    * week (cohort) → co-keyed join back on user_id (the grid and the
-    * cohort agg share the user_id partitioning, so the join adds no
-    * exchange) → small (cohort, offset) aggregate. Per-user state is
-    * one date; the shuffles carry the distinct user-week grid, never
-    * raw events. Week truncation + day arithmetic is integer-exact on
-    * both engines (Monday-start weeks in Spark and DuckDB both). */
+    * question). Dataflow: ONE exchange on user_id — `collect_set(week)`
+    * dedups, and the same per-user row yields both the cohort
+    * (`array_min`) and the grid (`explode`), so there is no separate
+    * distinct, no join, and no second shuffle (a distinct-(user,week)
+    * grid + join-back plan hashes on (user_id, week), which does NOT
+    * satisfy the join's user_id clustering and re-shuffles — verified
+    * via EXPLAIN before this rewrite). Per-user state is the user's
+    * distinct ACTIVE WEEKS — bounded by the calendar (~52/yr), not by
+    * event volume, so a billion-event bot costs the same buffer as a
+    * weekly-active human. Week truncation + day arithmetic is
+    * integer-exact on both engines (Monday-start weeks in Spark and
+    * DuckDB both). */
   private val evtRetention: Q = (s, dir) => {
-    val weeks = Tables.load(s, dir, "events")
+    Tables.load(s, dir, "events")
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("week"))
-      .distinct()
-    val cohort = weeks.groupBy("user_id")
-      .agg(min("week").as("cohort_week"))
-    weeks.join(cohort, Seq("user_id"))
+      .groupBy("user_id")
+      .agg(collect_set(col("week")).as("weeks"))
+      .select(array_min(col("weeks")).as("cohort_week"),
+        explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("int")
           .as("week_offset"))

@@ -386,6 +386,22 @@ class PlanQualitySpec extends SparkSpecBase {
       "path top-20 regressed to a full global sort")
   }
 
+  test("q_evt_retention is join-free with exactly two hash exchanges") {
+    val p = plan("q_evt_retention")
+    // the collect_set(user_id) formulation derives the cohort AND the
+    // week grid from one per-user row — a distinct-grid + join-back
+    // plan hashes on (user_id, week), fails the join's user_id
+    // clustering, and re-shuffles (the round-8 review finding)
+    assert(!p.contains("Join"),
+      "retention regressed to a grid/cohort join — the collect_set " +
+        "single-pass plan avoids it")
+    // formatted mode lists each Exchange's partitioning on its own
+    // Arguments line — count those, not the node header
+    val n = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(n == 2, s"expected 2 hash exchanges (user agg + cell agg), got $n")
+  }
+
   test("q_text_cooccur top-100 is a heap cut, counts partial-aggregated") {
     val p = plan("q_text_cooccur")
     assert(p.contains("TakeOrderedAndProject"),

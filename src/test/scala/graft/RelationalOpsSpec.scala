@@ -422,4 +422,22 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(nulls == 0L, "events.value gained nulls: revisit the " +
       "q_agg_maxby 0.0 sentinel (conflates with a real 0.0)")
   }
+
+  test("guarded bigint cast pins the integer language across engines") {
+    // bare TRY_CAST diverges between Spark and DuckDB outside
+    // [+-]?digits ('1.5' → NULL vs 2, '1e3' → NULL vs 1000) — the
+    // q_json_get guard must NULL those forms, parse plain integers,
+    // and still absorb >64-bit digit strings (where both TRY_CASTs
+    // agree on NULL)
+    val in = Seq("12", "+7", "-40", "1.5", "1e3", "0.0", " 12",
+      "99999999999999999999999", "abc", "", null)
+    val got = in.toDF("k_str")
+      .withColumn("k_int",
+        expr(queries.CollectionQueries.guardedBigintCastSql("k_str")))
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+    val want = Seq(Some(12L), Some(7L), Some(-40L), None, None, None,
+      None, None, None, None, None)
+    assert(got.toSeq == want,
+      s"integer-language pin broke: ${in.zip(got).mkString(", ")}")
+  }
 }
