@@ -60,7 +60,8 @@ object PlanDump {
     "q_etl_cdc_apply" -> "changelog fold: latest-wins row_number plans as WindowGroupLimit, per-key state = one row",
     "q_etl_resample" -> "calendar spine: sequence() explode generates the grid, co-keyed left join, one LOCF window",
     "q_etl_skew_profile" -> "skew audit: two-phase per-key count, single-row reduce over group sizes",
-    "q_text_zipf" -> "zipf head: two-phase term count, TakeOrderedAndProject heap cut, windows over 50 rows")
+    "q_text_zipf" -> "zipf head: two-phase term count, TakeOrderedAndProject heap cut, windows over 50 rows",
+    "q_agg_countmin" -> "count-min sketch: two-phase (row,bucket) grid build (shuffle ≤ tasks·4096 cells), broadcast sketch→probe join, min over hash rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

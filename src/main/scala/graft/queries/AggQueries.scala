@@ -132,6 +132,53 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first, col("g_flag"), col("g_status"))
 
+  /** q_agg_countmin — count-min sketch frequency estimation: the
+    * heavy-hitters counterpart to q_agg_sketch's HLL (how OFTEN is a
+    * term seen, not how MANY distinct) — at 100 TB "how frequent is
+    * token X in the corpus" must come from a fixed-size sketch, never
+    * a full vocabulary count. Sketch = d×w counter grid (d=4 hash
+    * rows, w=1024 buckets): each token increments one bucket per row
+    * (`xxhash64(row_seed, term) mod w`), estimate = min over rows.
+    * The build is ONE two-phase groupBy on (row, bucket): map-side
+    * partial aggregation collapses every partition to ≤ d·w cells, so
+    * the shuffle carries ≤ tasks·4096 rows REGARDLESS of corpus size,
+    * and the final sketch (4096 rows) broadcasts to the probe join.
+    * Counters are plain sums, so the sketch is mergeable across
+    * partitions/days by construction. The query reports the exact
+    * top-20 terms with their estimates so the CMS over-count guarantee
+    * (est ≥ exact, est ≤ exact + εN deterministically checked) is
+    * visible in the output. Q-tier: xxhash64 has no DuckDB twin;
+    * bounds + determinism gated in SinksAndApproxSpec. (Ref: the
+    * reference counts category frequencies client-side in pandas,
+    * `database/app.py:214-226` — this is that capability made
+    * sublinear.) */
+  private val aggCountmin: Q = (s, dir) => {
+    val d = 4
+    val w = 1024
+    def cell(i: Int, t: org.apache.spark.sql.Column) =
+      struct(lit(i).as("row"), pmod(xxhash64(lit(i), t), lit(w)).as("bucket"))
+    val toks = Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(explode(graft.ops.TextSim.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val sketch = toks
+      .select(explode(array((0 until d).map(i => cell(i, col("term"))): _*))
+        .as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(20)
+    top
+      .select(col("term"), col("n_exact"),
+        explode(array((0 until d).map(i => cell(i, col("term"))): _*))
+          .as("c"))
+      .select(col("term"), col("n_exact"),
+        col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("term", "n_exact")
+      .agg(min(col("cnt")).as("n_est"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   /** q_agg_sketch — MERGEABLE distinct-count sketches (Apache
     * DataSketches HLL): per-day sketches built once, then unioned into a
     * per-type rolling estimate — the incremental-stats pattern at
@@ -424,6 +471,7 @@ object AggQueries {
     "q_agg_cube" -> aggCube,
     "q_agg_gsets" -> aggGsets,
     "q_agg_sketch" -> aggSketch,
+    "q_agg_countmin" -> aggCountmin,
     "q_agg_quantile" -> aggQuantile,
     "q_agg_quantile_approx" -> aggQuantileApprox,
     "q_agg_stats" -> aggStats,

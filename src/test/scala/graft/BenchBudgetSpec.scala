@@ -50,7 +50,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // aggregations
     "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
-    "q_agg_approx" -> 0.5, "q_agg_sketch" -> 0.6, "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
+    "q_agg_approx" -> 0.5, "q_agg_sketch" -> 0.6, "q_agg_countmin" -> 0.8,
+    "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
     "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
     "q_agg_quantile" -> 0.5, "q_agg_quantile_approx" -> 0.6,
     "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,

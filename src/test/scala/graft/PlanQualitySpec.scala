@@ -386,6 +386,14 @@ class PlanQualitySpec extends SparkSpecBase {
       "path top-20 regressed to a full global sort")
   }
 
+  test("q_agg_countmin broadcasts the fixed-size sketch to the probe join") {
+    val p = plan("q_agg_countmin")
+    // the sketch is ≤ d·w = 4096 rows by construction — if this ever
+    // plans as a shuffle join the fixed-memory design has been lost
+    assert(p.contains("BroadcastHashJoin"),
+      "count-min sketch→probe join must broadcast the 4096-row sketch")
+  }
+
   test("q_evt_retention is join-free with exactly two hash exchanges") {
     val p = plan("q_evt_retention")
     // the collect_set(user_id) formulation derives the cohort AND the

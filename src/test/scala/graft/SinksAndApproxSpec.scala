@@ -83,6 +83,33 @@ class SinksAndApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("count-min estimates bound exact counts from above (q_agg_countmin)") {
+    // the CMS contract: the estimate NEVER under-counts (deterministic —
+    // every occurrence of a term lands in the term's own buckets), and
+    // over-counts only by collisions, bounded in expectation by εN with
+    // ε = e/w; with fixed seeds the fixture check is deterministic, so
+    // assert the one-sided guarantee exactly and the collision slack
+    // empirically at 3εN headroom
+    val rows = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20, s"expected top-20 probe rows, got ${rows.length}")
+    val n = Tables.load(spark, sf0001, "documents")
+      .select(explode(graft.ops.TextSim.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0).count()
+    val slack = 3.0 * math.E / 1024.0 * n
+    rows.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"$term: est=$est UNDER-counts exact=$exact — " +
+        "the CMS one-sided guarantee is broken, not a tolerance issue")
+      assert(est - exact <= slack,
+        s"$term: est=$est vs exact=$exact exceeds collision slack $slack")
+    }
+    // determinism: a second run (fresh plan) must reproduce bit-identical
+    // estimates — fixed seeds, integer counters, no RNG anywhere
+    val again = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq, "count-min output is not deterministic")
+  }
+
   test("approx_percentile tracks exact percentiles (q_agg_quantile_approx)") {
     // the registered query's accuracy (10000) guarantees rank error
     // ≤ n/10000; at these group sizes that means the sketch answer must
