@@ -169,6 +169,42 @@ object Curation {
       col("text_sha") === col("eval_sha"), "left_anti")
   }
 
+  /** SCALE TWIN of [[decontaminate]]: when the eval set outgrows a raw
+    * broadcast (10⁹ benchmark fingerprints ≈ 64 GB of sha strings), a
+    * Bloom filter carries the same membership test in
+    * n·ln(1/fpp)/ln²2 bits (~1.2 GB at n = 10⁹, fpp = 1%). The price is
+    * an fpp fraction of innocent documents dropped — harmless for
+    * training-data hygiene, because the guarantee that MATTERS is
+    * one-sided: a Bloom filter has NO false negatives, so recall on
+    * true eval members stays exactly 1.0 (pinned in CurationSpec). The
+    * filter builds distributedly (`df.stat.bloomFilter` aggregates
+    * per-partition filters; bit-OR is insertion-order-independent, so
+    * the result is deterministic) and ships once per executor as a
+    * broadcast value; the corpus then streams map-side through the
+    * membership predicate — zero corpus shuffle, no join at all. The
+    * predicate is a closure over the filter (Spark exposes no codegen'd
+    * bloom-probe expression on a prebuilt filter) — one hash+bitset
+    * probe per row, the map-side cost profile of the broadcast
+    * anti-join it replaces.
+    *
+    * `expectedN` must upper-bound the DISTINCT eval fingerprints or the
+    * realized fpp degrades beyond the requested bound — size it from
+    * the eval corpus's row count, never guess low. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String,
+                         evalDocs: DataFrame, evalTextCol: String,
+                         expectedN: Long, fpp: Double): DataFrame = {
+    val tagged = corpus.withColumn("text_sha", sha2(col(textCol), 256))
+    val bf = evalDocs
+      .select(sha2(col(evalTextCol), 256).as("eval_sha")).distinct()
+      .stat.bloomFilter("eval_sha", expectedN, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    // null-safe: a null text (⇒ null sha) KEEPS the row, exactly the
+    // anti-join's null-never-matches semantics — and never NPEs the probe
+    val maybeContaminated = udf((sha: String) =>
+      sha != null && bcast.value.mightContainString(sha))
+    tagged.filter(!maybeContaminated(col("text_sha")))
+  }
+
   /** SCD-2 validity intervals from an append-only change stream: each
     * key's records, ordered by event time (id tie-break), become
     * [valid_from, valid_to) intervals with `valid_to = next change` and

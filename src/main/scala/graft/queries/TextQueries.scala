@@ -547,6 +547,28 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** q_text_decon_bloom — Bloom-filter decontamination
+    * ([[Curation.decontaminateBloom]]): the SCALE TWIN of
+    * q_text_decontaminate for eval sets too large to broadcast raw —
+    * same eval slice, same kept-corpus readout, membership tested
+    * against a distributed-built Bloom filter instead of an anti-join.
+    * Deterministic (fixed hash seeds, order-independent bit-OR build),
+    * but the filter bytes have no DuckDB twin → Q-tier; the
+    * no-false-negative guarantee, FP slack vs the exact anti-join, and
+    * determinism are gated in CurationSpec. expectedN = 1<<16 bounds
+    * every test SF's eval slice; real deployments size it from the
+    * eval corpus count (see the scaladoc). */
+  private val textDeconBloom: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Curation.decontaminateBloom(docs, "text",
+        evalDocs = docs.filter(col("doc_id") % 97 === 0),
+        evalTextCol = "text", expectedN = 1L << 16, fpp = 0.01)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
   /** q_text_tfidf — per-document top-3 TF-IDF terms
     * ([[Curation.tfidfTopK]]): rational IDF keeps the ranking
     * bit-deterministic vs the oracle (no libm log in the sort key). */
@@ -594,6 +616,7 @@ object TextQueries {
     "q_text_cooccur" -> textCooccur,
     "q_vec_centroid" -> vecCentroid,
     "q_text_decontaminate" -> textDecontaminate,
+    "q_text_decon_bloom" -> textDeconBloom,
     "q_sample_stratified" -> sampleStratified,
     "q_vec_ann_pq" -> annPq,
     "q_text_chunk" -> textChunk,

@@ -114,7 +114,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // anti-join + sha scan; dq_approx replaces Expand with HLL partials
     "q_win_range_frame" -> 0.6, "q_agg_maxby" -> 0.5,
     "q_text_cooccur" -> 0.8, "q_vec_centroid" -> 0.6,
-    "q_text_decontaminate" -> 0.6, "q_etl_dq_approx" -> 0.5,
+    "q_text_decontaminate" -> 0.6, "q_text_decon_bloom" -> 0.7,
+    "q_etl_dq_approx" -> 0.5,
     "q_win_sessionize" -> 0.6, "q_text_feature_hash" -> 0.6,
     "q_json_flatten" -> 0.6, "q_win_streak" -> 0.6,
     "q_etl_snapshot_diff" -> 0.7, "q_evt_paths" -> 0.7,

@@ -21,6 +21,45 @@ class CurationSpec extends SparkSpecBase {
     (4L, (1 to 40).map(i => s"w$i").mkString(" "))   // tail inside overlap
   ).toDF("doc_id", "text")
 
+  test("bloom decontamination: no false negatives, bounded FP drop, deterministic") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val evalDocs = corpus.filter(col("doc_id") % 97 === 0)
+    val kept = Curation.decontaminateBloom(corpus, "text",
+      evalDocs, "text", expectedN = 1L << 16, fpp = 0.01)
+    // 1. the one-sided guarantee that makes Bloom admissible here: a
+    //    true eval member can NEVER survive (no false negatives) —
+    //    exact, not a tolerance
+    val evalShas = evalDocs
+      .select(sha2(col("text"), 256).as("s")).distinct()
+    val leaked = kept.join(evalShas, col("text_sha") === col("s")).count()
+    assert(leaked == 0L,
+      s"$leaked eval documents survived bloom decontamination")
+    // 2. the false-positive cost is bounded: docs dropped BEYOND the
+    //    exact anti-join ≤ 3×fpp of the corpus (3× headroom over the
+    //    expected rate; deterministic for fixed seeds/fixture)
+    val exactKept =
+      Curation.decontaminate(corpus, "text", evalDocs, "text").count()
+    val bloomKept = kept.count()
+    assert(bloomKept <= exactKept,
+      "bloom kept MORE than the exact anti-join — impossible without " +
+        "false negatives")
+    val slack = 3 * 0.01 * corpus.count()
+    assert(exactKept - bloomKept <= slack,
+      s"FP drops ${exactKept - bloomKept} exceed slack $slack")
+    // 3. determinism: rebuild reproduces the same kept set size
+    val again = Curation.decontaminateBloom(corpus, "text",
+      evalDocs, "text", expectedN = 1L << 16, fpp = 0.01).count()
+    assert(again == bloomKept, "bloom build is not deterministic")
+    // 4. null text KEEPS the row — the anti-join's null-never-matches
+    //    semantics, and the probe must not NPE on a null sha
+    val withNull = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val keptNull = Curation.decontaminateBloom(withNull, "text",
+      evalDocs, "text", expectedN = 1L << 16, fpp = 0.01)
+    assert(keptNull.filter(col("doc_id") === 2L).count() == 1L,
+      "null-text row must survive bloom decontamination")
+  }
+
   test("chunks cover every token and start on the stride grid") {
     val rows = Curation.chunkTokens(docs, "doc_id", "text", W, S)
       .orderBy("doc_id", "chunk_idx")

@@ -386,6 +386,15 @@ class PlanQualitySpec extends SparkSpecBase {
       "path top-20 regressed to a full global sort")
   }
 
+  test("q_text_decon_bloom is join-free — membership is a map-side probe") {
+    val p = plan("q_text_decon_bloom")
+    // the bloom variant exists to REPLACE the anti-join: the corpus
+    // must stream through the broadcast filter predicate, never join
+    assert(!p.contains("Join"),
+      "bloom decontamination regressed to a join — the filter probe " +
+        "is the whole point")
+  }
+
   test("q_agg_countmin broadcasts the fixed-size sketch to the probe join") {
     val p = plan("q_agg_countmin")
     // the sketch is ≤ d·w = 4096 rows by construction — if this ever
