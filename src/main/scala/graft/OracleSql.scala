@@ -13,6 +13,215 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
 
+    // ───── round-8 additions (batch 3) ─────
+    // Mirrors aggMad: identical quantile_cont medians (q_agg_quantile
+    // parity), identical modified-z expression; DuckDB's x/0 NULL is
+    // Spark's try_divide NULL, and CASE over a NULL condition falls
+    // through to no-count on both engines.
+    "q_agg_mad" ->
+      """WITH base AS (
+           SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM base GROUP BY event_type),
+         dev AS (
+           SELECT b.event_type, abs(b.value - m.med) AS dev, m.med
+           FROM base b JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT d.event_type, count(*) AS n,
+                count(CASE WHEN (0.6745 * d.dev) / a.mad > 3.5
+                      THEN 1 END) AS n_outliers,
+                round(max(d.med), 4) AS med, round(max(a.mad), 4) AS mad
+         FROM dev d JOIN mad a USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
+    // Mirrors etlPurge: the same membership cascade as IN-subqueries
+    // (customer request list → orders → those orders' lineitems); all
+    // key columns are non-null in the fixture schema, so IN/NOT IN
+    // partition every row exactly like Spark's left-join null flag.
+    "q_etl_purge" ->
+      """WITH del AS (
+           SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+         po AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM del))
+         SELECT * FROM (
+           SELECT 'customer' AS tbl,
+                  count(CASE WHEN c_custkey % 53 = 0 THEN 1 END)
+                    AS n_purged,
+                  count(CASE WHEN c_custkey % 53 <> 0 THEN 1 END)
+                    AS n_kept
+           FROM customer
+           UNION ALL
+           SELECT 'lineitem',
+                  count(CASE WHEN l_orderkey IN
+                        (SELECT o_orderkey FROM po) THEN 1 END),
+                  count(CASE WHEN l_orderkey NOT IN
+                        (SELECT o_orderkey FROM po) THEN 1 END)
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders',
+                  count(CASE WHEN o_custkey IN
+                        (SELECT c_custkey FROM del) THEN 1 END),
+                  count(CASE WHEN o_custkey NOT IN
+                        (SELECT c_custkey FROM del) THEN 1 END)
+           FROM orders)
+         ORDER BY tbl""",
+    // Mirrors evtAbandon: the same reversed running-min frame over the
+    // shared integer-µs order key (epoch_us ∘ ns-truncation ≡
+    // unix_micros ∘ `ts div 1000`), the same 7-day integer boundary.
+    "q_evt_abandon" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events),
+         nx AS (
+           SELECT user_id, event_type, ts_us,
+                  min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts_us DESC, event_id DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS np
+           FROM e)
+         SELECT user_id, count(*) AS n_views,
+                count(CASE WHEN np IS NOT NULL
+                            AND np - ts_us <= 604800000000
+                      THEN 1 END) AS n_converted,
+                count(CASE WHEN np IS NULL
+                            OR np - ts_us > 604800000000
+                      THEN 1 END) AS n_abandoned
+         FROM nx WHERE event_type = 'view'
+         GROUP BY user_id ORDER BY user_id""",
+    // Mirrors graphPagerank: identical edge normalization, then the 5
+    // damped iterations UNROLLED as chained CTEs (fixed iteration
+    // count is what makes the float recursion oracle-expressible);
+    // per-node sums are ≤ k doubles, order drift ~1e-16 « the 4-dp
+    // grid, and only the final ranks round.
+    "q_graph_pagerank" ->
+      """WITH nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         pr AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id)
+                    AS to_type
+           FROM events),
+         e0 AS (
+           SELECT from_type, to_type, count(*) AS cnt
+           FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         edges AS (
+           SELECT from_type, to_type,
+                  CAST(cnt AS DOUBLE) /
+                    CAST(sum(cnt) OVER (PARTITION BY from_type)
+                         AS DOUBLE) AS p
+           FROM e0),
+         r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+         r1 AS (
+           SELECT x.node, 0.15 / x.n +
+                  0.85 * coalesce(sum(rp.rank * e.p), 0.0) AS rank
+           FROM (SELECT n2.node, nn.n FROM nodes n2, nn) x
+           LEFT JOIN edges e ON e.to_type = x.node
+           LEFT JOIN r0 rp ON rp.node = e.from_type
+           GROUP BY x.node, x.n),
+         r2 AS (
+           SELECT x.node, 0.15 / x.n +
+                  0.85 * coalesce(sum(rp.rank * e.p), 0.0) AS rank
+           FROM (SELECT n2.node, nn.n FROM nodes n2, nn) x
+           LEFT JOIN edges e ON e.to_type = x.node
+           LEFT JOIN r1 rp ON rp.node = e.from_type
+           GROUP BY x.node, x.n),
+         r3 AS (
+           SELECT x.node, 0.15 / x.n +
+                  0.85 * coalesce(sum(rp.rank * e.p), 0.0) AS rank
+           FROM (SELECT n2.node, nn.n FROM nodes n2, nn) x
+           LEFT JOIN edges e ON e.to_type = x.node
+           LEFT JOIN r2 rp ON rp.node = e.from_type
+           GROUP BY x.node, x.n),
+         r4 AS (
+           SELECT x.node, 0.15 / x.n +
+                  0.85 * coalesce(sum(rp.rank * e.p), 0.0) AS rank
+           FROM (SELECT n2.node, nn.n FROM nodes n2, nn) x
+           LEFT JOIN edges e ON e.to_type = x.node
+           LEFT JOIN r3 rp ON rp.node = e.from_type
+           GROUP BY x.node, x.n),
+         r5 AS (
+           SELECT x.node, 0.15 / x.n +
+                  0.85 * coalesce(sum(rp.rank * e.p), 0.0) AS rank
+           FROM (SELECT n2.node, nn.n FROM nodes n2, nn) x
+           LEFT JOIN edges e ON e.to_type = x.node
+           LEFT JOIN r4 rp ON rp.node = e.from_type
+           GROUP BY x.node, x.n)
+         SELECT node AS event_type, round(rank, 4) AS rank
+         FROM r5 ORDER BY event_type""",
+    // Mirrors sampTemperature: same sha-bucket arithmetic as
+    // q_sample_hash, same single-division + correctly-rounded sqrt →
+    // identical double → identical integer threshold on both engines.
+    "q_samp_temperature" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS n_docs FROM documents
+           GROUP BY lang),
+         mn AS (SELECT min(n_docs) AS n_min FROM c),
+         r AS (
+           SELECT c.lang, c.n_docs,
+                  sqrt(CAST(mn.n_min AS DOUBLE) / n_docs) AS rate,
+                  CAST(floor(sqrt(CAST(mn.n_min AS DOUBLE) / n_docs)
+                    * 1e6) AS BIGINT) AS thresh
+           FROM c, mn),
+         b AS (
+           SELECT d.lang,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 1000000 AS bucket
+           FROM documents d)
+         SELECT r.lang, max(r.n_docs) AS n_docs,
+                count(CASE WHEN b.bucket < r.thresh THEN 1 END)
+                  AS n_kept,
+                round(max(r.rate), 4) AS rate
+         FROM b JOIN r USING (lang)
+         GROUP BY r.lang ORDER BY r.lang""",
+    // Mirrors textNgramLm: same tokenization, same term-frequency join,
+    // ln only in the rounded output (±1 ulp libm drift « 4-dp grid).
+    "q_text_ngram_lm" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         tf AS (SELECT term, count(*) AS freq FROM t GROUP BY term),
+         tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS tot FROM tf)
+         SELECT t.doc_id, count(*) AS n_tok,
+                round(-sum(ln(CAST(tf.freq AS DOUBLE) / tot.tot))
+                      / count(*), 4) AS xent
+         FROM t JOIN tf USING (term) CROSS JOIN tot
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // Mirrors textBoilerplate: same bigram windows (list_slice ≡ slice
+    // over the shared token split), same per-doc DISTINCT, and the
+    // integer cross-multiplied 30% threshold — no float boundary.
+    "q_text_boilerplate" ->
+      """WITH d AS (
+           SELECT source, doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         nd AS (
+           SELECT source, count(*) AS n_docs FROM documents
+           GROUP BY source),
+         sh AS (
+           SELECT DISTINCT source, doc_id,
+                  array_to_string(list_slice(w, i + 1, i + 2), ' ')
+                    AS shingle
+           FROM d, unnest(range(0, greatest(len(w) - 1, 0))) AS t(i)),
+         cnt AS (
+           SELECT source, shingle, count(*) AS doc_cnt
+           FROM sh GROUP BY source, shingle)
+         SELECT c.source, max(nd.n_docs) AS n_docs,
+                count(*) AS n_shingles,
+                count(CASE WHEN doc_cnt >= 2
+                            AND doc_cnt * 10 >= nd.n_docs * 3
+                      THEN 1 END) AS n_boiler,
+                round(CAST(max(doc_cnt) AS DOUBLE) / max(nd.n_docs), 4)
+                  AS max_share
+         FROM cnt c JOIN nd USING (source)
+         GROUP BY c.source ORDER BY c.source""",
+
     // ───── round-8 additions (batch 2) ─────
     // Mirrors evtMarkov: lead over the same total (ts, event_id) order,
     // row-normalized by a window over the k×k transition matrix.

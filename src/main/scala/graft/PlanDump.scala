@@ -61,7 +61,12 @@ object PlanDump {
     "q_etl_resample" -> "calendar spine: sequence() explode generates the grid, co-keyed left join, one LOCF window",
     "q_etl_skew_profile" -> "skew audit: two-phase per-key count, single-row reduce over group sizes",
     "q_text_zipf" -> "zipf head: two-phase term count, TakeOrderedAndProject heap cut, windows over 50 rows",
-    "q_agg_countmin" -> "count-min sketch: two-phase (row,bucket) grid build (shuffle ≤ tasks·4096 cells), broadcast sketch→probe join, min over hash rows")
+    "q_agg_countmin" -> "count-min sketch: two-phase (row,bucket) grid build (shuffle ≤ tasks·4096 cells), broadcast sketch→probe join, min over hash rows",
+    "q_graph_pagerank" -> "pagerank: k²-edge contraction checkpointed, 5 broadcast-join iterations, no corpus rescan",
+    "q_evt_abandon" -> "conversion window: reversed running-min frame (O(1) state), no UnboundedFollowing",
+    "q_etl_purge" -> "erasure cascade: request list broadcast-probes customer→orders→lineitem, no fact shuffle",
+    "q_agg_mad" -> "robust outliers: k-row median/MAD profiles broadcast back onto the stream",
+    "q_text_ngram_lm" -> "unigram LM: two-phase vocab count, term-keyed frequency join, per-doc reduce")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

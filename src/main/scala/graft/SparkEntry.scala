@@ -41,7 +41,8 @@ object SparkEntry {
     SourceQueries.all ++ RelationalQueries.all ++ AggQueries.all ++
       SortSetQueries.all ++ WindowQueries.all ++ ScalarQueries.all ++
       CollectionQueries.all ++ StreamingQueries.all ++ HoursQueries.all ++
-      TextQueries.all ++ MediaQueries.all ++ PipelineQueries.all
+      TextQueries.all ++ MediaQueries.all ++ PipelineQueries.all ++
+      GraphQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (Q-tier). */

@@ -455,7 +455,43 @@ object AggQueries {
       .orderBy("source")
   }
 
+  /** q_agg_mad — robust outlier profile per group: median + MAD (median
+    * absolute deviation) of `value` per event type, and the count of
+    * rows whose modified z-score 0.6745·|x−med|/MAD exceeds 3.5 (the
+    * Iglewicz–Hoaglin rule). The robust companion of q_evt_anomaly's
+    * mean/σ z-score: a handful of extreme rows inflate σ and hide
+    * themselves, while the median/MAD profile is unmoved by anything
+    * short of 50% contamination — the difference that matters when the
+    * outliers ARE the signal (fraud, sensor faults, bot traffic).
+    * Two-phase shape: per-type median, broadcast the k-row profile back
+    * onto the stream for deviations, per-type MAD, broadcast again for
+    * the flag count. Exact `percentile` ≡ DuckDB `quantile_cont`
+    * (q_agg_quantile parity); at 100 TB swap to `approx_percentile`
+    * exactly as q_agg_quantile documents. `try_divide` guards the
+    * MAD=0 degenerate group (>50% of a type at one value): NULL z ⇒
+    * not flagged, DuckDB's x/0 NULL does the same (§7.5.12). */
+  private val aggMad: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+    val med = base.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(expr("try_divide(0.6745 * dev, mad)") > 3.5, lit(1)))
+          .as("n_outliers"),
+        round(max("med"), 4).as("med"),
+        round(max("mad"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_mad" -> aggMad,
     "q_agg_entropy" -> aggEntropy,
     "q_agg_corr" -> aggCorr,
     "q_agg_ttest" -> aggTtest,

@@ -727,7 +727,82 @@ object PipelineQueries {
         round(max("n") / avg("n"), 4).as("skew_ratio"),
         round(max("n").cast("double") / sum("n"), 6).as("top_share"))
 
+  /** q_etl_purge — GDPR/CCPA erasure propagation: a deletion-request
+    * list (customers with `c_custkey % 53 = 0` standing in for the
+    * request table) cascades through the foreign-key graph — the
+    * customer rows themselves, their orders, and those orders'
+    * lineitems — and the audit reports purged/kept counts per table,
+    * the compliance evidence a deletion run must produce. Scale shape:
+    * the request list is regulation-scale (thousands of keys, not
+    * billions) → it BROADCASTS, and each fact table streams map-side
+    * past a hash probe — no fact shuffle anywhere. The lineitem
+    * cascade needs the purged ORDER keys, one extra broadcast hop
+    * derived from the same probe (orders × request list, semi); if a
+    * deletion wave ever outgrows broadcast, the same plan degrades
+    * gracefully to co-keyed shuffle joins. Flag-and-count here (the
+    * audit half); the physical rewrite is q_etl_backfill's
+    * partition-overwrite pattern applied to the flagged partitions. */
+  private val etlPurge: Q = (s, dir) => {
+    val requested = col("c_custkey") % 53 === 0
+    val customer = Tables.load(s, dir, "customer")
+    val del = customer.filter(requested).select(col("c_custkey").as("del_key"))
+    val orders = Tables.load(s, dir, "orders")
+    val purgedOrders = orders
+      .join(broadcast(del), col("o_custkey") === col("del_key"), "semi")
+      .select(col("o_orderkey").as("del_order"))
+    val custAudit = customer.agg(
+      lit("customer").as("tbl"),
+      count(when(requested, lit(1))).as("n_purged"),
+      count(when(!requested, lit(1))).as("n_kept"))
+    val ordAudit = orders
+      .join(broadcast(del), col("o_custkey") === col("del_key"), "left")
+      .agg(lit("orders").as("tbl"),
+        count(when(col("del_key").isNotNull, lit(1))).as("n_purged"),
+        count(when(col("del_key").isNull, lit(1))).as("n_kept"))
+    val liAudit = Tables.load(s, dir, "lineitem")
+      .join(broadcast(purgedOrders),
+        col("l_orderkey") === col("del_order"), "left")
+      .agg(lit("lineitem").as("tbl"),
+        count(when(col("del_order").isNotNull, lit(1))).as("n_purged"),
+        count(when(col("del_order").isNull, lit(1))).as("n_kept"))
+    custAudit.unionAll(ordAudit).unionAll(liAudit).orderBy("tbl")
+  }
+
+  /** q_evt_abandon — conversion-window analysis: every `view` event
+    * either converts (a purchase by the same user within 7 days) or is
+    * abandoned; per-user totals are the funnel-leak readout behind
+    * retargeting and UX triage. The "next purchase at-or-after me"
+    * lookup is ONE window pass with O(1) running state: partition by
+    * user ordered DESCENDING by (ts, event_id), a running `min` over
+    * purchase timestamps in rows UNBOUNDED PRECEDING → 1 PRECEDING is
+    * exactly the strictly-later minimum — the naive "min over
+    * UNBOUNDED FOLLOWING" frame recomputes its aggregate per row
+    * (O(n²) per partition in Spark's UnboundedFollowing frame); the
+    * reversed running frame streams. Window arithmetic is integer µs
+    * (`unix_micros` ≡ DuckDB `epoch_us` after the shared ns→µs
+    * truncation), so the 7-day boundary is exact on both engines. */
+  private val evtAbandon: Q = (s, dir) => {
+    val wRev = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(wRev))
+      .filter(col("event_type") === "view")
+      .withColumn("converted",
+        col("next_purchase_us").isNotNull &&
+          col("next_purchase_us") - col("ts_us") <= 604800000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        count(when(col("converted"), lit(1))).as("n_converted"),
+        count(when(!col("converted"), lit(1))).as("n_abandoned"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_etl_purge" -> etlPurge,
+    "q_evt_abandon" -> evtAbandon,
     "q_evt_markov" -> evtMarkov,
     "q_evt_rfm" -> evtRfm,
     "q_etl_cdc_apply" -> etlCdcApply,

@@ -611,7 +611,110 @@ object TextQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_samp_temperature — temperature-based language rebalancing: each
+    * language keeps a deterministic `(n_min/n_i)^0.5` fraction of its
+    * docs (α = 0.5 temperature flattening toward the smallest
+    * language) — the multilingual mixing step of every pretraining
+    * corpus (the XLM-R recipe): head languages downsample toward
+    * balance, the smallest keeps 100%. Membership is the
+    * q_sample_hash sha-bucket rule, so it is a pure function of
+    * doc_id — reruns, repartitions, and corpus growth in OTHER
+    * languages never resample a doc whose own language count is
+    * unchanged. Engine parity of the float rate: n_min/n_i is ONE
+    * IEEE division and `sqrt` is correctly rounded (§7.5.10) — both
+    * engines floor the identical double into the integer bucket
+    * threshold. Shape: one k-row language-count aggregate, broadcast
+    * back; the corpus streams past a per-row hash compare — no corpus
+    * shuffle before the audit rollup. */
+  private val sampTemperature: Q = (s, dir) => {
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min("n_docs").as("n_min"))))
+      // n_docs ≥ 1 by construction (it counts the group's own rows)
+      .withColumn("rate",
+        sqrt(col("n_min").cast("double") / col("n_docs")))
+      .withColumn("thresh", floor(col("rate") * 1e6).cast("long"))
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 7),
+          16, 10).cast("long") % 1000000)
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"),
+        count(when(col("bucket") < col("thresh"), lit(1))).as("n_kept"),
+        round(max("rate"), 4).as("rate"))
+      .orderBy("lang")
+  }
+
+  /** q_text_ngram_lm — unigram language-model quality score: corpus
+    * term frequencies define p(term) = freq/total, and each doc scores
+    * its per-token cross-entropy −Σ ln p(t) / n_tok (nats) — the
+    * CCNet-style "how typical of the corpus is this document" filter
+    * (low = stopword-heavy/boilerplate, high = rare-token noise;
+    * curation cuts both tails). The in-domain formulation (docs score
+    * against the corpus they belong to) is the standard first pass
+    * when no external LM exists. Shape: two-phase term count (the
+    * vocabulary shuffle), then the token stream joins the frequency
+    * table ON TERM — co-partitioned by the join key, never broadcast
+    * (a 100 TB corpus's vocabulary outgrows broadcast) — and reduces
+    * per doc. Float discipline: ln is libm (±1 ulp across engines) but
+    * appears only in the 4-dp-rounded OUTPUT, never a sort key
+    * (§7.5.10); the per-doc sum is ≤ tokens-per-doc terms. */
+  private val textNgramLm: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(TextSim.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+    // total ≥ 1 whenever any token exists; docs with zero tokens have
+    // no rows here and drop out identically on both engines
+    val total = tf.agg(sum("freq").cast("double").as("tot"))
+    toks.join(tf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(-sum(log(col("freq").cast("double") / col("tot"))) /
+          count(lit(1)), 4).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  /** q_text_boilerplate — cross-document repeated-shingle audit: per
+    * source, how many distinct word shingles exist, how many are
+    * "boilerplate" (shared by ≥ 2 docs AND ≥ 30% of the source's
+    * docs), and the widest single shingle's doc share — the signal
+    * behind template/navigation-chrome removal in crawled corpora
+    * (a source whose shingles concentrate is serving one page skin).
+    * Shingle size is 2 here because the synthetic fixture's small
+    * vocabulary only exhibits cross-doc repetition at bigram
+    * granularity; real crawls run the same plan at n = 8+. The 30%
+    * threshold is integer cross-multiplied (doc_cnt·10 ≥ n_docs·3) —
+    * no float boundary. Shape: per-doc DISTINCT shingles explode →
+    * two-phase (source, shingle) doc-frequency count (the only
+    * corpus-sized shuffle) → k-row source rollup with the doc-count
+    * table broadcast back. */
+  private val textBoilerplate: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val shingleDf = docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(TextSim.shingles(col("text"), 2)))
+          .as("shingle"))
+      .groupBy("source", "shingle").agg(count(lit(1)).as("doc_cnt"))
+    shingleDf.join(broadcast(nDocs), Seq("source"))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        count(when(col("doc_cnt") >= 2 &&
+          col("doc_cnt") * 10 >= col("n_docs") * 3, lit(1))).as("n_boiler"),
+        round(max("doc_cnt").cast("double") / max("n_docs"), 4)
+          .as("max_share"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_samp_temperature" -> sampTemperature,
+    "q_text_ngram_lm" -> textNgramLm,
+    "q_text_boilerplate" -> textBoilerplate,
     "q_text_feature_hash" -> textFeatureHash,
     "q_text_cooccur" -> textCooccur,
     "q_vec_centroid" -> vecCentroid,

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force verification of the round-8 batch-3 operators (pagerank,
+  * purge, abandon, MAD, temperature sampling, unigram LM, boilerplate).
+  * The DuckDB oracle hash is the primary gate; these pin the SEMANTICS
+  * against an independent in-memory reference so a
+  * wrong-but-self-consistent oracle pair cannot slip through. */
+class AnalyticsOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** events at sf0.001 as (user, ts_us, event_id, event_type, value). */
+  private lazy val events: Array[(Long, Long, Long, String, Double)] =
+    Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id", "event_type",
+        "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+
+  test("q_graph_pagerank matches a hand-rolled power iteration") {
+    val pairs = events.groupBy(_._1).values.flatMap { evs =>
+      val seq = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.zip(seq.tail)
+    }.toSeq
+    val edgeCnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val outCnt = pairs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = events.map(_._4).distinct.sorted
+    val n = nodes.size.toDouble
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5)
+      rank = nodes.map { v =>
+        val in = edgeCnt.collect { case ((u, t), c) if t == v =>
+          rank(u) * c.toDouble / outCnt(u) }
+        v -> (0.15 / n + 0.85 * in.sum)
+      }.toMap
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, sf0001)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      // query output is 4-dp rounded → half a grid cell + drift
+      assert(math.abs(got(v) - rank(v)) < 6e-5,
+        s"$v: got ${got(v)} expected ${rank(v)}")
+    }
+    // every fixture type both emits and receives transitions, so no
+    // dangling leak: total rank mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+  }
+
+  test("q_etl_purge counts match the set-algebra cascade") {
+    val custkeys = Tables.load(spark, sf0001, "customer")
+      .select("c_custkey").as[Long].collect()
+    val del = custkeys.filter(_ % 53 == 0).toSet
+    val ords = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+    val delOrders = ords.collect { case (o, c) if del(c) => o }.toSet
+    val liKeys = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey").as[Long].collect()
+    val expected = Map(
+      "customer" -> ((custkeys.count(del), custkeys.length)),
+      "orders" -> ((ords.count(o => del(o._2)), ords.length)),
+      "lineitem" -> ((liKeys.count(delOrders), liKeys.length)))
+    val got = SparkEntry.queries("q_etl_purge")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, p, k) => t -> ((p.toInt, p.toInt + k.toInt)) }.toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(del.nonEmpty, "fixture has no deletion requests — test is vacuous")
+  }
+
+  test("q_evt_abandon matches per-view next-purchase scanning") {
+    val byUser = events.groupBy(_._1)
+    val expected = byUser.map { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val views = sorted.filter(_._4 == "view")
+      val conv = views.count { v =>
+        val later = sorted.filter(e => (e._2, e._3) != (v._2, v._3) &&
+          (e._2 > v._2 || (e._2 == v._2 && e._3 > v._3)))
+        val np = later.filter(_._4 == "purchase").map(_._2)
+        np.nonEmpty && np.min - v._2 <= 604800000000L
+      }
+      u -> ((views.length.toLong, conv.toLong,
+        (views.length - conv).toLong))
+    }.filter(_._2._1 > 0)
+    val got = SparkEntry.queries("q_evt_abandon")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, v, c, a) => u -> ((v, c, a)) }.toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "no conversions — window too tight")
+    assert(got.values.exists(_._3 > 0), "no abandons — window too loose")
+  }
+
+  test("q_agg_mad matches interpolated median/MAD with the z-rule") {
+    def quantile(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.size - 1)
+      val lo = pos.toInt
+      if (lo + 1 >= s.size) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val expected = events.groupBy(_._4).map { case (t, evs) =>
+      val vs = evs.map(_._5)
+      val med = quantile(vs.toSeq)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = quantile(devs.toSeq)
+      val out =
+        if (mad == 0.0) 0
+        else devs.count(d => 0.6745 * d / mad > 3.5)
+      t -> ((vs.length.toLong, out.toLong, med, mad))
+    }
+    val got = SparkEntry.queries("q_agg_mad")(spark, sf0001)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map { case (t, n, o, m, d) => t -> ((n, o, m, d)) }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, (n, o, med, mad)) =>
+      val (gn, go, gmed, gmad) = got(t)
+      assert(gn == n && go == o, s"$t: got ($gn,$go) expected ($n,$o)")
+      assert(math.abs(gmed - med) < 1e-6 && math.abs(gmad - mad) < 1e-6)
+    }
+  }
+
+  test("q_samp_temperature membership is the exact sha-bucket rule") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val counts = docs.groupBy(_._2).map { case (s, d) => s -> d.size }
+    val nMin = counts.values.min
+    def bucket(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % 1000000
+    }
+    val expected = counts.map { case (s, n) =>
+      val thresh = math.floor(math.sqrt(nMin.toDouble / n) * 1e6).toLong
+      s -> ((n.toLong,
+        docs.count(d => d._2 == s && bucket(d._1) < thresh).toLong))
+    }
+    val got = SparkEntry.queries("q_samp_temperature")(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (s, n, k, r) => (s, n, k, r) }
+    assert(got.map(g => g._1 -> ((g._2, g._3))).toMap == expected)
+    // the smallest language keeps everything (rate exactly 1)
+    val smallest = got.minBy(_._2)
+    assert(smallest._3 == smallest._2 && smallest._4 == 1.0,
+      s"smallest language must keep 100%: $smallest")
+    // the head language (en, ~40% of the fixture) downsamples for real
+    assert(got.exists(g => g._4 < 1.0 && g._3 < g._2),
+      "no language was downsampled")
+  }
+
+  test("q_text_ngram_lm matches a hand-rolled unigram cross-entropy") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(id -> _) }
+    val tf = toks.groupBy(_._2).map { case (w, v) => w -> v.size }
+    val tot = tf.values.sum.toDouble
+    val expected = toks.groupBy(_._1).map { case (id, ts) =>
+      val xent = -ts.map(t => math.log(tf(t._2) / tot)).sum / ts.size
+      id -> ((ts.size.toLong, xent))
+    }
+    val got = SparkEntry.queries("q_text_ngram_lm")(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, x) => id -> ((n, x)) }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, x)) =>
+      assert(got(id)._1 == n)
+      assert(math.abs(got(id)._2 - x) < 1e-4, s"doc $id: ${got(id)._2} vs $x")
+    }
+  }
+
+  test("q_text_boilerplate matches a hand-rolled bigram doc-frequency") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("source", "doc_id", "text").as[(String, Long, String)]
+      .collect()
+    val nd = docs.groupBy(_._1).map { case (s, d) => s -> d.size }
+    val sh = docs.flatMap { case (src, id, t) =>
+      val w = t.toLowerCase.split(" ", -1)
+      w.zip(w.tail).map { case (a, b) => s"$a $b" }.distinct
+        .map(sg => (src, sg))
+    }
+    val cnt = sh.groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = cnt.groupBy(_._1._1).map { case (src, m) =>
+      val n = nd(src)
+      src -> ((n.toLong, m.size.toLong,
+        m.count { case (_, c) => c >= 2 && c * 10 >= n * 3 }.toLong,
+        m.values.max.toDouble / n))
+    }
+    val got = SparkEntry.queries("q_text_boilerplate")(spark, sf0001)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (s, n, ns, nb, mx) => s -> ((n, ns, nb, mx)) }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (s, (n, ns, nb, mx)) =>
+      val (gn, gns, gnb, gmx) = got(s)
+      assert(gn == n && gns == ns && gnb == nb,
+        s"$s: got ($gn,$gns,$gnb) expected ($n,$ns,$nb)")
+      assert(math.abs(gmx - mx) < 1e-6)
+    }
+  }
+}

@@ -143,7 +143,18 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-source prefix-sum window + small (source, seq) aggregate
     "q_text_pack" -> 0.5,
     // one key shuffle, two running windows, two-phase span aggregate
-    "q_win_interval_merge" -> 0.5)
+    "q_win_interval_merge" -> 0.5,
+    // round-8 batch 3: pagerank pays one pair-count contraction + an
+    // eager localCheckpoint, then k-row iterations; mad is three
+    // broadcast-profile passes over events; purge three fact scans
+    // behind broadcast probes; abandon one reversed-window pass;
+    // temperature a sha scan + k-row rates; ngram_lm explodes tokens
+    // and joins the frequency table on term; boilerplate explodes
+    // per-doc distinct bigrams
+    "q_graph_pagerank" -> 0.9, "q_agg_mad" -> 0.7,
+    "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.5,
+    "q_samp_temperature" -> 0.5, "q_text_ngram_lm" -> 0.9,
+    "q_text_boilerplate" -> 0.9)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

@@ -427,6 +427,57 @@ class PlanQualitySpec extends SparkSpecBase {
       "bigram counts lost the map-side partial aggregate")
   }
 
+  test("q_evt_abandon streams the reversed frame, no UnboundedFollowing") {
+    val p = plan("q_evt_abandon")
+    // "next purchase after me" must be the DESC-order running min
+    // (UNBOUNDED PRECEDING → 1 PRECEDING, O(1) state) — an
+    // UnboundedFollowing frame recomputes its aggregate per row,
+    // O(n²) in the partition
+    assert(p.toLowerCase.contains("unboundedpreceding"),
+      "expected the reversed running frame")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      "abandon regressed to an O(n²) UnboundedFollowing frame")
+  }
+
+  test("q_etl_purge probes every fact table via broadcast, no shuffle join") {
+    val p = plan("q_etl_purge")
+    // the deletion list is request-scale: all three probe joins
+    // (orders flag, purged-order derivation, lineitem flag) must
+    // broadcast — a fact-side shuffle means the cascade lost its shape.
+    // Count detail headers: formatted mode prints each node name twice
+    // (tree line + "(n) Node" detail section)
+    val probes = p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin.*"""))
+    assert(probes == 3,
+      s"expected 3 broadcast probes (orders left, orders semi, " +
+        s"lineitem left), got $probes")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "erasure cascade shuffled a fact table against the request list")
+  }
+
+  test("q_graph_pagerank iterates on the contraction, never rescans events") {
+    val p = plan("q_graph_pagerank")
+    // the k²-edge contraction is localCheckpoint'ed before the 5
+    // iterations — if the final plan still reads events.parquet, the
+    // lineage replays the corpus scan once per iteration
+    assert(!p.contains("parquet"),
+      "iteration lineage reaches back to the parquet scan — " +
+        "the contraction checkpoint is gone")
+  }
+
+  test("q_agg_mad broadcasts the k-row profiles back onto the stream") {
+    val p = plan("q_agg_mad")
+    // 3 join NODES: the deviation subtree (stream ⋈ median profile)
+    // appears once under the MAD aggregation and once in the final
+    // flag pass, plus the MAD-profile join itself
+    val probes = p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin.*"""))
+    assert(probes == 3,
+      s"median/MAD profiles must broadcast (k rows), got $probes")
+    assert(!p.contains("SortMergeJoin"),
+      "robust profile join regressed to a stream shuffle")
+  }
+
   test("q_text_decontaminate anti-joins against a broadcast eval set") {
     val p = plan("q_text_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
