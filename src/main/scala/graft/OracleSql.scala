@@ -13,6 +13,153 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
 
+    // ───── round-8 additions (batch 4) ─────
+    // Mirrors sqlReport: the parity argument for the spark.sql surface
+    // is shared ANSI semantics — decimal-exact revenue before the one
+    // double cast, so rank ties break identically.
+    "q_sql_report" ->
+      """WITH rev AS (
+           SELECT c.c_mktsegment AS segment,
+                  CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                  CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+                  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue,
+                  count(DISTINCT o.o_orderkey) AS n_orders
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2, 3)
+         SELECT segment, yr, qtr, revenue, n_orders,
+                CAST(rank() OVER (PARTITION BY segment
+                                  ORDER BY revenue DESC) AS BIGINT) AS rnk
+         FROM rev
+         ORDER BY segment, yr, qtr""",
+    // Mirrors dtBusdays: the same closed-form weekday count W(d) on
+    // days-since-epoch; DuckDB `//` is floor division ≡ Spark
+    // floor(x/7) on the non-negative ints 1992+ dates produce.
+    "q_dt_busdays" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+                  (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS d_ship
+           FROM lineitem),
+         o AS (
+           SELECT o_orderkey, o_orderpriority,
+                  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d_ord
+           FROM orders),
+         j AS (
+           SELECT o_orderpriority,
+                  (5 * ((d_ship + 3) // 7) + least((d_ship + 3) % 7, 5))
+                - (5 * ((d_ord + 3) // 7) + least((d_ord + 3) % 7, 5))
+                  AS busdays
+           FROM li JOIN o ON l_orderkey = o_orderkey)
+         SELECT o_orderpriority, count(*) AS n,
+                round(avg(busdays), 4) AS avg_busdays,
+                CAST(max(busdays) AS BIGINT) AS max_busdays,
+                count(CASE WHEN busdays > 20 THEN 1 END) AS n_late
+         FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Mirrors vecDimstats: zipped unnest + generate_subscripts is
+    // DuckDB's posexplode; float inputs widen exactly to double before
+    // any arithmetic, min/max stay unrounded (exact widened values).
+    "q_vec_dimstats" ->
+      """WITH ex AS (
+           SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                    AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings)
+         SELECT dim, count(*) AS n, round(avg(v), 4) AS mean,
+                round(stddev_samp(v), 4) AS sd,
+                min(v) AS vmin, max(v) AS vmax
+         FROM ex GROUP BY dim ORDER BY dim""",
+    // Mirrors textSourceOverlap: the q_text_boilerplate bigram
+    // construction, DISTINCT per source, self-joined on shingle; the
+    // k x k pair frame comes from the counts table crossed with itself
+    // so disjoint pairs report 0.
+    "q_text_source_overlap" ->
+      """WITH d AS (
+           SELECT source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source,
+                  array_to_string(list_slice(w, i + 1, i + 2), ' ')
+                    AS shingle
+           FROM d, unnest(range(0, greatest(len(w) - 1, 0))) AS t(i)),
+         cnt AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+         inter AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+                  count(*) AS n_common
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.source < b.source
+           GROUP BY 1, 2)
+         SELECT ca.source AS src_a, cb.source AS src_b,
+                ca.n_sh AS n_a, cb.n_sh AS n_b,
+                coalesce(i.n_common, 0) AS n_common,
+                round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                      / (ca.n_sh + cb.n_sh - coalesce(i.n_common, 0)), 4)
+                  AS jaccard
+         FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+         LEFT JOIN inter i ON i.src_a = ca.source AND i.src_b = cb.source
+         ORDER BY src_a, src_b""",
+    // Mirrors winEma: same eight lags over the same (ts_us, event_id)
+    // total order, same 2^-i weight literals (exact binary doubles),
+    // same left-to-right summation order — bit-identical before round.
+    "q_win_ema" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE value IS NOT NULL),
+         l AS (
+           SELECT event_id, user_id, value,
+                  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+                  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+                  lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+                  lag(value, 7) OVER w AS l7
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         SELECT event_id, user_id, value,
+                round(
+                  (value * 1.0
+                   + CASE WHEN l1 IS NOT NULL THEN l1 * 0.5 ELSE 0.0 END
+                   + CASE WHEN l2 IS NOT NULL THEN l2 * 0.25 ELSE 0.0 END
+                   + CASE WHEN l3 IS NOT NULL THEN l3 * 0.125 ELSE 0.0 END
+                   + CASE WHEN l4 IS NOT NULL THEN l4 * 0.0625 ELSE 0.0 END
+                   + CASE WHEN l5 IS NOT NULL THEN l5 * 0.03125
+                     ELSE 0.0 END
+                   + CASE WHEN l6 IS NOT NULL THEN l6 * 0.015625
+                     ELSE 0.0 END
+                   + CASE WHEN l7 IS NOT NULL THEN l7 * 0.0078125
+                     ELSE 0.0 END)
+                  /
+                  (1.0
+                   + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+                   + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+                   + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+                   + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+                   + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+                   + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+                   + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END),
+                  4) AS ema
+         FROM l ORDER BY event_id""",
+    // Mirrors mediaShard: same bytes-before-me prefix sum and floor
+    // division over the shared synthetic fixture; integer-exact end to
+    // end.
+    "q_media_shard" ->
+      s"""WITH m AS (
+           SELECT media_id, media_type,
+                  CAST(octet_length(payload) AS BIGINT) AS n_bytes
+           FROM '${graft.ops.Multimodal.fixturePath}/*.parquet'),
+         p AS (
+           SELECT media_id, media_type, n_bytes,
+                  coalesce(sum(n_bytes) OVER (PARTITION BY media_type
+                      ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS bytes_before
+           FROM m)
+         SELECT media_type, CAST(bytes_before // 2048 AS BIGINT) AS shard,
+                count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT)
+                  AS total_bytes,
+                min(media_id) AS first_id, max(media_id) AS last_id
+         FROM p GROUP BY 1, 2 ORDER BY media_type, shard""",
+
     // ───── round-8 additions (batch 3) ─────
     // Mirrors aggMad: identical quantile_cont medians (q_agg_quantile
     // parity), identical modified-z expression; DuckDB's x/0 NULL is

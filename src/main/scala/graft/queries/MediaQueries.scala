@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.N multimodal registration: the binary-payload operators surfaced as
@@ -59,7 +60,43 @@ object MediaQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** q_media_shard — size-balanced shard manifest for the media corpus
+    * (the webdataset/tar-shard builder): within each media type,
+    * payloads pack greedily in media_id order into shards capped at
+    * 2 KiB of cumulative payload, and the manifest reports each
+    * shard's item count, byte load, and id span — the index a
+    * multimodal dataloader consumes. Shard assignment is a running
+    * BYTES-BEFORE-ME prefix sum (rows UNBOUNDED PRECEDING → 1
+    * PRECEDING, coalesced to 0 at the head) floor-divided by the cap:
+    * one window pass, O(1) state, then a (type, shard) two-phase
+    * rollup. The window is partitioned BY MEDIA TYPE — the way real
+    * shard builders run per (modality, date-bucket) so no task owns a
+    * global order; at 100 TB the partition key gains the date bucket
+    * and the plan is unchanged. Integer-exact end to end (byte
+    * lengths, prefix sums, floor division) — no float anywhere.
+    * `sfDir` unused: the media fixture is synthetic and SF-independent
+    * (as q_media_dedup). */
+  private val mediaShard: Q = (s, _) => {
+    val path = Multimodal.mediaFixture(s)
+    val w = Window.partitionBy("media_type").orderBy("media_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s.read.parquet(path)
+      .select(col("media_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("bytes_before",
+        coalesce(sum("n_bytes").over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("bytes_before") / 2048).cast("long"))
+      .groupBy("media_type", "shard")
+      .agg(count(lit(1)).as("n_items"),
+        sum("n_bytes").cast("long").as("total_bytes"),
+        min("media_id").as("first_id"),
+        max("media_id").as("last_id"))
+      .orderBy("media_type", "shard")
+  }
+
   val all: Map[String, Q] = Map(
     "q_media_dedup" -> mediaDedup,
-    "q_media_frames" -> mediaFrames)
+    "q_media_frames" -> mediaFrames,
+    "q_media_shard" -> mediaShard)
 }

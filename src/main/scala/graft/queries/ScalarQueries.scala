@@ -234,7 +234,46 @@ object ScalarQueries {
         "disc_pct")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** q_dt_busdays — business-day latency from order to ship, rolled up
+    * per order priority: the SLA readout ops teams actually track
+    * (calendar-day latency penalizes weekend spans; five business days
+    * is a week, not a breach). The weekday count is CLOSED-FORM integer
+    * arithmetic, not a calendar explode: with d = days since epoch and
+    * the +3 offset anchoring day 0 on a Monday (1970-01-01 is a
+    * Thursday), W(d) = 5·((d+3) div 7) + min((d+3) mod 7, 5) counts
+    * weekdays in [epoch, d), and busdays(a, b) = W(b) − W(a) — one
+    * expression per row, codegen'd, no generate_series join (a spine
+    * join would shuffle a 100 TB fact against a calendar for what a
+    * subtraction answers). Both engines evaluate the identical formula
+    * — Spark `floor(x/7)` ≡ DuckDB `//` (both floor semantics, exact in
+    * a double far below 2^52) and `%` agrees on the non-negative ints
+    * all 1992+ dates produce — so parity is exact: no timezone, no DOW
+    * numbering convention (Spark 1=Sun vs DuckDB 0=Sun) in the path.
+    * The orderkey join is the co-keyed shuffle pair AQE handles. */
+  private val dtBusdays: Q = (s, dir) => {
+    def w(d: Column): Column =
+      lit(5L) * floor((d + lit(3)) / 7).cast("long") +
+        least((d + lit(3)) % 7, lit(5)).cast("long")
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .as("d_ord"))
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .as("d_ship"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("busdays", w(col("d_ship")) - w(col("d_ord")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(avg("busdays"), 4).as("avg_busdays"),
+        max("busdays").as("max_busdays"),
+        count(when(col("busdays") > 20, lit(1))).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_dt_busdays" -> dtBusdays,
     "q_str_concat" -> strConcat,
     "q_str_split" -> strSplit,
     "q_str_trim_replace" -> strTrimReplace,

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.R the `spark.sql` entry point as a first-class surface.
+  *
+  * Every other registered operator reaches Catalyst through the
+  * DataFrame/Dataset API; this family proves the SQL string surface is
+  * the SAME engine — reference users arrive from a Postgres/ORM world
+  * (database/yelp_db/yelp_db/model.py builds its schema for SQL access,
+  * and the FastAPI layer issues SQL through SQLAlchemy), so "switch to
+  * this library" must include handing it a query STRING. `spark.sql`
+  * parses into the identical logical plan the DataFrame API builds —
+  * same optimizer rules, same physical strategies, same AQE — which is
+  * why the oracle for this family is nearly the Spark text itself: the
+  * parity argument is shared ANSI semantics, not a reimplementation.
+  */
+object SqlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_sql_report — a full analyst-shaped report through `spark.sql`:
+    * CTE + 3-table join + decimal-exact revenue + per-segment window
+    * rank, the shape an ORM-emitted dashboard query takes (ref: the
+    * FastAPI endpoints compose exactly such joins over customers and
+    * orders). Revenue sums in DECIMAL(18,2) before the one cast to
+    * double (§7.5.2: a double sum is partition-order-dependent; the
+    * decimal sum is exact, so the window's ORDER BY revenue is over
+    * exact values and rank ties are engine-identical). Temp views are
+    * session-scoped and re-registered per call — no global state.
+    * Scale: the plan is indistinguishable from the DataFrame build —
+    * two co-keyed shuffle joins (orderkey, custkey) that AQE can
+    * re-plan, a two-phase aggregate on (segment, yr, qtr), and a
+    * k-row window — nothing about the string surface costs anything. */
+  private val sqlReport: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("sqlr_lineitem")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("sqlr_orders")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("sqlr_customer")
+    s.sql(
+      """WITH rev AS (
+           SELECT c.c_mktsegment AS segment,
+                  CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                  CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+                  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue,
+                  count(DISTINCT o.o_orderkey) AS n_orders
+           FROM sqlr_lineitem l
+           JOIN sqlr_orders o ON l.l_orderkey = o.o_orderkey
+           JOIN sqlr_customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2, 3)
+         SELECT segment, yr, qtr, revenue, n_orders,
+                CAST(rank() OVER (PARTITION BY segment
+                                  ORDER BY revenue DESC) AS BIGINT) AS rnk
+         FROM rev
+         ORDER BY segment, yr, qtr""")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_sql_report" -> sqlReport)
+}

@@ -711,7 +711,77 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q_vec_dimstats — per-dimension moments of the embedding corpus
+    * (count, mean, stddev, min, max): the normalization-stats pass every
+    * feature pipeline runs before whitening/standardizing vectors, and
+    * the drift monitor run per ingest batch after (a dimension whose
+    * mean walks is a changed upstream encoder). posexplode pivots the
+    * corpus from row-major to dimension-major; the aggregate is keyed
+    * by dimension index — at 100 TB the shuffle carries partial moment
+    * states per (partition, dim), i.e. n_partitions·dim rows, not the
+    * corpus (two-phase aggregation does the reduction map-side). Float
+    * discipline: float32 inputs widen exactly to double before any
+    * arithmetic; min/max are order-free and exact; mean/stddev carry
+    * summation-order drift ~1e-13 against round-4 output (the
+    * q_vec_centroid precedent, §7.5.10). */
+  private val vecDimstats: Q = (s, dir) => {
+    Tables.load(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg("v"), 4).as("mean"),
+        round(stddev_samp(col("v")), 4).as("sd"),
+        min("v").as("vmin"),
+        max("v").as("vmax"))
+      .orderBy("dim")
+  }
+
+  /** q_text_source_overlap — pairwise cross-source contamination audit:
+    * for every source pair, how many distinct bigram shingles they
+    * share and the Jaccard of their shingle vocabularies — the
+    * "is source B a mirror/subset of source A" check run before
+    * weighting sources in a corpus mix (a crawl that re-ingested a
+    * dump shows up as an outlier pair here long before doc-level
+    * dedup finds the copies). Shape: per-source distinct shingle sets
+    * via one (source, shingle) DISTINCT (the only corpus-sized
+    * shuffle, co-keyed for the self-join that follows); the self-join
+    * is an equijoin ON SHINGLE — each shingle contributes at most
+    * k²/2 pair rows for k sources, so the blowup is bounded by the
+    * DOMAIN, not the corpus; per-source vocabulary sizes ride back on
+    * a broadcast k-row table. All-pairs completeness: the k×k pair
+    * frame comes from the counts table crossed with itself (k² rows,
+    * driver-free), left-joined to observed intersections so disjoint
+    * pairs report 0, not absence. Integer counts + one round-4
+    * division. */
+  private val textSourceOverlap: Q = (s, dir) => {
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(TextSim.shingles(col("text"), 2)))
+          .as("shingle"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("source").as("src_a"), col("shingle"))
+      .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    broadcast(counts.select(col("source").as("src_a"), col("n_sh").as("n_a")))
+      .crossJoin(broadcast(
+        counts.select(col("source").as("src_b"), col("n_sh").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_vec_dimstats" -> vecDimstats,
+    "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,
     "q_text_ngram_lm" -> textNgramLm,
     "q_text_boilerplate" -> textBoilerplate,

@@ -262,7 +262,43 @@ object WindowQueries {
       .orderBy(col("custkey").asc_nulls_first, col("merged_start"))
   }
 
+  /** q_win_ema — truncated exponential moving average of event values
+    * per user (α = 0.5, depth 8): the smoothing pass behind "current
+    * engagement level" features, where recent events dominate and the
+    * influence horizon is explicit. The textbook EMA is an infinite
+    * recursion no batch window can stream; truncating at 8 lags (weight
+    * 0.5⁸ ≈ 0.4% — below the output's rounding grid) turns it into ONE
+    * window pass with a FIXED frame: eight `lag` reads per row, O(1)
+    * state, no UNBOUNDED FOLLOWING trap (the q_evt_abandon lesson).
+    * Weights renormalize over the lags that exist, so partition heads
+    * average over their real history instead of leaking zeros. Float
+    * parity is exact, not approximate: powers of 0.5 are exact binary
+    * doubles, and both engines evaluate the same ≤8-term sum written
+    * in the same literal order — bit-identical before the round.
+    * Ordering parity: µs-truncated ts + event_id, the shared total
+    * order (§7.5.9). */
+  private val winEma: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val lags = (0 to 7).map(i =>
+      if (i == 0) col("value") else lag(col("value"), i).over(w))
+    val wts = (0 to 7).map(i => math.pow(0.5, i))
+    val num = lags.zip(wts).map { case (l, wt) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.zip(wts).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ema", round(num / den, 4))
+      .select("event_id", "user_id", "value", "ema")
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_ema" -> winEma,
     "q_win_interval_merge" -> winIntervalMerge,
     "q_win_streak" -> winStreak,
     "q_win_sessionize" -> winSessionize,

@@ -154,7 +154,25 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_graph_pagerank" -> 0.9, "q_agg_mad" -> 0.7,
     "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.5,
     "q_samp_temperature" -> 0.5, "q_text_ngram_lm" -> 0.9,
-    "q_text_boilerplate" -> 0.9)
+    // 0.9 at registration was an under-load guess that the first full
+    // sf0.1 bench disproved: isolated warm rerun measured 2.5-3.8 s on a
+    // machine running the whole suite at ~2.3x the round-7 quiet anchor
+    // (62 s vs 26.5 s, code unchanged), i.e. ~1.5 s quiet-equivalent.
+    // The cost is intrinsic — per-doc distinct bigram materialization
+    // plus the (source, shingle) doc-frequency shuffle, the same family
+    // as q_text_tfidf's 1.2 budget — not a regression.
+    "q_text_boilerplate" -> 1.5,
+    // round-8 batch 4, measured via BenchOne on the same ~2.3x-loaded
+    // machine as the boilerplate postmortem above, budgeted at roughly
+    // the quiet-equivalent + headroom: sql_report pays two co-keyed
+    // joins + a window; busdays one orderkey join; dimstats a
+    // dimension-keyed two-phase aggregate; source_overlap the
+    // (source, shingle) DISTINCT + self-join (the boilerplate family);
+    // ema one fixed-frame window pass; media_shard a per-type window
+    // over the 2400-row fixture
+    "q_sql_report" -> 1.3, "q_dt_busdays" -> 0.8,
+    "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
+    "q_win_ema" -> 0.9, "q_media_shard" -> 0.6)
 
   private val benchFile = new java.io.File("/root/repo/target/bench.json")
 

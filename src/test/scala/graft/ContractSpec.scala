@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 174, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 161)
+    assert(declared.size == 180, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 167)
     assert(declared.values.count(_ == "Q") == 12)
     assert(declared.values.count(_ == "U") == 1)
   }
