@@ -129,7 +129,7 @@ class UtilityOpsSpec extends SparkSpecBase {
     val rows = spark.read.parquet(graft.ops.Multimodal.mediaFixture(spark))
       .selectExpr("media_id", "media_type", "length(payload)")
       .as[(Long, String, Int)].collect()
-    val expected = rows.groupBy(_._2).flatMap { case (mt, rs) =>
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (mt, rs) =>
       var cum = 0L
       rs.sortBy(_._1).map { case (id, _, nb) =>
         val shard = cum / 2048
