@@ -9,7 +9,6 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master("local[32]").appName("bench-one")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -20,7 +20,6 @@ object IvfBench {
     val spark = SparkSession.builder()
       .master("local[32]").appName("ivf-bench")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

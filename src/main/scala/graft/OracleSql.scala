@@ -5,9 +5,11 @@ package graft
   * Dialect-parity rules (SURVEY.md §7.5): explicit ORDER BY on a
   * key-complete list with explicit NULLS FIRST where nullable; round(x,4)
   * on float aggregates; integer aggregates cast to BIGINT (DuckDB sums
-  * integers into HUGEINT, Spark into long); `events.ts` is TIMESTAMP_NS in
-  * DuckDB but microseconds in Spark, so any ts output goes through
-  * CAST(ts AS TIMESTAMP).
+  * integers into HUGEINT, Spark into long); `events.ts` is stored as
+  * TIMESTAMP(MICROS) since the r10 fixture regeneration — the
+  * `CAST(ts AS TIMESTAMP)` wrappers (a µs-truncation back when the
+  * fixture was TIMESTAMP_NS) are now identity casts, kept because they
+  * are harmless and future-proof against a NS regeneration.
   */
 object OracleSql {
 
@@ -35,8 +37,9 @@ object OracleSql {
                                   ORDER BY revenue DESC) AS BIGINT) AS rnk
          FROM rev
          ORDER BY segment, yr, qtr""",
-    // Mirrors dtBusdays: the same closed-form weekday count W(d) on
-    // days-since-epoch; DuckDB `//` is floor division ≡ Spark
+    // Mirrors dtBusdays: the same closed-form SIGNED weekday count
+    // W(d) on days-since-epoch (negative when ship precedes order —
+    // see dtBusdays' Scaladoc); DuckDB `//` is floor division ≡ Spark
     // floor(x/7) on the non-negative ints 1992+ dates produce.
     "q_dt_busdays" ->
       """WITH li AS (
@@ -216,8 +219,8 @@ object OracleSql {
            FROM orders)
          ORDER BY tbl""",
     // Mirrors evtAbandon: the same reversed running-min frame over the
-    // shared integer-µs order key (epoch_us ∘ ns-truncation ≡
-    // unix_micros ∘ `ts div 1000`), the same 7-day integer boundary.
+    // shared integer-µs order key (epoch_us ≡ unix_micros on the µs
+    // fixture), the same 7-day integer boundary.
     "q_evt_abandon" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type,

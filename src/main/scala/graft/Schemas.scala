@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Explicit `StructType` constants for every input the engine reads.
@@ -66,13 +65,16 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]); it is read as raw nanos
-    * (LongType) and converted to a microsecond TimestampType in
-    * [[Tables.load]]. */
-  val eventsRaw = StructType(Seq(
+  /** `ts` is INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) in the parquet
+    * footer — Spark's vectorized reader handles it natively; with the
+    * session timezone pinned to UTC (every entry point does this) the
+    * NTZ/LTZ distinction is value-neutral. [[Tables.load]] guards against
+    * a silent fixture-unit change (an earlier generation of the testdata
+    * was TIMESTAMP(NANOS) and needed a div-1000 workaround; a unit change
+    * shifts every value 1000× without any read error). */
+  val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch, see Tables.load
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -114,7 +116,7 @@ object Schemas {
   val byName: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> eventsRaw,
+    "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 }
 
@@ -123,30 +125,8 @@ object Schemas {
   * columns into these scans for free (verify with `.explain`: PushedFilters /
   * ReadSchema). */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") {
-        // TIMESTAMP(NANOS) parquet → read as long nanos, convert to µs
-        // timestamps (`ts div 1000` keeps integer precision; a double
-        // division would lose it above 2^53). DuckDB's CAST(ts AS TIMESTAMP)
-        // performs the identical truncation, so oracle parity holds.
-        // Requires spark.sql.legacy.parquet.nanosAsLong=true, set at session
-        // build time by every entry point (Verify/Bench/PlanDump/specs) —
-        // not here: a runtime conf.set would leak into and race with other
-        // readers sharing the session.
-        require(
-          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-            .contains("true"),
-          "events.parquet is TIMESTAMP(NANOS): build the SparkSession with " +
-            "spark.sql.legacy.parquet.nanosAsLong=true")
-        spark.read.schema(Schemas.eventsRaw)
-          .parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else {
-        spark.read.schema(Schemas.byName(name)).parquet(s"$dir/$name.parquet")
-      }
-    df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.schema(Schemas.byName(name)).parquet(s"$dir/$name.parquet")
 
   /** Lift a narrow plan to the session's parallelism before CPU-heavy
     * per-row work. Small-SF parquet arrives as ONE input split (a 2 MB

@@ -11,7 +11,6 @@ object Smoke {
       .master("local[8]")
       .appName("graft-smoke")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -139,33 +139,40 @@ object AggQueries {
     * a full vocabulary count. Sketch = d×w counter grid (d=4 hash
     * rows, w=1024 buckets): each token increments one bucket per row
     * (`xxhash64(row_seed, term) mod w`), estimate = min over rows.
-    * The build is ONE two-phase groupBy on (row, bucket): map-side
-    * partial aggregation collapses every partition to ≤ d·w cells, so
-    * the shuffle carries ≤ tasks·4096 rows REGARDLESS of corpus size,
-    * and the final sketch (4096 rows) broadcasts to the probe join.
-    * Counters are plain sums, so the sketch is mergeable across
-    * partitions/days by construction. The query reports the exact
-    * top-20 terms with their estimates so the CMS over-count guarantee
-    * (est ≥ exact, est ≤ exact + εN deterministically checked) is
-    * visible in the output. Q-tier: xxhash64 has no DuckDB twin;
-    * bounds + determinism gated in SinksAndApproxSpec. (Ref: the
-    * reference counts category frequencies client-side in pandas,
-    * `database/app.py:214-226` — this is that capability made
-    * sublinear.) */
+    * The corpus is tokenized ONCE into vocabulary counts (two-phase
+    * groupBy(term): map-side partials collapse each partition to its
+    * local vocabulary before the shuffle); the sketch is then derived
+    * from the vocab — a cell's counter is Σ n_exact over the terms
+    * hashing into it, identical by construction to incrementing per
+    * token — and the exact top-20 reads the same vocab. Both branches
+    * share the groupBy(term) exchange, so Catalyst's ReuseExchange
+    * runs the scan+tokenize exactly once (r9 flagged the old shape:
+    * two independent corpus scans, one per branch; at 100 TB that's a
+    * doubled corpus pass for no information gain). The final sketch
+    * (≤ d·w = 4096 rows) broadcasts to the probe join. Counters are
+    * plain sums, so the sketch is mergeable across partitions/days by
+    * construction. The query reports the exact top-20 terms with their
+    * estimates so the CMS over-count guarantee (est ≥ exact, est ≤
+    * exact + εN deterministically checked) is visible in the output.
+    * Q-tier: xxhash64 has no DuckDB twin; bounds + determinism gated
+    * in SinksAndApproxSpec. (Ref: the reference counts category
+    * frequencies client-side in pandas, `database/app.py:214-226` —
+    * this is that capability made sublinear.) */
   private val aggCountmin: Q = (s, dir) => {
     val d = 4
     val w = 1024
     def cell(i: Int, t: org.apache.spark.sql.Column) =
       struct(lit(i).as("row"), pmod(xxhash64(lit(i), t), lit(w)).as("bucket"))
-    val toks = Tables.parallelized(Tables.load(s, dir, "documents"))
+    val termCounts = Tables.parallelized(Tables.load(s, dir, "documents"))
       .select(explode(graft.ops.TextSim.tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
-    val sketch = toks
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val sketch = termCounts
       .select(explode(array((0 until d).map(i => cell(i, col("term"))): _*))
-        .as("c"))
+        .as("c"), col("n_exact"))
       .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .agg(sum("n_exact").as("cnt"))
+    val top = termCounts
       .orderBy(col("n_exact").desc, col("term")).limit(20)
     top
       .select(col("term"), col("n_exact"),

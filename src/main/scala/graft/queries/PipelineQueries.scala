@@ -416,11 +416,17 @@ object PipelineQueries {
   private val etlSchemaEvolve: Q = (s, dir) => {
     val out = SourceQueries.freshSinkDir("schema_evolve")
     val ev = Tables.load(s, dir, "events")
+    // coalesce(4): the fixture halves are a few MB each — inheriting the
+    // session's 32 shuffle partitions wrote ~64 tiny files whose open/
+    // close/footer overhead dominated the op (r9: 6.67 s). Four files per
+    // schema version still exercises the footer-union path.
     ev.filter(col("event_id") % 2 === 0)
       .select("event_id", "user_id", "value")
+      .coalesce(4)
       .write.mode("overwrite").parquet(out)
     ev.filter(col("event_id") % 2 === 1)
       .select("event_id", "user_id", "event_type", "value")
+      .coalesce(4)
       .write.mode("append").parquet(out)
     s.read.option("mergeSchema", "true").parquet(out)
       .groupBy(coalesce(col("event_type"), lit("legacy")).as("bucket"))

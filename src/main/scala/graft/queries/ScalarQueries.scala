@@ -241,7 +241,14 @@ object ScalarQueries {
     * arithmetic, not a calendar explode: with d = days since epoch and
     * the +3 offset anchoring day 0 on a Monday (1970-01-01 is a
     * Thursday), W(d) = 5·((d+3) div 7) + min((d+3) mod 7, 5) counts
-    * weekdays in [epoch, d), and busdays(a, b) = W(b) − W(a) — one
+    * weekdays in [epoch, d), and busdays(a, b) = W(b) − W(a). The metric
+    * is SIGNED: a lineitem shipping before its order date yields a
+    * negative latency rather than clamping at 0 — for an SLA readout the
+    * sign distinguishes "pre-shipped" from "same-day", and the signed
+    * form stays antisymmetric (busdays(a,b) = −busdays(b,a)) so
+    * downstream means don't bias upward. (The synthetic testdata ships
+    * ~49% of lineitems before their order date, so this convention is
+    * exercised, not theoretical.) One
     * expression per row, codegen'd, no generate_series join (a spine
     * join would shuffle a 100 TB fact against a calendar for what a
     * subtraction answers). Both engines evaluate the identical formula

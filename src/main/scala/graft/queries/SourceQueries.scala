@@ -85,10 +85,19 @@ object SourceQueries {
     d
   }
 
+  /** Reader-semantics version, folded into every fixture stamp. Bump
+    * whenever [[Tables.load]]'s interpretation of a source column
+    * changes: the r9→r10 TIMESTAMP(NANOS)→(MICROS) reader fix left
+    * content-stamped fixtures on disk that were WRITTEN by the old
+    * (collapsing) reader against the new data — stamp matched, values
+    * wrong. v2 = native-µs events reader. */
+  private val readerVersion = "v2"
+
   /** Fingerprint of the source file(s) backing a fixture: CRC32 over
-    * (relative path, length, mtime) of every file, sorted. Folded into
-    * the fixture directory name so a REGENERATED source (same path, new
-    * content) can never be read through a stale fixture that survived in
+    * (relative path, length, mtime) of every file, sorted, prefixed with
+    * [[readerVersion]]. Folded into the fixture directory name so a
+    * REGENERATED source (same path, new content) — or a reader-semantics
+    * change — can never be read through a stale fixture that survived in
     * target/tmp from an earlier JVM — that failure mode would look like
     * an engine correctness bug (fixture rows vs fresh-parquet oracle). */
   private[graft] def sourceStamp(src: String): String = {
@@ -100,7 +109,7 @@ object SourceQueries {
       else Seq(s"$rel:${f.length}:${f.lastModified}")
     walk(new java.io.File(src), "").foreach(l =>
       crc.update(l.getBytes("UTF-8")))
-    java.lang.Long.toHexString(crc.getValue)
+    s"${readerVersion}_${java.lang.Long.toHexString(crc.getValue)}"
   }
 
   /** Materialize a file-format fixture of the events table once and

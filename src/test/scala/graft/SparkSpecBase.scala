@@ -11,7 +11,6 @@ trait SparkSpecBase extends AnyFunSuite {
     .withExtensions(new GraftExtensions) // SQL-level custom functions
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

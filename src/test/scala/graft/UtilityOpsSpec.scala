@@ -11,12 +11,17 @@ class UtilityOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
   test("q_dt_busdays closed form matches day-by-day calendar iteration") {
-    // iterate the calendar: count Mon-Fri in [orderday, shipday)
+    // iterate the calendar: SIGNED count of Mon-Fri in [orderday,
+    // shipday) — negative when the span runs backwards, matching the
+    // operator's declared semantics (W(b) − W(a); see dtBusdays'
+    // Scaladoc — the synthetic data ships ~49% of lineitems before
+    // their order date, so the sign convention is load-bearing)
+    def weekday(d: Int): Boolean = {
+      val dow = (d + 4) % 7 // epoch day 0 = Thursday; 0 = Sunday
+      dow >= 1 && dow <= 5
+    }
     def naiveBusdays(a: Int, b: Int): Int =
-      (a until b).count { d =>
-        val dow = (d + 4) % 7 // epoch day 0 = Thursday; 0 = Sunday
-        dow >= 1 && dow <= 5
-      }
+      if (b >= a) (a until b).count(weekday) else -(b until a).count(weekday)
     val ords = Tables.load(spark, sf0001, "orders")
       .selectExpr("o_orderkey", "o_orderpriority",
         "datediff(to_date(o_orderdate), '1970-01-01')")
@@ -48,6 +53,7 @@ class UtilityOpsSpec extends SparkSpecBase {
     // 1970-01-03/04 (Sat/Sun), so the span across them adds nothing
     assert(naiveBusdays(2, 4) == 0)
     assert(naiveBusdays(1, 5) == 2) // Fri + Mon around that weekend
+    assert(naiveBusdays(5, 1) == -2) // antisymmetric: W(b)−W(a)
   }
 
   test("q_win_ema matches an explicit truncated-EMA loop") {
