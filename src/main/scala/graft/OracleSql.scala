@@ -218,6 +218,38 @@ object OracleSql {
                         (SELECT c_custkey FROM del) THEN 1 END)
            FROM orders)
          ORDER BY tbl""",
+    // Mirrors etlPurgeBloom: the Bloom prefilter is exactness-preserving
+    // (no false negatives; the finishing semi-join removes every false
+    // positive), so the oracle is the SAME exact-membership cascade as
+    // q_etl_purge's — deliberately shared, that identity IS the spec.
+    "q_etl_purge_bloom" ->
+      """WITH del AS (
+           SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+         po AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM del))
+         SELECT * FROM (
+           SELECT 'customer' AS tbl,
+                  count(CASE WHEN c_custkey % 53 = 0 THEN 1 END)
+                    AS n_purged,
+                  count(CASE WHEN c_custkey % 53 <> 0 THEN 1 END)
+                    AS n_kept
+           FROM customer
+           UNION ALL
+           SELECT 'lineitem',
+                  count(CASE WHEN l_orderkey IN
+                        (SELECT o_orderkey FROM po) THEN 1 END),
+                  count(CASE WHEN l_orderkey NOT IN
+                        (SELECT o_orderkey FROM po) THEN 1 END)
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders',
+                  count(CASE WHEN o_custkey IN
+                        (SELECT c_custkey FROM del) THEN 1 END),
+                  count(CASE WHEN o_custkey NOT IN
+                        (SELECT c_custkey FROM del) THEN 1 END)
+           FROM orders)
+         ORDER BY tbl""",
     // Mirrors evtAbandon: the same reversed running-min frame over the
     // shared integer-µs order key (epoch_us ≡ unix_micros on the µs
     // fixture), the same 7-day integer boundary.

@@ -167,6 +167,50 @@ object Relational {
                 lo: Column, hi: Column): DataFrame =
     probe.join(broadcast(bounds), v >= lo && v < hi, "inner")
 
+  /** Bloom-prefiltered EXACT semi-join on a long key, for membership
+    * lists too large to broadcast as an exact hash relation (the
+    * billion-key deletion wave: 10⁹ longs ≈ 8 GB raw, but a Bloom
+    * filter carries them in n·ln(1/fpp)/ln²2 bits ≈ 1.2 GB at 1% fpp —
+    * and far less for realistic waves). Two stages: (1) the filter
+    * builds DISTRIBUTEDLY (`df.stat.bloomFilter` merges per-partition
+    * filters by bit-OR, insertion-order-independent → deterministic)
+    * and broadcasts once per executor; the fact streams map-side
+    * through the probe, discarding ~all non-members with zero shuffle.
+    * (2) the surviving sliver — true members plus an fpp fraction of
+    * false positives — finishes with an EXACT co-keyed semi-join, so
+    * the result is exactly `fact ⋉ keys`: a Bloom filter has no false
+    * negatives (no member escapes the prefilter) and the semi-join
+    * removes every false positive (no innocent row is ever matched —
+    * the property a compliance deletion must have; fpp only costs a
+    * slightly larger candidate shuffle, never a wrong row). The probe
+    * is a closure over the broadcast filter — one hash+bitset test per
+    * row (same documented trade-off as Curation.decontaminateBloom:
+    * Spark exposes no public codegen'd probe over a prebuilt filter;
+    * its own InjectRuntimeFilter applies this exact pattern to shuffle
+    * joins automatically, which is the built-in to prefer when the
+    * join is already planned as one).
+    *
+    * The filter is sized from the ACTUAL distinct-key count (one
+    * column-pruned pass over the key list) — guessing low degrades the
+    * realized fpp quadratically, and the key list is the small side by
+    * premise, so the sizing pass is cheap relative to the fact scan it
+    * protects. */
+  def bloomSemiLong(fact: DataFrame, factKey: String,
+                    keys: DataFrame, keyCol: String,
+                    fpp: Double = 0.01): DataFrame = {
+    val distinctKeys =
+      keys.select(col(keyCol).cast("long").as(factKey)).distinct()
+    val n = math.max(distinctKeys.count(), 1L)
+    val bf = distinctKeys.stat.bloomFilter(factKey, n, fpp)
+    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+    // null-safe: a null key never matches (anti of nothing) — same
+    // null-never-joins semantics as the exact semi-join it feeds
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(distinctKeys, Seq(factKey), "semi")
+  }
+
   /** Gap-based sessionization: appends a per-key `sess_idx` column —
     * a new session starts when the gap since the key's previous record
     * reaches `gapUs` microseconds (`>=`, matching Structured

@@ -175,4 +175,50 @@ object Streaming {
       .transformWithState(new UserActivityProcessor, TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** TTL variant of [[UserActivityProcessor]] — the state-hygiene knob
+    * an unbounded-key stream needs at scale: without expiry, every key
+    * EVER seen pins a state-store row forever, and a 100 TB clickstream
+    * with churning users grows state monotonically until checkpoints
+    * and recovery times collapse. `TTLConfig(ttl)` bounds state to keys
+    * active within the TTL window: the store expires a key's value
+    * `ttl` after its last update (processing time — the only TimeMode
+    * TTL supports), an expired read returns null, and a returning user
+    * restarts from zero — the deliberate trade: bounded state for
+    * forgotten history, the same contract as the reference scraper
+    * re-scraping an entry older than its resume horizon
+    * (`web_scraper/web_scraping.py:513-521` — its "already scraped" set
+    * is an implicit infinite-TTL state that DOES grow forever; this is
+    * that pattern made bounded). */
+  class UserActivityTtlProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, String, Double), UserActivity] {
+    @transient private var state: ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserActivity]("activity_ttl",
+        Encoders.product[UserActivity], TTLConfig(ttl))
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, String, Double)],
+                                 timerValues: TimerValues)
+        : Iterator[UserActivity] = {
+      val next = accumulate(user,
+        Option(state.get()).getOrElse(UserActivity(user, 0L, 0L, 0L)), rows)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[userActivityTws]] with per-key state TTL. TTL requires
+    * `TimeMode.ProcessingTime` (expiry is wall-clock-anchored at the
+    * store, not event-time — late data cannot resurrect expired
+    * state). */
+  def userActivityTwsTtl(ev: Dataset[(Long, String, Double)],
+                         ttl: java.time.Duration)
+      : Dataset[UserActivity] = {
+    implicit val enc = Encoders.product[UserActivity]
+    ev.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new UserActivityTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

@@ -774,6 +774,50 @@ object PipelineQueries {
     custAudit.unionAll(ordAudit).unionAll(liAudit).orderBy("tbl")
   }
 
+  /** q_etl_purge_bloom — the SCALE TWIN of [[etlPurge]]: the same
+    * customer → orders → lineitems erasure cascade and audit, for the
+    * deletion wave that OUTGROWS broadcast (a billion-key list can't
+    * ship as an exact hash relation). Each fact is prefiltered
+    * map-side through a distributed-built Bloom filter over the key
+    * list, then the surviving sliver finishes with an exact co-keyed
+    * semi-join ([[graft.ops.Relational.bloomSemiLong]]) — so the audit
+    * is EXACT: no false negatives by Bloom construction, false
+    * positives removed by the semi-join (a compliance purge may never
+    * touch an innocent row; fpp only inflates the candidate shuffle).
+    * The lineitem hop chains a second filter built over the purged
+    * ORDER keys. Kept/purged totals come from one pruned count per
+    * fact crossed with the purged count — the fact is never scanned
+    * twice through the probe. Results are identical to [[etlPurge]]
+    * by construction (pinned in PipelinePatternSpec); the oracle is
+    * the same exact-membership SQL. */
+  private val etlPurgeBloom: Q = (s, dir) => {
+    val requested = col("c_custkey") % 53 === 0
+    val customer = Tables.load(s, dir, "customer")
+    val del = customer.filter(requested)
+      .select(col("c_custkey").as("del_key"))
+    val orders = Tables.load(s, dir, "orders")
+    val purgedOrders = graft.ops.Relational.bloomSemiLong(
+      orders.select("o_orderkey", "o_custkey"), "o_custkey",
+      del, "del_key")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val purgedLi = graft.ops.Relational.bloomSemiLong(
+      lineitem.select("l_orderkey"), "l_orderkey",
+      purgedOrders.select(col("o_orderkey").as("del_order")), "del_order")
+    val custAudit = customer.agg(
+      lit("customer").as("tbl"),
+      count(when(requested, lit(1))).as("n_purged"),
+      count(when(!requested, lit(1))).as("n_kept"))
+    def audit(tbl: String, total: DataFrame, purged: DataFrame) =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(purged.agg(count(lit(1)).as("n_purged")))
+        .select(lit(tbl).as("tbl"), col("n_purged"),
+          (col("n_total") - col("n_purged")).as("n_kept"))
+    custAudit
+      .unionAll(audit("orders", orders, purgedOrders))
+      .unionAll(audit("lineitem", lineitem, purgedLi))
+      .orderBy("tbl")
+  }
+
   /** q_evt_abandon — conversion-window analysis: every `view` event
     * either converts (a purchase by the same user within 7 days) or is
     * abandoned; per-user totals are the funnel-leak readout behind
@@ -808,6 +852,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q_etl_purge" -> etlPurge,
+    "q_etl_purge_bloom" -> etlPurgeBloom,
     "q_evt_abandon" -> evtAbandon,
     "q_evt_markov" -> evtMarkov,
     "q_evt_rfm" -> evtRfm,

@@ -153,6 +153,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-doc distinct bigrams
     "q_graph_pagerank" -> 0.9, "q_agg_mad" -> 0.7,
     "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.5,
+    // purge's broadcast probes plus two Bloom builds (each a count +
+    // bloomFilter aggregate over the key list) and a candidate-sliver
+    // shuffle semi-join per fact hop
+    "q_etl_purge_bloom" -> 1.2,
     "q_samp_temperature" -> 0.5, "q_text_ngram_lm" -> 0.9,
     // 0.9 at registration was an under-load guess that the first full
     // sf0.1 bench disproved: isolated warm rerun measured 2.5-3.8 s on a

@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 180, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 167)
+    assert(declared.size == 182, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 168)
     assert(declared.values.count(_ == "Q") == 12)
-    assert(declared.values.count(_ == "U") == 1)
+    assert(declared.values.count(_ == "U") == 2)
   }
 
   test("every declared O/Q operator has a queries entry") {

@@ -363,6 +363,21 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert((r.getDouble(6) - sizes.max / total).abs < 1e-5)
   }
 
+  test("q_etl_purge_bloom is bit-identical to the broadcast-exact purge") {
+    // the Bloom path's entire spec is exactness: no false negatives by
+    // Bloom construction, false positives removed by the finishing
+    // semi-join — so the audit must equal the exact variant's, row for
+    // row, on any input
+    def audit(id: String) = SparkEntry.queries(id)(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSeq
+    val exact = audit("q_etl_purge")
+    val bloom = audit("q_etl_purge_bloom")
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // non-vacuous: the fixture must actually purge something in every
+    // table or the equality proves nothing about the cascade
+    assert(exact.forall(_._2 > 0), s"vacuous purge fixture: $exact")
+  }
+
   // --- Null-divergence fixtures (round 8). The sf fixtures carry zero
   // null event_types / keys / values, so these engine-alignment edges
   // never fire in the driver's hash compare â each case below writes a

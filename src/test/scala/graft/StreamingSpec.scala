@@ -159,6 +159,73 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.contains((5L, 2L, 1L, 350L)), rows.mkString(", "))
   }
 
+  test("transformWithState TTL expires idle keys and accumulates live ones") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    // Under TimeMode.ProcessingTime the stream NEVER idles (every
+    // trigger interval runs a batch so processing-time timers/TTL can
+    // fire), so `processAllAvailable` — which waits for idle — would
+    // block forever. Poll the memory sink for the expected row instead.
+    def awaitRow(table: String,
+                 want: (Long, Long, Long, Long) => Boolean): Unit = {
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      def rows() = spark.table(table).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      while (!rows().exists(want.tupled) && System.nanoTime < deadline)
+        Thread.sleep(100)
+      assert(rows().exists(want.tupled),
+        s"timed out waiting on $table: ${rows().mkString(", ")}")
+    }
+    try {
+      // live half: TTL far beyond the test's runtime — state must carry
+      // across batches exactly like the no-TTL processor
+      val live = MemoryStream[(Long, String, Double)]
+      val qLive = Streaming
+        .userActivityTwsTtl(live.toDS(), java.time.Duration.ofMinutes(10))
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("tws_ttl_live").start()
+      try {
+        live.addData((7L, "click", 1.0))
+        awaitRow("tws_ttl_live", (u, n, _, _) => u == 7L && n == 1L)
+        live.addData((7L, "purchase", 2.0))
+        // within-TTL state must accumulate: 2 events, 1 purchase, 300c
+        awaitRow("tws_ttl_live",
+          (u, n, p, c) => u == 7L && n == 2L && p == 1L && c == 300L)
+      } finally qLive.stop()
+
+      // expiring half: TTL well under the enforced idle gap — the key's
+      // state must read as null in the second batch and restart at zero
+      val exp = MemoryStream[(Long, String, Double)]
+      val qExp = Streaming
+        .userActivityTwsTtl(exp.toDS(), java.time.Duration.ofMillis(500))
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("tws_ttl_exp").start()
+      try {
+        exp.addData((8L, "click", 1.0))
+        awaitRow("tws_ttl_exp", (u, n, _, _) => u == 8L && n == 1L)
+        // sleep 4x the TTL: generous margin so load jitter can't make
+        // the second batch land inside the TTL window and flake
+        Thread.sleep(2000)
+        exp.addData((8L, "click", 1.0))
+        // a second n_events=1 row — restarted from zero, not 2
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        def expRows() = spark.table("tws_ttl_exp").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        while (expRows().length < 2 && System.nanoTime < deadline)
+          Thread.sleep(100)
+        assert(expRows().count(_ == (8L, 1L, 0L, 100L)) == 2 &&
+          !expRows().exists(_._2 == 2L),
+          s"expired state must restart from zero, never reach " +
+            s"n_events=2: ${expRows().mkString(", ")}")
+      } finally qExp.stop()
+    } finally
+      // always restore the session default: leaking RocksDB into later
+      // suites would silently change what the other streaming tests cover
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpointed file-sink restart is exactly-once") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_ckpt").toString
