@@ -250,6 +250,31 @@ object OracleSql {
                         (SELECT c_custkey FROM del) THEN 1 END)
            FROM orders)
          ORDER BY tbl""",
+    // Mirrors etlZorder: the identical magic-mask Morton interleave as
+    // chained CTE stages (DuckDB's &, |, << on BIGINT ≡ Spark's
+    // bitwiseAND/OR + shiftleft on long — both 64-bit two's-complement,
+    // and every intermediate stays far below 2^32 so no sign edge
+    // exists); the write round-trip on the Spark side is
+    // value-preserving, so source-side arithmetic is the oracle.
+    "q_etl_zorder" ->
+      """WITH e AS (
+           SELECT user_id AS u, CAST(dayofyear(CAST(ts AS TIMESTAMP))
+                  AS BIGINT) AS d
+           FROM events),
+         s0 AS (SELECT u, d, u & 65535 AS ux, d & 65535 AS dx FROM e),
+         s1 AS (SELECT u, d, (ux | (ux << 8)) & 16711935 AS ux,
+                       (dx | (dx << 8)) & 16711935 AS dx FROM s0),
+         s2 AS (SELECT u, d, (ux | (ux << 4)) & 252645135 AS ux,
+                       (dx | (dx << 4)) & 252645135 AS dx FROM s1),
+         s3 AS (SELECT u, d, (ux | (ux << 2)) & 858993459 AS ux,
+                       (dx | (dx << 2)) & 858993459 AS dx FROM s2),
+         s4 AS (SELECT u, d, (ux | (ux << 1)) & 1431655765 AS ux,
+                       (dx | (dx << 1)) & 1431655765 AS dx FROM s3),
+         z AS (SELECT u, d, (ux | (dx << 1)) AS zv FROM s4)
+         SELECT zv >> 8 AS zbucket, count(*) AS n,
+                min(u) AS min_user, max(u) AS max_user,
+                min(d) AS min_doy, max(d) AS max_doy
+         FROM z GROUP BY 1 ORDER BY zbucket""",
     // Mirrors evtAbandon: the same reversed running-min frame over the
     // shared integer-µs order key (epoch_us ≡ unix_micros on the µs
     // fixture), the same 7-day integer boundary.

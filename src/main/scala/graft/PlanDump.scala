@@ -65,6 +65,7 @@ object PlanDump {
     "q_graph_pagerank" -> "pagerank: k²-edge contraction checkpointed, 5 broadcast-join iterations, no corpus rescan",
     "q_evt_abandon" -> "conversion window: reversed running-min frame (O(1) state), no UnboundedFollowing",
     "q_etl_purge" -> "erasure cascade: request list broadcast-probes customer→orders→lineitem, no fact shuffle",
+    "q_etl_purge_bloom" -> "bloom-prefiltered purge: fact scans filter map-side through the broadcast filter BEFORE any exchange; exact semi-join only on the candidate sliver",
     "q_agg_mad" -> "robust outliers: k-row median/MAD profiles broadcast back onto the stream",
     "q_text_ngram_lm" -> "unigram LM: two-phase vocab count, term-keyed frequency join, per-doc reduce")
 

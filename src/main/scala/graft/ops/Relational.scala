@@ -167,6 +167,34 @@ object Relational {
                 lo: Column, hi: Column): DataFrame =
     probe.join(broadcast(bounds), v >= lo && v < hi, "inner")
 
+  /** Bit-spread of the low 16 bits of a long into the even bit
+    * positions of a 32-bit lane — one half of a Morton (Z-order)
+    * interleave, via the standard magic-mask doubling network (4 shifts
+    * + 4 masks, branch-free, stays inside whole-stage codegen as plain
+    * long arithmetic). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) key over two long columns' low 16 bits: bits of
+    * `a` and `b` interleaved into one 32-bit-range long, so rows close
+    * in BOTH dimensions land close on the single sort key. This is the
+    * multi-dimensional clustering primitive behind data-skipping
+    * layouts (Delta/Iceberg OPTIMIZE ZORDER): sort a 100 TB table by
+    * `zOrder2(k1, k2)` before writing and every file's (k1, k2)
+    * min/max footer stats cover a small rectangle instead of a full
+    * stripe — a predicate on EITHER dimension prunes most files, where
+    * a lexicographic (k1, k2) sort only ever prunes on k1. Pure
+    * integer expression (no UDF, codegen'd); callers with >16-bit key
+    * domains should rank/bucket first (locality needs only ORDER
+    * preservation, not injectivity). */
+  def zOrder2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
   /** Bloom-prefiltered EXACT semi-join on a long key, for membership
     * lists too large to broadcast as an exact hash relation (the
     * billion-key deletion wave: 10⁹ longs ≈ 8 GB raw, but a Bloom

@@ -818,6 +818,42 @@ object PipelineQueries {
       .orderBy("tbl")
   }
 
+  /** q_etl_zorder — multi-dimensional clustering layout (the
+    * data-skipping primitive behind Delta/Iceberg `OPTIMIZE ZORDER`):
+    * rewrite the fact sorted by a Morton interleave of (user_id,
+    * day-of-year) so every output file's footer min/max covers a small
+    * RECTANGLE of the (user, day) plane instead of a full stripe — a
+    * predicate on EITHER dimension then prunes most files at planning
+    * time, where a lexicographic sort only ever prunes on its leading
+    * key. At 100 TB this is the difference between a point lookup
+    * touching ~√F of F files and touching all of them. The z-value is
+    * pure codegen'd long arithmetic
+    * ([[graft.ops.Relational.zOrder2]], magic-mask bit spreading — no
+    * UDF); `repartitionByRange(zv)` gives disjoint per-file z-ranges
+    * (the rectangle property, asserted file-by-file in
+    * LayoutInvarianceSpec) and ONE range shuffle is the entire
+    * clustering cost. The registered readout aggregates per z-bucket
+    * stats from the written files; the oracle recomputes the identical
+    * Morton arithmetic from the source table — the write round-trip
+    * must be value-preserving for them to agree. */
+  private val etlZorder: Q = (s, dir) => {
+    val out = SourceQueries.freshSinkDir("zorder")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        dayofyear(col("ts")).cast("long").as("doy"))
+      .withColumn("zv",
+        graft.ops.Relational.zOrder2(col("user_id"), col("doy")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(shiftright(col("zv"), 8).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("doy").as("min_doy"), max("doy").as("max_doy"))
+      .orderBy("zbucket")
+  }
+
   /** q_evt_abandon — conversion-window analysis: every `view` event
     * either converts (a purchase by the same user within 7 days) or is
     * abandoned; per-user totals are the funnel-leak readout behind
@@ -853,6 +889,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q_etl_purge" -> etlPurge,
     "q_etl_purge_bloom" -> etlPurgeBloom,
+    "q_etl_zorder" -> etlZorder,
     "q_evt_abandon" -> evtAbandon,
     "q_evt_markov" -> evtMarkov,
     "q_evt_rfm" -> evtRfm,

@@ -68,4 +68,45 @@ class LayoutInvarianceSpec extends SparkSpecBase {
     assert(dc.head.nonEmpty && dc.distinct.size == 1,
       "decontamination keep-set depends on partition layout")
   }
+
+  test("z-ordered write produces disjoint per-file z-ranges (rectangles)") {
+    // the data-skipping claim of q_etl_zorder: repartitionByRange on the
+    // Morton key hands each output file a CONTIGUOUS, NON-OVERLAPPING
+    // z-interval, so footer min/max stats bound a small (user, day)
+    // rectangle per file — overlap would mean a point predicate reads
+    // more than its own stripe and the layout bought nothing
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder_spec").toString
+    Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"),
+        dayofyear(col("ts")).cast("long").as("doy"))
+      .withColumn("zv", Relational.zOrder2(col("user_id"), col("doy")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(out)
+    val spans = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zv").as("lo"), max("zv").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(spans.length >= 4, s"want several files, got ${spans.length}")
+    spans.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 <= lo2,
+          s"overlapping file z-ranges: ..$hi1 vs $lo2.. — range " +
+            "partitioning lost, footer stats no longer prune")
+      case _ =>
+    }
+    // and the z-interleave is the real thing: a Morton key must change
+    // BOTH coordinates' locality, i.e. no file spans the full user range
+    val users = spark.read.parquet(out)
+      .groupBy(input_file_name())
+      .agg((max("user_id") - min("user_id")).as("span"))
+      .collect().map(_.getLong(1))
+    val fullSpan = 14L // sf0.001 users are 0..14
+    assert(users.exists(_ < fullSpan),
+      s"every file spans all users — interleave not clustering: " +
+        users.mkString(", "))
+  }
 }

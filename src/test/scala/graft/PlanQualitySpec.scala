@@ -403,6 +403,38 @@ class PlanQualitySpec extends SparkSpecBase {
       "count-min sketch→probe join must broadcast the 4096-row sketch")
   }
 
+  test("q_agg_countmin tokenizes the corpus once (runtime stage reuse)") {
+    // both the sketch and the exact top-20 derive from the SAME
+    // groupBy(term) vocabulary — the static plan prints two scan
+    // branches, but AQE must materialize the shared tokenize+count
+    // exchange once and reuse it (the r9 shape really did scan and
+    // tokenize the corpus twice; at 100 TB that's a doubled corpus
+    // pass). Assert on the EXECUTED plan: reuse only appears there.
+    val df = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      executed.contains("ReusedQueryStage"),
+      s"no exchange/stage reuse in executed plan:\n${executed.take(3000)}")
+  }
+
+  test("q_etl_purge_bloom probes facts map-side before any exchange") {
+    val p = plan("q_etl_purge_bloom")
+    // the Bloom probe must be a Filter ON the fact scans — a plan that
+    // exchanges the fact first has lost the entire point (prefiltering
+    // the 100 TB side down to the candidate sliver for free)
+    assert(p.contains("UDF"), "bloom-probe filter missing from the plan")
+    // the lineitem hop reads ONLY the join key — a wider ReadSchema
+    // would drag fact payload through the probe for nothing
+    val liSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_orderkey"))
+    assert(liSchema.exists(l => !l.contains("l_quantity") &&
+      !l.contains("l_extendedprice")),
+      s"lineitem scan not pruned to the key: $liSchema")
+    // the exact finish is a semi-join, never an inner that could dup rows
+    assert(p.contains("LeftSemi"), "exact finishing semi-join missing")
+  }
+
   test("q_evt_retention is join-free with exactly two hash exchanges") {
     val p = plan("q_evt_retention")
     // the collect_set(user_id) formulation derives the cohort AND the
