@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** §2.K streaming operator builders. Each takes a DataFrame and returns a
   * transformed one, so the same builder runs in batch (oracle-checkable
@@ -219,6 +219,66 @@ object Streaming {
     implicit val enc = Encoders.product[UserActivity]
     ev.groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(new UserActivityTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** One per-key status row from the inactivity processor: `status` is
+    * "active" on each arriving batch, "inactive" on timer expiry. */
+  case class UserTimeout(user_id: Long, status: String, n_events: Long)
+
+  /** Inactivity timeout via processing-time TIMERS — the third leg of
+    * the `transformWithState` surface (typed `ValueState`:
+    * [[UserActivityProcessor]]; passive TTL expiry:
+    * [[UserActivityTtlProcessor]]; timers here). A timer is the PUSH
+    * complement to TTL's passive forgetting: TTL silently drops state,
+    * a timer fires `handleExpiredTimer` and EMITS — which is what
+    * session-end detection, cart-abandonment alerts, and SLA breach
+    * monitors need (the streaming form of q_evt_abandon's batch
+    * question; reference analog: the scraper's per-request 30 s
+    * timeout, `web_scraper/web_scraping.py:66,476`, generalized to
+    * per-entity inactivity). Protocol: each input batch deletes the
+    * key's previous timer and re-arms `timeoutMs` ahead, so exactly
+    * one timer per live key exists at any moment — timer count scales
+    * with LIVE keys, not with events seen; the expiry handler clears
+    * the key's state, so a timed-out key that returns starts a fresh
+    * session. */
+  class InactivityProcessor(timeoutMs: Long)
+      extends StatefulProcessor[Long, (Long, String, Double), UserTimeout] {
+    @transient private var nEvents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nEvents = getHandle.getValueState[Long]("n_events",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, String, Double)],
+                                 timerValues: TimerValues)
+        : Iterator[UserTimeout] = {
+      val n = (if (nEvents.exists()) nEvents.get() else 0L) + rows.size
+      nEvents.update(n)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      Iterator.single(UserTimeout(user, "active", n))
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[UserTimeout] = {
+      val n = if (nEvents.exists()) nEvents.get() else 0L
+      nEvents.clear()
+      Iterator.single(UserTimeout(user, "inactive", n))
+    }
+  }
+
+  /** Session-end detection stream: "active" rows while a key receives
+    * input, one "inactive" row `timeout` after its last event. */
+  def userInactivity(ev: Dataset[(Long, String, Double)],
+                     timeout: java.time.Duration): Dataset[UserTimeout] = {
+    implicit val enc = Encoders.product[UserTimeout]
+    ev.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new InactivityProcessor(timeout.toMillis),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 183, s"got ${declared.size}")
+    assert(declared.size == 184, s"got ${declared.size}")
     assert(declared.values.count(_ == "O") == 169)
     assert(declared.values.count(_ == "Q") == 12)
-    assert(declared.values.count(_ == "U") == 2)
+    assert(declared.values.count(_ == "U") == 3)
   }
 
   test("every declared O/Q operator has a queries entry") {

@@ -226,6 +226,55 @@ class StreamingSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("timer fires an inactive tombstone after the key goes quiet") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      // 5 s timeout: must exceed worst-case inter-batch latency under
+      // suite load (an 800 ms first cut expired between two addData
+      // calls and the "active, 2" row never existed), while staying far
+      // under the 30 s poll deadlines
+      val q = Streaming.userInactivity(mem.toDS(),
+          java.time.Duration.ofSeconds(5))
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName("timer_test").start()
+      def rows() = spark.table("timer_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      def awaitRow(want: ((Long, String, Long)) => Boolean): Unit = {
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (!rows().exists(want) && System.nanoTime < deadline)
+          Thread.sleep(100)
+        assert(rows().exists(want),
+          s"timed out: ${rows().mkString(", ")}")
+      }
+      try {
+        mem.addData((9L, "click", 1.0))
+        awaitRow(r => r == ((9L, "active", 1L)))
+        mem.addData((9L, "click", 1.0))
+        // re-arming must extend the deadline, not fire per event
+        awaitRow(r => r == ((9L, "active", 2L)))
+        // now go quiet: the timer fires and emits the tombstone with
+        // the final count; the state clears with it
+        awaitRow(r => r == ((9L, "inactive", 2L)))
+        // a returning key starts a FRESH session (n resets), proving
+        // the expiry handler cleared state, not just emitted: a SECOND
+        // (active, 1) row must appear (the first batch already made
+        // one, so wait on the count, not mere existence)
+        mem.addData((9L, "view", 1.0))
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (rows().count(_ == ((9L, "active", 1L))) < 2 &&
+            System.nanoTime < deadline) Thread.sleep(100)
+        assert(rows().count(_ == ((9L, "active", 1L))) == 2 &&
+          !rows().contains((9L, "active", 3L)),
+          s"state survived the timeout: ${rows().mkString(", ")}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpointed file-sink restart is exactly-once") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_ckpt").toString
