@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan quality gates (SURVEY.md §4.2): these are the properties
   * that decide whether a query survives a 100× scale-up — filters reaching
@@ -416,6 +417,41 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(executed.contains("ReusedExchange") ||
       executed.contains("ReusedQueryStage"),
       s"no exchange/stage reuse in executed plan:\n${executed.take(3000)}")
+  }
+
+  test("Spark's runtime bloom filter injects into selective shuffle joins") {
+    // the built-in complement to Relational.bloomSemiLong: when a
+    // shuffle join's build side carries a selective filter, Catalyst's
+    // InjectRuntimeFilter plants a bloom probe on the probe side
+    // (bloom_filter_agg → might_contain) so the big scan discards
+    // non-joining rows BEFORE the exchange. The size thresholds target
+    // 10 GB+ scans, so this fires only at real scale — lower them here
+    // to pin that our plain equi-join shapes remain ELIGIBLE (a join
+    // rewritten through exprs Catalyst can't see through would silently
+    // lose the optimization at 100 TB)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf0001, "lineitem")
+      val ord = Tables.load(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") &&
+        opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${opt.take(2500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q_etl_purge_bloom probes facts map-side before any exchange") {
