@@ -1711,6 +1711,36 @@ object OracleSql {
     // nullif: two sub-n-token docs have EMPTY shingle sets → 0/0,
     // which Spark's try_divide makes NULL; the guard pins DuckDB to
     // NULL too (≥1.1 IEEE division would return NaN).
+    // Mirrors Curation.decontaminateNgrams at n=3: identical
+    // tokenization (string_split(lower) ≡ TextSim.tokens), identical
+    // 3-gram slices, list_distinct per doc ≡ array_distinct before the
+    // explode. The CASE len(w) >= 3 branch mirrors TextSim.shingles'
+    // short-doc guard (else [] ≡ Spark's null array → n_grams 0 via
+    // explode_outer + count), and the left join back to the doc list
+    // keeps zero-gram docs in the output exactly like explode_outer.
+    "q_text_decon_ngram" ->
+      """WITH ev AS (
+           SELECT DISTINCT array_to_string(list_slice(w, i + 1, i + 3), ' ')
+                    AS gram
+           FROM (SELECT string_split(lower(text), ' ') AS w
+                 FROM documents WHERE doc_id % 97 = 0) d,
+                unnest(range(0, greatest(len(w) - 2, 0))) AS t(i)),
+         c AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) >= 3 THEN
+                    list_transform(range(len(w) - 2),
+                      i -> array_to_string(w[i+1:i+3], ' '))
+                    ELSE [] END) AS grams
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents WHERE doc_id % 97 <> 0)),
+         g AS (SELECT doc_id, unnest(grams) AS gram FROM c),
+         hits AS (
+           SELECT g.doc_id, count(*) AS n_hits
+           FROM g JOIN ev USING (gram) GROUP BY 1)
+         SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         FROM c LEFT JOIN hits h USING (doc_id)
+         ORDER BY doc_id""",
     "q_text_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,

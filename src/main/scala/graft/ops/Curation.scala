@@ -205,6 +205,41 @@ object Curation {
     tagged.filter(!maybeContaminated(col("text_sha")))
   }
 
+  /** N-gram-level decontamination — the collision test production
+    * pipelines actually run (the GPT-3 report used 13-gram overlap):
+    * whole-document matching ([[decontaminate]]) misses a corpus
+    * document that embeds PART of an eval item — a quoted question, a
+    * pasted answer — while n-gram collision catches any shared
+    * `n`-token span. Per corpus doc, reports how many of its DISTINCT
+    * word n-grams appear anywhere in the eval set's n-gram inventory;
+    * the caller thresholds (n_hits > 0 is the strict policy).
+    *
+    * Scale shape: eval n-grams are benchmark-sized → distinct +
+    * broadcast (outgrowing that, swap in the [[decontaminateBloom]]
+    * filter build — same one-sided guarantee); the corpus explodes its
+    * per-doc distinct grams ONCE (`array_distinct` before the explode,
+    * no per-doc groupBy) and left-joins map-side, then one aggregate
+    * keyed on the doc id. `explode_outer` keeps sub-`n`-token and
+    * null-text docs in the output with n_grams = 0 — dropping them
+    * would make "not flagged" ambiguous between "clean" and "too
+    * short to test". */
+  def decontaminateNgrams(corpus: DataFrame, idCol: String,
+                          textCol: String, evalDocs: DataFrame,
+                          evalTextCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(TextSim.shingles(col(evalTextCol), n)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    corpus
+      .select(col(idCol),
+        explode_outer(array_distinct(TextSim.shingles(col(textCol), n)))
+          .as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(col("gram")).as("n_grams"),
+        count(col("hit")).as("n_hits"))
+  }
+
   /** SCD-2 validity intervals from an append-only change stream: each
     * key's records, ordered by event time (id tie-break), become
     * [valid_from, valid_to) intervals with `valid_to = next change` and

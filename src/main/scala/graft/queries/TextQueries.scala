@@ -547,6 +547,26 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** q_text_decon_ngram — n-gram-collision decontamination
+    * ([[graft.ops.Curation.decontaminateNgrams]]): the span-level
+    * companion to q_text_decontaminate's whole-document sha match —
+    * flags a corpus doc when any of its word n-grams appears in the
+    * eval slice's inventory (partial contamination: a pasted eval
+    * question inside an otherwise-original page). n = 3 here:
+    * production pipelines use 8-13-gram windows, but the fixture docs
+    * are 10-99 synthetic tokens and n = 3 is the smallest n that
+    * leaves the gate discriminating on them (171 of 494 docs collide
+    * at sf0.01; n = 5 flags one, n = 8 none) — the operator is
+    * n-parametric, the fixture picks the testable point. */
+  private val textDeconNgram: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Curation.decontaminateNgrams(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        evalDocs = docs.filter(col("doc_id") % 97 === 0),
+        evalTextCol = "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** q_text_decon_bloom — Bloom-filter decontamination
     * ([[Curation.decontaminateBloom]]): the SCALE TWIN of
     * q_text_decontaminate for eval sets too large to broadcast raw —
@@ -790,6 +810,7 @@ object TextQueries {
     "q_vec_centroid" -> vecCentroid,
     "q_text_decontaminate" -> textDecontaminate,
     "q_text_decon_bloom" -> textDeconBloom,
+    "q_text_decon_ngram" -> textDeconNgram,
     "q_sample_stratified" -> sampleStratified,
     "q_vec_ann_pq" -> annPq,
     "q_text_chunk" -> textChunk,

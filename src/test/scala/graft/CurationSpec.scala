@@ -60,6 +60,36 @@ class CurationSpec extends SparkSpecBase {
       "null-text row must survive bloom decontamination")
   }
 
+  test("ngram decontamination matches a brute-force set intersection") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    def gramsOf(text: String, n: Int): Set[String] =
+      Option(text).map(_.toLowerCase.split(" ", -1).toSeq)
+        .filter(_.size >= n)
+        .map(w => w.sliding(n).map(_.mkString(" ")).toSet)
+        .getOrElse(Set.empty)
+    val texts = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val evalGrams = texts.collect {
+      case (id, t) if id % 97 == 0 => gramsOf(t, 3)
+    }.fold(Set.empty)(_ ++ _)
+    assert(evalGrams.nonEmpty, "vacuous fixture: eval slice has no grams")
+    val expected = texts.collect { case (id, t) if id % 97 != 0 =>
+      val g = gramsOf(t, 3)
+      id -> ((g.size.toLong, g.count(evalGrams).toLong))
+    }
+    val got = Curation.decontaminateNgrams(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected.toMap)
+    // the gate must discriminate on this fixture: some docs flagged,
+    // some clean — all-hit or no-hit proves nothing about the join
+    val hits = got.values.count(_._2 > 0)
+    assert(hits > 0 && hits < got.size,
+      s"non-discriminating fixture: $hits/${got.size} flagged")
+  }
+
   test("chunks cover every token and start on the stride grid") {
     val rows = Curation.chunkTokens(docs, "doc_id", "text", W, S)
       .orderBy("doc_id", "chunk_idx")
