@@ -250,6 +250,22 @@ object OracleSql {
                         (SELECT c_custkey FROM del) THEN 1 END)
            FROM orders)
          ORDER BY tbl""",
+    // Mirrors etlIncrAgg by recomputing the rollup FROM RAW EVENTS:
+    // the Spark side merges stored partials with a late-row delta, so
+    // "incremental ≡ full recompute" is exactly what this compare
+    // proves (count/sum partials are algebraic; decimal sums make the
+    // merge exact; avg derives after the merge in both engines as the
+    // same double division).
+    "q_etl_incr_agg" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4)
+                  AS DOUBLE) AS sum_value,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 4) AS avg_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY day, event_type NULLS FIRST""",
     // Mirrors etlZorder: the identical magic-mask Morton interleave as
     // chained CTE stages (DuckDB's &, |, << on BIGINT ≡ Spark's
     // bitwiseAND/OR + shiftleft on long — both 64-bit two's-complement,

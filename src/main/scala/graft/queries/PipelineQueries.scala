@@ -854,6 +854,45 @@ object PipelineQueries {
       .orderBy("zbucket")
   }
 
+  /** q_etl_incr_agg — incremental aggregate refresh (the materialized-
+    * view discipline): history lives as STORED per-(day, type) partials
+    * — counts and exact decimal sums, never ratios — and a refresh
+    * merges the stored state with the new delta's partials by summing,
+    * NEVER rescanning history. At 100 TB this is the difference between
+    * a daily rollup costing one day of scan and costing the whole
+    * table; it works because count/sum are algebraic (merge = sum of
+    * partials) while avg is NOT — so the state schema stores (n, sv)
+    * and derives avg at read, the one design rule that makes any
+    * incremental pipeline correct. The delta deliberately includes
+    * LATE rows for historical days (event_id % 101) so the merge
+    * exercises the overlapping-key case — a refresh that only appends
+    * new days would hide a broken merge. The oracle recomputes the
+    * rollup from raw events directly: incremental ≡ full recompute IS
+    * the semantic claim. */
+  private val etlIncrAgg: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val late = col("event_id") % 101 === 0
+    val tagged = ev.crossJoin(broadcast(ev.agg(max("day").as("max_day"))))
+    def partial(df: DataFrame) = df.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val stateDir = SourceQueries.freshSinkDir("incr_state")
+    partial(tagged.filter(col("day") < col("max_day") && !late))
+      .coalesce(2).write.mode("overwrite").parquet(stateDir)
+    val state = s.read.parquet(stateDir)
+    val delta = partial(
+      tagged.filter(col("day") === col("max_day") || late))
+    state.unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n"), sum("sv").as("sv"))
+      .select(col("day"), col("event_type"), col("n"),
+        expr("CAST(round(sv, 4) AS DOUBLE)").as("sum_value"),
+        round(col("sv").cast("double") / col("n"), 4).as("avg_value"))
+      .orderBy(col("day"), col("event_type").asc_nulls_first)
+  }
+
   /** q_evt_abandon — conversion-window analysis: every `view` event
     * either converts (a purchase by the same user within 7 days) or is
     * abandoned; per-user totals are the funnel-leak readout behind
@@ -890,6 +929,7 @@ object PipelineQueries {
     "q_etl_purge" -> etlPurge,
     "q_etl_purge_bloom" -> etlPurgeBloom,
     "q_etl_zorder" -> etlZorder,
+    "q_etl_incr_agg" -> etlIncrAgg,
     "q_evt_abandon" -> evtAbandon,
     "q_evt_markov" -> evtMarkov,
     "q_evt_rfm" -> evtRfm,

@@ -163,6 +163,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     // one full events range-shuffle + write + read-back aggregate per
     // invocation (the sink/compact I/O cost family)
     "q_etl_zorder" -> 1.2,
+    // partial-state write + read-back + one merge aggregate (the
+    // schema_evolve I/O family, smaller payload)
+    "q_etl_incr_agg" -> 1.0,
     "q_samp_temperature" -> 0.5, "q_text_ngram_lm" -> 0.9,
     // 0.9 at registration was an under-load guess that the first full
     // sf0.1 bench disproved: isolated warm rerun measured 2.5-3.8 s on a
