@@ -250,6 +250,21 @@ object OracleSql {
                         (SELECT c_custkey FROM del) THEN 1 END)
            FROM orders)
          ORDER BY tbl""",
+    // Mirrors sqlRecursive with the IDENTICAL recursion — DuckDB
+    // iterates the same halving frontier to the same fixpoint; the only
+    // dialect split is integer-division spelling (`//` vs Spark `DIV`).
+    "q_sql_recursive" ->
+      """WITH RECURSIVE chain (node, cur, depth) AS (
+           SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+           FROM customer
+           UNION ALL
+           SELECT node, cur // 2, depth + 1 FROM chain WHERE cur > 1)
+         SELECT CAST(depth AS BIGINT) AS chain_len,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                min(node) AS min_node, max(node) AS max_node
+         FROM (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
+         GROUP BY depth
+         ORDER BY chain_len""",
     // Mirrors etlIncrAgg by recomputing the rollup FROM RAW EVENTS:
     // the Spark side merges stored partials with a late-row delta, so
     // "incremental ≡ full recompute" is exactly what this compare

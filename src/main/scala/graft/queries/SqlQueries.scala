@@ -56,6 +56,39 @@ object SqlQueries {
          ORDER BY segment, yr, qtr""")
   }
 
+  /** q_sql_recursive — `WITH RECURSIVE` (Spark 4's recursive CTE): the
+    * iterate-to-fixpoint SQL surface that hierarchy walks, BOM
+    * explosions, and graph reachability arrive as from the Postgres
+    * world (the reference's warehouse IS Postgres — its users write
+    * recursive CTEs; q_vec_dedup_groups' ORACLE is already one). Each
+    * customer key walks its halving chain `k → k div 2 → … → 1` (a
+    * synthetic binary-tree parent function — the recursion's work per
+    * level is one co-keyed step over the frontier, the same execution
+    * shape as a parts-hierarchy walk), and the readout is the chain-
+    * length distribution. DuckDB evaluates the IDENTICAL recursion —
+    * both engines iterate the same frontier to the same fixpoint; the
+    * only dialect split is integer division spelling (Spark `DIV`,
+    * DuckDB `//`). Scale: each recursion level is one join/filter over
+    * the previous level's rows — depth is log₂(maxkey), frontier
+    * shrinks as chains terminate, and the union of levels never
+    * materializes on the driver. */
+  private val sqlRecursive: Q = (s, dir) => {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("sqlrec_customer")
+    s.sql(
+      """WITH RECURSIVE chain (node, cur, depth) AS (
+           SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+           FROM sqlrec_customer
+           UNION ALL
+           SELECT node, cur DIV 2, depth + 1 FROM chain WHERE cur > 1)
+         SELECT CAST(depth AS BIGINT) AS chain_len,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                min(node) AS min_node, max(node) AS max_node
+         FROM (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
+         GROUP BY depth
+         ORDER BY chain_len""")
+  }
+
   val all: Map[String, Q] = Map(
-    "q_sql_report" -> sqlReport)
+    "q_sql_report" -> sqlReport,
+    "q_sql_recursive" -> sqlRecursive)
 }

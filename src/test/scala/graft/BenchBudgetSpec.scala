@@ -184,6 +184,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // ema one fixed-frame window pass; media_shard a per-type window
     // over the 2400-row fixture
     "q_sql_report" -> 1.3, "q_dt_busdays" -> 0.8,
+    // ~11 frontier iterations over a customer-sized and shrinking set
+    "q_sql_recursive" -> 1.0,
     "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
     "q_win_ema" -> 0.9, "q_media_shard" -> 0.6)
 
