@@ -560,8 +560,14 @@ object TextQueries {
     * n-parametric, the fixture picks the testable point. */
   private val textDeconNgram: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
+    // parallelized: the small-SF parquet is one input split, and the
+    // corpus-side shingle explode is the CPU-bound stage — without the
+    // lift it runs on a single core (r10 bench: 1.9 s vs the ~0.8 s
+    // cost family; at scale the scan already yields enough splits and
+    // this is the identity)
     graft.ops.Curation.decontaminateNgrams(
-        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        Tables.parallelized(docs.filter(col("doc_id") % 97 =!= 0)),
+        "doc_id", "text",
         evalDocs = docs.filter(col("doc_id") % 97 === 0),
         evalTextCol = "text", n = 3)
       .orderBy("doc_id")
