@@ -226,6 +226,47 @@ class StreamingSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState state survives a checkpointed query restart") {
+    // the recovery half of the arbitrary-state contract: the existing
+    // exactly-once restart test covers a stateless sink; this one pins
+    // that typed ValueState itself reloads from the checkpoint — a
+    // 1000-executor job WILL lose executors and restart queries, and
+    // "accumulates across batches" is worthless if a restart resets it
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_tws_ckpt").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      def runOnce(data: Seq[(Long, String, Double)]): Unit = {
+        // data lands BEFORE start: AvailableNow snapshots the available
+        // offsets at query start — data added after would be invisible
+        // to this run and silently covered by the next
+        mem.addData(data: _*)
+        val q = Streaming.userActivityTws(mem.toDS()).toDF()
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce(Seq((3L, "click", 1.0), (3L, "purchase", 2.0)))
+      runOnce(Seq((3L, "purchase", 4.5))) // restart from checkpoint
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // run 2's row continues run 1's totals: 3 events, 2 purchases,
+      // 100+200+450 cents — a reset would emit (3,1,1,450)
+      assert(rows.contains((3L, 3L, 2L, 750L)),
+        s"state did not survive the restart: ${rows.mkString(", ")}")
+      assert(!rows.contains((3L, 1L, 1L, 450L)),
+        s"restart reset the accumulator: ${rows.mkString(", ")}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("timer fires an inactive tombstone after the key goes quiet") {
     implicit val sq = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
