@@ -454,6 +454,56 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits skewed sort-merge partitions at runtime") {
+    // the hot-key story has two tiers: Relational.saltedJoin for the
+    // degenerate one-key-per-task case (plan-level, q_join_salted), and
+    // AQE's skew-join split for ordinary skew. This pins the second —
+    // our plain equi-join shapes must stay ELIGIBLE for the runtime
+    // split (skew=true in the executed plan), with thresholds lowered
+    // to make 100 TB-scale skew observable on the fixture
+    // Two ELIGIBILITY requirements this test encodes (both found the
+    // hard way — each silently disables the split when violated):
+    //  1. splits are per-MAPPER shuffle blocks, so a hot partition fed
+    //     by a single map task cannot be subdivided — a small-file scan
+    //     (one split) must be repartitioned upstream; at 100 TB the
+    //     scan has thousands of mappers and this is automatic;
+    //  2. OptimizeSkewedJoin pattern-matches SMJ over Sort-over-shuffle
+    //     on BOTH sides — a post-shuffle aggregate between the stage
+    //     and the sort (e.g. a distinct's final agg) breaks the match,
+    //     so keep the skewed join's inputs plain or force-apply.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~3/4 of lineitem collapses onto key 0 — a hot key that is big
+      // relative to the lowered threshold but not one-task-degenerate
+      val left = Tables.load(spark, sf001, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8) // requirement 1: multiple mappers
+        .withColumn("k",
+          org.apache.spark.sql.functions.when(
+            col("l_orderkey") % 4 =!= 0, 0L).otherwise(col("l_orderkey")))
+      val right = Tables.load(spark, sf001, "orders")
+        .select(col("o_orderkey").as("k")) // requirement 2: no agg above
+      val j = left.join(right, "k")
+      j.collect()
+      val executed = j.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true") &&
+        executed.contains("AQEShuffleRead skewed"),
+        s"AQE did not split the skewed join:\n${executed.take(2500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_etl_purge_bloom probes facts map-side before any exchange") {
     val p = plan("q_etl_purge_bloom")
     // the Bloom probe must be a Filter ON the fact scans — a plan that
