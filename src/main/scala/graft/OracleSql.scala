@@ -845,6 +845,16 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    // Shared with q_src_csv's readout: the XML round trip must be
+    // value-preserving, so the oracle aggregates the same logical rows
+    // straight from the events parquet.
+    "q_src_xml" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_src_orc" ->
       """SELECT event_type, count(*) AS n,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -153,12 +153,23 @@ object SourceQueries {
       Seq("event_id", "user_id", "event_type", "value", "ts"))(
       _.write.mode("overwrite").orc(_))
 
+  /** XML fixture (Spark 4's NATIVE xml source — the spark-xml package
+    * merged upstream): one `<event>` row element per record. Doubles
+    * round-trip bit-exactly through the text form (shortest-repr
+    * serialization, the same contract as NDJSON/CSV). */
+  private def xmlFixture(s: SparkSession, dir: String): String =
+    eventsFixture(s, dir, "xml",
+      Seq("event_id", "user_id", "event_type", "value"))(
+      _.write.mode("overwrite").option("rowTag", "event")
+        .format("xml").save(_))
+
   /** Pre-build fixtures outside any timed region (Bench calls this before
     * the timing loop). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     ndjsonFixture(s, dir)
     csvFixture(s, dir)
-    orcFixture(s, dir): Unit
+    orcFixture(s, dir)
+    xmlFixture(s, dir): Unit
   }
 
   /** q_src_parquet — schema-pinned columnar scan with projection (ref
@@ -346,6 +357,26 @@ object SourceQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_src_xml — XML scan through Spark 4's native xml source
+    * ([[xmlFixture]]): the enterprise-interchange format a warehouse
+    * still ingests (feeds, sitemaps, legacy exports — the reference's
+    * scraper world is full of it). Schema-pinned like every other
+    * source (no rowTag inference pre-scan — at 100 TB an inference
+    * pass is a full extra read); the aggregate is the same logical
+    * readout as the CSV/NDJSON twins, so the oracle is shared. */
+  private val srcXml: Q = (s, dir) => {
+    val path = xmlFixture(s, dir)
+    s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE")
+      .option("rowTag", "event").format("xml").load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_src_orc — ORC columnar scan ([[orcFixture]]): the second
     * columnar at-rest format (striped, predicate-pushdown-capable — the
     * warehouse migration case). The aggregate includes max(ts): ORC
@@ -399,6 +430,7 @@ object SourceQueries {
   val all: Map[String, Q] = Map(
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
+    "q_src_xml" -> srcXml,
     "q_src_orc" -> srcOrc,
     "q_src_parquet" -> srcParquet,
     "q_src_partition_prune" -> srcPartitionPrune,

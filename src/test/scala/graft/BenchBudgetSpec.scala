@@ -34,6 +34,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // sources
     "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
     "q_src_csv" -> 0.6, "q_src_orc" -> 0.5,
+    // XML parse is the costliest text source (per-row element parse)
+    "q_src_xml" -> 1.0,
     "q_src_stream_file" -> 2.0,
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
     "q_src_partition_prune" -> 1.2, "q_sink_bucketed" -> 1.5,

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 187, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 172)
+    assert(declared.size == 188, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 173)
     assert(declared.values.count(_ == "Q") == 12)
     assert(declared.values.count(_ == "U") == 3)
   }
