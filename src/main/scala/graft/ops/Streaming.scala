@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** §2.K streaming operator builders. Each takes a DataFrame and returns a
   * transformed one, so the same builder runs in batch (oracle-checkable
@@ -280,5 +280,62 @@ object Streaming {
     ev.groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(new InactivityProcessor(timeout.toMillis),
         TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** One row per (user, event_type) per batch from the seen-set
+    * processor: `first_seen` marks the type's first-ever arrival for
+    * the user, `n_for_type` its running count, `n_types` the user's
+    * distinct-type cardinality after this batch. */
+  case class TypeSeen(user_id: Long, event_type: String,
+                      first_seen: Boolean, n_for_type: Long, n_types: Long)
+
+  /** Keyed seen-set via `MapState` — the reference scraper's resume set
+    * (`web_scraper/web_scraping.py:513-521`: "is this bizId already
+    * scraped?") made a first-class streaming state type, and the state
+    * shape the Value/List surfaces can't express efficiently: per-key
+    * MEMBERSHIP over an unbounded sub-key domain. A ValueState holding
+    * a Map would rewrite the WHOLE map per update (serialize/replace on
+    * every row); `MapState` reads and writes one (sub-key, value) entry
+    * per update — at clickstream scale the difference between O(types)
+    * and O(1) state I/O per event. Emits first-seen flags + running
+    * counts, the novelty signal dedup/alerting consumes. */
+  class SeenTypesProcessor
+      extends StatefulProcessor[Long, (Long, String, Double), TypeSeen] {
+    @transient private var seen: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long]("seen_types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, String, Double)],
+                                 timerValues: TimerValues)
+        : Iterator[TypeSeen] = {
+      // batch-local tally first: one MapState read+write per DISTINCT
+      // type in the batch, not per row
+      val tally = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, t, _) =>
+        tally.update(t, tally.getOrElse(t, 0L) + 1L)
+      }
+      val out = tally.map { case (t, n) =>
+        val first = !seen.containsKey(t)
+        val total = (if (first) 0L else seen.getValue(t)) + n
+        seen.updateValue(t, total)
+        (t, first, total)
+      }.toSeq
+      val nTypes = seen.keys().size.toLong
+      out.iterator.map { case (t, first, total) =>
+        TypeSeen(user, t, first, total, nTypes)
+      }
+    }
+  }
+
+  /** [[SeenTypesProcessor]] as a stream transform. */
+  def userSeenTypes(ev: Dataset[(Long, String, Double)])
+      : Dataset[TypeSeen] = {
+    implicit val enc = Encoders.product[TypeSeen]
+    ev.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new SeenTypesProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 }

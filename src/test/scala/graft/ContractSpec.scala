@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 188, s"got ${declared.size}")
+    assert(declared.size == 189, s"got ${declared.size}")
     assert(declared.values.count(_ == "O") == 173)
     assert(declared.values.count(_ == "Q") == 12)
-    assert(declared.values.count(_ == "U") == 3)
+    assert(declared.values.count(_ == "U") == 4)
   }
 
   test("every declared O/Q operator has a queries entry") {

@@ -267,6 +267,39 @@ class StreamingSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("MapState seen-set flags first arrivals and counts per sub-key") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      // TimeMode.None: no self-triggering, processAllAvailable is safe
+      val q = Streaming.userSeenTypes(mem.toDS()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("seen_test").start()
+      try {
+        mem.addData((4L, "view", 1.0), (4L, "view", 1.0),
+          (4L, "click", 1.0))
+        q.processAllAvailable()
+        mem.addData((4L, "view", 1.0), (4L, "purchase", 9.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("seen_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(rows == Set(
+        // batch 1: both types first-seen; view already tallied twice
+        (4L, "view", true, 2L, 2L),
+        (4L, "click", true, 1L, 2L),
+        // batch 2: view is a re-arrival continuing its count; purchase
+        // is new — n_types reflects the post-batch cardinality
+        (4L, "view", false, 3L, 3L),
+        (4L, "purchase", true, 1L, 3L)), s"got $rows")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("timer fires an inactive tombstone after the key goes quiet") {
     implicit val sq = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
