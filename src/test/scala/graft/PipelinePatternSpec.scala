@@ -35,8 +35,8 @@ class PipelinePatternSpec extends SparkSpecBase {
     // two formulations of the same 30-min-gap semantics: the window
     // composition (Relational.sessionize) and Structured Streaming's
     // session_window (batch shadow). With the >= boundary rule they
-    // must produce the SAME sessions â same per-user session count and
-    // the same (start, n_events) multiset â not merely the same total.
+    // must produce the SAME sessions — same per-user session count and
+    // the same (start, n_events) multiset — not merely the same total.
     val batch = SparkEntry.queries("q_win_sessionize")(spark, sf0001)
       .selectExpr("user_id", "count(*) OVER (PARTITION BY user_id) AS s")
       .distinct().as[(Long, Long)].collect().toMap
@@ -96,7 +96,7 @@ class PipelinePatternSpec extends SparkSpecBase {
       .collect()
       .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getString(3)))
     // null event_types are SKIPPED (not rendered as "null") to match
-    // array_join semantics â the query's array_to_string drops null
+    // array_join semantics — the query's array_to_string drops null
     // elements, and mkString would silently diverge on them
     val hist = ev.groupBy(_._1).map { case (_, g) =>
       g.sortBy(e => (e._2, e._3)).take(50).map(_._4)
@@ -168,7 +168,7 @@ class PipelinePatternSpec extends SparkSpecBase {
     def r4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     // the cut is on the ROUNDED z (membership shares the output's 4-dp
-    // grid â see the query comment)
+    // grid — see the query comment)
     val expected = raw.filter { case (_, t, v) =>
       math.abs(r4((v - stats(t)._1) / stats(t)._2)) > 2.5
     }.map(_._1).toSet
@@ -200,7 +200,7 @@ class PipelinePatternSpec extends SparkSpecBase {
     // the corrected day must actually exist in the fixture, or the
     // dynamic-overwrite path was never exercised
     assert(expected.keys.exists(_.getDayOfMonth == 15),
-      "fixture has no day-15 rows â backfill test is vacuous")
+      "fixture has no day-15 rows — backfill test is vacuous")
   }
 
   test("q_etl_anonymize masks exactly the sub-k QI groups") {
@@ -227,7 +227,7 @@ class PipelinePatternSpec extends SparkSpecBase {
     }
     // the fixture must exercise BOTH branches
     assert(got.values.exists(_._4) && got.values.exists(!_._4),
-      "fixture yields only one masking branch â k threshold is vacuous")
+      "fixture yields only one masking branch — k threshold is vacuous")
   }
 
   test("q_evt_markov matches the brute-force pair walk") {
@@ -310,7 +310,7 @@ class PipelinePatternSpec extends SparkSpecBase {
     assert(got == expected)
     // the fixture must actually exercise the delete branch
     assert(got.size < raw.map(_._1).distinct.length,
-      "no user's latest op was a delete â erase branch is vacuous")
+      "no user's latest op was a delete — erase branch is vacuous")
   }
 
   test("q_etl_resample densifies each user's span and LOCF-fills") {
@@ -337,7 +337,7 @@ class PipelinePatternSpec extends SparkSpecBase {
         ((r.getBoolean(2), r.getDouble(3)))).toMap
     assert(got == expected)
     // spine must be dense: some day must be unobserved (gap actually filled)
-    assert(got.values.exists(!_._1), "fixture has no gaps â LOCF vacuous")
+    assert(got.values.exists(!_._1), "fixture has no gaps — LOCF vacuous")
   }
 
   test("q_etl_skew_profile matches scalar skew statistics") {
@@ -380,7 +380,7 @@ class PipelinePatternSpec extends SparkSpecBase {
 
   // --- Null-divergence fixtures (round 8). The sf fixtures carry zero
   // null event_types / keys / values, so these engine-alignment edges
-  // never fire in the driver's hash compare â each case below writes a
+  // never fire in the driver's hash compare — each case below writes a
   // tiny synthetic table that DOES exercise them and pins the aligned
   // behavior. DuckDB parity for every pinned value was verified by
   // hand-running the corresponding OracleSql entry on the identical
@@ -392,9 +392,9 @@ class PipelinePatternSpec extends SparkSpecBase {
 
   test("q_agg_ttest: empty and singleton arms yield NULL t_welch") {
     val dir = nullFixtureDir("ttest")
-    // 'x': both users even â treatment arm EMPTY; 'y': one odd user â
+    // 'x': both users even → treatment arm EMPTY; 'y': one odd user →
     // singleton treatment arm (var_samp over n=1 is NULL in BOTH
-    // engines since divide-by-zero â NULL). DuckDB on this fixture:
+    // engines since divide-by-zero → NULL). DuckDB on this fixture:
     // ('x', 0, 2, NULL, 1.5, NULL), ('y', 1, 2, 5.0, 1.5, NULL).
     Seq(
       (1L, 1000000000L, 2L, "x", 1.0, "{}"),
@@ -419,9 +419,9 @@ class PipelinePatternSpec extends SparkSpecBase {
 
   test("q_evt_paths: all-null event_types render as '' in both engines") {
     val dir = nullFixtureDir("paths")
-    // user 1: a null type mid-sequence is SKIPPED by array_join â
-    // 'a>b'; user 2: ALL types null â Spark array_join gives '' where
-    // DuckDB array_to_string gives NULL â the oracle coalesces to ''.
+    // user 1: a null type mid-sequence is SKIPPED by array_join →
+    // 'a>b'; user 2: ALL types null → Spark array_join gives '' where
+    // DuckDB array_to_string gives NULL — the oracle coalesces to ''.
     // Both engines' collected lists INCLUDE null elements, so the
     // first-50 cap windows agree. DuckDB on this fixture (with the
     // coalesce): ('', 1), ('a>b', 1).
@@ -481,7 +481,7 @@ class PipelinePatternSpec extends SparkSpecBase {
     val dir = nullFixtureDir("ttest_const")
     // both arms constant (var 0, n = 2 each): the Welch denominator is
     // exactly 0. Under ANSI a plain `/` would ABORT the job here;
-    // try_divide yields NULL â DuckDB's x/0 semantics, same-mean and
+    // try_divide yields NULL — DuckDB's x/0 semantics, same-mean and
     // different-mean cases alike. DuckDB on this fixture:
     // ('w', 2, 2, 3.0, 1.0, NULL), ('z', 2, 2, 2.0, 2.0, NULL).
     Seq(
@@ -510,9 +510,9 @@ class PipelinePatternSpec extends SparkSpecBase {
 
   test("q_evt_anomaly: zero-variance groups emit no outliers (never throw)") {
     val dir = nullFixtureDir("anomaly_const")
-    // 'const' has Ï = 0: a plain `/` under ANSI would kill the scan on
-    // its first row; try_divide yields NULL z, filtered â DuckDB's
-    // x/0 â NULL does the same. 'var' (n=12, one 9.0 among 1.0s) must
+    // 'const' has σ = 0: a plain `/` under ANSI would kill the scan on
+    // its first row; try_divide yields NULL z, filtered — DuckDB's
+    // x/0 → NULL does the same. 'var' (n=12, one 9.0 among 1.0s) must
     // still flag its outlier so the test isn't vacuous. DuckDB on
     // this fixture: [(21, 'var', 9.0, 3.1754)].
     val rows =
@@ -534,13 +534,13 @@ class PipelinePatternSpec extends SparkSpecBase {
 
   test("q_evt_markov: null event_types group as a null FROM state") {
     val dir = nullFixtureDir("markov")
-    // user 1: [a, NULL, b, a] â the (aâNULL) pair is DROPPED (to_type
-    // IS NOT NULL), the (NULLâb) pair is KEPT under from_type=NULL,
+    // user 1: [a, NULL, b, a] — the (a→NULL) pair is DROPPED (to_type
+    // IS NOT NULL), the (NULL→b) pair is KEPT under from_type=NULL,
     // and the output sorts null-first on both sides (Spark default
     // asc = nulls first; oracle says NULLS FIRST explicitly because
     // DuckDB's ASC default is nulls LAST). User 3 carries a NULL ts:
     // both engines place it FIRST in the timeline (Spark asc default
-    // / the oracle window's explicit NULLS FIRST) â pair (câa).
+    // / the oracle window's explicit NULLS FIRST) → pair (c→a).
     // DuckDB on this fixture: (NULL, 'b', 1, 1.0), ('a', 'a', 1,
     // 1.0), ('b', 'a', 1, 1.0), ('c', 'a', 1, 1.0).
     Seq(
@@ -569,9 +569,9 @@ class PipelinePatternSpec extends SparkSpecBase {
 
   test("q_etl_cdc_apply: null payloads survive, trailing deletes erase") {
     val dir = nullFixtureDir("cdc")
-    // user 1's LATEST op carries NULL event_type and NULL value â
+    // user 1's LATEST op carries NULL event_type and NULL value —
     // both propagate (round(NULL)=NULL in both engines); user 2's
-    // latest op is a delete (event_id % 10 = 0) â the key vanishes.
+    // latest op is a delete (event_id % 10 = 0) → the key vanishes.
     // DuckDB on this fixture: one row, (1, 1970-01-01 00:00:02,
     // NULL, NULL).
     Seq(
@@ -598,9 +598,9 @@ class PipelinePatternSpec extends SparkSpecBase {
     val dir = nullFixtureDir("snapdiff")
     // A NULL key is dropped from snapshot A by the %4 filter (NULL
     // predicate) but kept in snapshot B, and NULL keys never equal in
-    // a join â so each null-key row surfaces exactly once, as 'added',
+    // a join — so each null-key row surfaces exactly once, as 'added',
     // in BOTH engines. DuckDB on this fixture: added(n=3, min/max
-    // key=3, sum_delta=88.0 â key 3's 10â11 plus the two null-key
+    // key=3, sum_delta=88.0 — key 3's 10→11 plus the two null-key
     // prices 33+44), changed(n=1, key 1, 10.0), unchanged(n=2,
     // keys 2/4, 0.0).
     Seq(

@@ -404,19 +404,40 @@ class PlanQualitySpec extends SparkSpecBase {
       "count-min sketch→probe join must broadcast the 4096-row sketch")
   }
 
-  test("q_agg_countmin tokenizes the corpus once (runtime stage reuse)") {
+  test("q_agg_countmin tokenizes the corpus once (vocab cache, no rescan)") {
     // both the sketch and the exact top-20 derive from the SAME
-    // groupBy(term) vocabulary — the static plan prints two scan
-    // branches, but AQE must materialize the shared tokenize+count
-    // exchange once and reuse it (the r9 shape really did scan and
-    // tokenize the corpus twice; at 100 TB that's a doubled corpus
-    // pass). Assert on the EXECUTED plan: reuse only appears there.
+    // groupBy(term) vocabulary. r9's shape scanned and tokenized the
+    // corpus twice; r10 leaned on AQE stage reuse, which fired on some
+    // runs and not others (exchange canonicalization is fragile under
+    // re-optimization — the bench bimodality). The query now persists
+    // the vocab and fills it with one eager pass, so the property to
+    // pin got STRONGER: the result plan must read the vocabulary from
+    // cache and never touch the corpus parquet at all.
     val df = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
     df.collect()
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange") ||
-      executed.contains("ReusedQueryStage"),
-      s"no exchange/stage reuse in executed plan:\n${executed.take(3000)}")
+    val executed = df.queryExecution.executedPlan
+    // walk the EXECUTED tree (through AQE wrappers), stopping at cache
+    // reads — a file scan reached outside an InMemoryTableScan means a
+    // branch re-tokenizes the corpus at result time. String matching on
+    // the printout can't express this: InMemoryRelation prints its
+    // fill plan, scans and all.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val live = scala.collection.mutable.Buffer[String]()
+    var sawCache = false
+    def go(n: SparkPlan): Unit = n match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case s: QueryStageExec => go(s.plan)
+      case _: InMemoryTableScanExec => sawCache = true
+      case f: FileSourceScanExec =>
+        live += f.relation.location.rootPaths.mkString(",")
+      case other => other.children.foreach(go)
+    }
+    go(executed)
+    assert(sawCache, s"vocab not read from cache:\n$executed")
+    assert(!live.exists(_.contains("documents")),
+      s"live corpus scan outside the vocab cache: $live\n$executed")
   }
 
   test("Spark's runtime bloom filter injects into selective shuffle joins") {
