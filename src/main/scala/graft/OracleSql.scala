@@ -830,6 +830,15 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    // q_sink_jdbc loads the deterministic event_id%5 slice through the
+    // JDBC round trip; its read-back aggregate must equal the same slice
+    // aggregated straight off the parquet (one copy despite two writes)
+    "q_sink_jdbc" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_src_stream_file" ->
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type
@@ -2165,6 +2174,30 @@ object OracleSql {
     // µs-TRUNCATED timestamp (CAST(ts AS TIMESTAMP)) with event_id
     // tie-break — the same total order Spark sees, so lead() picks the
     // same successor even where nanosecond ts values collide at µs.
+    // q_etl_dim_asof: the SCD-2 dim rebuilt inline (same window as
+    // q_etl_scd2) over the NON-purchase state stream, facts = purchases,
+    // half-open interval match; NULL valid_to is the open current
+    // version.
+    "q_etl_dim_asof" ->
+      """WITH dim AS (
+           SELECT user_id AS d_user_id, event_type AS state,
+                  CAST(ts AS TIMESTAMP) AS valid_from,
+                  lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                             event_id NULLS FIRST) AS valid_to
+           FROM events WHERE event_type <> 'purchase'),
+         facts AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS fts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT d.state, count(*) AS n,
+                CAST(round(sum(CAST(f.value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM facts f JOIN dim d
+           ON f.user_id = d.d_user_id
+          AND f.fts >= d.valid_from
+          AND (d.valid_to IS NULL OR f.fts < d.valid_to)
+         GROUP BY d.state
+         ORDER BY d.state NULLS FIRST""",
     "q_etl_scd2" ->
       """WITH c AS (
            SELECT user_id, event_id, event_type,

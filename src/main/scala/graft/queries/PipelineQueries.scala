@@ -221,6 +221,47 @@ object PipelineQueries {
         col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** q_etl_dim_asof — temporal dimension lookup: every fact row joined
+    * to the SCD-2 dim version valid AT ITS EVENT TIME (`f.ts ∈
+    * [valid_from, valid_to)`), the pattern that makes late-arriving and
+    * historical facts reprocessable — re-running last month's facts
+    * against today's dim table still yields last month's attributes.
+    * The reference serves only latest-wins state
+    * (`parse_and_upload_to_db.py:31-47` overwrites on conflict); this is
+    * the history-correct read that upsert loses. Dim = [[graft.ops
+    * .Curation.scd2]] over the NON-purchase change stream (the user's
+    * browsing state — building the dim from the same rows as the facts
+    * would make every fact trivially match its own version); facts = the
+    * purchase stream, so the join answers "what state was the user in
+    * when they bought". Plan shape: ONE shuffle
+    * on user_id for the window, then an EQUI-join on user_id with the
+    * interval predicate as a post-join filter — at 100 TB the dim is
+    * orders-of-magnitude smaller than facts (versions ≪ events), so the
+    * join broadcasts or at worst shuffles the dim; never a range-only
+    * join (which would plan BNL). Half-open intervals make a tie-stamped
+    * version chain unambiguous: a zero-length version matches nothing,
+    * identically in both engines. */
+  private val etlDimAsof: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val dim = graft.ops.Curation.scd2(
+        ev.filter(col("event_type") =!= "purchase")
+          .select("user_id", "event_id", "event_type", "ts"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+      .select(col("user_id").as("d_user_id"),
+        col("event_type").as("state"), col("valid_from"), col("valid_to"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user_id") &&
+          facts("ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("ts") < dim("valid_to")))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("state").asc_nulls_first)
+  }
+
   /** q_etl_dq — one-pass data-quality profile of `orders` (the ANALYZE
     * TABLE / ingest-gate pattern; ref: the schema the pydantic validator
     * enforces row-by-row at `web_scraper/web_scraping.py:232-247`,
@@ -949,6 +990,7 @@ object PipelineQueries {
     "q_evt_paths" -> evtPaths,
     "q_etl_compact" -> etlCompact,
     "q_etl_scd2" -> etlScd2,
+    "q_etl_dim_asof" -> etlDimAsof,
     "q_evt_funnel" -> evtFunnel,
     "q_etl_upsert" -> etlUpsert,
     "q_etl_normalize" -> etlNormalize)

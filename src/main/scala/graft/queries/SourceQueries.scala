@@ -278,6 +278,39 @@ object SourceQueries {
     roundTripAgg(s.read.parquet(out))
   }
 
+  /** Per-thread previous Derby db url, shut down (unmounted from the
+    * engine) on the next invocation BEFORE [[freshSinkDir]] reclaims its
+    * directory — otherwise the engine would keep dead databases booted
+    * for the JVM lifetime (same bounded-scratch rationale as
+    * [[lastBucketedTable]]). */
+  private val lastJdbcUrl = new ThreadLocal[String]
+
+  /** q_sink_jdbc — REAL `format("jdbc")` serving-DB load (ref ORM load
+    * into Postgres `database/parse_and_upload_to_db.py:99-100,173-175`,
+    * engine `database/base/connect.py:8-10`), through embedded Derby —
+    * the identical Spark code path as a Postgres target, url-only swap.
+    * Verified as a round trip exercising the two properties a JDBC load
+    * must keep: OVERWRITE-idempotency (written twice, read-back equals
+    * one copy — the reference's all-or-nothing transaction analog) and
+    * type round-trip through the dialect's DDL mapping (BIGINT/CLOB/
+    * DOUBLE back to long/string/double). A serving DB ingests a curated
+    * SLICE, not the fact firehose, so the load takes the deterministic
+    * `event_id % 5` subset — row-based INSERT throughput is the target
+    * DB's ceiling, not Spark's, at any scale. */
+  private val sinkJdbc: Q = (s, dir) => {
+    Option(lastJdbcUrl.get()).foreach(graft.etl.Sinks.shutdownDerby)
+    val out = freshSinkDir("sink_jdbc")
+    val url = s"jdbc:derby:$out/db;create=true"
+    lastJdbcUrl.set(url)
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") % 5 === 0)
+      .repartition(4) // 4 writer connections — parallel-writer path, not a serial loop
+    graft.etl.Sinks.writeJdbc(ev, url, "events_jdbc")
+    graft.etl.Sinks.writeJdbc(ev, url, "events_jdbc")
+    roundTripAgg(graft.etl.Sinks.readJdbc(s, url, "events_jdbc"))
+  }
+
   /** q_src_partition_prune — hive-layout partitioned write, then a
     * pruned read-back: the scan must touch ONLY the `event_type=purchase`
     * directory (ref the per-category output layout of the scraper's
@@ -438,5 +471,6 @@ object SourceQueries {
     "q_src_ndjson" -> srcNdjson,
     "q_src_stream_file" -> srcStreamFile,
     "q_sink_append" -> sinkAppend,
-    "q_sink_warehouse" -> sinkWarehouse)
+    "q_sink_warehouse" -> sinkWarehouse,
+    "q_sink_jdbc" -> sinkJdbc)
 }

@@ -38,6 +38,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_xml" -> 1.0,
     "q_src_stream_file" -> 2.0,
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
+    // double JDBC write (drop/create + batched inserts) of the %5 slice
+    "q_sink_jdbc" -> 2.5,
     "q_src_partition_prune" -> 1.2, "q_sink_bucketed" -> 1.5,
     // projections / filters
     "q_proj_select" -> 0.3, "q_proj_derived" -> 0.3,
@@ -106,6 +108,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
     "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
+    // scd2 window + user_id equi-join with interval post-filter
+    "q_etl_dim_asof" -> 0.8,
     "q_vec_ann_pq" -> 0.8, "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,

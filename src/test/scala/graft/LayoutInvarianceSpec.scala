@@ -109,4 +109,49 @@ class LayoutInvarianceSpec extends SparkSpecBase {
       s"every file spans all users — interleave not clustering: " +
         users.mkString(", "))
   }
+
+  test("versioned-table downgrade rolls back to V1 and is reversible") {
+    // the columnar twin of the reference's reversible migration
+    // (alembic downgrade, 199c98997e89_create_tables.py:104-117):
+    // V1 files land, the table evolves to V2 (new column), then the
+    // migration is rolled back — V1 readers must be whole before,
+    // during, and after, and the downgrade must be re-upgradeable.
+    import graft.etl.Migrate
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_downgrade").toString + "/t"
+    val ev = Tables.load(spark, sf0001, "events")
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value", "event_type")
+      .coalesce(2).write.mode("append").parquet(dir)
+    val v1Schema = "event_id LONG, user_id LONG, value DOUBLE"
+    val total = ev.count()
+    // a V1-pinned reader already reads the evolved table (explicit
+    // schema projects V2 files down) — evolution never breaks V1
+    assert(spark.read.schema(v1Schema).parquet(dir).count() == total)
+    val backup = Migrate.downgradeTable(spark, dir,
+      Seq("event_id", "user_id", "value"))
+    // post-downgrade: the PHYSICAL schema is V1 again (no mergeSchema
+    // needed, no dropped-column ghost), all rows intact
+    val down = spark.read.parquet(dir)
+    assert(down.columns.toSeq == Seq("event_id", "user_id", "value"))
+    assert(down.count() == total)
+    assert(spark.read.option("mergeSchema", "true").parquet(dir)
+      .columns.length == 3, "V2 column physically gone after downgrade")
+    // reversible: the backup still carries V2; restore re-upgrades
+    Migrate.restore(dir, backup)
+    val up = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(up.columns.contains("event_type"))
+    assert(up.count() == total)
+    // a downgrade may only DROP columns — asking for one the table
+    // lacks must fail without touching the table
+    val e = intercept[IllegalArgumentException] {
+      Migrate.downgradeTable(spark, dir, Seq("event_id", "no_such_col"))
+    }
+    assert(e.getMessage.contains("no_such_col"))
+    assert(spark.read.option("mergeSchema", "true").parquet(dir)
+      .count() == total)
+  }
 }

@@ -32,6 +32,36 @@ class SinksAndApproxSpec extends SparkSpecBase {
     assert(back.filter(col("part_col") === "x").count() == 2)
   }
 
+  test("jdbc sink round-trips types and is idempotent overwrite (q_sink_jdbc)") {
+    val dir = Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val df = Seq(
+      (1L, "alpha", 1.25, java.sql.Timestamp.valueOf("2026-01-02 03:04:05")),
+      (2L, "beta", -0.5, java.sql.Timestamp.valueOf("2026-02-03 04:05:06")),
+      (3L, null.asInstanceOf[String], 7.0, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "name", "v", "ts")
+    Sinks.writeJdbc(df, url, "t1")
+    Sinks.writeJdbc(df, url, "t1") // rerun converges on ONE copy
+    val back = Sinks.readJdbc(spark, url, "t1")
+    // dialect DDL mapping must round-trip the Spark types
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.schema("name").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val rows = back.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getTimestamp(3)).map(_.toString).orNull))
+    assert(rows.toSeq == Seq(
+      (1L, "alpha", 1.25, "2026-01-02 03:04:05.0"),
+      (2L, "beta", -0.5, "2026-02-03 04:05:06.0"),
+      (3L, null, 7.0, null)))
+    // parallel-writer path: multi-partition write through its own
+    // connections must insert every row exactly once
+    Sinks.writeJdbc(df.repartition(3), url, "t2")
+    assert(Sinks.readJdbc(spark, url, "t2").count() == 3)
+    Sinks.shutdownDerby(url)
+  }
+
   test("sink scratch dirs from dead threads are reclaimed by the age sweep") {
     import graft.queries.SourceQueries
     val scratchDir = new java.io.File(SourceQueries.scratch)
