@@ -265,6 +265,45 @@ object OracleSql {
          FROM (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
          GROUP BY depth
          ORDER BY chain_len""",
+    // Mirrors sqlLateral: the identical ANSI correlated LATERAL with
+    // ORDER BY + LIMIT — DuckDB executes the per-row semantics Spark
+    // rewrites to WindowGroupLimit + join; o_orderkey tie-break makes
+    // the top-2 cut deterministic on both engines.
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey AS cust_id, c.c_mktsegment AS segment,
+                t.o_orderkey, t.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY cust_id, t.o_orderkey""",
+    // Mirrors sqlExists verbatim — shared ANSI EXISTS semantics; both
+    // engines decorrelate to semi/anti joins.
+    "q_sql_exists" ->
+      """SELECT c_custkey AS cust_id, c_mktsegment AS segment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderstatus = 'O')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')
+         ORDER BY cust_id""",
+    // Mirrors sqlUnpivot — shared ANSI UNPIVOT; the value columns are
+    // pre-cast to DOUBLE on both sides so the unified value type is
+    // identical, and the decimal sum rounds before the cast.
+    "q_sql_unpivot" ->
+      """WITH w AS (
+           SELECT n_name,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS sum_bal,
+                  CAST(count(*) AS DOUBLE) AS n_cust,
+                  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name, metric, val
+         FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
+         ORDER BY n_name, metric""",
     // Mirrors etlIncrAgg by recomputing the rollup FROM RAW EVENTS:
     // the Spark side merges stored partials with a late-row delta, so
     // "incremental ≡ full recompute" is exactly what this compare

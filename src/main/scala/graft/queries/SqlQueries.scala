@@ -88,7 +88,83 @@ object SqlQueries {
          ORDER BY chain_len""")
   }
 
+  /** q_sql_lateral — correlated LATERAL derived table with ORDER BY +
+    * LIMIT: "top-2 orders per customer", the per-row-subquery shape ORM
+    * users reach for first (the reference's per-business N+1 lookup
+    * loop `parse_and_upload_to_db.py:89-175` is exactly a client-side
+    * lateral). The scale story is what Catalyst does with it: the
+    * correlated LIMIT rewrites into `WindowGroupLimit` (partial top-k
+    * per map task BEFORE the shuffle, final after) + one equi-join —
+    * the N+1 loop becomes two scans and a bounded shuffle, no
+    * per-customer subquery execution exists in the physical plan.
+    * DuckDB evaluates the identical ANSI lateral; `o_orderkey` breaks
+    * price ties deterministically (§7.5). */
+  private val sqlLateral: Q = (s, dir) => {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("sqll_customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("sqll_orders")
+    s.sql(
+      """SELECT c.c_custkey AS cust_id, c.c_mktsegment AS segment,
+                t.o_orderkey, t.o_totalprice
+         FROM sqll_customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM sqll_orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY cust_id, t.o_orderkey""")
+  }
+
+  /** q_sql_exists — correlated EXISTS / NOT EXISTS: "customers with an
+    * open order and no failed order", the set-membership predicate SQL
+    * arrivals write where the DataFrame API says semi/anti join (the
+    * q_join_semi / q_join_anti pair through the string surface).
+    * Catalyst plans the pair as one hash semi-join plus one hash
+    * anti-join on the same key — both co-partitioned on `o_custkey`,
+    * so AQE can reuse the orders exchange; no correlated re-execution
+    * survives optimization. */
+  private val sqlExists: Q = (s, dir) => {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("sqle_customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("sqle_orders")
+    s.sql(
+      """SELECT c_custkey AS cust_id, c_mktsegment AS segment
+         FROM sqle_customer c
+         WHERE EXISTS (SELECT 1 FROM sqle_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderstatus = 'O')
+           AND NOT EXISTS (SELECT 1 FROM sqle_orders o
+                           WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')
+         ORDER BY cust_id""")
+  }
+
+  /** q_sql_unpivot — ANSI UNPIVOT (wide → long): the inverse of
+    * q_agg_pivot, melting a per-nation metrics block into (nation,
+    * metric, value) rows — the shape metric stores and plotting layers
+    * ingest. The wide block is k×m cells (k nations × 3 metrics), so
+    * UNPIVOT runs AFTER the aggregate contraction: the corpus-sized
+    * work is the one two-phase group-by; the melt is a zero-shuffle
+    * Expand over k rows. Values unify to DOUBLE (ANSI unpivot requires
+    * one value type); the decimal-exact sum rounds before the cast
+    * (§7.5.2). */
+  private val sqlUnpivot: Q = (s, dir) => {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("sqlu_customer")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("sqlu_nation")
+    s.sql(
+      """WITH w AS (
+           SELECT n_name,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS sum_bal,
+                  CAST(count(*) AS DOUBLE) AS n_cust,
+                  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+           FROM sqlu_customer JOIN sqlu_nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name, metric, val
+         FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
+         ORDER BY n_name, metric""")
+  }
+
   val all: Map[String, Q] = Map(
     "q_sql_report" -> sqlReport,
-    "q_sql_recursive" -> sqlRecursive)
+    "q_sql_recursive" -> sqlRecursive,
+    "q_sql_lateral" -> sqlLateral,
+    "q_sql_exists" -> sqlExists,
+    "q_sql_unpivot" -> sqlUnpivot)
 }

@@ -195,6 +195,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_sql_report" -> 1.3, "q_dt_busdays" -> 0.8,
     // ~11 frontier iterations over a customer-sized and shrinking set
     "q_sql_recursive" -> 1.0,
+    // lateral = WindowGroupLimit top-2 over orders + broadcast join
+    "q_sql_lateral" -> 1.0, "q_sql_exists" -> 0.6, "q_sql_unpivot" -> 0.6,
     "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
     "q_win_ema" -> 0.9, "q_media_shard" -> 0.6)
 
