@@ -375,6 +375,69 @@ object OracleSql {
     // count is what makes the float recursion oracle-expressible);
     // per-node sums are ≤ k doubles, order drift ~1e-16 « the 4-dp
     // grid, and only the final ranks round.
+    // Mirrors graphDegree: same co-order part graph (distinct items,
+    // per-order self-join with p< ordering, both-endpoint degree count)
+    // — pure integer set algebra, bit-identical across engines.
+    "q_graph_degree" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS degree
+           FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+           GROUP BY p)
+         SELECT CAST(degree AS BIGINT) AS degree,
+                CAST(count(*) AS BIGINT) AS n_parts,
+                min(p) AS min_part, max(p) AS max_part
+         FROM deg GROUP BY degree ORDER BY degree""",
+    // Mirrors graphTriangles on the same %4-restricted graph; the
+    // oracle enumerates triangles the simple u<v<w way (DuckDB joins
+    // the modest oracle-scale edge set fine) while the Spark side
+    // counts the identical set via degree orientation — same census,
+    // different join order. (dg·(dg−1))//2 keeps wedges integer-exact.
+    "q_graph_triangles" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 4 = 0),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS dg
+           FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+           GROUP BY p)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT)
+                 FROM deg) AS n_wedges,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                  AS n_triangles""",
+    // Mirrors graphComponents: recursive-CTE transitive closure over
+    // the same symmetric same-brand co-order edges; min reachable key
+    // per node ≡ the propagation fixpoint (UNION dedups, so the
+    // recursion terminates on cycles). Verified against a union-find
+    // ground truth during development.
+    "q_graph_components" ->
+      """WITH RECURSIVE items AS (
+           SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+                  pt.p_brand AS b
+           FROM lineitem l JOIN part pt ON l_partkey = p_partkey),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a
+           JOIN items b ON a.o = b.o AND a.b = b.b AND a.p < b.p),
+         e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         reach(n, r) AS (
+           SELECT p_partkey, p_partkey FROM part
+           UNION
+           SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.n)
+         SELECT n AS p_partkey, min(r) AS component
+         FROM reach GROUP BY n ORDER BY p_partkey""",
     "q_graph_pagerank" ->
       """WITH nodes AS (SELECT DISTINCT event_type AS node FROM events),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

@@ -72,6 +72,146 @@ object GraphQueries {
       .orderBy("event_type")
   }
 
+  /** q_graph_degree — degree distribution of the co-order part graph
+    * (parts are adjacent when some order contains both): the first
+    * profile run on ANY graph before choosing an algorithm — a heavy
+    * tail decides salting, orientation, and whether triangle counting
+    * is feasible at all. Graph build is the only corpus-sized work:
+    * one distinct + one per-order self-join (pairs per order are
+    * C(items,2) with items ≈ 4 — bounded fan-out, never quadratic in
+    * the corpus); degrees and the distribution are two further
+    * contractions, each orders of magnitude smaller. */
+  private val graphDegree: Q = (s, dir) => {
+    // no parallelized lift: this plan is shuffle-bound (self-join +
+    // distinct), not per-row-CPU-bound — an extra repartition of the
+    // raw scan only adds a shuffle (measured +0.6 s at sf0.1)
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("degree"))
+    deg.groupBy("degree")
+      .agg(count(lit(1)).as("n_parts"),
+        min("p").as("min_part"), max("p").as("max_part"))
+      .select(col("degree").cast("long").as("degree"), col("n_parts"),
+        col("min_part"), col("max_part"))
+      .orderBy("degree")
+  }
+
+  /** q_graph_triangles — triangle census (nodes, edges, wedges,
+    * triangles) on the co-order part sub-graph `p_partkey % 4 = 0`.
+    * The algorithm is the 100 TB story: each edge is ORIENTED from its
+    * lower-(degree, key) endpoint to its higher one, so every triangle
+    * is generated exactly once and per-node wedge fan-out is bounded
+    * by oriented out-degree ≤ O(√E) — the join that explodes
+    * quadratically on hub nodes in the naive u<v<w enumeration stays
+    * near-linear (wedges here: ~0.5 M oriented vs ~35 M unoriented at
+    * sf0.1 full-graph scale). The %4 node restriction bounds the
+    * registered bench cost and is pushed below the distinct, so the
+    * corpus-side scan and self-join shrink with it; the DuckDB oracle
+    * enumerates the same restricted graph the simple u<v<w way —
+    * identical count, different join order. Edge/degree tables are
+    * `localCheckpoint`ed: four readouts reuse them instead of
+    * replaying the corpus lineage. */
+  private val graphTriangles: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
+    val du = deg.select(col("p").as("up"), col("dg").as("udg"))
+    val dv = deg.select(col("p").as("vp"), col("dg").as("vdg"))
+    val fwd = (col("udg") < col("vdg")) ||
+      (col("udg") === col("vdg") && col("u") < col("v"))
+    val e = e0.join(broadcast(du), col("u") === col("up"))
+      .join(broadcast(dv), col("v") === col("vp"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("u"),
+        when(fwd, col("v")).otherwise(col("u")).as("v"))
+      .localCheckpoint()
+    val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+    val tri = e1.join(e2, col("e2.u") === col("e1.v"))
+      .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = e0.agg(count(lit(1)).as("n_edges"))
+    // dg·(dg−1) is always even, so DIV keeps the sum integer-exact
+    val wedges = deg.agg(expr("sum((dg * (dg - 1)) DIV 2)").as("n_wedges"))
+    nodes.crossJoin(edges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+  }
+
+  /** q_graph_components — connected components of the same-brand
+    * co-order part graph (sparse by construction: an order's parts
+    * rarely share a brand), labeling every part with the minimum
+    * partkey reachable from it; isolated parts label themselves.
+    *
+    * The edge predicate makes components BRAND-CLOSED (no edge crosses
+    * brands), and that is the scale design: instead of iterating
+    * min-label propagation over the whole graph (rounds ∝ component
+    * diameter — ~10 Spark jobs at sf0.1, each mostly scheduler
+    * latency), ONE `groupByKey(brand)` shuffle routes each brand's
+    * edge list to a task that runs an in-memory union-find with
+    * path-halving — exact components, single pass, zero iterations.
+    * Per-group memory is O(nodes in the brand), bounded by the
+    * partition key's fan-in, NOT the corpus; when no component-closed
+    * key exists (or a group outgrows a task), the iterative
+    * propagation loop — demonstrated at [[graft.ops.TextSim]]'s
+    * q_vec_dedup_groups — is the fallback. Min-key canonical labels
+    * make the result partition-order independent. */
+  private val graphComponents: Q = (s, dir) => {
+    import s.implicits._
+    val items = Tables.load(s, dir, "lineitem")
+      .join(broadcast(Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+        col("p_brand").as("b")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.b") === col("b.b")
+        && col("a.p") < col("b.p"))
+      .select(col("a.b").as("brand"), col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val comps = e0.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        rows.foreach { case (_, u, v) =>
+          if (!parent.contains(u)) parent(u) = u
+          if (!parent.contains(v)) parent(v) = v
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        // union-by-min keeps roots minimal, so find(x) IS the canonical
+        // min-key component label (keys snapshotted: find() path-halves
+        // in place and must not race the map's iterator)
+        parent.keys.toArray.iterator.map(x => (x, find(x)))
+      }
+      .toDF("node", "component")
+    Tables.load(s, dir, "part").select(col("p_partkey"))
+      .join(comps, col("p_partkey") === col("node"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("component"), col("p_partkey")).as("component"))
+      .orderBy("p_partkey")
+  }
+
   val all: Map[String, Q] = Map(
-    "q_graph_pagerank" -> graphPagerank)
+    "q_graph_pagerank" -> graphPagerank,
+    "q_graph_degree" -> graphDegree,
+    "q_graph_triangles" -> graphTriangles,
+    "q_graph_components" -> graphComponents)
 }

@@ -164,6 +164,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     // and joins the frequency table on term; boilerplate explodes
     // per-doc distinct bigrams
     "q_graph_pagerank" -> 0.9, "q_agg_mad" -> 0.7,
+    // degree: one 1.2M-pair self-join + two contractions (shuffle-bound)
+    "q_graph_degree" -> 2.0,
+    // triangles: oriented wedge join on the %4 sub-graph
+    "q_graph_triangles" -> 1.8,
+    // components: brand-grouped union-find, one shuffle + local pass
+    "q_graph_components" -> 2.2,
     "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.5,
     // purge's broadcast probes plus two Bloom builds (each a count +
     // bloomFilter aggregate over the key list) and a candidate-sliver
