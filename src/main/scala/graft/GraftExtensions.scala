@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftfns.{DotProduct, MinHashes, ShingleHashes, SimHash64, TokenBigrams, TokenHashes}
+import org.apache.spark.sql.graftfns.{DotProduct, MinHashes, ShingleHashes, SimHash64, TokenBigrams, TokenHashes, TokenNgrams}
 import org.apache.spark.sql.types.IntegerType
 
 /** Session extension wiring: exposes the engine's custom Catalyst
@@ -83,6 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("token_bigrams", args, 1)
         TokenBigrams(args(0))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      (args: Seq[Expression]) => {
+        arity("token_ngrams", args, 2)
+        TokenNgrams(args(0), litInt("token_ngrams", args(1), 1))
       }))
   }
 }

@@ -2091,6 +2091,42 @@ object OracleSql {
          SELECT probe_id, neighbor_id, sim, rn
          FROM ranked WHERE rn <= 3
          ORDER BY probe_id, rn""",
+    // Mirrors textDedupSpans: identical tokenization
+    // (string_split(lower) ≡ TextSim.tokens), identical 5-gram slices
+    // (TokenNgrams ≡ list_slice over range(0, greatest(len-4, 0))),
+    // occurrences NOT per-doc-deduped on either side; the (n_docs,
+    // n_occ, gram) sort makes the top-100 cut engine-identical.
+    "q_text_dedup_spans" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(w, i + 1, i + 5), ' ') AS gram
+           FROM w, unnest(range(0, greatest(len(w) - 4, 0))) AS t(i))
+         SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occ,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""",
+    // Mirrors vecMips: list_inner_product ≡ the sequential DotProduct
+    // fold (both sum left-to-right in double; round-4 absorbs the
+    // ~1e-16 tail), same vec_id tie-break inside each query's window.
+    "q_vec_mips" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.q_id, e.vec_id, e.label,
+                  round(list_inner_product(CAST(q.q_emb AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[])), 4) AS ip_r
+           FROM q JOIN embeddings e ON e.vec_id != q.q_id),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY ip_r DESC, vec_id) AS rn
+           FROM scored)
+         SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, label, ip_r
+         FROM rk WHERE rn <= 5 ORDER BY q_id, rn""",
     "q_vec_cosine_topk" ->
       """SELECT vec_id, label,
                 round(list_cosine_similarity(

@@ -731,6 +731,78 @@ object TextSim {
         col("rn").cast("long").as("rn"))
   }
 
+  /** IVF-PQ approximate top-k cosine neighbours — the composed index
+    * every production ANN system at 10⁹+ vectors runs (FAISS IVFPQ):
+    * the IVF coarse quantizer prunes WHICH rows are candidates (visit
+    * `nProbe` of `nCells` cells ⇒ touch ≈ nProbe/nCells of the corpus),
+    * PQ's ADC scorer prunes HOW MUCH each candidate costs (m byte-code
+    * lookups instead of a dim-double dot), and the exact rescore on the
+    * shortlist restores full-precision ranking. Either stage alone
+    * leaves a scale gap — IVF-only rescores whole cells exactly,
+    * PQ-only ADC-scans the whole corpus; composed, the per-probe cost
+    * is ≈ (N·nProbe/nCells) LUT scans + `shortlist` exact dots.
+    *
+    * Spark shape: centroids ride the [[ivfIndex]] broadcast read by the
+    * codegen'd TopCells expression (cell choice per-row, no shuffle);
+    * the probe's cell set is ranked on the DRIVER over the broadcast
+    * centroid table (nCells dot products — index metadata, not corpus);
+    * candidate filter + PQ encode + ADC run in one narrow pass; only
+    * the shortlist (≤ `shortlist` rows) shuffles for the top-k sort and
+    * vector join-back. Recall tunes via (nProbe, shortlist); nProbe =
+    * nCells AND shortlist = N degenerates to exact search (spec-pinned,
+    * same contract as the IVF and PQ singles). */
+  def annCosineIvfPq(corpus: DataFrame, probeId: Long, k: Int,
+                     shortlist: Int, nCells: Int = 0, nProbe: Int = 0,
+                     m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(k > 0 && shortlist > 0 && nCells >= 0 && nProbe >= 0,
+      s"need k ($k), shortlist ($shortlist) > 0; " +
+        s"nCells ($nCells), nProbe ($nProbe) >= 0")
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    val (_, bc) = ivfIndex(corpus, nCells)
+    val cells = bc.value.length
+    if (cells == 0)
+      return corpus.select(col("vec_id").as("neighbor_id"),
+        lit(0d).as("sim_r"), lit(0d).as("adc_r")).limit(0)
+    val probeK = math.min(cells, if (nProbe > 0) nProbe
+      else math.max(4, cells / 4))
+    val probe = corpus.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+    require(probe.nonEmpty, s"probe id $probeId not in corpus")
+    val p = probe(0).getSeq[Double](0).toArray
+    val pn = math.sqrt(p.map(x => x * x).sum)
+    // rank cells driver-side over the broadcast centroid table:
+    // nCells · dim multiplies of index metadata (ties break on index)
+    val probeCells = bc.value.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(p).map { case (a, b) => a * b }.sum, i)
+      }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(probeK).map(_._2)
+    val cb = graft.ops.ProductQuant.sampleCodebooks(
+      corpus, "vec_id", "embedding", m, ksub)
+    val cand = corpus.filter(col("vec_id") =!= probeId)
+      .withColumn("cell", try_element_at(
+        fns.top_cells(col("embedding").cast("array<double>"), bc, 1),
+        lit(1)))
+      .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+    val short = graft.ops.ProductQuant.encode(cand, "embedding", cb)
+      .withColumn("adc", graft.ops.ProductQuant.adcScore(
+        col("codes"), p, cb))
+      .select(col("vec_id"), col("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+    val pLit = typedLit(p.toSeq)
+    short.join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("sim_r",
+        round(dot(col("embedding").cast("array<double>"), pLit) /
+          (l2Norm(col("embedding").cast("array<double>")) * lit(pn)), 4))
+      .select(col("vec_id").as("neighbor_id"), col("sim_r"),
+        round(col("adc"), 4).as("adc_r"))
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+      .limit(k)
+  }
+
   /** Edges per task in [[dedupGroups]]'s partition-local contraction: a
     * task's union-find map holds ≤ 2·this many entries (~64 MB of boxed
     * longs) — the knob that bounds executor memory as the graph grows. */

@@ -613,6 +613,15 @@ object TextQueries {
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       probeId = 0L, k = 10, shortlist = 50)
 
+  /** q_vec_ann_ivfpq — the composed IVF+PQ index
+    * ([[TextSim.annCosineIvfPq]]): coarse cells prune candidates, ADC
+    * prunes per-candidate cost, exact rescore on the shortlist.
+    * Q-tier (centroid/codebook geometry has no DuckDB parity);
+    * full-coverage-≡-exact + recall gates in TextSimSpec. */
+  private val annIvfPq: Q = (s, dir) =>
+    TextSim.annCosineIvfPq(Tables.load(s, dir, "embeddings"),
+      probeId = 0L, k = 10, shortlist = 50)
+
   /** q_sample_stratified — deterministic stratified downsampling over
     * `events`: per-stratum keep fractions (purchases kept whole, views
     * cut to 10%, the rest to 50% — the class-rebalancing step of a
@@ -825,7 +834,69 @@ object TextQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** q_text_dedup_spans — cross-document duplicated 5-gram spans: the
+    * span-level readout of exact substring dedup (the "same boilerplate
+    * sentence pasted into thousands of pages" detector that doc-level
+    * hashing can't see). Every 5-gram occurrence is kept (no per-doc
+    * array_distinct): `n_occ` counts repetitions, `n_docs` the distinct
+    * documents — a span is reported when it crosses ≥ 2 docs. Hot path
+    * is the codegen'd [[org.apache.spark.sql.graftfns.TokenNgrams]]
+    * kernel over a `Tables.parallelized` scan (the q_text_boilerplate
+    * precedent: interpreted HOF slices on a one-split scan were the
+    * repo's worst superlinearity); the only corpus-sized shuffle
+    * carries (gram, doc) pairs into one two-phase distinct-count
+    * aggregate, and the top-100 cut is rank-stable (n_docs, n_occ,
+    * gram). At 100 TB the gram space is pruned the same way
+    * decontamination does it: the HAVING ≥2 filter drops the long
+    * unique tail at the aggregate, never materializing it. */
+  private val textDedupSpans: Q = (s, dir) => {
+    import org.apache.spark.sql.graftfns.QuantFunctions.token_ngrams
+    Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(token_ngrams(TextSim.tokens(col("text")), 5)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(100)
+  }
+
+  /** q_vec_mips — exact maximum-inner-product top-5 per query (probes
+    * vec_id < 3): the retrieval scoring for UNNORMALIZED embeddings
+    * (recommender / reward-model scores), where magnitude carries
+    * signal that q_vec_cosine_topk's normalization erases. Probes ride
+    * as a 3-row broadcast; scoring is one pass of the codegen'd
+    * [[org.apache.spark.sql.graftfns.DotProduct]] kernel; the per-query
+    * top-5 is a rank-truncated window that Spark executes as
+    * WindowGroupLimit (partial per-map top-k before the tiny shuffle).
+    * The 100 TB path swaps the scan for the ANN rows (MIPS reduces to
+    * cosine ANN by norm-augmentation: append √(M²−‖x‖²) to each vector,
+    * 0 to queries); this operator is the exact scorer those rows
+    * shortlist for. */
+  private val vecMips: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(org.apache.spark.sql.graftfns.VectorFunctions.dot_product(
+          col("q_emb").cast("array<double>"),
+          col("embedding").cast("array<double>")), 4).as("ip_r"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ip_r").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("label"), col("ip_r"))
+      .orderBy("q_id", "rn")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_text_dedup_spans" -> textDedupSpans,
+    "q_vec_mips" -> vecMips,
     "q_vec_dimstats" -> vecDimstats,
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,
@@ -839,6 +910,7 @@ object TextQueries {
     "q_text_decon_ngram" -> textDeconNgram,
     "q_sample_stratified" -> sampleStratified,
     "q_vec_ann_pq" -> annPq,
+    "q_vec_ann_ivfpq" -> annIvfPq,
     "q_text_chunk" -> textChunk,
     "q_vec_quantize" -> vecQuantize,
     "q_text_tfidf" -> textTfidf,

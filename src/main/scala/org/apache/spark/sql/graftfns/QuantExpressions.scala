@@ -249,6 +249,67 @@ object TokenBigrams {
   }
 }
 
+/** Word n-gram shingles joined by single spaces — [[TokenBigrams]]
+  * generalized to arbitrary n (the dedup-span / decontamination unit).
+  * Equivalent to `transform(sequence(0, size(w)-n), i -> concat_ws(" ",
+  * slice(w, i+1, n)))` but codegen'd: the HOF form is CodegenFallback
+  * and allocates a lambda frame + array slice per gram — the same
+  * interpreter tax that made q_text_boilerplate superlinear before the
+  * bigram kernel swap. Arrays shorter than n yield an empty gram set
+  * (mirrors the DuckDB oracle's `range(0, greatest(len-n+1, 0))`). */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+  require(n >= 1, s"token_ngrams: n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  override def nullSafeEval(in: Any): Any =
+    TokenNgrams.ngrams(in.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} =
+       |  org.apache.spark.sql.graftfns.TokenNgrams.ngrams($in, $n);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenNgrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val space = UTF8String.fromString(" ")
+
+  def ngrams(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](len - n + 1)
+    var i = 0
+    while (i < len - n + 1) {
+      // concat_ws(" ", ...) semantics: null tokens are skipped, not
+      // joined — mirrors DuckDB array_to_string
+      var parts = List.empty[UTF8String]
+      var j = i + n - 1
+      while (j >= i) {
+        if (!tokens.isNullAt(j)) parts = tokens.getUTF8String(j) :: parts
+        j -= 1
+      }
+      out(i) =
+        if (parts.isEmpty) UTF8String.EMPTY_UTF8
+        else UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Column wrappers (same bridge as [[VectorFunctions]]). */
 object QuantFunctions {
   def quantize_int8(vec: Column): Column =
@@ -262,4 +323,8 @@ object QuantFunctions {
 
   def token_bigrams(tokens: Column): Column =
     ExpressionUtils.column(TokenBigrams(ExpressionUtils.expression(tokens)))
+
+  def token_ngrams(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(
+      TokenNgrams(ExpressionUtils.expression(tokens), n))
 }

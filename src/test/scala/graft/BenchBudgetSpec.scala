@@ -110,7 +110,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
     // scd2 window + user_id equi-join with interval post-filter
     "q_etl_dim_asof" -> 0.8,
-    "q_vec_ann_pq" -> 0.8, "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
+    "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
+    "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,
     "q_stream_enrich" -> 0.6, "q_sample_stratified" -> 0.5,
@@ -190,6 +191,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // plus the (source, shingle) doc-frequency shuffle, the same family
     // as q_text_tfidf's 1.2 budget — not a regression.
     "q_text_boilerplate" -> 1.5,
+    // dedup spans: codegen'd 5-gram explode + one distinct-count agg
+    "q_text_dedup_spans" -> 1.0,
+    // mips: 3-probe broadcast + one DotProduct pass + WindowGroupLimit
+    "q_vec_mips" -> 0.7,
     // round-8 batch 4, measured via BenchOne on the same ~2.3x-loaded
     // machine as the boilerplate postmortem above, budgeted at roughly
     // the quiet-equivalent + headroom: sql_report pays two co-keyed

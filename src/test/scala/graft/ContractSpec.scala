@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 197, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 181)
-    assert(declared.values.count(_ == "Q") == 12)
+    assert(declared.size == 200, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 183)
+    assert(declared.values.count(_ == "Q") == 13)
     assert(declared.values.count(_ == "U") == 4)
   }
 

@@ -307,6 +307,32 @@ class TextSimSpec extends SparkSpecBase {
       s"trained recall $trained collapsed vs sampled $sampled")
   }
 
+  test("annCosineIvfPq: full coverage is exact; registered cut is usable") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val n = emb.count().toInt
+    val exact = TextSim.knnJoin(emb.filter(col("vec_id") === 0), emb, 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    // nProbe = every cell AND shortlist = corpus ⇒ neither stage prunes
+    // anything and the exact rescore must reproduce brute-force kNN
+    val full = TextSim.annCosineIvfPq(emb, probeId = 0L, k = 10,
+        shortlist = n, nCells = 16, nProbe = 16)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(full == exact, s"full-coverage IVFPQ != exact: ${full -- exact}")
+    // the registered cut (auto cells/probes, shortlist 50): BOTH stages
+    // prune; require the same recall floor as the single-stage indexes
+    val recalls = Seq(0L, 1L, 2L).map { p =>
+      val truth = TextSim.knnJoin(emb.filter(col("vec_id") === p), emb, 10)
+        .select("neighbor_id").as[Long].collect().toSet
+      val got = TextSim.annCosineIvfPq(emb, probeId = p, k = 10,
+          shortlist = 50)
+        .select("neighbor_id").as[Long].collect().toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVFPQ mean recall@10 = $mean%.2f")
+    assert(mean >= 0.4, s"mean recall@10 = $mean")
+  }
+
   private def bruteDedupPairs(sf: String, threshold: Double)
       : Set[(Long, Long, Double)] = {
     val e = Tables.load(spark, sf, "embeddings").select(col("vec_id"),
