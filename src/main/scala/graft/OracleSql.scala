@@ -304,6 +304,37 @@ object OracleSql {
          SELECT n_name, metric, val
          FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
          ORDER BY n_name, metric""",
+    // Mirrors etlPartitionOverwrite's expected END STATE from the raw
+    // events: every partition full except 'error', which holds only the
+    // restated even-id half — the dynamic-overwrite round trip on the
+    // Spark side must converge to exactly this.
+    "q_etl_partition_overwrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4)
+                  AS DOUBLE) AS sum_value,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE event_type IS NULL OR event_type != 'error'
+            OR event_id % 2 = 0
+         GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors etlFreshness: epoch_us ≡ unix_micros (both integer µs
+    // since epoch, UTC), `//` ≡ DIV on non-negative BIGINT — no
+    // timezone, DST, or float anywhere.
+    "q_etl_freshness" ->
+      """WITH pt AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                  max(CAST(ts AS TIMESTAMP)) AS last_ts
+           FROM events GROUP BY event_type),
+         m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS global_max
+               FROM events)
+         SELECT event_type, n_events, last_ts,
+                (epoch_us(global_max) - epoch_us(last_ts)) // 3600000000
+                  AS hours_behind,
+                (epoch_us(global_max) - epoch_us(last_ts)) // 3600000000
+                  >= 24 AS stale
+         FROM pt, m
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors etlIncrAgg by recomputing the rollup FROM RAW EVENTS:
     // the Spark side merges stored partials with a late-row delta, so
     // "incremental ≡ full recompute" is exactly what this compare

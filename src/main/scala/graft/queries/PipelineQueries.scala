@@ -966,7 +966,65 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** q_etl_partition_overwrite — dynamic partition overwrite: the
+    * restatement primitive of a partitioned warehouse. The full events
+    * table is laid out hive-style by event_type; a RESTATED slice of
+    * one partition (error events with even ids — a "drop the corrupt
+    * half" correction) is then written with
+    * `partitionOverwriteMode=dynamic`, which replaces ONLY the
+    * partitions present in the incoming frame and leaves every other
+    * directory untouched — the static mode would silently truncate the
+    * whole table to the restatement. The read-back aggregate proves
+    * both halves: untouched partitions return their full counts, the
+    * restated one returns exactly the restatement. At 100 TB this is
+    * THE idempotent daily-restatement shape: the write cost is the
+    * restated partition's bytes, never the table's, and re-running the
+    * restatement converges to the same state. */
+  private val etlPartitionOverwrite: Q = (s, dir) => {
+    val out = SourceQueries.freshSinkDir("part_overwrite")
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    ev.filter(col("event_type") === "error" && col("event_id") % 2 === 0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) " +
+          "AS DOUBLE)").as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_etl_freshness — per-partition staleness audit (the data-SLA
+    * monitor): for each event type, the last event time, row count, and
+    * whole hours behind the corpus high-water mark, flagged stale past
+    * 24 h — the first dashboard a pipeline on-call reads. Exact integer
+    * arithmetic end to end: both engines subtract epoch MICROSECONDS
+    * and integer-divide by 3.6e9, so there is no timezone, DST, or
+    * float anywhere. One two-phase aggregate over the corpus; the
+    * high-water mark rides back as a broadcast 1-row frame, never a
+    * driver literal. */
+  private val etlFreshness: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val perType = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"))
+    val hwm = ev.agg(max(col("ts")).as("global_max"))
+    perType.crossJoin(broadcast(hwm))
+      .withColumn("hours_behind",
+        expr("(unix_micros(global_max) - unix_micros(last_ts)) " +
+          "DIV 3600000000"))
+      .withColumn("stale", col("hours_behind") >= 24)
+      .select("event_type", "n_events", "last_ts", "hours_behind", "stale")
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_etl_partition_overwrite" -> etlPartitionOverwrite,
+    "q_etl_freshness" -> etlFreshness,
     "q_etl_purge" -> etlPurge,
     "q_etl_purge_bloom" -> etlPurgeBloom,
     "q_etl_zorder" -> etlZorder,

@@ -110,6 +110,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
     // scd2 window + user_id equi-join with interval post-filter
     "q_etl_dim_asof" -> 0.8,
+    // partition overwrite: full hive-layout write + dynamic restatement
+    "q_etl_partition_overwrite" -> 2.0,
+    "q_etl_freshness" -> 0.7,
     "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
     "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,

@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 200, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 183)
+    assert(declared.size == 203, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 185)
     assert(declared.values.count(_ == "Q") == 13)
-    assert(declared.values.count(_ == "U") == 4)
+    assert(declared.values.count(_ == "U") == 5)
   }
 
   test("every declared O/Q operator has a queries entry") {

@@ -400,4 +400,37 @@ class StreamingSpec extends SparkSpecBase {
       .agg(max("n")).as[Long].head()
     assert(w30 == 2L, "in-watermark event was wrongly dropped")
   }
+
+  test("foreachBatch merge-upsert: latest wins, replay is a no-op " +
+      "(q_stream_foreachbatch)") {
+    implicit val sq = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft_fb_target").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDS().writeStream
+      .foreachBatch(Streaming.mergeBatch(target) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, "a", 1.0), (2L, "b", 1.0), (1L, "a2", 2.0))
+      q.processAllAvailable()
+      mem.addData((2L, "b2", 5.0), (3L, "c", 1.0), (2L, "bx", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def state() = Streaming.servingTable(spark, target)
+      .select("key", "payload", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val expected = Set((1L, "a2", 2.0), (2L, "b2", 5.0), (3L, "c", 1.0))
+    assert(state() == expected, s"got ${state()}")
+    // crash-replay simulation: re-running an already-committed batchId
+    // must be a no-op — the ledger guard is what turns foreachBatch's
+    // at-least-once delivery into an effectively-once sink
+    val replay = Seq((2L, "SHOULD_NOT_APPLY", 99.0)).toDS()
+    Streaming.mergeBatch(target)(replay, 1L)
+    assert(state() == expected, s"replayed batch mutated the table: ${state()}")
+    // a genuinely NEW batch still applies
+    Streaming.mergeBatch(target)(replay.map(t => (t._1, "b3", 6.0)), 2L)
+    assert(state() == Set((1L, "a2", 2.0), (2L, "b3", 6.0), (3L, "c", 1.0)))
+  }
 }
