@@ -95,6 +95,61 @@ class PlanQualitySpec extends SparkSpecBase {
       s"plan string is ${p.length} chars — literal hyperplanes are back")
   }
 
+  test("q_sql_lateral decorrelates the LIMIT into WindowGroupLimit + join") {
+    val p = plan("q_sql_lateral")
+    // the correlated per-customer subquery must NOT survive as a
+    // nested-loop re-execution: Catalyst rewrites it to a partial
+    // per-map top-k (WindowGroupLimit) feeding one equi-join
+    assert(p.contains("WindowGroupLimit"), "top-k pushdown missing")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "lateral planned as nested loop")
+  }
+
+  test("q_sql_exists decorrelates to hash semi- and anti-joins") {
+    val p = plan("q_sql_exists")
+    assert(p.contains("LeftSemi"), "EXISTS not planned as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS not planned as an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "correlated re-execution survived")
+  }
+
+  test("q_text_dedup_spans explodes via the codegen'd ngram kernel") {
+    val p = plan("q_text_dedup_spans")
+    // the interpreted HOF slice form (transform+slice) was the repo's
+    // worst superlinearity; the kernel name in the plan is the witness
+    assert(p.contains("token_ngrams"), "TokenNgrams kernel missing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregate")
+  }
+
+  test("q_vec_mips broadcasts the probes and rank-cuts per query") {
+    val p = plan("q_vec_mips")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k not pushed down")
+    // the =!= self-pair guard makes this a BNL by necessity — the gate
+    // is that the BUILD side is the 3-row probe table, never the corpus
+    assert(p.contains("Broadcast"), "probe side not broadcast")
+  }
+
+  test("q_graph_triangles closes wedges with equi-joins only") {
+    val p = plan("q_graph_triangles")
+    // the four 1-row summary readouts legitimately combine via Cross
+    // BNL (broadcasting single-row aggregates); the regression this
+    // gate exists for is the WEDGE CLOSURE running as a non-equi join
+    // over the edge table — that would surface as an Inner BNL with a
+    // join condition, or a CartesianProduct
+    assert(!p.contains("CartesianProduct"), "cartesian in triangle plan")
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"),
+      "triangle closure regressed to a non-equi join")
+  }
+
+  test("q_graph_components runs one grouped local pass, no iteration") {
+    val p = plan("q_graph_components")
+    // flatMapGroups plans as MapGroups: the single per-brand local
+    // union-find pass (iterative propagation would show join+aggregate
+    // rounds instead)
+    assert(p.contains("MapGroups"),
+      "brand-grouped union-find pass missing from the plan")
+  }
+
   test("q_join_salted scatters the key across salt replicas in the join key") {
     // at test scale the dim would be auto-broadcast (no shuffle at all),
     // which hides the property the operator exists for; disable broadcast
