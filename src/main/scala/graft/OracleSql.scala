@@ -304,6 +304,43 @@ object OracleSql {
          SELECT n_name, metric, val
          FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
          ORDER BY n_name, metric""",
+    // Mirrors aggBitmap: identical 32-bit chunk layout (DuckDB's <<
+    // range-checks the sign bit, which is why chunks are 32 not 64),
+    // bit_or/bit_count on BIGINT agree, week = days-since-epoch // 7 is
+    // pure integer on both engines.
+    "q_agg_bitmap" ->
+      """WITH chunks AS (
+           SELECT event_type,
+                  date_diff('day', DATE '1970-01-01',
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week,
+                  user_id // 32 AS chunk,
+                  bit_or((CAST(1 AS BIGINT)
+                    << CAST(user_id % 32 AS INT))) AS bm
+           FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, CAST(week AS BIGINT) AS week,
+                CAST(sum(bit_count(bm)) AS BIGINT) AS n_users,
+                CAST(count(*) AS BIGINT) AS n_chunks
+         FROM chunks GROUP BY event_type, week
+         ORDER BY event_type NULLS FIRST, week""",
+    // Mirrors aggHeavyHitters in its EXACT regime: 5 distinct types
+    // ≤ k = 8 counters means Misra-Gries never cancels and the summary
+    // IS the plain group-by count — the eviction regime is spec-gated,
+    // not oracled.
+    "q_agg_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS est
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Mirrors etlVacuum: the live version's content is the v3 slice
+    // recomputed from raw events; the version counts pin the vacuum's
+    // filesystem effect (3 written, pointer target survives alone).
+    "q_etl_vacuum" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4)
+                  AS DOUBLE) AS sum_value,
+                CAST(3 AS BIGINT) AS versions_before,
+                CAST(1 AS BIGINT) AS versions_after
+         FROM events WHERE event_id % 4 < 3
+         GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors etlPartitionOverwrite's expected END STATE from the raw
     // events: every partition full except 'error', which holds only the
     // restated even-id half — the dynamic-overwrite round trip on the
@@ -2140,6 +2177,28 @@ object OracleSql {
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""",
+    // Mirrors textDupRate: same tokenization/5-gram slices as
+    // q_text_dedup_spans; int/int division is double on both engines,
+    // the 0.5 compare runs on the unrounded double both sides.
+    "q_text_dup_rate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(w, i + 1, i + 5), ' ') AS gram
+           FROM w, unnest(range(0, greatest(len(w) - 4, 0))) AS t(i)),
+         df AS (SELECT gram, count(DISTINCT doc_id) AS nd
+                FROM g GROUP BY gram),
+         per AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM g JOIN df ON g.gram = df.gram GROUP BY g.doc_id)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_dup AS BIGINT) AS n_dup,
+                round(n_dup / n_grams, 4) AS dup_frac,
+                n_dup / n_grams > 0.5 AS drop_doc
+         FROM per ORDER BY doc_id""",
     // Mirrors vecMips: list_inner_product ≡ the sequential DotProduct
     // fold (both sum left-to-right in double; round-4 absorbs the
     // ~1e-16 tail), same vec_id tie-break inside each query's window.

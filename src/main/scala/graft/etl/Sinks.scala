@@ -178,6 +178,51 @@ object Sinks {
     * famous success-by-exception API). Called before a dead database's
     * directory is reclaimed so the engine never holds a booted db whose
     * files are gone. No-op for non-Derby urls. */
+  /** Write `df` as version `v` of a versioned table and flip the LATEST
+    * pointer via ATOMIC_MOVE — readers never see a partial version (the
+    * same pointer protocol as [[graft.ops.Streaming.mergeBatch]]; one
+    * write path per version, old versions stay immutable). */
+  def writeVersioned(df: DataFrame, targetDir: String, v: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    df.write.mode("overwrite").parquet(s"$targetDir/v$v")
+    val tmp = Paths.get(s"$targetDir/LATEST.tmp")
+    Files.createDirectories(Paths.get(targetDir))
+    Files.write(tmp, s"v$v".getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(s"$targetDir/LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retention vacuum for a [[writeVersioned]] table: keep the pointer
+    * target plus the `keep`−1 highest-numbered other versions, delete
+    * the rest; returns (versions before, versions after). The pointer
+    * target is NEVER deleted regardless of age — the invariant that
+    * makes vacuum safe to run concurrently with readers that already
+    * resolved the pointer (they hold the newest version, which always
+    * survives). Deletion is per-version-directory, so at 100 TB the
+    * cost is a file-listing plus unlink of dead versions — no data
+    * scan, no rewrite. */
+  def vacuumVersions(targetDir: String, keep: Int): (Long, Long) = {
+    require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
+    import java.nio.file.{Files, Paths}
+    val live = new String(Files.readAllBytes(
+      Paths.get(s"$targetDir/LATEST")), "UTF-8").trim
+    val versions = Option(new java.io.File(targetDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(f => -f.getName.drop(1).toLong)
+    val keepNames = (live +: versions.map(_.getName)
+      .filterNot(_ == live).take(keep - 1).toSeq).toSet
+    val before = versions.length.toLong
+    versions.filterNot(f => keepNames(f.getName)).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
+    (before, keepNames.size.toLong)
+  }
+
   def shutdownDerby(dbUrl: String): Unit =
     if (dbUrl.startsWith("jdbc:derby:"))
       try java.sql.DriverManager.getConnection(s"$dbUrl;shutdown=true")

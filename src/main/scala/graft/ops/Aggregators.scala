@@ -42,4 +42,59 @@ object Aggregators {
     override def bufferEncoder: Encoder[WavgBuf] = Encoders.product[WavgBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Misra-Gries heavy-hitter summary buffer: ≤ k tracked keys plus the
+    * processed-row count (the error denominator). */
+  case class MgBuf(counts: Map[String, Long], n: Long)
+
+  /** Misra-Gries heavy hitters with k counters — the DETERMINISTIC
+    * frequency sketch next to q_agg_countmin's randomized one: fixed
+    * memory (k entries), mergeable partials, and a hard guarantee
+    * instead of a probabilistic one — every key with true count
+    * > n/(k+1) is present, and every estimate underestimates by at most
+    * n/(k+1) (Agarwal et al., "Mergeable Summaries": the bound SURVIVES
+    * arbitrary merge trees, which is what makes it a valid Spark
+    * aggregation — Spark guarantees nothing about partial merge order).
+    *
+    * reduce: hit → +1; room → insert; full → decrement ALL by 1 and
+    * drop zeros (the classic k-way cancellation). merge: sum maps, and
+    * if over k keys subtract the (k+1)-th largest count from all, drop
+    * ≤0 — the merge-side cancellation that preserves the bound. When
+    * the key domain has ≤ k distinct values no cancellation ever fires
+    * and the summary is EXACT — the registered query runs in that
+    * regime (oracle = plain counts); the eviction regime is spec-gated
+    * against exact counts on a >k domain. */
+  class MisraGries(k: Int) extends Aggregator[String, MgBuf, Map[String, Long]] {
+    require(k >= 1, s"misra-gries: k must be >= 1, got $k")
+    override def zero: MgBuf = MgBuf(Map.empty, 0L)
+    override def reduce(b: MgBuf, key: String): MgBuf = {
+      val c = b.counts
+      val next =
+        if (c.contains(key)) c.updated(key, c(key) + 1)
+        else if (c.size < k) c.updated(key, 1L)
+        else c.flatMap { case (kk, v) =>
+          if (v > 1) Some(kk -> (v - 1)) else None
+        }
+      MgBuf(next, b.n + 1)
+    }
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      var m = a.counts
+      b.counts.foreach { case (kk, v) =>
+        m = m.updated(kk, m.getOrElse(kk, 0L) + v)
+      }
+      if (m.size > k) {
+        // (k+1)-th largest count = the cancellation quantum
+        val d = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        m = m.flatMap { case (kk, v) =>
+          if (v > d) Some(kk -> (v - d)) else None
+        }
+      }
+      MgBuf(m, a.n + b.n)
+    }
+    override def finish(b: MgBuf): Map[String, Long] = b.counts
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()
+  }
 }

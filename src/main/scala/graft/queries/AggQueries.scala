@@ -507,7 +507,59 @@ object AggQueries {
       .orderBy("event_type")
   }
 
+  /** q_agg_bitmap — EXACT distinct counting via mergeable bitmap
+    * chunks: weekly active users per event type, where each (group,
+    * id DIV 32) chunk aggregates to one BIGINT bitmap via `bit_or` and
+    * the distinct count is `sum(bit_count(chunk))` — the roaring-lite
+    * layout warehouse engines use when approximate (q_agg_approx /
+    * q_agg_sketch) is not acceptable but a COUNT(DISTINCT) expand
+    * (q_agg_distinct's shape) shuffles too much. The shuffle carries
+    * one 8-byte word per POPULATED chunk per group — for dense id
+    * spaces that is 64× less than distinct (id, group) pairs, partials
+    * OR-combine map-side, and chunks re-merge under any regrouping
+    * (bit_or is idempotent ∨ associative ∨ commutative). 32-bit chunks
+    * (not 64): DuckDB's `<<` range-checks the sign bit, so 1<<63 is an
+    * error there — both engines stay in non-negative BIGINT territory.
+    * Week = days-since-epoch DIV 7 — pure integer, no calendar. */
+  private val aggBitmap: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)" +
+          " DIV 7").as("week"),
+        col("user_id"))
+    ev.groupBy(col("event_type"), col("week"),
+        expr("user_id DIV 32").as("chunk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(user_id % 32 AS INT)))").as("bm"))
+      .groupBy("event_type", "week")
+      .agg(sum(bit_count(col("bm"))).cast("long").as("n_users"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy(col("event_type").asc_nulls_first, col("week"))
+  }
+
+  /** q_agg_heavy_hitters — Misra-Gries frequency summary
+    * ([[graft.ops.Aggregators.MisraGries]], k = 8) over the event
+    * stream: the DETERMINISTIC heavy-hitter sketch next to
+    * q_agg_countmin's randomized grid — fixed k-entry memory, partials
+    * that merge under ANY merge tree (Spark guarantees no order), and
+    * a hard bound: every key with count > n/(k+1) survives, estimates
+    * undershoot by ≤ n/(k+1). The registered run has 5 distinct types
+    * ≤ k, so no cancellation fires and the summary is EXACT — which is
+    * what makes it oracle-checkable (plain GROUP BY counts); the
+    * eviction regime (domain ≫ k) is gated against exact counts in
+    * AnalyticsOpsSpec. */
+  private val aggHeavyHitters: Q = (s, dir) => {
+    val mg = udaf(new graft.ops.Aggregators.MisraGries(8),
+      org.apache.spark.sql.Encoders.STRING)
+    Tables.load(s, dir, "events")
+      .agg(mg(col("event_type")).as("summary"))
+      .select(explode(col("summary")).as(Seq("event_type", "est")))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_bitmap" -> aggBitmap,
+    "q_agg_heavy_hitters" -> aggHeavyHitters,
     "q_agg_mad" -> aggMad,
     "q_agg_entropy" -> aggEntropy,
     "q_agg_corr" -> aggCorr,

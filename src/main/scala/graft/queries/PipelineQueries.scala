@@ -1022,8 +1022,40 @@ object PipelineQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_etl_vacuum — retention vacuum of a versioned table
+    * ([[graft.etl.Sinks.writeVersioned]]/[[graft.etl.Sinks.vacuumVersions]]):
+    * three restatement versions are written (each a wider event slice,
+    * pointer flipped per write), then vacuum keep=1 deletes everything
+    * but the pointer target — the nightly job that stops version
+    * history from growing without bound while the pointer protocol
+    * keeps concurrent readers safe (the live version is never deleted).
+    * The read-back aggregates the LIVE version and carries the
+    * before/after version counts — the oracle pins all of it: 3
+    * versions written, 1 surviving, and the survivor's content equal to
+    * the v3 slice recomputed from raw events. Cost at scale is a
+    * listing + unlink of dead version dirs — no data scan. */
+  private val etlVacuum: Q = (s, dir) => {
+    val out = SourceQueries.freshSinkDir("vacuum")
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    (1L to 3L).foreach { v =>
+      graft.etl.Sinks.writeVersioned(
+        ev.filter(col("event_id") % 4 < v), out, v)
+    }
+    val (before, after) = graft.etl.Sinks.vacuumVersions(out, keep = 1)
+    s.read.parquet(s"$out/v3")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) " +
+          "AS DOUBLE)").as("sum_value"))
+      .withColumn("versions_before", lit(before))
+      .withColumn("versions_after", lit(after))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_partition_overwrite" -> etlPartitionOverwrite,
+    "q_etl_vacuum" -> etlVacuum,
     "q_etl_freshness" -> etlFreshness,
     "q_etl_purge" -> etlPurge,
     "q_etl_purge_bloom" -> etlPurgeBloom,

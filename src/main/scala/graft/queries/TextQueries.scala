@@ -863,6 +863,37 @@ object TextQueries {
       .limit(100)
   }
 
+  /** q_text_dup_rate — per-document span-duplication rate: the DOC-level
+    * consumption of q_text_dedup_spans' gram-level evidence — for each
+    * doc, the fraction of its 5-gram occurrences that also appear in
+    * another document, plus the keep/drop verdict at the 0.5 threshold
+    * (the "mostly boilerplate" cut real curation pipelines apply after
+    * exact dedup and before model-based filters). Two-phase by
+    * construction: the corpus explodes ONCE into (doc, gram) rows, the
+    * gram→doc-frequency table contracts it, and the rate join carries
+    * (doc, gram) against the contracted table keyed on gram — the
+    * second corpus-sized pass reuses the same codegen'd
+    * [[org.apache.spark.sql.graftfns.TokenNgrams]] explode, so nothing
+    * materializes the corpus twice. */
+  private val textDupRate: Q = (s, dir) => {
+    import org.apache.spark.sql.graftfns.QuantFunctions.token_ngrams
+    val grams = Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(token_ngrams(TextSim.tokens(col("text")), 5)).as("gram"))
+    val docFreq = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+    grams.join(docFreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_dup").cast("long").as("n_dup"),
+        round(col("n_dup") / col("n_grams"), 4).as("dup_frac"),
+        (col("n_dup") / col("n_grams") > 0.5).as("drop_doc"))
+      .orderBy("doc_id")
+  }
+
   /** q_vec_mips — exact maximum-inner-product top-5 per query (probes
     * vec_id < 3): the retrieval scoring for UNNORMALIZED embeddings
     * (recommender / reward-model scores), where magnitude carries
@@ -896,6 +927,7 @@ object TextQueries {
 
   val all: Map[String, Q] = Map(
     "q_text_dedup_spans" -> textDedupSpans,
+    "q_text_dup_rate" -> textDupRate,
     "q_vec_mips" -> vecMips,
     "q_vec_dimstats" -> vecDimstats,
     "q_text_source_overlap" -> textSourceOverlap,

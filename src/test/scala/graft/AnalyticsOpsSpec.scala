@@ -195,4 +195,40 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(math.abs(gmx - mx) < 1e-6)
     }
   }
+
+  test("Misra-Gries eviction regime: hard bounds hold vs exact counts") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    // l_suppkey at sf0.001: ~100 distinct keys >> k = 16 counters, so
+    // cancellation fires constantly — the regime the oracle can't see
+    val k = 16
+    val keys = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_suppkey").cast("string").as("key"))
+    val n = keys.count()
+    val exact = keys.groupBy("key").count().as[(String, Long)]
+      .collect().toMap
+    val mg = udaf(new graft.ops.Aggregators.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val summary = keys.agg(mg(col("key"))).head()
+      .getMap[String, Long](0).toMap
+    assert(summary.size <= k, s"summary holds ${summary.size} > k keys")
+    val bound = n.toDouble / (k + 1)
+    // guarantee 1: estimates never overshoot, and undershoot <= n/(k+1)
+    summary.foreach { case (key, est) =>
+      val t = exact(key)
+      assert(est <= t, s"$key: est $est > true $t")
+      assert(t - est <= bound, s"$key: undershoot ${t - est} > $bound")
+    }
+    // guarantee 2: every true heavy hitter (count > n/(k+1)) survives
+    exact.filter(_._2 > bound).keys.foreach { key =>
+      assert(summary.contains(key), s"heavy hitter $key evicted")
+    }
+    // mergeability: the same guarantee under a different merge tree
+    // (repartition changes partial grouping, not the bound)
+    val re = keys.repartition(7).agg(mg(col("key"))).head()
+      .getMap[String, Long](0).toMap
+    re.foreach { case (key, est) =>
+      assert(est <= exact(key) && exact(key) - est <= bound,
+        s"post-repartition bound broken for $key")
+    }
+  }
 }

@@ -59,6 +59,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
     "q_agg_quantile" -> 0.5, "q_agg_quantile_approx" -> 0.6,
     "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,
+    // bitmap: two-phase chunk bit_or + bit_count rollup
+    "q_agg_bitmap" -> 0.7,
+    // misra-gries: one typed-aggregator pass over events
+    "q_agg_heavy_hitters" -> 0.8,
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
@@ -112,6 +116,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_dim_asof" -> 0.8,
     // partition overwrite: full hive-layout write + dynamic restatement
     "q_etl_partition_overwrite" -> 2.0,
+    // vacuum: three versioned writes + listing/unlink + read-back
+    "q_etl_vacuum" -> 2.0,
     "q_etl_freshness" -> 0.7,
     "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
     "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
@@ -196,6 +202,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_boilerplate" -> 1.5,
     // dedup spans: codegen'd 5-gram explode + one distinct-count agg
     "q_text_dedup_spans" -> 1.0,
+    // dup rate: the spans explode twice-consumed + gram-keyed rate join
+    "q_text_dup_rate" -> 1.5,
     // mips: 3-probe broadcast + one DotProduct pass + WindowGroupLimit
     "q_vec_mips" -> 0.7,
     // round-8 batch 4, measured via BenchOne on the same ~2.3x-loaded

@@ -154,4 +154,34 @@ class LayoutInvarianceSpec extends SparkSpecBase {
     assert(spark.read.option("mergeSchema", "true").parquet(dir)
       .count() == total)
   }
+
+  test("vacuum keeps the pointer target, deletes the rest, survives rerun") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "event_type", "value")
+    (1L to 3L).foreach { v =>
+      graft.etl.Sinks.writeVersioned(
+        ev.filter(col("event_id") % 4 < v), dir, v)
+    }
+    def versionsOnDisk() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sorted.toSeq
+    assert(versionsOnDisk() == Seq("v1", "v2", "v3"))
+    val (before, after) = graft.etl.Sinks.vacuumVersions(dir, keep = 1)
+    assert((before, after) == (3L, 1L))
+    assert(versionsOnDisk() == Seq("v3"), "pointer target must survive")
+    // live read still equals the v3 slice
+    val live = graft.ops.Streaming.servingTable(spark, dir).count()
+    assert(live == ev.filter(col("event_id") % 4 < 3).count())
+    // rerun converges (nothing left to delete)
+    assert(graft.etl.Sinks.vacuumVersions(dir, keep = 1) == (1L, 1L))
+    // keep = 2 on a fresh history retains the next-newest version too
+    (4L to 5L).foreach { v =>
+      graft.etl.Sinks.writeVersioned(
+        ev.filter(col("event_id") % 4 < 1), dir, v)
+    }
+    val (_, after2) = graft.etl.Sinks.vacuumVersions(dir, keep = 2)
+    assert(after2 == 2L && versionsOnDisk() == Seq("v4", "v5"))
+  }
 }
