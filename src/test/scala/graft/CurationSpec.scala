@@ -288,6 +288,32 @@ class CurationSpec extends SparkSpecBase {
     assert(got == Seq(Seq(), Seq(), Seq("a b"), Seq("x y", "y z")))
   }
 
+  test("token_ngrams codegen kernel equals the shingles(·,n) HOF path") {
+    import graft.ops.TextSim
+    import org.apache.spark.sql.graftfns.QuantFunctions.token_ngrams
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    Seq(1, 3, 5, 7).foreach { n =>
+      val both = docs.select(
+          token_ngrams(TextSim.tokens(col("text")), n).as("fast"),
+          TextSim.shingles(col("text"), n).as("hof"))
+        .as[(Seq[String], Seq[String])].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (fast, hof) =>
+        assert(fast == hof, s"n=$n: $fast != $hof")
+      }
+    }
+    // edge cases: shorter-than-n arrays yield empty, exact-n yields one
+    val edge = Seq("", "one", "a b", "w x y z").toDF("text")
+    val got = edge.select(token_ngrams(TextSim.tokens(col("text")), 3))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq(), Seq(), Seq(), Seq("w x y", "x y z")))
+    // the SQL registration resolves and agrees with the column API
+    val viaSql = spark.sql(
+      "SELECT token_ngrams(split('p q r s', ' '), 3)")
+      .as[Seq[String]].head()
+    assert(viaSql == Seq("p q r", "q r s"))
+  }
+
   test("q_vec_centroid equals the exact per-cluster mean, long format") {
     val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
