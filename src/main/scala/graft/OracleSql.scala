@@ -304,6 +304,19 @@ object OracleSql {
          SELECT n_name, metric, val
          FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
          ORDER BY n_name, metric""",
+    // Mirrors srcCorrupt's expected triage from the raw events: every
+    // event_id % 97 == 0 line was written malformed, so good/corrupt
+    // counts and the good-only value sum derive directly.
+    "q_src_corrupt" ->
+      """SELECT CAST(count(CASE WHEN event_id % 97 != 0 THEN 1 END)
+                  AS BIGINT) AS n_good,
+                CAST(count(CASE WHEN event_id % 97 = 0 THEN 1 END)
+                  AS BIGINT) AS n_corrupt,
+                CAST(count(*) AS BIGINT) AS n_total,
+                CAST(round(sum(CASE WHEN event_id % 97 != 0 THEN
+                  CAST(value AS DECIMAL(18,2)) END), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events""",
     // Mirrors aggBitmap: identical 32-bit chunk layout (DuckDB's <<
     // range-checks the sign bit, which is why chunks are 32 not 64),
     // bit_or/bit_count on BIGINT agree, week = days-since-epoch // 7 is

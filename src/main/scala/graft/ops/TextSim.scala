@@ -918,13 +918,17 @@ object TextSim {
       eCount = edges.count()
       round += 1
     }
-    val base = nodes.select(col("vec_id"))
-    if (mapping == null) base.withColumn("group_id", col("vec_id"))
+    // node id column = the nodes frame's (single) column — callers pass
+    // vec_id (embedding dedup) or doc_id (text dedup); the output keeps
+    // the caller's name
+    val idCol = nodes.columns.head
+    val base = nodes.select(col(idCol))
+    if (mapping == null) base.withColumn("group_id", col(idCol))
     else base
-      .join(mapping.select(col("node").as("vec_id"), col("root").as("__g")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("__g"), col("vec_id")).as("group_id"))
+      .join(mapping.select(col("node").as(idCol), col("root").as("__g")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__g"), col(idCol)).as("group_id"))
   }
 
   /** Brute-force top-k cosine neighbours for each probe row: the baseline

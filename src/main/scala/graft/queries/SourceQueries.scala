@@ -186,6 +186,44 @@ object SourceQueries {
     * NDJSON ([[ndjsonFixture]]), read back with the explicit schema,
     * aggregated. O-tier: the oracle aggregates the same logical rows
     * from the events parquet (doubles round-trip JSON bit-exactly). */
+  /** q_src_corrupt — record-level corrupt-input quarantine: the NDJSON
+    * ingest where ~1% of lines are malformed (every event_id % 97 == 0
+    * line is written truncated mid-object), read back PERMISSIVE with
+    * `columnNameOfCorruptRecord` — bad lines land whole in the corrupt
+    * column instead of failing the job or silently vanishing
+    * (FAILFAST/DROPMALFORMED's failure modes). The reference does this
+    * record triage in pydantic per scraped row (`web_scraping.py:
+    * 242-244` validation + quarantine); at 100 TB it must happen in the
+    * reader itself — one pass, no pre-validation scan, and the good/bad
+    * split is an aggregate over the same scan. q_filter_rlike covers
+    * VALUE-level quarantine; this row covers RECORD-level. */
+  private val srcCorrupt: Q = (s, dir) => {
+    val out = freshSinkDir("corrupt_src")
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.select(
+        when(col("event_id") % 97 === 0,
+          concat(lit("{\"event_id\":"), col("event_id"), lit(",BROKEN")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), col("value")))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+      .add("event_type", "string").add("value", "double")
+      .add("_corrupt_record", "string")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(lit(1)).as("n_total"),
+        expr("CAST(round(sum(CASE WHEN _corrupt_record IS NULL THEN " +
+          "CAST(value AS DECIMAL(18,2)) END), 4) AS DOUBLE)")
+          .as("sum_value"))
+  }
+
   private val srcNdjson: Q = (s, dir) => {
     val path = ndjsonFixture(s, dir)
     s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
@@ -463,6 +501,7 @@ object SourceQueries {
   val all: Map[String, Q] = Map(
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
+    "q_src_corrupt" -> srcCorrupt,
     "q_src_xml" -> srcXml,
     "q_src_orc" -> srcOrc,
     "q_src_parquet" -> srcParquet,

@@ -42,6 +42,28 @@ object TextQueries {
         col("doc_id"), col("text"))
       .orderBy("doc_a", "doc_b")
 
+  /** q_text_minhash_groups — the end-to-end text near-dup pipeline:
+    * MinHash banding proposes candidate PAIRS
+    * ([[TextSim.minhashCandidates]] — bucketed, never all-pairs), and
+    * the partition-local union-find contraction
+    * ([[TextSim.dedupGroups]]) turns pairs into dedup GROUPS with a
+    * min-id canonical doc per group — the "keep one copy per cluster"
+    * decision a training-corpus dedup actually executes, composed from
+    * the same two scale primitives the embedding path uses
+    * (q_vec_cosine_dedup → q_vec_dedup_groups). Q-tier: the pair set
+    * is MinHash-derived (xxhash64, no DuckDB twin); group consistency
+    * (every candidate pair shares a label; canonicals are group
+    * minima) is gated in TextSimSpec. */
+  private val minhashGroups: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    TextSim.dedupGroups(docs.select("doc_id"), pairs)
+      .withColumn("is_canonical",
+        (col("doc_id") === col("group_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** q_vec_cosine_topk — brute-force cosine top-10 against the vec_id=0
     * probe ([[TextSim.cosine]]: sequential double fold on both engines).
     * Ties break on vec_id after rounding, so the top-k set is stable. */
@@ -868,24 +890,30 @@ object TextQueries {
     * doc, the fraction of its 5-gram occurrences that also appear in
     * another document, plus the keep/drop verdict at the 0.5 threshold
     * (the "mostly boilerplate" cut real curation pipelines apply after
-    * exact dedup and before model-based filters). Two-phase by
-    * construction: the corpus explodes ONCE into (doc, gram) rows, the
-    * gram→doc-frequency table contracts it, and the rate join carries
-    * (doc, gram) against the contracted table keyed on gram — the
-    * second corpus-sized pass reuses the same codegen'd
-    * [[org.apache.spark.sql.graftfns.TokenNgrams]] explode, so nothing
-    * materializes the corpus twice. */
+    * exact dedup and before model-based filters). The corpus explodes
+    * exactly ONCE (codegen'd
+    * [[org.apache.spark.sql.graftfns.TokenNgrams]]): one two-phase
+    * aggregate contracts it to (gram, doc, occurrences), doc frequency
+    * is then a window COUNT over that CONTRACTED table (one row per
+    * distinct (gram, doc) — no self-join, no second explode: the naive
+    * gram→doc-freq join shape re-ran the corpus explode because the
+    * two consumers' exchanges differ and ReuseExchange can't fire;
+    * local timings tie at sf0.1 — the window's sort of the contracted
+    * table costs about what the saved explode cost — but at corpus
+    * scale re-reading + re-exploding 100 TB loses to sorting the
+    * far-smaller distinct (gram, doc) table), and the per-doc rollup
+    * is a third contraction. */
   private val textDupRate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftfns.QuantFunctions.token_ngrams
     val grams = Tables.parallelized(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         explode(token_ngrams(TextSim.tokens(col("text")), 5)).as("gram"))
-    val docFreq = grams.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd"))
-    grams.join(docFreq, "gram")
+    grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("occ"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum("occ").as("n_grams"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"),
         col("n_grams").cast("long").as("n_grams"),
         col("n_dup").cast("long").as("n_dup"),
@@ -962,6 +990,7 @@ object TextQueries {
     "q_text_tokenize" -> tokenize,
     "q_text_dedup_exact" -> dedupExact,
     "q_text_minhash" -> minhash,
+    "q_text_minhash_groups" -> minhashGroups,
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
     "q_text_repetition" -> repetition,

@@ -34,6 +34,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // sources
     "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
     "q_src_csv" -> 0.6, "q_src_orc" -> 0.5,
+    // corrupt triage: text write + PERMISSIVE json read-back
+    "q_src_corrupt" -> 1.2,
     // XML parse is the costliest text source (per-row element parse)
     "q_src_xml" -> 1.0,
     "q_src_stream_file" -> 2.0,
@@ -93,7 +95,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_udaf_wavg" -> 0.4, "q_udf_time_until_close" -> 0.8,
     // text / vector pipeline
     "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
-    "q_text_minhash" -> 1.0, "q_vec_cosine_topk" -> 0.4, "q_vec_normalize" -> 0.4,
+    "q_text_minhash" -> 1.0,
+    // minhash pairs + union-find contraction (the two stages composed)
+    "q_text_minhash_groups" -> 2.2,
+    "q_vec_cosine_topk" -> 0.4, "q_vec_normalize" -> 0.4,
     "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.4,
     "q_text_quality" -> 0.4, "q_text_repetition" -> 0.7,
     "q_text_tokens" -> 0.3,

@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 207, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 189)
-    assert(declared.values.count(_ == "Q") == 13)
+    assert(declared.size == 209, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 190)
+    assert(declared.values.count(_ == "Q") == 14)
     assert(declared.values.count(_ == "U") == 5)
   }
 

@@ -307,6 +307,31 @@ class TextSimSpec extends SparkSpecBase {
       s"trained recall $trained collapsed vs sampled $sampled")
   }
 
+  test("minhash groups are consistent with the candidate pair graph") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val pairs = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture should plant near-dups")
+    val groups = TextSim.dedupGroups(docs.select("doc_id"),
+        TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+      .as[(Long, Long)].collect().toMap
+    // every candidate pair ends in one group
+    pairs.foreach { case (a, b) =>
+      assert(groups(a) == groups(b), s"pair ($a,$b) split across groups")
+    }
+    // canonical = the group's minimum id, and it labels itself
+    groups.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"label $label is not the min")
+      assert(groups(label) == label, s"canonical $label not self-labeled")
+    }
+    // docs untouched by any pair stay singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    groups.filterNot { case (id, _) => paired(id) }.foreach {
+      case (id, label) => assert(id == label, s"singleton $id relabeled")
+    }
+  }
+
   test("annCosineIvfPq: full coverage is exact; registered cut is usable") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val n = emb.count().toInt
