@@ -53,6 +53,14 @@ object PlanDump {
     "q_etl_wap" -> "write-audit-publish: staged write, 3-check audit aggregate, atomic rename",
     "q_evt_retention" -> "cohort retention: one collect_set pass per user (cohort + grid from the same row, join-free), small matrix aggregate",
     "q_evt_attribution" -> "last-touch: ONE running window (O(1) state), no touches-x-purchases self-join",
+    "q_sql_lateral" -> "correlated LATERAL LIMIT: WindowGroupLimit partial top-k + one equi-join (no per-row subquery)",
+    "q_sql_exists" -> "EXISTS/NOT EXISTS: decorrelated hash semi- + anti-joins, co-keyed",
+    "q_graph_triangles" -> "triangle census: degree-oriented wedge join, equi-joins only",
+    "q_graph_components" -> "components: one groupByKey(brand) + MapGroups union-find, no iteration",
+    "q_text_dedup_spans" -> "span dedup: codegen'd token_ngrams explode, two-phase distinct-count aggregate",
+    "q_vec_mips" -> "MIPS: 3-probe broadcast, DotProduct pass, WindowGroupLimit per-query top-5",
+    "q_agg_bitmap" -> "bitmap distinct: (group,chunk) bit_or partials, bit_count rollup",
+    "q_text_dup_rate" -> "dup rate: one explode, (gram,doc) contraction, window doc-freq, per-doc rollup",
     "q_evt_anomaly" -> "z-score outliers: 5-row stats BROADCAST back onto the stream, corpus never shuffles",
     "q_etl_anonymize" -> "k-anonymity: one window count over the QI composite, per-row masking",
     "q_agg_corr" -> "co-moment profile: ONE two-phase aggregate pass for corr/covar/OLS",
