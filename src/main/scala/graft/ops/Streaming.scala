@@ -100,6 +100,36 @@ object Streaming {
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"))
   }
 
+  /** q_stream_left — watermarked stream-stream LEFT OUTER interval
+    * join: every left event emits, matched rows as they arrive, the
+    * unmatched ones with a null right side once the watermark proves no
+    * in-window partner can still come — the "views that never
+    * converted" readout computed INCREMENTALLY (the batch shape is
+    * q_join_left + q_join_range; q_stream_join is the inner half).
+    * The outer semantics only exist at a live state store: an
+    * unmatched left row is held in state until
+    * watermark > l_ts + window, and THEN emitted with nulls — no batch
+    * shadow can express "proven unmatched so far", which is why this
+    * row is U-tier. Both sides carry the same interval condition as
+    * [[intervalJoin]], so state eviction is bounded on both sides (the
+    * condition + watermark give Spark the retention bound). */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                        window: String,
+                        tsCol: String = "ts"): DataFrame = {
+    require(window.trim.toLowerCase(java.util.Locale.ROOT)
+        .matches("""\d+\s+(second|minute|hour|day)s?"""),
+      s"window must look like '30 minutes' (got '$window')")
+    val l = left.select(
+      left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.select(
+      right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsCol") > col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"),
+      "left_outer")
+  }
+
   /** Per-user accumulator. All fields are order-independent aggregates —
     * flatMapGroupsWithState gives no intra-batch row ordering after the
     * shuffle, so a "last value" field would be nondeterministic

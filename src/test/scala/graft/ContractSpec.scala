@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 209, s"got ${declared.size}")
+    assert(declared.size == 210, s"got ${declared.size}")
     assert(declared.values.count(_ == "O") == 190)
     assert(declared.values.count(_ == "Q") == 14)
-    assert(declared.values.count(_ == "U") == 5)
+    assert(declared.values.count(_ == "U") == 6)
   }
 
   test("every declared O/Q operator has a queries entry") {

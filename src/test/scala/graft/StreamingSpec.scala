@@ -84,6 +84,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((1L, 10L), (2L, 12L)))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched views after the " +
+      "watermark closes their window (q_stream_left)") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = Streaming.intervalJoinOuter(
+      views.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "30 minutes")
+    val q = joined.select("l_event_id", "r_event_id").writeStream
+      .outputMode("append").format("memory").queryName("ssleft_test").start()
+    try {
+      views.addData(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(5), 2, "view", 0))
+      clicks.addData(Ev(10, ts(10), 1, "click", 0)) // converts view 1
+      q.processAllAvailable()
+      // push both watermarks far past view 2's 30-minute window: its
+      // null row may only emit once no in-window click can still arrive
+      views.addData(Ev(3, ts(120), 9, "view", 0))
+      clicks.addData(Ev(11, ts(120), 9, "click", 0))
+      q.processAllAvailable()
+      views.addData(Ev(4, ts(200), 8, "view", 0))
+      clicks.addData(Ev(12, ts(200), 8, "click", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssleft_test").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // view 1 matched; view 2 proven unmatched (null click); the late
+    // watermark-pushing pairs matched each other
+    assert(rows.contains((1L, Some(10L))), s"matched pair missing: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched view did not emit a null row: $rows")
+    assert(!rows.contains((2L, Some(10L))) && !rows.contains((2L, Some(11L))),
+      s"view 2 wrongly matched: $rows")
+  }
+
   test("session windows close on gap") {
     val out = runStream(
       Seq(Seq(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(10), 7, "click", 1.0),
