@@ -731,6 +731,21 @@ object TextSim {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Seeded Johnson-Lindenstrauss projection matrix: k rows × d cols of
+    * Rademacher ±1/√k entries. A pure function of (seed, k, d) — every
+    * executor and every rerun regenerates the identical matrix, so it is
+    * never stored, broadcast, or shuffled (the q_vec_ann_lsh
+    * seed-regenerated-planes discipline). Rademacher satisfies the JL
+    * lemma with the same guarantees as Gaussian entries (Achlioptas,
+    * "Database-friendly random projections") and costs one sign flip
+    * per entry. */
+  def jlMatrix(seed: Long, k: Int, d: Int): Array[Array[Double]] = {
+    require(k > 0 && d > 0, s"k ($k) and d ($d) must be positive")
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    Array.fill(k)(Array.fill(d)(if (rnd.nextBoolean()) scale else -scale))
+  }
+
   /** IVF-PQ approximate top-k cosine neighbours — the composed index
     * every production ANN system at 10⁹+ vectors runs (FAISS IVFPQ):
     * the IVF coarse quantizer prunes WHICH rows are candidates (visit

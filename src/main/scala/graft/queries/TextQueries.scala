@@ -922,6 +922,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q_vec_rproj — Johnson-Lindenstrauss random projection 64 → 16
+    * dims: the dimensionality-reduction pass a 100 TB embedding
+    * pipeline runs before storage/ANN when the encoder's width is
+    * larger than retrieval needs — pairwise distances are preserved in
+    * expectation (Rademacher ±1/√k entries: E‖Px−Py‖² = ‖x−y‖², the
+    * distribution-free JL construction), so downstream cosine/L2
+    * consumers keep working on 4× fewer bytes. The projection matrix is
+    * a pure function of a fixed seed — REGENERABLE, never stored or
+    * shuffled, identical on every executor and every rerun — and rides
+    * into the plan as k literal rows consumed by the codegen'd
+    * [[org.apache.spark.sql.graftfns.DotProduct]] kernel: one narrow
+    * map, no shuffle, no UDF. Q-tier (no DuckDB twin for the seeded
+    * matrix); the distance-preservation claim is spec-gated in
+    * TextSimSpec over sampled pairs. */
+  private val vecRproj: Q = (s, dir) => {
+    val proj = TextSim.jlMatrix(seed = 42, k = 16, d = 64)
+    val v = col("embedding").cast("array<double>")
+    Tables.load(s, dir, "embeddings")
+      .select(Seq(col("vec_id"), col("label")) ++
+        proj.zipWithIndex.map { case (row, i) =>
+          round(org.apache.spark.sql.graftfns.VectorFunctions
+            .dot_product(v, typedLit(row.toSeq)), 4).as(s"p$i")
+        }: _*)
+      .orderBy("vec_id")
+  }
+
   /** q_vec_mips — exact maximum-inner-product top-5 per query (probes
     * vec_id < 3): the retrieval scoring for UNNORMALIZED embeddings
     * (recommender / reward-model scores), where magnitude carries
@@ -957,6 +983,7 @@ object TextQueries {
     "q_text_dedup_spans" -> textDedupSpans,
     "q_text_dup_rate" -> textDupRate,
     "q_vec_mips" -> vecMips,
+    "q_vec_rproj" -> vecRproj,
     "q_vec_dimstats" -> vecDimstats,
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,

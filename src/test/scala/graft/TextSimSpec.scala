@@ -307,6 +307,35 @@ class TextSimSpec extends SparkSpecBase {
       s"trained recall $trained collapsed vs sampled $sampled")
   }
 
+  test("JL projection preserves pairwise distances in aggregate") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).take(60)
+      .map(_._2.toArray)
+    val proj = TextSim.jlMatrix(seed = 42, k = 16, d = 64)
+    // regenerability: the matrix is a pure function of the seed
+    assert(proj.map(_.toSeq).toSeq ==
+      TextSim.jlMatrix(seed = 42, k = 16, d = 64).map(_.toSeq).toSeq)
+    def project(x: Array[Double]): Array[Double] =
+      proj.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+    } yield (d2(vecs(i), vecs(j)), d2(project(vecs(i)), project(vecs(j))))
+    val nonDegenerate = pairs.filter(_._1 > 1e-12)
+    assert(nonDegenerate.size > 1000)
+    val ratios = nonDegenerate.map { case (orig, prj) => prj / orig }
+    // E[ratio] = 1 for Rademacher/√k; per-pair variance is O(1/k), so
+    // the MEAN over ~1700 pairs concentrates tightly while individual
+    // pairs may wander — gate both at their own scales
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distance ratio $mean")
+    val within = ratios.count(r => r > 0.4 && r < 1.9)
+    assert(within.toDouble / ratios.size > 0.9,
+      s"only $within/${ratios.size} pairs inside the loose JL envelope")
+  }
+
   test("minhash groups are consistent with the candidate pair graph") {
     val docs = Tables.load(spark, sf0001, "documents")
     val pairs = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
