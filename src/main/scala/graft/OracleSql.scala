@@ -304,6 +304,39 @@ object OracleSql {
          SELECT n_name, metric, val
          FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
          ORDER BY n_name, metric""",
+    // Mirrors etlRi: the same three anti-join audits, the supplier dim
+    // lagged identically (% 10 keys removed); int/int division is
+    // double on both engines before round-4.
+    "q_etl_ri" ->
+      """WITH a1 AS (
+           SELECT 'lineitem->part' AS relationship,
+                  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+                    AS n_child,
+                  CAST((SELECT count(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+                    AS n_orphan),
+         a2 AS (
+           SELECT 'lineitem->supplier_lagged' AS relationship,
+                  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+                    AS n_child,
+                  CAST((SELECT count(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey % 10 != 0
+                          AND s.s_suppkey = l.l_suppkey)) AS BIGINT)
+                    AS n_orphan),
+         a3 AS (
+           SELECT 'orders->customer' AS relationship,
+                  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+                  CAST((SELECT count(*) FROM orders o
+                        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+                    AS n_orphan)
+         SELECT relationship, n_child, n_orphan,
+                round(n_orphan / n_child, 4) AS orphan_pct
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+               UNION ALL SELECT * FROM a3)
+         ORDER BY relationship""",
     // Mirrors srcCorrupt's expected triage from the raw events: every
     // event_id % 97 == 0 line was written malformed, so good/corrupt
     // counts and the good-only value sum derive directly.

@@ -1053,9 +1053,46 @@ object PipelineQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_etl_ri — referential-integrity audit across the warehouse's FK
+    * graph (the check the reference gets implicitly from Postgres FK
+    * constraints, `model.py`'s ForeignKey columns — a columnar
+    * warehouse has no enforcing engine, so RI must be AUDITED): per
+    * relationship, child rows / orphan rows / orphan rate. The supplier
+    * dim is deliberately lagged (every 10th key missing — the "dim load
+    * behind the facts" incident) so the audit exercises a real
+    * violation, not a vacuous all-zeros pass. Each relationship is one
+    * LEFT ANTI join: dims broadcast at these sizes (map-side, zero fact
+    * shuffle); a dim too big to broadcast swaps in the Bloom-prefiltered
+    * semi-join ([[graft.ops.Relational]] bloomSemiLong) — same
+    * contract, bounded memory. */
+  private val etlRi: Q = (s, dir) => {
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val orders = Tables.load(s, dir, "orders")
+    def audit(name: String, child: DataFrame, key: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = child.join(broadcast(dim),
+        child(key) === dim(dimKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphan"),
+          round(col("n_orphan") / col("n_child"), 4).as("orphan_pct"))
+    }
+    val laggedSupplier = Tables.load(s, dir, "supplier")
+      .filter(col("s_suppkey") % 10 =!= 0)
+    audit("lineitem->part", lineitem, "l_partkey",
+        Tables.load(s, dir, "part"), "p_partkey")
+      .unionByName(audit("lineitem->supplier_lagged", lineitem,
+        "l_suppkey", laggedSupplier, "s_suppkey"))
+      .unionByName(audit("orders->customer", orders, "o_custkey",
+        Tables.load(s, dir, "customer"), "c_custkey"))
+      .orderBy("relationship")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_partition_overwrite" -> etlPartitionOverwrite,
     "q_etl_vacuum" -> etlVacuum,
+    "q_etl_ri" -> etlRi,
     "q_etl_freshness" -> etlFreshness,
     "q_etl_purge" -> etlPurge,
     "q_etl_purge_bloom" -> etlPurgeBloom,

@@ -124,6 +124,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // vacuum: three versioned writes + listing/unlink + read-back
     "q_etl_vacuum" -> 2.0,
     "q_etl_freshness" -> 0.7,
+    // ri: three broadcast anti-join audits over the fact tables
+    "q_etl_ri" -> 1.0,
     "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
     // rproj: 16 literal-row DotProducts, one narrow map
     "q_vec_rproj" -> 0.7,
