@@ -350,6 +350,35 @@ object OracleSql {
                   CAST(value AS DECIMAL(18,2)) END), 4) AS DOUBLE)
                   AS sum_value
          FROM events""",
+    // Mirrors aggMoments: identical decimal power sums (exact — no
+    // merge-order drift) and the identical closed-form double readout.
+    "q_agg_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS s1,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s3
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT flag, n, round(s1 / n, 4) AS mean,
+                round(s2 / n - (s1/n)*(s1/n), 4) AS variance,
+                round((s3/n - 3*(s1/n)*(s2/n)
+                       + 2*(s1/n)*(s1/n)*(s1/n))
+                  / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew
+         FROM s ORDER BY flag""",
+    // Mirrors winMedian: quantile_cont at p=0.5 interpolates exactly
+    // like Spark's percentile over the same explicit 7-row frame;
+    // (ts, event_id) ordering makes frames engine-identical.
+    "q_win_median" ->
+      """SELECT user_id, event_id,
+                round(quantile_cont(value, 0.5) OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+         FROM events ORDER BY user_id, event_id""",
     // Mirrors aggBitmap: identical 32-bit chunk layout (DuckDB's <<
     // range-checks the sign bit, which is why chunks are 32 not 64),
     // bit_or/bit_count on BIGINT agree, week = days-since-epoch // 7 is

@@ -557,7 +557,45 @@ object AggQueries {
       .orderBy("event_type")
   }
 
+  /** q_agg_moments — higher-moment distribution profile (mean,
+    * variance, skewness) per return flag from DECIMAL-EXACT power sums:
+    * the shape detector behind drift monitors (a moving mean says
+    * "shifted", a flipped skew says "the tail changed sides" — a
+    * different upstream bug). The §7.5.2 discipline applied to third
+    * moments: Σx, Σx², Σx³ accumulate as decimals (2-decimal inputs ⇒
+    * 6-decimal cubes, exact; Spark's built-in `skewness` accumulates
+    * DOUBLE partials whose merge order drifts run to run), and only the
+    * closed-form readout m₃/m₂^1.5 runs in double — identical algebra
+    * on both engines. One two-phase aggregate; three extra decimal
+    * columns per group is the entire shuffle delta. */
+  private val aggMoments: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("s1"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+          "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("s2"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+          "CAST(l_quantity AS DECIMAL(18,2)) * " +
+          "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("s3"))
+      .select(col("flag"), col("n"),
+        round(col("s1") / col("n"), 4).as("mean"),
+        round(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n")), 4)
+          .as("variance"),
+        round((col("s3") / col("n") -
+          lit(3) * (col("s1") / col("n")) * (col("s2") / col("n")) +
+          lit(2) * (col("s1") / col("n")) * (col("s1") / col("n")) *
+            (col("s1") / col("n"))) /
+          pow(col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n")), 1.5), 4)
+          .as("skew"))
+      .orderBy("flag")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_moments" -> aggMoments,
     "q_agg_bitmap" -> aggBitmap,
     "q_agg_heavy_hitters" -> aggHeavyHitters,
     "q_agg_mad" -> aggMad,

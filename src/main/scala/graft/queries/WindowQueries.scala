@@ -297,7 +297,29 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** q_win_median — 7-row trailing moving MEDIAN per user: the robust
+    * twin of q_win_moving's mean — one outlier spike pollutes a
+    * trailing mean for 7 rows but moves the median by at most one rank
+    * step, which is why monitoring smoothers prefer it. Spark computes
+    * `percentile(v, 0.5)` as a bounded-frame window aggregate: one key
+    * shuffle, per-frame state is the ≤7-row buffer (the frame bound is
+    * the memory bound — an UNBOUNDED median would buffer whole
+    * partitions). DuckDB's `quantile_cont` interpolates identically at
+    * p=0.5 over the same explicit frame; (ts, event_id) ordering makes
+    * frames engine-identical. At 100 TB swap exact for an approx
+    * sketch only if the frame grows unbounded — bounded frames keep
+    * exact cheap. */
+  private val winMedian: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(expr("percentile(value, 0.5)").over(w), 4).as("med7"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_median" -> winMedian,
     "q_win_ema" -> winEma,
     "q_win_interval_merge" -> winIntervalMerge,
     "q_win_streak" -> winStreak,

@@ -65,6 +65,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_bitmap" -> 0.7,
     // misra-gries: one typed-aggregator pass over events
     "q_agg_heavy_hitters" -> 0.8,
+    // moments: one two-phase aggregate with decimal power sums
+    "q_agg_moments" -> 0.8,
+    // moving median: bounded 7-row frame window
+    "q_win_median" -> 0.9,
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
