@@ -350,6 +350,45 @@ object OracleSql {
                   CAST(value AS DECIMAL(18,2)) END), 4) AS DOUBLE)
                   AS sum_value
          FROM events""",
+    // Mirrors aggRegression: identical decimal sums (x = whole days,
+    // y = 2-dp values — all products exact), identical closed-form
+    // double readout.
+    "q_agg_regression" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                    AS DECIMAL(18,0)) AS x,
+                  CAST(value AS DECIMAL(18,2)) AS y
+           FROM events),
+         s AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx
+           FROM b GROUP BY event_type)
+         SELECT event_type, n,
+                round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+                round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                  / n, 4) AS intercept
+         FROM s ORDER BY event_type NULLS FIRST""",
+    // Mirrors textSoftDedup: sha256 ≡ sha2(·, 256) (q_text_fingerprint's
+    // proven parity base); weights are single exact divisions summed
+    // under round-4.
+    "q_text_soft_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  sha256(regexp_replace(trim(lower(text)), '\s+', ' ',
+                    'g')) AS fp
+           FROM documents),
+         grp AS (SELECT fp, count(*) AS n_copies FROM fp GROUP BY fp)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT f.fp) AS BIGINT) AS n_unique_fp,
+                round(sum(CAST(1 AS DOUBLE) / g.n_copies), 4)
+                  AS effective_docs
+         FROM fp f JOIN grp g ON f.fp = g.fp
+         GROUP BY source ORDER BY source""",
     // Mirrors aggMoments: identical decimal power sums (exact — no
     // merge-order drift) and the identical closed-form double readout.
     "q_agg_moments" ->

@@ -594,7 +594,39 @@ object AggQueries {
       .orderBy("flag")
   }
 
+  /** q_agg_regression — per-type least-squares trend of value over
+    * time (slope per day + intercept): the drift line behind "is this
+    * metric creeping" alerts. Spark ships `regr_slope`, but its DOUBLE
+    * moment partials are merge-order-dependent (the §7.5.2 class), so
+    * the sums Σx, Σy, Σxy, Σx² accumulate as DECIMALS (x = whole days
+    * since epoch, y = 2-dp values ⇒ all products exact) and the
+    * closed-form slope/intercept run in double identically on both
+    * engines. One two-phase aggregate; four decimal columns per group
+    * is the entire shuffle. */
+  private val aggRegression: Q = (s, dir) => {
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT) AS DECIMAL(18,0))").as("x"),
+        expr("CAST(value AS DECIMAL(18,2))").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(x) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(y) AS DOUBLE)").as("sy"),
+        expr("CAST(sum(x * y) AS DOUBLE)").as("sxy"),
+        expr("CAST(sum(x * x) AS DOUBLE)").as("sxx"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 4).as("intercept"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_regression" -> aggRegression,
     "q_agg_moments" -> aggMoments,
     "q_agg_bitmap" -> aggBitmap,
     "q_agg_heavy_hitters" -> aggHeavyHitters,

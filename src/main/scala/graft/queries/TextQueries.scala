@@ -885,6 +885,32 @@ object TextQueries {
       .limit(100)
   }
 
+  /** q_text_soft_dedup — soft deduplication readout: instead of
+    * DROPPING duplicate docs (q_text_dedup_exact's keep-one), each doc
+    * is down-WEIGHTED to 1/n_copies of its content fingerprint, so a
+    * page mirrored 1000× contributes one doc's worth of training mass
+    * while still covering all its sources — the softer curation choice
+    * when duplicates carry distribution signal (per-source effective
+    * size is the readout that decides mixture weights). Fingerprint =
+    * q_text_fingerprint's normalized sha (same parity base); the copy
+    * count contracts per fingerprint, joins back keyed on the
+    * fingerprint, and the per-source rollup sums 1/n — each weight is
+    * a single exact division, the sums round-4 over ≤ corpus/sources
+    * terms. */
+  private val textSoftDedup: Q = (s, dir) => {
+    val fp = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256)
+          .as("fp"))
+    val copies = fp.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    fp.join(copies, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_unique_fp"),
+        round(sum(lit(1.0) / col("n_copies")), 4).as("effective_docs"))
+      .orderBy("source")
+  }
+
   /** q_text_dup_rate — per-document span-duplication rate: the DOC-level
     * consumption of q_text_dedup_spans' gram-level evidence — for each
     * doc, the fraction of its 5-gram occurrences that also appear in
@@ -982,6 +1008,7 @@ object TextQueries {
   val all: Map[String, Q] = Map(
     "q_text_dedup_spans" -> textDedupSpans,
     "q_text_dup_rate" -> textDupRate,
+    "q_text_soft_dedup" -> textSoftDedup,
     "q_vec_mips" -> vecMips,
     "q_vec_rproj" -> vecRproj,
     "q_vec_dimstats" -> vecDimstats,

@@ -67,6 +67,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_heavy_hitters" -> 0.8,
     // moments: one two-phase aggregate with decimal power sums
     "q_agg_moments" -> 0.8,
+    // regression: same decimal-sum family, 4 columns per group
+    "q_agg_regression" -> 0.8,
+    // soft dedup: sha contraction + fingerprint-keyed join-back
+    "q_text_soft_dedup" -> 0.9,
     // moving median: bounded 7-row frame window
     "q_win_median" -> 0.9,
     // windows
