@@ -1123,6 +1123,16 @@ object OracleSql {
                   AS sum_value
          FROM events WHERE event_id % 5 = 0 GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    // q_src_jdbc loads the event_id%3 slice into Derby and reads it back
+    // through 4 range-predicate slices; the union of the slices must be
+    // exactly one copy (a boundary off-by-one loses or double-counts a
+    // row and breaks the hash)
+    "q_src_jdbc" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_src_stream_file" ->
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type

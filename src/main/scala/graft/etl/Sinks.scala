@@ -173,11 +173,31 @@ object Sinks {
       .load()
   }
 
-  /** Shut down one embedded Derby database (unmounts it from the engine;
-    * a successful shutdown SIGNALS via SQLException 08006 — JDBC's one
-    * famous success-by-exception API). Called before a dead database's
-    * directory is reclaimed so the engine never holds a booted db whose
-    * files are gone. No-op for non-Derby urls. */
+  /** Range-partitioned parallel JDBC read — the scale ingest path. The
+    * source table is split into `numPartitions` range predicates on
+    * `partitionColumn` (`col < b1`, `b1 <= col < b2`, …, `col >= bn`);
+    * each slice is an independent query on its own connection, so read
+    * parallelism = `numPartitions` instead of the single-cursor default.
+    * The bounds only STEER the split, they never filter: rows outside
+    * `[lowerBound, upperBound]` still land in the first/last slice, so a
+    * stale bounds estimate degrades balance, not correctness. Size
+    * `numPartitions` to what the SOURCE can serve concurrently (the
+    * mirror of [[writeJdbc]]'s connection advice). */
+  def readJdbcPartitioned(spark: org.apache.spark.sql.SparkSession,
+                          url: String, table: String, partitionColumn: String,
+                          lowerBound: Long, upperBound: Long,
+                          numPartitions: Int): DataFrame = {
+    derbyHome
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+  }
+
   /** Write `df` as version `v` of a versioned table and flip the LATEST
     * pointer via ATOMIC_MOVE — readers never see a partial version (the
     * same pointer protocol as [[graft.ops.Streaming.mergeBatch]]; one
@@ -223,6 +243,11 @@ object Sinks {
     (before, keepNames.size.toLong)
   }
 
+  /** Shut down one embedded Derby database (unmounts it from the engine;
+    * a successful shutdown SIGNALS via SQLException 08006 — JDBC's one
+    * famous success-by-exception API). Called before a dead database's
+    * directory is reclaimed so the engine never holds a booted db whose
+    * files are gone. No-op for non-Derby urls. */
   def shutdownDerby(dbUrl: String): Unit =
     if (dbUrl.startsWith("jdbc:derby:"))
       try java.sql.DriverManager.getConnection(s"$dbUrl;shutdown=true")

@@ -349,6 +349,32 @@ object SourceQueries {
     roundTripAgg(graft.etl.Sinks.readJdbc(s, url, "events_jdbc"))
   }
 
+  /** q_src_jdbc — range-partitioned PARALLEL JDBC ingest (ref the
+    * serving DB as a *source*: `database/app.py:76-82` reads Postgres
+    * back out; the reverse-ETL direction of [[sinkJdbc]]). Spark's JDBC
+    * source reads on a single cursor unless told how to split — the
+    * difference between one connection dribbling 100 TB and N range
+    * slices ingesting in parallel. The `event_id % 3` slice is loaded
+    * into Derby once, then read back through 4 range predicates on
+    * `event_id` (min/max bounds are a 2-long driver-side lookup — index
+    * metadata, not data). Correctness of the SPLIT is the point of the
+    * oracle check: the union of the 4 slices must reproduce exactly one
+    * copy — a boundary off-by-one (row lost to `<` vs `<=` at a slice
+    * edge, or counted by two slices) breaks the hash. */
+  private val srcJdbc: Q = (s, dir) => {
+    Option(lastJdbcUrl.get()).foreach(graft.etl.Sinks.shutdownDerby)
+    val out = freshSinkDir("src_jdbc")
+    val url = s"jdbc:derby:$out/db;create=true"
+    lastJdbcUrl.set(url)
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") % 3 === 0)
+    graft.etl.Sinks.writeJdbc(ev.repartition(4), url, "events_src")
+    val b = ev.agg(min("event_id"), max("event_id")).head()
+    roundTripAgg(graft.etl.Sinks.readJdbcPartitioned(
+      s, url, "events_src", "event_id", b.getLong(0), b.getLong(1), 4))
+  }
+
   /** q_src_partition_prune — hive-layout partitioned write, then a
     * pruned read-back: the scan must touch ONLY the `event_type=purchase`
     * directory (ref the per-category output layout of the scraper's
@@ -511,5 +537,6 @@ object SourceQueries {
     "q_src_stream_file" -> srcStreamFile,
     "q_sink_append" -> sinkAppend,
     "q_sink_warehouse" -> sinkWarehouse,
-    "q_sink_jdbc" -> sinkJdbc)
+    "q_sink_jdbc" -> sinkJdbc,
+    "q_src_jdbc" -> srcJdbc)
 }

@@ -42,6 +42,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
     // double JDBC write (drop/create + batched inserts) of the %5 slice
     "q_sink_jdbc" -> 2.5,
+    // partitioned-read twin: one Derby load + 4-slice parallel read-back
+    "q_src_jdbc" -> 2.5,
     "q_src_partition_prune" -> 1.2, "q_sink_bucketed" -> 1.5,
     // projections / filters
     "q_proj_select" -> 0.3, "q_proj_derived" -> 0.3,

@@ -62,6 +62,25 @@ class SinksAndApproxSpec extends SparkSpecBase {
     Sinks.shutdownDerby(url)
   }
 
+  test("partitioned jdbc read splits into N range slices, one copy total (q_src_jdbc)") {
+    val dir = Files.createTempDirectory("graft_jdbc_part").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    // ids straddle the slice boundaries (bounds 1..100 over 4 slices →
+    // edges at 25/50/75): each boundary id must land in exactly one slice
+    val df = (1L to 100L).toDF("id").withColumn("v", col("id") * 2)
+    Sinks.writeJdbc(df, url, "t3")
+    val back = Sinks.readJdbcPartitioned(spark, url, "t3", "id", 1L, 100L, 4)
+    // read parallelism is the point: 4 independent range queries
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).head().getLong(0) == 5050L)
+    // stale bounds steer balance, never correctness: rows OUTSIDE the
+    // advertised range still arrive through the unbounded edge slices
+    val stale = Sinks.readJdbcPartitioned(spark, url, "t3", "id", 40L, 60L, 4)
+    assert(stale.count() == 100)
+    Sinks.shutdownDerby(url)
+  }
+
   test("sink scratch dirs from dead threads are reclaimed by the age sweep") {
     import graft.queries.SourceQueries
     val scratchDir = new java.io.File(SourceQueries.scratch)
