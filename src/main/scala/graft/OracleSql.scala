@@ -1281,6 +1281,21 @@ object OracleSql {
                       (150.0, 1000000000.0, 'high')) AS t(lo, hi, tier)
            ON e.value >= t.lo AND e.value < t.hi
          ORDER BY e.event_id""",
+    // q_join_interval: the oracle states the overlap join naively (DuckDB
+    // plans the inequality pair as an IEJoin); Spark gets the bucketized
+    // equi-join, and both must agree on every pair exactly once
+    "q_join_interval" ->
+      """WITH p AS (SELECT event_id AS p_id, ts AS p_start,
+                           ts + INTERVAL 2 HOUR AS p_end
+                    FROM events WHERE event_type = 'purchase'),
+              i AS (SELECT event_id AS i_id, ts AS i_start,
+                           ts + INTERVAL 1 HOUR AS i_end
+                    FROM events WHERE event_type = 'error')
+         SELECT CAST(i.i_start AS DATE) AS day, count(*) AS n_pairs,
+                count(DISTINCT p.p_id) AS n_purchases,
+                count(DISTINCT i.i_id) AS n_incidents
+         FROM p JOIN i ON p.p_start < i.i_end AND i.i_start < p.p_end
+         GROUP BY 1 ORDER BY 1""",
     "q_join_salted" ->
       """SELECT e.event_id, e.user_id, c.c_name
          FROM events e

@@ -167,6 +167,45 @@ object Relational {
                 lo: Column, hi: Column): DataFrame =
     probe.join(broadcast(bounds), v >= lo && v < hi, "inner")
 
+  /** Interval-OVERLAP join of two half-open timestamp interval sets —
+    * the bucketized path [[rangeJoin]]'s doc promises for when NEITHER
+    * side broadcasts. Each interval explodes to the fixed-width time
+    * buckets it covers; candidates meet in a bucket EQUI-join (shuffle
+    * on the bucket key — never a nested-loop range join), then the exact
+    * overlap predicate `l.start < r.end && r.start < l.end` filters
+    * false bucket-mates. Each overlapping pair shares every bucket in
+    * the overlap region, so it would match once per shared bucket; the
+    * count-once guard `bucket == greatest(l_start_bucket, r_start_bucket)`
+    * keeps exactly one copy WITHOUT a distinct (the later-starting
+    * interval's first bucket is always inside the overlap at µs
+    * granularity, and `greatest` picks one bucket deterministically).
+    * Scale: shuffle volume = Σ intervals × buckets-per-interval — size
+    * `bucketSeconds` near the typical interval length so the explode
+    * factor stays 1-2×; skewed hot buckets fall under AQE's skew-join
+    * handling like any other equi-join key. Column names of the two
+    * inputs must be disjoint (rename before calling — the query layer's
+    * job), and interval ends are EXCLUSIVE (`[start, end)`). */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          bucketSeconds: Long): DataFrame = {
+    val w = lit(bucketSeconds * 1000000L)
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / w)
+    // half-open end: the bucket of the last µs inside the interval
+    def lastBucket(c: Column): Column = floor((unix_micros(c) - 1) / w)
+    def exploded(df: DataFrame, s: String, e: String,
+                 bCol: String, bStartCol: String): DataFrame =
+      df.withColumn(bStartCol, bucketOf(col(s)))
+        .withColumn(bCol,
+          explode(sequence(col(bStartCol), lastBucket(col(e)))))
+    val l = exploded(left, lStart, lEnd, "__lb", "__lbs")
+    val r = exploded(right, rStart, rEnd, "__rb", "__rbs")
+    l.join(r,
+        col("__lb") === col("__rb") &&
+          col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+          col("__lb") === greatest(col("__lbs"), col("__rbs")))
+      .drop("__lb", "__lbs", "__rb", "__rbs")
+  }
+
   /** Bit-spread of the low 16 bits of a long into the even bit
     * positions of a 32-bit lane — one half of a Morton (Z-order)
     * interleave, via the standard magic-mask doubling network (4 shifts

@@ -183,6 +183,34 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q_join_interval — interval-OVERLAP join where NEITHER side fits a
+    * broadcast (the bucketized scale path [[Relational.rangeJoin]]'s doc
+    * points to; ref the time-window overlap predicate of
+    * `database/app.py:179-193`, both operands now interval SETS).
+    * Purchase activity windows [ts, ts+2h) × incident windows [ts, ts+1h)
+    * from error events: which purchases happened while something was on
+    * fire. 1-hour buckets ⇒ explode factor ≤3× left / ≤2× right; the
+    * pair lands in a bucket equi-join with the exact overlap filter and
+    * the greatest-start-bucket count-once guard (no distinct). Daily
+    * rollup: pairs, distinct purchases, distinct incidents per incident
+    * day. PlanQualitySpec gates the no-nested-loop claim. */
+  private val joinInterval: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("p_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("i_id"), col("ts").as("i_start"),
+        (col("ts") + expr("INTERVAL 1 HOURS")).as("i_end"))
+    Relational.intervalOverlapJoin(purchases, "p_start", "p_end",
+        incidents, "i_start", "i_end", 3600L)
+      .groupBy(to_date(col("i_start")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("i_id")).as("n_incidents"))
+      .orderBy("day")
+  }
+
   /** q_join_asof — latest click at-or-before each purchase per user (ref
     * "previous weekday" lookup `database/app.py:157-160` generalized).
     * Shuffle-once union+window emulation: [[Relational.asofJoin]]. */
@@ -254,6 +282,7 @@ object RelationalQueries {
     "q_join_full" -> joinFull,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_range" -> joinRange,
+    "q_join_interval" -> joinInterval,
     "q_join_asof" -> joinAsof,
     "q_join_salted" -> joinSalted)
 }

@@ -54,6 +54,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_join_inner" -> 0.5, "q_join_bridge3" -> 0.6, "q_join_left" -> 0.5,
     "q_join_semi" -> 0.4, "q_join_anti" -> 0.4, "q_join_full" -> 0.5,
     "q_join_broadcast" -> 0.5, "q_join_range" -> 0.4, "q_join_asof" -> 0.6,
+    // interval overlap: two bucket explodes + one equi-join + daily rollup
+    "q_join_interval" -> 0.8,
     "q_join_salted" -> 0.6, "q_join_nullsafe" -> 0.5,
     // aggregations
     "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,

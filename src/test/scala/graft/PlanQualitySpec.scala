@@ -56,6 +56,16 @@ class PlanQualitySpec extends SparkSpecBase {
       "nation/region not broadcast")
   }
 
+  test("q_join_interval bucketizes to an equi-join, no nested loop") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval overlap regressed to a range nested-loop join:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on bucket id")
+  }
+
   test("q_vec_cosine_dedup has no nested-loop join (LSH buckets, not all-pairs)") {
     val p = plan("q_vec_cosine_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

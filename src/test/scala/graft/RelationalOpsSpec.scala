@@ -423,6 +423,28 @@ class RelationalOpsSpec extends SparkSpecBase {
       "q_agg_maxby 0.0 sentinel (conflates with a real 0.0)")
   }
 
+  test("intervalOverlapJoin: half-open edges, one copy per pair across shared buckets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // left interval A spans 5 hour-buckets; B touches C end-to-start
+    val left = Seq(
+      ("A", ts("2024-01-01 01:30:00"), ts("2024-01-01 06:30:00")),
+      ("B", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("l_id", "l_start", "l_end")
+    val right = Seq(
+      ("X", ts("2024-01-01 02:00:00"), ts("2024-01-01 06:00:00")), // inside A: 4 shared buckets
+      ("Y", ts("2024-01-01 06:29:59"), ts("2024-01-01 07:00:00")), // grazes A's last second
+      ("C", ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // touches B: NO overlap (half-open)
+      ("Z", ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00"))) // disjoint
+      .toDF("r_id", "r_start", "r_end")
+    val got = Relational.intervalOverlapJoin(
+        left, "l_start", "l_end", right, "r_start", "r_end", 3600L)
+      .select("l_id", "r_id").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sorted
+    // (A,X) exactly once despite 4 shared buckets; (A,Y) via the graze;
+    // (B,C) absent — end == start is not an overlap
+    assert(got == Seq(("A", "X"), ("A", "Y")), s"got $got")
+  }
+
   test("guarded bigint cast pins the integer language across engines") {
     // bare TRY_CAST diverges between Spark and DuckDB outside
     // [+-]?digits ('1.5' → NULL vs 2, '1e3' → NULL vs 1000) — the
