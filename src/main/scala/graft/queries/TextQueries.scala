@@ -974,6 +974,35 @@ object TextQueries {
       .orderBy("vec_id")
   }
 
+  /** q_vec_pca — principal components via distributed Gram-matrix
+    * contraction ([[graft.ops.Pca]]): the DATA-DRIVEN twin of
+    * [[vecRproj]]'s oblivious projection — same 64 → 8 width
+    * reduction, but the basis maximizes retained variance instead of
+    * preserving distances in expectation, which is what a 100 TB
+    * embedding store wants when it can afford one training pass
+    * (storage tiering, drift dashboards, whitening before clustering).
+    * The whole distributed cost is ONE aggregation whose state is
+    * d + d(d+1)/2 doubles per partition (~17 KB at d=64) — the shuffle
+    * carries partial moment buffers, never vectors — and the driver
+    * eigensolves the 64×64 covariance (LAPACK via breeze, index
+    * metadata scale). Scoring is a narrow map through the codegen'd
+    * DotProduct kernel with the sign-pinned components as literals.
+    * Q-tier: no DuckDB eigensolver; TextSimSpec gates the math (score
+    * variances = top eigenvalues descending, components decorrelate,
+    * PCA retains ≥ the best coordinate basis). */
+  private val vecPca: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val model = graft.ops.Pca.fit(emb, "embedding", d = 64, k = 8)
+    val v = col("embedding").cast("array<double>")
+    emb.select(Seq(col("vec_id"), col("label")) ++
+      model.components.zipWithIndex.map { case (comp, i) =>
+        val center = comp.zip(model.means).map { case (a, b) => a * b }.sum
+        round(org.apache.spark.sql.graftfns.VectorFunctions
+          .dot_product(v, typedLit(comp.toSeq)) - center, 4).as(s"pc$i")
+      }: _*)
+      .orderBy("vec_id")
+  }
+
   /** q_vec_mips — exact maximum-inner-product top-5 per query (probes
     * vec_id < 3): the retrieval scoring for UNNORMALIZED embeddings
     * (recommender / reward-model scores), where magnitude carries
@@ -1011,6 +1040,7 @@ object TextQueries {
     "q_text_soft_dedup" -> textSoftDedup,
     "q_vec_mips" -> vecMips,
     "q_vec_rproj" -> vecRproj,
+    "q_vec_pca" -> vecPca,
     "q_vec_dimstats" -> vecDimstats,
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,

@@ -141,6 +141,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
     // rproj: 16 literal-row DotProducts, one narrow map
     "q_vec_rproj" -> 0.7,
+    // pca: one moment-contraction aggregate + driver eigensolve + narrow map
+    "q_vec_pca" -> 0.8,
     "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,

@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 218, s"got ${declared.size}")
+    assert(declared.size == 219, s"got ${declared.size}")
     assert(declared.values.count(_ == "O") == 197)
-    assert(declared.values.count(_ == "Q") == 15)
+    assert(declared.values.count(_ == "Q") == 16)
     assert(declared.values.count(_ == "U") == 6)
   }
 

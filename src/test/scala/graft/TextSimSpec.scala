@@ -336,6 +336,60 @@ class TextSimSpec extends SparkSpecBase {
       s"only $within/${ratios.size} pairs inside the loose JL envelope")
   }
 
+  test("PCA scores realize the eigenspectrum and beat the coordinate basis") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = graft.ops.Pca.fit(emb, "embedding", d = 64, k = 8)
+    // eigenvalues descending, all non-negative (covariance is PSD)
+    model.eigvals.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, s"eigenvalues not descending: $a < $b") }
+    assert(model.eigvals.last > -1e-9)
+    // components orthonormal
+    for (i <- model.components.indices; j <- i until model.components.length) {
+      val dot = model.components(i).zip(model.components(j))
+        .map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"comp ${i}x$j = $dot")
+    }
+    // drive the registered query; its per-component score variance must
+    // match the top eigenvalues (the defining property of PCA scores)
+    // and the scores must be centered and mutually decorrelated
+    val scores = SparkEntry.queries("q_vec_pca")(spark, sf0001)
+      .collect().map(r => Array.tabulate(8)(i => r.getDouble(2 + i)))
+    val n = scores.length
+    for (c <- 0 until 8) {
+      val xs = scores.map(_(c))
+      val mean = xs.sum / n
+      assert(math.abs(mean) < 1e-3, s"pc$c not centered: $mean")
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      val eig = model.eigvals(c)
+      assert(math.abs(v - eig) <= 0.02 * eig + 1e-6,
+        s"pc$c variance $v != eigenvalue $eig")
+    }
+    for (a <- 0 until 8; b <- a + 1 until 8) {
+      val (xa, xb) = (scores.map(_(a)), scores.map(_(b)))
+      val (ma, mb) = (xa.sum / n, xb.sum / n)
+      val cov = xa.zip(xb).map { case (x, y) => (x - ma) * (y - mb) }.sum / (n - 1)
+      val denom = math.sqrt(model.eigvals(a) * model.eigvals(b))
+      assert(math.abs(cov / denom) < 0.01, s"pc$a,pc$b correlated: ${cov / denom}")
+    }
+    // optimality vs the coordinate basis: top-8 eigenvalues retain at
+    // least as much variance as the 8 highest-variance raw dimensions
+    val dimVars = {
+      val vecs = emb.select(col("embedding").cast("array<double>"))
+        .as[Seq[Double]].collect()
+      val m = vecs.length
+      (0 until 64).map { d =>
+        val xs = vecs.map(_(d))
+        val mu = xs.sum / m
+        xs.map(x => (x - mu) * (x - mu)).sum / (m - 1)
+      }
+    }
+    val pcaTop = model.eigvals.take(8).sum
+    val coordTop = dimVars.sorted.reverse.take(8).sum
+    assert(pcaTop >= coordTop - 1e-9,
+      s"PCA retained $pcaTop < coordinate basis $coordTop")
+  }
+
   test("minhash groups are consistent with the candidate pair graph") {
     val docs = Tables.load(spark, sf0001, "documents")
     val pairs = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
