@@ -304,6 +304,62 @@ object OracleSql {
          SELECT n_name, metric, val
          FROM w UNPIVOT (val FOR metric IN (sum_bal, n_cust, max_bal))
          ORDER BY n_name, metric""",
+    // Mirrors etlStatsCollect: per-column ANALYZE stats, min/max
+    // canonicalized per type (decimal(18,2) for doubles, date for
+    // timestamps) so both engines print identical strings
+    "q_etl_stats_collect" ->
+      """WITH s AS (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                  count(o_orderkey) AS n_nonnull,
+                  count(DISTINCT o_orderkey) AS ndv,
+                  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+                  CAST(max(o_orderkey) AS VARCHAR) AS max_val
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(o_custkey),
+                  count(DISTINCT o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR),
+                  CAST(max(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+                  count(DISTINCT o_orderstatus),
+                  min(o_orderstatus), max(o_orderstatus)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*), count(o_totalprice),
+                  count(DISTINCT o_totalprice),
+                  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+                  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*), count(o_orderdate),
+                  count(DISTINCT o_orderdate),
+                  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+                  CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                  count(DISTINCT o_orderpriority),
+                  min(o_orderpriority), max(o_orderpriority)
+           FROM orders)
+         SELECT * FROM s ORDER BY "column"""",
+    // Mirrors evtDauWau: date_trunc('week') is ISO-Monday on both
+    // engines; int/int division is double on both before round-4
+    "q_evt_dau_wau" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(date_trunc('week', ts) AS DATE) AS week,
+                  count(DISTINCT user_id) AS dau
+           FROM events GROUP BY 1, 2),
+              w AS (
+           SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                  count(DISTINCT user_id) AS wau
+           FROM events GROUP BY 1)
+         SELECT d.day, d.dau, w.wau,
+                round(d.dau / CAST(w.wau AS DOUBLE), 4) AS stickiness
+         FROM d JOIN w ON d.week = w.week
+         ORDER BY d.day""",
     // Mirrors etlRi: the same three anti-join audits, the supplier dim
     // lagged identically (% 10 keys removed); int/int division is
     // double on both engines before round-4.

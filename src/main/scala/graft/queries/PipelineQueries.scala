@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.etl.Normalize
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1089,7 +1089,70 @@ object PipelineQueries {
       .orderBy("relationship")
   }
 
+  /** q_etl_stats_collect — ANALYZE-style column statistics over `orders`
+    * (ref: the serving DB relies on Postgres' autovacuum ANALYZE for its
+    * query plans — `database/app.py:76-82`'s paged count+select is only
+    * cheap because pg keeps row estimates; a parquet warehouse has to
+    * COLLECT its stats). Per column: row count, non-null count, exact
+    * NDV, canonical min/max — the cost-based-optimizer inputs (join
+    * reorder, broadcast decisions key off exactly these numbers). ONE
+    * scan: Spark plans the multi-distinct aggregate via Expand (input
+    * duplicated once per distinct column, then a single shuffle of
+    * partial states, never raw rows twice); at 100 TB you swap exact
+    * NDV for `approx_count_distinct` (HLL partials, same single-pass
+    * shape) — which is what real ANALYZE implementations store anyway.
+    * min/max are canonicalized per type (decimal(18,2) for doubles,
+    * date for timestamps) so both engines print identical strings. */
+  private val etlStatsCollect: Q = (s, dir) => {
+    val t = Tables.load(s, dir, "orders")
+    def canon(c: String, tpe: String): Column = tpe match {
+      case "double" => col(c).cast("decimal(18,2)")
+      case "timestamp" => col(c).cast("date")
+      case _ => col(c)
+    }
+    val cols = Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string")
+    val aggs = cols.flatMap { case (c, tpe) => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(canon(c, tpe)).cast("string").as(s"min_$c"),
+      max(canon(c, tpe)).cast("string").as(s"max_$c")) }
+    val one = t.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val perCol = cols.map { case (c, _) =>
+      one.select(lit(c).as("column"), col("n_rows"),
+        col(s"nn_$c").as("n_nonnull"), col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+    }.reduce(_.unionAll(_))
+    perCol.orderBy("column")
+  }
+
+  /** q_evt_dau_wau — DAU/WAU engagement with the stickiness ratio (the
+    * canonical product-health metric a 100 TB event pipeline serves
+    * daily; ref the events stream the scraper feeds via
+    * `web_scraping.py:221-224`). Two distinct-user contractions — per
+    * day and per ISO week — then the day table joins its week's WAU
+    * (weeks ≪ days ≪ users: the join side is calendar-sized, broadcast
+    * for free). Scale: each count-distinct shuffles (bucket, user)
+    * pairs with map-side dedup partials, never the event stream;
+    * stickiness = dau/wau is a single exact division rounded 4dp. */
+  private val evtDauWau: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        date_trunc("week", col("ts")).cast("date").as("week"), col("user_id"))
+    val dau = ev.groupBy("day", "week")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ev.groupBy("week")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(broadcast(wau), "week")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_etl_stats_collect" -> etlStatsCollect,
+    "q_evt_dau_wau" -> evtDauWau,
     "q_etl_partition_overwrite" -> etlPartitionOverwrite,
     "q_etl_vacuum" -> etlVacuum,
     "q_etl_ri" -> etlRi,

@@ -138,6 +138,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_freshness" -> 0.7,
     // ri: three broadcast anti-join audits over the fact tables
     "q_etl_ri" -> 1.0,
+    // stats collect: one Expand multi-distinct aggregate over orders
+    "q_etl_stats_collect" -> 0.8,
+    // dau/wau: two distinct-user contractions + broadcast calendar join
+    "q_evt_dau_wau" -> 0.7,
     "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
     // rproj: 16 literal-row DotProducts, one narrow map
     "q_vec_rproj" -> 0.7,
