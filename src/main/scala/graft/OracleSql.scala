@@ -360,6 +360,24 @@ object OracleSql {
                 round(d.dau / CAST(w.wau AS DOUBLE), 4) AS stickiness
          FROM d JOIN w ON d.week = w.week
          ORDER BY d.day""",
+    // Mirrors evtInterarrival: gaps as exact µs longs, ties broken by
+    // event_id in both window orders; quantile_cont interpolates like
+    // Spark's percentile (the q_win_median precedent); mean is
+    // sum(long)/count — one double division both sides
+    "q_evt_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id)
+                    AS gap_us
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+                round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_s,
+                round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s,
+                round((CAST(sum(gap_us) AS DOUBLE) / count(*)) / 1e6, 4)
+                  AS mean_s
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     // Mirrors etlRi: the same three anti-join audits, the supplier dim
     // lagged identically (% 10 keys removed); int/int division is
     // double on both engines before round-4.

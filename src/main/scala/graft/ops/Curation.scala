@@ -18,6 +18,44 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Per-document DEFLATE compression ratio — the repetitiveness signal
+    * the n-gram dup-rate family can't see (a document that paraphrases
+    * itself, or boilerplate with rotating tokens, compresses far better
+    * than natural prose even when no n-gram repeats verbatim). One
+    * Deflater per PARTITION (native zlib state is expensive to create,
+    * cheap to `reset()`), rows stream through without materializing the
+    * partition — the [[Multimodal.extractFeatures]] binary-kernel shape.
+    * Returns (id, n_bytes, comp_bytes). No shuffle: scan → narrow map.
+    * Level 6 deflate of the same bytes is deterministic within a JVM;
+    * across zlib builds the LENGTH can drift by a few bytes, which is
+    * why the consumer is Q-tier (ratio-band spec gates), not hash-tier. */
+  def deflateStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        new Iterator[(Long, Long, Long)] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) d.end() // release native zlib state eagerly
+            h
+          }
+          override def next(): (Long, Long, Long) = {
+            val (id, text) = it.next()
+            val in = Option(text).getOrElse("").getBytes("UTF-8")
+            d.reset(); d.setInput(in); d.finish()
+            var total = 0L
+            while (!d.finished()) total += d.deflate(buf)
+            (id, in.length.toLong, total)
+          }
+        }
+      }
+      .toDF(idCol, "n_bytes", "comp_bytes")
+  }
+
   /** Sliding-window token chunks: split each document into windows of
     * `window` tokens taken every `stride` tokens (overlap = window −
     * stride). Chunk starts are `0, stride, 2·stride, … < max(n − overlap,

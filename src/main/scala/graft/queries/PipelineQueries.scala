@@ -1150,9 +1150,41 @@ object PipelineQueries {
       .orderBy("day")
   }
 
+  /** q_evt_interarrival — inter-arrival latency profile per event type
+    * (p50/p90/mean seconds between consecutive events): the
+    * traffic-shape readout behind rate alerting and capacity planning —
+    * a p90 collapse means a burst source, a p50 drift means organic
+    * growth (ref: the scraper's own inter-request pacing
+    * `web_scraping.py:133,154` is the producer-side twin). One window
+    * pass (key shuffle on event_type, lag-1 state) computes the gaps as
+    * EXACT µs longs; the rollup's mean is sum(long)/count — one
+    * division, no double partials (§7.5.2) — and the percentiles
+    * interpolate identically to DuckDB's quantile_cont (the q_win_median
+    * precedent). Scale: gaps never leave their key's partition; the
+    * percentile state is per-group, bounded by the group's gap list —
+    * swap `percentile` for `percentile_approx` (t-digest partials) when
+    * groups outgrow memory. */
+  private val evtInterarrival: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 4).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 4).as("p90_s"),
+        round((sum(col("gap_us")).cast("double") / count(lit(1))) / 1e6, 4)
+          .as("mean_s"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_stats_collect" -> etlStatsCollect,
     "q_evt_dau_wau" -> evtDauWau,
+    "q_evt_interarrival" -> evtInterarrival,
     "q_etl_partition_overwrite" -> etlPartitionOverwrite,
     "q_etl_vacuum" -> etlVacuum,
     "q_etl_ri" -> etlRi,

@@ -974,6 +974,28 @@ object TextQueries {
       .orderBy("vec_id")
   }
 
+  /** q_text_compress_ratio — per-document DEFLATE compression ratio,
+    * the repetitiveness signal the n-gram dup-rate family can't see
+    * (self-paraphrase and rotating-token boilerplate compress far
+    * better than natural prose with zero verbatim n-gram repeats; the
+    * Gopher-class quality rules filter on exactly this). Kernel:
+    * [[graft.ops.Curation.deflateStats]] — one native Deflater per
+    * partition, `reset()` per row, scan → narrow map, no shuffle; the
+    * docs scan is `Tables.parallelized`-lifted so the CPU-bound kernel
+    * runs session-wide (the boilerplate lesson, SCALE.md §Round-11).
+    * Fixture ratios span 0.39-1.13 (median 0.50); 0.42 flags the
+    * repetitive low tail. Q-tier: deflate LENGTH is deterministic per
+    * zlib build but not across builds, so the gates are ratio-band +
+    * ordering properties (CurationSpec), not a cross-engine hash. */
+  private val textCompressRatio: Q = (s, dir) => {
+    val docs = Tables.parallelized(Tables.load(s, dir, "documents"))
+    graft.ops.Curation.deflateStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_bytes"), col("comp_bytes"),
+        round(col("comp_bytes") / col("n_bytes"), 4).as("ratio"),
+        (col("comp_bytes") / col("n_bytes") < 0.42).as("flag_repetitive"))
+      .orderBy("doc_id")
+  }
+
   /** q_vec_pca — principal components via distributed Gram-matrix
     * contraction ([[graft.ops.Pca]]): the DATA-DRIVEN twin of
     * [[vecRproj]]'s oblivious projection — same 64 → 8 width
@@ -1041,6 +1063,7 @@ object TextQueries {
     "q_vec_mips" -> vecMips,
     "q_vec_rproj" -> vecRproj,
     "q_vec_pca" -> vecPca,
+    "q_text_compress_ratio" -> textCompressRatio,
     "q_vec_dimstats" -> vecDimstats,
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,

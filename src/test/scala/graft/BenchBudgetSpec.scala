@@ -147,6 +147,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_rproj" -> 0.7,
     // pca: one moment-contraction aggregate + driver eigensolve + narrow map
     "q_vec_pca" -> 0.8,
+    // deflate kernel: narrow map, one Deflater per partition
+    "q_text_compress_ratio" -> 0.9,
+    // interarrival: one window pass + grouped percentile rollup
+    "q_evt_interarrival" -> 0.7,
     "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
     "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,

@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 221, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 199)
-    assert(declared.values.count(_ == "Q") == 16)
+    assert(declared.size == 223, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 200)
+    assert(declared.values.count(_ == "Q") == 17)
     assert(declared.values.count(_ == "U") == 6)
   }
 

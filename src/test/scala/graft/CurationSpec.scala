@@ -338,4 +338,36 @@ class CurationSpec extends SparkSpecBase {
     assert(mismatches.isEmpty,
       s"${mismatches.size} cells diverge, e.g. ${mismatches.take(3)}")
   }
+  test("deflate ratio separates repetition from prose and stays in band") {
+    val repeated = ("lorem ipsum dolor sit amet " * 60).trim
+    val varied = (1 to 60).map(i =>
+      java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString)
+      .mkString(" ")
+    val df = Seq((1L, repeated), (2L, varied), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val got = Curation.deflateStats(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byId = got.map(t => t._1 -> t).toMap
+    // verbatim repetition compresses an order of magnitude better
+    val rRep = byId(1L)._3.toDouble / byId(1L)._2
+    val rVar = byId(2L)._3.toDouble / byId(2L)._2
+    assert(rRep < 0.1, s"repeated text ratio $rRep")
+    assert(rVar > 0.3, s"varied text ratio $rVar")
+    assert(rRep < rVar / 3, s"no separation: $rRep vs $rVar")
+    // null/empty rows survive the kernel (deflate of 0 bytes is a
+    // small constant header, n_bytes 0)
+    assert(byId(3L)._2 == 0L && byId(4L)._2 == 0L)
+    // determinism within a JVM: same bytes, same lengths
+    val again = Curation.deflateStats(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+    // the registered query over the fixture: ratios in the honest band
+    val q = SparkEntry.queries("q_text_compress_ratio")(spark,
+        "/root/testdata/sf0.001")
+      .select("ratio").as[Double].collect()
+    assert(q.length == 500)
+    assert(q.forall(r => r > 0.2 && r < 1.3),
+      s"ratio out of band: ${q.filter(r => r <= 0.2 || r >= 1.3).take(3).mkString(",")}")
+  }
 }
+
