@@ -75,7 +75,11 @@ object PlanDump {
     "q_etl_purge" -> "erasure cascade: request list broadcast-probes customer→orders→lineitem, no fact shuffle",
     "q_etl_purge_bloom" -> "bloom-prefiltered purge: fact scans filter map-side through the broadcast filter BEFORE any exchange; exact semi-join only on the candidate sliver",
     "q_agg_mad" -> "robust outliers: k-row median/MAD profiles broadcast back onto the stream",
-    "q_text_ngram_lm" -> "unigram LM: two-phase vocab count, term-keyed frequency join, per-doc reduce")
+    "q_text_ngram_lm" -> "unigram LM: two-phase vocab count, term-keyed frequency join, per-doc reduce",
+    "q_join_interval" -> "interval overlap: both sides explode to time buckets, bucket EQUI-join + exact filter + count-once guard, no range BNL",
+    "q_etl_stats_collect" -> "ANALYZE stats: Expand multi-distinct, ONE shuffle of partial states",
+    "q_vec_pca" -> "PCA scoring: narrow DotProduct map below the scan, components as literals (fit is a separate moment-contraction job)",
+    "q_evt_interarrival" -> "inter-arrival: one key-window lag pass, grouped exact percentile rollup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
