@@ -360,6 +360,37 @@ object OracleSql {
                 round(d.dau / CAST(w.wau AS DOUBLE), 4) AS stickiness
          FROM d JOIN w ON d.week = w.week
          ORDER BY d.day""",
+    // Mirrors evtConversionCi: identical Wilson expression structure so
+    // every IEEE double op rounds the same way before the 4-dp cut
+    "q_evt_conversion_ci" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  count(DISTINCT user_id) AS n_users,
+                  count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS n_conv
+           FROM events GROUP BY 1)
+         SELECT day, n_users, n_conv,
+                round((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)), 4)
+                  AS rate,
+                round(((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                        + (1.96*1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+                      / (1.0 + (1.96*1.96) / CAST(n_users AS DOUBLE))
+                      - 1.96 * sqrt((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                          * (1.0 - (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                          / CAST(n_users AS DOUBLE)
+                        + (1.96*1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                        / (1.0 + (1.96*1.96) / CAST(n_users AS DOUBLE)), 4)
+                  AS ci_lo,
+                round(((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                        + (1.96*1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+                      / (1.0 + (1.96*1.96) / CAST(n_users AS DOUBLE))
+                      + 1.96 * sqrt((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                          * (1.0 - (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                          / CAST(n_users AS DOUBLE)
+                        + (1.96*1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+                        / (1.0 + (1.96*1.96) / CAST(n_users AS DOUBLE)), 4)
+                  AS ci_hi
+         FROM d ORDER BY day""",
     // Mirrors evtInterarrival: gaps as exact µs longs, ties broken by
     // event_id in both window orders; quantile_cont interpolates like
     // Spark's percentile (the q_win_median precedent); mean is

@@ -1181,10 +1181,42 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** q_evt_conversion_ci — daily conversion rate with a Wilson 95%
+    * confidence interval: the statistically honest dashboard readout —
+    * a 3-user day showing "67% conversion" is noise, and the Wilson
+    * band (which stays inside [0,1] and behaves at small n, unlike the
+    * naive normal interval) says so. One aggregation: distinct active
+    * users and distinct converters per day share the (day, user)
+    * contraction; the interval is closed-form per row (z = 1.96),
+    * written with IDENTICAL expression structure on both engines so
+    * every IEEE double operation rounds the same way before the 4-dp
+    * cut. Scale: the shuffle carries (day, user) pairs with map-side
+    * dedup — the per-day CI math is free. */
+  private val evtConversionCi: Q = (s, dir) => {
+    val z2 = lit(1.96) * lit(1.96)
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    daily.select(col("day"), col("n_users"), col("n_conv"),
+        round(p, 4).as("rate"),
+        round(center - half, 4).as("ci_lo"),
+        round(center + half, 4).as("ci_hi"))
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_stats_collect" -> etlStatsCollect,
     "q_evt_dau_wau" -> evtDauWau,
     "q_evt_interarrival" -> evtInterarrival,
+    "q_evt_conversion_ci" -> evtConversionCi,
     "q_etl_partition_overwrite" -> etlPartitionOverwrite,
     "q_etl_vacuum" -> etlVacuum,
     "q_etl_ri" -> etlRi,

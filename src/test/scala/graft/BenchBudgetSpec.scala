@@ -142,6 +142,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_stats_collect" -> 0.8,
     // dau/wau: two distinct-user contractions + broadcast calendar join
     "q_evt_dau_wau" -> 0.7,
+    // conversion CI: one (day,user) contraction + closed-form per-row math
+    "q_evt_conversion_ci" -> 0.7,
     "q_vec_ann_pq" -> 0.8, "q_vec_ann_ivfpq" -> 1.0,
     // rproj: 16 literal-row DotProducts, one narrow map
     "q_vec_rproj" -> 0.7,
