@@ -516,6 +516,30 @@ object OracleSql {
     // Mirrors winMedian: quantile_cont at p=0.5 interpolates exactly
     // like Spark's percentile over the same explicit 7-row frame;
     // (ts, event_id) ordering makes frames engine-identical.
+    // Mirrors winZscore: frame sums as exact decimals (2-dp values ⇒
+    // exact 4-dp squares), variance/z in double with identical
+    // expression structure — never the engines' own stddev kernels
+    "q_win_zscore" ->
+      """WITH f AS (
+           SELECT event_id, user_id, value,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    AS s1,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    AS s2,
+                  CAST(count(*) OVER w AS DOUBLE) AS cnt
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+              g AS (
+           SELECT event_id, user_id, value, s1, cnt,
+                  sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)) AS sd
+           FROM f)
+         SELECT event_id, user_id,
+                round((value - s1 / cnt) / sd, 4) AS z,
+                (abs((value - s1 / cnt) / sd) > 3.0) AS is_outlier
+         FROM g WHERE cnt >= 3 AND sd > 0
+         ORDER BY event_id""",
     "q_win_median" ->
       """SELECT user_id, event_id,
                 round(quantile_cont(value, 0.5) OVER (

@@ -318,7 +318,41 @@ object WindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q_win_zscore — rolling self-baseline standardization: each event's
+    * value scored against ITS USER's trailing-7 window (current row
+    * excluded — the baseline must not contain the point it judges), the
+    * per-key online twin of q_evt_anomaly's global z-score (a $500 cart
+    * is an anomaly for a $20 user and noise for a $480 one). One key
+    * shuffle; frame state is the ≤7-row buffer. Determinism is the
+    * §7.5.2 discipline: the frame's Σv and Σv² accumulate as DECIMALS
+    * (2-dp values ⇒ exact 4-dp squares), variance/z evaluate in double
+    * with expression structure mirrored in the oracle — never
+    * `stddev().over(...)`, whose internal Welford updates aren't
+    * guaranteed to match another engine's at the last bit. Rows need a
+    * ≥3-event baseline with spread (sd > 0) to score. */
+  private val winZscore: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-7, -1)
+    val dec = col("value").cast("decimal(18,2)")
+    val events = Tables.load(s, dir, "events")
+      .withColumn("s1", sum(dec).over(w).cast("double"))
+      .withColumn("s2", sum(dec * dec).over(w).cast("double"))
+      .withColumn("cnt", count(lit(1)).over(w).cast("double"))
+    val variance = (col("s2") - col("s1") * col("s1") / col("cnt")) /
+      (col("cnt") - lit(1.0))
+    events
+      .withColumn("sd", sqrt(variance))
+      .filter(col("cnt") >= 3 && col("sd") > 0)
+      .select(col("event_id"), col("user_id"),
+        round((col("value") - col("s1") / col("cnt")) / col("sd"), 4)
+          .as("z"),
+        (abs((col("value") - col("s1") / col("cnt")) / col("sd")) > 3.0)
+          .as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_zscore" -> winZscore,
     "q_win_median" -> winMedian,
     "q_win_ema" -> winEma,
     "q_win_interval_merge" -> winIntervalMerge,

@@ -77,6 +77,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_soft_dedup" -> 0.9,
     // moving median: bounded 7-row frame window
     "q_win_median" -> 0.9,
+    // rolling z: one key shuffle, decimal frame sums, closed-form readout
+    "q_win_zscore" -> 0.9,
     // windows
     "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
     "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
