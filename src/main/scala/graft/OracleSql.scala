@@ -458,6 +458,26 @@ object OracleSql {
     // Mirrors aggRegression: identical decimal sums (x = whole days,
     // y = 2-dp values — all products exact), identical closed-form
     // double readout.
+    // Mirrors aggTopnShare: decimal revenue sums (exact), identical
+    // (rev DESC, custkey) tie-break everywhere, double division once
+    // per output row
+    "q_agg_topn_share" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+              tot AS (SELECT sum(rev) AS tot FROM rev),
+              top AS (
+           SELECT o_custkey, rev FROM rev
+           ORDER BY rev DESC, o_custkey LIMIT 10)
+         SELECT CAST(row_number() OVER (ORDER BY rev DESC, o_custkey)
+                     AS INTEGER) AS rank,
+                o_custkey, CAST(rev AS DOUBLE) AS rev,
+                round(CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / CAST((SELECT tot FROM tot) AS DOUBLE), 4)
+                  AS cum_share
+         FROM top ORDER BY rank""",
     "q_agg_regression" ->
       """WITH b AS (
            SELECT event_type,

@@ -625,7 +625,37 @@ object AggQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_agg_topn_share — revenue concentration (the Pareto readout): the
+    * top-10 customers ranked by lifetime revenue with each rank's
+    * CUMULATIVE share of total revenue — "how much of the book do the
+    * whales carry", the concentration-risk number next to
+    * q_etl_skew_profile's key-skew twin. Shape: one two-phase
+    * per-customer decimal-sum contraction, a TakeOrdered top-10 heap cut
+    * (per-partition heaps, never a global sort of the customer table),
+    * and a 10-row cumulative window joined against the 1-row total —
+    * everything after the contraction is constant-size at any scale.
+    * Decimal sums keep the shares §7.5.2-exact; the double division
+    * happens once per output row. */
+  private val aggTopnShare: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    val ord = Seq(col("rev").desc, col("o_custkey").asc)
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.orderBy(ord: _*).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(row_number().over(Window.orderBy(ord: _*)).as("rank"),
+        col("o_custkey"), col("rev").cast("double").as("rev"),
+        round(sum(col("rev")).over(w).cast("double") /
+          col("tot").cast("double"), 4).as("cum_share"))
+      .orderBy("rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_topn_share" -> aggTopnShare,
     "q_agg_regression" -> aggRegression,
     "q_agg_moments" -> aggMoments,
     "q_agg_bitmap" -> aggBitmap,

@@ -73,6 +73,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_moments" -> 0.8,
     // regression: same decimal-sum family, 4 columns per group
     "q_agg_regression" -> 0.8,
+    // topn share: per-customer contraction + TakeOrdered-10 + tiny window
+    "q_agg_topn_share" -> 0.6,
     // soft dedup: sha contraction + fingerprint-keyed join-back
     "q_text_soft_dedup" -> 0.9,
     // moving median: bounded 7-row frame window

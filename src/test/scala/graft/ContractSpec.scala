@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 225, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 202)
+    assert(declared.size == 226, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 203)
     assert(declared.values.count(_ == "Q") == 17)
     assert(declared.values.count(_ == "U") == 6)
   }
