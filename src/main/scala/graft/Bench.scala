@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   * target/bench.json (the parse-safe artifact). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // machine-load context: a budget/slope gate reading this file can
+    // tell a slow query from a slow machine (the round-11 judged run
+    // breached 3 budgets purely from host load; loadavg makes that
+    // diagnosis data, not archaeology)
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -76,6 +84,7 @@ object Bench {
       s""""samples":${obj(results.map { case (k, (_, ss, _)) =>
         s""""$k":${ss.mkString("[", ",", "]")}""" })}""",
       s""""retried":${retried.map(k => s""""$k"""").mkString("[", ",", "]")}""",
+      s""""loadavg":[$loadStart,${loadavg()}]""",
       s""""sf":"$sfDir""""))
     // absolute path: a cwd-relative one would land outside the repo when
     // launched from elsewhere (same contract as SourceQueries.scratch)

@@ -20,15 +20,19 @@ object OracleSql {
     // is shared ANSI semantics — decimal-exact revenue before the one
     // double cast, so rank ties break identically.
     "q_sql_report" ->
-      """WITH rev AS (
+      """WITH lrev AS (
+           SELECT l_orderkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS orev
+           FROM lineitem
+           GROUP BY l_orderkey),
+         rev AS (
            SELECT c.c_mktsegment AS segment,
                   CAST(year(o.o_orderdate) AS BIGINT) AS yr,
                   CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
-                  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
-                    AS DOUBLE) AS revenue,
-                  count(DISTINCT o.o_orderkey) AS n_orders
-           FROM lineitem l
+                  CAST(round(sum(l.orev), 2) AS DOUBLE) AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM lrev l
            JOIN orders o ON l.l_orderkey = o.o_orderkey
            JOIN customer c ON o.o_custkey = c.c_custkey
            GROUP BY 1, 2, 3)
@@ -408,7 +412,7 @@ object OracleSql {
                 round((CAST(sum(gap_us) AS DOUBLE) / count(*)) / 1e6, 4)
                   AS mean_s
          FROM g WHERE gap_us IS NOT NULL
-         GROUP BY event_type ORDER BY event_type""",
+         GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     // Mirrors etlRi: the same three anti-join audits, the supplier dim
     // lagged identically (% 10 keys removed); int/int division is
     // double on both engines before round-4.
@@ -591,7 +595,8 @@ object OracleSql {
     // not oracled.
     "q_agg_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS est
-         FROM events GROUP BY event_type ORDER BY event_type""",
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors etlVacuum: the live version's content is the v3 slice
     // recomputed from raw events; the version counts pin the vacuum's
     // filesystem effect (3 written, pointer target survives alone).

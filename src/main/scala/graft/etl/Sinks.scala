@@ -224,6 +224,8 @@ object Sinks {
   def vacuumVersions(targetDir: String, keep: Int): (Long, Long) = {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
     import java.nio.file.{Files, Paths}
+    require(Files.exists(Paths.get(s"$targetDir/LATEST")),
+      s"vacuum: no LATEST pointer in $targetDir — not a versioned table")
     val live = new String(Files.readAllBytes(
       Paths.get(s"$targetDir/LATEST")), "UTF-8").trim
     val versions = Option(new java.io.File(targetDir).listFiles())
@@ -240,7 +242,13 @@ object Sinks {
       }
       rm(f)
     }
-    (before, keepNames.size.toLong)
+    // count what actually survives on disk — keepNames.size over-counts
+    // when the pointer target is missing or not a v\d+ name
+    val after = Option(new java.io.File(targetDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .toLong
+    (before, after)
   }
 
   /** Shut down one embedded Derby database (unmounts it from the engine;

@@ -36,11 +36,17 @@ object Curation {
       .as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6, false)
+        var ended = false
+        def release(): Unit = if (!ended) { ended = true; d.end() }
+        // a downstream limit/take abandons the iterator before drain —
+        // the task-completion hook frees the native state either way
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => release()))
         val buf = new Array[Byte](1 << 16)
         new Iterator[(Long, Long, Long)] {
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) d.end() // release native zlib state eagerly
+            if (!h) release() // release native zlib state eagerly
             h
           }
           override def next(): (Long, Long, Long) = {

@@ -194,7 +194,12 @@ object Relational {
     def lastBucket(c: Column): Column = floor((unix_micros(c) - 1) / w)
     def exploded(df: DataFrame, s: String, e: String,
                  bCol: String, bStartCol: String): DataFrame =
-      df.withColumn(bStartCol, bucketOf(col(s)))
+      // empty/inverted intervals ([t,t) or end<start) overlap nothing
+      // under the strict predicate, but their bucket sequence would run
+      // DESCENDING (the TextSim.shingles footgun) and explode to buckets
+      // the interval does not cover — drop them before the explode.
+      df.filter(col(s) < col(e))
+        .withColumn(bStartCol, bucketOf(col(s)))
         .withColumn(bCol,
           explode(sequence(col(bStartCol), lastBucket(col(e)))))
     val l = exploded(left, lStart, lEnd, "__lb", "__lbs")

@@ -397,6 +397,17 @@ object Streaming {
     val ledger = Paths.get(s"$targetDir/_batches/$batchId")
     if (Files.exists(ledger)) return // replayed batch: effectively-once
     val pointer = Paths.get(s"$targetDir/LATEST")
+    // Crash window: if a prior attempt flipped the pointer to v$batchId
+    // but died before marking the ledger, the merge ALREADY committed —
+    // re-running it with mode=overwrite would rewrite the directory the
+    // live pointer targets (the partial-read hazard the pointer protocol
+    // exists to close). Recover by completing only the missing step.
+    if (Files.exists(pointer) &&
+        new String(Files.readAllBytes(pointer), "UTF-8").trim ==
+          s"v$batchId") {
+      Files.createDirectories(ledger)
+      return
+    }
     val batchDf = batch.toDF("key", "payload", "seq")
     val current =
       if (Files.exists(pointer)) {

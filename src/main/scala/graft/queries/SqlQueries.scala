@@ -28,24 +28,34 @@ object SqlQueries {
     * decimal sum is exact, so the window's ORDER BY revenue is over
     * exact values and rank ties are engine-identical). Temp views are
     * session-scoped and re-registered per call — no global state.
-    * Scale: the plan is indistinguishable from the DataFrame build —
-    * two co-keyed shuffle joins (orderkey, custkey) that AQE can
-    * re-plan, a two-phase aggregate on (segment, yr, qtr), and a
-    * k-row window — nothing about the string surface costs anything. */
+    * Scale: lineitem is CONTRACTED to one decimal revenue row per
+    * orderkey BEFORE any join — the widest table shrinks ~4× at the
+    * scan, the orderkey join carries order-sized rows, and `n_orders`
+    * is a plain count(*) (orderkey is unique after the contraction),
+    * so no distinct-aggregate Expand ever doubles the join stream.
+    * The earlier full-width-join + count(DISTINCT) formulation was
+    * this suite's slowest plan for exactly that Expand; same answer,
+    * ~4× less shuffled data. Remaining shape: two co-keyed shuffle
+    * joins that AQE can re-plan, a two-phase aggregate on (segment,
+    * yr, qtr), and a k-row window. */
   private val sqlReport: Q = (s, dir) => {
     Tables.load(s, dir, "lineitem").createOrReplaceTempView("sqlr_lineitem")
     Tables.load(s, dir, "orders").createOrReplaceTempView("sqlr_orders")
     Tables.load(s, dir, "customer").createOrReplaceTempView("sqlr_customer")
     s.sql(
-      """WITH rev AS (
+      """WITH lrev AS (
+           SELECT l_orderkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS orev
+           FROM sqlr_lineitem
+           GROUP BY l_orderkey),
+         rev AS (
            SELECT c.c_mktsegment AS segment,
                   CAST(year(o.o_orderdate) AS BIGINT) AS yr,
                   CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
-                  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
-                    AS DOUBLE) AS revenue,
-                  count(DISTINCT o.o_orderkey) AS n_orders
-           FROM sqlr_lineitem l
+                  CAST(round(sum(l.orev), 2) AS DOUBLE) AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM lrev l
            JOIN sqlr_orders o ON l.l_orderkey = o.o_orderkey
            JOIN sqlr_customer c ON o.o_custkey = c.c_custkey
            GROUP BY 1, 2, 3)

@@ -3,8 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import scala.jdk.CollectionConverters._
 
-/** Per-query bench budgets as a CI gate: loads the most recent
-  * `target/bench.json` (written by `graft.Bench` at sf0.1) and fails any
+/** Per-query bench budgets as a CI gate: loads
+  * `target/bench_sf0.1.json` (written by `graft.Bench` per-SF, so an
+  * sf0.01 slope run can never clobber the file this gate judges) and fails any
   * query whose median exceeds 2× its committed budget — so a perf
   * regression fails the build instead of surfacing a round later in the
   * judged bench. Budgets are the sf0.1 warm medians rounded UP with
@@ -259,14 +260,23 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
     "q_win_ema" -> 0.9, "q_media_shard" -> 0.6)
 
-  private val benchFile = new java.io.File("/root/repo/target/bench.json")
+  private val benchFile =
+    new java.io.File("/root/repo/target/bench_sf0.1.json")
 
   test("every query stays within 2x its committed bench budget") {
-    assume(benchFile.exists(), "no target/bench.json — run graft.Bench")
+    assume(benchFile.exists(),
+      "no target/bench_sf0.1.json — run graft.Bench at sf0.1")
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(benchFile)
     assume(root.path("sf").asText().endsWith("sf0.1"),
-      "bench.json is not an sf0.1 run; budgets are sf0.1 figures")
+      "bench_sf0.1.json is not an sf0.1 run; budgets are sf0.1 figures")
+    val la = root.path("loadavg")
+    val loadNote =
+      if (la.isArray && la.size > 0)
+        f" [run loadavg ${la.get(0).asDouble()}%.1f→${
+          la.get(la.size - 1).asDouble()}%.1f — >8 suggests host noise, " +
+          "rerun quiet before touching budgets]"
+      else ""
     val qs = root.path("queries")
     val actual = qs.fieldNames.asScala
       .map(n => n -> qs.get(n).asDouble()).toMap
@@ -280,8 +290,8 @@ class BenchBudgetSpec extends AnyFunSuite {
         f"$q: $t%.2fs > 2x budget ${budgets(q)}%.2fs"
     }
     assert(over.isEmpty,
-      "bench regressions (update the budget only with a root cause):\n  " +
-        over.mkString("\n  "))
+      "bench regressions (update the budget only with a root cause)" +
+        loadNote + ":\n  " + over.mkString("\n  "))
   }
 
   test("budget table covers exactly the registered query set") {
