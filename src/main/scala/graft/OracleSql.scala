@@ -2860,5 +2860,65 @@ object OracleSql {
                 CAST(sum(price_len) AS BIGINT) AS sum_price_len
          FROM iv
          GROUP BY weekday_id
-         ORDER BY weekday_id""")
+         ORDER BY weekday_id""",
+    "q_etl_denormalize" ->
+      // Mirrors etlDenormalize FLAT: same synthesized-grammar CTEs as
+      // q_etl_normalize's oracle (quarantine filter, keep-first dedup,
+      // dense_rank = hub ids, hours-parse arithmetic), but read out per
+      // BUSINESS — each figure recomputes a nested-rebuild mechanism
+      // (interval array sums, min-open first element, weekday name,
+      // category-bridge size, empty-collection coalesce → 0).
+      """WITH src AS (
+           SELECT event_id,
+                  event_id % 997 AS bk,
+                  CAST(date_part('hour', ts) AS INTEGER) AS h,
+                  CAST(date_part('minute', ts) AS INTEGER) AS m
+           FROM events
+           WHERE event_id % 13 <> 0 AND event_id % 17 <> 0),
+         kept AS (
+           SELECT bk, event_id, h, m FROM (
+             SELECT bk, event_id, h, m,
+                    row_number() OVER (PARTITION BY bk ORDER BY event_id)
+                      AS rn
+             FROM src) WHERE rn = 1),
+         hub AS (
+           SELECT event_id, h, m,
+                  CAST(dense_rank() OVER (ORDER BY bk) AS BIGINT)
+                    AS business_id,
+                  CAST(event_id % 7 AS INTEGER) AS wd,
+                  CAST(event_id % 4 + 1 AS BIGINT) AS price_len,
+                  CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END
+                       AS BIGINT) AS n_cat
+           FROM kept),
+         lists AS (
+           SELECT business_id, wd, price_len, n_cat,
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(0 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(h*3600 + m*60 AS BIGINT),
+                         CAST(((h+5) % 24)*3600 + 1800 AS BIGINT)]
+                       ELSE [CAST(h*3600 + m*60 AS BIGINT)] END AS opens,
+                  CASE WHEN event_id % 10 = 0 THEN CAST([] AS BIGINT[])
+                       WHEN event_id % 10 = 1 THEN [CAST(86399 AS BIGINT)]
+                       WHEN event_id % 10 = 2 THEN [
+                         CAST(((h+3) % 24)*3600 + m*60 AS BIGINT),
+                         CAST(((h+8) % 24)*3600 + 2700 AS BIGINT)]
+                       ELSE [CAST(((h+3) % 24)*3600 + m*60 AS BIGINT)]
+                  END AS closes
+           FROM hub)
+         SELECT business_id, n_cat,
+                CAST(len(opens) AS BIGINT) AS n_iv,
+                CAST(coalesce(list_sum(opens), 0) AS BIGINT)
+                  AS sum_open_sec,
+                CAST(coalesce(list_sum(closes), 0) AS BIGINT)
+                  AS sum_close_sec,
+                CASE WHEN len(opens) > 0
+                     THEN CAST(list_min(opens) AS BIGINT) END AS first_open,
+                CASE WHEN len(opens) > 0 THEN
+                  ['Monday','Tuesday','Wednesday','Thursday','Friday',
+                   'Saturday','Sunday'][wd + 1] END AS first_weekday,
+                price_len,
+                CAST(0 AS BIGINT) AS n_empty_side
+         FROM lists
+         ORDER BY business_id""")
 }

@@ -79,7 +79,9 @@ object PlanDump {
     "q_join_interval" -> "interval overlap: both sides explode to time buckets, bucket EQUI-join + exact filter + count-once guard, no range BNL",
     "q_etl_stats_collect" -> "ANALYZE stats: Expand multi-distinct, ONE shuffle of partial states",
     "q_vec_pca" -> "PCA scoring: narrow DotProduct map below the scan, components as literals (fit is a separate moment-contraction job)",
-    "q_evt_interarrival" -> "inter-arrival: one key-window lag pass, grouped exact percentile rollup")
+    "q_evt_interarrival" -> "inter-arrival: one key-window lag pass, grouped exact percentile rollup",
+    "q_sql_report" -> "SQL report: lineitem pre-contracted per orderkey BEFORE the joins, plain count(*) — no distinct-aggregate Expand",
+    "q_etl_denormalize" -> "denormalize: broadcast dim joins + business-keyed collects, left-join fold, array-kernel readout")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

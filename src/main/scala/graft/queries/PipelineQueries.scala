@@ -195,6 +195,47 @@ object PipelineQueries {
       .orderBy("weekday_id")
   }
 
+  /** q_etl_denormalize — the lifecycle's INVERSE direction run on top of
+    * [[etlNormalize]]'s warehouse: the 11 normalized tables rebuilt into
+    * one nested record per business ([[graft.etl.Denormalize.toNested]],
+    * reference `README.md:82-105` — the §1.2 scraped shape the pipeline
+    * starts from), then a per-business flatten-back readout so the
+    * oracle can recompute every figure FLAT in DuckDB (same synthesized-
+    * grammar CTEs as q_etl_normalize's oracle). The readout pins each
+    * nested-rebuild mechanism: `n_iv`/`sum_*` the order-stable
+    * `sort_array∘collect_list` interval arrays, `first_*` the SORT
+    * itself (element 0 must be the min-open interval) plus the weekday
+    * dim join-back, `n_cat` the bridge→dim name collect, and
+    * `n_empty_side` the empty-collection coalesce (a business with no
+    * highlights must round-trip to [], never null). Scale: five
+    * broadcast dim joins + collect_list aggregates co-keyed on
+    * business_id, then one left-join fold over the hub — every shuffle
+    * is business-sized, and the readout is a narrow projection over the
+    * nested result (array kernels, no explode-back). */
+  private val etlDenormalize: Q = (s, dir) => {
+    val wh = etlWarehouse(s, dir)
+    val names = Seq("business", "weekday", "open_hours", "food_category",
+      "business_food_category", "search_term", "business_search_term",
+      "highlight", "business_highlight", "amenity", "business_amenity")
+    val nested = graft.etl.Denormalize.toNested(
+      names.map(n => n -> s.read.parquet(s"$wh/$n")).toMap)
+    val firstIv = get(col("open_hours"), lit(0))
+    nested.select(
+        col("business_id"),
+        size(col("food_category")).cast("long").as("n_cat"),
+        size(col("open_hours")).cast("long").as("n_iv"),
+        aggregate(col("open_hours"), lit(0L),
+          (acc, x) => acc + x.getField("open_time")).as("sum_open_sec"),
+        aggregate(col("open_hours"), lit(0L),
+          (acc, x) => acc + x.getField("close_time")).as("sum_close_sec"),
+        firstIv.getField("open_time").as("first_open"),
+        firstIv.getField("weekday").as("first_weekday"),
+        length(col("price")).cast("long").as("price_len"),
+        (size(col("highlights")) + size(col("related_search_terms")) +
+          size(col("amenities"))).cast("long").as("n_empty_side"))
+      .orderBy("business_id")
+  }
+
   /** q_etl_scd2 — SCD-2 dimension build ([[graft.ops.Curation.scd2]]):
     * the event stream read as per-user attribute-change records becomes
     * [valid_from, valid_to) history intervals with an open current row
@@ -1247,5 +1288,6 @@ object PipelineQueries {
     "q_etl_dim_asof" -> etlDimAsof,
     "q_evt_funnel" -> evtFunnel,
     "q_etl_upsert" -> etlUpsert,
-    "q_etl_normalize" -> etlNormalize)
+    "q_etl_normalize" -> etlNormalize,
+    "q_etl_denormalize" -> etlDenormalize)
 }

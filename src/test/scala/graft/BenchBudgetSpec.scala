@@ -130,6 +130,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // warehouse is a stamped build-once fixture; the timed part is the
     // 4-table join-back aggregate
     "q_etl_normalize" -> 0.9,
+    // warehouse is build-once (stamped); cost = 5 collects + hub fold
+    "q_etl_denormalize" -> 1.2,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,

@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 226, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 203)
+    assert(declared.size == 228, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 204)
     assert(declared.values.count(_ == "Q") == 17)
-    assert(declared.values.count(_ == "U") == 6)
+    assert(declared.values.count(_ == "U") == 7)
   }
 
   test("every declared O/Q operator has a queries entry") {

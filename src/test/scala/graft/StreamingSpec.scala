@@ -146,6 +146,58 @@ class StreamingSpec extends SparkSpecBase {
       Seq(1L, 2L))
   }
 
+  test("streaming minhash suppresses near-dups within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.minhashClaimStream(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhash_stream_test").start()
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "rain falls on the quiet gray town square tonight"
+    val near = base.replace("gray", "grey") // one-token edit: near-dup
+    val other = "completely different content about structured state " +
+      "stores watermark eviction semantics and incremental checkpoints"
+    try {
+      mem.addData((1L, ts(0), base))
+      q.processAllAvailable()
+      mem.addData((2L, ts(1), base), (3L, ts(2), other), (4L, ts(3), near))
+      q.processAllAvailable()
+      // push the watermark (40 − 10 = ts(30)) past every claim's expiry
+      // (claim_ts + 10 min ≤ ts(13)) so the bucket state is EVICTED
+      mem.addData((8L, ts(40),
+        "watermark pusher row with enough distinct tokens to shingle"))
+      q.processAllAvailable()
+      mem.addData((9L, ts(41), base)) // re-arrival AFTER eviction
+      q.processAllAvailable()
+    } finally q.stop()
+    val claims = spark.table("minhash_stream_test")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // first claimant owns all 16 buckets
+    assert(claims.get(1L).contains(16L), s"doc1: $claims")
+    // exact dup inside the watermark: every band collides → zero claims
+    assert(!claims.contains(2L), s"doc2 should be fully suppressed: $claims")
+    // unrelated doc: no band collides → all buckets claimed
+    assert(claims.get(3L).contains(16L), s"doc3: $claims")
+    // one-token near-dup: most (not necessarily all) bands collide
+    assert(claims.getOrElse(4L, 0L) < 16L, s"doc4: $claims")
+    // suppression is only promised WITHIN the watermark: the evicted
+    // buckets are claimable again, so the late re-arrival reads as novel
+    assert(claims.get(9L).contains(16L),
+      s"doc9 should re-claim after eviction: $claims")
+    // batch-shadow parity: the stream's suppressions agree with the
+    // batch LSH candidate pairs on the same corpus
+    val corpus = Seq((1L, base), (2L, base), (3L, other), (4L, near))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.TextSim
+      .minhashCandidates(corpus, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"pairs: $pairs")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
