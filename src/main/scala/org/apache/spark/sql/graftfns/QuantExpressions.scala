@@ -101,12 +101,15 @@ case class AdcScore(child: Expression, lut: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => {
+      // reference typed as Object: the natural class name of a 2-D array
+      // is the descriptor "[[D", which Janino cannot parse as a cast —
+      // the silent-interpreter-fallback bug; scoreObj casts in Scala
       val lutRef = ctx.addReferenceObj("adcLut", lut,
-        classOf[Array[Array[Double]]].getName)
+        classOf[Object].getName)
       val boxed = ctx.freshName("boxed")
       s"""
          |Object $boxed =
-         |  org.apache.spark.sql.graftfns.AdcScore.score($in, $lutRef);
+         |  org.apache.spark.sql.graftfns.AdcScore.scoreObj($in, $lutRef);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
        """.stripMargin
@@ -117,6 +120,12 @@ case class AdcScore(child: Expression, lut: Array[Array[Double]])
 }
 
 object AdcScore {
+  /** Codegen entry point: performs the 2-D array cast in compiled Scala
+    * (Janino cannot parse the `[[D` cast the typed reference would
+    * need). */
+  def scoreObj(codes: ArrayData, lut: AnyRef): java.lang.Double =
+    score(codes, lut.asInstanceOf[Array[Array[Double]]])
+
   /** Boxed so the out-of-contract cases can return null (see class
     * doc); the loop itself is primitive. */
   def score(codes: ArrayData, lut: Array[Array[Double]]): java.lang.Double = {

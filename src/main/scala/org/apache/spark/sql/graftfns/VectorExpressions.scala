@@ -290,11 +290,16 @@ case class TopCells(child: Expression,
     nullSafeCodeGen(ctx, ev, in => {
       val bc = ctx.addReferenceObj("centroidsBc", centroids,
         classOf[Broadcast[_]].getName)
+      // the unwrap + double[][] cast happens inside compiled Scala
+      // (topCellsBc): Janino cannot parse a 2-D array cast ("unexpected
+      // token [ in primary") and would silently demote the WHOLE
+      // projection to interpreter mode — the exact fallback this
+      // expression exists to avoid
       s"""
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-         |    org.apache.spark.sql.graftfns.TopCells.topCells(
-         |      $in, (double[][]) $bc.value(), $k));
+         |    org.apache.spark.sql.graftfns.TopCells.topCellsBc(
+         |      $in, $bc, $k));
        """.stripMargin
     })
 
@@ -303,6 +308,11 @@ case class TopCells(child: Expression,
 }
 
 object TopCells {
+  /** Codegen entry point: unwraps the broadcast and performs the 2-D
+    * array cast in compiled Scala (Janino cannot parse `(double[][])`). */
+  def topCellsBc(vec: ArrayData, bc: Broadcast[_], k: Int): Array[Int] =
+    topCells(vec, bc.value.asInstanceOf[Array[Array[Double]]], k)
+
   /** Indices of the `k` centroids with the largest dot products against
     * `vec`, ordered (dot desc, cell asc); strict-inequality insertion so
     * dot ties keep the lower cell — the deterministic tie rule every IVF

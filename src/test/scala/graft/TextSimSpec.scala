@@ -982,4 +982,56 @@ class TextSimSpec extends SparkSpecBase {
     // scale arithmetic drifted
     assert(got.forall(_._3 >= 1))
   }
+
+  test("IVF recall@10 curve is monotone in nProbe, exact at nProbe=nCells") {
+    // The index-tuning contract: the probe-cell sets are nested (top-p
+    // cells by centroid dot, deterministic ties), so the candidate set
+    // only grows with nProbe and recall against exact kNN can never
+    // regress — the curve an operator would walk to pick nProbe for a
+    // recall target. nProbe = nCells scans every cell = exact search.
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 40)
+    val exact = TextSim.knnJoin(probes, emb, 10)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nCells = 16
+    def recallAt(nProbe: Int): Double = {
+      val got = TextSim
+        .annCosineIvf(probes, emb, 10, nCells = nCells, nProbe = nProbe)
+        .select("probe_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (p, t) =>
+        t.intersect(got.getOrElse(p, Set.empty)).size.toDouble / t.size
+      }.sum / exact.size
+    }
+    val curve = Seq(1, 2, 4, 8, 16).map(p => p -> recallAt(p))
+    curve.sliding(2).foreach {
+      case Seq((pa, ra), (pb, rb)) =>
+        assert(rb >= ra - 1e-9,
+          s"recall regressed nProbe $pa → $pb: $curve")
+      case _ => ()
+    }
+    assert(curve.last._2 == 1.0, s"nProbe=nCells must be exact: $curve")
+    // the curve must be informative: probing 1/16th of the corpus may
+    // not already be exact, or the fixture can't distinguish settings
+    assert(curve.head._2 < 1.0, s"degenerate fixture: $curve")
+  }
+
+  test("graftfns kernels stay inside codegen (no interpreter fallback)") {
+    // CODEGEN_ONLY turns the silent interpreter fallback into a hard
+    // failure: a doGenCode emitting Java Janino can't parse (the
+    // round-12 bug was 2-D array casts — "[[D" / "double[][]") would
+    // otherwise demote the WHOLE projection to interpreted mode and
+    // only a WARN would show. q_vec_ann_ivfpq drives TopCells (IVF cell
+    // assign + probe) AND AdcScore (the PQ LUT scorer) in one plan.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      assert(SparkEntry.queries("q_vec_ann_ivfpq")(spark, sf0001)
+        .collect().nonEmpty)
+      assert(SparkEntry.queries("q_vec_ann_ivf")(spark, sf0001)
+        .collect().nonEmpty)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
