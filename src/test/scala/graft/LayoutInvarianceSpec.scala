@@ -183,5 +183,23 @@ class LayoutInvarianceSpec extends SparkSpecBase {
     }
     val (_, after2) = graft.etl.Sinks.vacuumVersions(dir, keep = 2)
     assert(after2 == 2L && versionsOnDisk() == Seq("v4", "v5"))
+    // 'after' counts SURVIVORS ON DISK: when the pointer target is
+    // missing (operator error / partial restore), keep-set arithmetic
+    // would over-count it — the count must reflect reality
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/LATEST"),
+      "v9".getBytes("UTF-8"))
+    // keep-set = {v9 (phantom), v5} → v4 deleted; survivors on disk = 1,
+    // where keep-set arithmetic would have reported 2
+    val (b3, a3) = graft.etl.Sinks.vacuumVersions(dir, keep = 2)
+    assert((b3, a3) == (2L, 1L),
+      s"missing pointer target must not inflate the survivor count " +
+        s"(got ($b3, $a3))")
+    assert(versionsOnDisk() == Seq("v5"))
+    // a table with no pointer at all fails loudly, not with NoSuchFile
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/LATEST"))
+    val err = intercept[IllegalArgumentException] {
+      graft.etl.Sinks.vacuumVersions(dir, keep = 1)
+    }
+    assert(err.getMessage.contains("LATEST"))
   }
 }

@@ -428,13 +428,20 @@ class RelationalOpsSpec extends SparkSpecBase {
     // left interval A spans 5 hour-buckets; B touches C end-to-start
     val left = Seq(
       ("A", ts("2024-01-01 01:30:00"), ts("2024-01-01 06:30:00")),
-      ("B", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      ("B", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      // EMPTY interval [t,t) on a bucket boundary inside X's span: it
+      // overlaps nothing (there is no instant inside it), and without
+      // the non-empty guard its bucket sequence would run DESCENDING
+      ("E", ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:00")))
       .toDF("l_id", "l_start", "l_end")
     val right = Seq(
       ("X", ts("2024-01-01 02:00:00"), ts("2024-01-01 06:00:00")), // inside A: 4 shared buckets
       ("Y", ts("2024-01-01 06:29:59"), ts("2024-01-01 07:00:00")), // grazes A's last second
       ("C", ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // touches B: NO overlap (half-open)
-      ("Z", ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00"))) // disjoint
+      ("Z", ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00")), // disjoint
+      // INVERTED interval (end < start) spanning A's range: malformed
+      // data must never match (nor abort the explode)
+      ("W", ts("2024-01-01 06:00:00"), ts("2024-01-01 02:00:00")))
       .toDF("r_id", "r_start", "r_end")
     val got = Relational.intervalOverlapJoin(
         left, "l_start", "l_end", right, "r_start", "r_end", 3600L)

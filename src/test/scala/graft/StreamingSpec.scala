@@ -519,6 +519,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(state() == expected, s"replayed batch mutated the table: ${state()}")
     // a genuinely NEW batch still applies
     Streaming.mergeBatch(target)(replay.map(t => (t._1, "b3", 6.0)), 2L)
-    assert(state() == Set((1L, "a2", 2.0), (2L, "b3", 6.0), (3L, "c", 1.0)))
+    val committed = Set((1L, "a2", 2.0), (2L, "b3", 6.0), (3L, "c", 1.0))
+    assert(state() == committed)
+    // crash WINDOW recovery: pointer already flipped to v2 but the
+    // ledger mark was lost (crash between the two steps). The replay
+    // must NOT re-merge — rewriting the live v2 directory in place is
+    // the partial-read hazard — only complete the missing ledger mark.
+    val ledger2 = java.nio.file.Paths.get(s"$target/_batches/2")
+    java.nio.file.Files.delete(ledger2)
+    Streaming.mergeBatch(target)(
+      Seq((9L, "MUST_NOT_APPLY", 99.0)).toDS(), 2L)
+    assert(state() == committed,
+      s"pointer-flipped replay re-merged: ${state()}")
+    assert(java.nio.file.Files.exists(ledger2),
+      "recovery must complete the ledger mark")
   }
 }
