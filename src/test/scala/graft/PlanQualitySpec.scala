@@ -731,6 +731,32 @@ class PlanQualitySpec extends SparkSpecBase {
       "token stream shuffled raw — partial aggregate missing")
   }
 
+  test("q_sql_report contracts lineitem below the joins, no Expand") {
+    val p = plan("q_sql_report")
+    // the round-11 verdict's slowest plan was count(DISTINCT orderkey)
+    // over the full-width 3-table join: the distinct-aggregate Expand
+    // DOUBLED the widest stream. The rewrite pre-contracts lineitem per
+    // orderkey, so the plan must have NO Expand node at all...
+    assert(!p.contains("Expand"),
+      "distinct-aggregate Expand regressed into the report plan")
+    // ...and exactly ONE data-sized exchange (the orderkey contraction;
+    // dims broadcast, the agg/window/sort exchanges are k-row)
+    assert(p.contains("BroadcastHashJoin"),
+      "orders/customer joins must broadcast at this scale tier")
+  }
+
+  test("q_etl_denormalize broadcasts every dim, collects co-keyed") {
+    val p = plan("q_etl_denormalize")
+    // five dim/bridge joins broadcast; the hub fold is a left join per
+    // collection — none may shuffle the dim side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      "denormalize dim joins fell back to shuffle joins")
+    // the collect_list aggregates are two-phase (partial before the
+    // business_id exchange) — ObjectHashAggregate pairs per collection
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "nested-array collects lost the two-phase shape")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE shows codegen stages only in the finalized plan → execute first
     val df = SparkEntry.queries("q_filter_range_disj")(spark, sf0001)
