@@ -950,6 +950,131 @@ object TextSim {
     * kNN join (BroadcastNestedLoop × probe count). At scale you bound the
     * probe side or move to the LSH/IVF bucketed variant; the per-probe
     * top-k window keeps only k rows per probe after the join. */
+  /** NN-Descent approximate kNN GRAPH (Dong et al., WWW'11) — the
+    * distributed graph-ANN construction story next to the LSH/IVF/PQ
+    * probe paths: the offline build that graph indexes (HNSW base
+    * layers, navigable small-world graphs) start from. The principle is
+    * "a neighbor of a neighbor is likely a neighbor": start from a
+    * deterministic ring graph, then each round every node proposes its
+    * neighbors' neighbors as candidates, rescores them exactly, and
+    * keeps its best k — each node's k-th-best similarity is
+    * monotonically non-decreasing (candidates only ever ADD to the
+    * pool), so recall vs exact kNN can only improve with rounds
+    * (TextSimSpec pins the curve).
+    *
+    * Scale shape, per round: the edge list (N·k rows, both directions)
+    * self-joins on the shared endpoint — a co-keyed equi-join fanning
+    * out ≤ N·(2k)² slim (src, dst) candidates, never a quadratic
+    * all-pairs — then one rescore join against the vectors (norms
+    * precomputed; per-pair work = one codegen'd dot product) and a
+    * WindowGroupLimit top-k on src. Every shuffle key is a node id;
+    * nothing is ever driver-resident except the round counter. Each
+    * round's graph is `localCheckpoint()`ed (the dedupGroups
+    * discipline): the next round re-reads materialized blocks instead
+    * of replaying a growing lineage. Init is a RING over the
+    * [[Relational.globalRowNumber]] rank order (deterministic, no RNG,
+    * no assumption that ids are dense); ties break (sim desc, dst asc)
+    * with the same rounded cosine every scoring site shares, so the
+    * whole build is a pure function of the corpus. */
+  def nnDescentGraph(corpus: DataFrame, k: Int, iters: Int,
+                     buildK: Int = 0): DataFrame = {
+    require(k > 0 && iters >= 0,
+      s"need k ($k) > 0 and iters ($iters) >= 0")
+    val vecs = corpus.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .localCheckpoint()
+    val n = vecs.count()
+    // the graph is BUILT wider than it is read: a k-NN list this sparse
+    // cannot bootstrap (neighbors-of-neighbors of 5 arbitrary nodes stay
+    // arbitrary); NN-Descent's standard remedy is a working K of a few
+    // dozen, emitting the requested top-k at the end. 4·k floor, 24
+    // default — candidates per round stay ≤ N·(2K)².
+    val bk = if (buildK > 0) buildK else math.max(4 * k, 24)
+    val kk = math.min(math.max(k, bk).toLong, math.max(n - 1, 0L)).toInt
+    if (kk == 0) // 0- or 1-vector corpus: no neighbours exist
+      return vecs.select(col("vec_id"), col("vec_id").as("neighbor_id"),
+        lit(0d).as("sim"), lit(0L).as("rn")).limit(0)
+    def rescore(pairs: DataFrame): DataFrame =
+      pairs
+        .join(vecs.select(col("vec_id").as("src"), col("vec").as("va"),
+          col("norm").as("na")), "src")
+        .join(vecs.select(col("vec_id").as("dst"), col("vec").as("vb"),
+          col("norm").as("nb")), "dst")
+        .select(col("src"), col("dst"),
+          round(try_divide(dot(col("va"), col("vb")),
+            col("na") * col("nb")), 4).as("sim"))
+    def topK(scored: DataFrame): DataFrame =
+      Relational.topKPerGroup(scored, Seq(col("src")),
+          Seq(col("sim").desc, col("dst")), kk)
+        .select("src", "dst", "sim")
+    // init = ring ∪ LSH chains. The ring (node at rank r → ranks
+    // r+1..r+k mod n over the globalRowNumber order) guarantees every
+    // node starts connected regardless of data; the LSH chains (each
+    // vector linked to its next 2 bucket-mates per sign-LSH table,
+    // vec_id order within bucket) start the graph out already CORRELATED
+    // with similarity, which is what lets descent converge in 1-2 rounds
+    // instead of the ~log N a cold random graph needs on weakly
+    // clustered data. Both parts are RNG-free pure functions of the
+    // corpus (the LSH planes are seed-regenerated, the annCosineLsh
+    // contract).
+    val ranked = Relational.globalRowNumber(
+      vecs.select("vec_id"), Seq(col("vec_id")), "rank")
+    val byRank = ranked.select(col("rank").as("nbr_rank"),
+      col("vec_id").as("dst"))
+    val ringK = math.min(kk.toLong, math.max(n - 1, 1L)).toInt
+    val ringSeeds = ranked
+      .select(col("vec_id").as("src"), col("rank"),
+        explode(sequence(lit(1), lit(ringK))).as("j"))
+      .withColumn("nbr_rank", (col("rank") - 1 + col("j")) % n + 1)
+      .join(byRank, "nbr_rank")
+      .select("src", "dst")
+    val wBucket = Window.partitionBy("bucket").orderBy("vec_id")
+    val lshSeeds = vecs
+      .select(col("vec_id"),
+        explode(lshBuckets(col("vec"), nTables = 4, bits = 6))
+          .as("bucket"))
+      // window first, generator second: a generator argument may not
+      // contain a window expression
+      .select(col("vec_id"),
+        lead("vec_id", 1).over(wBucket).as("n1"),
+        lead("vec_id", 2).over(wBucket).as("n2"))
+      .select(col("vec_id").as("src"),
+        explode(array(col("n1"), col("n2"))).as("dst"))
+      .filter(col("dst").isNotNull)
+    // eager localCheckpoint per round (the dedupGroups discipline):
+    // each round's graph is referenced three times by the next round
+    // (both sides of the neighbors-of-neighbors self-join + the merge
+    // union), and a LAZY persist measurably recomputes the shared
+    // subtree before the cache fills — wall time went superlinear in
+    // rounds when tried. One materialization job per round is the
+    // cheaper trade at any round count.
+    var edges =
+      topK(rescore(ringSeeds.unionByName(lshSeeds).distinct()))
+        .localCheckpoint()
+    var rnd = 0 // not `round`: would shadow functions.round used above
+    while (rnd < iters) {
+      val und = edges.select("src", "dst").unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val cands = und.as("e1")
+        .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val merged = edges.unionByName(rescore(cands))
+        // the same pair can re-arrive through several shared neighbours
+        // and as an existing edge — one copy (sims are equal: same
+        // rounded formula over the same vectors)
+        .groupBy("src", "dst").agg(max("sim").as("sim"))
+      edges = topK(merged).localCheckpoint()
+      rnd += 1
+    }
+    Relational.topKPerGroup(edges, Seq(col("src")),
+        Seq(col("sim").desc, col("dst")), math.min(k, kk))
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+        col("sim"), col("rn").cast("long").as("rn"))
+  }
+
   def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // broadcast the (small) probe side: the BNL join then streams the
     // corpus once per task with probes resident, instead of shipping the

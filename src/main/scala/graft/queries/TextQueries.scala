@@ -187,6 +187,24 @@ object TextQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** q_vec_ann_nndescent — the GRAPH-ANN construction path
+    * ([[TextSim.nnDescentGraph]], NN-Descent): the offline kNN-graph
+    * build HNSW-family indexes start from, as rounds of
+    * neighbors-of-neighbors candidate joins + exact rescore + per-node
+    * top-k — every shuffle a node-keyed equi-join, candidates ≤ N·(2k)²
+    * per round, never all-pairs. Q-tier (iterative refinement has no
+    * SQL twin); recall floor, round-monotone recall, and determinism
+    * are asserted in TextSimSpec. */
+  private val annNnDescent: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    // 500-vector demo slice: per-round cost here is Spark job overhead,
+    // not data (the operator's scale story is the node-keyed equi-join
+    // shape); recall at this size/params is ≈0.98 (TextSimSpec)
+    TextSim.nnDescentGraph(emb.filter(col("vec_id") < 500),
+        k = 5, iters = 2)
+      .orderBy("vec_id", "rn")
+  }
+
   /** q_text_simhash — per-doc SimHash fingerprint + dedup bands
     * ([[TextSim.simhash]]). Q-tier (xxhash64-based; candidate semantics
     * covered in TextSimSpec with planted near-dups). */
@@ -1106,5 +1124,6 @@ object TextQueries {
     "q_vec_cosine_topk" -> cosineTopk,
     "q_vec_knn_join" -> knnJoin,
     "q_vec_ann_lsh" -> annLsh,
-    "q_vec_ann_ivf" -> annIvf)
+    "q_vec_ann_ivf" -> annIvf,
+    "q_vec_ann_nndescent" -> annNnDescent)
 }

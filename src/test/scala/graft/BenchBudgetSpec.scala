@@ -132,6 +132,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_normalize" -> 0.9,
     // warehouse is build-once (stamped); cost = 5 collects + hub fold
     "q_etl_denormalize" -> 1.2,
+    // 2 descent rounds x (self-join + rescore + top-K + checkpoint):
+    // per-round Spark job overhead dominates at the 500-vector demo size
+    // (measured 2.40 s sf0.1 / 2.55 s sf0.01 — slope ~1x, pure overhead)
+    "q_vec_ann_nndescent" -> 2.5,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,

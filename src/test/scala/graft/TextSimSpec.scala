@@ -1019,6 +1019,43 @@ class TextSimSpec extends SparkSpecBase {
     assert(curve.head._2 < 1.0, s"degenerate fixture: $curve")
   }
 
+  test("nnDescent recall is round-monotone, converges, rerun-stable") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val exact = TextSim.knnJoin(emb, emb, 5)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def graphAt(iters: Int): Map[Long, Set[Long]] = TextSim
+      .nnDescentGraph(emb, 5, iters)
+      .select("vec_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(g: Map[Long, Set[Long]]): Double =
+      exact.map { case (p, t) =>
+        t.intersect(g.getOrElse(p, Set.empty)).size.toDouble / t.size
+      }.sum / exact.size
+    // every node must carry exactly k rows at every round
+    val g2 = graphAt(2)
+    assert(g2.size == exact.size && g2.values.forall(_.size == 5))
+    val curve = Seq(0, 1, 2).map(i =>
+      i -> recallOf(if (i == 2) g2 else graphAt(i)))
+    // each node keeps top-k of (current ∪ candidates) under the shared
+    // (sim desc, id) total order, so an exact neighbor can only be
+    // displaced by another exact neighbor: recall is a non-decreasing
+    // function of rounds — a theorem, not a tendency
+    curve.sliding(2).foreach {
+      case Seq((ia, ra), (ib, rb)) =>
+        assert(rb >= ra - 1e-9, s"recall regressed round $ia → $ib: $curve")
+      case _ => ()
+    }
+    // LSH-seeded descent must actually converge on this corpus — the
+    // floor is far above the LSH seeds alone (≈0.07 at round 0)
+    assert(curve.last._2 >= 0.9, s"descent failed to converge: $curve")
+    assert(curve.head._2 < curve.last._2, s"degenerate curve: $curve")
+    // pure function of the corpus: a rerun reproduces the graph exactly
+    assert(graphAt(2) == g2, "nnDescent graph is not rerun-stable")
+  }
+
   test("graftfns kernels stay inside codegen (no interpreter fallback)") {
     // CODEGEN_ONLY turns the silent interpreter fallback into a hard
     // failure: a doGenCode emitting Java Janino can't parse (the
