@@ -2785,6 +2785,43 @@ object OracleSql {
     // all NULL would hash-split the engines (verified empirically,
     // round 8; both lists INCLUDE null elements, so the [1:50] cap
     // windows agree — parity pinned in PipelinePatternSpec).
+    "q_evt_match" ->
+      // CEP-as-regex: the same capped symbol sequence build as
+      // q_evt_paths (list(...)[1:50] under the total (ts, event_id)
+      // order), one char per event (first letters v/c/e/s/p are
+      // distinct), then RE2's leftmost non-overlapping scan counts
+      // conversion episodes — the pattern stays in the Java∩RE2
+      // portable subset so both engines count identically.
+      """WITH p AS (
+           SELECT user_id,
+                  coalesce(array_to_string(
+                    list(substr(event_type, 1, 1)
+                         ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST,
+                         event_id)[1:50], ''), '') AS seq
+           FROM events GROUP BY user_id),
+         m AS (
+           SELECT CAST(length(seq) AS BIGINT) AS len,
+                  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+                    AS episodes
+           FROM p)
+         SELECT episodes, count(*) AS n_users,
+                CAST(sum(len) AS BIGINT) AS sum_len
+         FROM m GROUP BY episodes ORDER BY episodes""",
+    "q_samp_reservoir" ->
+      // hash-rank "reservoir": row_number per stratum over the sha256
+      // hex order (lowercase hex in both engines — the q_sample_hash
+      // parity), keep the 40 smallest ranks per language.
+      """WITH h AS (
+           SELECT lang, doc_id, n_chars,
+                  sha256(CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST(row_number() OVER (
+                    PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS rk
+           FROM h)
+         SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 40
+         ORDER BY lang, rk""",
     "q_evt_paths" ->
       """WITH p AS (
            SELECT user_id,

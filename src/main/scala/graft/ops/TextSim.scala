@@ -529,8 +529,8 @@ object TextSim {
   /** Deterministic initial centroids: the `nCells` lowest vec_ids,
     * L2-normalized on the driver (the collect touches exactly `nCells`
     * index-metadata rows, never the corpus — the broadcast-dim role). */
-  private def sampleCentroids(corpus: DataFrame,
-                              nCells: Int): Array[Array[Double]] =
+  private[graft] def sampleCentroids(corpus: DataFrame,
+                                     nCells: Int): Array[Array[Double]] =
     corpus.orderBy("vec_id").limit(nCells)
       .select(col("embedding").cast("array<double>"))
       .collect().map(r => l2normalize(r.getSeq[Double](0).toArray))
@@ -612,6 +612,64 @@ object TextSim {
         lit(0.0))))
       .head().getDouble(0)
     finally bc.destroy()
+  }
+
+  /** Spherical k-means corpus clustering surfaced as a first-class
+    * operator — [[trainIvfCentroids]] (the IVF centroid trainer) run
+    * for its own sake: deterministic init ([[sampleCentroids]], the k
+    * lowest-vec_id vectors), `iters` Lloyd rounds, then ONE assignment
+    * pass and a per-cluster rollup (size, mean cosine to centroid,
+    * inertia = Σ(1−cos), id span). This is the curation-side use of the
+    * trainer: bucket a corpus into semantic cells for per-cluster
+    * sampling/dedup/inspection, where IVF uses the same cells only to
+    * route probes.
+    *
+    * Scale shape: training shuffles ≤ k·dim partial-mean rows per round
+    * (map-side combine over the posexplode — index metadata, never the
+    * corpus); the readout is one broadcast-expression assignment
+    * ([[org.apache.spark.sql.graftfns.TopCells]], no shuffle) + a
+    * broadcast join against the k-row centroid dim + a k-group
+    * aggregate. Only the k×dim centroid table is ever driver-resident.
+    * Outputs round at 3 dp: training's unordered double summation is
+    * bit-nondeterministic in the last ulps (documented on
+    * [[trainIvfCentroids]]) and the grid sits ~10 orders above the
+    * noise. Lloyd monotonicity of the Σ max-dot objective and
+    * assignment optimality are gated in TextSimSpec. */
+  def kmeansReadout(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = trainIvfCentroids(corpus, sampleCentroids(corpus, k), iters)
+    kmeansAssign(corpus, cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(avg("cos"), 3).as("mean_cos"),
+        round(sum(lit(1.0) - col("cos")), 3).as("inertia"),
+        min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+      .orderBy("cluster")
+  }
+
+  /** Assignment pass shared by [[kmeansReadout]] and the TextSimSpec
+    * optimality/monotonicity gates: each row's argmax-dot cluster via
+    * the broadcast TopCells expression, with the raw dot (`dotc`, the
+    * Lloyd Lyapunov quantity) and the cosine (`cos`; 0 for a zero-norm
+    * vector — the ivfObjective convention) joined back from the k-row
+    * centroid dim. */
+  private[graft] def kmeansAssign(corpus: DataFrame,
+                                  cents: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    val bc = spark.sparkContext.broadcast(cents)
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cent")
+    corpus
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cluster",
+        try_element_at(fns.top_cells(col("v"), bc, 1), lit(1)))
+      .join(broadcast(centDf), "cluster")
+      .withColumn("dotc", dot(col("v"), col("cent")))
+      .withColumn("cos", coalesce(
+        try_divide(col("dotc"), l2Norm(col("v"))), lit(0.0)))
+      .select("vec_id", "cluster", "dotc", "cos")
   }
 
   /** Centroids for an IVF index over `corpus`: deterministic corpus

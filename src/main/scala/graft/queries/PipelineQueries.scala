@@ -427,6 +427,43 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("path"))
       .limit(20)
 
+  /** q_evt_match — MATCH_RECOGNIZE-style sequence pattern matching
+    * (complex event processing) over per-user ordered event streams:
+    * count each user's non-overlapping conversion episodes —
+    * `view`, then anything but a purchase, then `purchase` — and
+    * report the corpus distribution of episode counts. The pattern runs
+    * as a REGEX over the user's symbolized event sequence (one char per
+    * event, first letter of the type — v/c/e/s/p are distinct here),
+    * the classical CEP-as-regex reduction: the symbol string is built
+    * with q_evt_paths' pre-cap machinery (row_number ≤ 50 under the
+    * total (ts, event_id) order — the WindowGroupLimit kernel bounds a
+    * hot user's state BEFORE the collect), then ONE codegen'd
+    * `regexp_count` per user answers the pattern. The regex stays in
+    * the Java∩RE2 portable subset (literal, negated char class, star)
+    * so both engines' leftmost non-overlapping scan is identical — the
+    * q_text_scrub portability rule. Shape: one shuffle on user_id, ≤50
+    * rows per user into the aggregate, then a distribution-sized
+    * group-by; at 100 TB the regex scan is embarrassingly parallel over
+    * ≤50-char strings. */
+  private val evtMatch: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("rn") <= 50)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => substring(x.getField("event_type"), 1, 1)), "").as("seq"))
+      .select(
+        length(col("seq")).cast("long").as("len"),
+        regexp_count(col("seq"), lit("v[^p]*p")).cast("long")
+          .as("episodes"))
+      .groupBy("episodes")
+      .agg(count(lit(1)).as("n_users"), sum("len").as("sum_len"))
+      .orderBy("episodes")
+
   /** q_etl_wap — write-audit-publish round trip
     * ([[graft.etl.Sinks.publishAudited]]): orders staged to a scratch
     * dir, the STAGED FILES audited (row conservation, key non-null,
@@ -1287,6 +1324,7 @@ object PipelineQueries {
     "q_etl_scd2" -> etlScd2,
     "q_etl_dim_asof" -> etlDimAsof,
     "q_evt_funnel" -> evtFunnel,
+    "q_evt_match" -> evtMatch,
     "q_etl_upsert" -> etlUpsert,
     "q_etl_normalize" -> etlNormalize,
     "q_etl_denormalize" -> etlDenormalize)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Curation, TextSim}
+import graft.ops.{Curation, Relational, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -205,6 +205,18 @@ object TextQueries {
       .orderBy("vec_id", "rn")
   }
 
+  /** q_vec_kmeans — spherical k-means corpus clustering readout
+    * ([[TextSim.kmeansReadout]]): the IVF centroid trainer run as a
+    * first-class curation operator — bucket the corpus into semantic
+    * cells (per-cluster size / mean-cosine / inertia / id span) for
+    * cluster-aware sampling, dedup, and inspection. Q-tier (iterative
+    * Lloyd refinement has no SQL twin); assignment optimality, Σ-dot
+    * monotonicity over rounds, and size conservation are asserted in
+    * TextSimSpec. */
+  private val vecKmeans: Q = (s, dir) =>
+    TextSim.kmeansReadout(Tables.load(s, dir, "embeddings"),
+      k = 8, iters = 3)
+
   /** q_text_simhash — per-doc SimHash fingerprint + dedup bands
     * ([[TextSim.simhash]]). Q-tier (xxhash64-based; candidate semantics
     * covered in TextSimSpec with planted near-dups). */
@@ -281,6 +293,32 @@ object TextQueries {
         sum("n_chars").as("sum_chars"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("split")
+
+  /** q_samp_reservoir — fixed-SIZE deterministic uniform sample per
+    * stratum (40 docs per language): rank every doc by
+    * sha256(doc_id) and keep the N smallest ranks per stratum — the
+    * distributed, rerun-stable stand-in for reservoir sampling.
+    * q_sample_hash carves fixed-RATE splits; eval sets, review queues,
+    * and per-class caps need a fixed COUNT, which a rate cannot give
+    * (strata sizes differ and drift). Hash-rank selection keeps
+    * reservoir sampling's uniformity (the N smallest of n iid-uniform
+    * hash ranks are a uniform n-choose-N subset) but none of its
+    * sequential state: membership is a pure function of (doc_id,
+    * stratum, N) — stable under reruns and repartitioning, and a
+    * SQL-expressible oracle (true reservoir RNG is not). Shape: one
+    * shuffle keyed on the stratum; `row_number() <= N` runs as the
+    * WindowGroupLimit kernel (partial per-partition top-N map-side,
+    * never a full stratum sort), so a billion-doc stratum costs its
+    * partitions a streaming rank and ships N rows. */
+  private val sampReservoir: Q = (s, dir) =>
+    Relational.topKPerGroup(
+        Tables.load(s, dir, "documents")
+          .withColumn("hk", sha2(col("doc_id").cast("string"), 256)),
+        Seq(col("lang")), Seq(col("hk"), col("doc_id")), 40,
+        rankCol = "rk")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
 
   /** q_text_feature_hash — the hashing trick
     * ([[Curation.featureHash]]): tokens map to a fixed 64-bucket
@@ -1125,5 +1163,7 @@ object TextQueries {
     "q_vec_knn_join" -> knnJoin,
     "q_vec_ann_lsh" -> annLsh,
     "q_vec_ann_ivf" -> annIvf,
-    "q_vec_ann_nndescent" -> annNnDescent)
+    "q_vec_ann_nndescent" -> annNnDescent,
+    "q_vec_kmeans" -> vecKmeans,
+    "q_samp_reservoir" -> sampReservoir)
 }

@@ -136,6 +136,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-round Spark job overhead dominates at the 500-vector demo size
     // (measured 2.40 s sf0.1 / 2.55 s sf0.01 — slope ~1x, pure overhead)
     "q_vec_ann_nndescent" -> 2.5,
+    // 3 Lloyd rounds = 3 collect jobs over <= k*dim partial-mean rows,
+    // then one assignment pass + k-group rollup; job count, not data
+    "q_vec_kmeans" -> 1.2,
+    // one stratum-keyed WindowGroupLimit pass over documents
+    "q_samp_reservoir" -> 0.5,
+    // capped per-user collect (the evt_paths shape) + one regexp_count
+    "q_evt_match" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,

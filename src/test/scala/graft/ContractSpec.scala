@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 229, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 204)
-    assert(declared.values.count(_ == "Q") == 18)
+    assert(declared.size == 232, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 206)
+    assert(declared.values.count(_ == "Q") == 19)
     assert(declared.values.count(_ == "U") == 7)
   }
 

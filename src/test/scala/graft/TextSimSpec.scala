@@ -1056,6 +1056,56 @@ class TextSimSpec extends SparkSpecBase {
     assert(graphAt(2) == g2, "nnDescent graph is not rerun-stable")
   }
 
+  test("kmeans readout: sizes conserve, assignment optimal, Lloyd monotone") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val n = emb.count()
+    val out = TextSim.kmeansReadout(emb, k = 8, iters = 3).collect()
+    // partition of the corpus: sizes sum to N, clusters within range
+    assert(out.map(_.getAs[Long]("n")).sum == n, "sizes do not sum to N")
+    assert(out.forall { r =>
+      val c = r.getAs[Number]("cluster").longValue(); c >= 0 && c < 8 })
+    assert(out.forall(r => r.getAs[Double]("mean_cos") >= -1.0 &&
+      r.getAs[Double]("mean_cos") <= 1.0))
+    // assignment optimality: every row's cluster is the argmax-dot
+    // centroid (ties impossible at double precision on this corpus)
+    val cents = TextSim.trainIvfCentroids(emb,
+      TextSim.sampleCentroids(emb, 8), iters = 3)
+    val assigned = TextSim.kmeansAssign(emb, cents)
+      .select("vec_id", "cluster", "dotc")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number](1).intValue(), r.getDouble(2)))
+    val vecs = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    assigned.take(100).foreach { case (id, cl, dotc) =>
+      val v = vecs(id)
+      val best = cents.indices.maxBy(c =>
+        cents(c).indices.map(i => cents(c)(i) * v(i)).sum)
+      assert(cl == best, s"vec $id assigned $cl, argmax-dot is $best")
+      val expect = cents(cl).indices.map(i => cents(cl)(i) * v(i)).sum
+      assert(math.abs(dotc - expect) < 1e-9)
+    }
+    // Lloyd monotonicity: the sum-of-max-dot objective is a Lyapunov
+    // function — assignment maximizes each term given centroids, the
+    // normalized-mean update maximizes the cell sum given assignment
+    // (empty cells keep their centroid: equality) — so it can only rise
+    def objective(iters: Int): Double =
+      TextSim.kmeansAssign(emb,
+          TextSim.trainIvfCentroids(emb,
+            TextSim.sampleCentroids(emb, 8), iters))
+        .agg(sum("dotc")).head().getDouble(0)
+    val objs = Seq(0, 1, 3).map(objective)
+    objs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b >= a - 1e-6, s"Lloyd objective regressed: $objs")
+      case _ => ()
+    }
+    assert(objs.last > objs.head, s"training did not move: $objs")
+    // rerun stability at the 3-dp grid (training's ulp noise is ~10
+    // orders below it)
+    assert(TextSim.kmeansReadout(emb, 8, 3).collect().toSeq == out.toSeq)
+  }
+
   test("graftfns kernels stay inside codegen (no interpreter fallback)") {
     // CODEGEN_ONLY turns the silent interpreter fallback into a hard
     // failure: a doGenCode emitting Java Janino can't parse (the
