@@ -1312,6 +1312,16 @@ object OracleSql {
                   AS sum_value
          FROM events GROUP BY event_type
          ORDER BY event_type NULLS FIRST""",
+    "q_src_binary" ->
+      // the binaryFile scan's rows recomputed from the documents table:
+      // file bytes ARE the UTF-8 text bytes (binFixture), so n_bytes =
+      // octet_length(encode(text)) and the sha256 of the blob equals
+      // sha256 of the string's UTF-8 bytes (the q_text_dedup_exact
+      // parity).
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                sha256(text) AS content_sha
+         FROM documents WHERE doc_id < 64 ORDER BY doc_id""",
     "q_src_orc" ->
       """SELECT event_type, count(*) AS n,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -2609,6 +2619,31 @@ object OracleSql {
     // otherwise yield ±inf/NaN there. The inner var/count divisions
     // need no guard: count = 0 forces the var FILTER to NULL, and
     // NULL propagation wins before any division-by-zero semantics.
+    "q_agg_chisq" ->
+      // counts stay integers through the cell/marginal CTEs; the
+      // closed-form double readout ((o−e)·(o−e)/e with marginals cast
+      // to double before the product) mirrors the Spark expression
+      // structure term for term — the 4-dp round tolerates only the
+      // ~20-term summation order.
+      """WITH cells AS (
+           SELECT event_type, user_id % 4 AS cohort, count(*) AS o
+           FROM events GROUP BY 1, 2),
+         rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         j AS (
+           SELECT cells.o, CAST(rm.r AS DOUBLE) * cm.c / t.n AS e, t.n
+           FROM cells JOIN rm USING (event_type)
+                      JOIN cm USING (cohort) CROSS JOIN t)
+         SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+                CAST((SELECT count(DISTINCT event_type) FROM cells) - 1
+                  AS BIGINT)
+                  * ((SELECT count(DISTINCT cohort) FROM cells) - 1)
+                  AS dof,
+                max(n) AS n
+         FROM j""",
     "q_agg_ttest" ->
       """SELECT event_type,
                 count(*) FILTER (user_id % 2 = 1) AS n_t,

@@ -412,6 +412,61 @@ object Streaming {
         OutputMode.Append())
   }
 
+  /** Post-batch current row per touched key from the CDC processor:
+    * `live` = false marks a tombstone (latest op is a delete) — the key
+    * exists only to tell downstream merges to erase it. */
+  case class CdcCurrent(key: Long, version: Long, value: Double,
+                        live: Boolean)
+
+  /** q_stream_cdc — continuous changelog application: the streaming
+    * form of q_etl_cdc_apply's batch fold. A CDC feed (key, op,
+    * version, value) maintains per-key CURRENT state in a typed
+    * `ValueState`: within a batch ops fold in version order (CDC
+    * transports reorder within a poll window), across batches the
+    * version guard drops any op older than the applied one — the
+    * out-of-order shield a bare last-write-wins lacks. Deletes don't
+    * remove state; they store a TOMBSTONE (live = false, version
+    * kept): clearing state would forget the delete's version, and a
+    * late pre-delete update would then resurrect the key — the classic
+    * CDC zombie-row bug. A newer upsert after the tombstone revives the
+    * key legitimately. Emits each touched key's post-batch current row
+    * (the Debezium→merge materialization primitive, incremental form).
+    * State per key is ONE small row at any scale, keyed by the CDC key
+    * — executors hold only their partitions' keys. */
+  class CdcApplyProcessor
+      extends StatefulProcessor[Long, (Long, String, Long, Double),
+        CdcCurrent] {
+    @transient private var cur: ValueState[CdcCurrent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[CdcCurrent]("cdc_current",
+        Encoders.product[CdcCurrent], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, String, Long, Double)],
+                                 timerValues: TimerValues)
+        : Iterator[CdcCurrent] = {
+      var st = cur.get() // null when the key is brand new
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+        case (_, op, version, value) =>
+          if (st == null || version >= st.version)
+            st = if (op == "D") CdcCurrent(key, version, 0.0, live = false)
+            else CdcCurrent(key, version, value, live = true)
+      }
+      cur.update(st)
+      Iterator.single(st)
+    }
+  }
+
+  /** [[CdcApplyProcessor]] as a stream transform. */
+  def cdcApplyStream(ops: Dataset[(Long, String, Long, Double)])
+      : Dataset[CdcCurrent] = {
+    implicit val enc = Encoders.product[CdcCurrent]
+    ops.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new CdcApplyProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** q_stream_foreachbatch — the `foreachBatch` merge-upsert serving
     * sink: each micro-batch latest-wins-merges (key, payload, seq) rows
     * into a versioned parquet table, the pattern that loads a streaming

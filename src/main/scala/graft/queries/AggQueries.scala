@@ -402,6 +402,44 @@ object AggQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_agg_chisq — chi-squared test of independence over a categorical
+    * contingency table (event_type × user cohort): the
+    * categorical×categorical counterpart of q_agg_ttest's two-arm mean
+    * test — "does event mix differ by cohort" is the first question of
+    * every segmentation/guardrail readout. Shape: ONE corpus-sized
+    * two-phase count into the ≤ |types|·|cohorts| cell table (map-side
+    * combine collapses the scan; the shuffle carries cells, not
+    * events), then every downstream step — row/column marginals,
+    * expected counts, the Σ(o−e)²/e fold — is cell-level arithmetic on
+    * a ~20-row relation with broadcast joins. Float discipline: counts
+    * stay integers until the closed-form double readout, whose
+    * expression structure ((o−e)·(o−e)/e, marginals cast to double
+    * before the product so no int64 overflow at corpus scale) is
+    * IDENTICAL in the oracle; the 4-dp round is a tolerance for the
+    * ~20-term summation order only. (The χ²→p mapping needs the
+    * incomplete gamma — client-side, like t→p in q_agg_ttest.) */
+  private val aggChisq: Q = (s, dir) => {
+    val cells = Tables.load(s, dir, "events")
+      .select(col("event_type"), (col("user_id") % 4).as("cohort"))
+      .groupBy("event_type", "cohort")
+      .agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val colm = cells.groupBy("cohort").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(rowm), "event_type")
+      .join(broadcast(colm), "cohort")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("r").cast("double") * col("c") / col("n"))
+      .agg(
+        round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")),
+          4).as("chi2"),
+        ((countDistinct("event_type") - 1) * (countDistinct("cohort") - 1))
+          .as("dof"),
+        max("n").as("n"))
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -664,6 +702,7 @@ object AggQueries {
     "q_agg_entropy" -> aggEntropy,
     "q_agg_corr" -> aggCorr,
     "q_agg_ttest" -> aggTtest,
+    "q_agg_chisq" -> aggChisq,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -163,13 +163,42 @@ object SourceQueries {
       _.write.mode("overwrite").option("rowTag", "event")
         .format("xml").save(_))
 
+  /** Binary-file fixture: one `.bin` file per document (doc_id < 64),
+    * content = the UTF-8 text bytes — the at-rest shape of a multimodal
+    * ingest DROP ZONE (images/audio land as opaque files, not rows; here
+    * the bytes are the doc text so the oracle can recompute every hash
+    * from the documents table). Files are written driver-side with NIO
+    * at fixture-creation time only (64 tiny files, content-stamped like
+    * every other fixture); the OPERATOR under test is the distributed
+    * `binaryFile` scan. */
+  private def binFixture(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stamp = sourceStamp(s"$dir/documents.parquet")
+    val path = s"$scratch/bin_${key}_$stamp"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.exists()) {
+      new java.io.File(path).mkdirs()
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          : Unit
+        }
+      done.createNewFile(): Unit
+    }
+    path
+  }
+
   /** Pre-build fixtures outside any timed region (Bench calls this before
     * the timing loop). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     ndjsonFixture(s, dir)
     csvFixture(s, dir)
     orcFixture(s, dir)
-    xmlFixture(s, dir): Unit
+    xmlFixture(s, dir)
+    binFixture(s, dir): Unit
   }
 
   /** q_src_parquet — schema-pinned columnar scan with projection (ref
@@ -492,6 +521,31 @@ object SourceQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_src_binary — opaque-bytes file ingest ([[binFixture]]): Spark's
+    * `binaryFile` source reads a directory of arbitrary files as
+    * (path, modificationTime, length, content) rows — THE multimodal
+    * ingest path (images/audio/video land as files in a drop zone, not
+    * as rows in a table; §2.M treats media as binary columns + typed
+    * metadata, and this is where those columns come from). Scale shape:
+    * parallelism = files (packed into tasks by maxPartitionBytes, so a
+    * million small images still batch into right-sized tasks), filter
+    * pushdown works on the metadata columns (length/modificationTime),
+    * and `pathGlobFilter` prunes non-matching names before any read.
+    * The readout keys each file back to its doc_id from the path and
+    * fingerprints the bytes — the oracle recomputes both from the
+    * documents table (same UTF-8 bytes). */
+  private val srcBinary: Q = (s, dir) => {
+    val path = binFixture(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("doc_id")
+  }
+
   /** q_join_dpp — DYNAMIC partition pruning: the fact table is
     * partitioned by event_type; the dimension's filter is on a DERIVED
     * column (`kind`), so no static predicate on the partition column
@@ -530,6 +584,7 @@ object SourceQueries {
     "q_src_corrupt" -> srcCorrupt,
     "q_src_xml" -> srcXml,
     "q_src_orc" -> srcOrc,
+    "q_src_binary" -> srcBinary,
     "q_src_parquet" -> srcParquet,
     "q_src_partition_prune" -> srcPartitionPrune,
     "q_sink_bucketed" -> sinkBucketed,

@@ -143,6 +143,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_samp_reservoir" -> 0.5,
     // capped per-user collect (the evt_paths shape) + one regexp_count
     "q_evt_match" -> 0.8,
+    // 64-file binaryFile scan + sha; fixture build is outside the timer
+    "q_src_binary" -> 0.5,
+    // one two-phase count to <= 20 cells, then cell-level arithmetic
+    "q_agg_chisq" -> 0.5,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,

@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 232, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 206)
+    assert(declared.size == 235, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 208)
     assert(declared.values.count(_ == "Q") == 19)
-    assert(declared.values.count(_ == "U") == 7)
+    assert(declared.values.count(_ == "U") == 8)
   }
 
   test("every declared O/Q operator has a queries entry") {

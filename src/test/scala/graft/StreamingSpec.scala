@@ -388,6 +388,49 @@ class StreamingSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("cdc stream: version guard, tombstone zombie shield, revive") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Long, Double)]
+      val q = Streaming.cdcApplyStream(mem.toDS()).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("cdc_test").start()
+      try {
+        // batch 1: out-of-order WITHIN the batch — v2 arrives before
+        // v1; the version-sorted fold must leave v2 current
+        mem.addData((7L, "U", 2L, 20.0), (7L, "U", 1L, 10.0),
+          (8L, "U", 1L, 80.0))
+        q.processAllAvailable()
+        // batch 2: delete 7 at v3 (tombstone); stale v0 update for 8
+        // is older than its applied v1 — dropped by the version guard
+        mem.addData((7L, "D", 3L, 0.0), (8L, "U", 0L, 99.0))
+        q.processAllAvailable()
+        // batch 3: pre-delete zombie update (v2 < tombstone v3) must
+        // NOT resurrect 7 — the bug clearing state on delete causes
+        mem.addData((7L, "U", 2L, 21.0))
+        q.processAllAvailable()
+        // batch 4: a NEWER upsert revives the key legitimately
+        mem.addData((7L, "U", 4L, 40.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("cdc_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSeq.sorted
+      assert(rows == Seq(
+        (7L, 2L, 20.0, true),   // b1: v2 wins the in-batch reorder
+        (7L, 3L, 0.0, false),   // b2: tombstoned at v3
+        (7L, 3L, 0.0, false),   // b3: zombie dropped, tombstone stands
+        (7L, 4L, 40.0, true),   // b4: revived
+        (8L, 1L, 80.0, true),   // b1
+        (8L, 1L, 80.0, true)    // b2: stale v0 dropped, state unchanged
+      ).sorted, s"got $rows")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("timer fires an inactive tombstone after the key goes quiet") {
     implicit val sq = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
