@@ -733,6 +733,34 @@ object OracleSql {
     // the modest oracle-scale edge set fine) while the Spark side
     // counts the identical set via degree orientation — same census,
     // different join order. (dg·(dg−1))//2 keeps wedges integer-exact.
+    "q_graph_common_neighbors" ->
+      // same restricted co-order graph, same degree-capped pivot rule
+      // (dg <= 64 to serve as the shared neighbor), same (jaccard
+      // desc, u, v) total order on the cut.
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 8 = 0),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS dg FROM (
+             SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY p),
+         inc AS (
+           SELECT w, x FROM (
+             SELECT u AS w, v AS x FROM e0 UNION ALL SELECT v, u FROM e0) i
+           JOIN deg ON deg.p = i.w WHERE deg.dg <= 64),
+         pairs AS (
+           SELECT i1.x AS u, i2.x AS v, count(*) AS cn
+           FROM inc i1 JOIN inc i2 ON i1.w = i2.w AND i1.x < i2.x
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT pr.u, pr.v, pr.cn,
+                round(CAST(pr.cn AS DOUBLE) / (du.dg + dv.dg - pr.cn), 4)
+                  AS jaccard
+         FROM pairs pr JOIN deg du ON du.p = pr.u
+                       JOIN deg dv ON dv.p = pr.v
+         ORDER BY jaccard DESC, pr.u, pr.v LIMIT 50""",
     "q_graph_triangles" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -2619,6 +2647,59 @@ object OracleSql {
     // otherwise yield ±inf/NaN there. The inner var/count divisions
     // need no guard: count = 0 forces the var FILTER to NULL, and
     // NULL propagation wins before any division-by-zero semantics.
+    "q_agg_bootstrap" ->
+      // same derandomized Poisson draw as the Spark side: identical
+      // sha-scaling arithmetic (the q_sample_hash parity), identical
+      // inverse-CDF ladder literals, identical decimal weighted sums
+      // and CAST-to-double readout — both engines produce the same
+      // weights, replicate means, and interval.
+      """WITH x AS (
+           SELECT event_type, value, event_id, t.b
+           FROM events CROSS JOIN (SELECT unnest(range(16)) AS b) t),
+         w AS (
+           SELECT event_type, value, b,
+                  CAST(concat('0x',
+                    substr(sha256(event_id || ':' || b), 1, 13))
+                    AS BIGINT) / 4503599627370496.0 AS u
+           FROM x),
+         ww AS (
+           SELECT event_type, value, b,
+                  CASE WHEN u < 0.36787944117144233 THEN 0
+                       WHEN u < 0.7357588823428847 THEN 1
+                       WHEN u < 0.9196986029286058 THEN 2
+                       WHEN u < 0.9810118431238463 THEN 3
+                       WHEN u < 0.9963401531726563 THEN 4
+                       WHEN u < 0.9994058151824183 THEN 5
+                       WHEN u < 0.999916758850712 THEN 6
+                       WHEN u < 0.9999897508033253 THEN 7
+                       ELSE 8 END AS w
+           FROM w),
+         rm AS (
+           SELECT event_type, b,
+                  CAST(sum(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / CAST(sum(w) AS BIGINT) AS rep_mean
+           FROM ww GROUP BY 1, 2)
+         SELECT event_type, count(*) AS b_reps,
+                round(avg(rep_mean), 4) AS mean_boot,
+                round(quantile_cont(rep_mean, 0.025), 4) AS ci_lo,
+                round(quantile_cont(rep_mean, 0.975), 4) AS ci_hi
+         FROM rm GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+    "q_agg_winsorize" ->
+      // exact interpolated band edges (quantile_cont ≡ Spark
+      // percentile, the q_agg_quantile parity), then the clamp is
+      // shared per-row arithmetic.
+      """WITH bands AS (
+           SELECT event_type, quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY 1)
+         SELECT e.event_type, count(*) AS n,
+                round(avg(e.value), 4) AS mean_raw,
+                round(avg(least(greatest(e.value, b.p05), b.p95)), 4)
+                  AS mean_winsor,
+                round(max(b.p05), 4) AS p05, round(max(b.p95), 4) AS p95
+         FROM events e JOIN bands b USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""",
     "q_agg_chisq" ->
       // counts stay integers through the cell/marginal CTEs; the
       // closed-form double readout ((o−e)·(o−e)/e with marginals cast

@@ -440,6 +440,86 @@ object AggQueries {
         max("n").as("n"))
   }
 
+  /** q_agg_bootstrap — Poisson-bootstrap confidence interval for the
+    * per-type mean, fully deterministic: the distributed bootstrap.
+    * Classical resampling ("draw n rows with replacement, B times")
+    * cannot run on a cluster — it needs n known up front and a global
+    * shuffle per replicate. The Poisson trick replaces it with a
+    * PER-ROW weight: replicate b counts row i `Poisson(1)`-many times,
+    * approximating multinomial resampling with no coordination — one
+    * scan carries all B replicates. Here even the Poisson draw is
+    * derandomized: u = sha256(event_id:b) scaled to [0,1) (the
+    * q_sample_hash arithmetic) through the Poisson(1) inverse-CDF
+    * ladder — identical literals in the oracle, so BOTH engines
+    * produce the same weights, the same replicate means, and the same
+    * interval. Shape: explode ×B (generated, not shuffled), decimal
+    * weighted sums per (type, replicate) — map-side combine collapses
+    * the scan to types·B rows — then the CI is an exact interpolated
+    * percentile over B replicate means per type. The double readout
+    * CAST(Σwv)/Σw shares its expression structure with the oracle. */
+  private val aggBootstrap: Q = (s, dir) => {
+    val reps = 16
+    val reroll = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u",
+        conv(substring(sha2(concat(col("event_id").cast("string"),
+          lit(":"), col("b").cast("string")), 256), 1, 13), 16, 10)
+          .cast("double") / lit(4503599627370496.0)) // 16^13 = 2^52
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238463, 3L)
+          .when(col("u") < 0.9963401531726563, 4L)
+          .when(col("u") < 0.9994058151824183, 5L)
+          .when(col("u") < 0.999916758850712, 6L)
+          .when(col("u") < 0.9999897508033253, 7L)
+          .otherwise(8L))
+    val repMeans = reroll
+      .groupBy("event_type", "b")
+      .agg(expr("CAST(sum(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("swv"),
+        sum("w").as("sw"))
+      .withColumn("rep_mean", try_divide(col("swv"), col("sw")))
+    repMeans.groupBy("event_type")
+      .agg(count(lit(1)).as("b_reps"),
+        round(avg("rep_mean"), 4).as("mean_boot"),
+        round(expr("percentile(rep_mean, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(rep_mean, 0.975)"), 4).as("ci_hi"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_agg_winsorize — robust per-group mean via winsorized clamping:
+    * values outside the group's exact [p05, p95] band are clamped to
+    * the band edge before averaging — the outlier-resistant location
+    * estimate curation thresholds should use where a raw mean follows
+    * one bot row (and the policy counterpart of q_agg_mad's robust
+    * SPREAD). Two-phase: exact interpolated percentiles per group
+    * (both engines share the p·(n−1) interpolation — the
+    * q_agg_quantile parity), broadcast the ≤|types|-row band table
+    * back onto the scan, clamp with least/greatest, aggregate. The
+    * clamp is per-row arithmetic; both aggregation passes collapse
+    * map-side, so the shuffle carries group rows only. 4-dp round =
+    * summation-order tolerance (q_agg_stats discipline). */
+  private val aggWinsorize: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"))
+    val bands = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(bands), "event_type")
+      .withColumn("v_w", least(greatest(col("value"), col("p05")),
+        col("p95")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 4).as("mean_raw"),
+        round(avg("v_w"), 4).as("mean_winsor"),
+        round(max("p05"), 4).as("p05"),
+        round(max("p95"), 4).as("p95"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -703,6 +783,8 @@ object AggQueries {
     "q_agg_corr" -> aggCorr,
     "q_agg_ttest" -> aggTtest,
     "q_agg_chisq" -> aggChisq,
+    "q_agg_bootstrap" -> aggBootstrap,
+    "q_agg_winsorize" -> aggWinsorize,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

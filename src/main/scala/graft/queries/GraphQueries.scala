@@ -150,6 +150,64 @@ object GraphQueries {
         col("n_triangles"))
   }
 
+  /** q_graph_common_neighbors — link-prediction scores on the co-order
+    * part sub-graph (`p_partkey % 8 = 0`; the q_graph_triangles graph
+    * halved again, because pair-level output is Σ deg(w)²/2 wedges —
+    * ~4.8 M at the %4 size vs ~1.2 M here, and the demo prices the
+    * SHAPE, not the volume): for every node pair sharing ≥ 2 neighbors, the
+    * common-neighbor count and Jaccard = cn / (deg_u + deg_v − cn) —
+    * the classic "who should be connected" similarity under
+    * recommenders and graph cleaning; top-50 by (jaccard, pair). The
+    * scale honesty: pair generation is the WEDGE join (both wedge
+    * endpoints per shared neighbor), whose fan-out is Σ deg(w)² — a
+    * hub node quadratically floods it, and unlike the triangle census
+    * orientation cannot help because BOTH wedge sides are wanted. The
+    * standard mitigation is applied in-plan: nodes with degree > 64
+    * are excluded from SERVING as the shared pivot (hubs carry no
+    * similarity signal — everyone co-occurs with them; their PAIR
+    * MEMBERSHIP survives via their other neighbors). The cap is a
+    * visible, documented semantic both engines share, turning the
+    * worst case into cap²·|pivots|. Edge/degree tables reuse the
+    * triangle census discipline (`localCheckpoint`, broadcast degree
+    * dim). */
+  private val graphCommonNeighbors: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 8 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
+    // undirected incidence, pivot-capped: w is the shared neighbor.
+    // Checkpointed — BOTH sides of the wedge self-join read it, and
+    // without materialization each side replays the union + broadcast
+    // join over the edge list.
+    val inc = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+      .join(broadcast(deg.select(col("p").as("w"), col("dg"))), "w")
+      .filter(col("dg") <= 64)
+      .select("w", "x")
+      .localCheckpoint()
+    val i1 = inc.as("i1"); val i2 = inc.as("i2")
+    val pairs = i1.join(i2, col("i1.w") === col("i2.w")
+        && col("i1.x") < col("i2.x"))
+      .groupBy(col("i1.x").as("u"), col("i2.x").as("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    pairs
+      .join(broadcast(deg.select(col("p").as("u"), col("dg").as("du"))), "u")
+      .join(broadcast(deg.select(col("p").as("v"), col("dg").as("dv"))), "v")
+      .select(col("u"), col("v"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   /** q_graph_components — connected components of the same-brand
     * co-order part graph (sparse by construction: an order's parts
     * rarely share a brand), labeling every part with the minimum
@@ -213,5 +271,6 @@ object GraphQueries {
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_degree" -> graphDegree,
     "q_graph_triangles" -> graphTriangles,
-    "q_graph_components" -> graphComponents)
+    "q_graph_components" -> graphComponents,
+    "q_graph_common_neighbors" -> graphCommonNeighbors)
 }

@@ -147,6 +147,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_binary" -> 0.5,
     // one two-phase count to <= 20 cells, then cell-level arithmetic
     "q_agg_chisq" -> 0.5,
+    // x16 explode + 16 shas/row collapse map-side to types*16 rows
+    "q_agg_bootstrap" -> 1.5,
+    // two aggregation passes + broadcast band join
+    "q_agg_winsorize" -> 0.6,
+    // wedge join on the %8 co-order graph: ~1.2 M wedge rows into the
+    // pair aggregate is the inherent cost (quiet 1.8 s; the %4 graph's
+    // 4.8 M wedges cost 3.4 s — the demo prices the shape, not volume)
+    "q_graph_common_neighbors" -> 2.0,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
