@@ -2700,6 +2700,185 @@ object OracleSql {
                 round(max(b.p05), 4) AS p05, round(max(b.p95), 4) AS p95
          FROM events e JOIN bands b USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""",
+    "q_agg_gini" ->
+      // same sort-based closed form, same decimal-exact numerator and
+      // denominator, same (rev, custkey) rank tie-break; division and
+      // round happen once, with identical expression structure.
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT c.c_mktsegment, rev.rev,
+                  row_number() OVER (PARTITION BY c.c_mktsegment
+                    ORDER BY rev.rev, rev.o_custkey) AS i,
+                  count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+           FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey)
+         SELECT c_mktsegment, max(n) AS n_customers,
+                CAST(round(sum(rev), 4) AS DOUBLE) AS revenue,
+                round(CAST(sum((2*i - n - 1) * rev) AS DOUBLE)
+                      / (max(n) * CAST(sum(rev) AS DOUBLE)), 4) AS gini
+         FROM r GROUP BY c_mktsegment
+         ORDER BY c_mktsegment NULLS FIRST""",
+    "q_ts_decompose" ->
+      // identical integer carry: movsum and det7 = y*7 - movsum stay
+      // integers; trend and the seasonal mean each divide once with
+      // the same literal structure; isodow(d) ≡ Spark weekday(d)+1.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, d, y,
+                  sum(y) OVER w AS movsum, count(*) OVER w AS movn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tt AS (
+           SELECT event_type, d, y,
+                  CAST(movsum AS DOUBLE) / 7.0 AS trend,
+                  y * 7 - movsum AS det7, isodow(d) AS dow
+           FROM t WHERE movn = 7),
+         seas AS (
+           SELECT event_type, dow,
+                  CAST(sum(det7) AS DOUBLE) / (7.0 * count(*)) AS seasonal
+           FROM tt GROUP BY 1, 2)
+         SELECT tt.event_type, tt.d, tt.y,
+                round(trend, 4) AS trend,
+                round(seasonal, 4) AS seasonal,
+                round(CAST(tt.y AS DOUBLE) - trend - seasonal, 4)
+                  AS remainder
+         FROM tt JOIN seas USING (event_type, dow)
+         ORDER BY tt.event_type NULLS FIRST, tt.d""",
+    "q_ts_changepoint" ->
+      // integer running sum; s = CAST(runsum AS DOUBLE) - k*mu is one
+      // multiply + one subtract per row; the argmax ranks on the
+      // ROUNDED |s| with date tie-break, exactly like the Spark side.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, sum(y) AS tot, count(*) AS n
+           FROM daily GROUP BY 1),
+         c AS (
+           SELECT daily.event_type, d, st.n,
+                  CAST(st.tot AS DOUBLE) / st.n AS mu,
+                  sum(y) OVER w AS runsum, count(*) OVER w AS k
+           FROM daily JOIN st USING (event_type)
+           WINDOW w AS (PARTITION BY daily.event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s AS (
+           SELECT event_type, d, n, mu,
+                  CAST(runsum AS DOUBLE) - k * mu AS cusum,
+                  round(abs(CAST(runsum AS DOUBLE) - k * mu), 4) AS abs_s
+           FROM c),
+         p AS (
+           SELECT event_type, n AS n_days, round(mu, 4) AS mu,
+                  d AS cp_date, round(cusum, 4) AS cusum,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs_s DESC, d) AS rn
+           FROM s)
+         SELECT event_type, n_days, mu, cp_date, cusum
+         FROM p WHERE rn = 1 ORDER BY event_type NULLS FIRST""",
+    "q_ts_anomaly" ->
+      // the q_ts_decompose remainder CTE verbatim, then the q_agg_mad
+      // median/MAD modified-z profile on the 4-dp-rounded remainder —
+      // identical inputs before any percentile, x/0 → NULL ≡
+      // try_divide, CASE ELSE 0 absorbs the NULL z on both sides.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, d, y,
+                  sum(y) OVER w AS movsum, count(*) OVER w AS movn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tt AS (
+           SELECT event_type, d, y,
+                  CAST(movsum AS DOUBLE) / 7.0 AS trend,
+                  y * 7 - movsum AS det7, isodow(d) AS dow
+           FROM t WHERE movn = 7),
+         seas AS (
+           SELECT event_type, dow,
+                  CAST(sum(det7) AS DOUBLE) / (7.0 * count(*)) AS seasonal
+           FROM tt GROUP BY 1, 2),
+         rem AS (
+           SELECT tt.event_type, tt.d, tt.y,
+                  round(CAST(tt.y AS DOUBLE) - trend - seasonal, 4) AS rem
+           FROM tt JOIN seas USING (event_type, dow)),
+         med AS (
+           SELECT event_type, quantile_cont(rem, 0.5) AS med
+           FROM rem GROUP BY 1),
+         dev AS (
+           SELECT r.event_type, r.d, r.y, r.rem, m.med,
+                  abs(r.rem - m.med) AS dev
+           FROM rem r JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_type, d.d, d.y, d.rem,
+                round(0.6745 * ((d.rem - d.med) / a.mad), 4) AS z,
+                CASE WHEN abs(round(0.6745 * ((d.rem - d.med) / a.mad), 4))
+                          > 3.5 THEN 1 ELSE 0 END AS is_outlier
+         FROM dev d JOIN mad a USING (event_type)
+         ORDER BY d.event_type NULLS FIRST, d.d""",
+    "q_ts_autocorr" ->
+      // every SUM is over integers (s1 = Σ y·y2, s2 = Σ (y+y2), m, ss,
+      // tot); the closed-form double readout shares its literal
+      // structure with the Spark side; d2 = d + k is DuckDB date+int.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, sum(y) AS tot, count(*) AS n,
+                  sum(y * y) AS ss
+           FROM daily GROUP BY 1),
+         l AS (
+           SELECT event_type, d, y, t.k
+           FROM daily CROSS JOIN
+                (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS k) t),
+         p AS (
+           SELECT l.event_type, l.k, l.y, r.y AS y2
+           FROM l JOIN daily r
+             ON r.event_type = l.event_type AND r.d = l.d + l.k),
+         a AS (
+           SELECT event_type, k, sum(y * y2) AS s1,
+                  sum(y + y2) AS s2, count(*) AS m
+           FROM p GROUP BY 1, 2)
+         SELECT a.event_type, a.k, a.m,
+                round((CAST(s1 AS DOUBLE) - mu * s2 + m * mu * mu)
+                      / nullif(CAST(ss AS DOUBLE) - n * mu * mu, 0), 4)
+                  AS acf
+         FROM a JOIN (SELECT event_type, n, ss,
+                             CAST(tot AS DOUBLE) / n AS mu
+                      FROM st) s USING (event_type)
+         ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_ts_forecast_snaive" ->
+      // MAE and WMAPE keep integer numerators/denominators and divide
+      // once; the winner flag compares integer error sums; lag pairing
+      // is by DATE (d−7 / d−1), not row offset.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT b.event_type, b.y, f7.y AS y7, f1.y AS y1
+           FROM daily b
+           JOIN daily f7 ON f7.event_type = b.event_type
+                        AND f7.d + 7 = b.d
+           JOIN daily f1 ON f1.event_type = b.event_type
+                        AND f1.d + 1 = b.d),
+         a AS (
+           SELECT event_type, count(*) AS n_eval,
+                  sum(abs(y - y7)) AS sae7,
+                  sum(abs(y - y1)) AS sae1, sum(y) AS sy
+           FROM e GROUP BY 1)
+         SELECT event_type, n_eval,
+                round(CAST(sae7 AS DOUBLE) / n_eval, 4) AS mae_snaive,
+                round(CAST(sae1 AS DOUBLE) / n_eval, 4) AS mae_naive,
+                round(CAST(sae7 AS DOUBLE) / sy, 4) AS wmape_snaive,
+                round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
+                CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
+         FROM a ORDER BY event_type NULLS FIRST""",
     "q_agg_chisq" ->
       // counts stay integers through the cell/marginal CTEs; the
       // closed-form double readout ((o−e)·(o−e)/e with marginals cast

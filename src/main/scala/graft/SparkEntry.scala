@@ -42,7 +42,7 @@ object SparkEntry {
       SortSetQueries.all ++ WindowQueries.all ++ ScalarQueries.all ++
       CollectionQueries.all ++ StreamingQueries.all ++ HoursQueries.all ++
       TextQueries.all ++ MediaQueries.all ++ PipelineQueries.all ++
-      GraphQueries.all ++ SqlQueries.all
+      GraphQueries.all ++ SqlQueries.all ++ TimeSeriesQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (Q-tier). */

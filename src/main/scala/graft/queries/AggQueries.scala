@@ -520,6 +520,44 @@ object AggQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_agg_gini — Gini coefficient of customer revenue concentration
+    * per market segment: the inequality readout behind "is this
+    * segment carried by whales" (0 = revenue spread evenly, →1 = one
+    * customer is the segment). Uses the exact sort-based closed form
+    * G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) with xᵢ ascending — no pairwise
+    * |xᵢ−xⱼ| cross join (that is O(n²); the rank form is one window
+    * sort). Decimal-exact numerator AND denominator: per-customer
+    * revenue is a decimal sum (2-dp inputs), the integer rank
+    * coefficient times decimal stays decimal, so both engines divide
+    * two exact quantities once (the q_agg_bootstrap discipline). Rank
+    * ties on revenue are broken by custkey, which cannot change the
+    * sum (equal xᵢ commute under any coefficient assignment within
+    * their run) but pins row identity. Plan: contract orders per
+    * custkey FIRST (the q_sql_report rule), join the customer dim
+    * co-keyed, one window sort per segment, one aggregate. */
+  private val aggGini: Q = (s, dir) => {
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
+    val seg = rev.join(
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("rev"), col("o_custkey"))
+    val wAll = Window.partitionBy("c_mktsegment")
+    seg.withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("c_mktsegment"))
+      .agg(max("n").as("n_customers"),
+        expr("CAST(round(sum(rev), 4) AS DOUBLE)").as("revenue"),
+        round(
+          expr("CAST(sum((2*i - n - 1) * rev) AS DOUBLE)") /
+            (max("n") * expr("CAST(sum(rev) AS DOUBLE)")), 4).as("gini"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -785,6 +823,7 @@ object AggQueries {
     "q_agg_chisq" -> aggChisq,
     "q_agg_bootstrap" -> aggBootstrap,
     "q_agg_winsorize" -> aggWinsorize,
+    "q_agg_gini" -> aggGini,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

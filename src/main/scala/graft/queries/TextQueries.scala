@@ -89,6 +89,72 @@ object TextQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** q_vec_mmr — maximal-marginal-relevance diverse top-10 against the
+    * vec_id=0 probe (Carbonell–Goldstein 1998): each pick maximizes
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7 — the
+    * diversity-aware selection a curation pipeline runs where plain
+    * top-k returns ten near-duplicates of the same cluster (retrieval
+    * reranking, few-shot exemplar picking, eval-set sampling). Scale
+    * shape: the DISTRIBUTED stage is the relevance scan (brute-force
+    * cosine over the corpus — or any §2.M ANN index — then a top-50
+    * candidate cut); the greedy phase is inherently sequential (pick
+    * i+1 depends on picks 1..i) and runs on the COLLECTED 50-row
+    * slate — the nCells·dim-bounded driver-work precedent (IVF
+    * centroids, PQ codebooks), independent of corpus size. Q-tier:
+    * the greedy argmax chain has no SQL twin; VecMmrSpec gates
+    * first-pick-is-argmax, λ=1 ≡ plain top-k, and the diversity win
+    * (mean pairwise sim strictly below top-10-by-relevance's).
+    * Determinism: sims round to 4 dp, ties break on vec_id, driver
+    * dot products fold sequentially. */
+  private val vecMmr: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_vec"))
+    val slate = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("rel",
+        round(TextSim.cosine(col("embedding"), col("probe_vec")), 4))
+      .select(col("vec_id"), col("label"), col("rel"), col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+      .collect()
+      .map { r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getSeq[Float](3).map(_.toDouble).toArray)
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0
+      else math.rint(dot / den * 1e4) / 1e4 // 4-dp grid, like the scan
+    }
+    val lambda = 0.7
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Int, Double, Double)] // rank, id, label, rel, score
+    val remaining = scala.collection.mutable.ArrayBuffer(slate: _*)
+    while (picked.size < 10 && remaining.nonEmpty) {
+      val best = remaining.map { case c @ (id, _, rel, v) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else slate.collect {
+            case (pid, _, _, pv) if picked.exists(_._2 == pid) => cos(v, pv)
+          }.max
+        val score =
+          math.rint((lambda * rel - (1 - lambda) * maxSim) * 1e4) / 1e4
+        (score, id, c)
+      }.minBy { case (score, id, _) => (-score, id) }
+      picked += ((picked.size + 1, best._3._1, best._3._2, best._3._3,
+        best._1))
+      remaining -= best._3
+    }
+    import s.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "label", "rel", "mmr_score")
+      .orderBy("rank")
+  }
+
   /** q_text_langid — stopword-profile language ID
     * ([[TextSim.langId]]): per-language vocabulary hit counts, argmax
     * with deterministic tie order. */
@@ -1165,5 +1231,6 @@ object TextQueries {
     "q_vec_ann_ivf" -> annIvf,
     "q_vec_ann_nndescent" -> annNnDescent,
     "q_vec_kmeans" -> vecKmeans,
+    "q_vec_mmr" -> vecMmr,
     "q_samp_reservoir" -> sampReservoir)
 }

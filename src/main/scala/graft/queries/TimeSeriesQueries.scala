@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.S time-series diagnostics over the daily event stream.
+  *
+  * Scale discipline: every operator here CONTRACTS FIRST — the corpus
+  * collapses to a (event_type, day) daily series in one two-phase
+  * aggregate (types·days rows, domain-bounded, independent of corpus
+  * size), and all window passes, seasonal profiles, and cumulative
+  * scans run on that contracted table. At 100 TB the only corpus-sized
+  * stage is the initial count; the analysis itself is broadcast-sized.
+  *
+  * Float parity discipline (the q_evt_anomaly / q_agg_bootstrap rule):
+  * the daily series is INTEGER (counts), so moving sums, running sums,
+  * and detrended residuals stay integer-exact as long as possible —
+  * each operator divides exactly once per readout, with expression
+  * structure shared literally with its DuckDB oracle, then rounds to
+  * the 4-dp grid.
+  */
+object TimeSeriesQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Contracted daily count series per event type: the shared input of
+    * every operator in this file. One corpus shuffle, types·days rows. */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+
+  /** q_ts_decompose — classical additive decomposition of the daily
+    * event-count series per type: y = trend + seasonal + remainder.
+    * Trend is the centered 7-day moving average (full windows only —
+    * the standard edge rule: the 3 head/tail days carry no trend);
+    * seasonal is the mean detrended residual per ISO day-of-week
+    * (period 7, the dominant cycle in event telemetry); remainder is
+    * what anomaly scans should run on AFTER this split (a Monday spike
+    * is signal against the Monday baseline, not the global one —
+    * q_evt_anomaly without decomposition flags every weekend).
+    * Integer-exactness: y and the 7-day moving SUM are integers, so
+    * the detrended residual is carried ×7 (y·7 − movsum — integer!)
+    * and the seasonal mean divides once: CAST(Σdet7 AS DOUBLE)/(7·n).
+    * Trend divides once (movsum/7.0). Both engines share every
+    * division's literal structure; remainder = y − trend − seasonal
+    * evaluates left-to-right identically. The seasonal profile is a
+    * ≤ types·7-row broadcast joined back onto the series. */
+  /** Shared decomposition core: the daily series with (unrounded)
+    * trend and seasonal columns attached — q_ts_decompose's readout
+    * and q_ts_anomaly's input. */
+  private def decomposed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-3, 3)
+    val trended = dailySeries(s, dir)
+      .withColumn("movsum", sum("y").over(w))
+      .withColumn("movn", count(lit(1)).over(w))
+      .filter(col("movn") === 7)
+      .withColumn("trend", col("movsum").cast("double") / lit(7.0))
+      .withColumn("det7", col("y") * lit(7) - col("movsum"))
+      .withColumn("dow", weekday(col("d")) + lit(1)) // ISO: Mon=1
+    val seasonal = trended.groupBy("event_type", "dow")
+      .agg((sum("det7").cast("double") /
+        (lit(7.0) * count(lit(1)))).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+  }
+
+  private val tsDecompose: Q = (s, dir) =>
+    decomposed(s, dir)
+      .select(col("event_type"), col("d"), col("y"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("y").cast("double") - col("trend") - col("seasonal"), 4)
+          .as("remainder"))
+      .orderBy(col("event_type").asc_nulls_first, col("d"))
+
+  /** q_ts_anomaly — seasonal-aware outlier scan: the q_agg_mad
+    * median/MAD modified-z profile (Iglewicz–Hoaglin, |z| > 3.5) run
+    * on the DECOMPOSE REMAINDER instead of the raw series — exactly
+    * the composition q_ts_decompose's doc promises ("anomaly scans
+    * should run on the remainder"): a Monday spike is judged against
+    * the Monday baseline, and a robust profile is unmoved by the
+    * outliers it hunts. Input determinism: the remainder is the
+    * 4-dp-ROUNDED decompose output (both engines agree bit-for-bit
+    * before any percentile), so the exact interpolated median/MAD
+    * and every z are engine-identical. try_divide guards MAD = 0
+    * (≡ DuckDB x/0 → NULL, the q_agg_mad rule); a NULL z flags 0 via
+    * the CASE's ELSE on both sides. All profile tables are ≤types-row
+    * broadcasts; the corpus is touched only by the daily count. */
+  private val tsAnomaly: Q = (s, dir) => {
+    val rem = decomposed(s, dir)
+      .withColumn("rem",
+        round(col("y").cast("double") - col("trend") - col("seasonal"), 4))
+      .select("event_type", "d", "y", "rem")
+    val med = rem.groupBy("event_type")
+      .agg(expr("percentile(rem, 0.5)").as("med"))
+    val dev = rem.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("rem") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("z",
+        round(lit(0.6745) * try_divide(col("rem") - col("med"),
+          col("mad")), 4))
+      .withColumn("is_outlier",
+        when(abs(col("z")) > 3.5, 1).otherwise(0))
+      .select(col("event_type"), col("d"), col("y"), col("rem"),
+        col("z"), col("is_outlier"))
+      .orderBy(col("event_type").asc_nulls_first, col("d"))
+  }
+
+  /** q_ts_autocorr — ACF at lags 1..7 of the daily event-count series
+    * per type: r_k = Σ_{t≤n−k}(y_t−μ)(y_{t+k}−μ) / Σ(y_t−μ)² — the
+    * "is there a weekly cycle" diagnostic that justifies
+    * q_ts_decompose's period-7 seasonal (a spike at k = 7 is the
+    * signature). Exactness is the q_agg_moments trick done lag-wise:
+    * expand the numerator so every SUM is over INTEGERS — Σy_t·y_{t+k}
+    * (s1), Σ(y_t+y_{t+k}) (s2), pair count m — and evaluate
+    * CAST(s1) − μ·s2 + m·μ·μ in one closed-form double expression
+    * shared literally with the oracle (never a float sum whose order
+    * could drift). Denominator likewise: CAST(Σy²) − n·μ·μ. The lag
+    * pairing is a self-join of the contracted series on d+k (generated
+    * k ∈ 1..7); the series is localCheckpoint'd so its three readers
+    * (stats, both join sides) do not re-scan the corpus. */
+  private val tsAutocorr: Q = (s, dir) => {
+    val daily = dailySeries(s, dir).localCheckpoint()
+    val stats = daily.groupBy("event_type")
+      .agg(sum("y").as("tot"), count(lit(1)).as("n"),
+        sum(col("y") * col("y")).as("ss"))
+    val lags = daily
+      .withColumn("k", explode(sequence(lit(1), lit(7))))
+    val rhs = daily.select(col("event_type").as("et2"),
+      col("d").as("d2"), col("y").as("y2"))
+    val pairs = lags.join(rhs,
+      col("event_type") === col("et2") &&
+        col("d2") === date_add(col("d"), col("k")))
+    pairs.groupBy("event_type", "k")
+      .agg(sum(col("y") * col("y2")).as("s1"),
+        sum(col("y") + col("y2")).as("s2"),
+        count(lit(1)).as("m"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("mu", col("tot").cast("double") / col("n"))
+      .withColumn("num", col("s1").cast("double") -
+        col("mu") * col("s2") + col("m") * col("mu") * col("mu"))
+      .withColumn("den", col("ss").cast("double") -
+        col("n") * col("mu") * col("mu"))
+      .select(col("event_type"), col("k"), col("m"),
+        round(try_divide(col("num"), col("den")), 4).as("acf"))
+      .orderBy(col("event_type").asc_nulls_first, col("k"))
+  }
+
+  /** q_ts_changepoint — CUSUM changepoint location on the daily
+    * event-count series per type: s_i = Σ_{j≤i}(y_j − μ) and the
+    * changepoint estimate is argmax |s_i| — the classic
+    * mean-shift detector (Page 1954 family): if the level jumps at
+    * day k, the cumulative deviation peaks exactly there. Run per
+    * deployment metric, this is the "when did behavior change" scan
+    * behind regression triage. Exactness: the running sum of integer
+    * y is integer, so s_i = CAST(runsum AS DOUBLE) − k·μ performs
+    * ONE multiply and one subtract per row (never a running float
+    * sum); μ = CAST(tot AS DOUBLE)/n divides integers once. The
+    * argmax ranks on the ROUNDED |s| (4 dp) with the date as
+    * tie-break — the q_evt_anomaly boundary discipline: row identity
+    * near a tie must sit on the same grid both engines compare on.
+    * Plan: contracted series → ≤types-row broadcast of (tot, n) →
+    * one window pass → rank-1 filter. */
+  private val tsChangepoint: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+    val stats = daily.groupBy("event_type")
+      .agg(sum("y").as("tot"), count(lit(1)).as("n"))
+    val wRun = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cus = daily.join(broadcast(stats), "event_type")
+      .withColumn("mu", col("tot").cast("double") / col("n"))
+      .withColumn("runsum", sum("y").over(wRun))
+      .withColumn("k", count(lit(1)).over(wRun))
+      .withColumn("cusum",
+        col("runsum").cast("double") - col("k") * col("mu"))
+      .withColumn("abs_s", round(abs(col("cusum")), 4))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("abs_s").desc, col("d"))
+    cus.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("mu"), 4).as("mu"), col("d").as("cp_date"),
+        round(col("cusum"), 4).as("cusum"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_forecast_snaive — seasonal-naive forecast backtest on the
+    * daily count series per type: ŷ(d) = y(d−7) (the weekly-cycle
+    * baseline q_ts_autocorr justifies) scored against the naive
+    * ŷ(d) = y(d−1), on every day where both forecasts exist. This is
+    * the honest forecasting floor: a model that cannot beat
+    * seasonal-naive on MAE/WMAPE has learned nothing, and the backtest
+    * is the readout every capacity-planning pipeline publishes.
+    * Metric exactness: MAE = Σ|y−ŷ|/n and WMAPE = Σ|y−ŷ|/Σy keep
+    * both numerator and denominator INTEGER (counts), dividing once
+    * (per-row |err|/y ratios — classic MAPE — would float-sum in
+    * engine-dependent order; WMAPE is also the industry fix for
+    * zero-count days). The winner flag compares the two integer
+    * absolute-error sums — no float in the decision. Lag pairing
+    * joins the localCheckpoint'd contracted series on d−7 / d−1 by
+    * DATE (not row offset: a gap day must not silently shift the
+    * season). */
+  private val tsForecastSnaive: Q = (s, dir) => {
+    val daily = dailySeries(s, dir).localCheckpoint()
+    val f7 = daily.select(col("event_type").as("et7"),
+      date_add(col("d"), 7).as("d7"), col("y").as("y7"))
+    val f1 = daily.select(col("event_type").as("et1"),
+      date_add(col("d"), 1).as("d1"), col("y").as("y1"))
+    daily
+      .join(f7, col("event_type") === col("et7") && col("d") === col("d7"))
+      .join(f1, col("event_type") === col("et1") && col("d") === col("d1"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("y7"))).as("sae7"),
+        sum(abs(col("y") - col("y1"))).as("sae1"),
+        sum("y").as("sy"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("sae7").cast("double") / col("n_eval"), 4)
+          .as("mae_snaive"),
+        round(col("sae1").cast("double") / col("n_eval"), 4)
+          .as("mae_naive"),
+        round(col("sae7").cast("double") / col("sy"), 4)
+          .as("wmape_snaive"),
+        round(col("sae1").cast("double") / col("sy"), 4)
+          .as("wmape_naive"),
+        when(col("sae7") < col("sae1"), 1).otherwise(0)
+          .as("snaive_wins"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_ts_decompose" -> tsDecompose,
+    "q_ts_changepoint" -> tsChangepoint,
+    "q_ts_anomaly" -> tsAnomaly,
+    "q_ts_autocorr" -> tsAutocorr,
+    "q_ts_forecast_snaive" -> tsForecastSnaive)
+}

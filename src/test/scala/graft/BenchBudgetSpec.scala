@@ -155,6 +155,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     // pair aggregate is the inherent cost (quiet 1.8 s; the %4 graph's
     // 4.8 M wedges cost 3.4 s — the demo prices the shape, not volume)
     "q_graph_common_neighbors" -> 2.0,
+    // orders contract + one window sort per segment + one aggregate
+    "q_agg_gini" -> 0.5,
+    // one corpus count to the daily series, then broadcast-sized passes
+    "q_ts_decompose" -> 0.6,
+    "q_ts_changepoint" -> 0.5,
+    "q_ts_anomaly" -> 0.8,
+    "q_ts_autocorr" -> 0.6,
+    "q_ts_forecast_snaive" -> 0.5,
+    // relevance scan + top-50 cut; greedy runs on the collected slate
+    "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
