@@ -2853,6 +2853,71 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_evt_lifecycle" ->
+      // same state machine, window formulation (DuckDB's natural
+      // shape): first/prev/next active week per user, churn emitted at
+      // w+7 capped at the corpus max week; counts are integers and
+      // the quick ratio divides once (x/0 → NULL ≡ try_divide).
+      """WITH aw AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS DATE) AS w
+           FROM events),
+         mx AS (SELECT max(w) AS mw FROM aw),
+         b AS (
+           SELECT user_id, w,
+                  min(w) OVER (PARTITION BY user_id) AS fw,
+                  lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+                  lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+           FROM aw),
+         states AS (
+           SELECT w AS week,
+                  CASE WHEN w = fw THEN 'new'
+                       WHEN pw = w - 7 THEN 'retained'
+                       ELSE 'resurrected' END AS kind
+           FROM b
+           UNION ALL
+           SELECT w + 7 AS week, 'churned' AS kind
+           FROM b, mx
+           WHERE (nw IS NULL OR nw > w + 7) AND w + 7 <= mw),
+         g AS (
+           SELECT week,
+                  count(CASE WHEN kind = 'new' THEN 1 END) AS n_new,
+                  count(CASE WHEN kind = 'retained' THEN 1 END)
+                    AS n_retained,
+                  count(CASE WHEN kind = 'resurrected' THEN 1 END)
+                    AS n_resurrected,
+                  count(CASE WHEN kind = 'churned' THEN 1 END)
+                    AS n_churned
+           FROM states GROUP BY 1)
+         SELECT week, n_new, n_retained, n_resurrected, n_churned,
+                round(CAST(n_new + n_resurrected AS DOUBLE)
+                      / nullif(n_churned, 0), 4) AS quick_ratio
+         FROM g ORDER BY week""",
+    "q_samp_importance" ->
+      // identical sha-scaling arithmetic and weight formula; integer
+      // sums divide once per readout column.
+      """WITH d AS (
+           SELECT lang, n_chars,
+                  least(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS w,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(doc_id AS VARCHAR) || ':imp'),
+                           1, 13)) AS BIGINT)
+                    / 4503599627370496.0 AS u
+           FROM documents),
+         k AS (
+           SELECT lang, n_chars,
+                  CASE WHEN u < w THEN 1 ELSE 0 END AS keep
+           FROM d)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(keep) AS BIGINT) AS n_kept,
+                round(CAST(sum(keep) AS DOUBLE) / count(*), 4)
+                  AS keep_rate,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)
+                  AS mean_chars_all,
+                round(CAST(sum(n_chars * keep) AS DOUBLE)
+                      / nullif(CAST(sum(keep) AS BIGINT), 0), 4)
+                  AS mean_chars_kept
+         FROM k GROUP BY lang ORDER BY lang NULLS FIRST""",
     "q_ts_forecast_snaive" ->
       // MAE and WMAPE keep integer numerators/denominators and divide
       // once; the winner flag compares integer error sums; lag pairing

@@ -588,6 +588,57 @@ object PipelineQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q_evt_lifecycle — weekly growth accounting: every active
+    * (user, week) is classified NEW (first-ever week), RETAINED
+    * (also active the prior week), or RESURRECTED (returning after a
+    * gap), and users active in week w but not w+7 emit a CHURNED row
+    * at w+7 — the four counters plus quick ratio
+    * ((new+resurrected)/churned) that define every growth dashboard's
+    * state-machine view of the user base (q_evt_retention gives the
+    * cohort matrix; this gives the flow between states). Dataflow is
+    * the retention trick extended: ONE exchange on user_id,
+    * `sort_array(collect_set(week))` per user, and first/prev/next
+    * week all read from the SAME sorted array via posexplode — no
+    * window pass, no self-join, per-user state calendar-bounded
+    * (~52/yr). The churn horizon is capped at the corpus max week
+    * (a 1-row broadcast) so the final week doesn't emit phantom
+    * churn. Week truncation and ±7-day arithmetic are integer-exact
+    * and Monday-start on both engines. */
+  private val evtLifecycle: Q = (s, dir) => {
+    val wk = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("week"))).as("wks"))
+    val maxw = wk.agg(max(array_max(col("wks"))).as("mw"))
+    val grid = wk
+      .select(col("wks"), posexplode(col("wks")).as(Seq("i", "w")))
+      .withColumn("fw", col("wks").getItem(0))
+      .withColumn("pw", when(col("i") > 0, col("wks")(col("i") - 1)))
+      .withColumn("nw", when(col("i") < size(col("wks")) - 1,
+        col("wks")(col("i") + 1)))
+      .crossJoin(broadcast(maxw))
+    val states = grid.select(col("w").as("week"),
+      when(col("w") === col("fw"), "new")
+        .when(col("pw") === date_sub(col("w"), 7), "retained")
+        .otherwise("resurrected").as("kind"))
+    val churned = grid
+      .filter((col("nw").isNull || col("nw") > date_add(col("w"), 7)) &&
+        date_add(col("w"), 7) <= col("mw"))
+      .select(date_add(col("w"), 7).as("week"), lit("churned").as("kind"))
+    states.unionAll(churned)
+      .groupBy("week")
+      .agg(count(when(col("kind") === "new", 1)).as("n_new"),
+        count(when(col("kind") === "retained", 1)).as("n_retained"),
+        count(when(col("kind") === "resurrected", 1)).as("n_resurrected"),
+        count(when(col("kind") === "churned", 1)).as("n_churned"))
+      .withColumn("quick_ratio",
+        round(try_divide(
+          (col("n_new") + col("n_resurrected")).cast("double"),
+          col("n_churned")), 4))
+      .orderBy("week")
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1310,6 +1361,7 @@ object PipelineQueries {
     "q_etl_resample" -> etlResample,
     "q_etl_skew_profile" -> etlSkewProfile,
     "q_evt_retention" -> evtRetention,
+    "q_evt_lifecycle" -> evtLifecycle,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

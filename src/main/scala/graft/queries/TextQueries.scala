@@ -360,6 +360,40 @@ object TextQueries {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("split")
 
+  /** q_samp_importance — importance-weighted acceptance sampling over
+    * the document corpus: each doc keeps with probability
+    * w = min(1, n_chars/1000) — the "keep the substantive docs,
+    * thin the stubs" curation downsample (rate proportional to a
+    * quality proxy instead of uniform). The draw is the q_sample_hash
+    * family's derandomized uniform — u = sha256(doc_id:imp) scaled by
+    * 2⁻⁵² (the q_agg_bootstrap arithmetic, salt ':imp' so membership
+    * is independent of the split/reservoir hashes) — so the sample is
+    * rerun- and reshuffle-stable and BOTH engines draw identical
+    * verdicts per row. Readout per language audits the bias the
+    * weighting introduces: keep rate and mean chars before/after
+    * (integer sums, one division each). Pure per-row expressions; the
+    * only shuffle is the audit aggregate. */
+  private val sampImportance: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("w",
+        least(lit(1.0), col("n_chars").cast("double") / lit(1000.0)))
+      .withColumn("u",
+        conv(substring(sha2(concat(col("doc_id").cast("string"),
+          lit(":imp")), 256), 1, 13), 16, 10)
+          .cast("double") / lit(4503599627370496.0)) // 16^13 = 2^52
+      .withColumn("keep", (col("u") < col("w")).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_kept"),
+        round(sum("keep").cast("double") / count(lit(1)), 4)
+          .as("keep_rate"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 4)
+          .as("mean_chars_all"),
+        round(try_divide(
+          sum(col("n_chars") * col("keep")).cast("double"),
+          sum("keep")), 4).as("mean_chars_kept"))
+      .orderBy(col("lang").asc_nulls_first)
+
   /** q_samp_reservoir — fixed-SIZE deterministic uniform sample per
     * stratum (40 docs per language): rank every doc by
     * sha256(doc_id) and keep the N smallest ranks per stratum — the
@@ -1232,5 +1266,6 @@ object TextQueries {
     "q_vec_ann_nndescent" -> annNnDescent,
     "q_vec_kmeans" -> vecKmeans,
     "q_vec_mmr" -> vecMmr,
-    "q_samp_reservoir" -> sampReservoir)
+    "q_samp_reservoir" -> sampReservoir,
+    "q_samp_importance" -> sampImportance)
 }

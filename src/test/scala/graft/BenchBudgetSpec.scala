@@ -163,6 +163,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_anomaly" -> 0.8,
     "q_ts_autocorr" -> 0.6,
     "q_ts_forecast_snaive" -> 0.5,
+    // one user_id exchange, array-derived states, audit aggregate
+    "q_evt_lifecycle" -> 0.6,
+    // per-row sha + acceptance, audit aggregate only
+    "q_samp_importance" -> 0.4,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
