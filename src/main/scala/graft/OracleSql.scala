@@ -2853,6 +2853,99 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_ts_drawdown" ->
+      // all integer until the single dd/peak division; argmax ranks
+      // on the integer dd with earliest-date tie-break.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, d, y,
+                  max(y) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS peak
+           FROM daily),
+         p AS (
+           SELECT event_type, d AS trough_date, peak, y AS trough_y,
+                  peak - y AS max_drawdown,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY peak - y DESC, d) AS rn
+           FROM r)
+         SELECT event_type, trough_date, peak, trough_y, max_drawdown,
+                round(CAST(max_drawdown AS DOUBLE) / peak, 4) AS dd_frac
+         FROM p WHERE rn = 1 ORDER BY event_type NULLS FIRST""",
+    "q_etl_contract" ->
+      // same rules, same explicit NULL handling, one conditional
+      // aggregate per table plus the co-keyed temporal join.
+      """WITH oa AS (
+           SELECT count(*) AS n,
+                  count(CASE WHEN o_totalprice IS NULL
+                             OR o_totalprice <= 0
+                             OR o_totalprice > 400000 THEN 1 END)
+                    AS v_price,
+                  count(CASE WHEN o_orderdate IS NULL
+                             OR o_orderdate < DATE '1992-01-01'
+                             OR o_orderdate > DATE '1998-12-31' THEN 1 END)
+                    AS v_date,
+                  count(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O','F','P') THEN 1
+                        END) AS v_status
+           FROM orders),
+         la AS (
+           SELECT count(*) AS n,
+                  count(CASE WHEN l_quantity IS NULL
+                             OR l_quantity < 1
+                             OR l_quantity > 45 THEN 1 END) AS v_qty,
+                  count(CASE WHEN l_discount IS NULL
+                             OR l_discount < 0
+                             OR l_discount > 0.08 THEN 1 END) AS v_disc
+           FROM lineitem),
+         ta AS (
+           SELECT count(*) AS n,
+                  count(CASE WHEN l_shipdate IS NULL
+                             OR l_shipdate < o_orderdate THEN 1 END)
+                    AS v_ship
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         u AS (
+           SELECT 'orders.totalprice_in_(0,400000]' AS rule,
+                  n AS n_checked, v_price AS n_violations FROM oa
+           UNION ALL
+           SELECT 'orders.orderdate_in_1992_1998', n, v_date FROM oa
+           UNION ALL
+           SELECT 'orders.status_in_OFP', n, v_status FROM oa
+           UNION ALL
+           SELECT 'lineitem.quantity_in_[1,45]', n, v_qty FROM la
+           UNION ALL
+           SELECT 'lineitem.discount_in_[0,0.08]', n, v_disc FROM la
+           UNION ALL
+           SELECT 'lineitem.shipdate_gte_orderdate', n, v_ship FROM ta)
+         SELECT rule, n_checked, n_violations,
+                round(CAST(n_violations AS DOUBLE) / n_checked, 4)
+                  AS viol_rate
+         FROM u ORDER BY rule""",
+    "q_vec_ood" ->
+      // centroid = q_vec_centroid's decimal-sum parity per dim; the
+      // three inner products share the sequential-fold kernel
+      // (list_inner_product ≡ TextSim.dot, the cosine precedent) and
+      // the identical expanded expression structure.
+      """WITH x AS (
+           SELECT unnest(range(len(embedding))) AS pos,
+                  unnest(embedding) AS x
+           FROM embeddings),
+         c AS (
+           SELECT pos,
+                  CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                    / count(*) AS c
+           FROM x GROUP BY pos),
+         cl AS (SELECT list(c ORDER BY pos) AS cvec FROM c)
+         SELECT vec_id, label,
+                round(list_inner_product(e, e)
+                      - 2 * list_inner_product(e, cvec)
+                      + list_inner_product(cvec, cvec), 4) AS ood
+         FROM (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+              CROSS JOIN cl
+         ORDER BY ood DESC, vec_id LIMIT 20""",
     "q_evt_lifecycle" ->
       // same state machine, window formulation (DuckDB's natural
       // shape): first/prev/next active week per user, churn emitted at

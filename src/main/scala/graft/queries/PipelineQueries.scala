@@ -588,6 +588,58 @@ object PipelineQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q_etl_contract — data-contract enforcement audit: a declared rule
+    * set (not-null + domain + range policy bounds on orders/lineitem,
+    * plus the cross-table temporal invariant ship ≥ order) evaluated
+    * in bulk, reporting checked/violation counts and rate per rule —
+    * the ingest-gate report a contract-checked lake publishes per
+    * batch (q_etl_dq profiles what IS; this judges against what the
+    * contract SAYS). Scale shape: ALL single-table rules for a table
+    * ride ONE conditional-aggregate scan (violation predicates as
+    * `count(CASE ...)` in a single agg — never a scan per rule), the
+    * temporal rule is one co-keyed join aggregate, and the per-rule
+    * readout is a constant-width unpivot of those 1-row results.
+    * NULL handling is explicit in every predicate (NULL violates a
+    * not-null'd bound), so both engines count identically; counts are
+    * integers, the rate divides once. */
+  private val etlContract: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val oAgg = o.agg(count(lit(1)).as("n"),
+      count(when(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0 ||
+        col("o_totalprice") > 400000, 1)).as("v_price"),
+      count(when(col("o_orderdate").isNull ||
+        col("o_orderdate") < to_date(lit("1992-01-01")) ||
+        col("o_orderdate") > to_date(lit("1998-12-31")), 1)).as("v_date"),
+      count(when(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P"), 1)).as("v_status"))
+    val lAgg = l.agg(count(lit(1)).as("n"),
+      count(when(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 45, 1)).as("v_qty"),
+      count(when(col("l_discount").isNull ||
+        col("l_discount") < 0 || col("l_discount") > 0.08, 1))
+        .as("v_disc"))
+    val tAgg = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_shipdate").isNull ||
+          col("l_shipdate") < col("o_orderdate"), 1)).as("v_ship"))
+    def row(agg: DataFrame, rule: String, v: String) =
+      agg.select(lit(rule).as("rule"), col("n").as("n_checked"),
+        col(v).as("n_violations"))
+    row(oAgg, "orders.totalprice_in_(0,400000]", "v_price")
+      .unionAll(row(oAgg, "orders.orderdate_in_1992_1998", "v_date"))
+      .unionAll(row(oAgg, "orders.status_in_OFP", "v_status"))
+      .unionAll(row(lAgg, "lineitem.quantity_in_[1,45]", "v_qty"))
+      .unionAll(row(lAgg, "lineitem.discount_in_[0,0.08]", "v_disc"))
+      .unionAll(row(tAgg, "lineitem.shipdate_gte_orderdate", "v_ship"))
+      .withColumn("viol_rate",
+        round(col("n_violations").cast("double") / col("n_checked"), 4))
+      .orderBy("rule")
+  }
+
   /** q_evt_lifecycle — weekly growth accounting: every active
     * (user, week) is classified NEW (first-ever week), RETAINED
     * (also active the prior week), or RESURRECTED (returning after a
@@ -1362,6 +1414,7 @@ object PipelineQueries {
     "q_etl_skew_profile" -> etlSkewProfile,
     "q_evt_retention" -> evtRetention,
     "q_evt_lifecycle" -> evtLifecycle,
+    "q_etl_contract" -> etlContract,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

@@ -360,6 +360,42 @@ object TextQueries {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("split")
 
+  /** q_vec_ood — out-of-distribution scoring: squared distance of
+    * every embedding to the GLOBAL corpus centroid, top-20 — the
+    * "far-from-manifold" filter a training-data pipeline runs to
+    * surface encoder failures, wrong-modality rows, and adversarial
+    * junk before they skew a fine-tune (the one-cluster special case
+    * of per-centroid OOD over q_vec_kmeans output). Exactness stack:
+    * the centroid reuses q_vec_centroid's decimal-sum/single-division
+    * parity per dimension; the distance expands to
+    * dot(e,e) − 2·dot(e,c) + dot(c,c) so all three inner products run
+    * the SAME sequential fold on both engines ([[TextSim.dot]] ≡
+    * DuckDB list_inner_product, the cosine precedent) — never a
+    * per-dimension groupBy float sum whose order could drift. The
+    * centroid array is assembled distributed (sort_array over
+    * (pos, c) structs — no driver collect) and broadcast; the scan is
+    * one pass. */
+  private val vecOod: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((expr("CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)") /
+        count(lit(1))).as("c"))
+    val carr = cent.agg(
+      expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+    emb.crossJoin(broadcast(carr))
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("ood", round(
+        TextSim.dot(col("e"), col("e")) -
+          lit(2.0) * TextSim.dot(col("e"), col("cvec")) +
+          TextSim.dot(col("cvec"), col("cvec")), 4))
+      .select("vec_id", "label", "ood")
+      .orderBy(col("ood").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** q_samp_importance — importance-weighted acceptance sampling over
     * the document corpus: each doc keeps with probability
     * w = min(1, n_chars/1000) — the "keep the substantive docs,
@@ -1267,5 +1303,6 @@ object TextQueries {
     "q_vec_kmeans" -> vecKmeans,
     "q_vec_mmr" -> vecMmr,
     "q_samp_reservoir" -> sampReservoir,
-    "q_samp_importance" -> sampImportance)
+    "q_samp_importance" -> sampImportance,
+    "q_vec_ood" -> vecOod)
 }

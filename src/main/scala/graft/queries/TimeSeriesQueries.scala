@@ -232,10 +232,40 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_drawdown — worst peak-to-trough activity drop per type:
+    * running peak of the daily count, drawdown = peak − y, and the
+    * maximum drawdown with its trough date (ties → earliest) plus the
+    * fractional form dd/peak — the "how far did engagement fall from
+    * its high-water mark" readout behind incident retrospectives and
+    * seasonality-stripped health checks (the financial max-drawdown
+    * statistic applied to activity series). Everything is INTEGER —
+    * running max of integer counts, integer subtraction, integer
+    * argmax — until the single dd/peak division (peak ≥ 1 always, no
+    * guard needed); the tie-break ranks on the integer dd itself, so
+    * no rounding-grid boundary exists at all. One window pass over
+    * the contracted daily series. */
+  private val tsDrawdown: Q = (s, dir) => {
+    val wRun = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = dailySeries(s, dir)
+      .withColumn("peak", max("y").over(wRun))
+      .withColumn("dd", col("peak") - col("y"))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("dd").desc, col("d"))
+    dd.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("trough_date"),
+        col("peak"), col("y").as("trough_y"),
+        col("dd").as("max_drawdown"),
+        round(col("dd").cast("double") / col("peak"), 4).as("dd_frac"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
     "q_ts_decompose" -> tsDecompose,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_anomaly" -> tsAnomaly,
     "q_ts_autocorr" -> tsAutocorr,
-    "q_ts_forecast_snaive" -> tsForecastSnaive)
+    "q_ts_forecast_snaive" -> tsForecastSnaive,
+    "q_ts_drawdown" -> tsDrawdown)
 }

@@ -167,6 +167,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_lifecycle" -> 0.6,
     // per-row sha + acceptance, audit aggregate only
     "q_samp_importance" -> 0.4,
+    // one window pass over the contracted daily series
+    "q_ts_drawdown" -> 0.5,
+    // two conditional-aggregate scans + one co-keyed join aggregate
+    "q_etl_contract" -> 0.6,
+    // centroid aggregate + broadcast + one fold-scoring scan
+    "q_vec_ood" -> 0.5,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
