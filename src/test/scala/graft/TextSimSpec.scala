@@ -200,6 +200,40 @@ class TextSimSpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean recall@3 = $mean")
   }
 
+  test("annCosineIvf recall@3 is non-decreasing in nProbe (tuning curve)") {
+    // The index-tuning story: probing more cells can only GROW the
+    // candidate set (cells are ranked and cut at nProbe), so the exact
+    // rescore finds at least as many true neighbors — recall is weakly
+    // monotone in nProbe, reaching 1.0 at nProbe = nCells (the
+    // degenerates-to-exact case pinned below at full probe).
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val probes = emb.filter(col("vec_id") < 15)
+    val exact = TextSim.knnJoin(probes, emb, 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val cells = 8
+    val curve = Seq(1, 2, 4, cells).map { nProbe =>
+      val ann = TextSim.annCosineIvf(probes, emb, 3,
+        nCells = cells, nProbe = nProbe)
+        .select("probe_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rec = exact.map { case (p, truth) =>
+        truth.intersect(ann.getOrElse(p, Set.empty)).size.toDouble /
+          truth.size
+      }
+      nProbe -> rec.sum / rec.size
+    }
+    curve.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"recall curve not monotone: $curve")
+    }
+    assert(curve.last._2 >= 0.999,
+      s"full-probe IVF must be exact: $curve")
+    assert(curve.head._2 < 1.0 || curve.last._2 == curve.head._2,
+      s"curve should start below or at full recall: $curve")
+  }
+
   test("pq codes of sampled vectors reconstruct exactly") {
     import graft.ops.ProductQuant
     val emb = Tables.load(spark, sf0001, "embeddings")
