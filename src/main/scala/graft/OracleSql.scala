@@ -2853,6 +2853,63 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_join_spatial" ->
+      // the naive quadratic join with the identical integer predicate —
+      // same answer as the grid plan via a different algorithm, the
+      // strongest kind of cross-check. Coordinates and d2 stay integer;
+      // sqrt is the only float.
+      """WITH p AS (
+           SELECT c_custkey AS id,
+                  c_custkey * 7919 % 1000 AS px,
+                  c_custkey * 104729 % 1000 AS py
+           FROM customer)
+         SELECT a.id AS id_a, b.id AS id_b,
+                (a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) AS d2,
+                round(sqrt(CAST((a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) AS DOUBLE)), 4) AS dist
+         FROM p a JOIN p b ON a.id < b.id
+         WHERE (a.px - b.px) * (a.px - b.px)
+               + (a.py - b.py) * (a.py - b.py) <= 225
+         ORDER BY d2, id_a, id_b LIMIT 20""",
+    "q_agg_hhi" ->
+      // shares never materialize: Σrev² / (Σrev)² with decimal-exact
+      // sums (rev clamped to DECIMAL(18,2) so rev² stays in bounds);
+      // two divisions, identical structure.
+      """WITH rev AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         g AS (
+           SELECT c.c_mktsegment, count(*) AS n_customers,
+                  sum(rev * rev) AS s2, sum(rev) AS s1
+           FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+           GROUP BY 1)
+         SELECT c_mktsegment, n_customers,
+                CAST(round(s1, 4) AS DOUBLE) AS revenue,
+                round(CAST(s2 AS DOUBLE)
+                      / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 4)
+                  AS hhi,
+                round(1.0 / (CAST(s2 AS DOUBLE)
+                      / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 4)
+                  AS effective_n
+         FROM g ORDER BY c_mktsegment NULLS FIRST""",
+    "q_evt_diversity" ->
+      // integer numerator and denominator, one division; n(n−1)=0 →
+      // NULL ≡ try_divide.
+      """WITH tc AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, sum(c) AS n_events, count(*) AS richness,
+                  sum(c * (c - 1)) AS num
+           FROM tc GROUP BY 1)
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events, richness,
+                round(CAST(num AS DOUBLE)
+                      / nullif(n_events * (n_events - 1), 0), 4)
+                  AS simpson
+         FROM u ORDER BY user_id""",
     "q_ts_drawdown" ->
       // all integer until the single dd/peak division; argmax ranks
       // on the integer dd with earliest-date tie-break.

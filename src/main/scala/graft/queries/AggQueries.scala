@@ -558,6 +558,42 @@ object AggQueries {
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
+  /** q_agg_hhi — Herfindahl–Hirschman concentration of customer
+    * revenue per market segment: HHI = Σ shareᵢ² and the effective
+    * competitor count 1/HHI — the antitrust-style "how many customers
+    * does this segment effectively have" companion to q_agg_gini
+    * (Gini measures inequality of the distribution; HHI measures how
+    * concentrated the MASS is — a segment can be equal-and-tiny or
+    * unequal-and-dominated and the two readouts split those cases).
+    * Float discipline: shares are never materialized — HHI is
+    * computed as Σrevᵢ² / (Σrev)² with BOTH sums decimal-exact
+    * (rev clamps to DECIMAL(18,2) first so rev² is DECIMAL(37,4),
+    * inside bounds on both engines; summing per-row share² would
+    * float-sum in engine order). Two divisions total, identical
+    * structure. Same contract-orders-first shape as q_agg_gini,
+    * without the window sort. */
+  private val aggHhi: Q = (s, dir) => {
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")
+        .as("rev"))
+    rev.join(
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(rev * rev)").as("s2"),
+        expr("sum(rev)").as("s1"))
+      .withColumn("hhi_d",
+        expr("CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        expr("CAST(round(s1, 4) AS DOUBLE)").as("revenue"),
+        round(col("hhi_d"), 4).as("hhi"),
+        round(lit(1.0) / col("hhi_d"), 4).as("effective_n"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -824,6 +860,7 @@ object AggQueries {
     "q_agg_bootstrap" -> aggBootstrap,
     "q_agg_winsorize" -> aggWinsorize,
     "q_agg_gini" -> aggGini,
+    "q_agg_hhi" -> aggHhi,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -691,6 +691,32 @@ object PipelineQueries {
       .orderBy("week")
   }
 
+  /** q_evt_diversity — behavioral diversity profile per user:
+    * event count, type richness (distinct types touched), and the
+    * Simpson concentration index λ = Σ nᵢ(nᵢ−1) / (n(n−1)) — the
+    * "is this account a single-action bot or a broad human" signal
+    * bot-filtering and engagement-quality scoring read (λ→1 = all
+    * events one type; low λ = spread). Everything is INTEGER — the
+    * per-(user, type) counts, the Σnᵢ(nᵢ−1) numerator, the n(n−1)
+    * denominator — until ONE division (try_divide: a single-event
+    * user has n(n−1)=0, λ undefined → NULL, ≡ DuckDB x/0). Two-phase
+    * shape: (user, type) counts collapse map-side, then a user-level
+    * rollup; per-user output keeps the readout row-exact (no
+    * cross-user float averaging anywhere). */
+  private val evtDiversity: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"),
+        count(lit(1)).as("richness"),
+        sum(col("c") * (col("c") - 1)).as("num"))
+      .withColumn("simpson",
+        round(try_divide(col("num").cast("double"),
+          col("n_events") * (col("n_events") - 1)), 4))
+      .select("user_id", "n_events", "richness", "simpson")
+      .orderBy("user_id")
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1415,6 +1441,7 @@ object PipelineQueries {
     "q_evt_retention" -> evtRetention,
     "q_evt_lifecycle" -> evtLifecycle,
     "q_etl_contract" -> etlContract,
+    "q_evt_diversity" -> evtDiversity,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

@@ -264,7 +264,51 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q_join_spatial — grid-bucketed distance self-join: all point
+    * pairs within Euclidean distance 15 on a synthetic integer plane
+    * (customers placed at deterministic hash coordinates — the
+    * operator prices the SHAPE; real deployments feed lat/lon),
+    * reporting the 20 closest pairs. THE spatial-join pattern at
+    * scale: a naive distance join is a cross product (impossible at
+    * 100 TB); snapping points to a grid of cell size = the radius and
+    * equi-joining each point's 3×3 neighbor cells against home cells
+    * shuffles each side once with a bounded ×9 fan-out, and the exact
+    * predicate then runs only on co-cell candidates. A pair is found
+    * exactly once (the right side is keyed by its unique home cell;
+    * the left emits each neighbor cell once), so no post-dedup.
+    * Coordinates and squared distances stay INTEGER end to end — the
+    * only float is the final sqrt readout. The oracle runs the naive
+    * quadratic join with the same exact predicate: same answer via a
+    * different plan = the strongest kind of check. */
+  private val joinSpatial: Q = (s, dir) => {
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 1000).as("px"),
+        (col("c_custkey") * 104729 % 1000).as("py"))
+    val cell = 15
+    val lhs = pts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("id").as("id_a"), col("px").as("xa"), col("py").as("ya"),
+        (floor(col("px") / cell) + col("dx")).as("cx"),
+        (floor(col("py") / cell) + col("dy")).as("cy"))
+    val rhs = pts.select(col("id").as("id_b"), col("px").as("xb"),
+      col("py").as("yb"),
+      floor(col("px") / cell).as("cx"), floor(col("py") / cell).as("cy"))
+    lhs.join(rhs, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= cell * cell)
+      .select(col("id_a"), col("id_b"), col("d2"),
+        round(sqrt(col("d2").cast("double")), 4).as("dist"))
+      .orderBy(col("d2"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_join_spatial" -> joinSpatial,
     "q_join_nullsafe" -> joinNullsafe,
     "q_proj_select" -> projSelect,
     "q_proj_derived" -> projDerived,

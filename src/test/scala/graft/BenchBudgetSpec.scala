@@ -173,6 +173,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_contract" -> 0.6,
     // centroid aggregate + broadcast + one fold-scoring scan
     "q_vec_ood" -> 0.5,
+    // x9 cell fan-out equi-join on the customer dim
+    "q_join_spatial" -> 0.6,
+    // contract-orders-first + one segment aggregate
+    "q_agg_hhi" -> 0.5,
+    // two-phase (user,type) -> user rollup
+    "q_evt_diversity" -> 0.4,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
