@@ -2853,6 +2853,73 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_evt_funnel_time" ->
+      // integer-microsecond latencies (epoch_us ≡ unix_micros), exact
+      // interpolated percentiles, one division per readout.
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS v_us,
+                  min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS p_us
+           FROM events GROUP BY 1),
+         l AS (
+           SELECT CASE WHEN p_us > v_us THEN p_us - v_us END AS lat_us
+           FROM f)
+         SELECT count(*) AS n_users, count(lat_us) AS n_converted,
+                round(CAST(count(lat_us) AS DOUBLE) / count(*), 4)
+                  AS conv_rate,
+                round(quantile_cont(lat_us, 0.25) / 1000000.0, 4)
+                  AS p25_sec,
+                round(quantile_cont(lat_us, 0.5) / 1000000.0, 4)
+                  AS p50_sec,
+                round(quantile_cont(lat_us, 0.75) / 1000000.0, 4)
+                  AS p75_sec,
+                round(quantile_cont(lat_us, 0.9) / 1000000.0, 4)
+                  AS p90_sec
+         FROM l""",
+    "q_evt_seqpairs" ->
+      // the same min/max contraction and integer comparisons; one
+      // division for the support rate.
+      """WITH spans AS (
+           SELECT user_id, event_type,
+                  min(epoch_us(ts)) AS t_min, max(epoch_us(ts)) AS t_max
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS ta, b.event_type AS tb,
+                count(*) AS n_both,
+                count(CASE WHEN a.t_min < b.t_max THEN 1 END)
+                  AS n_support,
+                round(CAST(count(CASE WHEN a.t_min < b.t_max THEN 1 END)
+                           AS DOUBLE) / count(*), 4) AS support_rate
+         FROM spans a JOIN spans b
+           ON a.user_id = b.user_id AND a.event_type <> b.event_type
+         GROUP BY 1, 2 ORDER BY ta, tb""",
+    "q_agg_weighted_median" ->
+      // identical selection rule: sort (price, orderkey, linenumber),
+      // first row with 2·cumweight ≥ total — all integer comparisons.
+      """WITH l AS (
+           SELECT l_returnflag,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+                  l_orderkey, l_linenumber,
+                  CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+         c AS (
+           SELECT l_returnflag, price, l_orderkey, l_linenumber,
+                  sum(qty) OVER (PARTITION BY l_returnflag
+                    ORDER BY price, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cw,
+                  sum(qty) OVER (PARTITION BY l_returnflag) AS tw
+           FROM l),
+         p AS (
+           SELECT l_returnflag, tw, price,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY price, l_orderkey, l_linenumber) AS rn
+           FROM c WHERE cw * 2 >= tw)
+         SELECT l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+                CAST(price AS DOUBLE) AS wmedian_price
+         FROM p WHERE rn = 1
+         ORDER BY l_returnflag NULLS FIRST""",
     "q_join_spatial" ->
       // the naive quadratic join with the identical integer predicate —
       // same answer as the grid plan via a different algorithm, the

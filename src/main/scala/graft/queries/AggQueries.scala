@@ -594,6 +594,42 @@ object AggQueries {
       .orderBy(col("c_mktsegment").asc_nulls_first)
   }
 
+  /** q_agg_weighted_median — weight-aware central price per return
+    * flag: the lower weighted median of l_extendedprice under
+    * l_quantity weights — the "median dollar", not the median ROW
+    * (a line selling 50 units counts 50×; the unweighted median is
+    * blind to volume, which is why monitoring and pricing pipelines
+    * weight their quantiles). Semantics pinned exactly: sort by
+    * (price, orderkey, linenumber), running weight sum W_i, pick the
+    * FIRST row with 2·W_i ≥ W_total — every comparison INTEGER
+    * (quantities are integral, carried as long ×2 to avoid any /2),
+    * prices decimal, zero float anywhere in the selection. One window
+    * pass per group + a rank-1 cut; the weighted-median-of-medians
+    * approximation is the documented 100 TB swap when a group
+    * outgrows its sort. */
+  private val aggWeightedMedian: Q = (s, dir) => {
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("price"),
+        col("l_quantity").cast("long").as("qty"))
+    val wOrd = Window.partitionBy("l_returnflag")
+      .orderBy("price", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = l
+      .withColumn("cw", sum("qty").over(wOrd))
+      .withColumn("tw", sum("qty").over(wAll))
+      .filter(col("cw") * 2 >= col("tw"))
+    val wPick = Window.partitionBy("l_returnflag")
+      .orderBy("price", "l_orderkey", "l_linenumber")
+    cum.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("tw").as("total_weight"),
+        expr("CAST(price AS DOUBLE)").as("wmedian_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -861,6 +897,7 @@ object AggQueries {
     "q_agg_winsorize" -> aggWinsorize,
     "q_agg_gini" -> aggGini,
     "q_agg_hhi" -> aggHhi,
+    "q_agg_weighted_median" -> aggWeightedMedian,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -717,6 +717,73 @@ object PipelineQueries {
       .select("user_id", "n_events", "richness", "simpson")
       .orderBy("user_id")
 
+  /** q_evt_funnel_time — time-to-convert distribution: latency from
+    * each user's FIRST view to their FIRST purchase (counted only
+    * when the purchase follows), as interpolated percentiles — the
+    * "how long does the funnel take" readout that turns q_evt_funnel's
+    * reach counts into an SLA (p90 time-to-convert is what growth and
+    * capacity teams actually page on). Exactness: latencies are
+    * INTEGER microseconds (unix_micros ≡ DuckDB epoch_us — no float
+    * timestamp arithmetic); the exact interpolated percentile over
+    * integers is the established quantile parity; ONE division per
+    * readout converts to seconds. Two-phase: per-user first-event
+    * timestamps collapse map-side (conditional min — one corpus
+    * scan), the percentile profile aggregates ≤users rows. */
+  private val evtFunnelTime: Q = (s, dir) => {
+    val firsts = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view",
+        unix_micros(col("ts")))).as("v_us"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("p_us"))
+    firsts
+      .withColumn("lat_us",
+        when(col("p_us") > col("v_us"), col("p_us") - col("v_us")))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("lat_us")).as("n_converted"),
+        round(count(col("lat_us")).cast("double") / count(lit(1)), 4)
+          .as("conv_rate"),
+        round(expr("percentile(lat_us, 0.25)") / lit(1000000.0), 4)
+          .as("p25_sec"),
+        round(expr("percentile(lat_us, 0.5)") / lit(1000000.0), 4)
+          .as("p50_sec"),
+        round(expr("percentile(lat_us, 0.75)") / lit(1000000.0), 4)
+          .as("p75_sec"),
+        round(expr("percentile(lat_us, 0.9)") / lit(1000000.0), 4)
+          .as("p90_sec"))
+  }
+
+  /** q_evt_seqpairs — ordered co-occurrence mining over user
+    * timelines: for every ordered type pair (a, b), how many users
+    * did a STRICTLY BEFORE b (∃ tₐ < t_b ⟺ min(tₐ) < max(t_b)) —
+    * sequence-pattern support with arbitrary gap, the complement of
+    * q_evt_markov's CONSECUTIVE transition counts (markov sees
+    * a→x→b as a→x; this still credits a→b). The min/max trick makes
+    * gap-tolerant support a CONTRACTION: per-(user, type) min/max
+    * timestamps collapse map-side in one corpus scan, and the pair
+    * join is a per-user self-join of ≤k rows — k² bounded fan-out,
+    * co-keyed, never corpus×corpus. Integer microsecond comparisons
+    * only; one division for the support rate among users having
+    * both types. */
+  private val evtSeqpairs: Q = (s, dir) => {
+    val spans = Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min(unix_micros(col("ts"))).as("t_min"),
+        max(unix_micros(col("ts"))).as("t_max"))
+    val a = spans.select(col("user_id"), col("event_type").as("ta"),
+      col("t_min").as("amin"))
+    val b = spans.select(col("user_id"), col("event_type").as("tb"),
+      col("t_max").as("bmax"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_both"),
+        count(when(col("amin") < col("bmax"), 1)).as("n_support"))
+      .withColumn("support_rate",
+        round(col("n_support").cast("double") / col("n_both"), 4))
+      .orderBy("ta", "tb")
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1442,6 +1509,8 @@ object PipelineQueries {
     "q_evt_lifecycle" -> evtLifecycle,
     "q_etl_contract" -> etlContract,
     "q_evt_diversity" -> evtDiversity,
+    "q_evt_funnel_time" -> evtFunnelTime,
+    "q_evt_seqpairs" -> evtSeqpairs,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

@@ -179,6 +179,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_hhi" -> 0.5,
     // two-phase (user,type) -> user rollup
     "q_evt_diversity" -> 0.4,
+    // per-user conditional-min contraction + percentile profile
+    "q_evt_funnel_time" -> 0.4,
+    // (user,type) span contraction + k^2 per-user self-join
+    "q_evt_seqpairs" -> 0.5,
+    // one window pass + rank-1 cut per return flag; the sort carries
+    // the FULL lineitem (3 groups only), so the window is corpus-sized
+    // at sf0.1 (0.84 s warm median) unlike the contracted ts/evt ops
+    "q_agg_weighted_median" -> 0.9,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
