@@ -2853,6 +2853,82 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_evt_ltv_cohort" ->
+      // same contraction: per-(user, week) decimal revenue, cohort =
+      // min week, cumulative decimal sum over the (cohort, offset)
+      // grid, one division per cell.
+      """WITH uw AS (
+           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+                  sum(CAST(value AS DECIMAL(18,2))) AS rev
+           FROM events GROUP BY 1, 2),
+         cu AS (
+           SELECT user_id, min(week) OVER (PARTITION BY user_id)
+                    AS cohort_week, week, rev
+           FROM uw),
+         grid AS (
+           SELECT cohort_week,
+                  CAST(datediff('day', cohort_week, week) / 7 AS INTEGER)
+                    AS week_offset,
+                  sum(rev) AS rev
+           FROM cu GROUP BY 1, 2),
+         sizes AS (
+           SELECT cohort_week, count(*) AS cohort_users
+           FROM (SELECT user_id, min(week) AS cohort_week
+                 FROM uw GROUP BY 1) GROUP BY 1)
+         SELECT g.cohort_week, g.week_offset, s.cohort_users,
+                CAST(round(g.rev, 4) AS DOUBLE) AS rev,
+                round(CAST(sum(g.rev) OVER (PARTITION BY g.cohort_week
+                        ORDER BY g.week_offset
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / s.cohort_users, 4) AS ltv_per_user
+         FROM grid g JOIN sizes s USING (cohort_week)
+         ORDER BY g.cohort_week, g.week_offset""",
+    "q_agg_benford" ->
+      // same string-derived leading digit, shared probability
+      // literals, identical chi-term expression structure.
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT count(*) AS tot FROM d),
+         e AS (
+           -- DuckDB parses decimal literals as DECIMAL; the engine
+           -- parity needs the same IEEE doubles Spark uses.
+           SELECT digit, CAST(p_benford AS DOUBLE) AS p_benford
+           FROM (VALUES
+             (1, 0.3010299956639812), (2, 0.17609125905568124),
+             (3, 0.12493873660829993), (4, 0.09691001300805642),
+             (5, 0.07918124604762482), (6, 0.06694678963061322),
+             (7, 0.05799194697768673), (8, 0.05115252244738129),
+             (9, 0.04575749056067514)) AS v(digit, p_benford)),
+         j AS (
+           SELECT c.digit, c.n, e.p_benford, t.tot,
+                  e.p_benford * t.tot AS expected
+           FROM c JOIN e ON e.digit = c.digit CROSS JOIN t)
+         SELECT digit, n,
+                round(CAST(n AS DOUBLE) / tot, 4) AS p_obs,
+                round(p_benford, 4) AS p_benford,
+                round((n - expected) * (n - expected) / expected, 4)
+                  AS chi_term
+         FROM j ORDER BY digit""",
+    "q_win_skyline" ->
+      // identical sweep on the distinct-pair contraction: strict-
+      // predecessor running max (ROWS … 1 PRECEDING), NULL frame
+      // keeps the first pair; integer/decimal comparisons only.
+      """WITH pairs AS (
+           SELECT CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+                  p_size, count(*) AS n_parts
+           FROM part GROUP BY 1, 2),
+         sw AS (
+           SELECT price, p_size, n_parts,
+                  max(p_size) OVER (ORDER BY price, p_size DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS runmax
+           FROM pairs)
+         SELECT CAST(price AS DOUBLE) AS price, p_size, n_parts
+         FROM sw WHERE runmax IS NULL OR p_size > runmax
+         ORDER BY price, p_size""",
     "q_evt_funnel_time" ->
       // integer-microsecond latencies (epoch_us ≡ unix_micros), exact
       // interpolated percentiles, one division per readout.

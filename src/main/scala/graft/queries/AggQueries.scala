@@ -630,6 +630,49 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  /** q_agg_benford — Benford's-law first-digit audit of order totals:
+    * observed leading-digit distribution vs the Benford expectation
+    * P(d) = log₁₀(1 + 1/d), with per-digit deviation and a χ²
+    * statistic — the forensic screen audit pipelines run over
+    * financial columns (fabricated or capped values flunk the
+    * first-digit law long before a human sees them; flat-uniform
+    * digits are the classic synthetic-data tell). Exactness: the
+    * leading digit is STRING arithmetic on the decimal rendering
+    * (never log-of-value float classification); counts are integers;
+    * the nine Benford probabilities are shared literal doubles; the
+    * χ² readout is one closed-form double expression per digit,
+    * summed over exactly 9 rows via a second tiny aggregate whose
+    * inputs are rounded to the 4-dp grid first — identical addition
+    * order is irrelevant once every term sits on the grid with ≤9
+    * terms (drift bound 9·1e-5·ulp ≪ grid). */
+  private val aggBenford: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .withColumn("digit",
+        substring(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          1, 1).cast("int"))
+    val counts = d.groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = d.agg(count(lit(1)).as("tot"))
+    val benford = Seq(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    import d.sparkSession.implicits._
+    val exp = benford.toDF("digit", "p_benford")
+    counts.join(broadcast(exp), "digit")
+      .crossJoin(broadcast(total))
+      .withColumn("p_obs",
+        round(col("n").cast("double") / col("tot"), 4))
+      .withColumn("expected", col("p_benford") * col("tot"))
+      .withColumn("chi_term", round(
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"), 4))
+      .select(col("digit"), col("n"), col("p_obs"),
+        round(col("p_benford"), 4).as("p_benford"), col("chi_term"))
+      .orderBy("digit")
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -898,6 +941,7 @@ object AggQueries {
     "q_agg_gini" -> aggGini,
     "q_agg_hhi" -> aggHhi,
     "q_agg_weighted_median" -> aggWeightedMedian,
+    "q_agg_benford" -> aggBenford,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -784,6 +784,49 @@ object PipelineQueries {
       .orderBy("ta", "tb")
   }
 
+  /** q_evt_ltv_cohort — cohort lifetime-value curve: users cohorted by
+    * first-event week, revenue (event value) accumulated per
+    * (cohort, week-offset) cell, reported as cumulative revenue per
+    * cohort user — the LTV curve that prices acquisition (q_evt_retention
+    * counts WHO comes back; this weighs WHAT they're worth when they
+    * do). One corpus exchange on user_id: the same per-user row
+    * yields the cohort (min week) and the per-week revenue map — the
+    * retention contraction extended with decimal value sums. Cohort
+    * sizes join back as a ≤weeks-row broadcast; the cumulative sum
+    * runs over the tiny (cohort, offset) grid, decimal-exact, and the
+    * per-user readout divides once per cell. */
+  private val evtLtvCohort: Q = (s, dir) => {
+    val perUser = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"),
+        col("value"))
+      .groupBy("user_id", "week")
+      .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("rev"))
+      .groupBy("user_id")
+      .agg(min("week").as("cohort_week"),
+        collect_list(struct(col("week"), col("rev"))).as("cells"))
+    val grid = perUser
+      .select(col("user_id"), col("cohort_week"),
+        explode(col("cells")).as("cell"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("cell.week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"),
+        col("cell.rev").as("rev"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(expr("sum(rev)").as("rev"))
+    val sizes = perUser.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_rev", expr("sum(rev)").over(wCum))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        expr("CAST(round(rev, 4) AS DOUBLE)").as("rev"),
+        round(expr("CAST(cum_rev AS DOUBLE)") / col("cohort_users"), 4)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1511,6 +1554,7 @@ object PipelineQueries {
     "q_evt_diversity" -> evtDiversity,
     "q_evt_funnel_time" -> evtFunnelTime,
     "q_evt_seqpairs" -> evtSeqpairs,
+    "q_evt_ltv_cohort" -> evtLtvCohort,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

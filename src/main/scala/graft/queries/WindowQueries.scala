@@ -351,7 +351,39 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** q_win_skyline — Pareto frontier (skyline) of the part catalog on
+    * (minimize retail price, maximize size): every (price, size) pair
+    * no other pair dominates — the multi-criteria "best tradeoffs"
+    * operator (cheapest-per-capability shortlists, model-selection
+    * frontiers) that SQL engines ship as a dedicated SKYLINE clause
+    * and Spark composes from a sweep. Algorithm: contract to DISTINCT
+    * (price, size) pairs first (the sweep's input is bounded by the
+    * attribute grid, not the corpus), sort (price asc, size desc),
+    * keep a pair iff its size strictly exceeds the running max size
+    * of all STRICTLY EARLIER pairs (ROWS … 1 PRECEDING) — which is
+    * exactly non-strict dominance filtering, price ties included
+    * (equal-price smaller-size pairs see the bigger size in the
+    * running max). All comparisons integer/decimal; first row keeps
+    * via the NULL frame. The global single-partition sweep is safe
+    * BECAUSE of the contraction; the 100 TB swap is grid-partitioned
+    * local skylines + a merge sweep over the per-grid frontiers. */
+  private val winSkyline: Q = (s, dir) => {
+    val pairs = Tables.load(s, dir, "part")
+      .select(expr("CAST(p_retailprice AS DECIMAL(18,2))").as("price"),
+        col("p_size"))
+      .groupBy("price", "p_size")
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("price"), col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pairs.withColumn("runmax", max("p_size").over(w))
+      .filter(col("runmax").isNull || col("p_size") > col("runmax"))
+      .select(expr("CAST(price AS DOUBLE)").as("price"), col("p_size"),
+        col("n_parts"))
+      .orderBy("price", "p_size")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_skyline" -> winSkyline,
     "q_win_zscore" -> winZscore,
     "q_win_median" -> winMedian,
     "q_win_ema" -> winEma,

@@ -187,6 +187,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     // the FULL lineitem (3 groups only), so the window is corpus-sized
     // at sf0.1 (0.84 s warm median) unlike the contracted ts/evt ops
     "q_agg_weighted_median" -> 0.9,
+    // retention-shaped user_id exchange + tiny grid cumsum
+    "q_evt_ltv_cohort" -> 0.5,
+    // one digit-count aggregate + 9-row broadcast arithmetic
+    "q_agg_benford" -> 0.4,
+    // distinct-pair contraction + single-partition sweep
+    "q_win_skyline" -> 0.4,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
