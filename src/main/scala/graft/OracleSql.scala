@@ -2853,6 +2853,59 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_text_winnowing" ->
+      // identical tokenization/gram slices (the decon_ngram parity),
+      // identical sha-13-hex hash arithmetic, same window-of-4 min,
+      // same ≤50-doc fingerprint hub cut before the pair join.
+      """WITH g0 AS (
+           SELECT doc_id, t.i,
+                  array_to_string(w[t.i+1:t.i+3], ' ') AS gram
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents) d,
+                unnest(range(greatest(len(w) - 2, 0))) AS t(i)
+           WHERE len(w) >= 3),
+         h AS (
+           SELECT doc_id, i,
+                  CAST(concat('0x', substr(sha256(gram), 1, 13))
+                       AS BIGINT) AS h
+           FROM g0),
+         wn AS (
+           SELECT doc_id, i,
+                  min(h) OVER win AS mh, count(*) OVER win AS wn
+           FROM h
+           WINDOW win AS (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         fp AS (SELECT DISTINCT doc_id, mh FROM wn WHERE wn = 4),
+         rare AS (
+           SELECT mh FROM fp GROUP BY mh HAVING count(*) <= 50),
+         k AS (SELECT fp.doc_id, fp.mh FROM fp JOIN rare USING (mh))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                count(*) AS n_shared
+         FROM k a JOIN k b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         ORDER BY n_shared DESC, id_a, id_b LIMIT 20""",
+    "q_evt_slo_burn" ->
+      // integer daily/cumulative counts; every rate is one division
+      // with identical structure; the flag compares identical doubles.
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+                  count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS err
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT d, n, err,
+                  sum(n) OVER w AS cum_n, sum(err) OVER w AS cum_err
+           FROM daily
+           WINDOW w AS (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT d, n, err,
+                round(CAST(err AS DOUBLE) / n, 4) AS err_rate,
+                round(CAST(err AS DOUBLE) / n / CAST(0.2 AS DOUBLE), 4) AS burn_ratio,
+                CASE WHEN CAST(err AS DOUBLE) / n > CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END
+                  AS burning,
+                round(CAST(cum_err AS DOUBLE) / (CAST(0.2 AS DOUBLE) * cum_n), 4)
+                  AS cum_budget_used
+         FROM c ORDER BY d""",
     "q_evt_ltv_cohort" ->
       // same contraction: per-(user, week) decimal revenue, cohort =
       // min week, cumulative decimal sum over the (cohort, offset)

@@ -827,6 +827,40 @@ object PipelineQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q_evt_slo_burn — SLO error-budget burn report: daily error rate
+    * vs a declared 20% budget, the burn ratio (rate/budget), and the
+    * CUMULATIVE budget consumption (Σerrors / (budget·Σevents)) —
+    * the SRE readout that decides "can we ship or are we frozen"
+    * (burn > 1 = eating budget faster than the SLO window refills
+    * it). Integer discipline: daily and cumulative error/event
+    * counts are integer (running sums over the ≤days grid), every
+    * rate/ratio is one closed-form division of integer-derived
+    * doubles with oracle-identical structure; the burning flag
+    * compares the two engines' IDENTICAL division results, so no
+    * rounding boundary exists. One corpus scan → daily grid;
+    * everything after is grid-sized. */
+  private val evtSloBurn: Q = (s, dir) => {
+    val budget = 0.2
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("err"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_err", sum("err").over(wCum))
+      .select(col("d"), col("n"), col("err"),
+        round(col("err").cast("double") / col("n"), 4).as("err_rate"),
+        round(col("err").cast("double") / col("n") / lit(budget), 4)
+          .as("burn_ratio"),
+        when(col("err").cast("double") / col("n") > budget, 1)
+          .otherwise(0).as("burning"),
+        round(col("cum_err").cast("double") /
+          (lit(budget) * col("cum_n")), 4).as("cum_budget_used"))
+      .orderBy("d")
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1555,6 +1589,7 @@ object PipelineQueries {
     "q_evt_funnel_time" -> evtFunnelTime,
     "q_evt_seqpairs" -> evtSeqpairs,
     "q_evt_ltv_cohort" -> evtLtvCohort,
+    "q_evt_slo_burn" -> evtSloBurn,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

@@ -396,6 +396,74 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q_text_winnowing — MOSS-style winnowing fingerprints (Schleimer
+    * et al. 2003): hash every 3-gram, slide a window of 4 hashes, keep
+    * each window's MINIMUM — the guarantee is that any shared run of
+    * ≥ window+gram−1 tokens between two docs shares at least one
+    * selected fingerprint, at ~1/window the fingerprint density of
+    * all-grams indexing. The plagiarism/near-dup detector's index:
+    * the readout is the top-20 doc pairs by shared fingerprints.
+    * Determinism: gram strings are the established tokenization
+    * ([[TextSim.shingles]] ≡ the decon_ngram oracle slices), hashes
+    * the sha-13-hex→BIGINT arithmetic (shared literals) — no seeded
+    * RNG anywhere. Scale: fingerprints shared by > 50 docs are
+    * dropped before the pair join (the hub-removal semantic from
+    * q_graph_common_neighbors — a boilerplate gram in every doc
+    * would quadratically flood the join and carries no pair signal);
+    * the surviving join is the MinHash banding shape. */
+  private val textWinnowing: Q = (s, dir) => {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextSim.shingles(col("text"), 3)).as(Seq("i", "gram")))
+      .withColumn("h",
+        conv(substring(sha2(col("gram"), 256), 1, 13), 16, 10)
+          .cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    val fps = grams
+      .withColumn("mh", min("h").over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter(col("wn") === 4)
+      .select("doc_id", "mh").distinct()
+    val rare = fps.groupBy("mh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= 50).select("mh")
+    val kept = fps.join(rare, "mh")
+    val a = kept.select(col("doc_id").as("id_a"), col("mh"))
+    val b = kept.select(col("doc_id").as("id_b"), col("mh"))
+    a.join(b, Seq("mh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** q_vec_lsh_balance — index-health profile of the sign-LSH layout:
+    * bucket occupancy histogram over the [[TextSim.lshBuckets]]
+    * tables (4 tables × 6 bits, the q_vec_ann_lsh configuration) —
+    * total buckets touched, min/max/mean occupancy, and the skew
+    * factor max/mean. THE ops readout for any hash-partitioned ANN
+    * index: a hot bucket is a hot partition (one straggler task
+    * scores most of the corpus), and the fix — more bits, or
+    * rebalancing the plane seed — is decided from exactly this
+    * profile before queries degrade. Q-tier: the bucket ids come
+    * from the seeded hyperplane kernel, which has no DuckDB twin;
+    * LshBalanceSpec pins the invariants (entries = N·tables, bucket
+    * ids well-formed, skew ≥ 1, rerun-stable). One explode + two
+    * tiny aggregates; the corpus shuffles once on bucket id —
+    * identical to the index build it profiles. */
+  private val vecLshBalance: Q = (s, dir) => {
+    val occ = Tables.load(s, dir, "embeddings")
+      .select(explode(TextSim.lshBuckets(col("embedding"), 4, 6))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("occ"))
+    occ.agg(count(lit(1)).as("n_buckets"),
+      sum("occ").as("total_entries"),
+      min("occ").as("min_occ"),
+      max("occ").as("max_occ"),
+      round(sum("occ").cast("double") / count(lit(1)), 4).as("mean_occ"),
+      round(max("occ").cast("double") /
+        (sum("occ").cast("double") / count(lit(1))), 4).as("skew"))
+  }
+
   /** q_samp_importance — importance-weighted acceptance sampling over
     * the document corpus: each doc keeps with probability
     * w = min(1, n_chars/1000) — the "keep the substantive docs,
@@ -1304,5 +1372,7 @@ object TextQueries {
     "q_vec_mmr" -> vecMmr,
     "q_samp_reservoir" -> sampReservoir,
     "q_samp_importance" -> sampImportance,
-    "q_vec_ood" -> vecOod)
+    "q_vec_ood" -> vecOod,
+    "q_text_winnowing" -> textWinnowing,
+    "q_vec_lsh_balance" -> vecLshBalance)
 }

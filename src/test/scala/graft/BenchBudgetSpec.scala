@@ -193,6 +193,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_benford" -> 0.4,
     // distinct-pair contraction + single-partition sweep
     "q_win_skyline" -> 0.4,
+    // per-gram sha over the corpus + window min + banding join
+    "q_text_winnowing" -> 1.2,
+    // one corpus scan to the daily grid
+    "q_evt_slo_burn" -> 0.4,
+    // one bucket explode + two tiny aggregates
+    "q_vec_lsh_balance" -> 0.4,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
