@@ -2853,6 +2853,185 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_vec_matryoshka" ->
+      // identical slices, the list_cosine_similarity ≡ TextSim.cosine
+      // fold parity, identical (sim desc, vec_id) top-10 cuts, integer
+      // set arithmetic on the overlap.
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         tops AS (
+           SELECT d.dims, t.vec_id
+           FROM (VALUES (16), (32), (64)) AS d(dims),
+           LATERAL (
+             SELECT b.vec_id
+             FROM base b CROSS JOIN
+                  (SELECT v AS pv FROM base WHERE vec_id = 0) p
+             WHERE b.vec_id <> 0
+             ORDER BY round(list_cosine_similarity(
+                        b.v[1:d.dims], p.pv[1:d.dims]), 4) DESC,
+                      b.vec_id
+             LIMIT 10) t),
+         full_t AS (SELECT vec_id FROM tops WHERE dims = 64),
+         ov AS (
+           SELECT t.dims, count(*) AS n_overlap
+           FROM tops t JOIN full_t f USING (vec_id)
+           GROUP BY 1)
+         SELECT dims, n_overlap,
+                round(CAST(n_overlap AS DOUBLE) / (20 - n_overlap), 4)
+                  AS set_jaccard
+         FROM ov ORDER BY dims""",
+    "q_agg_iqr" ->
+      // exact interpolated quantiles, shared fence expression
+      // (identical 1.5 literals), per-row comparisons on identical
+      // doubles — counts match without boundary rounding.
+      """WITH q AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1),
+         f AS (
+           SELECT event_type, q1, q3, q3 - q1 AS iqr,
+                  q1 - 1.5 * (q3 - q1) AS lo,
+                  q3 + 1.5 * (q3 - q1) AS hi
+           FROM q)
+         SELECT e.event_type, count(*) AS n,
+                count(CASE WHEN e.value < f.lo THEN 1 END) AS n_below,
+                count(CASE WHEN e.value > f.hi THEN 1 END) AS n_above,
+                round(max(f.q1), 4) AS q1, round(max(f.q3), 4) AS q3,
+                round(max(f.iqr), 4) AS iqr
+         FROM events e JOIN f USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type NULLS FIRST""",
+    "q_ts_interpolate" ->
+      // same sparsification, same spine, same IGNORE-NULLS neighbor
+      // attach, same integer-ratio interpolation expression.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         obs AS (
+           SELECT * FROM daily WHERE day(d) % 3 = 0),
+         span AS (
+           SELECT event_type, min(d) AS d0, max(d) AS d1
+           FROM obs GROUP BY 1),
+         spine AS (
+           SELECT event_type, CAST(t.d AS DATE) AS d
+           FROM span, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+         j AS (
+           SELECT s.event_type, s.d, o.y FROM spine s
+           LEFT JOIN obs o ON o.event_type = s.event_type AND o.d = s.d),
+         n AS (
+           SELECT event_type, d, y,
+                  last_value(CASE WHEN y IS NOT NULL THEN d END
+                    IGNORE NULLS) OVER wp AS pd,
+                  last_value(y IGNORE NULLS) OVER wp AS py,
+                  first_value(CASE WHEN y IS NOT NULL THEN d END
+                    IGNORE NULLS) OVER wn AS nd,
+                  first_value(y IGNORE NULLS) OVER wn AS ny
+           FROM j
+           WINDOW wp AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wn AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, d,
+                CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END AS observed,
+                round(CASE WHEN y IS NOT NULL THEN CAST(y AS DOUBLE)
+                      ELSE py + CAST(ny - py AS DOUBLE)
+                           * (CAST(date_diff('day', pd, d) AS DOUBLE)
+                              / date_diff('day', pd, nd)) END, 4)
+                  AS y_fill
+         FROM n ORDER BY event_type NULLS FIRST, d""",
+    "q_agg_lorenz" ->
+      // same (rev, custkey) total order into ntile(10), decimal sums,
+      // cumulative over the 10-row grid, one division per share.
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         d AS (
+           SELECT ntile(10) OVER (ORDER BY rev, o_custkey) AS decile,
+                  rev
+           FROM rev),
+         g AS (
+           SELECT decile, count(*) AS n_customers, sum(rev) AS drev
+           FROM d GROUP BY 1),
+         t AS (SELECT sum(drev) AS trev FROM g)
+         SELECT g.decile, g.n_customers,
+                CAST(round(g.drev, 4) AS DOUBLE) AS revenue,
+                round(CAST(g.drev AS DOUBLE) / CAST(t.trev AS DOUBLE), 4)
+                  AS share,
+                round(CAST(sum(g.drev) OVER (ORDER BY g.decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / CAST(t.trev AS DOUBLE), 4)
+                  AS cum_share
+         FROM g CROSS JOIN t ORDER BY g.decile""",
+    "q_evt_bot_score" ->
+      // identical four signals: integer numerators/denominators (gaps
+      // in integer seconds via // 1000000), each signal rounded to the
+      // grid, composite = the same literal-weighted left-to-right sum.
+      """WITH ev AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                  CAST(ts AS DATE) AS d, hour(ts) AS hr
+           FROM events),
+         gapped AS (
+           SELECT user_id, d, hr,
+                  (us - lag(us, 1) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id)) // 1000000 AS gap
+           FROM ev),
+         base AS (
+           SELECT user_id, count(*) AS n,
+                  count(DISTINCT d) AS days,
+                  count(CASE WHEN hr < 6 THEN 1 END) AS night,
+                  sum(gap) AS gs, sum(gap * gap) AS gs2,
+                  count(gap) AS gn
+           FROM gapped GROUP BY 1),
+         typed AS (
+           SELECT user_id, sum(c * (c - 1)) AS num, sum(c) AS tn
+           FROM (SELECT user_id, event_type, count(*) AS c
+                 FROM ev GROUP BY 1, 2) GROUP BY 1),
+         s AS (
+           SELECT b.user_id, b.n,
+                  round(CAST(b.n AS DOUBLE) / b.days, 4) AS rate,
+                  round(CAST(b.night AS DOUBLE) / b.n, 4) AS nocturnal,
+                  round(CAST(t.num AS DOUBLE)
+                        / nullif(t.tn * (t.tn - 1), 0), 4) AS monotony,
+                  round(1.0 / (1.0 +
+                    (CAST(b.gn * b.gs2 - b.gs * b.gs AS DOUBLE)
+                     / nullif(CAST(b.gs * b.gs AS DOUBLE), 0))), 4)
+                    AS regularity
+           FROM base b JOIN typed t USING (user_id))
+         SELECT user_id, n, rate, nocturnal, monotony, regularity,
+                round(0.3 * rate / 20.0 + 0.2 * nocturnal
+                      + 0.2 * monotony + 0.3 * regularity, 4)
+                  AS bot_score
+         FROM s ORDER BY bot_score DESC, user_id LIMIT 20""",
+    "q_ts_wow" ->
+      // integer weekly counts + decimal revenue from one contraction;
+      // every growth rate divides once (nullif ≡ try_divide); the MA
+      // requires a full 4-row frame on both sides.
+      """WITH weekly AS (
+           SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                  count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,2))) AS rev
+           FROM events GROUP BY 1),
+         w AS (
+           SELECT week, n, rev,
+                  lag(n, 1) OVER (ORDER BY week) AS pn,
+                  lag(rev, 1) OVER (ORDER BY week) AS prev,
+                  sum(n) OVER ma AS ma_n, count(*) OVER ma AS ma_c
+           FROM weekly
+           WINDOW ma AS (ORDER BY week
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         SELECT week, n, CAST(round(rev, 4) AS DOUBLE) AS revenue,
+                round(CAST(n - pn AS DOUBLE) / nullif(pn, 0), 4)
+                  AS wow_n_pct,
+                round(CAST(rev - prev AS DOUBLE)
+                      / nullif(CAST(prev AS DOUBLE), 0), 4)
+                  AS wow_rev_pct,
+                CASE WHEN ma_c = 4
+                     THEN round(CAST(ma_n AS DOUBLE) / 4.0, 4) END
+                  AS ma4_n
+         FROM w ORDER BY week""",
     "q_text_winnowing" ->
       // identical tokenization/gram slices (the decon_ngram parity),
       // identical sha-13-hex hash arithmetic, same window-of-4 min,

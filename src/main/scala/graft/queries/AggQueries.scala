@@ -673,6 +673,67 @@ object AggQueries {
       .orderBy("digit")
   }
 
+  /** q_agg_lorenz — the Lorenz curve behind q_agg_gini's scalar:
+    * customers ranked by revenue into deciles (ntile(10) over the
+    * ascending order), each decile's revenue share and the cumulative
+    * share — the "bottom 50% hold X%, top 10% hold Y%" readout that
+    * makes concentration legible where a single Gini number is not
+    * (two very different curves can share a Gini). Decimal-exact:
+    * per-decile revenue sums stay decimal, the cumulative sum runs
+    * over the 10-row grid, and each share divides the decimal total
+    * once; ntile ties resolve by the same (rev, custkey) total order
+    * as q_agg_gini, so decile membership is engine-identical. */
+  private val aggLorenz: Q = (s, dir) => {
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
+    val w = Window.orderBy(col("rev"), col("o_custkey"))
+    val deciles = rev.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), expr("sum(rev)").as("drev"))
+    val total = deciles.agg(expr("sum(drev)").as("trev"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles.crossJoin(broadcast(total))
+      .withColumn("crev", expr("sum(drev)").over(wCum))
+      .select(col("decile"), col("n_customers"),
+        expr("CAST(round(drev, 4) AS DOUBLE)").as("revenue"),
+        round(expr("CAST(drev AS DOUBLE)") / expr("CAST(trev AS DOUBLE)"),
+          4).as("share"),
+        round(expr("CAST(crev AS DOUBLE)") / expr("CAST(trev AS DOUBLE)"),
+          4).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** q_agg_iqr — Tukey-fence outlier audit per event type: exact
+    * interpolated Q1/Q3, the IQR, the 1.5·IQR fences, and counts
+    * outside each fence — the boxplot rule, the third member of the
+    * robust-profile family (q_agg_mad: median-centered; q_agg_winsorize:
+    * clamp-and-average; this: the classic fence counts dashboards
+    * draw). Fences are doubles derived from the exact interpolated
+    * quantiles via one shared expression (q1 − 1.5·iqr / q3 + 1.5·iqr,
+    * identical literals); the per-row fence comparisons then operate
+    * on engine-identical doubles, so the counts match without any
+    * boundary rounding. ≤types-row broadcast back onto one scan. */
+  private val aggIqr: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"))
+    val q = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+    ev.join(broadcast(q), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("lo"), 1)).as("n_below"),
+        count(when(col("value") > col("hi"), 1)).as("n_above"),
+        round(max("q1"), 4).as("q1"), round(max("q3"), 4).as("q3"),
+        round(max("iqr"), 4).as("iqr"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -942,6 +1003,8 @@ object AggQueries {
     "q_agg_hhi" -> aggHhi,
     "q_agg_weighted_median" -> aggWeightedMedian,
     "q_agg_benford" -> aggBenford,
+    "q_agg_lorenz" -> aggLorenz,
+    "q_agg_iqr" -> aggIqr,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -861,6 +861,71 @@ object PipelineQueries {
       .orderBy("d")
   }
 
+  /** q_evt_bot_score — composite bot-likelihood profile per user from
+    * four contracted signals: volume (events/active-day), nocturnality
+    * (share of events in 00:00–06:00 UTC), monotony (Simpson λ over
+    * event types — q_evt_diversity's index), and metronome regularity
+    * (coefficient of variation of inter-event gaps: a cron job's
+    * σ/μ → 0, a human's ≫ 0, inverted so regular = high) — the
+    * user-level curation filter that keeps scripted accounts out of a
+    * training corpus. Exactness stack: every signal's numerator and
+    * denominator is INTEGER (counts, microsecond gap sums and
+    * square-sums via the q_agg_moments expansion) divided once; each
+    * signal is ROUNDED to the 4-dp grid and the composite is a fixed
+    * literal-weighted sum of exactly four on-grid terms in one
+    * left-to-right expression — engine-identical. One exchange on
+    * user_id carries all four signals (the gap moments ride a window
+    * lag inside the same partitioning); top-20 by (score, user_id). */
+  private val evtBotScore: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        to_date(col("ts")).as("d"), hour(col("ts")).as("hr"))
+    val wLag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    // gaps in integer SECONDS (micros div 10^6): keeps gap² and the
+    // moment sums inside BIGINT on both engines (micros² would
+    // overflow ANSI long arithmetic at month-scale gaps)
+    val gapped = ev
+      .withColumn("gap_us", col("us") - lag("us", 1).over(wLag))
+      .withColumn("gap", expr("gap_us div 1000000"))
+    val base = gapped.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("d")).as("days"),
+        count(when(col("hr") < 6, 1)).as("night"),
+        sum("gap").as("gs"),
+        sum(col("gap") * col("gap")).as("gs2"),
+        count(col("gap")).as("gn"))
+    val typed = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum(col("c") * (col("c") - 1)).as("num"),
+        sum("c").as("tn"))
+    base.join(typed, "user_id")
+      .withColumn("rate", round(col("n").cast("double") / col("days"), 4))
+      .withColumn("nocturnal",
+        round(col("night").cast("double") / col("n"), 4))
+      .withColumn("monotony",
+        round(try_divide(col("num").cast("double"),
+          col("tn") * (col("tn") - 1)), 4))
+      // CV² = var/mean² expands to integer sums: (gn·gs2 − gs²)/gs²;
+      // regularity = 1/(1+CV²) — 1 for a perfect metronome, →0 for
+      // bursty humans. try_divide guards the 1-event user (gs NULL).
+      .withColumn("regularity",
+        round(try_divide(lit(1.0),
+          lit(1.0) + try_divide(
+            (col("gn") * col("gs2") - col("gs") * col("gs")).cast("double"),
+            (col("gs") * col("gs")).cast("double"))), 4))
+      .withColumn("bot_score",
+        round(lit(0.3) * col("rate") / lit(20.0) +
+          lit(0.2) * col("nocturnal") +
+          lit(0.2) * col("monotony") +
+          lit(0.3) * col("regularity"), 4))
+      .select("user_id", "n", "rate", "nocturnal", "monotony",
+        "regularity", "bot_score")
+      .orderBy(col("bot_score").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1590,6 +1655,7 @@ object PipelineQueries {
     "q_evt_seqpairs" -> evtSeqpairs,
     "q_evt_ltv_cohort" -> evtLtvCohort,
     "q_evt_slo_burn" -> evtSloBurn,
+    "q_evt_bot_score" -> evtBotScore,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

@@ -412,7 +412,16 @@ object TextQueries {
     * would quadratically flood the join and carries no pair signal);
     * the surviving join is the MinHash banding shape. */
   private val textWinnowing: Q = (s, dir) => {
-    val grams = Tables.load(s, dir, "documents")
+    // Shape note (measured, sf0.1): the tempting shuffle-free form —
+    // array HOFs doing the hash + winnow per row — is O(n²): Spark's
+    // CollapseProject inlines the sha-transform column into the
+    // per-window array_min(slice(...)) lambda, so every window
+    // re-hashes its grams (234 s vs 2.6 s). The explode+window form
+    // below pays one exchange on doc_id but stays LINEAR, and the
+    // fingerprint set is localCheckpoint'd because both readers (the
+    // hub-cut aggregate and the kept-join) would replay the sha
+    // pipeline otherwise.
+    val grams = Tables.parallelized(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         posexplode(TextSim.shingles(col("text"), 3)).as(Seq("i", "gram")))
       .withColumn("h",
@@ -424,6 +433,7 @@ object TextQueries {
       .withColumn("wn", count(lit(1)).over(w))
       .filter(col("wn") === 4)
       .select("doc_id", "mh").distinct()
+      .localCheckpoint()
     val rare = fps.groupBy("mh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= 50).select("mh")
     val kept = fps.join(rare, "mh")
@@ -462,6 +472,46 @@ object TextQueries {
       round(sum("occ").cast("double") / count(lit(1)), 4).as("mean_occ"),
       round(max("occ").cast("double") /
         (sum("occ").cast("double") / count(lit(1))), 4).as("skew"))
+  }
+
+  /** q_vec_matryoshka — dimension-truncation quality eval: for the
+    * vec_id=0 probe, the top-10 cosine neighbor sets under the FULL
+    * 64-dim embedding vs truncated 32- and 16-dim prefixes, reported
+    * as overlap counts and set-Jaccard per truncation — the
+    * measurement behind Matryoshka-style cost cuts ("can we store a
+    * quarter of the vector and keep the neighbors?"): storage drops
+    * linearly, this query prices the recall you pay. Determinism:
+    * every similarity is the established sequential-fold cosine
+    * rounded to 4 dp with vec_id tie-break, the truncation is an
+    * array slice (identical in both engines), and the overlap readout
+    * is integer set arithmetic on the three deterministic top-10
+    * sets. Three scans of the embedding table (one per dim), each the
+    * brute-force shape any §2.M index can replace. */
+  private val vecMatryoshka: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    def topIds(dims: Int): DataFrame = {
+      val sliced =
+        if (dims >= 64) emb.select(col("vec_id"), col("embedding").as("v"))
+        else emb.select(col("vec_id"),
+          slice(col("embedding"), 1, dims).as("v"))
+      val probe = sliced.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"))
+      sliced.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("sim", round(TextSim.cosine(col("v"), col("pv")), 4))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+    }
+    val full = topIds(64).withColumn("in_full", lit(1))
+    def overlapRow(dims: Int): DataFrame =
+      topIds(dims).join(full, Seq("vec_id"), "inner")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(dims).as("dims"), col("n_overlap"),
+          round(col("n_overlap").cast("double") /
+            (lit(20) - col("n_overlap")), 4).as("set_jaccard"))
+    overlapRow(16).unionAll(overlapRow(32))
+      .unionAll(overlapRow(64))
+      .orderBy("dims")
   }
 
   /** q_samp_importance — importance-weighted acceptance sampling over
@@ -1374,5 +1424,6 @@ object TextQueries {
     "q_samp_importance" -> sampImportance,
     "q_vec_ood" -> vecOod,
     "q_text_winnowing" -> textWinnowing,
+    "q_vec_matryoshka" -> vecMatryoshka,
     "q_vec_lsh_balance" -> vecLshBalance)
 }

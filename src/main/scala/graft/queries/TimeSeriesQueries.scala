@@ -261,11 +261,99 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_wow — week-over-week growth report: weekly event volume and
+    * decimal revenue, WoW growth rates, and the 4-week moving average
+    * of volume — the top-of-dashboard BI readout (q_ts_forecast_snaive
+    * asks "can we predict it"; this asks "which way is it moving and
+    * how fast"). Exactness: weekly counts INTEGER and revenue DECIMAL
+    * from one corpus contraction; WoW = (cur − prev)/prev divides
+    * integer (or decimal-cast-double) quantities once with
+    * oracle-identical structure (try_divide ≡ x/0 NULL for a zero
+    * prior week); the moving average requires a FULL 4-week frame
+    * (count = 4) and divides the integer frame sum by 4.0 once. Lag
+    * pairing is by the ordered weekly grid (weeks are dense here;
+    * by-date joins are the gap-safe variant, q_ts_forecast_snaive). */
+  private val tsWow: Q = (s, dir) => {
+    val weekly = Tables.load(s, dir, "events")
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(value AS DECIMAL(18,2)))").as("rev"))
+    val wOrd = Window.orderBy("week")
+    val wMa = Window.orderBy("week").rowsBetween(-3, 0)
+    weekly
+      .withColumn("pn", lag("n", 1).over(wOrd))
+      .withColumn("prev", lag("rev", 1).over(wOrd))
+      .withColumn("ma_n", sum("n").over(wMa))
+      .withColumn("ma_c", count(lit(1)).over(wMa))
+      .select(col("week"), col("n"),
+        expr("CAST(round(rev, 4) AS DOUBLE)").as("revenue"),
+        round(try_divide((col("n") - col("pn")).cast("double"),
+          col("pn")), 4).as("wow_n_pct"),
+        round(try_divide(
+          expr("CAST(rev - prev AS DOUBLE)"),
+          expr("CAST(prev AS DOUBLE)")), 4).as("wow_rev_pct"),
+        when(col("ma_c") === 4,
+          round(col("ma_n").cast("double") / lit(4.0), 4))
+          .as("ma4_n"))
+      .orderBy("week")
+  }
+
+  /** q_ts_interpolate — linear gap interpolation on a sparsified
+    * daily series: the observed series keeps only every third day
+    * (d mod 3 = 0 — a deterministic sparsification that prices the
+    * operator; real feeds arrive with real gaps), and every dropped
+    * day is rebuilt as the linear interpolation between its
+    * neighboring observations — the gap-fill primitive time-series
+    * stores ship natively (InfluxDB/Timescale `interpolate`) and the
+    * honest alternative to q_win_locf's step-fill when the metric
+    * trends. Mechanics: the dense day spine comes from a per-type
+    * sequence() (generated, not shuffled), prev/next observations
+    * attach via one last_value/first_value window pass each
+    * (IGNORE NULLS over the spine), and the interpolation weight
+    * (d−d₀)/(d₁−d₀) is an INTEGER day-difference ratio — one double
+    * division and one multiply-add per filled day, identical
+    * structure both engines. The spine spans [first, last]
+    * observation per type, so every filled day is a true
+    * interpolation — extrapolation beyond the observed span is
+    * structurally impossible, not just guarded. */
+  private val tsInterpolate: Q = (s, dir) => {
+    val obs = dailySeries(s, dir)
+      .filter(dayofmonth(col("d")) % 3 === 0)
+    val span = obs.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+    val spine = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val joined = spine.join(obs, Seq("event_type", "d"), "left")
+    val wPrev = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("pd", last(when(col("y").isNotNull, col("d")), true)
+        .over(wPrev))
+      .withColumn("py", last(col("y"), true).over(wPrev))
+      .withColumn("nd", first(when(col("y").isNotNull, col("d")), true)
+        .over(wNext))
+      .withColumn("ny", first(col("y"), true).over(wNext))
+      .withColumn("y_fill",
+        when(col("y").isNotNull, col("y").cast("double"))
+          .otherwise(col("py") +
+            (col("ny") - col("py")).cast("double") *
+              (datediff(col("d"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")))))
+      .select(col("event_type"), col("d"),
+        col("y").isNotNull.cast("int").as("observed"),
+        round(col("y_fill"), 4).as("y_fill"))
+      .orderBy(col("event_type").asc_nulls_first, col("d"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_ts_decompose" -> tsDecompose,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_anomaly" -> tsAnomaly,
     "q_ts_autocorr" -> tsAutocorr,
     "q_ts_forecast_snaive" -> tsForecastSnaive,
-    "q_ts_drawdown" -> tsDrawdown)
+    "q_ts_drawdown" -> tsDrawdown,
+    "q_ts_wow" -> tsWow,
+    "q_ts_interpolate" -> tsInterpolate)
 }

@@ -193,12 +193,27 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_benford" -> 0.4,
     // distinct-pair contraction + single-partition sweep
     "q_win_skyline" -> 0.4,
-    // per-gram sha over the corpus + window min + banding join
-    "q_text_winnowing" -> 1.2,
+    // per-gram sha over the corpus + window min + banding join; cost
+    // is 4 chained exchanges + the checkpoint materialization (2.1 s
+    // quiet via BenchOne after the parallelized-scan lift; the HOF
+    // shuffle-free form is O(n^2) via CollapseProject — see the op doc)
+    "q_text_winnowing" -> 1.5,
     // one corpus scan to the daily grid
     "q_evt_slo_burn" -> 0.4,
     // one bucket explode + two tiny aggregates
     "q_vec_lsh_balance" -> 0.4,
+    // contract-orders-first + global ntile over the customer dim
+    "q_agg_lorenz" -> 0.5,
+    // one user_id exchange (lag window + two aggregates + join)
+    "q_evt_bot_score" -> 0.7,
+    // one corpus contraction to the weekly grid
+    "q_ts_wow" -> 0.4,
+    // three brute-force probe scans (16/32/64-dim)
+    "q_vec_matryoshka" -> 0.6,
+    // quantile profile broadcast + one fence-count scan
+    "q_agg_iqr" -> 0.5,
+    // spine generate + two IGNORE-NULLS window passes on the grid
+    "q_ts_interpolate" -> 0.5,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,

@@ -757,6 +757,59 @@ class PlanQualitySpec extends SparkSpecBase {
       "nested-array collects lost the two-phase shape")
   }
 
+  test("q_join_spatial grid join is an equi-join, never a cross product") {
+    val p = plan("q_join_spatial")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "spatial join regressed to all-pairs:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on (cx, cy)")
+  }
+
+  test("q_evt_lifecycle derives prev/next from the array — no Window pass") {
+    val p = plan("q_evt_lifecycle")
+    assert(!p.contains("Window"),
+      "lifecycle should read prev/next week from the sorted collect_set " +
+        "array, not a second window pass over the corpus")
+    // (the max-week cross join is against a broadcast 1-row aggregate —
+    // a BroadcastNestedLoopJoin there is the intended shape)
+  }
+
+  test("q_text_winnowing pair join is banding-shaped (equi on fingerprint)") {
+    val p = plan("q_text_winnowing")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "winnowing pair join regressed to all-pairs")
+  }
+
+  test("q_agg_iqr broadcasts the quantile profile back onto the scan") {
+    assert(plan("q_agg_iqr").contains("BroadcastHashJoin"))
+  }
+
+  test("q_ts_autocorr broadcasts the per-type stats dim") {
+    assert(plan("q_ts_autocorr").contains("BroadcastHashJoin"))
+  }
+
+  test("q_win_skyline contracts to distinct pairs BEFORE the global sweep") {
+    val p = plan("q_win_skyline")
+    val agg = p.indexOf("HashAggregate")
+    val win = p.indexOf("Window")
+    assert(agg >= 0 && win >= 0 && agg > win,
+      // formatted explain lists operators leaves-last, so the
+      // aggregate (input of the window) must appear AFTER it
+      s"expected distinct-pair aggregate feeding the window sweep " +
+        s"(agg@$agg, window@$win)")
+  }
+
+  test("q_evt_bot_score reuses one user_id exchange for window + aggregate") {
+    val p = plan("q_evt_bot_score")
+    // the gap window and the base aggregate both key user_id — the
+    // second consumer must reuse, not re-shuffle
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE shows codegen stages only in the finalized plan → execute first
     val df = SparkEntry.queries("q_filter_range_disj")(spark, sf0001)
