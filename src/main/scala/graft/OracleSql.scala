@@ -2853,6 +2853,82 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_vec_dedup_sweep" ->
+      // quadratic join over the same slice — different algorithm from
+      // the replicated-block plan, same exact pair set (the
+      // q_join_spatial cross-check discipline); sims share the cosine
+      // fold parity; thresholds cast to the same IEEE doubles.
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 4 = 0),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         t AS (
+           SELECT CAST(x.t AS DOUBLE) AS threshold
+           FROM (VALUES (0.90), (0.95), (0.98), (0.99)) x(t)),
+         f AS (
+           SELECT t.threshold, p.id_a, p.id_b
+           FROM t JOIN p ON p.sim >= t.threshold),
+         np AS (
+           SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+         nd AS (
+           SELECT threshold, count(DISTINCT id) AS n_dup_docs
+           FROM (SELECT threshold, id_a AS id FROM f
+                 UNION ALL SELECT threshold, id_b FROM f)
+           GROUP BY 1),
+         nv AS (SELECT count(*) AS n_vec FROM e)
+         SELECT t.threshold,
+                coalesce(np.n_pairs, 0) AS n_pairs,
+                coalesce(nd.n_dup_docs, 0) AS n_dup_docs,
+                round(CAST(coalesce(nd.n_dup_docs, 0) AS DOUBLE)
+                      / nv.n_vec, 4) AS dup_doc_rate
+         FROM t LEFT JOIN np USING (threshold)
+                LEFT JOIN nd USING (threshold) CROSS JOIN nv
+         ORDER BY t.threshold""",
+    "q_agg_ab_ztest" ->
+      // four integers leave the corpus; identical closed-form z; the
+      // flag compares the rounded z.
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                           AND value > 90 THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS arm
+           FROM events GROUP BY user_id),
+         g AS (
+           SELECT count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+                  sum(CASE WHEN arm = 0 THEN conv END) AS c_a,
+                  count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+                  sum(CASE WHEN arm = 1 THEN conv END) AS c_b
+           FROM u),
+         s AS (
+           SELECT n_a, c_a, n_b, c_b,
+                  CAST(c_a AS DOUBLE) / n_a AS p_a,
+                  CAST(c_b AS DOUBLE) / n_b AS p_b,
+                  CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+           FROM g)
+         SELECT n_a, CAST(c_a AS BIGINT) AS c_a, round(p_a, 4) AS p_a,
+                n_b, CAST(c_b AS BIGINT) AS c_b, round(p_b, 4) AS p_b,
+                round((p_a - p_b)
+                      / sqrt(p_pool * (1.0 - p_pool)
+                             * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+                CASE WHEN abs(round((p_a - p_b)
+                      / sqrt(p_pool * (1.0 - p_pool)
+                             * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96
+                     THEN 1 ELSE 0 END AS significant
+         FROM s""",
+    "q_evt_heatmap" ->
+      // isodow ≡ weekday+1, hour ≡ hour; integer counts, one division
+      // against the weekday total.
+      """WITH cells AS (
+           SELECT isodow(ts) AS dow, hour(ts) AS hr, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         dt AS (SELECT dow, sum(n) AS dn FROM cells GROUP BY 1)
+         SELECT c.dow, c.hr, c.n,
+                round(CAST(c.n AS DOUBLE) / dt.dn, 4) AS dow_share
+         FROM cells c JOIN dt USING (dow)
+         ORDER BY c.dow, c.hr""",
     "q_vec_matryoshka" ->
       // identical slices, the list_cosine_similarity ≡ TextSim.cosine
       // fold parity, identical (sim desc, vec_id) top-10 cuts, integer

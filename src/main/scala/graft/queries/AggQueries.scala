@@ -734,6 +734,49 @@ object AggQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_agg_ab_ztest — two-proportion z-test between experiment arms
+    * (user_id parity as the assignment — deterministic, the hash-split
+    * stand-in): arm conversion = "user made ≥1 purchase", pooled-SE
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the |z| > 1.96 call —
+    * THE A/B readout (q_agg_ttest compares means of a metric;
+    * q_evt_conversion_ci intervals one rate; this decides between two
+    * rates). Exactness: four integers (per-arm users and converters)
+    * leave the corpus — the per-user conversion flag collapses
+    * map-side — and every derived quantity is one closed-form double
+    * expression shared literally with the oracle; the significance
+    * flag compares the ROUNDED z against 1.96 (boundary discipline). */
+  private val aggAbZtest: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      // conversion = a HIGH-VALUE purchase (value > 90): with ~700
+      // events/user at demo scale, "any purchase" converts everyone
+      // and p_pool→1 degenerates the pooled SE to 0 — the rare-event
+      // definition keeps both arms strictly inside (0,1), and
+      // try_divide guards the degenerate case anyway (NULL z → flag 0
+      // via the CASE, identically in DuckDB).
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 90, 1).otherwise(0)).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    users.agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv"))).as("c_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv"))).as("c_b"))
+      .withColumn("p_a", col("c_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("c_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b")))
+      .withColumn("z", round(
+        try_divide(col("p_a") - col("p_b"),
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 4))
+      .select(col("n_a"), col("c_a"), round(col("p_a"), 4).as("p_a"),
+        col("n_b"), col("c_b"), round(col("p_b"), 4).as("p_b"),
+        col("z"),
+        when(abs(col("z")) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -1005,6 +1048,7 @@ object AggQueries {
     "q_agg_benford" -> aggBenford,
     "q_agg_lorenz" -> aggLorenz,
     "q_agg_iqr" -> aggIqr,
+    "q_agg_ab_ztest" -> aggAbZtest,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

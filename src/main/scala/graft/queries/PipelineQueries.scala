@@ -926,6 +926,27 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** q_evt_heatmap — activity heatmap: event counts per (ISO weekday,
+    * hour-of-day) cell plus each cell's share of its weekday — the
+    * dashboard grid behind staffing, maintenance-window, and
+    * anomaly-baseline decisions ("Tuesday 3 a.m. is quiet" is this
+    * query). Integer counts from one two-phase aggregate over the
+    * corpus (the 168-cell grid is the contraction); the share is one
+    * division against the weekday total attached via a ≤7-row
+    * broadcast. weekday(ts)+1 ≡ isodow, hour(ts) ≡ hour — the
+    * established calendar parity. */
+  private val evtHeatmap: Q = (s, dir) => {
+    val cells = Tables.load(s, dir, "events")
+      .groupBy((weekday(col("ts")) + lit(1)).as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val dowTot = cells.groupBy("dow").agg(sum("n").as("dn"))
+    cells.join(broadcast(dowTot), "dow")
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("dn"), 4).as("dow_share"))
+      .orderBy("dow", "hr")
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1656,6 +1677,7 @@ object PipelineQueries {
     "q_evt_ltv_cohort" -> evtLtvCohort,
     "q_evt_slo_burn" -> evtSloBurn,
     "q_evt_bot_score" -> evtBotScore,
+    "q_evt_heatmap" -> evtHeatmap,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

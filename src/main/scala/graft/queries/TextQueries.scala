@@ -514,6 +514,46 @@ object TextQueries {
       .orderBy("dims")
   }
 
+  /** q_vec_dedup_sweep — dedup-threshold calibration curve: exact
+    * near-dup pair counts and affected-doc rates at cosine ≥
+    * {0.90, 0.95, 0.98, 0.99} over the vec_id%4 slice — the tuning
+    * readout that decides where a corpus dedup draws its line (too
+    * low deletes paraphrases, too high keeps mirror copies; this
+    * query shows the knee). ONE pair materialization at the loosest
+    * threshold ([[TextSim.cosineDedupBlockedExact]] — exact, the
+    * replicated-block join, localCheckpoint'd), then every tighter
+    * threshold is a filter over that small pair set — never a scan
+    * per threshold. Sims are the established rounded fold; zero-pair
+    * thresholds survive via the left join from the threshold dim.
+    * Oracle runs the quadratic join over the same slice — same
+    * answer, different algorithm (the q_join_spatial discipline). */
+  private val vecDedupSweep: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+    val pairs = TextSim.cosineDedupBlockedExact(emb, 0.90)
+      .localCheckpoint()
+    val nTot = emb.agg(count(lit(1)).as("n_vec"))
+    import s.implicits._
+    val thr = Seq(0.90, 0.95, 0.98, 0.99).toDF("threshold")
+    val hits = pairs.crossJoin(broadcast(thr))
+      .filter(col("sim") >= col("threshold"))
+    val np = hits.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = hits
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b")))
+        .as("id"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("id")).as("n_dup_docs"))
+    thr.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+          col("n_vec"), 4).as("dup_doc_rate"))
+      .orderBy("threshold")
+  }
+
   /** q_samp_importance — importance-weighted acceptance sampling over
     * the document corpus: each doc keeps with probability
     * w = min(1, n_chars/1000) — the "keep the substantive docs,
@@ -1425,5 +1465,6 @@ object TextQueries {
     "q_vec_ood" -> vecOod,
     "q_text_winnowing" -> textWinnowing,
     "q_vec_matryoshka" -> vecMatryoshka,
+    "q_vec_dedup_sweep" -> vecDedupSweep,
     "q_vec_lsh_balance" -> vecLshBalance)
 }

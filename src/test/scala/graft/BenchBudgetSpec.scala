@@ -214,6 +214,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_iqr" -> 0.5,
     // spine generate + two IGNORE-NULLS window passes on the grid
     "q_ts_interpolate" -> 0.5,
+    // one blocked-exact pair build on the %4 slice + filters
+    "q_vec_dedup_sweep" -> 0.9,
+    // per-user flag contraction + one closed-form row
+    "q_agg_ab_ztest" -> 0.4,
+    // 168-cell contraction + broadcast share
+    "q_evt_heatmap" -> 0.4,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
