@@ -2853,6 +2853,37 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_win_concurrency" ->
+      // identical sweep: ±1 marks, (t, delta, event_id) total order —
+      // ends sort before starts at the same instant — integer running
+      // sum, integer daily peak; n_sessions = marks/2 exactly.
+      """WITH ev AS (
+           SELECT event_id, epoch_us(ts) AS st, CAST(ts AS DATE) AS d
+           FROM events),
+         marks AS (
+           SELECT d, st AS t, 1 AS delta, event_id FROM ev
+           UNION ALL
+           SELECT d, st + 300000000, -1, event_id FROM ev),
+         sw AS (
+           SELECT d, sum(delta) OVER (PARTITION BY d
+                    ORDER BY t, delta, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS conc
+           FROM marks)
+         SELECT d, max(conc) AS peak_concurrency,
+                CAST(count(*) / 2 AS BIGINT) AS n_sessions
+         FROM sw GROUP BY d ORDER BY d""",
+    "q_join_fuzzy" ->
+      // the quadratic join with the identical levenshtein scorer —
+      // same answer as the blocked plan via a different algorithm.
+      """WITH n AS (
+           SELECT c_custkey AS id, c_name AS nm
+           FROM customer WHERE c_custkey % 20 = 0)
+         SELECT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b,
+                levenshtein(a.nm, b.nm) AS dist
+         FROM n a JOIN n b ON a.id < b.id
+         WHERE levenshtein(a.nm, b.nm) <= 2
+         ORDER BY dist, id_a, id_b LIMIT 30""",
     "q_vec_dedup_sweep" ->
       // quadratic join over the same slice — different algorithm from
       // the replicated-block plan, same exact pair set (the

@@ -307,7 +307,51 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** q_join_fuzzy — edit-distance self-join (entity resolution): all
+    * customer-name pairs within Levenshtein distance ≤ 2 on the
+    * custkey%20 slice, top-30 by (distance, pair) — the record-linkage
+    * primitive behind dedupe-the-CRM, match-the-vendor-list, and
+    * "same entity, two spellings". Scale: a naive fuzzy join is a
+    * cross product with an O(len²) scorer per pair; PIGEONHOLE
+    * BLOCKING makes it an equi-join — split each name into 3
+    * fixed-position thirds; ≤2 edits can corrupt at most 2 of them,
+    * so every qualifying pair agrees EXACTLY on at least one
+    * (block_id, third) key. Three block passes ride one explode,
+    * the candidate equi-join carries only same-third pairs, distinct
+    * dedups multi-block survivors, and the exact scorer runs on
+    * candidates only — substitution-edit recall is structural
+    * (pigeonhole over aligned fixed-width thirds), and shift-edit
+    * pairs on this fixture ride the shared low-key prefix block.
+    * Honesty note: small keys in the 9-digit field make the leading
+    * third constant, so its block spans the slice — the fixture
+    * prices the PIPELINE shape (explode → equi-join → distinct →
+    * scorer) while real mixed-prefix corpora get the full pruning;
+    * variable-length corpora block on (length band, third). The
+    * oracle is the quadratic join with the same scorer: same answer,
+    * different algorithm. */
+  private val joinFuzzy: Q = (s, dir) => {
+    val names = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+    val blocked = names
+      .withColumn("b", explode(sequence(lit(0), lit(2))))
+      .withColumn("third", expr("substring(nm, 10 + b * 3, 3)"))
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.b") === col("y.b") && col("x.third") === col("y.third") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("x.nm").as("nm_a"),
+        col("y.id").as("id_b"), col("y.nm").as("nm_b"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("nm_a"), col("nm_b"),
+        col("dist"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(30)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_join_fuzzy" -> joinFuzzy,
     "q_join_spatial" -> joinSpatial,
     "q_join_nullsafe" -> joinNullsafe,
     "q_proj_select" -> projSelect,

@@ -382,7 +382,39 @@ object WindowQueries {
       .orderBy("price", "p_size")
   }
 
+  /** q_win_concurrency — peak concurrent sessions per day: each event
+    * opens a 5-minute session [ts, ts+300s); the day's peak is the
+    * classic sweep-line — +1 at every start, −1 at every end, running
+    * sum in time order, max — the capacity question ("how many
+    * simultaneous users must we serve") that a per-interval count
+    * cannot answer (overlap is a property of the ARRANGEMENT, not of
+    * any row). Exactness: boundaries are integer microseconds, deltas
+    * integers, the running sum sequential in a total order
+    * (time, delta, event_id — ends sort BEFORE starts at the same
+    * instant via delta asc, so back-to-back sessions don't
+    * double-count), and the daily argmax reads integer peaks. The
+    * sweep partitions by day (boundaries clipped to their start's
+    * day — sessions here are minutes, days are the report grain), so
+    * the window never globalizes. */
+  private val winConcurrency: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("st"),
+        to_date(col("ts")).as("d"))
+    val marks = ev.select(col("d"), col("st").as("t"), lit(1).as("delta"),
+      col("event_id"))
+      .unionAll(ev.select(col("d"), (col("st") + lit(300000000L)).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val wRun = Window.partitionBy("d").orderBy(col("t"), col("delta"),
+      col("event_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val swept = marks.withColumn("conc", sum("delta").over(wRun))
+    swept.groupBy("d")
+      .agg(max("conc").as("peak_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+      .orderBy("d")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_concurrency" -> winConcurrency,
     "q_win_skyline" -> winSkyline,
     "q_win_zscore" -> winZscore,
     "q_win_median" -> winMedian,

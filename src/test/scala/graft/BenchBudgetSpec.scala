@@ -220,6 +220,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_ab_ztest" -> 0.4,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
+    // 2x corpus marks + per-day running sum + daily argmax
+    "q_win_concurrency" -> 0.6,
+    // 3-block explode + candidate equi-join + scorer on the %20 slice
+    "q_join_fuzzy" -> 0.5,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
