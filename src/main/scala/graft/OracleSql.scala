@@ -2853,6 +2853,39 @@ object OracleSql {
                              CAST(tot AS DOUBLE) / n AS mu
                       FROM st) s USING (event_type)
          ORDER BY a.event_type NULLS FIRST, a.k""",
+    "q_src_file_meta" ->
+      // the sink-oracle rule: recompute the SEMANTIC answer from the
+      // source — one deterministic file per event_date means the
+      // per-file audit must equal the per-day counts, with every row's
+      // path date consistent.
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS path_date,
+                count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+                count(*) AS n_consistent
+         FROM events GROUP BY 1 ORDER BY path_date""",
+    "q_etl_impute" ->
+      // identical sparsification, exact interpolated median rounded to
+      // the 2-dp value grid, identical decimal-sum/single-division
+      // means.
+      """WITH ev AS (
+           SELECT event_id, event_type,
+                  CASE WHEN event_id % 7 <> 0 THEN value END AS v
+           FROM events),
+         med AS (
+           SELECT event_type, round(quantile_cont(v, 0.5), 2) AS vmed
+           FROM ev WHERE v IS NOT NULL GROUP BY 1),
+         f AS (
+           SELECT ev.event_type, ev.v, med.vmed,
+                  coalesce(ev.v, med.vmed) AS v_fill
+           FROM ev JOIN med USING (event_type))
+         SELECT event_type, count(v) AS n_observed,
+                count(CASE WHEN v IS NULL THEN 1 END) AS n_imputed,
+                round(max(vmed), 2) AS imputed_value,
+                round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(v), 4) AS mean_observed,
+                round(CAST(sum(CAST(v_fill AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(v_fill), 4) AS mean_filled
+         FROM f GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "q_win_concurrency" ->
       // identical sweep: ±1 marks, (t, delta, event_id) total order —
       // ends sort before starts at the same instant — integer running

@@ -947,6 +947,39 @@ object PipelineQueries {
       .orderBy("dow", "hr")
   }
 
+  /** q_etl_impute — median imputation audit: values are sparsified
+    * deterministically (event_id % 7 = 0 → NULL, the locf/interpolate
+    * discipline for pricing a fill operator), each NULL is imputed
+    * with its event type's EXACT median of the surviving values, and
+    * the audit reports per type: observed/imputed counts, the imputed
+    * median, and the mean before vs after — the ML-prep fill step
+    * (median, not mean: one whale in the observed slice would drag
+    * every imputed row with it). Two-phase: median profile per type
+    * (exact interpolated percentile ≡ quantile_cont), ≤types-row
+    * broadcast back, coalesce, aggregate. Means are decimal-exact
+    * (2-dp values; the imputed median lands on the same grid after a
+    * 2-dp round — pinned so the decimal cast is lossless on both
+    * engines), divided once. */
+  private val etlImpute: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 =!= 0, col("value")).as("v"))
+    val med = ev.filter(col("v").isNotNull)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(v, 0.5)"), 2).as("vmed"))
+    ev.join(broadcast(med), "event_type")
+      .withColumn("v_fill", coalesce(col("v"), col("vmed")))
+      .groupBy("event_type")
+      .agg(count(col("v")).as("n_observed"),
+        count(when(col("v").isNull, 1)).as("n_imputed"),
+        round(max("vmed"), 2).as("imputed_value"),
+        round(expr("CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)") /
+          count(col("v")), 4).as("mean_observed"),
+        round(expr("CAST(sum(CAST(v_fill AS DECIMAL(18,2))) AS DOUBLE)") /
+          count(col("v_fill")), 4).as("mean_filled"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_evt_attribution — last-touch attribution: each purchase is
     * credited to the user's most recent PRECEDING marketing touch
     * (view/click), the conversion-credit query of every funnel report.
@@ -1678,6 +1711,7 @@ object PipelineQueries {
     "q_evt_slo_burn" -> evtSloBurn,
     "q_evt_bot_score" -> evtBotScore,
     "q_evt_heatmap" -> evtHeatmap,
+    "q_etl_impute" -> etlImpute,
     "q_evt_attribution" -> evtAttribution,
     "q_evt_anomaly" -> evtAnomaly,
     "q_etl_backfill" -> etlBackfill,

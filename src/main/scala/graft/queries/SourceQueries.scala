@@ -253,6 +253,38 @@ object SourceQueries {
           .as("sum_value"))
   }
 
+  /** q_src_file_meta — the hidden `_metadata` file-source column: the
+    * events table is laid out as one file per event_date partition,
+    * read back WITH `_metadata.file_path`, and audited file-by-file —
+    * rows per file and the partition value parsed back out of the
+    * physical path — the "which file does each row come from"
+    * capability behind incremental-load bookkeeping, bad-file triage,
+    * and per-file freshness (a lake without row→file provenance
+    * cannot quarantine a bad producer). The layout is DETERMINISTIC
+    * (repartition(1) per partition value → exactly one file per day),
+    * so the per-file audit ≡ the per-day counts the oracle recomputes
+    * from the source — the read-back must reproduce it through the
+    * metadata column, not the data. */
+  private val srcFileMeta: Q = (s, dir) => {
+    val out = freshSinkDir("file_meta")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        to_date(col("ts")).as("event_date"))
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("event_id"), col("event_date"),
+        col("_metadata.file_path").as("fp"))
+      .withColumn("path_date",
+        regexp_extract(col("fp"), "event_date=([0-9-]+)", 1))
+      .groupBy("path_date")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fp")).as("n_files"),
+        count(when(col("path_date") === col("event_date").cast("string"),
+          1)).as("n_consistent"))
+      .orderBy("path_date")
+  }
+
   private val srcNdjson: Q = (s, dir) => {
     val path = ndjsonFixture(s, dir)
     s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
@@ -582,6 +614,7 @@ object SourceQueries {
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
     "q_src_corrupt" -> srcCorrupt,
+    "q_src_file_meta" -> srcFileMeta,
     "q_src_xml" -> srcXml,
     "q_src_orc" -> srcOrc,
     "q_src_binary" -> srcBinary,

@@ -224,6 +224,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_win_concurrency" -> 0.6,
     // 3-block explode + candidate equi-join + scorer on the %20 slice
     "q_join_fuzzy" -> 0.5,
+    // partitioned write (30 files) + metadata-column read-back
+    "q_src_file_meta" -> 1.2,
+    // median profile broadcast + coalesce + one aggregate
+    "q_etl_impute" -> 0.5,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
