@@ -336,13 +336,21 @@ object RelationalQueries {
     val blocked = names
       .withColumn("b", explode(sequence(lit(0), lit(2))))
       .withColumn("third", expr("substring(nm, 10 + b * 3, 3)"))
+    // candidates dedup on the two ids ONLY — a distinct over rows
+    // carrying both name strings shuffles ~3× wider rows for the same
+    // set (measured 2.1 s vs 0.8 s at sf0.1); names re-attach from the
+    // broadcast slice and the scorer runs once per surviving pair.
     val cand = blocked.as("x").join(blocked.as("y"),
         col("x.b") === col("y.b") && col("x.third") === col("y.third") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("x.nm").as("nm_a"),
-        col("y.id").as("id_b"), col("y.nm").as("nm_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cand.withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+    cand
+      .join(broadcast(names.select(col("id").as("id_a"),
+        col("nm").as("nm_a"))), "id_a")
+      .join(broadcast(names.select(col("id").as("id_b"),
+        col("nm").as("nm_b"))), "id_b")
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
       .filter(col("dist") <= 2)
       .select(col("id_a"), col("id_b"), col("nm_a"), col("nm_b"),
         col("dist"))

@@ -222,8 +222,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
     "q_win_concurrency" -> 0.6,
-    // 3-block explode + candidate equi-join + scorer on the %20 slice
-    "q_join_fuzzy" -> 0.5,
+    // 3-block explode + candidate equi-join + scorer on the %20 slice;
+    // the fixture's constant leading third makes the candidate set
+    // quadratic in the slice (~280k id pairs), so the dedup + scorer
+    // dominate (id-only distinct; names re-attach broadcast)
+    "q_join_fuzzy" -> 0.8,
     // partitioned write (30 files) + metadata-column read-back
     "q_src_file_meta" -> 1.2,
     // median profile broadcast + coalesce + one aggregate
