@@ -884,6 +884,24 @@ object OracleSql {
                 round(max(r.rate), 4) AS rate
          FROM b JOIN r USING (lang)
          GROUP BY r.lang ORDER BY r.lang""",
+    "q_samp_balanced" ->
+      // identical sha-bucket ordering key; quota = min class size;
+      // doc_id breaks bucket ties so row_number is total.
+      """WITH d AS (
+           SELECT lang, doc_id,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) AS bucket
+           FROM documents),
+         q AS (SELECT min(n) AS quota FROM
+                 (SELECT count(*) AS n FROM d GROUP BY lang)),
+         r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY bucket, doc_id) AS rn
+           FROM d)
+         SELECT lang, rn, doc_id FROM r CROSS JOIN q
+         WHERE rn <= quota ORDER BY lang, rn""",
     // Mirrors textNgramLm: same tokenization, same term-frequency join,
     // ln only in the rounded output (±1 ulp libm drift « 4-dp grid).
     "q_text_ngram_lm" ->
@@ -2982,6 +3000,70 @@ object OracleSql {
                              * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96
                      THEN 1 ELSE 0 END AS significant
          FROM s""",
+    "q_agg_ks_test" ->
+      // integer sup-gap numerator (cum₁·n₂ − cum₂·n₁) maxed exactly;
+      // the division and √ are the shared closed form; the reject flag
+      // compares 6-dp-rounded values.
+      """WITH grid AS (
+           SELECT o_totalprice,
+                  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cf,
+                  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS co
+           FROM orders WHERE o_orderstatus IN ('F', 'O')
+           GROUP BY 1),
+         gaps AS (
+           SELECT CAST(sum(cf) OVER (ORDER BY o_totalprice
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum_f,
+                  CAST(sum(co) OVER (ORDER BY o_totalprice
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum_o,
+                  CAST(sum(cf) OVER () AS HUGEINT) AS tf,
+                  CAST(sum(co) OVER () AS HUGEINT) AS tto
+           FROM grid),
+         agg AS (
+           SELECT CAST(max(tf) AS BIGINT) AS n_f,
+                  CAST(max(tto) AS BIGINT) AS n_o,
+                  max(abs(cum_f * tto - cum_o * tf)) AS d_num
+           FROM gaps),
+         d AS (
+           SELECT n_f, n_o,
+                  round(CAST(d_num AS DOUBLE)
+                        / (CAST(n_f AS DOUBLE) * CAST(n_o AS DOUBLE)),
+                        6) AS d_stat
+           FROM agg)
+         SELECT n_f, n_o, d_stat,
+                round(d_stat * sqrt(1.0 / (CAST(1.0 AS DOUBLE) / n_f
+                      + CAST(1.0 AS DOUBLE) / n_o)), 4) AS ks_stat,
+                CASE WHEN d_stat >
+                  round(1.358 * sqrt(CAST(1.0 AS DOUBLE) / n_f
+                        + CAST(1.0 AS DOUBLE) / n_o), 6)
+                  THEN 1 ELSE 0 END AS reject
+         FROM d""",
+    "q_agg_spearman" ->
+      // doubled mid-ranks are pure integers; co-moment sums in HUGEINT
+      // (≡ Spark's decimal(38,0)) are exact; one shared closed-form
+      // double division.
+      """WITH r AS (
+           SELECT l_returnflag,
+                  CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_quantity)
+                       + count(*) OVER (PARTITION BY l_returnflag,
+                         l_quantity) - 1 AS HUGEINT) AS rx2,
+                  CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice)
+                       + count(*) OVER (PARTITION BY l_returnflag,
+                         l_extendedprice) - 1 AS HUGEINT) AS ry2
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                  sum(rx2) AS sx, sum(ry2) AS sy,
+                  sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+                  sum(rx2 * ry2) AS sxy
+           FROM r GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                      4) AS rho
+         FROM g ORDER BY l_returnflag""",
     "q_evt_heatmap" ->
       // isodow ≡ weekday+1, hour ≡ hour; integer counts, one division
       // against the weekday total.

@@ -777,6 +777,100 @@ object AggQueries {
         when(abs(col("z")) > 1.96, 1).otherwise(0).as("significant"))
   }
 
+  /** q_agg_ks_test — two-sample Kolmogorov–Smirnov test on the order
+    * price distribution between finished ('F') and open ('O') orders:
+    * D = max |F₁(x) − F₂(x)| over the pooled support, the KS statistic
+    * √(n₁n₂/(n₁+n₂))·D, and the α=0.05 reject call (c(α)=1.358) — THE
+    * nonparametric distribution-shift detector (q_agg_ab_ztest compares
+    * two rates, q_agg_ttest two means; this compares two whole
+    * DISTRIBUTIONS, the drift monitor between a training corpus and
+    * production traffic). Exactness: contract to the distinct-value
+    * grid first (counts per 2-dp price), then ONE window over the grid
+    * builds both empirical CDFs as integer cumulative counts, and the
+    * sup-gap maximizes the INTEGER |cum₁·n₂ − cum₂·n₁| — D's numerator
+    * never touches a float, so the max is exact; the single division
+    * and the √ readout are one closed-form double shared literally with
+    * the oracle, and the reject flag compares ROUNDED values (boundary
+    * discipline). Scale: the window sorts the distinct-value grid, not
+    * the corpus (a price domain is bounded; the corpus contraction is
+    * the map-side combine) — the cross products are decimal(38) so two
+    * 10-figure sample sizes cannot overflow the integer numerator. */
+  private val aggKsTest: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+    val grid = o.groupBy("o_totalprice")
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("cf"),
+        count(when(col("o_orderstatus") === "O", 1)).as("co"))
+    val w = Window.orderBy("o_totalprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val gaps = grid
+      .withColumn("cum_f", sum("cf").over(w).cast("decimal(38,0)"))
+      .withColumn("cum_o", sum("co").over(w).cast("decimal(38,0)"))
+      .withColumn("tf", sum("cf").over(wAll).cast("decimal(38,0)"))
+      .withColumn("to", sum("co").over(wAll).cast("decimal(38,0)"))
+    gaps.agg(
+      max("tf").cast("long").as("n_f"),
+      max("to").cast("long").as("n_o"),
+      max(abs(col("cum_f") * col("to") -
+        col("cum_o") * col("tf"))).as("d_num"))
+      .select(col("n_f"), col("n_o"),
+        round(col("d_num").cast("double") /
+          (col("n_f").cast("double") * col("n_o").cast("double")), 6)
+          .as("d_stat"))
+      .withColumn("ks_stat", round(
+        col("d_stat") * sqrt(lit(1.0) /
+          (lit(1.0) / col("n_f") + lit(1.0) / col("n_o"))), 4))
+      .withColumn("reject", when(col("d_stat") >
+        round(lit(1.358) * sqrt(lit(1.0) / col("n_f") +
+          lit(1.0) / col("n_o")), 6), 1).otherwise(0))
+  }
+
+  /** q_agg_spearman — Spearman rank correlation between quantity and
+    * extended price per return flag: mid-rank (average-rank) ties,
+    * then Pearson on the ranks — the monotone-association readout
+    * robust to the outliers and nonlinearity that sink q_agg_corr's
+    * Pearson (feature screening runs BOTH; a large gap between them is
+    * itself the signal). Exactness: mid-ranks are half-integers, so the
+    * op carries DOUBLED ranks (2·rank() + count(ties) − 1 from the two
+    * rank windows — pure integers), accumulates the five co-moment sums
+    * in decimal(38) (exact at any corpus size), and evaluates the
+    * textbook rho = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) as one
+    * closed-form double shared literally with the oracle — the ×2 rank
+    * scaling cancels. Scale: two per-group window sorts over the corpus
+    * (ranking IS a sort — same bound as q_agg_weighted_median); the
+    * co-moment reduction collapses map-side to five decimals per
+    * group. */
+  private val aggSpearman: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+    val wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val wxt = Window.partitionBy("l_returnflag", "l_quantity")
+    val wy = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice")
+    val wyt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    val ranked = li
+      .withColumn("rx2", (lit(2) * rank().over(wx) +
+        count(lit(1)).over(wxt) - 1).cast("decimal(38,0)"))
+      .withColumn("ry2", (lit(2) * rank().over(wy) +
+        count(lit(1)).over(wyt) - 1).cast("decimal(38,0)"))
+    ranked.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("rx2").as("sx"), sum("ry2").as("sy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"),
+        sum(col("rx2") * col("ry2")).as("sxy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 4).as("rho"))
+      .orderBy("l_returnflag")
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -1049,6 +1143,8 @@ object AggQueries {
     "q_agg_lorenz" -> aggLorenz,
     "q_agg_iqr" -> aggIqr,
     "q_agg_ab_ztest" -> aggAbZtest,
+    "q_agg_ks_test" -> aggKsTest,
+    "q_agg_spearman" -> aggSpearman,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -1054,6 +1054,37 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** q_samp_balanced — exact class-balanced downsampling: every
+    * language keeps precisely quota = min(class size) docs, selected as
+    * the quota smallest sha-buckets within the class — the
+    * equal-representation cut an eval-set builder makes (temperature
+    * rebalancing flattens proportions; THIS equalizes them outright,
+    * and returns the kept rows, not just an audit). Determinism: the
+    * ordering key is (sha-bucket(doc_id), doc_id) — a pure function of
+    * the row, so reruns and repartitions keep the identical sample;
+    * doc_id breaks bucket collisions so row_number is total. Scale: the
+    * quota is a 1-row broadcast; the per-class ranking is one window
+    * sort partitioned BY CLASS (each class sorts independently —
+    * corpus-wide parallelism is the number of classes × the partial
+    * sort; a billion-doc class would swap row_number for a two-pass
+    * bucket-threshold count, the q_samp_temperature shape, at the cost
+    * of exactness in the quota). */
+  private val sampBalanced: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 7),
+          16, 10).cast("long"))
+    val quota = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("quota"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("bucket"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rn") <= col("quota"))
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** q_text_ngram_lm — unigram language-model quality score: corpus
     * term frequencies define p(term) = freq/total, and each doc scores
     * its per-token cross-entropy −Σ ln p(t) / n_tok (nats) — the
@@ -1417,6 +1448,7 @@ object TextQueries {
     "q_vec_dimstats" -> vecDimstats,
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,
+    "q_samp_balanced" -> sampBalanced,
     "q_text_ngram_lm" -> textNgramLm,
     "q_text_boilerplate" -> textBoilerplate,
     "q_text_feature_hash" -> textFeatureHash,

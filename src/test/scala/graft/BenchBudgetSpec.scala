@@ -218,6 +218,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_dedup_sweep" -> 0.9,
     // per-user flag contraction + one closed-form row
     "q_agg_ab_ztest" -> 0.4,
+    // distinct-price grid window (orders-sized, single partition)
+    "q_agg_ks_test" -> 0.6,
+    // two per-group rank windows over lineitem + decimal co-moments
+    "q_agg_spearman" -> 1.5,
+    // per-class window sort over documents + 1-row quota broadcast
+    "q_samp_balanced" -> 0.4,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
