@@ -3064,6 +3064,44 @@ object OracleSql {
                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
                       4) AS rho
          FROM g ORDER BY l_returnflag""",
+    "q_agg_basket" ->
+      // distinct (order, brand) contraction; A-Priori item prune at
+      // the same rounded 1% cut; integer-ratio stats, rounded support
+      // compared (boundary discipline).
+      """WITH ob AS (
+           SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+         bc AS (
+           SELECT brand, count(*) AS n_item FROM ob GROUP BY 1),
+         freq AS (
+           SELECT brand, n_item FROM bc CROSS JOIN tot
+           WHERE round(CAST(n_item AS DOUBLE) / n_orders, 6) >= 0.01),
+         pairs AS (
+           SELECT a.brand AS brand_a, b.brand AS brand_b,
+                  count(*) AS n_ab
+           FROM (SELECT okey, brand FROM ob
+                 WHERE brand IN (SELECT brand FROM freq)) a
+           JOIN (SELECT okey, brand FROM ob
+                 WHERE brand IN (SELECT brand FROM freq)) b
+             ON a.okey = b.okey AND a.brand < b.brand
+           GROUP BY 1, 2),
+         st AS (
+           SELECT brand_a, brand_b, n_ab,
+                  round(CAST(n_ab AS DOUBLE) / t.n_orders, 6)
+                    AS support,
+                  round(CAST(n_ab AS DOUBLE) / fa.n_item, 4)
+                    AS confidence,
+                  round((CAST(n_ab AS DOUBLE) * t.n_orders)
+                        / (CAST(fa.n_item AS DOUBLE) * fb.n_item), 4)
+                    AS lift
+           FROM pairs
+           JOIN freq fa ON fa.brand = brand_a
+           JOIN freq fb ON fb.brand = brand_b
+           CROSS JOIN tot t)
+         SELECT brand_a, brand_b, n_ab, support, confidence, lift
+         FROM st WHERE support >= 0.01
+         ORDER BY brand_a, brand_b""",
     "q_evt_heatmap" ->
       // isodow ≡ weekday+1, hour ≡ hour; integer counts, one division
       // against the weekday total.
@@ -3507,6 +3545,55 @@ object OracleSql {
                       / nullif(n_events * (n_events - 1), 0), 4)
                   AS simpson
          FROM u ORDER BY user_id""",
+    "q_ts_cusum" ->
+      // prefix-min closed form of the one-sided CUSUM recurrence;
+      // ×D-scaled integer deviations keep P/runmin/S exact; σ̂ from
+      // integer co-moments via the shared closed form; the alarm
+      // compares ROUNDED values.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, d,
+                  CAST(count(*) OVER w AS HUGEINT) AS dd,
+                  CAST(sum(y) OVER w AS HUGEINT) AS tt,
+                  CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT)
+                    AS sy2,
+                  y
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type)),
+         p AS (
+           SELECT *,
+                  sum(CAST(y AS HUGEINT) * dd - tt) OVER wc AS pp
+           FROM g
+           WINDOW wc AS (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)),
+         ss AS (
+           SELECT *,
+                  pp - least(min(pp) OVER wc, CAST(0 AS HUGEINT)) AS s
+           FROM p
+           WINDOW wc AS (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)),
+         pk AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY s DESC, d) AS rn
+           FROM ss)
+         SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+                round(CAST(tt AS DOUBLE) / CAST(dd AS DOUBLE), 4)
+                  AS mean_daily,
+                round(CAST(s AS DOUBLE) / CAST(dd AS DOUBLE), 4)
+                  AS cusum_max,
+                d AS peak_day,
+                round(sqrt(CAST(dd * sy2 - tt * tt AS DOUBLE)
+                      / CAST(dd * (dd - 1) AS DOUBLE)), 4) AS sigma,
+                CASE WHEN round(CAST(s AS DOUBLE)
+                           / CAST(dd AS DOUBLE), 4)
+                       > round(4.0 * round(sqrt(
+                           CAST(dd * sy2 - tt * tt AS DOUBLE)
+                           / CAST(dd * (dd - 1) AS DOUBLE)), 4), 4)
+                     THEN 1 ELSE 0 END AS alarm
+         FROM pk WHERE rn = 1
+         ORDER BY event_type NULLS FIRST""",
     "q_ts_drawdown" ->
       // all integer until the single dd/peak division; argmax ranks
       // on the integer dd with earliest-date tie-break.
@@ -3577,6 +3664,48 @@ object OracleSql {
                 round(CAST(n_violations AS DOUBLE) / n_checked, 4)
                   AS viol_rate
          FROM u ORDER BY rule""",
+    "q_vec_silhouette" ->
+      // per-label centroids via the decimal-sum parity; distances via
+      // the vec_ood dot expansion (list_inner_product ≡ TextSim.dot);
+      // identical 0-clamp before √; 8-dp-rounded s accumulates as
+      // DECIMAL(20,8) so the mean is order-independent.
+      """WITH x AS (
+           SELECT label AS clab,
+                  unnest(range(len(embedding))) AS pos,
+                  unnest(embedding) AS x
+           FROM embeddings),
+         c AS (
+           SELECT clab, pos,
+                  CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                    / count(*) AS c
+           FROM x GROUP BY clab, pos),
+         cl AS (SELECT clab, list(c ORDER BY pos) AS cvec
+                FROM c GROUP BY clab),
+         d2 AS (
+           SELECT e.vec_id, e.label, cl.clab,
+                  list_inner_product(e.e, e.e)
+                    - 2.0 * list_inner_product(e.e, cl.cvec)
+                    + list_inner_product(cl.cvec, cl.cvec) AS d2
+           FROM (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings) e
+           CROSS JOIN cl),
+         ab AS (
+           SELECT vec_id, label,
+                  sqrt(greatest(max(CASE WHEN label = clab
+                    THEN d2 END), 0.0)) AS a,
+                  sqrt(greatest(min(CASE WHEN label <> clab
+                    THEN d2 END), 0.0)) AS b
+           FROM d2 GROUP BY vec_id, label),
+         sil AS (
+           SELECT label,
+                  CAST(round((b - a) / nullif(greatest(a, b), 0.0), 8)
+                    AS DECIMAL(20,8)) AS sil
+           FROM ab)
+         SELECT label, count(*) AS n,
+                round(CAST(sum(sil) AS DOUBLE) / count(sil), 4)
+                  AS mean_sil
+         FROM sil GROUP BY label ORDER BY label""",
     "q_vec_ood" ->
       // centroid = q_vec_centroid's decimal-sum parity per dim; the
       // three inner products share the sequential-fold kernel

@@ -871,6 +871,56 @@ object AggQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q_agg_basket — market-basket association rules over order
+    * contents: brand pairs co-purchased in the same order, with
+    * support / confidence / lift and a 1% min-support cut — the
+    * A-Priori first step (and the co-occurrence analysis behind
+    * "frequently bought together"). Shape is the scale story: the
+    * corpus contracts to DISTINCT (order, brand) first; the A-Priori
+    * monotonicity prune (an infrequent ITEM cannot be in a frequent
+    * PAIR) broadcast-filters items before the pair join; the self-join
+    * is co-partitioned ON ORDER KEY (each order pairs locally — no
+    * cross-order work), and pair counts collapse map-side. Exactness:
+    * every statistic is a ratio of integers evaluated as one shared
+    * closed-form double; the support cut compares the ROUNDED value
+    * (boundary discipline). */
+  private val aggBasket: Q = (s, dir) => {
+    val ob = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = ob.agg(countDistinct("okey").as("n_orders"))
+    val bcount = ob.groupBy("brand").agg(count(lit(1)).as("n_item"))
+      .crossJoin(broadcast(tot))
+      .filter(round(col("n_item").cast("double") / col("n_orders"), 6)
+        >= 0.01)
+    val freq = ob.join(broadcast(bcount.select("brand")), Seq("brand"))
+    val pairs = freq.as("a").join(freq.as("b"),
+        col("a.okey") === col("b.okey") &&
+          col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"),
+        col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(bcount.select(col("brand").as("brand_a"),
+        col("n_item").as("n_a"))), "brand_a")
+      .join(broadcast(bcount.select(col("brand").as("brand_b"),
+        col("n_item").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("support",
+        round(col("n_ab").cast("double") / col("n_orders"), 6))
+      .filter(col("support") >= 0.01)
+      .withColumn("confidence",
+        round(col("n_ab").cast("double") / col("n_a"), 4))
+      .withColumn("lift", round(
+        (col("n_ab").cast("double") * col("n_orders")) /
+          (col("n_a").cast("double") * col("n_b")), 4))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("support"), col("confidence"), col("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   /** q_agg_corr — bivariate relationship profile per group: Pearson
     * corr, sample covariance, and the OLS regression line
     * (slope/intercept/R²) of extendedprice on quantity per return
@@ -1145,6 +1195,7 @@ object AggQueries {
     "q_agg_ab_ztest" -> aggAbZtest,
     "q_agg_ks_test" -> aggKsTest,
     "q_agg_spearman" -> aggSpearman,
+    "q_agg_basket" -> aggBasket,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -396,6 +396,53 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q_vec_silhouette — centroid-based (simplified) silhouette per
+    * label: a(i) = distance to the OWN label centroid, b(i) = min
+    * distance to any OTHER label's centroid, s(i) = (b−a)/max(a,b),
+    * averaged per label — THE cluster-quality readout (is this
+    * labeling/clustering geometrically coherent?) at the linear cost
+    * the classic all-pairs silhouette (O(n²)) forbids at corpus scale.
+    * Exactness stack: per-label centroids reuse q_vec_centroid's
+    * decimal-sum/single-division parity; every distance expands to
+    * dot(e,e) − 2·dot(e,c) + dot(c,c) over the SAME sequential fold
+    * both engines (q_vec_ood's rule); a²/b² picks are selections over
+    * engine-identical doubles; negatives from float cancellation clamp
+    * at 0 identically before the √; each s rounds to 8 dp and
+    * accumulates as decimal(20,8), so the per-label MEAN is
+    * partition-order-independent. Scale: the k·dim centroid table is
+    * index metadata (broadcast); the corpus sees ONE pass scoring k
+    * dots per row — no per-dimension float groupBy, no pair join. */
+  private val vecSilhouette: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = emb
+      .select(col("label").as("clab"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("clab", "pos")
+      .agg((expr("CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)") /
+        count(lit(1))).as("c"))
+    val carr = cent.groupBy("clab").agg(
+      expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+    val per = emb.crossJoin(broadcast(carr))
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("d2",
+        TextSim.dot(col("e"), col("e")) -
+          lit(2.0) * TextSim.dot(col("e"), col("cvec")) +
+          TextSim.dot(col("cvec"), col("cvec")))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("clab"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("clab"), col("d2"))).as("b2"))
+      .withColumn("a", sqrt(greatest(col("a2"), lit(0.0))))
+      .withColumn("b", sqrt(greatest(col("b2"), lit(0.0))))
+      .withColumn("sil", round(try_divide(col("b") - col("a"),
+        greatest(col("a"), col("b"))), 8).cast("decimal(20,8)"))
+    per.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(expr("CAST(sum(sil) AS DOUBLE)") / count(col("sil")), 4)
+          .as("mean_sil"))
+      .orderBy("label")
+  }
+
   /** q_text_winnowing — MOSS-style winnowing fingerprints (Schleimer
     * et al. 2003): hash every 3-gram, slide a window of 4 hashes, keep
     * each window's MINIMUM — the guarantee is that any shared run of
@@ -1495,6 +1542,7 @@ object TextQueries {
     "q_samp_reservoir" -> sampReservoir,
     "q_samp_importance" -> sampImportance,
     "q_vec_ood" -> vecOod,
+    "q_vec_silhouette" -> vecSilhouette,
     "q_text_winnowing" -> textWinnowing,
     "q_vec_matryoshka" -> vecMatryoshka,
     "q_vec_dedup_sweep" -> vecDedupSweep,

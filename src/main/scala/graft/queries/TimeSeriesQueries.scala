@@ -347,7 +347,59 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first, col("d"))
   }
 
+  /** q_ts_cusum — one-sided CUSUM drift detection per event type on
+    * the daily count series: S_t = max(0, S_{t−1} + (y_t − ȳ)), the
+    * classic Page (1954) change detector, with the peak S, its day,
+    * and a 4σ̂ alarm — the "has this metric's LEVEL shifted" monitor
+    * (q_ts_changepoint locates one split; CUSUM accumulates small
+    * sustained drifts a single-split scan dilutes). The recurrence is
+    * NOT a window function — the op uses the prefix-min closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P_t = Σ(y_i − ȳ), which
+    * IS two cumulative windows. Exactness: deviations carry ×D
+    * (y·D − T — pure integers in decimal(38), no float mean anywhere),
+    * so P, the running min, and S are EXACT and the argmax day is a
+    * deterministic integer sort; readouts divide the exact S by D
+    * once, and σ̂ comes from integer co-moments via one shared closed
+    * form; the alarm compares ROUNDED values. Scale: windows run on
+    * the types·days contracted grid, partitioned BY TYPE — the corpus
+    * never sorts, each type's series scans independently. */
+  private val tsCusum: Q = (s, dir) => {
+    val wt = Window.partitionBy("event_type")
+    val wc = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = dailySeries(s, dir)
+      .withColumn("dd", count(lit(1)).over(wt).cast("decimal(38,0)"))
+      .withColumn("tt", sum("y").over(wt).cast("decimal(38,0)"))
+      .withColumn("sy2",
+        sum(col("y").cast("decimal(38,0)") * col("y")).over(wt))
+      .withColumn("dev",
+        col("y").cast("decimal(38,0)") * col("dd") - col("tt"))
+      .withColumn("p", sum("dev").over(wc))
+      .withColumn("runmin",
+        least(min("p").over(wc), lit(0).cast("decimal(38,0)")))
+      .withColumn("ss", col("p") - col("runmin"))
+    g.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("ss").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        col("dd").cast("long").as("n_days"),
+        round(col("tt").cast("double") / col("dd").cast("double"), 4)
+          .as("mean_daily"),
+        round(col("ss").cast("double") / col("dd").cast("double"), 4)
+          .as("cusum_max"),
+        col("d").as("peak_day"),
+        round(sqrt((col("dd") * col("sy2") - col("tt") * col("tt"))
+          .cast("double") /
+          (col("dd") * (col("dd") - 1)).cast("double")), 4)
+          .as("sigma"))
+      .withColumn("alarm", when(col("cusum_max") >
+        round(lit(4.0) * col("sigma"), 4), 1).otherwise(0))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_cusum" -> tsCusum,
     "q_ts_decompose" -> tsDecompose,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_anomaly" -> tsAnomaly,

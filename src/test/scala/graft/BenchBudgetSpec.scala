@@ -224,6 +224,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_spearman" -> 1.5,
     // per-class window sort over documents + 1-row quota broadcast
     "q_samp_balanced" -> 0.4,
+    // distinct (order,brand) contraction + co-partitioned pair join
+    "q_agg_basket" -> 1.0,
+    // k·dim centroid broadcast + one corpus pass scoring k dots/row
+    "q_vec_silhouette" -> 0.8,
+    // two cumulative windows on the types·days grid
+    "q_ts_cusum" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
