@@ -2171,6 +2171,26 @@ object OracleSql {
                      ELSE 'fr' END AS lang_pred,
                 lang
          FROM s ORDER BY doc_id""",
+    "q_text_readability" ->
+      // integer counts from one regex pass each (shared character
+      // classes); sentence floor at 1; one closed-form double score.
+      """SELECT doc_id, lang,
+                CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                  AS n_words,
+                greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                  AS BIGINT), 1) AS n_sent,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll,
+                round(206.835
+                  - 1.015 * (CAST(len(string_split(lower(text), ' '))
+                      AS DOUBLE)
+                    / greatest(CAST(len(regexp_extract_all(text,
+                        '[.!?]+')) AS BIGINT), 1))
+                  - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')) AS DOUBLE)
+                    / len(string_split(lower(text), ' '))), 2)
+                  AS flesch
+         FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
       """WITH t AS (
            SELECT doc_id,
@@ -3545,6 +3565,40 @@ object OracleSql {
                       / nullif(n_events * (n_events - 1), 0), 4)
                   AS simpson
          FROM u ORDER BY user_id""",
+    "q_ts_survival" ->
+      // integer grid counts; ordered prefix sum of ln terms folds
+      // identically; greatest(·, 1e-300) closes the d = n edge the
+      // same way on both engines (DuckDB ln(0) errors).
+      """WITH u AS (
+           SELECT o_custkey, min(o_orderdate) AS f,
+                  max(o_orderdate) AS l
+           FROM orders GROUP BY 1),
+         e AS (SELECT max(o_orderdate) AS endd FROM orders),
+         lt AS (
+           SELECT date_diff('day', f, l) AS lifetime,
+                  CASE WHEN date_diff('day', l, endd) >= 90
+                       THEN 1 ELSE 0 END AS event
+           FROM u CROSS JOIN e),
+         grid AS (
+           SELECT lifetime,
+                  count(CASE WHEN event = 1 THEN 1 END) AS n_event,
+                  count(CASE WHEN event = 0 THEN 1 END) AS n_censored
+           FROM lt GROUP BY 1),
+         r AS (
+           SELECT *,
+                  sum(n_event + n_censored) OVER ()
+                  - coalesce(sum(n_event + n_censored) OVER (
+                      ORDER BY lifetime
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_risk
+           FROM grid)
+         SELECT lifetime, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+                n_censored,
+                round(exp(sum(ln(greatest(
+                    1.0 - CAST(n_event AS DOUBLE) / n_risk, 1e-300)))
+                  OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING)), 4)
+                  AS survival
+         FROM r ORDER BY lifetime""",
     "q_ts_cusum" ->
       // prefix-min closed form of the one-sided CUSUM recurrence;
       // ×D-scaled integer deviations keep P/runmin/S exact; σ̂ from
@@ -3820,6 +3874,40 @@ object OracleSql {
                 round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
                 CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
          FROM a ORDER BY event_type NULLS FIRST""",
+    "q_agg_cramers_v" ->
+      // chisq's integer-cell/double-fold structure; V derives from the
+      // ROUNDED chi2 so summation-order tolerance can't leak into V;
+      // the strength bucket compares the rounded V.
+      """WITH cells AS (
+           SELECT o_orderpriority AS pr, o_orderstatus AS st,
+                  count(*) AS o
+           FROM orders GROUP BY 1, 2),
+         rm AS (SELECT pr, CAST(sum(o) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT st, CAST(sum(o) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         j AS (
+           SELECT cells.o, CAST(rm.r AS DOUBLE) * cm.c / t.n AS e, t.n
+           FROM cells JOIN rm USING (pr)
+                      JOIN cm USING (st) CROSS JOIN t),
+         g AS (
+           SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+                  (SELECT count(DISTINCT pr) FROM cells) AS n_rows,
+                  (SELECT count(DISTINCT st) FROM cells) AS n_cols,
+                  max(n) AS n
+           FROM j),
+         v AS (
+           SELECT chi2, n_rows, n_cols, n,
+                  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                    * least(n_rows - 1, n_cols - 1))), 4) AS cramers_v
+           FROM g)
+         SELECT chi2, n_rows, n_cols, n, cramers_v,
+                CASE WHEN cramers_v < 0.1 THEN 'negligible'
+                     WHEN cramers_v < 0.3 THEN 'weak'
+                     WHEN cramers_v < 0.5 THEN 'moderate'
+                     ELSE 'strong' END AS strength
+         FROM v""",
     "q_agg_chisq" ->
       // counts stay integers through the cell/marginal CTEs; the
       // closed-form double readout ((o−e)·(o−e)/e with marginals cast

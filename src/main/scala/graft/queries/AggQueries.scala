@@ -440,6 +440,46 @@ object AggQueries {
         max("n").as("n"))
   }
 
+  /** q_agg_cramers_v — Cramér's V effect size between order priority
+    * and order status: χ² from the contingency table normalized to
+    * [0,1] by n·min(r−1, c−1) — the readout q_agg_chisq's raw χ²
+    * cannot give (χ² grows with n, so at corpus scale EVERYTHING is
+    * "significant"; V answers "how strong", the question a feature-
+    * association matrix actually asks). Same scale shape as chisq: ONE
+    * two-phase count into the ≤r·c cell table, then cell-level
+    * arithmetic with broadcast marginals. Float discipline: integers
+    * until the closed-form double fold; V is derived from the
+    * 4-dp-ROUNDED χ² (so the ~15-term summation-order tolerance cannot
+    * leak into V's rounding), and the strength bucket compares the
+    * ROUNDED V. */
+  private val aggCramersV: Q = (s, dir) => {
+    val cells = Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy("o_orderpriority").agg(sum("o").as("r"))
+    val colm = cells.groupBy("o_orderstatus").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"))
+    cells
+      .join(broadcast(rowm), "o_orderpriority")
+      .join(broadcast(colm), "o_orderstatus")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("r").cast("double") * col("c") / col("n"))
+      .agg(
+        round(sum((col("o") - col("e")) * (col("o") - col("e")) /
+          col("e")), 4).as("chi2"),
+        countDistinct("o_orderpriority").as("n_rows"),
+        countDistinct("o_orderstatus").as("n_cols"),
+        max("n").as("n"))
+      .withColumn("cramers_v", round(sqrt(col("chi2") /
+        (col("n").cast("double") *
+          least(col("n_rows") - 1, col("n_cols") - 1))), 4))
+      .withColumn("strength",
+        when(col("cramers_v") < 0.1, "negligible")
+          .when(col("cramers_v") < 0.3, "weak")
+          .when(col("cramers_v") < 0.5, "moderate")
+          .otherwise("strong"))
+  }
+
   /** q_agg_bootstrap — Poisson-bootstrap confidence interval for the
     * per-type mean, fully deterministic: the distributed bootstrap.
     * Classical resampling ("draw n rows with replacement, B times")
@@ -1196,6 +1236,7 @@ object AggQueries {
     "q_agg_ks_test" -> aggKsTest,
     "q_agg_spearman" -> aggSpearman,
     "q_agg_basket" -> aggBasket,
+    "q_agg_cramers_v" -> aggCramersV,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -190,6 +190,35 @@ object TextQueries {
         "quality_ok")
       .orderBy("doc_id")
 
+  /** q_text_readability — Flesch reading-ease per document from the
+    * three classic counts: words (whitespace tokens), sentences
+    * (terminal-punctuation runs, floored at 1 — the fixture corpus has
+    * no sentence punctuation, so the formula degrades gracefully to
+    * its single-sentence case rather than dividing by zero), syllables
+    * (vowel-group runs, the standard dictionary-free heuristic).
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words) — the curation-stage complexity prior (alongside
+    * q_text_quality's ratios): too-low scores flag run-on noise,
+    * too-high flag fragment spam. Pure per-row expressions — no
+    * shuffle at all until the final orderBy; counts are integers from
+    * ONE regex pass each, and the score is one closed-form double
+    * shared literally with the oracle. */
+  private val textReadability: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("n_words",
+        size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("n_sent", greatest(
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+        lit(1L)))
+      .withColumn("n_syll",
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long"))
+      .withColumn("flesch", round(lit(206.835) -
+        lit(1.015) * (col("n_words").cast("double") / col("n_sent")) -
+        lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 2))
+      .select("doc_id", "lang", "n_words", "n_sent", "n_syll", "flesch")
+      .orderBy("doc_id")
+
   /** q_text_repetition — token-uniqueness quality signals (the
     * repetition-filter family of pre-training curation: heavily
     * repetitive docs score low on distinct-token ratio and high on
@@ -1529,6 +1558,7 @@ object TextQueries {
     "q_text_minhash_groups" -> minhashGroups,
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
+    "q_text_readability" -> textReadability,
     "q_text_repetition" -> repetition,
     "q_text_tokens" -> tokenCounts,
     "q_text_fingerprint" -> fingerprint,

@@ -398,8 +398,55 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_survival — Kaplan–Meier survival curve over CUSTOMER
+    * lifetimes (days between a customer's first and last order), with
+    * right censoring: a customer whose last order is within 90 days of
+    * the corpus's final order date is censored (still alive), not
+    * churned — THE retention estimator (q_evt_retention's cohort grid
+    * treats silence as churn; KM is what churn models and clinical
+    * trials actually fit, and ignoring censoring biases survival
+    * DOWN). S(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ) over the distinct-lifetime
+    * grid: deaths d, censorings c, and the at-risk count n
+    * (N − prefix-sum of prior departures) are ALL integers from two
+    * window passes on the grid; the product is exp(Σ ln(1 − d/n)) — an
+    * ORDERED prefix sum, so both engines fold identical doubles in the
+    * identical order, and ln/exp appear only in the 4-dp-rounded
+    * output (§7.5.10). The d = n last-row edge (DuckDB ln(0) ERRORS,
+    * Spark returns −∞) is closed identically on both engines by
+    * greatest(·, 1e-300), whose exp underflows to the same 0.0.
+    * Scale: the corpus collapses to one row per customer map-side,
+    * then to the lifetime grid; windows run on the grid only. */
+  private val tsSurvival: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val life = o.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("f"), max("o_orderdate").as("l"))
+      .crossJoin(broadcast(o.agg(max("o_orderdate").as("endd"))))
+      .select(datediff(col("l"), col("f")).as("lifetime"),
+        when(datediff(col("endd"), col("l")) >= 90, 1).otherwise(0)
+          .as("event"))
+    val grid = life.groupBy("lifetime")
+      .agg(count(when(col("event") === 1, 1)).as("n_event"),
+        count(when(col("event") === 0, 1)).as("n_censored"))
+    val wPrev = Window.orderBy("lifetime")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("lifetime")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(Window.partitionBy())
+          - coalesce(sum(col("n_event") + col("n_censored")).over(wPrev),
+            lit(0L)))
+      .withColumn("survival", round(exp(sum(
+        log(greatest(lit(1.0) -
+          col("n_event").cast("double") / col("n_risk"), lit(1e-300))))
+        .over(wCum)), 4))
+      .select("lifetime", "n_risk", "n_event", "n_censored", "survival")
+      .orderBy("lifetime")
+  }
+
   val all: Map[String, Q] = Map(
     "q_ts_cusum" -> tsCusum,
+    "q_ts_survival" -> tsSurvival,
     "q_ts_decompose" -> tsDecompose,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_anomaly" -> tsAnomaly,

@@ -230,6 +230,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_silhouette" -> 0.8,
     // two cumulative windows on the types·days grid
     "q_ts_cusum" -> 0.5,
+    // per-customer collapse + two windows on the lifetime grid
+    "q_ts_survival" -> 0.5,
+    // chisq's cell-table shape on orders
+    "q_agg_cramers_v" -> 0.5,
+    // per-row regex counts over documents, no shuffle
+    "q_text_readability" -> 0.8,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
