@@ -925,22 +925,38 @@ object AggQueries {
     * closed-form double; the support cut compares the ROUNDED value
     * (boundary discipline). */
   private val aggBasket: Q = (s, dir) => {
-    val ob = Tables.load(s, dir, "lineitem")
+    // ONE shuffle builds per-order brand SETS; pairing then happens
+    // IN-ROW (a basket has a handful of brands — its pairs are a local
+    // product, never a self-join shuffle). Checkpointing the set table
+    // for its three readers measured SLOWER than recomputing it (the
+    // contraction is one cheap broadcast join + groupBy), so unlike
+    // the graph ops this one recomputes.
+    val sets = Tables.load(s, dir, "lineitem")
       .join(Tables.load(s, dir, "part"),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
-    val tot = ob.agg(countDistinct("okey").as("n_orders"))
-    val bcount = ob.groupBy("brand").agg(count(lit(1)).as("n_item"))
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+    val tot = sets.agg(count(lit(1)).as("n_orders"))
+    val bcount = sets
+      .select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_item"))
       .crossJoin(broadcast(tot))
       .filter(round(col("n_item").cast("double") / col("n_orders"), 6)
         >= 0.01)
-    val freq = ob.join(broadcast(bcount.select("brand")), Seq("brand"))
-    val pairs = freq.as("a").join(freq.as("b"),
-        col("a.okey") === col("b.okey") &&
-          col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"),
-        col("b.brand").as("brand_b"))
+    val freqArr = bcount.agg(sort_array(collect_list("brand"))
+      .as("freq_brands"))
+    val pairs = sets.crossJoin(broadcast(freqArr))
+      // brands is sort_array'd and array_intersect preserves first-arg
+      // order, so (x before y) ≡ (x < y) — the pair orientation the
+      // oracle's self-join spells as a.brand < b.brand
+      .select(expr("array_intersect(brands, freq_brands)").as("fb"))
+      .select(explode(expr(
+        """flatten(transform(fb, (x, i) -> transform(
+             slice(fb, i + 2, size(fb)),
+             y -> struct(x AS brand_a, y AS brand_b))))"""))
+        .as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"),
+        col("p.brand_b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(bcount.select(col("brand").as("brand_a"),
