@@ -884,6 +884,36 @@ object OracleSql {
                 round(max(r.rate), 4) AS rate
          FROM b JOIN r USING (lang)
          GROUP BY r.lang ORDER BY r.lang""",
+    "q_text_keyness" ->
+      // 2×2 contingency per term; 0·ln0 closed by the identical CASE;
+      // ln only inside the 4-dp-rounded sort key; integer cross
+      // products decide enrichment.
+      """WITH toks AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                  unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         tc AS (
+           SELECT term, sum(tgt) AS a, sum(1 - tgt) AS b
+           FROM toks GROUP BY 1),
+         tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM tc),
+         g AS (
+           SELECT term, a, b, ta, tb,
+                  CAST(a + b AS DOUBLE) * ta / (ta + tb) AS ea,
+                  CAST(a + b AS DOUBLE) * tb / (ta + tb) AS eb
+           FROM tc CROSS JOIN tot),
+         k AS (
+           SELECT term, CAST(a AS BIGINT) AS n_target,
+                  CAST(b AS BIGINT) AS n_rest,
+                  round(2.0 * ((CASE WHEN a > 0
+                      THEN a * ln(a / ea) ELSE 0.0 END)
+                    + (CASE WHEN b > 0
+                      THEN b * ln(b / eb) ELSE 0.0 END)), 4) AS g2,
+                  CASE WHEN CAST(a AS DOUBLE) * tb
+                         > CAST(b AS DOUBLE) * ta
+                       THEN 1 ELSE 0 END AS enriched
+           FROM g)
+         SELECT term, n_target, n_rest, g2, enriched
+         FROM k ORDER BY g2 DESC, term LIMIT 20""",
     "q_samp_balanced" ->
       // identical sha-bucket ordering key; quota = min class size;
       // doc_id breaks bucket ties so row_number is total.
@@ -3565,6 +3595,46 @@ object OracleSql {
                       / nullif(n_events * (n_events - 1), 0), 4)
                   AS simpson
          FROM u ORDER BY user_id""",
+    "q_ts_mann_kendall" ->
+      // integer pair-sign sum on the contracted grid; tie-corrected
+      // variance from HUGEINT products; continuity-corrected Z via
+      // the shared closed form; trend bucket compares the ROUNDED Z.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT a.event_type,
+                  sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.d < b.d
+           GROUP BY 1),
+         ties AS (
+           SELECT event_type,
+                  sum(t * (t - 1) * (2 * t + 5)) AS tie_adj,
+                  sum(t) AS n
+           FROM (SELECT event_type, CAST(count(*) AS HUGEINT) AS t
+                 FROM daily GROUP BY event_type, y)
+           GROUP BY 1),
+         j AS (
+           SELECT st.event_type, s, n, tie_adj,
+                  CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE)
+                    / 18.0 AS var_s
+           FROM st JOIN ties USING (event_type)),
+         r AS (
+           SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                  CAST(s AS BIGINT) AS s, round(var_s, 4) AS var_s,
+                  round(CASE WHEN s > 0
+                          THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                        WHEN s < 0
+                          THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                        ELSE 0.0 END, 4) AS z
+           FROM j)
+         SELECT event_type, n_days, s, var_s, z,
+                CASE WHEN z > 1.96 THEN 'increasing'
+                     WHEN z < -1.96 THEN 'decreasing'
+                     ELSE 'none' END AS trend
+         FROM r ORDER BY event_type NULLS FIRST""",
     "q_ts_survival" ->
       // integer grid counts; ordered prefix sum of ln terms folds
       // identically; greatest(·, 1e-300) closes the d = n edge the
@@ -3874,6 +3944,38 @@ object OracleSql {
                 round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
                 CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
          FROM a ORDER BY event_type NULLS FIRST""",
+    "q_agg_mde" ->
+      // z constants combined in DOUBLE arithmetic (a decimal 1.96 +
+      // 0.8416 would square exactly and diverge from Spark's IEEE
+      // product); two integers leave the corpus; shared closed forms.
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                           AND value > 90 THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY user_id),
+         g AS (
+           SELECT count(*) AS n_users,
+                  CAST(sum(conv) AS BIGINT) AS n_conv
+           FROM u),
+         z AS (SELECT CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)
+                 AS zs),
+         s AS (
+           SELECT n_users, n_conv,
+                  CAST(n_conv AS DOUBLE) / n_users AS p_base,
+                  CAST(floor(n_users / 2) AS BIGINT) AS n_per_arm,
+                  2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                    * (1.0 - CAST(n_conv AS DOUBLE) / n_users) AS pq,
+                  zs
+           FROM g CROSS JOIN z)
+         SELECT n_users, n_conv, round(p_base, 4) AS p_base, n_per_arm,
+                round(zs * sqrt(pq / n_per_arm), 4) AS mde,
+                CAST(ceil((zs * zs) * pq
+                  / (CAST(0.01 AS DOUBLE) * CAST(0.01 AS DOUBLE)))
+                  AS BIGINT) AS n_req_1pp,
+                CAST(ceil((zs * zs) * pq
+                  / (CAST(0.005 AS DOUBLE) * CAST(0.005 AS DOUBLE)))
+                  AS BIGINT) AS n_req_05pp
+         FROM s""",
     "q_agg_cramers_v" ->
       // chisq's integer-cell/double-fold structure; V derives from the
       // ROUNDED chi2 so summation-order tolerance can't leak into V;

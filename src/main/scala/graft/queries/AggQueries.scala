@@ -440,6 +440,40 @@ object AggQueries {
         max("n").as("n"))
   }
 
+  /** q_agg_mde — experiment power analysis from the live corpus: the
+    * minimum detectable effect at the CURRENT per-arm size, and the
+    * required per-arm n for 1pp and 0.5pp absolute lifts (α = 0.05
+    * two-sided, 80% power — z 1.96/0.8416) — the question asked BEFORE
+    * q_agg_ab_ztest's verdict ("can this experiment even see the
+    * effect we care about?"); an A/B readout without it reports noise
+    * as "not significant". Exactness: two integers (users, converters)
+    * leave the corpus via the same per-user map-side collapse as
+    * ab_ztest; MDE = (z_α+z_β)·√(2p̂(1−p̂)/n_arm) and
+    * n_req = ⌈(z_α+z_β)²·2p̂(1−p̂)/δ²⌉ are shared closed-form doubles;
+    * ceil runs on engine-identical doubles. */
+  private val aggMde: Q = (s, dir) => {
+    val zsum = 1.96 + 0.8416
+    val users = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 90, 1).otherwise(0)).as("conv"))
+    users.agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      .withColumn("p_base",
+        col("n_conv").cast("double") / col("n_users"))
+      .withColumn("n_per_arm",
+        floor(col("n_users") / lit(2)).cast("long"))
+      .withColumn("pq",
+        lit(2.0) * col("p_base") * (lit(1.0) - col("p_base")))
+      .select(col("n_users"), col("n_conv"),
+        round(col("p_base"), 4).as("p_base"), col("n_per_arm"),
+        round(lit(zsum) * sqrt(col("pq") / col("n_per_arm")), 4)
+          .as("mde"),
+        ceil(lit(zsum * zsum) * col("pq") / lit(0.01 * 0.01))
+          .cast("long").as("n_req_1pp"),
+        ceil(lit(zsum * zsum) * col("pq") / lit(0.005 * 0.005))
+          .cast("long").as("n_req_05pp"))
+  }
+
   /** q_agg_cramers_v — Cramér's V effect size between order priority
     * and order status: χ² from the contingency table normalized to
     * [0,1] by n·min(r−1, c−1) — the readout q_agg_chisq's raw χ²
@@ -1253,6 +1287,7 @@ object AggQueries {
     "q_agg_spearman" -> aggSpearman,
     "q_agg_basket" -> aggBasket,
     "q_agg_cramers_v" -> aggCramersV,
+    "q_agg_mde" -> aggMde,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

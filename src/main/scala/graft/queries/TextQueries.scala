@@ -1130,6 +1130,45 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** q_text_keyness — Dunning log-likelihood (G²) keyword extraction:
+    * which terms are most over/under-represented in the English slice
+    * vs the rest of the corpus — the corpus-linguistics keyness test,
+    * and in a training pipeline the domain-shift detector between two
+    * corpus slices (tfidf ranks terms WITHIN a doc; keyness ranks them
+    * BETWEEN corpora). G² = 2(a·ln(a/Eₐ) + b·ln(b/E_b)) per term from
+    * the 2×2 contingency of (term, slice) token counts, with the
+    * zero-count limit 0·ln0 = 0 closed by an identical CASE both
+    * engines. Shape: one two-phase (term, slice) count — the shuffle
+    * carries the vocabulary, not the token stream — then a 1-row
+    * totals broadcast and per-term closed-form arithmetic; ln appears
+    * only inside the 4-dp-ROUNDED sort key, whose (g2 desc, term)
+    * order is therefore deterministic (§7.5.10). */
+  private val textKeyness: Q = (s, dir) => {
+    val tc = Tables.load(s, dir, "documents")
+      .select(when(col("lang") === "en", 1).otherwise(0).as("tgt"),
+        explode(TextSim.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(sum("tgt").as("a"), sum(lit(1) - col("tgt")).as("b"))
+    val tot = tc.agg(sum("a").as("ta"), sum("b").as("tb"))
+    tc.crossJoin(broadcast(tot))
+      .withColumn("ea", (col("a") + col("b")).cast("double") *
+        col("ta") / (col("ta") + col("tb")))
+      .withColumn("eb", (col("a") + col("b")).cast("double") *
+        col("tb") / (col("ta") + col("tb")))
+      .withColumn("g2", round(lit(2.0) * (
+        when(col("a") > 0, col("a") * log(col("a") / col("ea")))
+          .otherwise(0.0) +
+        when(col("b") > 0, col("b") * log(col("b") / col("eb")))
+          .otherwise(0.0)), 4))
+      .withColumn("enriched",
+        when(col("a").cast("double") * col("tb") >
+          col("b").cast("double") * col("ta"), 1).otherwise(0))
+      .select(col("term"), col("a").cast("long").as("n_target"),
+        col("b").cast("long").as("n_rest"), col("g2"), col("enriched"))
+      .orderBy(col("g2").desc, col("term"))
+      .limit(20)
+  }
+
   /** q_samp_balanced — exact class-balanced downsampling: every
     * language keeps precisely quota = min(class size) docs, selected as
     * the quota smallest sha-buckets within the class — the
@@ -1525,6 +1564,7 @@ object TextQueries {
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,
     "q_samp_balanced" -> sampBalanced,
+    "q_text_keyness" -> textKeyness,
     "q_text_ngram_lm" -> textNgramLm,
     "q_text_boilerplate" -> textBoilerplate,
     "q_text_feature_hash" -> textFeatureHash,

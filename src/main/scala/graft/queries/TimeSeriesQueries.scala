@@ -444,9 +444,57 @@ object TimeSeriesQueries {
       .orderBy("lifetime")
   }
 
+  /** q_ts_mann_kendall — Mann–Kendall trend test per event type on the
+    * daily series: S = Σ_{i<j} sign(yⱼ − yᵢ), the tie-corrected
+    * variance, and the continuity-corrected Z with the ±1.96 trend
+    * call — the nonparametric "is this metric drifting" test
+    * (q_ts_cusum finds WHERE a shift happened; MK decides WHETHER a
+    * monotone trend exists, robust to outliers and any monotone
+    * transform of y). Exactness: S is an integer pair sum; the tie
+    * term Σt(t−1)(2t+5) and n(n−1)(2n+5) are decimal(38) products (a
+    * ten-year daily series cubed still fits); Var(S) divides once and
+    * Z is one shared closed form with the ROUNDED value driving the
+    * trend bucket. Scale: the pair join runs on the types·days GRID
+    * (the corpus contracted first) and is co-partitioned per type —
+    * O(days²) per type is the test's intrinsic cost and days is
+    * bounded; the corpus itself is touched once. */
+  private val tsMannKendall: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+    val sTab = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1)
+        .when(col("b.y") < col("a.y"), -1).otherwise(0)).as("s"))
+    val ties = daily.groupBy("event_type", "y")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_adj"),
+        sum("t").as("n"))
+    sTab.join(broadcast(ties), Seq("event_type"))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          col("tie_adj")).cast("double") / 18.0)
+      .withColumn("z", round(
+        when(col("s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0,
+            (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(0.0), 4))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("s").cast("long").as("s"),
+        round(col("var_s"), 4).as("var_s"), col("z"),
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
     "q_ts_cusum" -> tsCusum,
     "q_ts_survival" -> tsSurvival,
+    "q_ts_mann_kendall" -> tsMannKendall,
     "q_ts_decompose" -> tsDecompose,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_anomaly" -> tsAnomaly,

@@ -236,6 +236,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_cramers_v" -> 0.5,
     // per-row regex counts over documents, no shuffle
     "q_text_readability" -> 0.8,
+    // vocabulary-shuffle token count + 1-row totals broadcast
+    "q_text_keyness" -> 0.8,
+    // grid pair join per type (days^2 on metadata)
+    "q_ts_mann_kendall" -> 0.6,
+    // ab_ztest's per-user collapse + closed-form readout
+    "q_agg_mde" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
