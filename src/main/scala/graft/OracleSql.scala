@@ -884,6 +884,36 @@ object OracleSql {
                 round(max(r.rate), 4) AS rate
          FROM b JOIN r USING (lang)
          GROUP BY r.lang ORDER BY r.lang""",
+    "q_samp_negative" ->
+      // identical sha-ring ordering; the window frame, the
+      // different-label filter, and the 5-cut are all pure functions
+      // of the ordered id set.
+      """WITH r AS (
+           SELECT vec_id, label,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(vec_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) AS ring
+           FROM embeddings),
+         w AS (
+           SELECT vec_id, label,
+                  list(struct_pack(lab := label, vid := vec_id))
+                    OVER (ORDER BY ring, vec_id
+                          ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING)
+                    AS cands
+           FROM r),
+         f AS (
+           SELECT vec_id, label,
+                  list_slice(list_filter(cands,
+                    c -> c.lab <> label), 1, 5) AS negs
+           FROM w),
+         e AS (
+           SELECT vec_id, label,
+                  unnest(range(1, len(negs) + 1)) AS neg_rank,
+                  unnest(negs) AS neg
+           FROM f)
+         SELECT vec_id, label, CAST(neg_rank AS INTEGER) AS neg_rank,
+                neg.vid AS neg_id, neg.lab AS neg_label
+         FROM e ORDER BY vec_id, neg_rank""",
     "q_text_keyness" ->
       // 2×2 contingency per term; 0·ln0 closed by the identical CASE;
       // ln only inside the 4-dp-rounded sort key; integer cross
@@ -2930,6 +2960,28 @@ object OracleSql {
                 count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
                 count(*) AS n_consistent
          FROM events GROUP BY 1 ORDER BY path_date""",
+    "q_etl_bitemporal" ->
+      // identical synthetic transaction time (orderdate + orderkey%3
+      // days); both time-axis filters; exact decimal balances.
+      """WITH o AS (
+           SELECT o_custkey, o_totalprice,
+                  CASE WHEN CAST(o_orderdate AS DATE)
+                         + CAST(o_orderkey % 3 AS INTEGER)
+                         <= DATE '1995-07-01'
+                       THEN 1 ELSE 0 END AS is_known
+           FROM orders
+           WHERE o_orderdate <= DATE '1995-06-30')
+         SELECT c_mktsegment,
+                count(DISTINCT CASE WHEN is_known = 1
+                  THEN o_custkey END) AS n_cust,
+                CAST(sum(is_known) AS BIGINT) AS n_orders,
+                round(CAST(sum(CASE WHEN is_known = 1
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+                  AS balance,
+                CAST(sum(1 - is_known) AS BIGINT) AS n_late
+         FROM o JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "q_etl_impute" ->
       // identical sparsification, exact interpolated median rounded to
       // the 2-dp value grid, identical decimal-sum/single-division
@@ -3944,6 +3996,40 @@ object OracleSql {
                 round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
                 CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
          FROM a ORDER BY event_type NULLS FIRST""",
+    "q_agg_logloss" ->
+      // per-user 6-dp decimal p̂, 8-dp decimal ln terms, exact decimal
+      // squared errors → every decile mean is decimal-sum ÷ count;
+      // ε-clamp closes ln(0) identically.
+      """WITH u AS (
+           SELECT user_id, count(*) AS n_ev,
+                  sum(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS n_purch,
+                  max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS y
+           FROM events GROUP BY 1),
+         sc AS (
+           SELECT CAST(round(CAST(n_purch AS DOUBLE) / n_ev, 6)
+                    AS DECIMAL(10,6)) AS p6, y
+           FROM u),
+         s2 AS (
+           SELECT p6, y,
+                  least(greatest(p6, CAST(0.000001 AS DECIMAL(10,6))),
+                    CAST(0.999999 AS DECIMAL(10,6))) AS pc,
+                  least(CAST(floor(p6 * 10) AS BIGINT), 9) AS decile
+           FROM sc),
+         s3 AS (
+           SELECT decile, p6, y,
+                  CAST(round(-(y * ln(CAST(pc AS DOUBLE))
+                    + (1 - y) * ln(1.0 - CAST(pc AS DOUBLE))), 8)
+                    AS DECIMAL(20,8)) AS ll,
+                  (p6 - y) * (p6 - y) AS sq
+           FROM s2)
+         SELECT decile, count(*) AS n,
+                round(CAST(sum(p6) AS DOUBLE) / count(*), 4) AS mean_p,
+                round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS mean_y,
+                round(CAST(sum(sq) AS DOUBLE) / count(*), 4) AS brier,
+                round(CAST(sum(ll) AS DOUBLE) / count(*), 4) AS logloss
+         FROM s3 GROUP BY decile ORDER BY decile""",
     "q_agg_mde" ->
       // z constants combined in DOUBLE arithmetic (a decimal 1.96 +
       // 0.8416 would square exactly and diverge from Spark's IEEE

@@ -474,6 +474,49 @@ object AggQueries {
           .cast("long").as("n_req_05pp"))
   }
 
+  /** q_agg_logloss — model-evaluation metrics for a propensity score:
+    * log-loss, Brier score, and a calibration-by-decile table for the
+    * naive propensity p̂(user) = historical purchase share, evaluated
+    * against the high-value-purchase outcome — the eval harness every
+    * training pipeline runs on held-out scores (a model readout needs
+    * no model: any score column slots in). Float discipline for
+    * DISTRIBUTED means: p̂ rounds to a 6-dp decimal per user, the ln
+    * terms round to 8 dp per user, and squared errors are exact
+    * decimal products — every per-decile mean is then a decimal sum ÷
+    * count, immune to partition order (a naive avg(double) would
+    * drift run-to-run); the ε-clamp at 1e-6 closes ln(0) identically
+    * on both engines. Shape: one per-user map-side collapse, then a
+    * 10-row decile grid — the corpus is touched once. */
+  private val aggLogloss: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("n_purch"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 90, 1).otherwise(0)).as("y"))
+    val scored = users
+      .withColumn("p6", round(col("n_purch").cast("double") /
+        col("n_ev"), 6).cast("decimal(10,6)"))
+      .withColumn("pc", least(greatest(col("p6"),
+        lit(0.000001).cast("decimal(10,6)")),
+        lit(0.999999).cast("decimal(10,6)")))
+      .withColumn("decile",
+        least(floor(col("p6") * 10).cast("long"), lit(9L)))
+      .withColumn("ll", round(-(col("y") *
+        log(col("pc").cast("double")) + (lit(1) - col("y")) *
+        log(lit(1.0) - col("pc").cast("double"))), 8)
+        .cast("decimal(20,8)"))
+      .withColumn("sq", (col("p6") - col("y")) * (col("p6") - col("y")))
+    scored.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(sum("p6").cast("double") / count(lit(1)), 4).as("mean_p"),
+        round(sum("y").cast("double") / count(lit(1)), 4).as("mean_y"),
+        round(sum("sq").cast("double") / count(lit(1)), 4).as("brier"),
+        round(sum("ll").cast("double") / count(lit(1)), 4).as("logloss"))
+      .orderBy("decile")
+  }
+
   /** q_agg_cramers_v — Cramér's V effect size between order priority
     * and order status: χ² from the contingency table normalized to
     * [0,1] by n·min(r−1, c−1) — the readout q_agg_chisq's raw χ²
@@ -1288,6 +1331,7 @@ object AggQueries {
     "q_agg_basket" -> aggBasket,
     "q_agg_cramers_v" -> aggCramersV,
     "q_agg_mde" -> aggMde,
+    "q_agg_logloss" -> aggLogloss,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -1682,7 +1682,47 @@ object PipelineQueries {
       .orderBy("day")
   }
 
+  /** q_etl_bitemporal — bitemporal as-of reconstruction: what did the
+    * warehouse SAY on system date S about business state as of valid
+    * date V? Orders are updates with valid time = o_orderdate and a
+    * synthetic transaction time recorded = orderdate + (orderkey % 3)
+    * days — the deterministic stand-in for ingestion lag — so the two
+    * axes genuinely diverge and some facts valid by V were NOT YET
+    * KNOWN at S (the late-arriving rows every reconciliation fight is
+    * about; q_etl_scd2 versions one axis, q_etl_backfill repairs late
+    * data — this op QUERIES both axes). Readout per market segment:
+    * customers/orders/balance as known at S=1995-07-01 for
+    * V=1995-06-30, plus the late-arrival count the S-snapshot missed.
+    * Shape: one corpus scan with both filters pushed down, a broadcast
+    * dim join, one two-phase aggregate; balances accumulate as
+    * decimal(18,2) (exact, partition-order-free). */
+  private val etlBitemporal: Q = (s, dir) => {
+    val validAsOf = lit("1995-06-30").cast("date")
+    val systemAsOf = lit("1995-07-01").cast("date")
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("recorded", date_add(col("o_orderdate"),
+        (col("o_orderkey") % 3).cast("int")))
+      .filter(col("o_orderdate") <= validAsOf)
+      .withColumn("is_known",
+        when(col("recorded") <= systemAsOf, 1).otherwise(0))
+    o.join(broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(when(col("is_known") === 1, col("o_custkey")))
+          .as("n_cust"),
+        sum("is_known").as("n_orders"),
+        round(sum(when(col("is_known") === 1,
+          col("o_totalprice").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double"), 2)
+          .as("balance"),
+        sum(lit(1) - col("is_known")).as("n_late"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_etl_bitemporal" -> etlBitemporal,
     "q_etl_stats_collect" -> etlStatsCollect,
     "q_evt_dau_wau" -> evtDauWau,
     "q_evt_interarrival" -> evtInterarrival,

@@ -1130,6 +1130,40 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** q_samp_negative — deterministic hash-ring negative sampling for
+    * contrastive training: each anchor takes as negatives the first 5
+    * DIFFERENT-LABEL vectors among the next 20 positions on a sha-hash
+    * ring — the "random but reproducible" negative set every
+    * embedding-training pipeline needs (an RNG draw changes under
+    * reruns/repartitions; ring neighbors are a pure function of the id
+    * set). Ring order is (sha-bucket, vec_id) — total, so the window
+    * is deterministic; hash placement makes ring neighbors
+    * label-agnostic, i.e. uniform negatives. Shape: ONE sort by ring
+    * position + a bounded 20-row lookahead frame (collect over the
+    * frame, filter in-row) — no self-join, no RNG; at corpus scale the
+    * ring range-partitions with a W-row boundary overlap per
+    * partition (the tail-of-partition rows read their neighbors from
+    * the overlap, keeping the sample identical to the single-sort
+    * result). Tail-of-ring anchors can yield < 5 (documented;
+    * wrap-around would double-read the head). */
+  private val sampNegative: Q = (s, dir) => {
+    val w = Window.orderBy("ring", "vec_id").rowsBetween(1, 20)
+    Tables.load(s, dir, "embeddings")
+      .withColumn("ring",
+        conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 7),
+          16, 10).cast("long"))
+      .withColumn("cands", collect_list(
+        struct(col("label").as("lab"), col("vec_id").as("vid"))).over(w))
+      .withColumn("negs",
+        expr("slice(filter(cands, c -> c.lab != label), 1, 5)"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("negs")).as(Seq("p", "neg")))
+      .select(col("vec_id"), col("label"),
+        (col("p") + 1).as("neg_rank"),
+        col("neg.vid").as("neg_id"), col("neg.lab").as("neg_label"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
   /** q_text_keyness — Dunning log-likelihood (G²) keyword extraction:
     * which terms are most over/under-represented in the English slice
     * vs the rest of the corpus — the corpus-linguistics keyness test,
@@ -1565,6 +1599,7 @@ object TextQueries {
     "q_samp_temperature" -> sampTemperature,
     "q_samp_balanced" -> sampBalanced,
     "q_text_keyness" -> textKeyness,
+    "q_samp_negative" -> sampNegative,
     "q_text_ngram_lm" -> textNgramLm,
     "q_text_boilerplate" -> textBoilerplate,
     "q_text_feature_hash" -> textFeatureHash,

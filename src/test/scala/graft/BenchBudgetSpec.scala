@@ -242,6 +242,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_mann_kendall" -> 0.6,
     // ab_ztest's per-user collapse + closed-form readout
     "q_agg_mde" -> 0.5,
+    // per-user collapse + 10-row decile grid
+    "q_agg_logloss" -> 0.6,
+    // one ring sort + bounded lookahead frame over embeddings
+    "q_samp_negative" -> 0.5,
+    // one pushed-down scan + broadcast dim join + two-phase agg
+    "q_etl_bitemporal" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
