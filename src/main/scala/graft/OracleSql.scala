@@ -884,6 +884,13 @@ object OracleSql {
                 round(max(r.rate), 4) AS rate
          FROM b JOIN r USING (lang)
          GROUP BY r.lang ORDER BY r.lang""",
+    "q_src_json_multiline" ->
+      // the multiLine read-back must reproduce the dim rollup the
+      // oracle computes straight from the parquet table.
+      """SELECT n_regionkey, count(*) AS n_nations,
+                min(n_name) AS first_name,
+                max(n_nationkey) AS max_key
+         FROM nation GROUP BY 1 ORDER BY 1""",
     "q_samp_negative" ->
       // identical sha-ring ordering; the window frame, the
       // different-label filter, and the 5-cut are all pure functions
@@ -3647,6 +3654,34 @@ object OracleSql {
                       / nullif(n_events * (n_events - 1), 0), 4)
                   AS simpson
          FROM u ORDER BY user_id""",
+    "q_ts_hampel" ->
+      // in-row order statistics of the 7-element frame (1-based [4]);
+      // fence constants combined in DOUBLE arithmetic.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, d, y,
+                  list_sort(list(y) OVER (PARTITION BY event_type
+                    ORDER BY d ROWS BETWEEN 3 PRECEDING
+                    AND 3 FOLLOWING)) AS arr
+           FROM daily),
+         g AS (
+           SELECT event_type, d, y, arr[4] AS m,
+                  list_sort(list_transform(arr,
+                    v -> abs(v - arr[4])))[4] AS mad
+           FROM f WHERE len(arr) = 7),
+         h AS (
+           SELECT event_type, d, abs(y - m) AS dev,
+                  CASE WHEN CAST(abs(y - m) AS DOUBLE) >
+                    CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+                    THEN 1 ELSE 0 END AS outlier
+           FROM g)
+         SELECT event_type, count(*) AS n_checked,
+                CAST(sum(outlier) AS BIGINT) AS n_outliers,
+                CAST(max(dev) AS BIGINT) AS max_dev,
+                min(CASE WHEN outlier = 1 THEN d END) AS first_outlier
+         FROM h GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "q_ts_mann_kendall" ->
       // integer pair-sign sum on the contracted grid; tie-corrected
       // variance from HUGEINT products; continuity-corrected Z via
@@ -3996,6 +4031,33 @@ object OracleSql {
                 round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
                 CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
          FROM a ORDER BY event_type NULLS FIRST""",
+    "q_agg_hill" ->
+      // identical (price desc, orderkey) order statistics; 8-dp
+      // decimal ln terms make the tail sum order-free; shared
+      // closed-form alpha.
+      """WITH n AS (SELECT count(*) AS n,
+                  CAST(floor(count(*) / 100) AS BIGINT) AS k
+                  FROM orders),
+         r AS (
+           SELECT o_totalprice,
+                  row_number() OVER (ORDER BY o_totalprice DESC,
+                    o_orderkey) AS rn
+           FROM orders),
+         xm AS (
+           SELECT o_totalprice AS x_min FROM r CROSS JOIN n
+           WHERE rn = k + 1),
+         t AS (
+           SELECT n.n, n.k, xm.x_min,
+                  CAST(round(ln(o_totalprice / x_min), 8)
+                    AS DECIMAL(20,8)) AS lterm
+           FROM r CROSS JOIN n CROSS JOIN xm
+           WHERE rn <= k)
+         SELECT n, k, round(x_min, 2) AS x_min,
+                round(CAST(k AS DOUBLE) / CAST(sum(lterm) AS DOUBLE),
+                  4) AS alpha,
+                round((CAST(k AS DOUBLE) / CAST(sum(lterm) AS DOUBLE))
+                  / sqrt(CAST(k AS DOUBLE)), 4) AS alpha_se
+         FROM t GROUP BY n, k, x_min""",
     "q_agg_logloss" ->
       // per-user 6-dp decimal p̂, 8-dp decimal ln terms, exact decimal
       // squared errors → every decile mean is decimal-sum ÷ count;

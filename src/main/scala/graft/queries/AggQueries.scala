@@ -517,6 +517,44 @@ object AggQueries {
       .orderBy("decile")
   }
 
+  /** q_agg_hill — Hill tail-index estimator on the order-price upper
+    * tail: α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍k₊₁₎) over the top-1% order
+    * statistics — the power-law heaviness readout behind capacity
+    * planning and whale-risk (q_text_zipf fits term frequencies;
+    * Hill fits a CONTINUOUS metric's tail, and is the standard
+    * estimator). Determinism: the order statistics come from ONE
+    * descending sort with the orderkey tiebreak (row_number total);
+    * each ln(xᵢ/x_min) rounds to 8 dp and accumulates as
+    * decimal(20,8), so the tail sum is partition-order-free; α̂ and
+    * its bias-corrected standard error α̂/√k are shared closed forms.
+    * Scale: the sort is the arrangement cost (the weighted-median
+    * bound) — a 100 TB corpus first contracts by pre-filtering above
+    * an approximate 99th percentile so only ~k rows sort. */
+  private val aggHill: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val n = o.agg(count(lit(1)).as("n"))
+    val ranked = o.crossJoin(broadcast(n))
+      .withColumn("k", floor(col("n") / lit(100)).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= col("k") + 1)
+    val xmin = ranked.filter(col("rn") === col("k") + 1)
+      .select(col("o_totalprice").as("x_min"))
+    ranked.filter(col("rn") <= col("k")).crossJoin(broadcast(xmin))
+      .select(col("n"), col("k"), col("x_min"),
+        round(log(col("o_totalprice") / col("x_min")), 8)
+          .cast("decimal(20,8)").as("lterm"))
+      .groupBy("n", "k", "x_min")
+      .agg(sum("lterm").as("lsum"))
+      .select(col("n"), col("k"),
+        round(col("x_min"), 2).as("x_min"),
+        round(col("k").cast("double") / col("lsum").cast("double"), 4)
+          .as("alpha"),
+        round((col("k").cast("double") / col("lsum").cast("double")) /
+          sqrt(col("k").cast("double")), 4).as("alpha_se"))
+  }
+
   /** q_agg_cramers_v — Cramér's V effect size between order priority
     * and order status: χ² from the contingency table normalized to
     * [0,1] by n·min(r−1, c−1) — the readout q_agg_chisq's raw χ²
@@ -1332,6 +1370,7 @@ object AggQueries {
     "q_agg_cramers_v" -> aggCramersV,
     "q_agg_mde" -> aggMde,
     "q_agg_logloss" -> aggLogloss,
+    "q_agg_hill" -> aggHill,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -610,7 +610,41 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** q_src_json_multiline — whole-file JSON-ARRAY ingestion
+    * (`multiLine`): the nation dim is round-tripped through a single
+    * pretty-JSON array file and read back with
+    * `option("multiLine", true)` — the config/dim-file format REST
+    * APIs and hand-edited fixtures arrive in. The scale contract is
+    * the point: a multiLine JSON file is NOT SPLITTABLE (one file =
+    * one task parsing the whole document, unlike NDJSON's
+    * line-per-record splits), so the mode is for small dims and
+    * configs only — the op doc is the guardrail a 100 TB pipeline
+    * needs against "just read the 2 TB JSON dump with multiLine".
+    * The array is assembled distributed (sort_array over collected
+    * structs → array_join), not via a driver loop; the read-back
+    * must reproduce the per-region rollup the oracle computes from
+    * the parquet dim. */
+  private val srcJsonMultiline: Q = (s, dir) => {
+    val out = freshSinkDir("json_multiline")
+    Tables.load(s, dir, "nation")
+      .select(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")).as("r"))
+      .agg(expr("""concat('[',
+        array_join(transform(array_sort(collect_list(r)),
+          x -> to_json(x)), ','),
+        ']')""").as("value"))
+      .repartition(1)
+      .write.mode("overwrite").text(out)
+    s.read.option("multiLine", "true").json(out)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min("n_name").as("first_name"),
+        max("n_nationkey").as("max_key"))
+      .orderBy("n_regionkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_src_json_multiline" -> srcJsonMultiline,
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
     "q_src_corrupt" -> srcCorrupt,

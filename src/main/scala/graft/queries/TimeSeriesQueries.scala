@@ -491,10 +491,45 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_hampel — Hampel-filter outlier scan per event type: a day is
+    * an outlier when |y − rolling median₇| > 3·1.4826·rolling MAD₇ —
+    * the robust rolling detector (a global z-score is dragged by the
+    * very spikes it hunts, and even q_ts_anomaly's per-type MAD is
+    * GLOBAL per type; Hampel localizes the baseline to the
+    * surrounding week, so a level-shifted series doesn't flag its
+    * whole tail). Full 7-day windows only (the decompose edge rule).
+    * Exactness: the frame median and the MAD are IN-ROW order
+    * statistics of a 7-element integer array (collect over the frame
+    * → array_sort → element 4) — pure integers; the fence is one
+    * double product of the integer MAD, and the comparison |y−m| >
+    * fence runs on engine-identical values. Scale: the frame collect
+    * is bounded (7) and the window partitions by type on the
+    * contracted grid — no corpus sort, no quadratic. */
+  private val tsHampel: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-3, 3)
+    val g = dailySeries(s, dir)
+      .withColumn("arr", array_sort(collect_list("y").over(w)))
+      .filter(size(col("arr")) === 7)
+      .withColumn("m", element_at(col("arr"), 4))
+      .withColumn("mad", element_at(expr(
+        "array_sort(transform(arr, v -> abs(v - m)))"), 4))
+      .withColumn("dev", abs(col("y") - col("m")))
+      .withColumn("outlier", when(col("dev").cast("double") >
+        lit(3.0) * lit(1.4826) * col("mad"), 1).otherwise(0))
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_checked"),
+        sum("outlier").as("n_outliers"),
+        max("dev").as("max_dev"),
+        min(when(col("outlier") === 1, col("d"))).as("first_outlier"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
     "q_ts_cusum" -> tsCusum,
     "q_ts_survival" -> tsSurvival,
     "q_ts_mann_kendall" -> tsMannKendall,
+    "q_ts_hampel" -> tsHampel,
     "q_ts_decompose" -> tsDecompose,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_anomaly" -> tsAnomaly,

@@ -248,6 +248,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_samp_negative" -> 0.5,
     // one pushed-down scan + broadcast dim join + two-phase agg
     "q_etl_bitemporal" -> 0.5,
+    // dim write + whole-file multiLine json read-back
+    "q_src_json_multiline" -> 0.8,
+    // one descending corpus sort + decimal tail sum
+    "q_agg_hill" -> 0.8,
+    // bounded 7-row frame collects on the types-days grid
+    "q_ts_hampel" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
