@@ -2211,6 +2211,48 @@ object OracleSql {
          FROM events ORDER BY event_id""",
 
     // ───── §2.N text-analysis extensions ─────
+    "q_text_lang_confusion" ->
+      // the langid oracle's score/argmax CTEs, rolled into a
+      // confusion matrix with per-actual-lang recall.
+      """WITH t AS (
+           SELECT lang, string_split(lower(text), ' ') AS w
+           FROM documents),
+         s AS (
+           SELECT lang,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','a','in','is'], x)))
+                    AS BIGINT) AS s_en,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['der','die','und','das','ist','ein','zu'], x)))
+                    AS BIGINT) AS s_de,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','los','es'], x)))
+                    AS BIGINT) AS s_es,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['le','la','et','les','des','un','est'], x)))
+                    AS BIGINT) AS s_fr
+           FROM t),
+         p AS (
+           SELECT lang,
+                  CASE WHEN s_en >= s_de AND s_en >= s_es
+                         AND s_en >= s_fr THEN 'en'
+                       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                       WHEN s_es >= s_fr THEN 'es'
+                       ELSE 'fr' END AS lang_pred
+           FROM s),
+         cells AS (
+           SELECT lang, lang_pred, count(*) AS n
+           FROM p GROUP BY 1, 2),
+         tot AS (
+           SELECT lang, sum(n) AS n_actual,
+                  sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+                    AS n_correct
+           FROM cells GROUP BY 1)
+         SELECT cells.lang, lang_pred, n,
+                round(CAST(n_correct AS DOUBLE) / n_actual, 4)
+                  AS recall
+         FROM cells JOIN tot USING (lang)
+         ORDER BY lang, lang_pred""",
     "q_text_langid" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split(lower(text), ' ') AS w
@@ -2967,6 +3009,32 @@ object OracleSql {
                 count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
                 count(*) AS n_consistent
          FROM events GROUP BY 1 ORDER BY path_date""",
+    "q_evt_uplift" ->
+      // ntile over the identical TOTAL order; integer-ratio rates.
+      """WITH u AS (
+           SELECT user_id, count(*) AS n_ev,
+                  max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS y,
+                  user_id % 2 AS arm
+           FROM events GROUP BY user_id),
+         q AS (
+           SELECT *, ntile(5) OVER (ORDER BY n_ev, user_id)
+             AS quintile FROM u),
+         g AS (
+           SELECT quintile,
+                  count(CASE WHEN arm = 1 THEN 1 END) AS n_t,
+                  CAST(sum(CASE WHEN arm = 1 THEN y END) AS BIGINT)
+                    AS conv_t,
+                  count(CASE WHEN arm = 0 THEN 1 END) AS n_c,
+                  CAST(sum(CASE WHEN arm = 0 THEN y END) AS BIGINT)
+                    AS conv_c
+           FROM q GROUP BY 1)
+         SELECT quintile, n_t, conv_t, n_c, conv_c,
+                round(CAST(conv_t AS DOUBLE) / n_t, 4) AS rate_t,
+                round(CAST(conv_c AS DOUBLE) / n_c, 4) AS rate_c,
+                round(CAST(conv_t AS DOUBLE) / n_t
+                      - CAST(conv_c AS DOUBLE) / n_c, 4) AS uplift
+         FROM g ORDER BY quintile""",
     "q_etl_bitemporal" ->
       // identical synthetic transaction time (orderdate + orderkey%3
       // days); both time-axis filters; exact decimal balances.
@@ -4031,6 +4099,41 @@ object OracleSql {
                 round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
                 CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
          FROM a ORDER BY event_type NULLS FIRST""",
+    "q_agg_kendall" ->
+      // cell-grid concordance: pair products over cell pairs in
+      // HUGEINT ≡ decimal(38); tau-b one shared closed form.
+      """WITH cells AS (
+           SELECT l_returnflag, l_quantity AS x, l_discount AS y,
+                  CAST(count(*) AS HUGEINT) AS c
+           FROM lineitem GROUP BY 1, 2, 3),
+         cd AS (
+           SELECT a.l_returnflag,
+                  sum(CASE WHEN a.y < b.y THEN a.c * b.c
+                      ELSE 0 END) AS conc,
+                  sum(CASE WHEN a.y > b.y THEN a.c * b.c
+                      ELSE 0 END) AS disc
+           FROM cells a JOIN cells b
+             ON a.l_returnflag = b.l_returnflag AND a.x < b.x
+           GROUP BY 1),
+         t AS (SELECT l_returnflag, sum(c) AS n FROM cells
+               GROUP BY 1),
+         tx AS (SELECT l_returnflag, sum(t * (t - 1)) AS n1x2 FROM
+                (SELECT l_returnflag, sum(c) AS t FROM cells
+                 GROUP BY l_returnflag, x) GROUP BY 1),
+         ty AS (SELECT l_returnflag, sum(t * (t - 1)) AS n2x2 FROM
+                (SELECT l_returnflag, sum(c) AS t FROM cells
+                 GROUP BY l_returnflag, y) GROUP BY 1)
+         SELECT cd.l_returnflag, CAST(n AS BIGINT) AS n,
+                CAST(conc AS BIGINT) AS conc,
+                CAST(disc AS BIGINT) AS disc,
+                round(CAST(conc - disc AS DOUBLE)
+                  / (sqrt(CAST(n * (n - 1) - n1x2 AS DOUBLE) / 2.0)
+                     * sqrt(CAST(n * (n - 1) - n2x2 AS DOUBLE)
+                       / 2.0)), 4) AS tau_b
+         FROM cd JOIN t USING (l_returnflag)
+                 JOIN tx USING (l_returnflag)
+                 JOIN ty USING (l_returnflag)
+         ORDER BY l_returnflag""",
     "q_agg_hill" ->
       // identical (price desc, orderkey) order statistics; 8-dp
       // decimal ln terms make the tail sum order-free; shared

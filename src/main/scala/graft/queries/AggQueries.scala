@@ -555,6 +555,57 @@ object AggQueries {
           sqrt(col("k").cast("double")), 4).as("alpha_se"))
   }
 
+  /** q_agg_kendall — Kendall's τ-b between quantity and discount per
+    * return flag: concordant/discordant pair counts with the tie-b
+    * correction — the third rank-association statistic (Pearson =
+    * linear, Spearman = monotone-by-rank; Kendall = pairwise
+    * order-agreement, the most robust and the one with a direct
+    * probabilistic reading P(concordant) − P(discordant)). The naive
+    * form is O(n²) pairs over the corpus; BOTH variables here are
+    * low-cardinality, so the op contracts to the (x, y) CELL GRID
+    * first and counts pair products over cell pairs — O(cells²) on
+    * metadata, never the corpus (the mann_kendall pricing rule).
+    * Exactness: C, D, the tie terms n₀/n₁/n₂ are decimal(38) integer
+    * arithmetic (cell products ≤ corpus², hence decimal); τ-b is one
+    * shared closed-form double. */
+  private val aggKendall: Q = (s, dir) => {
+    val cells = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_discount").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    val cd = cells.as("a").join(cells.as("b"),
+        col("a.l_returnflag") === col("b.l_returnflag") &&
+          col("a.x") < col("b.x"))
+      .groupBy(col("a.l_returnflag").as("l_returnflag"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"),
+          col("a.c") * col("b.c")).otherwise(lit(0))).as("conc"),
+        sum(when(col("a.y") > col("b.y"),
+          col("a.c") * col("b.c")).otherwise(lit(0))).as("disc"))
+    val ties = cells.groupBy("l_returnflag")
+      .agg(sum("c").as("n"))
+    val tx = cells.groupBy("l_returnflag", "x")
+      .agg(sum("c").as("t"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("t") * (col("t") - 1)).as("n1x2"))
+    val ty = cells.groupBy("l_returnflag", "y")
+      .agg(sum("c").as("t"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("t") * (col("t") - 1)).as("n2x2"))
+    cd.join(broadcast(ties), Seq("l_returnflag"))
+      .join(broadcast(tx), Seq("l_returnflag"))
+      .join(broadcast(ty), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"),
+        round((col("conc") - col("disc")).cast("double") /
+          (sqrt((col("n") * (col("n") - 1) - col("n1x2"))
+            .cast("double") / 2.0) *
+            sqrt((col("n") * (col("n") - 1) - col("n2x2"))
+              .cast("double") / 2.0)), 4).as("tau_b"))
+      .orderBy("l_returnflag")
+  }
+
   /** q_agg_cramers_v — Cramér's V effect size between order priority
     * and order status: χ² from the contingency table normalized to
     * [0,1] by n·min(r−1, c−1) — the readout q_agg_chisq's raw χ²
@@ -1371,6 +1422,7 @@ object AggQueries {
     "q_agg_mde" -> aggMde,
     "q_agg_logloss" -> aggLogloss,
     "q_agg_hill" -> aggHill,
+    "q_agg_kendall" -> aggKendall,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -1721,8 +1721,46 @@ object PipelineQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q_evt_uplift — uplift readout by activity quintile: treatment =
+    * the deterministic user_id-parity arm, outcome = the high-value
+    * purchase flag, segments = ntile(5) over per-user event counts —
+    * per segment the treated/control rates and their difference, THE
+    * heterogeneous-treatment-effect table behind targeting decisions
+    * (q_agg_ab_ztest answers "did it work on average"; uplift answers
+    * "for WHOM did it work" — averages hide sign flips between
+    * segments). Determinism: the quintile boundary is ntile over a
+    * TOTAL order (n_events, user_id), identical both engines; all
+    * rates are integer ratios via shared closed forms, uplift rounds
+    * once. Shape: one per-user map-side collapse, one user-table
+    * window sort (users, not events), a 5-row grid readout. */
+  private val evtUplift: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 90, 1).otherwise(0)).as("y"))
+      .withColumn("arm", col("user_id") % 2)
+      .withColumn("quintile", ntile(5).over(
+        Window.orderBy(col("n_ev"), col("user_id"))))
+    users.groupBy("quintile")
+      .agg(
+        count(when(col("arm") === 1, 1)).as("n_t"),
+        sum(when(col("arm") === 1, col("y"))).as("conv_t"),
+        count(when(col("arm") === 0, 1)).as("n_c"),
+        sum(when(col("arm") === 0, col("y"))).as("conv_c"))
+      .withColumn("rate_t",
+        round(col("conv_t").cast("double") / col("n_t"), 4))
+      .withColumn("rate_c",
+        round(col("conv_c").cast("double") / col("n_c"), 4))
+      .withColumn("uplift", round(
+        col("conv_t").cast("double") / col("n_t") -
+          col("conv_c").cast("double") / col("n_c"), 4))
+      .orderBy("quintile")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_bitemporal" -> etlBitemporal,
+    "q_evt_uplift" -> evtUplift,
     "q_etl_stats_collect" -> etlStatsCollect,
     "q_evt_dau_wau" -> evtDauWau,
     "q_evt_interarrival" -> evtInterarrival,

@@ -170,6 +170,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q_text_lang_confusion — the language-ID EVALUATION: confusion
+    * matrix of [[TextSim.langId]]'s prediction against the labeled
+    * lang, with per-actual-language recall attached to each cell —
+    * the readout that turns q_text_langid from a classifier into a
+    * MEASURED classifier (and surfaces the structural failure: 'zh'
+    * has no stopword profile, so every zh doc lands in some Latin
+    * bucket — exactly the coverage gap a curation team needs to see).
+    * Shape: one scan scoring the per-row argmax, a ≤langs² cell
+    * aggregate, a ≤langs-row recall broadcast back onto the cells.
+    * All counts integers; recall is one shared division. */
+  private val textLangConfusion: Q = (s, dir) => {
+    val pred = Tables.load(s, dir, "documents")
+      .withColumn("lang_pred", TextSim.langId(TextSim.tokens(col("text"))))
+    val cellsC = pred.groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val totals = cellsC.groupBy("lang")
+      .agg(sum("n").as("n_actual"),
+        sum(when(col("lang") === col("lang_pred"), col("n"))
+          .otherwise(lit(0))).as("n_correct"))
+    cellsC.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n_correct").cast("double") / col("n_actual"), 4)
+          .as("recall"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** q_text_quality — length / punctuation / stopword quality signals
     * with a composite score (the pre-training filter stage). */
   private val quality: Q = (s, dir) =>
@@ -1632,6 +1658,7 @@ object TextQueries {
     "q_text_minhash" -> minhash,
     "q_text_minhash_groups" -> minhashGroups,
     "q_text_langid" -> langid,
+    "q_text_lang_confusion" -> textLangConfusion,
     "q_text_quality" -> quality,
     "q_text_readability" -> textReadability,
     "q_text_repetition" -> repetition,

@@ -254,6 +254,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_hill" -> 0.8,
     // bounded 7-row frame collects on the types-days grid
     "q_ts_hampel" -> 0.5,
+    // cell-grid pair products per flag (metadata quadratic)
+    "q_agg_kendall" -> 0.8,
+    // per-user collapse + user-table ntile window + 5-row grid
+    "q_evt_uplift" -> 0.6,
+    // argmax scan + langs^2 cells + recall broadcast
+    "q_text_lang_confusion" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
