@@ -802,6 +802,27 @@ object OracleSql {
            SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.n)
          SELECT n AS p_partkey, min(r) AS component
          FROM reach GROUP BY n ORDER BY p_partkey""",
+    "q_graph_bipartite" ->
+      // the self-join form is semantically identical to the Spark
+      // side's per-user set pairing; integer counts, one shared
+      // Jaccard division.
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         tc AS (SELECT event_type AS t, count(*) AS n_users
+                FROM ut GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS t_a, b.event_type AS t_b,
+                  count(*) AS n_shared
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT t_a, t_b, ta.n_users AS n_a, tb.n_users AS n_b,
+                n_shared,
+                round(CAST(n_shared AS DOUBLE)
+                  / (ta.n_users + tb.n_users - n_shared), 4)
+                  AS jaccard
+         FROM p JOIN tc ta ON ta.t = t_a JOIN tc tb ON tb.t = t_b
+         ORDER BY t_a, t_b""",
     "q_graph_pagerank" ->
       """WITH nodes AS (SELECT DISTINCT event_type AS node FROM events),
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
@@ -3722,6 +3743,56 @@ object OracleSql {
                       / nullif(n_events * (n_events - 1), 0), 4)
                   AS simpson
          FROM u ORDER BY user_id""",
+    "q_ts_rolling_corr" ->
+      // integer frame sums on the calendar grid; one closed-form r per
+      // day; x/0 → NULL ≡ try_divide on a zero-variance frame.
+      """WITH grid AS (
+           SELECT CAST(ts AS DATE) AS d,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS x,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS y
+           FROM events WHERE event_type IN ('purchase', 'view')
+           GROUP BY 1),
+         w AS (
+           SELECT d, x, y,
+                  count(*) OVER fr AS n,
+                  sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+                  sum(x * y) OVER fr AS sxy,
+                  sum(x * x) OVER fr AS sxx,
+                  sum(y * y) OVER fr AS syy
+           FROM grid
+           WINDOW fr AS (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                         AND CURRENT ROW))
+         SELECT d, x, y,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+                  AS corr14
+         FROM w WHERE n = 14 ORDER BY d""",
+    "q_ts_backtest" ->
+      // integer errors from the 7-lag; MAPE terms 8-dp decimal (the
+      // distributed-mean rule); shared closed-form readouts.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, y,
+                  lag(y, 7) OVER (PARTITION BY event_type ORDER BY d)
+                    AS yhat
+           FROM daily),
+         e AS (
+           SELECT event_type, y - yhat AS err,
+                  CAST(round(CAST(abs(y - yhat) AS DOUBLE) / y, 8)
+                    AS DECIMAL(20,8)) AS ape
+           FROM l WHERE yhat IS NOT NULL)
+         SELECT event_type, count(*) AS n_eval,
+                round(CAST(sum(abs(err)) AS DOUBLE) / count(*), 4)
+                  AS mae,
+                round(sqrt(CAST(sum(err * err) AS DOUBLE) / count(*)),
+                  4) AS rmse,
+                round(CAST(sum(err) AS DOUBLE) / count(*), 4) AS bias,
+                round(CAST(sum(ape) AS DOUBLE) / count(*), 4) AS mape
+         FROM e GROUP BY event_type ORDER BY event_type NULLS FIRST""",
     "q_ts_hampel" ->
       // in-row order statistics of the 7-element frame (1-based [4]);
       // fence constants combined in DOUBLE arithmetic.

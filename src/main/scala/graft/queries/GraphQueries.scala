@@ -267,7 +267,48 @@ object GraphQueries {
       .orderBy("p_partkey")
   }
 
+  /** q_graph_bipartite — bipartite projection of the user×event-type
+    * engagement graph onto event types: for every type pair, the
+    * shared-user count and the Jaccard of their user sets — the
+    * co-engagement matrix behind "users who do X also do Y"
+    * (recommendation candidates, feature bundling, cannibalization
+    * checks). The projection is THE bipartite-scale trap: joining the
+    * edge list with itself on user explodes on power users, so the op
+    * contracts to per-user sorted TYPE SETS first (one shuffle) and
+    * pairs IN-ROW — a user touches ≤ |types| types, so the local
+    * product is bounded (the q_agg_basket shape on the user axis).
+    * Per-type user counts broadcast back; all counts integers,
+    * Jaccard n_ab/(n_a+n_b−n_ab) one shared division. */
+  private val graphBipartite: Q = (s, dir) => {
+    val sets = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .groupBy("user_id")
+      .agg(sort_array(collect_set("event_type")).as("types"))
+    val tcount = sets
+      .select(explode(col("types")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_users"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(types, (x, i) -> transform(
+             slice(types, i + 2, size(types)),
+             y -> struct(x AS t_a, y AS t_b))))""")).as("p"))
+      .groupBy(col("p.t_a").as("t_a"), col("p.t_b").as("t_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(tcount.select(col("t").as("t_a"),
+        col("n_users").as("n_a"))), "t_a")
+      .join(broadcast(tcount.select(col("t").as("t_b"),
+        col("n_users").as("n_b"))), "t_b")
+      .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4).as("jaccard"))
+      .orderBy("t_a", "t_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_graph_bipartite" -> graphBipartite,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_degree" -> graphDegree,
     "q_graph_triangles" -> graphTriangles,

@@ -525,7 +525,76 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_rolling_corr — rolling 14-day Pearson correlation between
+    * the purchase and view daily-count series: the co-movement monitor
+    * (a stable funnel keeps the two series locked; decoupling —
+    * traffic up, purchases flat — is the incident signal a single
+    * series' anomaly scan can't see; q_agg_corr is the STATIC version
+    * of this readout). Exactness: the day grid carries both counts as
+    * integers, the 14-row frame sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * pure integer window aggregates, and r is the textbook closed form
+    * evaluated once per day — no float enters before the final
+    * division. Full frames only (the decompose edge rule). Scale: the
+    * windows run on the CALENDAR grid (days rows — metadata); the
+    * corpus contracts in one two-phase count. */
+  private val tsRollingCorr: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("x"),
+        count(when(col("event_type") === "view", 1)).as("y"))
+    val w = Window.orderBy("d").rowsBetween(-13, 0)
+    grid
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === 14)
+      .select(col("d"), col("x"), col("y"),
+        round(try_divide(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 4).as("corr14"))
+      .orderBy("d")
+  }
+
+  /** q_ts_backtest — rolling-origin backtest of the seasonal-naive
+    * forecast (ŷ_t = y_{t−7}) per event type: MAE, RMSE, bias, and
+    * MAPE over every day with a 7-back observation — the eval harness
+    * q_ts_forecast_snaive needs before anyone trusts it (a forecast
+    * op without a backtest is a guess with a column name; this is the
+    * q_agg_logloss discipline applied to forecasting). Exactness:
+    * errors are INTEGERS (count − lagged count), so MAE/RMSE/bias are
+    * integer sums ÷ count with one closed-form readout each; MAPE's
+    * per-row rational |e|/y rounds to 8 dp and accumulates as
+    * decimal(20,8) — the distributed-mean rule. Scale: one lag window
+    * per type on the contracted grid. */
+  private val tsBacktest: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val e = dailySeries(s, dir)
+      .withColumn("yhat", lag("y", 7).over(w))
+      .filter(col("yhat").isNotNull)
+      .withColumn("err", col("y") - col("yhat"))
+      .withColumn("ape", round(abs(col("err")).cast("double") /
+        col("y"), 8).cast("decimal(20,8)"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        round(sum(abs(col("err"))).cast("double") / count(lit(1)), 4)
+          .as("mae"),
+        round(sqrt(sum(col("err") * col("err")).cast("double") /
+          count(lit(1))), 4).as("rmse"),
+        round(sum("err").cast("double") / count(lit(1)), 4).as("bias"),
+        round(sum("ape").cast("double") / count(lit(1)), 4).as("mape"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_rolling_corr" -> tsRollingCorr,
+    "q_ts_backtest" -> tsBacktest,
     "q_ts_cusum" -> tsCusum,
     "q_ts_survival" -> tsSurvival,
     "q_ts_mann_kendall" -> tsMannKendall,

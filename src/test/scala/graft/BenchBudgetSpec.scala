@@ -260,6 +260,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_uplift" -> 0.6,
     // argmax scan + langs^2 cells + recall broadcast
     "q_text_lang_confusion" -> 0.5,
+    // two-phase day-grid count + integer frame sums
+    "q_ts_rolling_corr" -> 0.5,
+    // one lag window per type on the contracted grid
+    "q_ts_backtest" -> 0.5,
+    // per-user type sets + in-row pairing + broadcast counts
+    "q_graph_bipartite" -> 0.8,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
