@@ -3030,6 +3030,38 @@ object OracleSql {
                 count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
                 count(*) AS n_consistent
          FROM events GROUP BY 1 ORDER BY path_date""",
+    "q_evt_transition_time" ->
+      // identical (ts, event_id) total order; integer-microsecond
+      // gaps; quantile_cont ≡ percentile; one division in the rounded
+      // readout.
+      """WITH e AS (
+           SELECT event_type,
+                  lead(event_type, 1) OVER w AS next_type,
+                  lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type AS from_type, next_type AS to_type,
+                count(*) AS n,
+                round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_s,
+                round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s
+         FROM e WHERE next_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_evt_new_returning" ->
+      // distinct (user, week) contraction; first weeks join back on
+      // user; integer counts, one share division.
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1)
+         SELECT wk, count(*) AS wau,
+                count(CASE WHEN wk = first_wk THEN 1 END) AS new_users,
+                count(*) - count(CASE WHEN wk = first_wk THEN 1 END)
+                  AS returning,
+                round(CAST(count(CASE WHEN wk = first_wk THEN 1 END)
+                  AS DOUBLE) / count(*), 4) AS new_share
+         FROM uw JOIN f USING (user_id)
+         GROUP BY wk ORDER BY wk""",
     "q_evt_uplift" ->
       // ntile over the identical TOTAL order; integer-ratio rates.
       """WITH u AS (
@@ -4170,6 +4202,44 @@ object OracleSql {
                 round(CAST(sae1 AS DOUBLE) / sy, 4) AS wmape_naive,
                 CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS snaive_wins
          FROM a ORDER BY event_type NULLS FIRST""",
+    "q_agg_mannwhitney" ->
+      // doubled pooled mid-ranks from the distinct-value grid (the
+      // spearman device); 2U and the tie term exact in HUGEINT; z one
+      // shared closed form; flag compares the ROUNDED z.
+      """WITH grid AS (
+           SELECT o_totalprice,
+                  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS HUGEINT) AS cf,
+                  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                    AS HUGEINT) AS co
+           FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+         r AS (
+           SELECT cf, co, cf + co AS cnt,
+                  2 * sum(cf + co) OVER (ORDER BY o_totalprice
+                    ROWS UNBOUNDED PRECEDING) - (cf + co) + 1 AS r2
+           FROM grid),
+         g AS (
+           SELECT sum(cf) AS n1, sum(co) AS n2,
+                  sum(cf * r2) AS r1x2,
+                  sum(cnt * cnt * cnt - cnt) AS tsum
+           FROM r),
+         s AS (
+           SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+                  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+                  n1, n2, tsum, n1 + n2 AS nn
+           FROM g),
+         v AS (
+           SELECT n_f, n_o, u,
+                  CAST(n1 * n2 AS DOUBLE) / 12.0 *
+                    (CAST(nn + 1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+                      / CAST(nn * (nn - 1) AS DOUBLE)) AS var_u,
+                  CAST(n1 * n2 AS DOUBLE) / 2.0 AS mu
+           FROM s)
+         SELECT n_f, n_o, round(u, 1) AS u,
+                round((u - mu) / sqrt(var_u), 4) AS z,
+                CASE WHEN abs(round((u - mu) / sqrt(var_u), 4)) > 1.96
+                     THEN 1 ELSE 0 END AS significant
+         FROM v""",
     "q_agg_kendall" ->
       // cell-grid concordance: pair products over cell pairs in
       // HUGEINT ≡ decimal(38); tau-b one shared closed form.

@@ -555,6 +555,56 @@ object AggQueries {
           sqrt(col("k").cast("double")), 4).as("alpha_se"))
   }
 
+  /** q_agg_mannwhitney — Mann–Whitney U (Wilcoxon rank-sum) test on
+    * order prices between finished and open orders: U from mid-rank
+    * sums, the tie-corrected normal approximation z, and the ±1.96
+    * call — the nonparametric LOCATION test pairing q_agg_ks_test's
+    * SHAPE test (KS asks "same distribution?"; MW asks "is one
+    * stochastically larger?" — the robust alternative to the t-test
+    * at corpus scale where outliers are guaranteed). Exactness: the
+    * pooled mid-ranks come DOUBLED from the distinct-value grid
+    * (2·cum − cnt + 1 — pure integers, the spearman device), so
+    * 2U = Σcf·r2 − n₁(n₁+1) is exact decimal(38) arithmetic; the tie
+    * term Σ(t³−t) is decimal too; z is one shared closed form and the
+    * flag compares the ROUNDED z. Scale: everything after the grid
+    * contraction is window-on-domain — the corpus never sorts. */
+  private val aggMannwhitney: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_totalprice")
+      .agg(count(when(col("o_orderstatus") === "F", 1))
+        .cast("decimal(38,0)").as("cf"),
+        count(when(col("o_orderstatus") === "O", 1))
+          .cast("decimal(38,0)").as("co"))
+      .withColumn("cnt", col("cf") + col("co"))
+    val w = Window.orderBy("o_totalprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = grid
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("r2", lit(2) * col("cum") - col("cnt") + 1)
+    r.agg(
+      sum("cf").as("n1"), sum("co").as("n2"),
+      sum(col("cf") * col("r2")).as("r1x2"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      .select(col("n1").cast("long").as("n_f"),
+        col("n2").cast("long").as("n_o"),
+        ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") /
+          lit(2.0)).as("u"),
+        col("n1"), col("n2"), col("r1x2"), col("tsum"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("var_u",
+        (col("n1") * col("n2")).cast("double") / 12.0 *
+          ((col("nn") + 1).cast("double") -
+            col("tsum").cast("double") /
+              (col("nn") * (col("nn") - 1)).cast("double")))
+      .withColumn("z", round(
+        (col("u") - (col("n1") * col("n2")).cast("double") / 2.0) /
+          sqrt(col("var_u")), 4))
+      .select(col("n_f"), col("n_o"), round(col("u"), 1).as("u"),
+        col("z"),
+        when(abs(col("z")) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
   /** q_agg_kendall — Kendall's τ-b between quantity and discount per
     * return flag: concordant/discordant pair counts with the tie-b
     * correction — the third rank-association statistic (Pearson =
@@ -1423,6 +1473,7 @@ object AggQueries {
     "q_agg_logloss" -> aggLogloss,
     "q_agg_hill" -> aggHill,
     "q_agg_kendall" -> aggKendall,
+    "q_agg_mannwhitney" -> aggMannwhitney,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

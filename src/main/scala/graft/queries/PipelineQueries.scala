@@ -1758,9 +1758,67 @@ object PipelineQueries {
       .orderBy("quintile")
   }
 
+  /** q_evt_transition_time — dwell time per event-type TRANSITION:
+    * for every (from → to) pair of consecutive events within a user,
+    * the count and the exact p50/p90 dwell — q_evt_markov gives the
+    * transition PROBABILITIES, this gives their TEMPO (the "users
+    * stall 40 s between search and purchase" readout funnels and
+    * timeout tuning run on). Determinism: ordering is (ts, event_id)
+    * — total — and gaps are INTEGER MICROSECONDS (unix_micros, the
+    * interarrival precedent); percentiles interpolate integers and
+    * divide by 1e6 once in the rounded readout. Scale: one per-user
+    * window (events co-partitioned by user), then a ≤types²-row
+    * percentile grid — swap percentile for percentile_approx when a
+    * pair's gap list outgrows memory. */
+  private val evtTransitionTime: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 4).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 4).as("p90_s"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q_evt_new_returning — weekly active users split into NEW (first
+    * week of activity) vs RETURNING — the growth-accounting headline
+    * (q_evt_lifecycle classifies month-over-month states; this is the
+    * week-grain acquisition/retention split every WAU chart hides).
+    * Shape: the corpus contracts to the distinct (user, week) grid
+    * ONCE; first weeks come from a groupBy on that grid and join back
+    * CO-PARTITIONED ON USER (both sides derive from the same
+    * contraction — no second corpus scan, no broadcast of a
+    * corpus-sized user dim); the weekly rollup counts integers and
+    * divides once for the share. */
+  private val evtNewReturning: Q = (s, dir) => {
+    val uw = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+    uw.join(first, Seq("user_id"))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("wau"),
+        count(when(col("wk") === col("first_wk"), 1)).as("new_users"))
+      .withColumn("returning", col("wau") - col("new_users"))
+      .withColumn("new_share",
+        round(col("new_users").cast("double") / col("wau"), 4))
+      .orderBy("wk")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_bitemporal" -> etlBitemporal,
     "q_evt_uplift" -> evtUplift,
+    "q_evt_transition_time" -> evtTransitionTime,
+    "q_evt_new_returning" -> evtNewReturning,
     "q_etl_stats_collect" -> etlStatsCollect,
     "q_evt_dau_wau" -> evtDauWau,
     "q_evt_interarrival" -> evtInterarrival,

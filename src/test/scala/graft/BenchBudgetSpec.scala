@@ -266,6 +266,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_backtest" -> 0.5,
     // per-user type sets + in-row pairing + broadcast counts
     "q_graph_bipartite" -> 0.8,
+    // grid windows on the pooled distinct-value domain
+    "q_agg_mannwhitney" -> 0.6,
+    // one per-user window + types^2 percentile grid
+    "q_evt_transition_time" -> 1.0,
+    // distinct (user, week) contraction + co-partitioned join-back
+    "q_evt_new_returning" -> 0.6,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
