@@ -1718,6 +1718,23 @@ object OracleSql {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 
     // ───── §2.E windows ─────
+    "q_win_ohlc" ->
+      // selections only: identical (ts, event_id) order picks
+      // open/close; min/max pick extremes; no value arithmetic.
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, value,
+                  row_number() OVER w AS rn,
+                  count(*) OVER (PARTITION BY event_type,
+                    CAST(ts AS DATE)) AS cnt
+           FROM events
+           WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY ts, event_id))
+         SELECT event_type, d, count(*) AS n,
+                max(CASE WHEN rn = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rn = cnt THEN value END) AS close
+         FROM e GROUP BY 1, 2
+         ORDER BY event_type NULLS FIRST, d""",
     "q_win_rownum" ->
       """SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS id,
                 c_custkey, c_name
@@ -2354,6 +2371,28 @@ object OracleSql {
                 round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
                   AS top_token_share
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "q_samp_decay" ->
+      // identical sha bucket vs the floor(1e6·exp(−age/30)) threshold;
+      // exp decides membership (documented ±1 ulp caveat).
+      """WITH m AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
+         e AS (
+           SELECT date_diff('day', CAST(ts AS DATE), maxd) AS age,
+                  CAST(concat('0x',
+                    substr(sha256(CAST(event_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 1000000 AS bucket
+           FROM events CROSS JOIN m),
+         t AS (
+           SELECT CAST(floor(age / 7) AS BIGINT) AS wk_age,
+                  CAST(floor(exp(CAST(age AS DOUBLE)
+                    / CAST(-30.0 AS DOUBLE)) * 1e6) AS BIGINT)
+                    AS thresh,
+                  bucket
+           FROM e)
+         SELECT wk_age, count(*) AS n,
+                count(CASE WHEN bucket < thresh THEN 1 END) AS n_kept,
+                round(CAST(count(CASE WHEN bucket < thresh THEN 1 END)
+                  AS DOUBLE) / count(*), 4) AS keep_rate
+         FROM t GROUP BY 1 ORDER BY 1""",
     "q_sample_stratified" ->
       """WITH b AS (
            SELECT event_id, event_type,
@@ -2888,6 +2927,57 @@ object OracleSql {
                       / (max(n) * CAST(sum(rev) AS DOUBLE)), 4) AS gini
          FROM r GROUP BY c_mktsegment
          ORDER BY c_mktsegment NULLS FIRST""",
+    "q_ts_strength" ->
+      // decompose's CTEs; components rounded to the published 4-dp
+      // grid → exact decimal co-moments; n(n−1) cancels in the ratio.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, d, y,
+                  sum(y) OVER w AS movsum, count(*) OVER w AS movn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         tt AS (
+           SELECT event_type, d, y,
+                  CAST(movsum AS DOUBLE) / 7.0 AS trend,
+                  y * 7 - movsum AS det7, isodow(d) AS dow
+           FROM t WHERE movn = 7),
+         seas AS (
+           SELECT event_type, dow,
+                  CAST(sum(det7) AS DOUBLE) / (7.0 * count(*))
+                    AS seasonal
+           FROM tt GROUP BY 1, 2),
+         comp AS (
+           SELECT tt.event_type,
+                  CAST(round(CAST(tt.y AS DOUBLE) - trend - seasonal,
+                    4) AS DECIMAL(18,4)) AS r4,
+                  CAST(round(CAST(tt.y AS DOUBLE) - seasonal, 4)
+                    AS DECIMAL(18,4)) AS ds4,
+                  CAST(round(CAST(tt.y AS DOUBLE) - trend, 4)
+                    AS DECIMAL(18,4)) AS dt4
+           FROM tt JOIN seas USING (event_type, dow)),
+         g AS (
+           SELECT event_type, count(*) AS n_days,
+                  sum(r4) AS sr, sum(r4 * r4) AS srr,
+                  sum(ds4) AS sds, sum(ds4 * ds4) AS sdsds,
+                  sum(dt4) AS sdt, sum(dt4 * dt4) AS sdtdt
+           FROM comp GROUP BY 1)
+         SELECT event_type, n_days,
+                round(greatest(0.0, 1.0 -
+                  (CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
+                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) * CAST(sdsds AS DOUBLE)
+                     - CAST(sds AS DOUBLE) * CAST(sds AS DOUBLE))), 4)
+                  AS f_trend,
+                round(greatest(0.0, 1.0 -
+                  (CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
+                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) * CAST(sdtdt AS DOUBLE)
+                     - CAST(sdt AS DOUBLE) * CAST(sdt AS DOUBLE))), 4)
+                  AS f_seasonal
+         FROM g ORDER BY event_type NULLS FIRST""",
     "q_ts_decompose" ->
       // identical integer carry: movsum and det7 = y*7 - movsum stay
       // integers; trend and the seasonal mean each divide once with

@@ -1260,6 +1260,40 @@ object TextQueries {
       .orderBy("lang", "rn")
   }
 
+  /** q_samp_decay — time-decay sampling over the event stream: keep
+    * probability exp(−age/30d) enforced by the q_sample_hash sha
+    * bucket against a per-age threshold — the recency-weighted
+    * downsampling a training pipeline applies so last week outweighs
+    * last year WITHOUT a hard cutoff (q_etl_resample changes grain;
+    * this changes DENSITY). Membership is a pure function of
+    * (event_id, age): reruns and repartitions never resample a row,
+    * and as the corpus end advances a row's keep-probability decays
+    * monotonically. Parity note: `exp` is libm (±1 ulp cross-engine)
+    * and here it DECIDES membership via floor(1e6·exp(·)) — a flip
+    * needs an exp value within 1 ulp of the 1e-6 grid over ≤ age-span
+    * distinct inputs, which is vanishingly unlikely but documented
+    * (the sqrt-based q_samp_temperature threshold is exempt: sqrt is
+    * correctly rounded, exp is not). Shape: 1-row max-date broadcast;
+    * the corpus streams past a per-row hash compare; audit rolls up
+    * by age-week. */
+  private val sampDecay: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    ev.crossJoin(broadcast(ev.agg(to_date(max("ts")).as("maxd"))))
+      .withColumn("age", datediff(col("maxd"), to_date(col("ts"))))
+      .withColumn("thresh",
+        floor(exp(col("age").cast("double") / lit(-30.0)) * 1e6)
+          .cast("long"))
+      .withColumn("bucket",
+        conv(substring(sha2(col("event_id").cast("string"), 256), 1, 7),
+          16, 10).cast("long") % 1000000)
+      .groupBy(floor(col("age") / lit(7)).cast("long").as("wk_age"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("bucket") < col("thresh"), 1)).as("n_kept"),
+        round(count(when(col("bucket") < col("thresh"), 1))
+          .cast("double") / count(lit(1)), 4).as("keep_rate"))
+      .orderBy("wk_age")
+  }
+
   /** q_text_ngram_lm — unigram language-model quality score: corpus
     * term frequencies define p(term) = freq/total, and each doc scores
     * its per-token cross-entropy −Σ ln p(t) / n_tok (nats) — the
@@ -1624,6 +1658,7 @@ object TextQueries {
     "q_text_source_overlap" -> textSourceOverlap,
     "q_samp_temperature" -> sampTemperature,
     "q_samp_balanced" -> sampBalanced,
+    "q_samp_decay" -> sampDecay,
     "q_text_keyness" -> textKeyness,
     "q_samp_negative" -> sampNegative,
     "q_text_ngram_lm" -> textNgramLm,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -592,7 +592,50 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_strength — trend and seasonality STRENGTH indices per type
+    * (Hyndman's F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over the classical
+    * decomposition) — the one-number-per-series summary that turns
+    * q_ts_decompose's row-per-day output into a rankable catalog
+    * ("which of our 10k metrics are strongly seasonal?" is a
+    * strength-index sort, not a human reading 10k charts).
+    * Exactness: the three component series round to the same 4-dp
+    * grid the decompose op publishes, so their decimal co-moment sums
+    * are exact and order-free; each strength is one shared
+    * closed-form double (the n·Σx²−(Σx)² numerators — the n(n−1)
+    * denominators cancel in the ratio). Scale: rides the decompose
+    * contraction; everything after is a ≤types-row readout. */
+  private val tsStrength: Q = (s, dir) => {
+    val base = decomposed(s, dir)
+      .filter(col("trend").isNotNull)
+      .withColumn("r4", round(col("y").cast("double") - col("trend") -
+        col("seasonal"), 4).cast("decimal(18,4)"))
+      .withColumn("ds4", round(col("y").cast("double") -
+        col("seasonal"), 4).cast("decimal(18,4)"))
+      .withColumn("dt4", round(col("y").cast("double") - col("trend"),
+        4).cast("decimal(18,4)"))
+    def varNum(sx: Column, sxx: Column, n: Column): Column =
+      n.cast("double") * sxx.cast("double") -
+        sx.cast("double") * sx.cast("double")
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("r4").as("sr"), sum(col("r4") * col("r4")).as("srr"),
+        sum("ds4").as("sds"), sum(col("ds4") * col("ds4")).as("sdsds"),
+        sum("dt4").as("sdt"), sum(col("dt4") * col("dt4")).as("sdtdt"))
+      .select(col("event_type"), col("n_days"),
+        round(greatest(lit(0.0), lit(1.0) -
+          varNum(col("sr"), col("srr"), col("n_days")) /
+            varNum(col("sds"), col("sdsds"), col("n_days"))), 4)
+          .as("f_trend"),
+        round(greatest(lit(0.0), lit(1.0) -
+          varNum(col("sr"), col("srr"), col("n_days")) /
+            varNum(col("sdt"), col("sdtdt"), col("n_days"))), 4)
+          .as("f_seasonal"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_strength" -> tsStrength,
     "q_ts_rolling_corr" -> tsRollingCorr,
     "q_ts_backtest" -> tsBacktest,
     "q_ts_cusum" -> tsCusum,

@@ -413,7 +413,38 @@ object WindowQueries {
       .orderBy("d")
   }
 
+  /** q_win_ohlc — daily OHLC bars per event type: open/close are the
+    * FIRST/LAST value in (ts, event_id) order, high/low the extremes,
+    * n the tick count — the bar-aggregation primitive every metrics/
+    * trading pipeline runs to turn a tick stream into a chartable
+    * series (and the general "first/last by total order within group"
+    * pattern, which has no direct aggregate in portable SQL).
+    * Exactness: selections only — row_number against the partition
+    * count picks open/close deterministically (ties broken by
+    * event_id), min/max pick extremes; no arithmetic on values at
+    * all. Scale: one shuffle on (type, day); the two window passes
+    * share the partitioning, and the same-key groupBy that follows is
+    * shuffle-free. */
+  private val winOhlc: Q = (s, dir) => {
+    val keyW = Window.partitionBy("event_type", "d")
+      .orderBy(col("ts"), col("event_id"))
+    val partW = Window.partitionBy("event_type", "d")
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("ts"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(keyW))
+      .withColumn("cnt", count(lit(1)).over(partW))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+      .orderBy(col("event_type").asc_nulls_first, col("d"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_ohlc" -> winOhlc,
     "q_win_concurrency" -> winConcurrency,
     "q_win_skyline" -> winSkyline,
     "q_win_zscore" -> winZscore,

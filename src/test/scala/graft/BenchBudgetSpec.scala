@@ -272,6 +272,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_transition_time" -> 1.0,
     // distinct (user, week) contraction + co-partitioned join-back
     "q_evt_new_returning" -> 0.6,
+    // one (type,day) shuffle + two shared-partition window passes
+    "q_win_ohlc" -> 0.9,
+    // decompose contraction + types-row strength readout
+    "q_ts_strength" -> 0.5,
+    // per-row hash compare + age-week rollup
+    "q_samp_decay" -> 0.6,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
