@@ -520,6 +520,65 @@ object OracleSql {
          GROUP BY source ORDER BY source""",
     // Mirrors aggMoments: identical decimal power sums (exact — no
     // merge-order drift) and the identical closed-form double readout.
+    "q_agg_jarque_bera" ->
+      // DECIMAL(9,0) power-sum chain (widths 18/27/36 — inside both
+      // engines' decimals, no silent double promotion); jb from the
+      // UNROUNDED skew/kurt; flag on the ROUNDED jb.
+      """WITH s AS (
+           SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(9,0)))
+                    AS DOUBLE) AS s1,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)
+                    AS s2,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)
+                    AS s3,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)
+                    AS s4
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT flag, n,
+                  s2/n - (s1/n)*(s1/n) AS m2,
+                  s3/n - 3*(s1/n)*(s2/n)
+                    + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+                  s4/n - 4*(s1/n)*(s3/n)
+                    + 6*(s1/n)*(s1/n)*(s2/n)
+                    - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+           FROM s),
+         r AS (
+           SELECT flag, n, m3 / pow(m2, 1.5) AS skew,
+                  m4 / (m2 * m2) - 3.0 AS kurt
+           FROM c),
+         j AS (
+           SELECT flag, n, round(skew, 4) AS skew,
+                  round(kurt, 4) AS kurtosis,
+                  round(CAST(n AS DOUBLE) / 6.0
+                    * (skew*skew + kurt*kurt/4.0), 4) AS jb
+           FROM r)
+         SELECT flag, n, skew, kurtosis, jb,
+                CASE WHEN jb > 5.99 THEN 1 ELSE 0 END
+                  AS reject_normal
+         FROM j ORDER BY flag""",
+    "q_agg_cvar" ->
+      // exact interpolated P95 broadcast; strict > cut on identical
+      // doubles; decimal conditional tail sum.
+      """WITH thr AS (
+           SELECT event_type, quantile_cont(value, 0.95) AS var95
+           FROM events GROUP BY 1)
+         SELECT e.event_type, count(*) AS n,
+                round(max(var95), 4) AS var95,
+                count(CASE WHEN value > var95 THEN 1 END) AS tail_n,
+                round(CAST(sum(CASE WHEN value > var95
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                  / count(CASE WHEN value > var95 THEN 1 END), 4)
+                  AS cvar95
+         FROM events e JOIN thr USING (event_type)
+         GROUP BY 1 ORDER BY 1 NULLS FIRST""",
     "q_agg_moments" ->
       """WITH s AS (
            SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
@@ -4136,6 +4195,32 @@ object OracleSql {
                 round(CAST(n_violations AS DOUBLE) / n_checked, 4)
                   AS viol_rate
          FROM u ORDER BY rule""",
+    "q_vec_drift" ->
+      // global centroid decimal parity; norms/cosines via the fold
+      // kernels; 6-dp decimal per-row stats → order-free slice means.
+      """WITH x AS (
+           SELECT unnest(range(len(embedding))) AS pos,
+                  unnest(embedding) AS x
+           FROM embeddings),
+         c AS (
+           SELECT pos, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                    / count(*) AS c
+           FROM x GROUP BY pos),
+         cl AS (SELECT list(c ORDER BY pos) AS cvec FROM c),
+         p AS (
+           SELECT vec_id % 2 AS slice,
+                  CAST(round(sqrt(list_inner_product(e, e)), 6)
+                    AS DECIMAL(20,6)) AS nrm,
+                  CAST(round(list_cosine_similarity(e, cvec), 6)
+                    AS DECIMAL(20,6)) AS cos
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings) CROSS JOIN cl)
+         SELECT slice, count(*) AS n,
+                round(CAST(sum(nrm) AS DOUBLE) / count(nrm), 4)
+                  AS mean_norm,
+                round(CAST(sum(cos) AS DOUBLE) / count(cos), 4)
+                  AS mean_centroid_cos
+         FROM p GROUP BY 1 ORDER BY 1""",
     "q_vec_silhouette" ->
       // per-label centroids via the decimal-sum parity; distances via
       // the vec_ood dot expansion (list_inner_product ≡ TextSim.dot);

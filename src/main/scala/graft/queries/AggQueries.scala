@@ -1385,6 +1385,75 @@ object AggQueries {
       .orderBy("flag")
   }
 
+  /** q_agg_jarque_bera — normality test per return flag on the
+    * (integral) quantity column: skewness, excess kurtosis, and
+    * JB = n/6·(S² + K²/4) with the χ²(2) α=0.05 call (5.99) — the
+    * "can I even use a z-test here" gate q_agg_moments stops short of
+    * (moments DESCRIBE the shape; JB DECIDES whether the normal
+    * approximation is defensible). Exactness: the value is integral
+    * 1..50, so the four power sums chain DECIMAL(9,0)
+    * multiplications — widths 18/27/36, inside BOTH engines' 38-digit
+    * decimals with no precision-loss rewrite (a DECIMAL(18,2)⁴ would
+    * overflow DuckDB's width and silently promote to double) — and
+    * every central-moment readout is one shared closed-form double;
+    * the flag compares the ROUNDED JB. One two-phase aggregate. */
+  private val aggJarqueBera: Q = (s, dir) => {
+    val q = "CAST(l_quantity AS DECIMAL(9,0))"
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"CAST(sum($q) AS DOUBLE)").as("s1"),
+        expr(s"CAST(sum($q * $q) AS DOUBLE)").as("s2"),
+        expr(s"CAST(sum($q * $q * $q) AS DOUBLE)").as("s3"),
+        expr(s"CAST(sum($q * $q * $q * $q) AS DOUBLE)").as("s4"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("m") * col("m"))
+      .withColumn("m3", col("s3") / col("n") -
+        lit(3) * col("m") * (col("s2") / col("n")) +
+        lit(2) * col("m") * col("m") * col("m"))
+      .withColumn("m4", col("s4") / col("n") -
+        lit(4) * col("m") * (col("s3") / col("n")) +
+        lit(6) * col("m") * col("m") * (col("s2") / col("n")) -
+        lit(3) * col("m") * col("m") * col("m") * col("m"))
+      .withColumn("skew", col("m3") / pow(col("m2"), 1.5))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")) - 3.0)
+      .withColumn("jb", round(col("n").cast("double") / 6.0 *
+        (col("skew") * col("skew") +
+          col("kurt") * col("kurt") / 4.0), 4))
+      .select(col("flag"), col("n"), round(col("skew"), 4).as("skew"),
+        round(col("kurt"), 4).as("kurtosis"), col("jb"),
+        when(col("jb") > 5.99, 1).otherwise(0).as("reject_normal"))
+      .orderBy("flag")
+  }
+
+  /** q_agg_cvar — tail-risk profile per event type: the exact P95
+    * (VaR₉₅) and the conditional mean BEYOND it (CVaR₉₅ / expected
+    * shortfall), plus the tail count — the risk readout that answers
+    * "how bad is bad" where a quantile alone answers "where does bad
+    * start" (capacity planning and cost-spike budgeting run on
+    * expected shortfall, not on P95). Exactness: the threshold is the
+    * exact interpolated percentile (engine-identical doubles —
+    * quantile_cont ≡ percentile), the strict `>` cut runs on those
+    * identical values, and the tail mean is a DECIMAL conditional sum
+    * ÷ count (the distributed-mean rule — 2-dp inputs make the sum
+    * exact). Two-phase: a ≤types-row threshold broadcast back onto
+    * one scan. */
+  private val aggCvar: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"))
+    val thr = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.95)").as("var95"))
+    ev.join(broadcast(thr), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max("var95"), 4).as("var95"),
+        count(when(col("value") > col("var95"), 1)).as("tail_n"),
+        round(expr("CAST(sum(CASE WHEN value > var95 THEN " +
+          "CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)") /
+          count(when(col("value") > col("var95"), 1)), 4).as("cvar95"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_agg_regression — per-type least-squares trend of value over
     * time (slope per day + intercept): the drift line behind "is this
     * metric creeping" alerts. Spark ships `regr_slope`, but its DOUBLE
@@ -1474,6 +1543,8 @@ object AggQueries {
     "q_agg_hill" -> aggHill,
     "q_agg_kendall" -> aggKendall,
     "q_agg_mannwhitney" -> aggMannwhitney,
+    "q_agg_jarque_bera" -> aggJarqueBera,
+    "q_agg_cvar" -> aggCvar,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

@@ -498,6 +498,43 @@ object TextQueries {
       .orderBy("label")
   }
 
+  /** q_vec_drift — embedding-distribution drift between two corpus
+    * slices (vec_id parity as the deterministic stand-in for
+    * "yesterday's batch vs today's"): per slice, the mean L2 norm and
+    * the mean cosine to the GLOBAL centroid — the encoder-drift
+    * monitor a feature store runs per ingest (a norm shift means the
+    * encoder or preprocessing changed; a centroid-cosine shift means
+    * the CONTENT moved — different pages). Exactness stack: global
+    * centroid via the decimal-sum parity; norms and cosines via the
+    * sequential dot fold (the vec_ood rule); each per-row statistic
+    * rounds to 6 dp and accumulates as decimal(20,6), so the slice
+    * means are partition-order-free (the logloss discipline). One
+    * corpus pass after a k·dim broadcast. */
+  private val vecDrift: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((expr("CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)") /
+        count(lit(1))).as("c"))
+    val carr = cent.agg(
+      expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+    emb.crossJoin(broadcast(carr))
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("nrm", round(TextSim.l2Norm(col("e")), 6)
+        .cast("decimal(20,6)"))
+      .withColumn("cos", round(TextSim.cosine(col("e"), col("cvec")), 6)
+        .cast("decimal(20,6)"))
+      .groupBy((col("vec_id") % 2).as("slice"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("CAST(sum(nrm) AS DOUBLE)") / count(col("nrm")), 4)
+          .as("mean_norm"),
+        round(expr("CAST(sum(cos) AS DOUBLE)") / count(col("cos")), 4)
+          .as("mean_centroid_cos"))
+      .orderBy("slice")
+  }
+
   /** q_text_winnowing — MOSS-style winnowing fingerprints (Schleimer
     * et al. 2003): hash every 3-gram, slide a window of 4 hashes, keep
     * each window's MINIMUM — the guarantee is that any shared run of
@@ -1710,6 +1747,7 @@ object TextQueries {
     "q_samp_importance" -> sampImportance,
     "q_vec_ood" -> vecOod,
     "q_vec_silhouette" -> vecSilhouette,
+    "q_vec_drift" -> vecDrift,
     "q_text_winnowing" -> textWinnowing,
     "q_vec_matryoshka" -> vecMatryoshka,
     "q_vec_dedup_sweep" -> vecDedupSweep,

@@ -278,6 +278,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_strength" -> 0.5,
     // per-row hash compare + age-week rollup
     "q_samp_decay" -> 0.6,
+    // one two-phase decimal power-sum aggregate
+    "q_agg_jarque_bera" -> 0.6,
+    // exact P95 broadcast + one conditional-sum scan
+    "q_agg_cvar" -> 0.7,
+    // centroid broadcast + one corpus pass of fold kernels
+    "q_vec_drift" -> 0.6,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
