@@ -2430,6 +2430,30 @@ object OracleSql {
                 round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
                   AS top_token_share
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_template" ->
+      // identical 5-token prefixes; per-source argmax on the
+      // deterministic (count desc, prefix) order.
+      """WITH pref AS (
+           SELECT source,
+                  array_to_string(list_slice(
+                    string_split(lower(text), ' '), 1, 5), ' ')
+                    AS prefix
+           FROM documents),
+         c AS (SELECT source, prefix, count(*) AS cnt
+               FROM pref GROUP BY 1, 2),
+         tot AS (SELECT source, count(*) AS n_docs
+                 FROM pref GROUP BY 1),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY cnt DESC, prefix) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n_prefixes
+           FROM c)
+         SELECT source, n_docs, n_prefixes, prefix AS top_prefix,
+                cnt AS top_n,
+                round(CAST(cnt AS DOUBLE) / n_docs, 4)
+                  AS template_share
+         FROM r JOIN tot USING (source) WHERE rn = 1
+         ORDER BY source""",
     "q_samp_decay" ->
       // identical sha bucket vs the floor(1e6·exp(−age/30)) threshold;
       // exp decides membership (documented ±1 ulp caveat).
@@ -3237,6 +3261,54 @@ object OracleSql {
                 round(CAST(conv_t AS DOUBLE) / n_t
                       - CAST(conv_c AS DOUBLE) / n_c, 4) AS uplift
          FROM g ORDER BY quintile""",
+    "q_etl_debounce" ->
+      // integer microsecond gaps on the identical total order; the
+      // lag (throttle) semantic, stated in the op doc.
+      """WITH e AS (
+           SELECT event_type,
+                  CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                          >= 60000000
+                       THEN 1 ELSE 0 END AS kept
+           FROM events
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id))
+         SELECT event_type, count(*) AS n_raw,
+                CAST(sum(kept) AS BIGINT) AS n_kept,
+                round(1.0 - CAST(sum(kept) AS DOUBLE) / count(*), 4)
+                  AS drop_share
+         FROM e GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+    "q_etl_feature_snapshot" ->
+      // [unbounded, -1] frames on the identical total order; decimal
+      // prior spend; label row = row_number 1 on the reversed order.
+      """WITH e AS (
+           SELECT user_id, event_type, ts, event_id,
+                  count(*) OVER wp AS n_prior,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    OVER wp AS n_prior_purch,
+                  sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) END) OVER wp
+                    AS spent_prior,
+                  min(ts) OVER (PARTITION BY user_id) AS first_ts,
+                  lag(epoch_us(ts), 1) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                  wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)),
+         p AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e WHERE event_type = 'purchase')
+         SELECT user_id, n_prior, n_prior_purch,
+                round(CAST(coalesce(spent_prior,
+                  CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS spent_prior,
+                date_diff('day', CAST(first_ts AS DATE),
+                  CAST(ts AS DATE)) AS days_active,
+                round(CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1e6, 4)
+                  AS gap_prev_s
+         FROM p WHERE rn = 1 ORDER BY user_id""",
     "q_etl_bitemporal" ->
       // identical synthetic transaction time (orderdate + orderkey%3
       // days); both time-axis filters; exact decimal balances.

@@ -1814,8 +1814,85 @@ object PipelineQueries {
       .orderBy("wk")
   }
 
+  /** q_etl_debounce — duplicate-burst suppression per (user, type):
+    * drop an event when the SAME user fired the SAME type within 60 s
+    * before it — the throttle/debounce every client-telemetry ingest
+    * needs (double-clicks, retry storms, SDK re-fires inflate every
+    * downstream count; q_stream_dedup removes EXACT duplicate ids —
+    * this removes rapid semantic repeats). Semantics note, stated
+    * precisely: the lag-based form drops rows whose gap to the
+    * PREVIOUS RAW event is < 60 s (throttle); the strict debounce
+    * ("gap from last KEPT") is a running recurrence — that variant is
+    * q_win_sessionize's gap-split machinery with a 60 s threshold.
+    * Exactness: integer microsecond gaps on a total (ts, event_id)
+    * order; counts integers, one share division. One key shuffle. */
+  private val etlDebounce: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("kept", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= 60000000L, 1)
+        .otherwise(0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum("kept").as("n_kept"),
+        round(lit(1.0) - sum("kept").cast("double") / count(lit(1)), 4)
+          .as("drop_share"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_etl_feature_snapshot — point-in-time-correct feature
+    * extraction: for each user's LAST purchase, the feature vector as
+    * of the moment JUST BEFORE that event (prior event count, prior
+    * purchase count, prior spend, days active, seconds since the
+    * previous action) — THE train/serve-skew killer (features joined
+    * from a table computed "as of now" leak the future into training;
+    * point-in-time means every feature window ends strictly before
+    * the label event — q_etl_dim_asof does this for dims, this does
+    * it for BEHAVIORAL aggregates). Exactness: all features are
+    * integer counts / decimal sums over a [unbounded, −1] frame on a
+    * total (ts, event_id) order; the label row is row_number = 1 on
+    * the reversed order. Scale: ONE shuffle on user feeds every
+    * window; no self-join, no per-label re-scan. */
+  private val etlFeatureSnapshot: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("user_id")
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .withColumn("n_prior", count(lit(1)).over(wPrev))
+      .withColumn("n_prior_purch",
+        count(when(col("event_type") === "purchase", 1)).over(wPrev))
+      .withColumn("spent_prior",
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))).over(wPrev))
+      .withColumn("first_ts", min("ts").over(wAll))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_prior"), col("n_prior_purch"),
+        round(coalesce(col("spent_prior"),
+          lit(0).cast("decimal(18,2)")).cast("double"), 2)
+          .as("spent_prior"),
+        datediff(to_date(col("ts")), to_date(col("first_ts")))
+          .as("days_active"),
+        round((unix_micros(col("ts")) - col("prev_us"))
+          .cast("double") / 1e6, 4).as("gap_prev_s"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_bitemporal" -> etlBitemporal,
+    "q_etl_debounce" -> etlDebounce,
+    "q_etl_feature_snapshot" -> etlFeatureSnapshot,
     "q_evt_uplift" -> evtUplift,
     "q_evt_transition_time" -> evtTransitionTime,
     "q_evt_new_returning" -> evtNewReturning,

@@ -1297,6 +1297,40 @@ object TextQueries {
       .orderBy("lang", "rn")
   }
 
+  /** q_text_template — templated-content detection per source: the
+    * share of a source's docs that open with its single most common
+    * 5-token prefix — the boilerplate/template signal (scraped mirrors
+    * and generated spam share openings; a source whose top prefix
+    * covers half its docs is a template farm, and dedup alone won't
+    * catch it because the BODIES differ). Shape: prefix is a per-row
+    * expression; one (source, prefix) two-phase count, then a
+    * per-source argmax via row_number on the deterministic
+    * (count desc, prefix) order; integers + one share division.
+    * Scale: the shuffle carries distinct prefixes per source, not
+    * docs. */
+  private val textTemplate: Q = (s, dir) => {
+    val pref = Tables.load(s, dir, "documents")
+      .withColumn("prefix",
+        array_join(slice(TextSim.tokens(col("text")), 1, 5), " "))
+    val counts = pref.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = pref.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("cnt").desc, col("prefix"))))
+      .withColumn("n_prefixes",
+        count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === 1)
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_prefixes"),
+        col("prefix").as("top_prefix"), col("cnt").as("top_n"),
+        round(col("cnt").cast("double") / col("n_docs"), 4)
+          .as("template_share"))
+      .orderBy("source")
+  }
+
   /** q_samp_decay — time-decay sampling over the event stream: keep
     * probability exp(−age/30d) enforced by the q_sample_hash sha
     * bucket against a per-age threshold — the recency-weighted
@@ -1696,6 +1730,7 @@ object TextQueries {
     "q_samp_temperature" -> sampTemperature,
     "q_samp_balanced" -> sampBalanced,
     "q_samp_decay" -> sampDecay,
+    "q_text_template" -> textTemplate,
     "q_text_keyness" -> textKeyness,
     "q_samp_negative" -> sampNegative,
     "q_text_ngram_lm" -> textNgramLm,

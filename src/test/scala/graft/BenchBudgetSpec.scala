@@ -284,6 +284,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_cvar" -> 0.7,
     // centroid broadcast + one corpus pass of fold kernels
     "q_vec_drift" -> 0.6,
+    // one (user,type) shuffle + lag + type rollup
+    "q_etl_debounce" -> 0.7,
+    // one user shuffle feeding all feature frames
+    "q_etl_feature_snapshot" -> 0.8,
+    // (source, prefix) count + per-source argmax
+    "q_text_template" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
