@@ -520,6 +520,87 @@ object OracleSql {
          GROUP BY source ORDER BY source""",
     // Mirrors aggMoments: identical decimal power sums (exact — no
     // merge-order drift) and the identical closed-form double readout.
+    "q_agg_delta_method" ->
+      // per-user (x, y) collapse; exact decimal co-moment sums per
+      // arm; ratio, delta-method variances, and z as shared closed
+      // forms; flag on the ROUNDED z.
+      """WITH u AS (
+           SELECT user_id,
+                  sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+                  count(*) AS y,
+                  user_id % 2 AS arm
+           FROM events GROUP BY user_id),
+         g AS (
+           SELECT arm, count(*) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(y AS DECIMAL(18,0)) * y) AS DOUBLE)
+                    AS syy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM u GROUP BY arm),
+         v AS (
+           SELECT arm, n, sx / sy AS r, sy / n AS ybar,
+                  (sxx - sx * sx / n) / (n - 1) AS vx,
+                  (syy - sy * sy / n) / (n - 1) AS vy,
+                  (sxy - sx * sy / n) / (n - 1) AS vxy
+           FROM g),
+         w AS (
+           SELECT arm, n, r,
+                  (vx - 2 * r * vxy + r * r * vy)
+                    / (n * ybar * ybar) AS var_r
+           FROM v),
+         ab AS (
+           SELECT a.n AS n_a, a.r AS r_a, a.var_r AS v_a,
+                  b.n AS n_b, b.r AS r_b, b.var_r AS v_b
+           FROM (SELECT * FROM w WHERE arm = 0) a,
+                (SELECT * FROM w WHERE arm = 1) b)
+         SELECT n_a, round(r_a, 4) AS r_a, n_b,
+                round(r_b, 4) AS r_b,
+                round(r_b - r_a, 4) AS diff,
+                round((r_b - r_a) / sqrt(v_a + v_b), 4) AS z,
+                CASE WHEN abs(round((r_b - r_a) / sqrt(v_a + v_b), 4))
+                       > 1.96 THEN 1 ELSE 0 END AS significant
+         FROM ab""",
+    "q_agg_sprt" ->
+      // ln constants rounded to 8-dp decimals ONCE → every LLR term
+      // is an exact integer×decimal product; decimal cumulative vs
+      // decimal boundary — no float in the decision path.
+      """WITH du AS (
+           SELECT CAST(ts AS DATE) AS d, user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1, 2),
+         daily AS (
+           SELECT d, count(*) AS n_users,
+                  CAST(sum(conv) AS BIGINT) AS n_conv
+           FROM du GROUP BY 1),
+         c AS (
+           SELECT CAST(round(ln(CAST(0.05 AS DOUBLE)
+                    / CAST(0.04 AS DOUBLE)), 8) AS DECIMAL(12,8))
+                    AS c_up,
+                  CAST(round(ln(CAST(0.95 AS DOUBLE)
+                    / CAST(0.96 AS DOUBLE)), 8) AS DECIMAL(12,8))
+                    AS c_down,
+                  CAST(round(ln(19.0), 8) AS DECIMAL(20,8)) AS bound),
+         t AS (
+           SELECT d, n_users, n_conv,
+                  CAST(n_conv * c_up + (n_users - n_conv) * c_down
+                    AS DECIMAL(20,8)) AS llr8, bound
+           FROM daily CROSS JOIN c),
+         s AS (
+           SELECT d, n_users, n_conv, bound,
+                  sum(llr8) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS cum_llr
+           FROM t)
+         SELECT d, n_users, n_conv,
+                CAST(cum_llr AS DOUBLE) AS cum_llr,
+                CASE WHEN cum_llr > bound THEN 'accept_h1'
+                     WHEN cum_llr < -bound THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM s ORDER BY d""",
     "q_agg_jarque_bera" ->
       // DECIMAL(9,0) power-sum chain (widths 18/27/36 — inside both
       // engines' decimals, no silent double promotion); jb from the
@@ -3261,6 +3342,36 @@ object OracleSql {
                 round(CAST(conv_t AS DOUBLE) / n_t
                       - CAST(conv_c AS DOUBLE) / n_c, 4) AS uplift
          FROM g ORDER BY quintile""",
+    "q_etl_profile" ->
+      // one unpivoted (column, value) count profiles every column;
+      // totalprice strings via the stable DECIMAL(18,2) cast; argmax
+      // on (count desc, value nulls-last).
+      """WITH unpiv AS (
+           SELECT 'o_orderstatus' AS col_name,
+                  CAST(o_orderstatus AS VARCHAR) AS val FROM orders
+           UNION ALL SELECT 'o_orderpriority',
+                  CAST(o_orderpriority AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_custkey',
+                  CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_totalprice',
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                  FROM orders),
+         c AS (SELECT col_name, val, count(*) AS cnt
+               FROM unpiv GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY col_name
+                       ORDER BY cnt DESC, val) AS rn,
+                  count(CASE WHEN val IS NOT NULL THEN 1 END)
+                    OVER (PARTITION BY col_name) AS n_distinct,
+                  sum(cnt) OVER (PARTITION BY col_name) AS n,
+                  sum(CASE WHEN val IS NULL THEN cnt ELSE 0 END)
+                    OVER (PARTITION BY col_name) AS n_null
+           FROM c)
+         SELECT col_name, CAST(n AS BIGINT) AS n,
+                CAST(n_null AS BIGINT) AS n_null,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                val AS top_value, cnt AS top_n
+         FROM r WHERE rn = 1 ORDER BY col_name""",
     "q_etl_debounce" ->
       // integer microsecond gaps on the identical total order; the
       // lag (throttle) semantic, stated in the op doc.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1385,6 +1385,105 @@ object AggQueries {
       .orderBy("flag")
   }
 
+  /** q_agg_delta_method — A/B test on a RATIO metric (revenue per
+    * event) via the delta method: per arm, R = Σx/Σy with
+    * Var(R) ≈ (σ²_x − 2Rσ_xy + R²σ²_y)/(n·ȳ²), z on the difference —
+    * the statistically CORRECT experiment readout for per-user ratio
+    * metrics (a naive t-test on per-user ratios weights a 1-event
+    * user equally with a 1000-event user and is simply wrong;
+    * ab_ztest handles binary conversion, ttest handles means — this
+    * handles the revenue-per-session class every growth team actually
+    * ships). Exactness: per-user x (decimal spend) and y (event
+    * count) collapse map-side; the five co-moment sums per arm are
+    * exact decimals; R, both variances, and z are shared closed-form
+    * doubles; the flag compares the ROUNDED z. */
+  private val aggDeltaMethod: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)"))
+        .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
+        count(lit(1)).as("y"))
+      .withColumn("arm", col("user_id") % 2)
+    val g = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(x) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(y) AS DOUBLE)").as("sy"),
+        expr("CAST(sum(x * x) AS DOUBLE)").as("sxx"),
+        expr("CAST(sum(CAST(y AS DECIMAL(18,0)) * y) AS DOUBLE)")
+          .as("syy"),
+        expr("CAST(sum(x * y) AS DOUBLE)").as("sxy"))
+      .withColumn("r", col("sx") / col("sy"))
+      .withColumn("ybar", col("sy") / col("n"))
+      .withColumn("vx", (col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1))
+      .withColumn("vy", (col("syy") - col("sy") * col("sy") / col("n"))
+        / (col("n") - 1))
+      .withColumn("vxy", (col("sxy") - col("sx") * col("sy") / col("n"))
+        / (col("n") - 1))
+      .withColumn("var_r",
+        (col("vx") - lit(2) * col("r") * col("vxy") +
+          col("r") * col("r") * col("vy")) /
+          (col("n") * col("ybar") * col("ybar")))
+    val a = g.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("r").as("r_a"),
+        col("var_r").as("v_a"))
+    val b = g.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("r").as("r_b"),
+        col("var_r").as("v_b"))
+    a.crossJoin(b)
+      .withColumn("z", round((col("r_b") - col("r_a")) /
+        sqrt(col("v_a") + col("v_b")), 4))
+      .select(col("n_a"), round(col("r_a"), 4).as("r_a"),
+        col("n_b"), round(col("r_b"), 4).as("r_b"),
+        round(col("r_b") - col("r_a"), 4).as("diff"), col("z"),
+        when(abs(col("z")) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
+  /** q_agg_sprt — Wald SPRT trace for a conversion experiment: the
+    * daily cumulative log-likelihood ratio for the DESIGN hypotheses
+    * p₁ = 0.05 vs p₀ = 0.04 (α = β = 0.05 → boundaries ±ln 19), and
+    * each day's decision state — the sequential-testing readout
+    * ("when could we have stopped?") that fixed-horizon q_agg_ab_ztest
+    * cannot give, and the honest alternative to peeking at it daily.
+    * Determinism: daily trials/conversions are integers and the two
+    * ln CONSTANTS round to 8-dp DECIMALS once (libm ln is ±1 ulp —
+    * rounding the constant, not each term, makes every LLR term an
+    * exact integer×decimal product), so the cumulative LLR and both
+    * boundary compares are pure decimal arithmetic — no float
+    * anywhere in the decision path. Scale: one (day, user)
+    * contraction, then windows on the day grid. */
+  private val aggSprt: Q = (s, dir) => {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 90, 1).otherwise(0)).as("conv"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    def dec8(x: Double): Column =
+      lit(BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .toString).cast("decimal(12,8)")
+    val cUp = dec8(math.log(0.05 / 0.04))
+    val cDown = dec8(math.log(0.95 / 0.96))
+    val bound = BigDecimal(math.log(19.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr8", (col("n_conv") * cUp +
+        (col("n_users") - col("n_conv")) * cDown)
+        .cast("decimal(20,8)"))
+      .withColumn("cum_llr", sum("llr8").over(w))
+      .select(col("d"), col("n_users"), col("n_conv"),
+        col("cum_llr").cast("double").as("cum_llr"),
+        when(col("cum_llr") > lit(bound.toString).cast("decimal(20,8)"),
+          "accept_h1")
+          .when(col("cum_llr") <
+            lit((-bound).toString).cast("decimal(20,8)"), "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("d")
+  }
+
   /** q_agg_jarque_bera — normality test per return flag on the
     * (integral) quantity column: skewness, excess kurtosis, and
     * JB = n/6·(S² + K²/4) with the χ²(2) α=0.05 call (5.99) — the
@@ -1545,6 +1644,8 @@ object AggQueries {
     "q_agg_mannwhitney" -> aggMannwhitney,
     "q_agg_jarque_bera" -> aggJarqueBera,
     "q_agg_cvar" -> aggCvar,
+    "q_agg_delta_method" -> aggDeltaMethod,
+    "q_agg_sprt" -> aggSprt,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

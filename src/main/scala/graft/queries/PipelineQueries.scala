@@ -1889,8 +1889,51 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** q_etl_profile — one-pass multi-column profiler over orders:
+    * per column, row count, null count, distinct count, and the most
+    * common value with its count — the data-quality LANDING step
+    * (before any contract/dq rule exists, the profile is what a
+    * human reads to WRITE the rules; q_etl_stats_collect feeds the
+    * optimizer, this feeds the engineer). Shape: the table unpivots
+    * via `stack` into (column, value) pairs — ONE scan profiles every
+    * column, where the naive per-column loop scans the table k times
+    * — then a (column, value) two-phase count feeds both the distinct
+    * count and the argmax (row_number on the deterministic
+    * (count desc, value) order). Values profile through a canonical
+    * string cast (a profiler is typeless by design — stated, not
+    * hidden). */
+  private val etlProfile: Q = (s, dir) => {
+    val unpiv = Tables.load(s, dir, "orders")
+      .select(expr("""stack(4,
+        'o_orderstatus', CAST(o_orderstatus AS STRING),
+        'o_orderpriority', CAST(o_orderpriority AS STRING),
+        'o_custkey', CAST(o_custkey AS STRING),
+        'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2))
+          AS STRING))
+        AS (col_name, val)"""))
+    val counts = unpiv.groupBy("col_name", "val")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("col_name")
+          .orderBy(col("cnt").desc, col("val").asc_nulls_last)))
+      .withColumn("n_distinct",
+        count(when(col("val").isNotNull, 1)).over(
+          Window.partitionBy("col_name")))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy("col_name")))
+      .withColumn("n_null", sum(when(col("val").isNull, col("cnt"))
+        .otherwise(lit(0L))).over(Window.partitionBy("col_name")))
+      .filter(col("rn") === 1)
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("val").as("top_value"),
+        col("cnt").as("top_n"))
+      .orderBy("col_name")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_bitemporal" -> etlBitemporal,
+    "q_etl_profile" -> etlProfile,
     "q_etl_debounce" -> etlDebounce,
     "q_etl_feature_snapshot" -> etlFeatureSnapshot,
     "q_evt_uplift" -> evtUplift,

@@ -290,6 +290,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_feature_snapshot" -> 0.8,
     // (source, prefix) count + per-source argmax
     "q_text_template" -> 0.5,
+    // per-user collapse + per-arm co-moment sums
+    "q_agg_delta_method" -> 0.6,
+    // (day,user) contraction + day-grid decimal windows
+    "q_agg_sprt" -> 0.6,
+    // stack unpivot (4x rows) + (column,value) count + argmax
+    "q_etl_profile" -> 0.9,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
