@@ -520,6 +520,42 @@ object OracleSql {
          GROUP BY source ORDER BY source""",
     // Mirrors aggMoments: identical decimal power sums (exact — no
     // merge-order drift) and the identical closed-form double readout.
+    "q_agg_extreme" ->
+      // integer weekly maxima; decimal mean/std sums; sqrt(6)/pi()
+      // and the gamma literal shared; ln only in the rounded output.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         weekly AS (
+           SELECT event_type,
+                  CAST(date_trunc('week', d) AS DATE) AS wk,
+                  max(y) AS m
+           FROM daily GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(m AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(m AS DECIMAL(18,0)) * m) AS DOUBLE)
+                    AS s2
+           FROM weekly GROUP BY 1),
+         f AS (
+           SELECT event_type, n, s1 / n AS mbar,
+                  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+           FROM g),
+         p AS (
+           SELECT event_type, n, mbar, sd,
+                  sd * sqrt(CAST(6.0 AS DOUBLE)) / pi() AS beta
+           FROM f),
+         q AS (
+           SELECT event_type, n, mbar, sd, beta,
+                  mbar - 0.5772156649 * beta AS mu
+           FROM p)
+         SELECT event_type, CAST(n AS BIGINT) AS n_weeks,
+                round(mbar, 4) AS max_mean, round(sd, 4) AS max_std,
+                round(mu, 4) AS mu, round(beta, 4) AS beta,
+                round(mu - beta * ln(-ln(CAST(1.0 AS DOUBLE)
+                  - CAST(1.0 AS DOUBLE) / CAST(100.0 AS DOUBLE))), 4)
+                  AS rl100
+         FROM q ORDER BY event_type NULLS FIRST""",
     "q_agg_delta_method" ->
       // per-user (x, y) collapse; exact decimal co-moment sums per
       // arm; ratio, delta-method variances, and z as shared closed
@@ -942,6 +978,37 @@ object OracleSql {
            SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.n)
          SELECT n AS p_partkey, min(r) AS component
          FROM reach GROUP BY n ORDER BY p_partkey""",
+    "q_graph_assortativity" ->
+      // the degree edge contraction; HUGEINT co-moments ≡ Spark's
+      // decimal(38,0); one shared closed-form r.
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b
+             ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, CAST(count(*) AS HUGEINT) AS degree FROM
+             (SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY 1),
+         dir2 AS (
+           SELECT u, v FROM e0
+           UNION ALL SELECT v AS u, u AS v FROM e0),
+         g AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+                  sum(du.degree) AS sx, sum(dv.degree) AS sy,
+                  sum(du.degree * dv.degree) AS sxy,
+                  sum(du.degree * du.degree) AS sxx,
+                  sum(dv.degree * dv.degree) AS syy
+           FROM dir2 JOIN deg du ON du.p = dir2.u
+                     JOIN deg dv ON dv.p = dir2.v)
+         SELECT CAST(n AS BIGINT) AS n_dir_edges,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+                  AS assortativity
+         FROM g""",
     "q_graph_bipartite" ->
       // the self-join form is semantically identical to the Spark
       // side's per-user set pairing; integer counts, one shared
@@ -1051,6 +1118,15 @@ object OracleSql {
       """SELECT n_regionkey, count(*) AS n_nations,
                 min(n_name) AS first_name,
                 max(n_nationkey) AS max_key
+         FROM nation GROUP BY 1 ORDER BY 1""",
+    "q_src_csv_dialect" ->
+      // the dialect read-back must reproduce the dim rollup —
+      // including the delimiter-embedding composite column.
+      """SELECT n_regionkey, count(*) AS n_nations,
+                min(concat(n_name, ';', n_regionkey))
+                  AS first_tricky,
+                max(length(concat(n_name, ';', n_regionkey)))
+                  AS max_tricky_len
          FROM nation GROUP BY 1 ORDER BY 1""",
     "q_samp_negative" ->
       // identical sha-ring ordering; the window frame, the

@@ -1484,6 +1484,46 @@ object AggQueries {
       .orderBy("d")
   }
 
+  /** q_agg_extreme — extreme-value capacity planning per event type:
+    * weekly block maxima of the daily count, a method-of-moments
+    * Gumbel fit (β = s·√6/π, μ = m̄ − γβ), and the 100-week return
+    * level μ − β·ln(−ln(1 − 1/100)) — the "what peak should we
+    * provision for" readout (q_agg_cvar prices the OBSERVED tail;
+    * extreme-value theory extrapolates BEYOND it, which is the actual
+    * capacity question). Exactness: block maxima are integer window
+    * maxima; their mean/std come from decimal sums; √6/π is a ratio
+    * of a correctly-rounded sqrt and both engines' nearest-double π;
+    * γ enters as a shared double literal; ln appears only in the
+    * 4-dp-rounded output. Scale: daily grid → weekly grid → one
+    * ≤types-row closed-form readout. */
+  private val aggExtreme: Q = (s, dir) => {
+    val weekly = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"),
+        date_trunc("week", col("d")).cast("date").as("wk"))
+      .agg(max("y").as("m"))
+    val g = weekly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(m AS DECIMAL(18,0))) AS DOUBLE)").as("s1"),
+        expr("CAST(sum(CAST(m AS DECIMAL(18,0)) * m) AS DOUBLE)")
+          .as("s2"))
+      .withColumn("mbar", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") /
+        col("n")) / (col("n") - 1)))
+      .withColumn("beta",
+        col("sd") * lit(math.sqrt(6.0)) / lit(math.Pi))
+      .withColumn("mu", col("mbar") - lit(0.5772156649) * col("beta"))
+    g.select(col("event_type"), col("n").cast("long").as("n_weeks"),
+      round(col("mbar"), 4).as("max_mean"),
+      round(col("sd"), 4).as("max_std"),
+      round(col("mu"), 4).as("mu"),
+      round(col("beta"), 4).as("beta"),
+      round(col("mu") - col("beta") *
+        log(-log(lit(1.0) - lit(1.0) / lit(100.0))), 4).as("rl100"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_agg_jarque_bera — normality test per return flag on the
     * (integral) quantity column: skewness, excess kurtosis, and
     * JB = n/6·(S² + K²/4) with the χ²(2) α=0.05 call (5.99) — the
@@ -1646,6 +1686,7 @@ object AggQueries {
     "q_agg_cvar" -> aggCvar,
     "q_agg_delta_method" -> aggDeltaMethod,
     "q_agg_sprt" -> aggSprt,
+    "q_agg_extreme" -> aggExtreme,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

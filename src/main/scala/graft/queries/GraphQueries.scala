@@ -307,8 +307,53 @@ object GraphQueries {
       .orderBy("t_a", "t_b")
   }
 
+  /** q_graph_assortativity — degree assortativity of the part
+    * co-order graph: Pearson r of (deg u, deg v) over DIRECTED edge
+    * ends (each undirected edge counted both ways — Newman's
+    * definition) — the one-number answer to "do hubs link to hubs?"
+    * (positive: social-style core; negative: hub-and-spoke
+    * catalog — it determines whether removing hubs fragments the
+    * graph, i.e. how co-purchase recommendations degrade). Shape:
+    * the q_graph_degree edge contraction (bounded per-order
+    * fan-out), degrees broadcast back onto the doubled edge list,
+    * one co-moment aggregate. Exactness: degrees are integers, the
+    * five sums are DECIMAL(18,0) products (width-safe both
+    * engines), r is one shared closed-form double. */
+  private val graphAssortativity: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("degree"))
+    val dir2 = e0.select(col("u"), col("v"))
+      .unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    dir2
+      .join(broadcast(deg.select(col("p").as("u"),
+        col("degree").cast("decimal(18,0)").as("dx"))), "u")
+      .join(broadcast(deg.select(col("p").as("v"),
+        col("degree").cast("decimal(18,0)").as("dy"))), "v")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n").cast("long").as("n_dir_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 4).as("assortativity"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_graph_bipartite" -> graphBipartite,
+    "q_graph_assortativity" -> graphAssortativity,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_degree" -> graphDegree,
     "q_graph_triangles" -> graphTriangles,

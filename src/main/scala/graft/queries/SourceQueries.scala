@@ -643,8 +643,43 @@ object SourceQueries {
       .orderBy("n_regionkey")
   }
 
+  /** q_src_csv_dialect — non-default CSV dialect round-trip:
+    * semicolon delimiter, quoted fields, explicit header, and a
+    * column that EMBEDS the delimiter (so unquoted parsing would
+    * shear every row) — the "data arrived from a European export"
+    * reader path (q_src_csv covers the default dialect; real lakes
+    * ingest ;-separated, quoted, headered files daily). The embedded
+    * delimiter is the test: the read-back must reconstruct the
+    * composite column exactly, and the rollup must match the oracle
+    * computed from the parquet dim — a dialect mistake cannot fail
+    * silently. Scale note: CSV with quotes is splittable only
+    * per-file (a quoted newline forbids mid-file splits in the
+    * general case) — many medium files beat one giant one. */
+  private val srcCsvDialect: Q = (s, dir) => {
+    val out = freshSinkDir("csv_dialect")
+    Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        concat(col("n_name"), lit(";"), col("n_regionkey"))
+          .as("tricky"))
+      .write.mode("overwrite")
+      .option("header", "true").option("delimiter", ";")
+      .option("quote", "\"")
+      .csv(out)
+    s.read
+      .option("header", "true").option("delimiter", ";")
+      .option("quote", "\"").option("inferSchema", "false")
+      .csv(out)
+      .withColumn("n_regionkey", col("n_regionkey").cast("long"))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min("tricky").as("first_tricky"),
+        max(length(col("tricky"))).as("max_tricky_len"))
+      .orderBy("n_regionkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_src_json_multiline" -> srcJsonMultiline,
+    "q_src_csv_dialect" -> srcCsvDialect,
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
     "q_src_corrupt" -> srcCorrupt,

@@ -296,6 +296,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_sprt" -> 0.6,
     // stack unpivot (4x rows) + (column,value) count + argmax
     "q_etl_profile" -> 0.9,
+    // dim csv write + dialect read-back rollup
+    "q_src_csv_dialect" -> 0.8,
+    // daily->weekly grids + types-row closed-form readout
+    "q_agg_extreme" -> 0.5,
+    // degree edge contraction + broadcast joins + one co-moment agg
+    "q_graph_assortativity" -> 1.8,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
