@@ -520,6 +520,78 @@ object OracleSql {
          GROUP BY source ORDER BY source""",
     // Mirrors aggMoments: identical decimal power sums (exact — no
     // merge-order drift) and the identical closed-form double readout.
+    "q_agg_capture_recapture" ->
+      // identical two independent sha buckets; Chapman closed form.
+      """WITH d AS (
+           SELECT CAST(concat('0x',
+                    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 100 < 20 AS ba,
+                  CAST(concat('0x', substr(sha256(
+                    concat(CAST(doc_id AS VARCHAR), 'salt')), 1, 7))
+                    AS BIGINT) % 100 < 20 AS bb
+           FROM documents),
+         g AS (
+           SELECT count(*) AS n_total,
+                  count(CASE WHEN ba THEN 1 END) AS n1,
+                  count(CASE WHEN bb THEN 1 END) AS n2,
+                  count(CASE WHEN ba AND bb THEN 1 END) AS m
+           FROM d),
+         h AS (
+           SELECT n_total, n1, n2, m,
+                  round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1)
+                    - 1.0, 2) AS n_hat
+           FROM g)
+         SELECT n_total, n1, n2, m, n_hat,
+                round((n_hat - n_total) * 100.0 / n_total, 2)
+                  AS err_pct
+         FROM h""",
+    "q_agg_theil" ->
+      // 8-dp decimal ln terms at every level (the logloss rule);
+      // exact decimal revenues; "between" quoted (keyword).
+      """WITH rev AS (
+           SELECT c_nationkey AS nat, r FROM
+             (SELECT o_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+              FROM orders GROUP BY 1) o
+           JOIN customer ON o_custkey = c_custkey),
+         tot AS (SELECT count(*) AS n, sum(r) AS rtot FROM rev),
+         gm AS (SELECT nat, count(*) AS n_g, sum(r) AS r_g
+                FROM rev GROUP BY 1),
+         wm AS (
+           SELECT nat, r, n, rtot, n_g, r_g,
+                  CAST(rtot AS DOUBLE) / n AS mu,
+                  CAST(r_g AS DOUBLE) / n_g AS mu_g
+           FROM rev CROSS JOIN tot JOIN gm USING (nat)),
+         terms AS (
+           SELECT nat, n, rtot, n_g, r_g, mu, mu_g,
+                  CAST(round((CAST(r AS DOUBLE) / mu)
+                    * ln(CAST(r AS DOUBLE) / mu), 8)
+                    AS DECIMAL(20,8)) AS t_term,
+                  CAST(round((CAST(r AS DOUBLE) / mu_g)
+                    * ln(CAST(r AS DOUBLE) / mu_g), 8)
+                    AS DECIMAL(20,8)) AS tg_term
+           FROM wm),
+         tt AS (SELECT CAST(sum(t_term) AS DOUBLE) / max(n) AS theil
+                FROM terms),
+         grp AS (
+           SELECT nat, max(n_g) AS n_g, max(r_g) AS r_g,
+                  max(rtot) AS rtot, max(mu) AS mu,
+                  max(mu_g) AS mu_g,
+                  CAST(sum(tg_term) AS DOUBLE) AS tg_sum
+           FROM terms GROUP BY 1),
+         g2 AS (
+           SELECT CAST(round((CAST(r_g AS DOUBLE)
+                    / CAST(rtot AS DOUBLE)) * ln(mu_g / mu), 8)
+                    AS DECIMAL(20,8)) AS b_term,
+                  CAST(round((CAST(r_g AS DOUBLE)
+                    / CAST(rtot AS DOUBLE)) * (tg_sum / n_g), 8)
+                    AS DECIMAL(20,8)) AS w_term
+           FROM grp)
+         SELECT (SELECT count(*) FROM grp) AS n_nations,
+                round((SELECT theil FROM tt), 4) AS theil,
+                round(CAST(sum(b_term) AS DOUBLE), 4) AS "between",
+                round(CAST(sum(w_term) AS DOUBLE), 4) AS "within"
+         FROM g2""",
     "q_agg_extreme" ->
       // integer weekly maxima; decimal mean/std sums; sqrt(6)/pi()
       // and the gamma literal shared; ln only in the rounded output.
@@ -2587,6 +2659,38 @@ object OracleSql {
                 round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
                   AS top_token_share
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_code_detect" ->
+      // identical regex classes; 6-dp decimal ratios; rounded-value
+      // threshold votes; per-source decimal means.
+      """WITH d AS (
+           SELECT source,
+                  CAST(length(text) AS BIGINT) AS n_chars_t,
+                  CAST(len(regexp_extract_all(text,
+                    '[{}();=<>\[\]]')) AS BIGINT) AS n_sym,
+                  CAST(len(regexp_extract_all(text, '[0-9]'))
+                    AS BIGINT) AS n_dig
+           FROM documents),
+         r AS (
+           SELECT source,
+                  CAST(round(CAST(n_sym AS DOUBLE)
+                    / greatest(n_chars_t, 1), 6) AS DECIMAL(16,6))
+                    AS sym_ratio,
+                  CAST(round(CAST(n_dig AS DOUBLE)
+                    / greatest(n_chars_t, 1), 6) AS DECIMAL(16,6))
+                    AS dig_ratio
+           FROM d),
+         f AS (
+           SELECT source, sym_ratio, dig_ratio,
+                  CASE WHEN sym_ratio > 0.02 OR dig_ratio > 0.15
+                       THEN 1 ELSE 0 END AS is_code
+           FROM r)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(is_code) AS BIGINT) AS n_code,
+                round(CAST(sum(sym_ratio) AS DOUBLE) / count(*), 4)
+                  AS mean_sym_ratio,
+                round(CAST(sum(dig_ratio) AS DOUBLE) / count(*), 4)
+                  AS mean_dig_ratio
+         FROM f GROUP BY 1 ORDER BY 1""",
     "q_text_template" ->
       // identical 5-token prefixes; per-source argmax on the
       // deterministic (count desc, prefix) order.

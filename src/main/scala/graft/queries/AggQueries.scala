@@ -1484,6 +1484,94 @@ object AggQueries {
       .orderBy("d")
   }
 
+  /** q_agg_capture_recapture — Chapman capture–recapture estimate of
+    * the corpus population from two INDEPENDENT cheap samples (two
+    * different sha-derived 20% buckets): N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * from the overlap m — the census trick for "how big is the true
+    * population" when a full scan is off the table (dedup-cluster
+    * counts, crawl-frontier size, leaked-document estimation), made
+    * SELF-VALIDATING here: the fixture's true count is known, so the
+    * op reports its own estimation error. Independence comes from
+    * hashing (id) vs (id‖salt) — pure row functions, rerun-stable.
+    * Integers + one closed form; the corpus is touched once. */
+  private val aggCaptureRecapture: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("ba",
+        conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 7),
+          16, 10).cast("long") % 100 < 20)
+      .withColumn("bb",
+        conv(substring(sha2(concat(col("doc_id").cast("string"),
+          lit("salt")), 256), 1, 7), 16, 10).cast("long") % 100 < 20)
+    d.agg(count(lit(1)).as("n_total"),
+      count(when(col("ba"), 1)).as("n1"),
+      count(when(col("bb"), 1)).as("n2"),
+      count(when(col("ba") && col("bb"), 1)).as("m"))
+      .withColumn("n_hat", round(
+        ((col("n1") + 1) * (col("n2") + 1)).cast("double") /
+          (col("m") + 1) - lit(1.0), 2))
+      .withColumn("err_pct", round(
+        (col("n_hat") - col("n_total")) * lit(100.0) / col("n_total"),
+        2))
+  }
+
+  /** q_agg_theil — Theil T inequality of customer revenue with the
+    * between/within-nation DECOMPOSITION: T = (1/N)Σ(r/μ)ln(r/μ),
+    * split into Σs_g·ln(μ_g/μ) (between) + Σs_g·T_g (within) — the
+    * property gini/lorenz/hhi lack: Theil is additively decomposable,
+    * so "how much inequality is EXPLAINED by nation" is a number, not
+    * a chart (the variance-decomposition of inequality analysis).
+    * Float discipline: every ln-bearing term rounds to 8 dp and
+    * accumulates as decimal (the logloss rule — per-customer terms
+    * for T and the T_g's, per-nation terms for between/within), so
+    * all three sums are partition-order-free; revenues and means are
+    * exact decimal sums with one division each. Shape: orders
+    * collapse to a customer-revenue table once; nation means are a
+    * ≤25-row broadcast. */
+  private val aggTheil: Q = (s, dir) => {
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("r"))
+      .join(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nat"), col("r"))
+      .localCheckpoint()
+    val tot = rev.agg(count(lit(1)).as("n"),
+      sum("r").as("rtot"))
+    val gm = rev.groupBy("nat")
+      .agg(count(lit(1)).as("n_g"), sum("r").as("r_g"))
+    val withMu = rev.crossJoin(broadcast(tot))
+      .join(broadcast(gm), Seq("nat"))
+      .withColumn("mu", col("rtot").cast("double") / col("n"))
+      .withColumn("mu_g", col("r_g").cast("double") / col("n_g"))
+      .withColumn("t_term", round((col("r").cast("double") / col("mu"))
+        * log(col("r").cast("double") / col("mu")), 8)
+        .cast("decimal(20,8)"))
+      .withColumn("tg_term", round((col("r").cast("double") /
+        col("mu_g")) * log(col("r").cast("double") / col("mu_g")), 8)
+        .cast("decimal(20,8)"))
+    val tTotal = withMu.agg((expr("CAST(sum(t_term) AS DOUBLE)") /
+      max("n")).as("theil"))
+    val groups = withMu.groupBy("nat")
+      .agg(max("n_g").as("n_g"), max("r_g").as("r_g"),
+        max("rtot").as("rtot"), max("n").as("n"),
+        max("mu").as("mu"), max("mu_g").as("mu_g"),
+        expr("CAST(sum(tg_term) AS DOUBLE)").as("tg_sum"))
+      .withColumn("share", col("r_g").cast("double") / col("rtot")
+        .cast("double"))
+      .withColumn("b_term", round(col("share") *
+        log(col("mu_g") / col("mu")), 8).cast("decimal(20,8)"))
+      .withColumn("w_term", round(col("share") *
+        (col("tg_sum") / col("n_g")), 8).cast("decimal(20,8)"))
+    tTotal.crossJoin(groups.agg(
+      count(lit(1)).as("n_nations"),
+      expr("CAST(sum(b_term) AS DOUBLE)").as("between"),
+      expr("CAST(sum(w_term) AS DOUBLE)").as("within")))
+      .select(col("n_nations"), round(col("theil"), 4).as("theil"),
+        round(col("between"), 4).as("between"),
+        round(col("within"), 4).as("within"))
+  }
+
   /** q_agg_extreme — extreme-value capacity planning per event type:
     * weekly block maxima of the daily count, a method-of-moments
     * Gumbel fit (β = s·√6/π, μ = m̄ − γβ), and the 100-week return
@@ -1687,6 +1775,8 @@ object AggQueries {
     "q_agg_delta_method" -> aggDeltaMethod,
     "q_agg_sprt" -> aggSprt,
     "q_agg_extreme" -> aggExtreme,
+    "q_agg_capture_recapture" -> aggCaptureRecapture,
+    "q_agg_theil" -> aggTheil,
     "q_agg_maxby" -> aggMaxby,
     "q_agg_mode" -> aggMode,
     "q_agg_count" -> aggCount,

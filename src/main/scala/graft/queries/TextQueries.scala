@@ -1297,6 +1297,42 @@ object TextQueries {
       .orderBy("lang", "rn")
   }
 
+  /** q_text_code_detect — code-vs-prose classification per source:
+    * symbol-character density ({}();=<>[] runs), digit density, and
+    * mean token length vote a per-doc is_code flag, rolled up per
+    * source — the curation router (code belongs in a code corpus
+    * with code dedup/quality rules; prose pipelines that ingest
+    * source files learn to emit braces — the classifier is cheap,
+    * the mistake is not). On this fixture no doc is code — the op
+    * proves the NEGATIVE path (a router that never fires on prose is
+    * half its spec; the zh-confusion precedent). One regex pass per
+    * signal, integers until the rounded ratios; per-source means via
+    * 6-dp decimal terms (the distributed-mean rule). */
+  private val textCodeDetect: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("n_chars_t", length(col("text")).cast("long"))
+      .withColumn("n_sym",
+        size(expr("regexp_extract_all(text, '[{}();=<>\\\\[\\\\]]', 0)"))
+          .cast("long"))
+      .withColumn("n_dig",
+        size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("long"))
+      .withColumn("sym_ratio", round(col("n_sym").cast("double") /
+        greatest(col("n_chars_t"), lit(1L)), 6).cast("decimal(16,6)"))
+      .withColumn("dig_ratio", round(col("n_dig").cast("double") /
+        greatest(col("n_chars_t"), lit(1L)), 6).cast("decimal(16,6)"))
+      .withColumn("is_code",
+        when(col("sym_ratio") > 0.02 || col("dig_ratio") > 0.15, 1)
+          .otherwise(0))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_code").as("n_code"),
+        round(expr("CAST(sum(sym_ratio) AS DOUBLE)") / count(lit(1)), 4)
+          .as("mean_sym_ratio"),
+        round(expr("CAST(sum(dig_ratio) AS DOUBLE)") / count(lit(1)), 4)
+          .as("mean_dig_ratio"))
+      .orderBy("source")
+  }
+
   /** q_text_template — templated-content detection per source: the
     * share of a source's docs that open with its single most common
     * 5-token prefix — the boilerplate/template signal (scraped mirrors
@@ -1731,6 +1767,7 @@ object TextQueries {
     "q_samp_balanced" -> sampBalanced,
     "q_samp_decay" -> sampDecay,
     "q_text_template" -> textTemplate,
+    "q_text_code_detect" -> textCodeDetect,
     "q_text_keyness" -> textKeyness,
     "q_samp_negative" -> sampNegative,
     "q_text_ngram_lm" -> textNgramLm,

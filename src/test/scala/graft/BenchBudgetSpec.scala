@@ -302,6 +302,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_extreme" -> 0.5,
     // degree edge contraction + broadcast joins + one co-moment agg
     "q_graph_assortativity" -> 1.8,
+    // two per-row hashes + one aggregate
+    "q_agg_capture_recapture" -> 0.5,
+    // customer-revenue contraction + broadcast means + decimal terms
+    "q_agg_theil" -> 0.7,
+    // two regex passes over documents + source rollup
+    "q_text_code_detect" -> 0.7,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
