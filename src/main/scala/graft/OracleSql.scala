@@ -520,6 +520,43 @@ object OracleSql {
          GROUP BY source ORDER BY source""",
     // Mirrors aggMoments: identical decimal power sums (exact — no
     // merge-order drift) and the identical closed-form double readout.
+    "q_agg_tost" ->
+      // ab_ztest's four integers; unpooled SE; ±1pp margin in DOUBLE
+      // arithmetic; verdict on the ROUNDED z's.
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                           AND value > 90 THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS arm
+           FROM events GROUP BY user_id),
+         g AS (
+           SELECT count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+                  sum(CASE WHEN arm = 0 THEN conv END) AS c_a,
+                  count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+                  sum(CASE WHEN arm = 1 THEN conv END) AS c_b
+           FROM u),
+         s AS (
+           SELECT n_a, n_b,
+                  CAST(c_a AS DOUBLE) / n_a AS p_a,
+                  CAST(c_b AS DOUBLE) / n_b AS p_b
+           FROM g),
+         t AS (
+           SELECT n_a, n_b, p_a, p_b, p_b - p_a AS diff,
+                  sqrt(p_a * (1.0 - p_a) / n_a
+                       + p_b * (1.0 - p_b) / n_b) AS se
+           FROM s),
+         z AS (
+           SELECT n_a, n_b, p_a, p_b, diff,
+                  round((diff + CAST(0.01 AS DOUBLE)) / se, 4)
+                    AS z_low,
+                  round((CAST(0.01 AS DOUBLE) - diff) / se, 4)
+                    AS z_high
+           FROM t)
+         SELECT n_a, n_b, round(p_a, 4) AS p_a, round(p_b, 4) AS p_b,
+                round(diff, 4) AS diff, z_low, z_high,
+                CASE WHEN least(z_low, z_high) > 1.645
+                     THEN 1 ELSE 0 END AS equivalent
+         FROM z""",
     "q_agg_capture_recapture" ->
       // identical two independent sha buckets; Chapman closed form.
       """WITH d AS (
@@ -1187,6 +1224,13 @@ object OracleSql {
     "q_src_json_multiline" ->
       // the multiLine read-back must reproduce the dim rollup the
       // oracle computes straight from the parquet table.
+      """SELECT n_regionkey, count(*) AS n_nations,
+                min(n_name) AS first_name,
+                max(n_nationkey) AS max_key
+         FROM nation GROUP BY 1 ORDER BY 1""",
+    "q_src_fixed_width" ->
+      // the positional parse-back must reproduce the dim rollup — a
+      // column-offset mistake cannot pass.
       """SELECT n_regionkey, count(*) AS n_nations,
                 min(n_name) AS first_name,
                 max(n_nationkey) AS max_key
@@ -3464,6 +3508,43 @@ object OracleSql {
                 count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
                 count(*) AS n_consistent
          FROM events GROUP BY 1 ORDER BY path_date""",
+    "q_evt_mix_drift" ->
+      // weekly shares as integer-ratio doubles; 8-dp decimal JSD and
+      // entropy terms (the logloss rule); identical zero-limit CASEs.
+      """WITH wt AS (
+           SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         sh AS (
+           SELECT wk, event_type,
+                  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY wk)
+                    AS share
+           FROM wt),
+         lg AS (
+           SELECT wk, event_type, share,
+                  lag(share, 1) OVER (PARTITION BY event_type
+                    ORDER BY wk) AS prev_share
+           FROM sh),
+         t AS (
+           SELECT wk, share, prev_share,
+                  (share + prev_share) / 2.0 AS m
+           FROM lg WHERE prev_share IS NOT NULL),
+         terms AS (
+           SELECT wk,
+                  CAST(round((CASE WHEN share > 0
+                      THEN 0.5 * share * ln(share / m)
+                      ELSE 0.0 END)
+                    + (CASE WHEN prev_share > 0
+                      THEN 0.5 * prev_share * ln(prev_share / m)
+                      ELSE 0.0 END), 8) AS DECIMAL(20,8)) AS jsd_term,
+                  CAST(round(CASE WHEN share > 0
+                      THEN -share * ln(share) ELSE 0.0 END, 8)
+                    AS DECIMAL(20,8)) AS ent_term
+           FROM t)
+         SELECT wk, count(*) AS n_types,
+                round(CAST(sum(jsd_term) AS DOUBLE), 6) AS jsd,
+                round(CAST(sum(ent_term) AS DOUBLE), 6) AS entropy
+         FROM terms GROUP BY 1 ORDER BY 1""",
     "q_evt_transition_time" ->
       // identical (ts, event_id) total order; integer-microsecond
       // gaps; quantile_cont ≡ percentile; one division in the rounded

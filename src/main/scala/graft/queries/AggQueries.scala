@@ -1484,6 +1484,46 @@ object AggQueries {
       .orderBy("d")
   }
 
+  /** q_agg_tost — equivalence test (TOST) between the experiment
+    * arms: two one-sided z-tests against the ±1pp margin,
+    * equivalent iff BOTH reject (min(z_low, z_high) > 1.645 at
+    * α=0.05) — the INVERSE question of q_agg_ab_ztest ("did it
+    * change?" vs "is it safely the SAME?"), and the statistically
+    * honest form of every no-regression launch check (absence of
+    * significance is NOT evidence of equivalence — TOST is).
+    * Exactness: the same four integers as ab_ztest leave the corpus;
+    * the unpooled SE, both z's, and the margin arithmetic are shared
+    * closed-form doubles with the margin in DOUBLE arithmetic (the
+    * mde literal rule); the verdict compares ROUNDED z's. */
+  private val aggTost: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 90, 1).otherwise(0)).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    users.agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv"))).as("c_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv"))).as("c_b"))
+      .withColumn("p_a", col("c_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("c_b").cast("double") / col("n_b"))
+      .withColumn("se", sqrt(
+        col("p_a") * (lit(1.0) - col("p_a")) / col("n_a") +
+          col("p_b") * (lit(1.0) - col("p_b")) / col("n_b")))
+      .withColumn("diff", col("p_b") - col("p_a"))
+      .withColumn("z_low",
+        round((col("diff") + lit(0.01)) / col("se"), 4))
+      .withColumn("z_high",
+        round((lit(0.01) - col("diff")) / col("se"), 4))
+      .select(col("n_a"), col("n_b"),
+        round(col("p_a"), 4).as("p_a"), round(col("p_b"), 4).as("p_b"),
+        round(col("diff"), 4).as("diff"),
+        col("z_low"), col("z_high"),
+        when(least(col("z_low"), col("z_high")) > 1.645, 1)
+          .otherwise(0).as("equivalent"))
+  }
+
   /** q_agg_capture_recapture — Chapman capture–recapture estimate of
     * the corpus population from two INDEPENDENT cheap samples (two
     * different sha-derived 20% buckets): N̂ = (n₁+1)(n₂+1)/(m+1) − 1
@@ -1761,6 +1801,7 @@ object AggQueries {
     "q_agg_lorenz" -> aggLorenz,
     "q_agg_iqr" -> aggIqr,
     "q_agg_ab_ztest" -> aggAbZtest,
+    "q_agg_tost" -> aggTost,
     "q_agg_ks_test" -> aggKsTest,
     "q_agg_spearman" -> aggSpearman,
     "q_agg_basket" -> aggBasket,

@@ -1931,9 +1931,55 @@ object PipelineQueries {
       .orderBy("col_name")
   }
 
+  /** q_evt_mix_drift — weekly event-type-mix drift: each week's type
+    * distribution scored against the PREVIOUS week by Jensen–Shannon
+    * divergence, plus the week's own entropy — the
+    * distribution-drift monitor for categorical mixes (a mean-based
+    * alarm misses "views fell, errors rose, total flat"; JSD is
+    * symmetric and bounded, so one threshold works every week, which
+    * is why drift monitors use it over raw KL). Exactness: weekly
+    * shares are integer-ratio doubles; each ln-bearing JSD/entropy
+    * term rounds to 8-dp decimal per (week, type) and the sums are
+    * grid-sized (the logloss rule); a type absent in a week
+    * contributes the correct 0 limit via an identical CASE. Shape:
+    * one (week, type) contraction, share windows on the grid, a lag
+    * join by week ordinal per type. */
+  private val evtMixDrift: Q = (s, dir) => {
+    val wt = Tables.load(s, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val shares = wt
+      .withColumn("share", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("wk")))
+    val lagged = shares
+      .withColumn("prev_share",
+        lag("share", 1).over(Window.partitionBy("event_type")
+          .orderBy("wk")))
+      .filter(col("prev_share").isNotNull)
+      .withColumn("m", (col("share") + col("prev_share")) / 2.0)
+      .withColumn("jsd_term", round(
+        when(col("share") > 0,
+          lit(0.5) * col("share") * log(col("share") / col("m")))
+          .otherwise(0.0) +
+        when(col("prev_share") > 0, lit(0.5) * col("prev_share") *
+          log(col("prev_share") / col("m"))).otherwise(0.0), 8)
+        .cast("decimal(20,8)"))
+      .withColumn("ent_term", round(
+        when(col("share") > 0,
+          -col("share") * log(col("share"))).otherwise(0.0), 8)
+        .cast("decimal(20,8)"))
+    lagged.groupBy("wk")
+      .agg(count(lit(1)).as("n_types"),
+        round(expr("CAST(sum(jsd_term) AS DOUBLE)"), 6).as("jsd"),
+        round(expr("CAST(sum(ent_term) AS DOUBLE)"), 6).as("entropy"))
+      .orderBy("wk")
+  }
+
   val all: Map[String, Q] = Map(
     "q_etl_bitemporal" -> etlBitemporal,
     "q_etl_profile" -> etlProfile,
+    "q_evt_mix_drift" -> evtMixDrift,
     "q_etl_debounce" -> etlDebounce,
     "q_etl_feature_snapshot" -> etlFeatureSnapshot,
     "q_evt_uplift" -> evtUplift,

@@ -677,9 +677,42 @@ object SourceQueries {
       .orderBy("n_regionkey")
   }
 
+  /** q_src_fixed_width — fixed-width record ingestion: the nation dim
+    * round-trips through column-padded text (6/20/4 byte fields, the
+    * COBOL-copybook layout mainframe and bank exports still arrive
+    * in) and is parsed back by POSITION (substring + trim + cast) —
+    * the legacy-ingest path no schema-on-read format covers, and a
+    * reader class Spark has no native source for (the text source +
+    * positional projection IS the implementation — one narrow map,
+    * fully splittable by line, no custom DataSource needed at any
+    * scale). The rollup must match the parquet-dim oracle, so a
+    * column-offset mistake cannot pass. */
+  private val srcFixedWidth: Q = (s, dir) => {
+    val out = freshSinkDir("fixed_width")
+    Tables.load(s, dir, "nation")
+      .select(concat(
+        rpad(col("n_nationkey").cast("string"), 6, " "),
+        rpad(col("n_name"), 20, " "),
+        rpad(col("n_regionkey").cast("string"), 4, " ")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        trim(substring(col("value"), 1, 6)).cast("long")
+          .as("n_nationkey"),
+        trim(substring(col("value"), 7, 20)).as("n_name"),
+        trim(substring(col("value"), 27, 4)).cast("long")
+          .as("n_regionkey"))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min("n_name").as("first_name"),
+        max("n_nationkey").as("max_key"))
+      .orderBy("n_regionkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q_src_json_multiline" -> srcJsonMultiline,
     "q_src_csv_dialect" -> srcCsvDialect,
+    "q_src_fixed_width" -> srcFixedWidth,
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
     "q_src_corrupt" -> srcCorrupt,

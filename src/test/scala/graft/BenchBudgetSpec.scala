@@ -308,6 +308,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_theil" -> 0.7,
     // two regex passes over documents + source rollup
     "q_text_code_detect" -> 0.7,
+    // ab_ztest's per-user collapse + closed forms
+    "q_agg_tost" -> 0.5,
+    // dim text write + positional parse read-back
+    "q_src_fixed_width" -> 0.7,
+    // (week,type) contraction + grid share/lag windows
+    "q_evt_mix_drift" -> 0.5,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
