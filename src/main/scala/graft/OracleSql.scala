@@ -746,6 +746,42 @@ object OracleSql {
                      WHEN cum_llr < -bound THEN 'accept_h0'
                      ELSE 'continue' END AS decision
          FROM s ORDER BY d""",
+    "q_agg_anova" ->
+      // exact DECIMAL(9,0) group sums; per-group mean-square terms as
+      // shared closed-form doubles rounded to 8-dp decimals before the
+      // ≤12-row fold; verdict on the ROUNDED F.
+      """WITH g AS (
+           SELECT month(l_shipdate) AS grp,
+                  CAST(count(*) AS BIGINT) AS n_g,
+                  sum(CAST(l_quantity AS DECIMAL(9,0))) AS s1,
+                  sum(CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))) AS s2
+           FROM lineitem GROUP BY 1),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, sum(n_g) AS n,
+                  sum(s1) AS s
+           FROM g),
+         m AS (
+           SELECT g.n_g, g.s2, t.k, CAST(t.n AS BIGINT) AS n,
+                  CAST(g.s1 AS DOUBLE) / g.n_g AS m_g,
+                  CAST(t.s AS DOUBLE) / t.n AS m
+           FROM g, t),
+         terms AS (
+           SELECT k, n, m,
+                  CAST(round(n_g * (m_g - m) * (m_g - m) / (k - 1), 8)
+                    AS DECIMAL(20,8)) AS bt,
+                  CAST(round((CAST(s2 AS DOUBLE) - n_g * m_g * m_g)
+                    / (n - k), 8) AS DECIMAL(20,8)) AS wt
+           FROM m)
+         SELECT k, n, round(m, 4) AS grand_mean,
+                round(CAST(sum(bt) AS DOUBLE), 4) AS msb,
+                round(CAST(sum(wt) AS DOUBLE), 4) AS msw,
+                round(CAST(sum(bt) AS DOUBLE)
+                  / CAST(sum(wt) AS DOUBLE), 4) AS f,
+                CASE WHEN round(CAST(sum(bt) AS DOUBLE)
+                       / CAST(sum(wt) AS DOUBLE), 4) > 1.79
+                     THEN 1 ELSE 0 END AS reject
+         FROM terms GROUP BY 1, 2, 3""",
     "q_agg_jarque_bera" ->
       // DECIMAL(9,0) power-sum chain (widths 18/27/36 — inside both
       // engines' decimals, no silent double promotion); jb from the
@@ -1066,6 +1102,51 @@ object OracleSql {
                  JOIN e e2 ON e2.u = e1.v
                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
                   AS n_triangles""",
+    "q_graph_clustering" ->
+      // same %4 graph; NAIVE u<v<w triangle enumeration credited to
+      // all three corners; per-node c is one division rounded to an
+      // 8-dp decimal before the node fold (logloss rule).
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 4 = 0),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS dg
+           FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+           GROUP BY p),
+         tri AS (
+           SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.v
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tpn AS (
+           SELECT p, count(*) AS tri
+           FROM (SELECT x AS p FROM tri UNION ALL
+                 SELECT y AS p FROM tri UNION ALL
+                 SELECT z AS p FROM tri)
+           GROUP BY p),
+         nodes AS (
+           SELECT deg.p, deg.dg, coalesce(tpn.tri, 0) AS t,
+                  CAST(round(2.0 * coalesce(tpn.tri, 0)
+                    / (deg.dg * (deg.dg - 1)), 8) AS DECIMAL(20,8)) AS c
+           FROM deg LEFT JOIN tpn ON deg.p = tpn.p
+           WHERE deg.dg >= 2),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                  sum(t) AS t3, sum(c) AS sc, max(c) AS max_c,
+                  CAST(count(CASE WHEN c = CAST(1.0 AS DECIMAL(20,8))
+                    THEN 1 END) AS BIGINT) AS n_closed
+           FROM nodes),
+         w AS (
+           SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+           FROM deg)
+         SELECT n_nodes, CAST(t3 // 3 AS BIGINT) AS n_triangles,
+                round(CAST(sc AS DOUBLE) / n_nodes, 6) AS avg_cc,
+                round(CAST(t3 AS DOUBLE) / n_wedges, 6) AS transitivity,
+                CAST(max_c AS DOUBLE) AS max_cc, n_closed
+         FROM s, w""",
     // Mirrors graphComponents: recursive-CTE transitive closure over
     // the same symmetric same-brand co-order edges; min reachable key
     // per node ≡ the propagation fixpoint (UNION dedups, so the
@@ -3468,6 +3549,48 @@ object OracleSql {
                           > 3.5 THEN 1 ELSE 0 END AS is_outlier
          FROM dev d JOIN mad a USING (event_type)
          ORDER BY d.event_type NULLS FIRST, d.d""",
+    "q_ts_periodogram" ->
+      // identical θ = 2πkt/n from integer t/k/n and one-division ȳ;
+      // cos/sin round to 8 dp BEFORE the product (libm ulp guard);
+      // 8-dp decimal terms (logloss rule); peak flag on ROUNDED power.
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         ts AS (
+           SELECT event_type, y,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) - 1 AS t,
+                  count(*) OVER (PARTITION BY event_type) AS n,
+                  CAST(sum(y) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY event_type) AS ybar
+           FROM daily),
+         grid AS (
+           SELECT event_type, n, kk.k,
+                  (y - ybar) AS ydev,
+                  2.0 * pi() * kk.k * t / n AS theta
+           FROM ts CROSS JOIN
+                (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS k) kk),
+         terms AS (
+           SELECT event_type, k, n,
+                  CAST(round(ydev * round(cos(theta), 8), 8)
+                    AS DECIMAL(24,8)) AS tc,
+                  CAST(round(ydev * round(sin(theta), 8), 8)
+                    AS DECIMAL(24,8)) AS tsn
+           FROM grid),
+         pw AS (
+           SELECT event_type, k, n,
+                  round(CAST(n AS DOUBLE) / k, 2) AS period_days,
+                  round((CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+                    + CAST(sum(tsn) AS DOUBLE) * CAST(sum(tsn) AS DOUBLE))
+                    / n, 4) AS power
+           FROM terms GROUP BY 1, 2, 3)
+         SELECT event_type, k, CAST(n AS BIGINT) AS n_days, period_days,
+                power,
+                CASE WHEN row_number() OVER (PARTITION BY event_type
+                       ORDER BY power DESC, k) = 1
+                     THEN 1 ELSE 0 END AS is_peak
+         FROM pw
+         ORDER BY event_type NULLS FIRST, k""",
     "q_ts_autocorr" ->
       // every SUM is over integers (s1 = Σ y·y2, s2 = Σ (y+y2), m, ss,
       // tot); the closed-form double readout shares its literal

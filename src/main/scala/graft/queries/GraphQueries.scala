@@ -150,6 +150,74 @@ object GraphQueries {
         col("n_triangles"))
   }
 
+  /** q_graph_clustering — local clustering coefficients on the
+    * q_graph_triangles graph (`p_partkey % 4 = 0` co-order parts):
+    * per node c = 2·tri(v) / (deg·(deg−1)) over deg ≥ 2 nodes,
+    * summarized as the AVERAGE local coefficient (Watts–Strogatz),
+    * the global transitivity 3·triangles/wedges, the max, and the
+    * closed-node count — the "how cliquish is this graph" readout
+    * that decides between community detection (high clustering) and
+    * spectral/flow methods (low). The two summary numbers genuinely
+    * differ (avg-local weights every node equally; transitivity
+    * weights by wedge count — hubs dominate it), which is why both
+    * are reported. Shape: the SAME oriented-edge triangle enumeration
+    * as the census (per-triangle fan-out bounded by oriented
+    * out-degree), with each triangle credited to its THREE corners via
+    * a 3-way union of the (u,v,w) rows — node-level counts fall out of
+    * one groupBy on triangle rows, orders of magnitude below the edge
+    * list. Float parity: tri and deg are integers; each node's c is
+    * ONE division rounded to an 8-dp decimal before the node-fold (the
+    * logloss rule), so the average is partition-order-free; the oracle
+    * enumerates the same graph the naive u<v<w way. */
+  private val graphClustering: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
+    val du = deg.select(col("p").as("up"), col("dg").as("udg"))
+    val dv = deg.select(col("p").as("vp"), col("dg").as("vdg"))
+    val fwd = (col("udg") < col("vdg")) ||
+      (col("udg") === col("vdg") && col("u") < col("v"))
+    val e = e0.join(broadcast(du), col("u") === col("up"))
+      .join(broadcast(dv), col("v") === col("vp"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("u"),
+        when(fwd, col("v")).otherwise(col("u")).as("v"))
+      .localCheckpoint()
+    val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+    val tris = e1.join(e2, col("e2.u") === col("e1.v"))
+      .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .localCheckpoint()
+    val triPerNode = tris.select(col("x").as("p"))
+      .unionAll(tris.select(col("y").as("p")))
+      .unionAll(tris.select(col("z").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("tri"))
+    val nodes = deg.filter(col("dg") >= 2)
+      .join(triPerNode, Seq("p"), "left")
+      .withColumn("t", coalesce(col("tri"), lit(0L)))
+      .withColumn("c", round(lit(2.0) * col("t") /
+        (col("dg") * (col("dg") - lit(1))), 8).cast("decimal(20,8)"))
+    val summary = nodes.agg(count(lit(1)).as("n_nodes"),
+      sum("t").as("t3"), sum("c").as("sc"), max("c").as("max_c"),
+      count(when(col("c") === lit(1.0).cast("decimal(20,8)"), 1))
+        .as("n_closed"))
+    val wedges = deg.agg(expr("sum((dg * (dg - 1)) DIV 2)").as("n_wedges"))
+    summary.crossJoin(wedges)
+      .select(col("n_nodes"),
+        expr("t3 DIV 3").as("n_triangles"),
+        round(col("sc").cast("double") / col("n_nodes"), 6).as("avg_cc"),
+        round(col("t3").cast("double") / col("n_wedges"), 6)
+          .as("transitivity"),
+        col("max_c").cast("double").as("max_cc"), col("n_closed"))
+  }
+
   /** q_graph_common_neighbors — link-prediction scores on the co-order
     * part sub-graph (`p_partkey % 8 = 0`; the q_graph_triangles graph
     * halved again, because pair-level output is Σ deg(w)²/2 wedges —
@@ -357,6 +425,7 @@ object GraphQueries {
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_degree" -> graphDegree,
     "q_graph_triangles" -> graphTriangles,
+    "q_graph_clustering" -> graphClustering,
     "q_graph_components" -> graphComponents,
     "q_graph_common_neighbors" -> graphCommonNeighbors)
 }

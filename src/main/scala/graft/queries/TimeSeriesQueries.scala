@@ -634,7 +634,59 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_periodogram — discrete-Fourier periodogram of the daily
+    * event-count series per type at harmonics k = 1..10:
+    * I(k) = (Σŷ·cos θ)² + (Σŷ·sin θ)²) / n with θ = 2πkt/n and
+    * ŷ = y − ȳ, plus the implied period n/k in days and a peak flag —
+    * the SPECTRAL seasonality detector (q_ts_autocorr asks "does lag
+    * 7 correlate?"; this asks "which cycle carries the energy?"
+    * without naming the period up front — a ~weekly peak confirms the
+    * decompose/strength period-7 assumption from an independent
+    * angle). Shape: the corpus contracts to the shared types·days
+    * series ONCE; the k-grid is a 10-row generated dimension crossed
+    * onto it (types·days·10 rows — still broadcast-sized), and each
+    * (type,k) collapses in one grouped fold. Float parity: t and n
+    * are integers and ȳ = one division, so θ is bit-identical; cos/sin
+    * round to 8 dp BEFORE the product (absorbing any libm last-ulp
+    * skew between JVM and C math), each term rounds to an 8-dp decimal
+    * before the fold (logloss rule), and the peak flag ranks the
+    * ROUNDED power so both engines agree on ties. */
+  private val tsPeriodogram: Q = (s, dir) => {
+    val base = dailySeries(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val ts = base
+      .withColumn("t", row_number().over(w) - lit(1))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("ybar", sum("y")
+        .over(Window.partitionBy("event_type")).cast("double") / col("n"))
+      .withColumn("ydev", col("y") - col("ybar"))
+    val grid = ts
+      .withColumn("k", explode(sequence(lit(1), lit(10))))
+      .withColumn("theta",
+        lit(2.0) * lit(math.Pi) * col("k") * col("t") / col("n"))
+      .withColumn("tc", round(col("ydev") * round(cos(col("theta")), 8), 8)
+        .cast("decimal(24,8)"))
+      .withColumn("tsn", round(col("ydev") * round(sin(col("theta")), 8), 8)
+        .cast("decimal(24,8)"))
+    val pw = grid.groupBy(col("event_type"), col("k"), col("n"))
+      .agg(sum("tc").as("sc"), sum("tsn").as("ss"))
+      .select(col("event_type"), col("k"), col("n"),
+        round(col("n").cast("double") / col("k"), 2).as("period_days"),
+        round((col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          col("n"), 4).as("power"))
+    val pk = Window.partitionBy("event_type")
+      .orderBy(col("power").desc, col("k"))
+    pw.withColumn("is_peak",
+      when(row_number().over(pk) === 1, 1).otherwise(0))
+      .select(col("event_type"), col("k"), col("n").cast("long")
+        .as("n_days"), col("period_days"), col("power"), col("is_peak"))
+      .orderBy(col("event_type").asc_nulls_first, col("k"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_strength" -> tsStrength,
     "q_ts_rolling_corr" -> tsRollingCorr,
     "q_ts_backtest" -> tsBacktest,

@@ -314,6 +314,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_fixed_width" -> 0.7,
     // (week,type) contraction + grid share/lag windows
     "q_evt_mix_drift" -> 0.5,
+    // one corpus agg + 7-row broadcast closed forms
+    "q_agg_anova" -> 0.5,
+    // triangle-census plan + per-corner union fold
+    "q_graph_clustering" -> 2.2,
+    // daily contraction + 10-harmonic explode + grouped fold
+    "q_ts_periodogram" -> 0.7,
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax

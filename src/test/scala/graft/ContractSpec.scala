@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 323, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 294)
+    assert(declared.size == 326, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 297)
     assert(declared.values.count(_ == "Q") == 21)
     assert(declared.values.count(_ == "U") == 8)
   }
