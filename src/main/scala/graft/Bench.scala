@@ -66,9 +66,12 @@ object Bench {
       val firstWarmFailed = runOnce() < 0
       if (firstWarmFailed)
         System.err.println(s"[bench] $name warm-up failed once; retrying")
+      // TWO warm-ups: the round-12 judged run showed one is not enough —
+      // first-timed samples still carried page-cache/codegen cold cost
+      // (q_vec_cosine_dedup 11.3/3.6/0.97 s), skewing the median high
       val samples =
         if (firstWarmFailed && runOnce() < 0) Seq(-1.0)
-        else Seq.fill(runs)(runOnce())
+        else { runOnce(); Seq.fill(runs)(runOnce()) }
       val median =
         if (samples.exists(_ < 0)) -1.0
         else samples.sorted.apply(samples.size / 2)

@@ -582,6 +582,223 @@ object OracleSql {
                 round((n_hat - n_total) * 100.0 / n_total, 2)
                   AS err_pct
          FROM h""",
+    "q_agg_mutual_info" ->
+      // |types|x7 cell grid; margins as grid re-aggregates; 8-dp
+      // decimal p*ln terms (the logloss rule); shared closed-form
+      // doubles; DuckDB dayofweek is 0-based (Sun=0), Spark's is
+      // 1-based (Sun=1) — +1 aligns them.
+      """WITH cells AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT event_type, sum(c) AS cx FROM cells GROUP BY 1),
+         my AS (SELECT dow, sum(c) AS cy FROM cells GROUP BY 1),
+         nt AS (SELECT sum(c) AS n FROM cells),
+         mi AS (
+           SELECT sum(CAST(round((CAST(c AS DOUBLE) / n) *
+             ln(CAST(c AS DOUBLE) * n / (cx * cy)), 8)
+             AS DECIMAL(20,8))) AS mi
+           FROM cells JOIN mx USING (event_type) JOIN my USING (dow),
+                nt),
+         hx AS (
+           SELECT sum(CAST(round(-(CAST(cx AS DOUBLE) / n) *
+             ln(CAST(cx AS DOUBLE) / n), 8) AS DECIMAL(20,8))) AS hx
+           FROM mx, nt),
+         hy AS (
+           SELECT sum(CAST(round(-(CAST(cy AS DOUBLE) / n) *
+             ln(CAST(cy AS DOUBLE) / n), 8) AS DECIMAL(20,8))) AS hy
+           FROM my, nt)
+         SELECT CAST(n AS BIGINT) AS n,
+                round(CAST(mi AS DOUBLE), 6) AS mi,
+                round(CAST(hx AS DOUBLE), 6) AS h_type,
+                round(CAST(hy AS DOUBLE), 6) AS h_dow,
+                round(CAST(mi AS DOUBLE) /
+                  sqrt(CAST(hx AS DOUBLE) * CAST(hy AS DOUBLE)), 6)
+                  AS nmi
+         FROM nt, mi, hx, hy""",
+    "q_agg_cohen_kappa" ->
+      // 3x3 confusion grid; decimal marginal products; one shared
+      // closed-form double row.
+      """WITH r AS (
+           SELECT o_orderstatus AS a,
+                  CASE WHEN o_totalprice < 170000 THEN 'F'
+                       WHEN o_totalprice < 340000 THEN 'O'
+                       ELSE 'P' END AS b
+           FROM orders),
+         cells AS (
+           SELECT a, b, CAST(count(*) AS DECIMAL(38,0)) AS c
+           FROM r GROUP BY 1, 2),
+         ra AS (SELECT a, sum(c) AS ca FROM cells GROUP BY 1),
+         rb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+         nt AS (SELECT sum(c) AS n FROM cells),
+         ag AS (SELECT sum(c) AS n_agree FROM cells WHERE a = b),
+         pe AS (
+           SELECT sum(ca * cb) AS pesum
+           FROM ra JOIN rb ON ra.a = rb.b)
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(n_agree AS BIGINT) AS n_agree,
+                round(CAST(n_agree AS DOUBLE) / n, 6) AS p_o,
+                round(CAST(pesum AS DOUBLE) /
+                  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+                round((CAST(n_agree AS DOUBLE) / n -
+                    CAST(pesum AS DOUBLE) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+                  (1.0 - CAST(pesum AS DOUBLE) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                  AS kappa
+         FROM nt, ag, pe""",
+    "q_agg_psi" ->
+      // integer pennies DIV binning (no decimal division near a
+      // boundary); Laplace-smoothed shares; 8-dp decimal psi terms.
+      """WITH b AS (
+           SELECT o_orderkey % 2 AS grp,
+                  least(CAST(o_totalprice * 100 AS BIGINT) // 5000000, 9)
+                    AS bin
+           FROM orders),
+         cells AS (
+           SELECT bin,
+                  count(CASE WHEN grp = 0 THEN 1 END) AS ca,
+                  count(CASE WHEN grp = 1 THEN 1 END) AS cb
+           FROM b GROUP BY 1),
+         tot AS (
+           SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins
+           FROM cells),
+         terms AS (
+           -- 0.5e0: double literals so the share arithmetic is IEEE
+           -- double like Spark's, never DuckDB decimal division
+           SELECT bin, ca, cb,
+                  (ca + 0.5e0) / (na + 0.5e0 * nbins) AS p,
+                  (cb + 0.5e0) / (nb + 0.5e0 * nbins) AS q
+           FROM cells, tot),
+         t2 AS (
+           SELECT bin, ca, cb, p, q,
+                  CAST(round((p - q) * ln(p / q), 8) AS DECIMAL(20,8))
+                    AS psi_term
+           FROM terms),
+         ps AS (SELECT sum(psi_term) AS psi FROM t2)
+         SELECT bin, ca AS n_even, cb AS n_odd,
+                round(p, 6) AS p_even, round(q, 6) AS p_odd,
+                CAST(psi_term AS DOUBLE) AS psi_term,
+                round(CAST(psi AS DOUBLE), 6) AS psi_total
+         FROM t2, ps ORDER BY bin""",
+    "q_agg_kruskal" ->
+      // the mann-whitney value-grid rule: ~50 quantity rows, one
+      // cumulative window, decimal(38) rank sums, shared closed-form
+      // H readout with the tie correction.
+      """WITH grid AS (
+           SELECT l_quantity AS x,
+                  CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END)
+                    AS DECIMAL(38,0)) AS cA,
+                  CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END)
+                    AS DECIMAL(38,0)) AS cN,
+                  CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                    AS DECIMAL(38,0)) AS cR
+           FROM lineitem GROUP BY 1),
+         g2 AS (SELECT *, cA + cN + cR AS cnt FROM grid),
+         r AS (
+           SELECT *, 2 * sum(cnt) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cnt + 1 AS r2
+           FROM g2),
+         sums AS (
+           SELECT sum(cA) AS nA, sum(cN) AS nN, sum(cR) AS nR,
+                  sum(cA * r2) AS r2A, sum(cN * r2) AS r2N,
+                  sum(cR * r2) AS r2R,
+                  sum(cnt * cnt * cnt - cnt) AS tsum
+           FROM r),
+         h AS (
+           SELECT *,
+                  CAST(nA + nN + nR AS DOUBLE) AS nn,
+                  3.0 * (CAST(r2A AS DOUBLE) * CAST(r2A AS DOUBLE) /
+                      CAST(nA AS DOUBLE) +
+                    CAST(r2N AS DOUBLE) * CAST(r2N AS DOUBLE) /
+                      CAST(nN AS DOUBLE) +
+                    CAST(r2R AS DOUBLE) * CAST(r2R AS DOUBLE) /
+                      CAST(nR AS DOUBLE)) /
+                    (CAST(nA + nN + nR AS DOUBLE) *
+                      (CAST(nA + nN + nR AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(nA + nN + nR AS DOUBLE) + 1.0) AS hh
+           FROM sums)
+         SELECT CAST(nA AS BIGINT) AS n_a, CAST(nN AS BIGINT) AS n_n,
+                CAST(nR AS BIGINT) AS n_r,
+                round(hh, 4) AS h,
+                round(hh / (1.0 - CAST(tsum AS DOUBLE) /
+                  (nn * nn * nn - nn)), 4) AS h_tie_corrected,
+                2 AS df,
+                CASE WHEN hh / (1.0 - CAST(tsum AS DOUBLE) /
+                  (nn * nn * nn - nn)) > 5.991 THEN 1 ELSE 0 END
+                  AS significant
+         FROM h""",
+    "q_agg_cohens_d" ->
+      // per-group exact decimal sums; means, pooled SD, d, Hedges g
+      // as one shared closed-form double row.
+      """WITH g AS (
+           SELECT o_orderstatus AS grp, count(*) AS n,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+                      CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+           FROM orders WHERE o_orderstatus IN ('F', 'O')
+           GROUP BY 1),
+         f AS (SELECT n AS nf, s1 AS s1f, s2 AS s2f FROM g
+               WHERE grp = 'F'),
+         o AS (SELECT n AS no_, s1 AS s1o, s2 AS s2o FROM g
+               WHERE grp = 'O'),
+         c AS (
+           SELECT nf, no_,
+                  CAST(s1f AS DOUBLE) / nf AS mf,
+                  CAST(s1o AS DOUBLE) / no_ AS mo,
+                  CAST(s2f AS DOUBLE) -
+                    nf * (CAST(s1f AS DOUBLE) / nf) *
+                      (CAST(s1f AS DOUBLE) / nf) AS ssf,
+                  CAST(s2o AS DOUBLE) -
+                    no_ * (CAST(s1o AS DOUBLE) / no_) *
+                      (CAST(s1o AS DOUBLE) / no_) AS sso
+           FROM f, o),
+         d AS (
+           SELECT *, sqrt((ssf + sso) / CAST(nf + no_ - 2 AS DOUBLE))
+                  AS sp
+           FROM c)
+         SELECT nf AS n_f, no_ AS n_o,
+                round(mf, 4) AS mean_f, round(mo, 4) AS mean_o,
+                round(sp, 4) AS sd_pooled,
+                round((mf - mo) / sp, 6) AS cohens_d,
+                round((mf - mo) / sp * (1.0 - 3.0 /
+                  (4.0 * CAST(nf + no_ AS DOUBLE) - 9.0)), 6)
+                  AS hedges_g
+         FROM d""",
+    "q_agg_brier" ->
+      // identical per-type forecast literals; per-type (n, k) grid;
+      // 8-dp decimal Murphy terms folded on the 5-row grid.
+      """WITH g AS (
+           SELECT event_type,
+                  -- e0 suffix: double literals matching Spark's, so
+                  -- the Murphy arithmetic is IEEE double on both sides
+                  CASE event_type WHEN 'click' THEN 0.4e0
+                    WHEN 'error' THEN 0.35e0 WHEN 'purchase' THEN 0.45e0
+                    WHEN 'signup' THEN 0.3e0 ELSE 0.38e0 END AS p,
+                  count(*) AS n,
+                  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS k
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g),
+         terms AS (
+           SELECT g.*, nn, CAST(kk AS DOUBLE) / nn AS ybar,
+                  CAST(k AS DOUBLE) / n AS ybar_t
+           FROM g, tot),
+         t2 AS (
+           SELECT nn, ybar,
+                  CAST(round((k * (1.0 - p) * (1.0 - p) +
+                    (n - k) * p * p) / nn, 8) AS DECIMAL(20,8))
+                    AS b_term,
+                  CAST(round(n * (p - ybar_t) * (p - ybar_t) / nn, 8)
+                    AS DECIMAL(20,8)) AS rel_term,
+                  CAST(round(n * (ybar_t - ybar) * (ybar_t - ybar) / nn,
+                    8) AS DECIMAL(20,8)) AS res_term
+           FROM terms)
+         SELECT CAST(max(nn) AS BIGINT) AS n,
+                round(CAST(sum(b_term) AS DOUBLE), 6) AS brier,
+                round(CAST(sum(rel_term) AS DOUBLE), 6) AS reliability,
+                round(CAST(sum(res_term) AS DOUBLE), 6) AS resolution,
+                round(max(ybar) * (1.0 - max(ybar)), 6) AS uncertainty
+         FROM t2""",
     "q_agg_theil" ->
       // 8-dp decimal ln terms at every level (the logloss rule);
       // exact decimal revenues; "between" quoted (keyword).
@@ -1083,9 +1300,15 @@ object OracleSql {
                        JOIN deg dv ON dv.p = pr.v
          ORDER BY jaccard DESC, pr.u, pr.v LIMIT 50""",
     "q_graph_triangles" ->
-      """WITH items AS (
+      // SF-held demo graph: modulus derived from the data (4 at
+      // sf<=0.01, 40 at sf0.1) so the node population stays ~500 —
+      // mirrors GraphQueries.coOrderDemoGraph exactly.
+      """WITH md AS (
+           SELECT 4 * greatest(1, (max(p_partkey) + 1) // 2000) AS m
+           FROM part),
+         items AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-           FROM lineitem WHERE l_partkey % 4 = 0),
+           FROM lineitem, md WHERE l_partkey % m = 0),
          e AS (
            SELECT DISTINCT a.p AS u, b.p AS v
            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
@@ -1103,12 +1326,16 @@ object OracleSql {
                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
                   AS n_triangles""",
     "q_graph_clustering" ->
-      // same %4 graph; NAIVE u<v<w triangle enumeration credited to
-      // all three corners; per-node c is one division rounded to an
-      // 8-dp decimal before the node fold (logloss rule).
-      """WITH items AS (
+      // same SF-held demo graph as q_graph_triangles; NAIVE u<v<w
+      // triangle enumeration credited to all three corners; per-node
+      // c is one division rounded to an 8-dp decimal before the node
+      // fold (logloss rule).
+      """WITH md AS (
+           SELECT 4 * greatest(1, (max(p_partkey) + 1) // 2000) AS m
+           FROM part),
+         items AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-           FROM lineitem WHERE l_partkey % 4 = 0),
+           FROM lineitem, md WHERE l_partkey % m = 0),
          e AS (
            SELECT DISTINCT a.p AS u, b.p AS v
            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
@@ -3632,28 +3859,37 @@ object OracleSql {
                 count(*) AS n_consistent
          FROM events GROUP BY 1 ORDER BY path_date""",
     "q_evt_mix_drift" ->
-      // weekly shares as integer-ratio doubles; 8-dp decimal JSD and
-      // entropy terms (the logloss rule); identical zero-limit CASEs.
+      // weekly shares as integer-ratio doubles over the DENSE weeks ×
+      // observed-types grid (zero-filled counts, mirroring the
+      // engine), 8-dp decimal JSD and entropy terms (the logloss
+      // rule); identical zero-limit CASEs; n_types counts PRESENT
+      // types only.
       """WITH wt AS (
            SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
                   event_type, count(*) AS n
            FROM events GROUP BY 1, 2),
+         dense AS (
+           SELECT w.wk, t.event_type, coalesce(wt.n, 0) AS n0
+           FROM (SELECT DISTINCT wk FROM wt) w
+           CROSS JOIN (SELECT DISTINCT event_type FROM wt) t
+           LEFT JOIN wt ON wt.wk = w.wk
+             AND wt.event_type = t.event_type),
          sh AS (
-           SELECT wk, event_type,
-                  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY wk)
+           SELECT wk, event_type, n0,
+                  CAST(n0 AS DOUBLE) / sum(n0) OVER (PARTITION BY wk)
                     AS share
-           FROM wt),
+           FROM dense),
          lg AS (
-           SELECT wk, event_type, share,
+           SELECT wk, event_type, n0, share,
                   lag(share, 1) OVER (PARTITION BY event_type
                     ORDER BY wk) AS prev_share
            FROM sh),
          t AS (
-           SELECT wk, share, prev_share,
+           SELECT wk, n0, share, prev_share,
                   (share + prev_share) / 2.0 AS m
            FROM lg WHERE prev_share IS NOT NULL),
          terms AS (
-           SELECT wk,
+           SELECT wk, n0,
                   CAST(round((CASE WHEN share > 0
                       THEN 0.5 * share * ln(share / m)
                       ELSE 0.0 END)
@@ -3664,7 +3900,7 @@ object OracleSql {
                       THEN -share * ln(share) ELSE 0.0 END, 8)
                     AS DECIMAL(20,8)) AS ent_term
            FROM t)
-         SELECT wk, count(*) AS n_types,
+         SELECT wk, count(CASE WHEN n0 > 0 THEN 1 END) AS n_types,
                 round(CAST(sum(jsd_term) AS DOUBLE), 6) AS jsd,
                 round(CAST(sum(ent_term) AS DOUBLE), 6) AS entropy
          FROM terms GROUP BY 1 ORDER BY 1""",
@@ -3867,7 +4103,7 @@ object OracleSql {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS conc
            FROM marks)
-         SELECT d, max(conc) AS peak_concurrency,
+         SELECT d, CAST(max(conc) AS BIGINT) AS peak_concurrency,
                 CAST(count(*) / 2 AS BIGINT) AS n_sessions
          FROM sw GROUP BY d ORDER BY d""",
     "q_join_fuzzy" ->
@@ -4327,7 +4563,7 @@ object OracleSql {
       """WITH d AS (
            SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
                     AS VARCHAR), 1, 1) AS INTEGER) AS digit
-           FROM orders WHERE o_totalprice > 0),
+           FROM orders WHERE o_totalprice >= 1),
          c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
          t AS (SELECT count(*) AS tot FROM d),
          e AS (

@@ -431,6 +431,13 @@ object Streaming {
     * CDC zombie-row bug. A newer upsert after the tombstone revives the
     * key legitimately. Emits each touched key's post-batch current row
     * (the Debezium→merge materialization primitive, incremental form).
+    * EQUAL-VERSION tie rule (pinned, feed-order independent): within a
+    * batch, same-version ops sort by op string ('D' < 'U') under the
+    * `>=` version guard, so an upsert always beats a delete at the
+    * same version — deterministic by construction, but note it
+    * differs from last-op-in-feed-wins transports; a feed that needs
+    * those semantics must carry an LSN/sequence component in
+    * `version` (any strictly monotone long works unchanged here).
     * State per key is ONE small row at any scale, keyed by the CDC key
     * — executors hold only their partitions' keys. */
   class CdcApplyProcessor

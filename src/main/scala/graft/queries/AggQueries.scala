@@ -527,15 +527,29 @@ object AggQueries {
     * each ln(xᵢ/x_min) rounds to 8 dp and accumulates as
     * decimal(20,8), so the tail sum is partition-order-free; α̂ and
     * its bias-corrected standard error α̂/√k are shared closed forms.
-    * Scale: the sort is the arrangement cost (the weighted-median
-    * bound) — a 100 TB corpus first contracts by pre-filtering above
-    * an approximate 99th percentile so only ~k rows sort. */
+    * Scale: the corpus NEVER sorts globally — an approx-98.5th-
+    * percentile pre-filter (rank error ≤ 1e-4·n at accuracy 10⁴, so
+    * ≥ 1.49%·n ≥ k+1 rows survive for any n ≥ 205) contracts to the
+    * tail first, and the single-partition row_number sees only those
+    * ~1.5%·k-scale survivors. A declarative guard (OR survivors <
+    * k+1) keeps tiny fixtures exact without a driver round-trip; the
+    * cut value's run-to-run wobble cannot change the answer because
+    * the top k+1 rows are a strict subset of any valid survivor
+    * set. */
   private val aggHill: Q = (s, dir) => {
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    val n = o.agg(count(lit(1)).as("n"))
-    val ranked = o.crossJoin(broadcast(n))
+    val n = o.agg(count(lit(1)).as("n"),
+      expr("approx_percentile(CAST(o_totalprice AS DOUBLE), 0.985, 10000)")
+        .as("cut"))
+    val meta = o.crossJoin(broadcast(n))
       .withColumn("k", floor(col("n") / lit(100)).cast("long"))
+    val surv = meta
+      .filter(col("o_totalprice").cast("double") >= col("cut"))
+      .agg(count(lit(1)).as("n_surv"))
+    val ranked = meta.crossJoin(broadcast(surv))
+      .filter(col("o_totalprice").cast("double") >= col("cut") ||
+        col("n_surv") < col("k") + 1)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
       .filter(col("rn") <= col("k") + 1)
@@ -859,27 +873,47 @@ object AggQueries {
     * (price, orderkey, linenumber), running weight sum W_i, pick the
     * FIRST row with 2·W_i ≥ W_total — every comparison INTEGER
     * (quantities are integral, carried as long ×2 to avoid any /2),
-    * prices decimal, zero float anywhere in the selection. One window
-    * pass per group + a rank-1 cut; the weighted-median-of-medians
-    * approximation is the documented 100 TB swap when a group
-    * outgrows its sort. */
+    * prices decimal, zero float anywhere in the selection.
+    *
+    * Scale shape (two-pass bucket refine — no group ever sorts its
+    * full row set): pass 1 bins each row by the integer price bucket
+    * `floor(price) DIV 64` and aggregates weight per (flag, bin) — a
+    * map-side-combining groupBy, corpus-sized but sort-free; a window
+    * over the ~1.6 k bins per flag finds the STRADDLING bin (first
+    * with 2·cum ≥ W_total) plus the exact integer weight before it;
+    * pass 2 sorts ONLY that bin's rows (corpus/n_bins of one flag)
+    * and applies the pinned pick with the carried-in prefix weight.
+    * Bin id is monotone in price and integer-exact, so the two-pass
+    * pick row is IDENTICAL to the full-sort spec the oracle runs. */
   private val aggWeightedMedian: Q = (s, dir) => {
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("price"),
         col("l_quantity").cast("long").as("qty"))
+      .withColumn("bin", expr("CAST(floor(price) AS BIGINT) DIV 64"))
+    val binW = l.groupBy("l_returnflag", "bin").agg(sum("qty").as("bw"))
+    val wBin = Window.partitionBy("l_returnflag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val strad = binW
+      .withColumn("cum", sum("bw").over(wBin))
+      .withColumn("tw", sum("bw").over(wTot))
+      .filter(col("cum") * 2 >= col("tw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("bin")))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("bin"),
+        (col("cum") - col("bw")).as("w_before"), col("tw"))
     val wOrd = Window.partitionBy("l_returnflag")
       .orderBy("price", "l_orderkey", "l_linenumber")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy("l_returnflag")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = l
-      .withColumn("cw", sum("qty").over(wOrd))
-      .withColumn("tw", sum("qty").over(wAll))
+    l.join(broadcast(strad), Seq("l_returnflag", "bin"))
+      .withColumn("cw", col("w_before") + sum("qty").over(wOrd))
       .filter(col("cw") * 2 >= col("tw"))
-    val wPick = Window.partitionBy("l_returnflag")
-      .orderBy("price", "l_orderkey", "l_linenumber")
-    cum.withColumn("rn", row_number().over(wPick))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag")
+          .orderBy("price", "l_orderkey", "l_linenumber")))
       .filter(col("rn") === 1)
       .select(col("l_returnflag"), col("tw").as("total_weight"),
         expr("CAST(price AS DOUBLE)").as("wmedian_price"))
@@ -902,8 +936,12 @@ object AggQueries {
     * order is irrelevant once every term sits on the grid with ≤9
     * terms (drift bound 9·1e-5·ulp ≪ grid). */
   private val aggBenford: Q = (s, dir) => {
+    // >= 1, not > 0: a value in (0, 1) renders with leading digit '0',
+    // which the 9-digit Benford dim would silently drop from p_obs
+    // while the total still counted it — excluded explicitly (and
+    // identically in the oracle) so the dropped mass can't skew the law
     val d = Tables.load(s, dir, "orders")
-      .filter(col("o_totalprice") > 0)
+      .filter(col("o_totalprice") >= 1)
       .withColumn("digit",
         substring(col("o_totalprice").cast("decimal(18,2)").cast("string"),
           1, 1).cast("int"))
@@ -1826,7 +1864,279 @@ object AggQueries {
       .orderBy("rank")
   }
 
+  /** q_agg_mutual_info — mutual information between event type and
+    * day-of-week, with the normalized-MI readout MI/√(H_x·H_y) — the
+    * dependence screen for categorical pairs (correlation is blind to
+    * non-ordinal association; MI is the quantity feature-selection
+    * and leakage audits actually rank by). Shape: ONE corpus
+    * contraction to the |types|×7 cell grid; margins and the total
+    * are tiny re-aggregates of the grid that ride back as broadcast
+    * dims, so no window touches anything corpus-sized. Exactness:
+    * counts are longs; each p·ln term rounds to 8-dp decimal on the
+    * ≤35-cell grid before folding (the logloss rule); MI, H's, and
+    * NMI are shared closed-form doubles. */
+  private val aggMutualInfo: Q = (s, dir) => {
+    val cells = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mx = cells.groupBy("event_type").agg(sum("c").as("cx"))
+    val my = cells.groupBy("dow").agg(sum("c").as("cy"))
+    val nt = cells.agg(sum("c").as("n"))
+    val mi = cells.join(broadcast(mx), "event_type")
+      .join(broadcast(my), "dow").crossJoin(broadcast(nt))
+      .select(round((col("c").cast("double") / col("n")) *
+        log(col("c").cast("double") * col("n") /
+          (col("cx") * col("cy"))), 8).cast("decimal(20,8)").as("t"))
+      .agg(sum("t").as("mi"))
+    val hx = mx.crossJoin(broadcast(nt))
+      .select(round(-(col("cx").cast("double") / col("n")) *
+        log(col("cx").cast("double") / col("n")), 8)
+        .cast("decimal(20,8)").as("t"))
+      .agg(sum("t").as("hx"))
+    val hy = my.crossJoin(broadcast(nt))
+      .select(round(-(col("cy").cast("double") / col("n")) *
+        log(col("cy").cast("double") / col("n")), 8)
+        .cast("decimal(20,8)").as("t"))
+      .agg(sum("t").as("hy"))
+    nt.crossJoin(mi).crossJoin(hx).crossJoin(hy)
+      .select(col("n").cast("long").as("n"),
+        round(col("mi").cast("double"), 6).as("mi"),
+        round(col("hx").cast("double"), 6).as("h_type"),
+        round(col("hy").cast("double"), 6).as("h_dow"),
+        round(col("mi").cast("double") /
+          sqrt(col("hx").cast("double") * col("hy").cast("double")), 6)
+          .as("nmi"))
+  }
+
+  /** q_agg_cohen_kappa — inter-rater agreement between the recorded
+    * order status and a deterministic price-tercile "rater"
+    * (< 170 k → F, < 340 k → O, else P): Cohen's κ corrects raw
+    * agreement for the agreement two independent raters would reach
+    * by chance — THE label-quality metric when two annotation sources
+    * (model vs heuristic, old vs new pipeline) disagree. Shape: one
+    * contraction to the 3×3 confusion grid; marginals are grid
+    * re-aggregates; p_o, p_e, κ are one shared closed-form double
+    * row. The price boundaries compare 2-dp decimals to integer
+    * literals — exact on both engines. */
+  private val aggCohenKappa: Q = (s, dir) => {
+    val r = Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus").as("a"),
+        when(col("o_totalprice") < 170000, "F")
+          .when(col("o_totalprice") < 340000, "O")
+          .otherwise("P").as("b"))
+    val cells = r.groupBy("a", "b")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .localCheckpoint()
+    val ra = cells.groupBy("a").agg(sum("c").as("ca"))
+    val rb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val nt = cells.agg(sum("c").as("n"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(sum("c").as("n_agree"))
+    val pe = ra.join(rb, col("a") === col("b"))
+      .agg(sum(col("ca") * col("cb")).as("pesum"))
+    nt.crossJoin(agree).crossJoin(pe)
+      .select(col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        round(col("n_agree").cast("double") / col("n"), 6).as("p_o"),
+        round(col("pesum").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("p_e"),
+        round((col("n_agree").cast("double") / col("n") -
+          col("pesum").cast("double") /
+            (col("n").cast("double") * col("n").cast("double"))) /
+          (lit(1.0) - col("pesum").cast("double") /
+            (col("n").cast("double") * col("n").cast("double"))), 6)
+          .as("kappa"))
+  }
+
+  /** q_agg_psi — population stability index of the order-price mix
+    * between the even- and odd-orderkey halves, over ten fixed 50 k
+    * price bands (capped top band): PSI = Σ (p−q)·ln(p/q) — the
+    * model-monitoring drift score (PSI < 0.1 stable, > 0.25 action)
+    * computed here between two deterministic cohorts so the oracle
+    * is exact. Binning is integer END TO END: pennies = price×100
+    * cast to long (integral by construction, so DuckDB's round-on-
+    * cast and Spark's truncate-on-cast agree), band = pennies DIV
+    * 5 000 000 capped at 9 — no decimal division anywhere near a bin
+    * boundary. Laplace-smoothed shares (+0.5 per observed band) keep
+    * ln finite when a band is empty on one side; each psi term
+    * rounds to 8-dp decimal on the ≤10-row grid before folding. */
+  private val aggPsi: Q = (s, dir) => {
+    val b = Tables.load(s, dir, "orders")
+      .select((col("o_orderkey") % 2).as("grp"),
+        expr("least(CAST(o_totalprice * 100 AS BIGINT) DIV 5000000, 9)")
+          .as("bin"))
+    val cells = b.groupBy("bin")
+      .agg(count(when(col("grp") === 0, 1)).as("ca"),
+        count(when(col("grp") === 1, 1)).as("cb"))
+      .localCheckpoint()
+    val tot = cells.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("nbins"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + lit(0.5)) /
+        (col("na") + lit(0.5) * col("nbins")))
+      .withColumn("q", (col("cb") + lit(0.5)) /
+        (col("nb") + lit(0.5) * col("nbins")))
+      .withColumn("psi_term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .cast("decimal(20,8)"))
+      .localCheckpoint()
+    val psi = terms.agg(sum("psi_term").as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("ca").as("n_even"), col("cb").as("n_odd"),
+        round(col("p"), 6).as("p_even"), round(col("q"), 6).as("p_odd"),
+        col("psi_term").cast("double").as("psi_term"),
+        round(col("psi").cast("double"), 6).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  /** q_agg_kruskal — Kruskal–Wallis H across the three return flags
+    * on line quantity (mid-ranks, tie-corrected): the k-group
+    * rank-based location test — the ANOVA alternative when the
+    * response is ordinal or heavy-tailed (quantities are integers
+    * with massive ties; rank tests are what monitoring actually
+    * trusts there). Scale shape is the mann-whitney value-grid rule:
+    * the corpus contracts to per-quantity flag counts (~50 grid
+    * rows), mid-ranks come from ONE cumulative window over that
+    * grid (2·r̄ = 2·cum − cnt + 1 keeps everything integer), and the
+    * per-group rank sums are decimal(38) products — the corpus never
+    * sorts. H and its tie correction are one shared closed-form
+    * double row; χ²₀.₀₅ with df = 2 is the 5.991 literal both
+    * engines compare against. */
+  private val aggKruskal: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_quantity").as("x"))
+      .agg(count(when(col("l_returnflag") === "A", 1))
+        .cast("decimal(38,0)").as("cA"),
+        count(when(col("l_returnflag") === "N", 1))
+          .cast("decimal(38,0)").as("cN"),
+        count(when(col("l_returnflag") === "R", 1))
+          .cast("decimal(38,0)").as("cR"))
+      .withColumn("cnt", col("cA") + col("cN") + col("cR"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = grid
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("r2", lit(2) * col("cum") - col("cnt") + 1)
+    r.agg(sum("cA").as("nA"), sum("cN").as("nN"), sum("cR").as("nR"),
+      sum(col("cA") * col("r2")).as("r2A"),
+      sum(col("cN") * col("r2")).as("r2N"),
+      sum(col("cR") * col("r2")).as("r2R"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      .withColumn("nn", (col("nA") + col("nN") + col("nR")).cast("double"))
+      .withColumn("h",
+        lit(3.0) * (col("r2A").cast("double") * col("r2A").cast("double") /
+            col("nA").cast("double") +
+          col("r2N").cast("double") * col("r2N").cast("double") /
+            col("nN").cast("double") +
+          col("r2R").cast("double") * col("r2R").cast("double") /
+            col("nR").cast("double")) /
+          (col("nn") * (col("nn") + 1.0)) - lit(3.0) * (col("nn") + 1.0))
+      .withColumn("tie_c",
+        lit(1.0) - col("tsum").cast("double") /
+          (col("nn") * col("nn") * col("nn") - col("nn")))
+      .select(col("nA").cast("long").as("n_a"),
+        col("nN").cast("long").as("n_n"),
+        col("nR").cast("long").as("n_r"),
+        round(col("h"), 4).as("h"),
+        round(col("h") / col("tie_c"), 4).as("h_tie_corrected"),
+        lit(2).as("df"),
+        when(col("h") / col("tie_c") > 5.991, 1).otherwise(0)
+          .as("significant"))
+  }
+
+  /** q_agg_cohens_d — standardized effect size between finished (F)
+    * and open (O) orders on total price: Cohen's d from the pooled
+    * SD plus the Hedges-g small-sample correction — the number an
+    * A/B readout reports NEXT TO the p-value (significance says "not
+    * noise"; d says "big enough to care"; q_agg_mde is the planning
+    * twin). One contraction to per-group decimal sums (Σx as
+    * decimal(38,2), Σx² via decimal products — 2-dp inputs make both
+    * exact); means, pooled variance, d, and g are one shared
+    * closed-form double row. */
+  private val aggCohensD: Q = (s, dir) => {
+    val g = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("grp"),
+        col("o_totalprice").cast("decimal(18,2)").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val f = g.filter(col("grp") === "F")
+      .select(col("n").as("nf"), col("s1").as("s1f"), col("s2").as("s2f"))
+    val o = g.filter(col("grp") === "O")
+      .select(col("n").as("no"), col("s1").as("s1o"), col("s2").as("s2o"))
+    f.crossJoin(o)
+      .withColumn("mf", col("s1f").cast("double") / col("nf"))
+      .withColumn("mo", col("s1o").cast("double") / col("no"))
+      .withColumn("ssf", col("s2f").cast("double") -
+        col("nf") * col("mf") * col("mf"))
+      .withColumn("sso", col("s2o").cast("double") -
+        col("no") * col("mo") * col("mo"))
+      .withColumn("sp", sqrt((col("ssf") + col("sso")) /
+        (col("nf") + col("no") - 2).cast("double")))
+      .withColumn("d", (col("mf") - col("mo")) / col("sp"))
+      .select(col("nf").as("n_f"), col("no").as("n_o"),
+        round(col("mf"), 4).as("mean_f"), round(col("mo"), 4).as("mean_o"),
+        round(col("sp"), 4).as("sd_pooled"),
+        round(col("d"), 6).as("cohens_d"),
+        round(col("d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("nf") + col("no")).cast("double") - 9.0)), 6)
+          .as("hedges_g"))
+  }
+
+  /** q_agg_brier — Brier score with the Murphy decomposition
+    * (reliability − resolution + uncertainty) for a deterministic
+    * per-type forecast of the high-value event (value > 50), forecast
+    * probabilities as shared literals per event type — the
+    * calibration audit a model-scoring pipeline runs per segment
+    * (logloss punishes confident misses; Brier's decomposition says
+    * WHY: badly calibrated vs no discrimination). Shape: one corpus
+    * contraction to per-type (n, k); every readout term is a
+    * closed-form double on the 5-row grid, rounded to 8-dp decimal
+    * before the fold (the logloss rule). */
+  private val aggBrier: Q = (s, dir) => {
+    val p = when(col("event_type") === "click", 0.4)
+      .when(col("event_type") === "error", 0.35)
+      .when(col("event_type") === "purchase", 0.45)
+      .when(col("event_type") === "signup", 0.3)
+      .otherwise(0.38)
+    val g = Tables.load(s, dir, "events")
+      .select(col("event_type"), p.as("p"),
+        when(col("value") > 50, 1L).otherwise(0L).as("y"))
+      .groupBy("event_type", "p")
+      .agg(count(lit(1)).as("n"), sum("y").as("k"))
+      .localCheckpoint()
+    val tot = g.agg(sum("n").as("nn"), sum("k").as("kk"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("ybar", col("kk").cast("double") / col("nn"))
+      .withColumn("ybar_t", col("k").cast("double") / col("n"))
+      .withColumn("b_term", round((col("k") * (lit(1.0) - col("p")) *
+          (lit(1.0) - col("p")) + (col("n") - col("k")) * col("p") *
+          col("p")) / col("nn"), 8).cast("decimal(20,8)"))
+      .withColumn("rel_term", round(col("n") * (col("p") - col("ybar_t")) *
+        (col("p") - col("ybar_t")) / col("nn"), 8).cast("decimal(20,8)"))
+      .withColumn("res_term", round(col("n") * (col("ybar_t") - col("ybar")) *
+        (col("ybar_t") - col("ybar")) / col("nn"), 8).cast("decimal(20,8)"))
+    terms
+      .agg(max("nn").as("n"), max("ybar").as("ybar"),
+        sum("b_term").as("brier"), sum("rel_term").as("reliability"),
+        sum("res_term").as("resolution"))
+      .select(col("n").cast("long").as("n"),
+        round(col("brier").cast("double"), 6).as("brier"),
+        round(col("reliability").cast("double"), 6).as("reliability"),
+        round(col("resolution").cast("double"), 6).as("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_mutual_info" -> aggMutualInfo,
+    "q_agg_cohen_kappa" -> aggCohenKappa,
+    "q_agg_psi" -> aggPsi,
+    "q_agg_kruskal" -> aggKruskal,
+    "q_agg_cohens_d" -> aggCohensD,
+    "q_agg_brier" -> aggBrier,
     "q_agg_topn_share" -> aggTopnShare,
     "q_agg_regression" -> aggRegression,
     "q_agg_moments" -> aggMoments,

@@ -101,24 +101,31 @@ object GraphQueries {
       .orderBy("degree")
   }
 
-  /** q_graph_triangles — triangle census (nodes, edges, wedges,
-    * triangles) on the co-order part sub-graph `p_partkey % 4 = 0`.
-    * The algorithm is the 100 TB story: each edge is ORIENTED from its
-    * lower-(degree, key) endpoint to its higher one, so every triangle
-    * is generated exactly once and per-node wedge fan-out is bounded
-    * by oriented out-degree ≤ O(√E) — the join that explodes
-    * quadratically on hub nodes in the naive u<v<w enumeration stays
-    * near-linear (wedges here: ~0.5 M oriented vs ~35 M unoriented at
-    * sf0.1 full-graph scale). The %4 node restriction bounds the
-    * registered bench cost and is pushed below the distinct, so the
-    * corpus-side scan and self-join shrink with it; the DuckDB oracle
-    * enumerates the same restricted graph the simple u<v<w way —
-    * identical count, different join order. Edge/degree tables are
-    * `localCheckpoint`ed: four readouts reuse them instead of
-    * replaying the corpus lineage. */
-  private val graphTriangles: Q = (s, dir) => {
-    val items = Tables.load(s, dir, "lineitem")
-      .filter(col("l_partkey") % 4 === 0)
+  /** Shared contraction for the triangle-family demo graph
+    * (q_graph_triangles, q_graph_clustering): the co-order part
+    * sub-graph restricted to `l_partkey % m = 0`, where the modulus
+    * `m = 4 · max(1, (max(l_partkey)+1) DIV 2000)` is computed FROM
+    * THE DATA, identically in the DuckDB oracle. That holds the
+    * selected node population at ~500 parts at every SF (sf0.01: m=4;
+    * sf0.1: m=40; sf1: m=400), so the benched demo prices the SHAPE —
+    * one corpus scan + the bounded per-order pair build — not an
+    * artifact graph that densifies super-linearly with SF (the round-12
+    * 13.4× slope: fixed %4 kept 1/4 of a 10×-larger part population,
+    * and wedge work grew with the square of density). At 100 TB a real
+    * caller pins the graph they want; the demo pins a constant one.
+    * Returns (e0 undirected edges — `localCheckpoint`ed, every readout
+    * reuses it — and the degree table, cheap enough to recompute from
+    * the checkpointed edge list that its own checkpoint was a net
+    * loss). */
+  private def coOrderDemoGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val li = Tables.load(s, dir, "lineitem")
+    // the part dim shares l_partkey's exact domain and is ~200× smaller:
+    // deriving the modulus there avoids a second corpus scan
+    val m = Tables.load(s, dir, "part").agg(
+      expr("4 * greatest(1L, (max(p_partkey) + 1L) DIV 2000)").as("m"))
+    val items = li.crossJoin(broadcast(m))
+      .filter(col("l_partkey") % col("m") === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val a = items.as("a"); val b = items.as("b")
     val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -127,16 +134,38 @@ object GraphQueries {
     val deg = e0.select(col("u").as("p"))
       .unionAll(e0.select(col("v").as("p")))
       .groupBy("p").agg(count(lit(1)).as("dg"))
-      .localCheckpoint()
+    (e0, deg)
+  }
+
+  /** Degree-orientation of the demo graph's edge list: each edge
+    * points from its lower-(degree, key) endpoint to its higher one,
+    * so every triangle is generated exactly once and per-node wedge
+    * fan-out is bounded by oriented out-degree ≤ O(√E).
+    * `localCheckpoint`ed — the 3-alias triangle self-join reads it
+    * three times. */
+  private def orientedEdges(e0: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("p").as("up"), col("dg").as("udg"))
     val dv = deg.select(col("p").as("vp"), col("dg").as("vdg"))
     val fwd = (col("udg") < col("vdg")) ||
       (col("udg") === col("vdg") && col("u") < col("v"))
-    val e = e0.join(broadcast(du), col("u") === col("up"))
+    e0.join(broadcast(du), col("u") === col("up"))
       .join(broadcast(dv), col("v") === col("vp"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("u"),
         when(fwd, col("v")).otherwise(col("u")).as("v"))
       .localCheckpoint()
+  }
+
+  /** q_graph_triangles — triangle census (nodes, edges, wedges,
+    * triangles) on the SF-held co-order demo graph (see
+    * [[coOrderDemoGraph]] for the modulus contract). The algorithm is
+    * the 100 TB story: degree-oriented edges make the wedge join
+    * near-linear where the naive u<v<w enumeration explodes
+    * quadratically on hubs; the DuckDB oracle enumerates the same
+    * restricted graph the simple u<v<w way — identical count,
+    * different join order. */
+  private val graphTriangles: Q = (s, dir) => {
+    val (e0, deg) = coOrderDemoGraph(s, dir)
+    val e = orientedEdges(e0, deg)
     val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
     val tri = e1.join(e2, col("e2.u") === col("e1.v"))
       .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
@@ -151,7 +180,7 @@ object GraphQueries {
   }
 
   /** q_graph_clustering — local clustering coefficients on the
-    * q_graph_triangles graph (`p_partkey % 4 = 0` co-order parts):
+    * q_graph_triangles graph (the SF-held [[coOrderDemoGraph]]):
     * per node c = 2·tri(v) / (deg·(deg−1)) over deg ≥ 2 nodes,
     * summarized as the AVERAGE local coefficient (Watts–Strogatz),
     * the global transitivity 3·triangles/wedges, the max, and the
@@ -170,26 +199,8 @@ object GraphQueries {
     * logloss rule), so the average is partition-order-free; the oracle
     * enumerates the same graph the naive u<v<w way. */
   private val graphClustering: Q = (s, dir) => {
-    val items = Tables.load(s, dir, "lineitem")
-      .filter(col("l_partkey") % 4 === 0)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val a = items.as("a"); val b = items.as("b")
-    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .localCheckpoint()
-    val deg = e0.select(col("u").as("p"))
-      .unionAll(e0.select(col("v").as("p")))
-      .groupBy("p").agg(count(lit(1)).as("dg"))
-      .localCheckpoint()
-    val du = deg.select(col("p").as("up"), col("dg").as("udg"))
-    val dv = deg.select(col("p").as("vp"), col("dg").as("vdg"))
-    val fwd = (col("udg") < col("vdg")) ||
-      (col("udg") === col("vdg") && col("u") < col("v"))
-    val e = e0.join(broadcast(du), col("u") === col("up"))
-      .join(broadcast(dv), col("v") === col("vp"))
-      .select(when(fwd, col("u")).otherwise(col("v")).as("u"),
-        when(fwd, col("v")).otherwise(col("u")).as("v"))
-      .localCheckpoint()
+    val (e0, deg) = coOrderDemoGraph(s, dir)
+    val e = orientedEdges(e0, deg)
     val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
     val tris = e1.join(e2, col("e2.u") === col("e1.v"))
       .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))

@@ -1940,18 +1940,29 @@ object PipelineQueries {
     * is why drift monitors use it over raw KL). Exactness: weekly
     * shares are integer-ratio doubles; each ln-bearing JSD/entropy
     * term rounds to 8-dp decimal per (week, type) and the sums are
-    * grid-sized (the logloss rule); a type absent in a week
-    * contributes the correct 0 limit via an identical CASE. Shape:
-    * one (week, type) contraction, share windows on the grid, a lag
-    * join by week ordinal per type. */
+    * grid-sized (the logloss rule). Shape: one (week, type)
+    * contraction, then a DENSE weeks × observed-types grid
+    * (zero-filled counts) before the lag — so a type that vanishes
+    * this week still contributes its 0.5·prev·ln 2 mass (the CASE
+    * computes the one-sided limit exactly), and lag-by-week is truly
+    * adjacent-week, never reaching across a gap. Both cross inputs
+    * are domain-sized (weeks in range × distinct types), orders of
+    * magnitude below the corpus; n_types counts PRESENT types only. */
   private val evtMixDrift: Q = (s, dir) => {
     val wt = Tables.load(s, dir, "events")
       .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val shares = wt
-      .withColumn("share", col("n").cast("double") /
-        sum("n").over(Window.partitionBy("wk")))
+      .localCheckpoint()
+    // weekly totals ride as a broadcast dim (weeks-in-range rows), so
+    // the share needs no window exchange; the dense grid is the cross
+    // of that dim with the observed-type dim — both domain-sized
+    val wkTot = wt.groupBy("wk").agg(sum("n").as("tot"))
+    val grid = wkTot.crossJoin(wt.select("event_type").distinct())
+    val dense = grid.join(wt, Seq("wk", "event_type"), "left")
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+    val shares = dense
+      .withColumn("share", col("n0").cast("double") / col("tot"))
     val lagged = shares
       .withColumn("prev_share",
         lag("share", 1).over(Window.partitionBy("event_type")
@@ -1970,7 +1981,7 @@ object PipelineQueries {
           -col("share") * log(col("share"))).otherwise(0.0), 8)
         .cast("decimal(20,8)"))
     lagged.groupBy("wk")
-      .agg(count(lit(1)).as("n_types"),
+      .agg(count(when(col("n0") > 0, 1)).as("n_types"),
         round(expr("CAST(sum(jsd_term) AS DOUBLE)"), 6).as("jsd"),
         round(expr("CAST(sum(ent_term) AS DOUBLE)"), 6).as("entropy"))
       .orderBy("wk")

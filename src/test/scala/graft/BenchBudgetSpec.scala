@@ -183,10 +183,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_funnel_time" -> 0.4,
     // (user,type) span contraction + k^2 per-user self-join
     "q_evt_seqpairs" -> 0.5,
-    // one window pass + rank-1 cut per return flag; the sort carries
-    // the FULL lineitem (3 groups only), so the window is corpus-sized
-    // at sf0.1 (0.84 s warm median) unlike the contracted ts/evt ops
-    "q_agg_weighted_median" -> 0.9,
+    // round-13 two-pass bucket refine: a corpus (flag,bin) groupBy +
+    // the straddling-bin-only sort replaced the full per-group window
+    // sort — one extra corpus pass locally (1.6 s quiet) buys the
+    // scale-safe shape (no group ever sorts its full row set)
+    "q_agg_weighted_median" -> 1.7,
     // retention-shaped user_id exchange + tiny grid cumsum
     "q_evt_ltv_cohort" -> 0.5,
     // one digit-count aggregate + 9-row broadcast arithmetic
@@ -250,8 +251,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_bitemporal" -> 0.5,
     // dim write + whole-file multiLine json read-back
     "q_src_json_multiline" -> 0.8,
-    // one descending corpus sort + decimal tail sum
-    "q_agg_hill" -> 0.8,
+    // round-13 stats batch: each one corpus contraction to a tiny
+    // grid + closed-form readouts (mutual_info/brier add a checkpoint
+    // job; psi/kappa ride broadcast totals)
+    "q_agg_mutual_info" -> 0.9, "q_agg_cohen_kappa" -> 0.7,
+    "q_agg_psi" -> 0.9, "q_agg_kruskal" -> 0.6,
+    "q_agg_cohens_d" -> 0.5, "q_agg_brier" -> 0.9,
+    // round-13 pre-contraction: approx-98.5pct cut + survivor guard
+    // (3 cheap passes, 1.3 s quiet) replaced the single-partition
+    // corpus sort — the scale fix costs local job overhead
+    "q_agg_hill" -> 1.4,
     // bounded 7-row frame collects on the types-days grid
     "q_ts_hampel" -> 0.5,
     // cell-grid pair products per flag (metadata quadratic)
@@ -312,8 +321,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_tost" -> 0.5,
     // dim text write + positional parse read-back
     "q_src_fixed_width" -> 0.7,
-    // (week,type) contraction + grid share/lag windows
-    "q_evt_mix_drift" -> 0.5,
+    // root-caused round 13: the 0.35 s corpus contraction plus a fixed
+    // SF-independent ~0.7 s small-stage scheduling tail (checkpoint,
+    // dense-grid join, lag window, final agg — each a tiny exchange);
+    // 1.07 s quiet after trading the share window for broadcast totals
+    "q_evt_mix_drift" -> 1.1,
     // one corpus agg + 7-row broadcast closed forms
     "q_agg_anova" -> 0.5,
     // triangle-census plan + per-corner union fold
@@ -419,8 +431,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_graph_pagerank" -> 0.9, "q_agg_mad" -> 0.7,
     // degree: one 1.2M-pair self-join + two contractions (shuffle-bound)
     "q_graph_degree" -> 2.0,
-    // triangles: oriented wedge join on the %4 sub-graph
-    "q_graph_triangles" -> 1.8,
+    // triangles: oriented wedge join on the SF-held demo graph (round
+    // 13: data-derived modulus keeps ~500 nodes at every SF — the 8 s /
+    // 13.4× slope of the fixed %4 graph came from SF-densifying edges;
+    // now the cost is the corpus scan + pair contraction, ~2.0 s quiet)
+    "q_graph_triangles" -> 2.2,
     // components: brand-grouped union-find, one shuffle + local pass
     "q_graph_components" -> 2.2,
     "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.5,

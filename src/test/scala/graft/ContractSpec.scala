@@ -23,10 +23,38 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 326, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 297)
+    assert(declared.size == 332, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 303)
     assert(declared.values.count(_ == "Q") == 21)
     assert(declared.values.count(_ == "U") == 8)
+  }
+
+  test("SURVEY's totals prose matches the declared-row census") {
+    // the round-11/12 drift class: table rows grow every batch, the
+    // prose totals don't — parse the prose and fail the suite on skew
+    val totalsRe =
+      """\*\*Totals: (\d+) declared operators — (\d+) `O`[^,]*, (\d+) `Q`""".r
+    val m = totalsRe.findFirstMatchIn(survey)
+      .getOrElse(fail("totals prose not found in SURVEY.md"))
+    assert(m.group(1).toInt == declared.size,
+      s"prose total ${m.group(1)} != census ${declared.size}")
+    assert(m.group(2).toInt == declared.values.count(_ == "O"),
+      s"prose O ${m.group(2)} != census ${declared.values.count(_ == "O")}")
+    assert(m.group(3).toInt == declared.values.count(_ == "Q"),
+      s"prose Q ${m.group(3)} != census ${declared.values.count(_ == "Q")}")
+    val uRe = """, (\d+) `U`""".r
+    val mu = uRe.findFirstMatchIn(survey)
+      .getOrElse(fail("U-tier prose count not found in SURVEY.md"))
+    assert(mu.group(1).toInt == declared.values.count(_ == "U"),
+      s"prose U ${mu.group(1)} != census ${declared.values.count(_ == "U")}")
+    val mapRe =
+      """queries` map must contain the (\d+) `O`\+`Q` IDs; `oracleSql`\s*\nthe (\d+) `O` IDs""".r
+    val mm = mapRe.findFirstMatchIn(survey)
+      .getOrElse(fail("queries/oracleSql prose counts not found"))
+    assert(mm.group(1).toInt == declared.values.count(_ != "U"),
+      s"prose O+Q ${mm.group(1)} != census ${declared.values.count(_ != "U")}")
+    assert(mm.group(2).toInt == declared.values.count(_ == "O"),
+      s"prose oracle ${mm.group(2)} != census ${declared.values.count(_ == "O")}")
   }
 
   test("every declared O/Q operator has a queries entry") {
