@@ -707,7 +707,10 @@ object OracleSql {
            FROM r),
          h AS (
            SELECT *,
-                  CAST(nA + nN + nR AS DOUBLE) AS nn,
+                  -- n_tot, NOT "nn": DuckDB binds identifiers
+                  -- case-insensitively, so an alias "nn" collides with
+                  -- the nN column carried from sums (r13 red row).
+                  CAST(nA + nN + nR AS DOUBLE) AS n_tot,
                   3.0 * (CAST(r2A AS DOUBLE) * CAST(r2A AS DOUBLE) /
                       CAST(nA AS DOUBLE) +
                     CAST(r2N AS DOUBLE) * CAST(r2N AS DOUBLE) /
@@ -722,10 +725,10 @@ object OracleSql {
                 CAST(nR AS BIGINT) AS n_r,
                 round(hh, 4) AS h,
                 round(hh / (1.0 - CAST(tsum AS DOUBLE) /
-                  (nn * nn * nn - nn)), 4) AS h_tie_corrected,
+                  (n_tot * n_tot * n_tot - n_tot)), 4) AS h_tie_corrected,
                 2 AS df,
                 CASE WHEN hh / (1.0 - CAST(tsum AS DOUBLE) /
-                  (nn * nn * nn - nn)) > 5.991 THEN 1 ELSE 0 END
+                  (n_tot * n_tot * n_tot - n_tot)) > 5.991 THEN 1 ELSE 0 END
                   AS significant
          FROM h""",
     "q_agg_cohens_d" ->

@@ -2024,7 +2024,11 @@ object AggQueries {
       sum(col("cN") * col("r2")).as("r2N"),
       sum(col("cR") * col("r2")).as("r2R"),
       sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
-      .withColumn("nn", (col("nA") + col("nN") + col("nR")).cast("double"))
+      // n_tot, NOT "nn": the analyzer is case-insensitive, so
+      // withColumn("nn", ...) would REPLACE the nN group count (the
+      // r13 red row — same collision existed in the DuckDB oracle).
+      .withColumn("n_tot",
+        (col("nA") + col("nN") + col("nR")).cast("double"))
       .withColumn("h",
         lit(3.0) * (col("r2A").cast("double") * col("r2A").cast("double") /
             col("nA").cast("double") +
@@ -2032,10 +2036,11 @@ object AggQueries {
             col("nN").cast("double") +
           col("r2R").cast("double") * col("r2R").cast("double") /
             col("nR").cast("double")) /
-          (col("nn") * (col("nn") + 1.0)) - lit(3.0) * (col("nn") + 1.0))
+          (col("n_tot") * (col("n_tot") + 1.0)) -
+          lit(3.0) * (col("n_tot") + 1.0))
       .withColumn("tie_c",
         lit(1.0) - col("tsum").cast("double") /
-          (col("nn") * col("nn") * col("nn") - col("nn")))
+          (col("n_tot") * col("n_tot") * col("n_tot") - col("n_tot")))
       .select(col("nA").cast("long").as("n_a"),
         col("nN").cast("long").as("n_n"),
         col("nR").cast("long").as("n_r"),
