@@ -88,6 +88,12 @@ object Bench {
         s""""$k":${ss.mkString("[", ",", "]")}""" })}""",
       s""""retried":${retried.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""loadavg":[$loadStart,${loadavg()}]""",
+      // run id: lets BenchBudgetSpec/BenchSlopeSpec prove the per-SF
+      // snapshot they judge came from the SAME run as the latest
+      // bench.json — the r13 round shipped a red test-report produced
+      // from a stale noisy snapshot that a later (final) bench run
+      // replaced, and nothing in the artifacts could show it
+      s""""run_id":"${System.currentTimeMillis()}"""",
       s""""sf":"$sfDir""""))
     // absolute path: a cwd-relative one would land outside the repo when
     // launched from elsewhere (same contract as SourceQueries.scratch)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.Streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.K streaming operators, run here as their oracle-checkable batch
@@ -107,9 +108,138 @@ object StreamingQueries {
       .orderBy(col("segment").asc_nulls_first)
   }
 
+  /** q_stream_left — stream-stream LEFT OUTER interval join
+    * ([[Streaming.intervalJoinOuter]]), batch shadow: over the complete
+    * corpus the watermark has (conceptually) passed every event, so
+    * every "proven unmatched" view has been emitted with nulls and the
+    * batch left-outer result IS the stream's converged output — the
+    * same argument that makes q_stream_join's inner shadow exact. The
+    * incremental half (matched rows emit early, unmatched only after
+    * the watermark passes l_ts + window) stays pinned in
+    * StreamingSpec's MemoryStream test. */
+  private val streamLeft: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    Streaming.intervalJoinOuter(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "30 minutes")
+      .select(col("l_event_id").as("view_id"),
+        col("r_event_id").as("click_id"),
+        col("l_user_id").as("user_id"),
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+          .as("delay_sec"))
+      .orderBy(col("view_id"), col("click_id").asc_nulls_first)
+  }
+
+  /** q_stream_cdc — changelog application ([[Streaming.cdcApplyStream]]),
+    * batch shadow at the final-state level: the processor folds ops in
+    * (version, op) order under a `version >= applied` guard, so over a
+    * complete feed the surviving state per key is exactly the maximal
+    * op — computed here as ONE `row_number() = 1` pass ordered by
+    * (version DESC, op DESC, value DESC). `op DESC` IS the pinned
+    * equal-version tie rule ('U' beats 'D'); the value tiebreak makes
+    * the readout total even under duplicate (version, op) pairs, which
+    * the live processor leaves feed-order-dependent (documented at
+    * [[graft.ops.Streaming.CdcApplyProcessor]]). Tombstones stay
+    * visible (`live = false`, version kept) — the zombie-row shield the
+    * incremental test exercises across four batches in StreamingSpec.
+    * Feed synthesis mirrors q_etl_cdc_apply's (every 10th event_id is a
+    * DELETE); version is event-time micros, the strictly monotone long
+    * the processor contract asks for. */
+  private val streamCdc: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy(col("version").desc, col("op").desc, col("value").desc)
+    Tables.load(s, dir, "events")
+      .select(col("user_id").as("key"),
+        when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        expr("unix_micros(ts)").as("version"),
+        col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("version"),
+        (col("op") === "U").as("live"),
+        round(when(col("op") === "U", col("value")).otherwise(lit(0.0)), 4)
+          .as("value"))
+      .orderBy("key")
+  }
+
+  /** Gap-session scaffold shared by the TTL and timer shadows: break
+    * flags from one lag window, session ids from one prefix sum, then a
+    * per-(user, session) accumulator contraction — the q_stream_session
+    * machinery with the accumulator fields of
+    * [[graft.ops.Streaming.UserActivity]] (count / purchase count /
+    * exact cents). All per-session aggregates are order-independent, so
+    * timestamp ties cannot perturb the result (§7.5). */
+  private def gapSessionAgg(s: SparkSession, dir: String,
+                            gap: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    Tables.load(s, dir, "events")
+      .select("user_id", "event_type", "value", "ts")
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(byUser) + expr(s"INTERVAL $gap"),
+          1).otherwise(0))
+      .withColumn("sid", sum("brk").over(byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+  }
+
+  /** q_stream_ttl — per-key state with TTL expiry
+    * ([[Streaming.userActivityTwsTtl]]), batch shadow: in a batch
+    * replay each event is processed AT its timestamp, so the
+    * processing-time TTL clock and event time coincide and "state
+    * expired" maps exactly to "event-time gap ≥ ttl". The shadow
+    * replays that contract — a user's accumulator resets at every ≥6 h
+    * gap, and the registered readout is the surviving accumulator (the
+    * last gap-session's [[graft.ops.Streaming.UserActivity]] fields)
+    * plus how many times the key's state expired along the way. The
+    * live-store half (expired reads return null under
+    * TimeMode.ProcessingTime, a returning key restarts from zero) stays
+    * pinned in StreamingSpec. */
+  private val ttl: Q = (s, dir) => {
+    val lastW = Window.partitionBy("user_id").orderBy(col("sid").desc)
+    gapSessionAgg(s, dir, "6 HOURS")
+      .withColumn("rn", row_number().over(lastW))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        (col("sid") - 1).cast("long").as("n_expirations"),
+        col("n_events"), col("n_purchases"), col("value_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q_stream_timer — inactivity timeout via per-key timers
+    * ([[Streaming.userInactivity]]), batch shadow under the same
+    * replay-time identity as q_stream_ttl: over a finite corpus every
+    * activity burst eventually goes quiet, so each ≥45 min gap-session
+    * fires exactly one expiry tombstone — n_timeouts counts them, and
+    * the final tombstone carries the last session's event count (the
+    * processor clears state on expiry, so counts are per-session, not
+    * lifetime). Timer re-arm/extension and the post-timeout restart
+    * are incremental-only and stay pinned in StreamingSpec. */
+  private val timer: Q = (s, dir) => {
+    val lastW = Window.partitionBy("user_id").orderBy(col("sid").desc)
+    gapSessionAgg(s, dir, "45 MINUTES")
+      .withColumn("rn", row_number().over(lastW))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        col("sid").cast("long").as("n_timeouts"),
+        col("n_events").as("last_n_events"),
+        lit("inactive").as("status"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_stream_enrich" -> enrich,
     "q_stream_join" -> streamJoin,
+    "q_stream_left" -> streamLeft,
+    "q_stream_cdc" -> streamCdc,
+    "q_stream_ttl" -> ttl,
+    "q_stream_timer" -> timer,
     "q_stream_tumble" -> tumble,
     "q_stream_slide" -> slide,
     "q_stream_session" -> session,

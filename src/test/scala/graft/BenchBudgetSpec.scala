@@ -106,6 +106,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_stream_join" -> 0.9, "q_stream_tumble" -> 0.4, "q_stream_slide" -> 0.5,
     "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.5,
     "q_stream_state" -> 1.2,
+    "q_stream_left" -> 1.4, "q_stream_cdc" -> 0.9,
+    "q_stream_ttl" -> 1.1, "q_stream_timer" -> 1.0,
     // UDF family
     // hours_explode: outer-explode form, parse parallelized (round 4)
     "q_udf_parse_hours" -> 0.8, "q_udtf_hours_explode" -> 0.8,
@@ -478,7 +480,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     // lateral = WindowGroupLimit top-2 over orders + broadcast join
     "q_sql_lateral" -> 1.0, "q_sql_exists" -> 0.6, "q_sql_unpivot" -> 0.6,
     "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
-    "q_win_ema" -> 0.9, "q_media_shard" -> 0.6)
+    "q_win_ema" -> 0.9, "q_media_shard" -> 0.6,
+    // round-14 additions
+    "q_agg_levene" -> 1.0, "q_agg_friedman" -> 0.6,
+    "q_ts_granger" -> 0.7, "q_graph_adamic_adar" -> 1.2,
+    "q_graph_kcore" -> 2.5, "q_evt_stickiness" -> 0.8,
+    "q_text_hapax" -> 1.0)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
@@ -490,6 +497,26 @@ class BenchBudgetSpec extends AnyFunSuite {
       .readTree(benchFile)
     assume(root.path("sf").asText().endsWith("sf0.1"),
       "bench_sf0.1.json is not an sf0.1 run; budgets are sf0.1 figures")
+    // staleness guard (r13 postmortem): the judged round shipped a red
+    // test-report produced from a noisy snapshot that a LATER bench run
+    // replaced. bench.json is rewritten by every run; when it is also an
+    // sf0.1 run, its run_id must match the per-SF snapshot this gate
+    // judges — otherwise the snapshot predates the newest run and any
+    // verdict from it is stale by construction.
+    val latest = new java.io.File("/root/repo/target/bench.json")
+    if (latest.exists()) {
+      val lroot = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(latest)
+      if (lroot.path("sf").asText() == root.path("sf").asText() &&
+          lroot.hasNonNull("run_id"))
+        assert(lroot.path("run_id").asText() ==
+            root.path("run_id").asText(),
+          s"bench_sf0.1.json (run_id ${root.path("run_id").asText()}) is " +
+            s"STALE: bench.json holds a newer sf0.1 run " +
+            s"(run_id ${lroot.path("run_id").asText()}) — re-run this " +
+            "suite after the final bench so committed artifacts agree")
+    }
+    info(s"judging bench run_id=${root.path("run_id").asText("<none>")}")
     val la = root.path("loadavg")
     val loadNote =
       if (la.isArray && la.size > 0)

@@ -39,6 +39,12 @@ class BenchSlopeSpec extends AnyFunSuite {
       "need bench_sf0.01.json + bench_sf0.1.json — run graft.Bench at both SFs")
     val s = load(small)
     val b = load(big)
+    // surface both legs' run ids so a committed test-report is
+    // matchable to the exact bench artifacts it judged (r13: a stale
+    // snapshot reddened the round with nothing in the report to show it)
+    def runId(f: java.io.File) = new com.fasterxml.jackson.databind
+      .ObjectMapper().readTree(f).path("run_id").asText("<none>")
+    info(s"judging sf0.01 run_id=${runId(small)}, sf0.1 run_id=${runId(big)}")
     // the two runs must cover the same query set or ratios silently skip
     val diff = (b.keySet -- s.keySet) ++ (s.keySet -- b.keySet)
     assert(diff.isEmpty, s"query sets differ: ${diff.mkString(", ")}")
