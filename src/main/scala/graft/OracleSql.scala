@@ -2798,6 +2798,483 @@ object OracleSql {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
+    // Mirrors streamLeft: q_stream_join's pair list with the type
+    // filters pushed INTO the sides (a WHERE on the right side would
+    // silently turn the left-outer back into an inner join).
+    "q_stream_left" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events)
+         SELECT v.event_id AS view_id, c.event_id AS click_id,
+                v.user_id,
+                (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS delay_sec
+         FROM (SELECT * FROM ev WHERE event_type = 'view') v
+         LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+           ON v.user_id = c.user_id
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+         ORDER BY view_id, click_id NULLS FIRST""",
+    // Mirrors streamCdc: maximal op per key under the pinned
+    // (version DESC, op DESC, value DESC) total order — op DESC is the
+    // equal-version tie rule ('U' beats 'D'); tombstones stay visible.
+    "q_stream_cdc" ->
+      """WITH o AS (
+           SELECT user_id AS key,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS version,
+                  value
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY key
+                       ORDER BY version DESC, op DESC, value DESC) AS rn
+           FROM o)
+         SELECT key, version, op = 'U' AS live,
+                round(CASE WHEN op = 'U' THEN value ELSE 0.0 END, 4)
+                  AS value
+         FROM r WHERE rn = 1
+         ORDER BY key NULLS FIRST""",
+    // Mirrors ttl: the q_stream_session gap machinery at 6 h, the
+    // q_stream_state accumulator fields, last gap-session per user.
+    "q_stream_ttl" ->
+      """WITH e AS (
+           SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         b AS (
+           SELECT user_id, event_type, value, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 6 HOUR
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, event_type, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b),
+         a AS (
+           SELECT user_id, sid, count(*) AS n_events,
+                  count(*) FILTER (WHERE event_type = 'purchase')
+                    AS n_purchases,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                    AS value_cents
+           FROM s GROUP BY user_id, sid),
+         last_s AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY sid DESC) AS rn
+           FROM a)
+         SELECT user_id, CAST(sid - 1 AS BIGINT) AS n_expirations,
+                n_events, n_purchases, value_cents
+         FROM last_s WHERE rn = 1
+         ORDER BY user_id NULLS FIRST""",
+    // Mirrors timer: same gap machinery at 45 min; each finished
+    // session fires exactly one expiry tombstone.
+    "q_stream_timer" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         b AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 45 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b),
+         a AS (
+           SELECT user_id, sid, count(*) AS n_events
+           FROM s GROUP BY user_id, sid),
+         last_s AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY sid DESC) AS rn
+           FROM a)
+         SELECT user_id, CAST(sid AS BIGINT) AS n_timeouts,
+                n_events AS last_n_events, 'inactive' AS status
+         FROM last_s WHERE rn = 1
+         ORDER BY user_id NULLS FIRST""",
+    // Mirrors aggLevene: quantile_cont medians (q_agg_quantile
+    // parity), exact DECIMAL(9,1)/(18,2) deviation sums (quantities
+    // are integers, medians .0/.5), then the q_agg_anova fold.
+    "q_agg_levene" ->
+      """WITH li AS (
+           SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x
+           FROM lineitem),
+         med AS (
+           SELECT grp, quantile_cont(x, 0.5) AS med
+           FROM li GROUP BY grp),
+         g AS (
+           SELECT li.grp, CAST(count(*) AS BIGINT) AS n_g,
+                  sum(CAST(abs(x - med) AS DECIMAL(9,1))) AS s1,
+                  sum(CAST(abs(x - med) * abs(x - med) AS DECIMAL(18,2)))
+                    AS s2
+           FROM li JOIN med ON li.grp = med.grp GROUP BY li.grp),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, sum(n_g) AS n,
+                  sum(s1) AS s
+           FROM g),
+         m AS (
+           SELECT g.n_g, g.s2, t.k, CAST(t.n AS BIGINT) AS n,
+                  CAST(g.s1 AS DOUBLE) / g.n_g AS m_g,
+                  CAST(t.s AS DOUBLE) / t.n AS m
+           FROM g, t),
+         terms AS (
+           SELECT k, n,
+                  CAST(round(n_g * (m_g - m) * (m_g - m) / (k - 1), 8)
+                    AS DECIMAL(20,8)) AS bt,
+                  CAST(round((CAST(s2 AS DOUBLE) - n_g * m_g * m_g)
+                    / (n - k), 8) AS DECIMAL(20,8)) AS wt
+           FROM m),
+         folded AS (
+           SELECT k, n,
+                  round(CAST(sum(bt) AS DOUBLE), 4) AS msb,
+                  round(CAST(sum(wt) AS DOUBLE), 4) AS msw,
+                  round(CAST(sum(bt) AS DOUBLE)
+                    / CAST(sum(wt) AS DOUBLE), 4) AS f_bf
+           FROM terms GROUP BY k, n)
+         SELECT k, n, msb, msw, f_bf,
+                CASE WHEN f_bf > 3.0 THEN 1 ELSE 0 END
+                  AS heteroscedastic
+         FROM folded""",
+    // Mirrors aggTukey: one per-group decimal contraction, the anova
+    // 8-dp MSW fold, q on the 3-row pair grid in one shared form.
+    "q_agg_tukey" ->
+      """WITH g AS (
+           SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n_g,
+                  sum(CAST(l_quantity AS DECIMAL(9,0))) AS s1,
+                  sum(CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))) AS s2
+           FROM lineitem GROUP BY 1),
+         gm AS (
+           SELECT grp, n_g, s2, CAST(s1 AS DOUBLE) / n_g AS m_g FROM g),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, sum(n_g) AS n FROM g),
+         msw AS (
+           SELECT sum(CAST(round((CAST(s2 AS DOUBLE) - n_g * m_g * m_g)
+                    / (n - k), 8) AS DECIMAL(20,8))) AS msw_d
+           FROM gm, t),
+         pairs AS (
+           SELECT a.grp AS grp_a, b.grp AS grp_b,
+                  a.m_g AS m_a, b.m_g AS m_b,
+                  abs(a.m_g - b.m_g)
+                    / sqrt(CAST(msw_d AS DOUBLE) / 2.0 *
+                        (1.0 / a.n_g + 1.0 / b.n_g)) AS q_s
+           FROM gm a JOIN gm b ON a.grp < b.grp, msw)
+         SELECT grp_a, grp_b, round(m_a, 4) AS mean_a,
+                round(m_b, 4) AS mean_b,
+                round(m_a - m_b, 4) AS diff,
+                round(q_s, 4) AS q_stat,
+                CASE WHEN q_s > 3.314 THEN 1 ELSE 0 END AS significant
+         FROM pairs ORDER BY grp_a, grp_b""",
+    // Mirrors textPmi: cooccur's bigram convention + unigram counts;
+    // identical double division chain, single ln rounded in the
+    // output only.
+    "q_text_pmi" ->
+      """WITH t AS (
+           SELECT string_split(lower(text), ' ') AS w FROM documents),
+         uni AS (
+           SELECT unnest(w) AS term FROM t),
+         uc AS (
+           SELECT term, count(*) AS c_term FROM uni GROUP BY term),
+         ntok AS (SELECT sum(c_term) AS n_tok FROM uc),
+         b AS (
+           SELECT unnest(list_transform(range(len(w) - 1),
+                    i -> array_to_string(w[i+1:i+2], ' '))) AS pair
+           FROM t WHERE len(w) >= 2),
+         bc AS (
+           SELECT pair, count(*) AS c_ab FROM b GROUP BY pair),
+         npair AS (SELECT sum(c_ab) AS n_pair FROM bc),
+         scored AS (
+           SELECT bc.pair, bc.c_ab, ua.c_term AS c_a, ub.c_term AS c_b,
+                  round(ln((CAST(bc.c_ab AS DOUBLE) / n_pair) /
+                    ((CAST(ua.c_term AS DOUBLE) / n_tok) *
+                      (CAST(ub.c_term AS DOUBLE) / n_tok))), 4) AS pmi
+           FROM bc
+           JOIN uc ua ON ua.term = string_split(bc.pair, ' ')[1]
+           JOIN uc ub ON ub.term = string_split(bc.pair, ' ')[2],
+                ntok, npair
+           WHERE bc.c_ab >= 10)
+         SELECT pair, c_ab, c_a, c_b, pmi
+         FROM scored ORDER BY pmi DESC, pair LIMIT 50""",
+    // Mirrors evtSessionStats: the q_win_sessionize gap machinery,
+    // exact quantile_cont over the session grid.
+    "q_evt_session_stats" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         b AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b),
+         sess AS (
+           SELECT user_id, sid, count(*) AS n_ev,
+                  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                    AS dur_sec
+           FROM s GROUP BY user_id, sid)
+         SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                round(CAST(count(CASE WHEN n_ev = 1 THEN 1 END)
+                  AS DOUBLE) / count(*), 4) AS bounce_rate,
+                round(CAST(sum(n_ev) AS DOUBLE) / count(*), 4)
+                  AS avg_events,
+                round(quantile_cont(n_ev, 0.5), 4) AS p50_events,
+                round(quantile_cont(n_ev, 0.9), 4) AS p90_events,
+                round(quantile_cont(dur_sec, 0.5), 4) AS p50_dur_sec,
+                round(quantile_cont(dur_sec, 0.9), 4) AS p90_dur_sec
+         FROM sess""",
+    // Mirrors etlChecksum: the q_sample_hash sha-prefix integer, an
+    // order-independent SUM per day.
+    "q_etl_checksum" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(concat('0x',
+                    substr(sha256(CAST(event_id AS VARCHAR)), 1, 7))
+                  AS BIGINT)) AS BIGINT) AS key_checksum,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS value_total,
+                CAST(count(CASE WHEN user_id IS NULL THEN 1 END)
+                  AS BIGINT) AS null_users
+         FROM events GROUP BY 1 ORDER BY day""",
+    // Mirrors tsSpectralEntropy: the periodogram machinery verbatim,
+    // powers on a 4-dp decimal grid, 8-dp p*ln p terms, ln(10) as a
+    // shared literal.
+    "q_ts_spectral_entropy" ->
+      """WITH base AS (
+           SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                  count(*) AS y
+           FROM events GROUP BY 1, 2),
+         ts AS (
+           SELECT event_type, y,
+                  row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    - 1 AS t,
+                  count(*) OVER (PARTITION BY event_type) AS n,
+                  CAST(sum(y) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY event_type) AS ybar
+           FROM base),
+         grid AS (
+           SELECT event_type, n, k,
+                  CAST(round((y - ybar) *
+                    round(cos(2.0 * pi() * k * t / n), 8), 8)
+                    AS DECIMAL(24,8)) AS tc,
+                  CAST(round((y - ybar) *
+                    round(sin(2.0 * pi() * k * t / n), 8), 8)
+                    AS DECIMAL(24,8)) AS tsn
+           FROM ts, unnest(range(1, 11)) AS ks(k)),
+         pw AS (
+           SELECT event_type, k, n,
+                  CAST(round((CAST(sum(tc) AS DOUBLE)
+                      * CAST(sum(tc) AS DOUBLE)
+                    + CAST(sum(tsn) AS DOUBLE)
+                      * CAST(sum(tsn) AS DOUBLE)) / n, 4)
+                    AS DECIMAL(20,4)) AS power
+           FROM grid GROUP BY 1, 2, 3),
+         tot AS (
+           SELECT event_type, n, sum(power) AS p_tot
+           FROM pw GROUP BY 1, 2),
+         terms AS (
+           SELECT pw.event_type, pw.n, pw.k,
+                  CASE WHEN CAST(pw.power AS DOUBLE)
+                         / CAST(p_tot AS DOUBLE) > 0.0
+                       THEN CAST(round(
+                         -(CAST(pw.power AS DOUBLE)
+                             / CAST(p_tot AS DOUBLE)) *
+                         ln(CAST(pw.power AS DOUBLE)
+                             / CAST(p_tot AS DOUBLE)), 8)
+                         AS DECIMAL(20,8))
+                       ELSE CAST(0.0 AS DECIMAL(20,8)) END AS ent_term,
+                  row_number() OVER (PARTITION BY pw.event_type
+                    ORDER BY pw.power DESC, pw.k) AS rk
+           FROM pw JOIN tot ON pw.event_type = tot.event_type
+                           AND pw.n = tot.n)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(CAST(sum(ent_term) AS DOUBLE)
+                  / 2.302585092994046, 4) AS spectral_entropy,
+                CAST(max(CASE WHEN rk = 1 THEN k END) AS BIGINT)
+                  AS dominant_k,
+                round(CAST(n AS DOUBLE)
+                  / max(CASE WHEN rk = 1 THEN k END), 2)
+                  AS dominant_period_days
+         FROM terms GROUP BY event_type, n
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors aggFriedman: 7×|types| cell-mean grid, ranks by the
+    // 8-dp decimal mean with the type name as the pinned tiebreak,
+    // chi2_F integer up to one division.
+    "q_agg_friedman" ->
+      """WITH cells AS (
+           SELECT dayofweek(ts) + 1 AS dow, event_type AS typ,
+                  count(*) AS c,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sv
+           FROM events GROUP BY 1, 2),
+         mv AS (
+           SELECT dow, typ,
+                  CAST(round(CAST(sv AS DOUBLE) / c, 8) AS DECIMAL(20,8))
+                    AS mean_v
+           FROM cells),
+         r AS (
+           SELECT typ, row_number() OVER (PARTITION BY dow
+                    ORDER BY mean_v, typ) AS rk
+           FROM mv),
+         rs AS (
+           SELECT typ, CAST(sum(rk) AS BIGINT) AS rj,
+                  count(*) AS n_b
+           FROM r GROUP BY typ),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(max(n_b) AS BIGINT) AS n,
+                  CAST(sum(rj * rj) AS BIGINT) AS r2
+           FROM rs)
+         SELECT n AS n_blocks, k,
+                round(12.0 * r2 / (n * k * (k + 1))
+                  - 3.0 * n * (k + 1), 4) AS chi2_f,
+                k - 1 AS df,
+                CASE WHEN 12.0 * r2 / (n * k * (k + 1))
+                  - 3.0 * n * (k + 1) > 9.488 THEN 1 ELSE 0 END
+                  AS significant
+         FROM t""",
+    // Mirrors tsGranger: integer daily grid, HUGEINT ≡ decimal(38,0)
+    // raw moments, n·Σxy − Σx·Σy centered co-moments, Cramer's-rule
+    // OLS per direction — expression structure shared verbatim.
+    "q_ts_granger" ->
+      """WITH daily AS (
+           SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                  count(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+           FROM events GROUP BY 1),
+         lagged AS (
+           SELECT * FROM (
+             SELECT CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y,
+                    CAST(lag(x) OVER (ORDER BY d) AS HUGEINT) AS xl,
+                    CAST(lag(y) OVER (ORDER BY d) AS HUGEINT) AS yl
+             FROM daily) q WHERE xl IS NOT NULL),
+         mm AS (
+           SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(xl) AS sxl, sum(yl) AS syl,
+                  sum(x * x) AS sxx, sum(y * y) AS syy,
+                  sum(xl * xl) AS sxlxl, sum(yl * yl) AS sylyl,
+                  sum(xl * yl) AS sxlyl, sum(y * yl) AS syyl,
+                  sum(y * xl) AS syxl, sum(x * xl) AS sxxl,
+                  sum(x * yl) AS sxyl
+           FROM lagged),
+         c AS (
+           SELECT n,
+                  CAST(n * syy - sy * sy AS DOUBLE) AS c_y_y,
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS c_x_x,
+                  CAST(n * sylyl - syl * syl AS DOUBLE) AS c_ly_ly,
+                  CAST(n * sxlxl - sxl * sxl AS DOUBLE) AS c_lx_lx,
+                  CAST(n * sxlyl - sxl * syl AS DOUBLE) AS c_lx_ly,
+                  CAST(n * syyl - sy * syl AS DOUBLE) AS c_y_ly,
+                  CAST(n * syxl - sy * sxl AS DOUBLE) AS c_y_lx,
+                  CAST(n * sxxl - sx * sxl AS DOUBLE) AS c_x_lx,
+                  CAST(n * sxyl - sx * syl AS DOUBLE) AS c_x_ly
+           FROM mm),
+         d2 AS (
+           SELECT n, c_y_y, c_x_x, c_ly_ly, c_lx_lx,
+                  c_y_ly, c_y_lx, c_x_lx, c_x_ly,
+                  (c_y_ly * c_lx_lx - c_y_lx * c_lx_ly)
+                    / (c_ly_ly * c_lx_lx - c_lx_ly * c_lx_ly) AS b1,
+                  (c_y_lx * c_ly_ly - c_y_ly * c_lx_ly)
+                    / (c_ly_ly * c_lx_lx - c_lx_ly * c_lx_ly) AS c1,
+                  (c_x_lx * c_ly_ly - c_x_ly * c_lx_ly)
+                    / (c_lx_lx * c_ly_ly - c_lx_ly * c_lx_ly) AS b2,
+                  (c_x_ly * c_lx_lx - c_x_lx * c_lx_ly)
+                    / (c_lx_lx * c_ly_ly - c_lx_ly * c_lx_ly) AS c2
+           FROM c),
+         d3 AS (
+           SELECT n,
+                  c_y_y - b1 * c_y_ly - c1 * c_y_lx AS rssu1,
+                  c_y_y - c_y_ly * c_y_ly / c_ly_ly AS rssr1,
+                  c_x_x - b2 * c_x_lx - c2 * c_x_ly AS rssu2,
+                  c_x_x - c_x_lx * c_x_lx / c_lx_lx AS rssr2
+           FROM d2)
+         SELECT CAST(n AS BIGINT) AS n_days,
+                round((rssr1 - rssu1)
+                  / (rssu1 / (CAST(n AS DOUBLE) - 3.0)), 4)
+                  AS f_click_to_purchase,
+                round((rssr2 - rssu2)
+                  / (rssu2 / (CAST(n AS DOUBLE) - 3.0)), 4)
+                  AS f_purchase_to_click,
+                CASE WHEN (rssr1 - rssu1)
+                  / (rssu1 / (CAST(n AS DOUBLE) - 3.0)) > 3.9
+                  THEN 1 ELSE 0 END AS sig_click_to_purchase,
+                CASE WHEN (rssr2 - rssu2)
+                  / (rssu2 / (CAST(n AS DOUBLE) - 3.0)) > 3.9
+                  THEN 1 ELSE 0 END AS sig_purchase_to_click
+         FROM d3""",
+    // Mirrors graphAdamicAdar: the common-neighbors %8 graph, pivot
+    // weight 1/ln(dg) rounded to 8-dp decimal BEFORE the pair fold
+    // (the logloss rule for libm ln).
+    "q_graph_adamic_adar" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 8 = 0),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS dg FROM (
+             SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY p),
+         inc AS (
+           SELECT w, x,
+                  CAST(round(1.0 / ln(CAST(dg AS DOUBLE)), 8)
+                    AS DECIMAL(20,8)) AS aa_term
+           FROM (
+             SELECT u AS w, v AS x FROM e0 UNION ALL SELECT v, u FROM e0) i
+           JOIN deg ON deg.p = i.w
+           WHERE deg.dg >= 2 AND deg.dg <= 64),
+         pairs AS (
+           SELECT i1.x AS u, i2.x AS v, count(*) AS cn,
+                  sum(i1.aa_term) AS aa_d
+           FROM inc i1 JOIN inc i2 ON i1.w = i2.w AND i1.x < i2.x
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT u, v, cn, round(CAST(aa_d AS DOUBLE), 4) AS adamic_adar
+         FROM pairs ORDER BY adamic_adar DESC, u, v LIMIT 50""",
+    // Mirrors evtStickiness: one distinct (day, user) grid feeds both
+    // the per-day actives rollup and the per-month distinct actives.
+    "q_evt_stickiness" ->
+      """WITH du AS (
+           SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  user_id
+           FROM events),
+         d1 AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+         d2 AS (
+           SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  sum(dau) AS dau_sum
+           FROM d1 GROUP BY 1),
+         m3 AS (
+           SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+           FROM du GROUP BY 1)
+         SELECT d2.month, n_days,
+                round(CAST(dau_sum AS DOUBLE) / n_days, 4) AS avg_dau,
+                mau,
+                round(CAST(dau_sum AS DOUBLE) / (n_days * mau), 4)
+                  AS stickiness
+         FROM d2 JOIN m3 ON d2.month = m3.month
+         ORDER BY d2.month""",
+    // Mirrors textHapax: the zipf tokenization convention; one
+    // (source, term) contraction, vocabulary-sized re-aggregates.
+    "q_text_hapax" ->
+      """WITH toks AS (
+           SELECT source,
+                  unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         counts AS (
+           SELECT source, term, count(*) AS freq FROM toks
+           WHERE len(term) > 0 GROUP BY 1, 2)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS vocab,
+                CAST(count(CASE WHEN freq = 1 THEN 1 END) AS BIGINT)
+                  AS hapax,
+                CAST(sum(freq) AS BIGINT) AS tokens,
+                round(CAST(count(CASE WHEN freq = 1 THEN 1 END)
+                  AS DOUBLE) / count(*), 4) AS hapax_rate,
+                round(CAST(count(*) AS DOUBLE) / sum(freq), 4) AS ttr
+         FROM counts GROUP BY source ORDER BY source NULLS FIRST""",
 
     // ───── §2.L domain functions ─────
     "q_udf_parse_hours" ->

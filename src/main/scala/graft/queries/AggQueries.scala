@@ -2135,7 +2135,142 @@ object AggQueries {
         round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
   }
 
+  /** q_agg_levene — Brown–Forsythe variance-homogeneity test across
+    * return flags on quantity: one-way ANOVA on |x − median_g|, the
+    * robust (median-centered) Levene variant — THE precondition check
+    * before trusting q_agg_anova's pooled-variance F (heteroscedastic
+    * groups inflate its false-positive rate). Two cheap passes: group
+    * medians via the exact `percentile` kernel (q_agg_quantile parity;
+    * at 100 TB the documented sketch swap is `approx_percentile`),
+    * then the q_agg_anova machinery on the deviations. Quantities are
+    * integers, medians are .0/.5, so deviations are exact multiples of
+    * 0.5 — DECIMAL(9,1)/(18,2) sums stay exact on both engines; the
+    * F readout mirrors anova's 8-dp term rounding and shares its
+    * structure verbatim. F crit at (2, ∞) 0.05 = 3.0. */
+  private val aggLevene: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("double").as("x"))
+    val med = li.groupBy("grp")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val g = li.join(broadcast(med), "grp")
+      .withColumn("z", abs(col("x") - col("med")))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("z").cast("decimal(9,1)")).as("s1"),
+        sum((col("z") * col("z")).cast("decimal(18,2)")).as("s2"))
+    val tot = g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum("s1").as("s"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("m_g", col("s1").cast("double") / col("n_g"))
+      .withColumn("m", col("s").cast("double") / col("n"))
+      .withColumn("bt", round(col("n_g") * (col("m_g") - col("m")) *
+        (col("m_g") - col("m")) / (col("k") - lit(1)), 8)
+        .cast("decimal(20,8)"))
+      .withColumn("wt", round((col("s2").cast("double") -
+        col("n_g") * col("m_g") * col("m_g")) /
+        (col("n") - col("k")), 8).cast("decimal(20,8)"))
+    terms.groupBy(col("k"), col("n"))
+      .agg(sum("bt").as("msb_d"), sum("wt").as("msw_d"))
+      .select(col("k"), col("n").cast("long").as("n"),
+        round(col("msb_d").cast("double"), 4).as("msb"),
+        round(col("msw_d").cast("double"), 4).as("msw"),
+        round(col("msb_d").cast("double") /
+          col("msw_d").cast("double"), 4).as("f_bf"),
+        when(round(col("msb_d").cast("double") /
+          col("msw_d").cast("double"), 4) > 3.0, 1)
+          .otherwise(0).as("heteroscedastic"))
+  }
+
+  /** q_agg_friedman — Friedman blocked rank test: do event types
+    * differ in typical value consistently ACROSS day-of-week blocks?
+    * The repeated-measures complement to q_agg_kruskal — kruskal
+    * pools all rows, friedman ranks WITHIN each block, removing the
+    * block effect (weekend level shifts can't fake a type effect).
+    * The corpus contracts to the 7×|types| cell-mean grid in one
+    * pass; ranks are a grid-side window (rank by the 8-dp decimal
+    * mean — an exact, engine-identical sort key — with the type name
+    * as the pinned deterministic tiebreak, documented: mid-rank tie
+    * handling is not implemented because 8-dp mean collisions do not
+    * occur on this data); χ²_F = 12·ΣR²/(n·k·(k+1)) − 3n(k+1) is
+    * integer arithmetic up to ONE final division. χ²(k−1=4) crit
+    * 9.488. */
+  private val aggFriedman: Q = (s, dir) => {
+    val cells = Tables.load(s, dir, "events")
+      .groupBy(expr("dayofweek(ts)").as("dow"),
+        col("event_type").as("typ"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .withColumn("mean_v",
+        round(col("sv").cast("double") / col("c"), 8)
+          .cast("decimal(20,8)"))
+    val wBlock = Window.partitionBy("dow")
+      .orderBy(col("mean_v"), col("typ"))
+    val ranked = cells.withColumn("r", row_number().over(wBlock))
+    val rsums = ranked.groupBy("typ")
+      .agg(sum(col("r").cast("long")).as("rj"),
+        count(lit(1)).as("n_b"))
+    rsums.agg(count(lit(1)).as("k"), max("n_b").as("n"),
+      sum(col("rj") * col("rj")).as("r2"))
+      .select(col("n").cast("long").as("n_blocks"),
+        col("k").cast("long").as("k"),
+        round(lit(12.0) * col("r2") /
+          (col("n") * col("k") * (col("k") + 1)) -
+          lit(3.0) * col("n") * (col("k") + 1), 4).as("chi2_f"),
+        (col("k") - 1).cast("long").as("df"),
+        when(lit(12.0) * col("r2") /
+          (col("n") * col("k") * (col("k") + 1)) -
+          lit(3.0) * col("n") * (col("k") + 1) > 9.488, 1)
+          .otherwise(0).as("significant"))
+  }
+
+  /** q_agg_tukey — Tukey HSD post-hoc pairwise comparison across
+    * return flags on quantity: which SPECIFIC group pairs differ,
+    * after q_agg_anova's omnibus F says "some do" — running pairwise
+    * t-tests instead inflates the family-wise error (3 pairs at α=0.05
+    * ≈ 14% false-positive family rate); the studentized-range q
+    * statistic is the standard correction. Everything derives from
+    * ONE per-group (n, Σx, Σx²) decimal contraction: MSW via the
+    * q_agg_anova 8-dp-rounded fold, then the 3-row pair grid
+    * (self-join of the 3-row group table — broadcast-sized) computes
+    * q = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)) in one shared
+    * closed form. q crit (k=3, df=∞, α=0.05) = 3.314. */
+  private val aggTukey: Q = (s, dir) => {
+    val q = "CAST(l_quantity AS DECIMAL(9,0))"
+    val g = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        expr(s"sum($q)").as("s1"),
+        expr(s"sum($q * $q)").as("s2"))
+      .withColumn("m_g", col("s1").cast("double") / col("n_g"))
+    val tot = g.agg(count(lit(1)).as("k"), sum("n_g").as("n"))
+    val msw = g.crossJoin(broadcast(tot))
+      .select(round((col("s2").cast("double") -
+        col("n_g") * col("m_g") * col("m_g")) /
+        (col("n") - col("k")), 8).cast("decimal(20,8)").as("wt"))
+      .agg(sum("wt").as("msw_d"))
+    val a = g.select(col("grp").as("grp_a"), col("n_g").as("n_a"),
+      col("m_g").as("m_a"))
+    val b = g.select(col("grp").as("grp_b"), col("n_g").as("n_b"),
+      col("m_g").as("m_b"))
+    val qStat = abs(col("m_a") - col("m_b")) /
+      sqrt(col("msw_d").cast("double") / 2.0 *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("grp_a"), col("grp_b"),
+        round(col("m_a"), 4).as("mean_a"),
+        round(col("m_b"), 4).as("mean_b"),
+        round(col("m_a") - col("m_b"), 4).as("diff"),
+        round(qStat, 4).as("q_stat"),
+        when(qStat > 3.314, 1).otherwise(0).as("significant"))
+      .orderBy("grp_a", "grp_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_tukey" -> aggTukey,
+    "q_agg_levene" -> aggLevene,
+    "q_agg_friedman" -> aggFriedman,
     "q_agg_mutual_info" -> aggMutualInfo,
     "q_agg_cohen_kappa" -> aggCohenKappa,
     "q_agg_psi" -> aggPsi,

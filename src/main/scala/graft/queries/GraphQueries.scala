@@ -430,7 +430,104 @@ object GraphQueries {
               .cast("double"))), 4).as("assortativity"))
   }
 
+  /** q_graph_adamic_adar — Adamic–Adar link prediction on the same
+    * %8 co-order graph as q_graph_common_neighbors: candidate pairs
+    * score Σ_w 1/ln(deg(w)) over their shared neighbors, so a shared
+    * RARE neighbor (degree 2–3) counts far more than a shared hub —
+    * the standard fix for raw common-neighbor counts saturating on
+    * hubs. Same bucketed wedge machinery (incidence pivot-capped at
+    * dg ≤ 64 — no hub fan-out), and the pivot's weight rides the
+    * incidence row, so scoring adds ZERO shuffles over the count
+    * form. The 1/ln(dg) term follows the logloss rule: rounded to
+    * 8-dp decimal per pivot BEFORE summing (libm ln is ±1 ulp; the
+    * pre-round makes the fold partition-order-free and
+    * engine-identical). dg ≥ 2 for every pivot that forms a pair
+    * (one edge can't make a wedge), and the filter pins it, so
+    * ln(dg) ≥ ln 2 and the division is ANSI-safe. */
+  private val graphAdamicAdar: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 8 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
+    val inc = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+      .join(broadcast(deg.select(col("p").as("w"), col("dg"))), "w")
+      .filter(col("dg") >= 2 && col("dg") <= 64)
+      .select(col("w"), col("x"),
+        round(lit(1.0) / log(col("dg").cast("double")), 8)
+          .cast("decimal(20,8)").as("aa_term"))
+      .localCheckpoint()
+    val i1 = inc.as("i1"); val i2 = inc.as("i2")
+    i1.join(i2, col("i1.w") === col("i2.w") && col("i1.x") < col("i2.x"))
+      .groupBy(col("i1.x").as("u"), col("i2.x").as("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("i1.aa_term")).as("aa_d"))
+      .filter(col("cn") >= 2)
+      .select(col("u"), col("v"), col("cn"),
+        round(col("aa_d").cast("double"), 4).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
+  /** q_graph_kcore — k-core decomposition of the SF-held co-order
+    * demo graph ([[coOrderDemoGraph]]) by iterative peeling: remove
+    * every node with degree < k, recompute degrees, repeat to
+    * fixpoint — for each k until the core empties, report the core's
+    * node/edge census. Core membership is the standard
+    * "structurally engaged" screen (a high-degree node whose
+    * neighbors are all leaves is NOT in the 2-core; degree can't see
+    * that). Q-tier: peeling is a degree-dependent DELETION fixpoint —
+    * non-monotone, so no recursive-CTE oracle exists (components'
+    * reachability IS monotone, which is why IT is O-tier);
+    * AnalyticsOpsSpec pins exact core numbers on a handcrafted graph
+    * plus invariants here (nested cores, min-degree ≥ k inside the
+    * core). Scale: each peel round is one degree aggregate + one
+    * semi-join on the shrinking edge list (localCheckpoint per round
+    * cuts lineage); rounds are bounded by the graph's degeneracy
+    * ladder, not its size — real graphs converge in a handful of
+    * rounds per k, and the edge list only ever shrinks. */
+  private val graphKcore: Q = (s, dir) => {
+    val (e0, _) = coOrderDemoGraph(s, dir)
+    def peel(edges0: DataFrame, k: Int): DataFrame = {
+      var edges = edges0
+      var n = edges.count()
+      var done = n == 0
+      while (!done) {
+        val deg = edges.select(col("u").as("p"))
+          .unionAll(edges.select(col("v").as("p")))
+          .groupBy("p").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= k).select(col("p"))
+        edges = edges
+          .join(broadcast(keep.select(col("p").as("u"))), Seq("u"))
+          .join(broadcast(keep.select(col("p").as("v"))), Seq("v"))
+          .select("u", "v")
+          .localCheckpoint()
+        val n2 = edges.count()
+        done = n2 == n || n2 == 0
+        n = n2
+      }
+      edges
+    }
+    val rows = Iterator.from(1).map { k =>
+      val core = peel(e0, k)
+      val nodes = core.select(col("u").as("p"))
+        .unionAll(core.select(col("v").as("p"))).distinct().count()
+      val edges = core.count()
+      (k.toLong, nodes, edges)
+    }.takeWhile(_._2 > 0).toSeq
+    import s.implicits._
+    rows.toDF("k", "n_nodes", "n_edges").orderBy("k")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_graph_adamic_adar" -> graphAdamicAdar,
+    "q_graph_kcore" -> graphKcore,
     "q_graph_bipartite" -> graphBipartite,
     "q_graph_assortativity" -> graphAssortativity,
     "q_graph_pagerank" -> graphPagerank,

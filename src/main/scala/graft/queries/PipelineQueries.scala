@@ -1987,7 +1987,115 @@ object PipelineQueries {
       .orderBy("wk")
   }
 
+  /** q_evt_stickiness — DAU/MAU stickiness per calendar month: the
+    * engagement-depth ratio ("what share of a month's actives show up
+    * on an average day") that separates habit products from
+    * once-a-month ones — the companion readout to q_evt_dau_wau's
+    * levels and q_evt_retention's cohort curves. ONE corpus
+    * contraction to the distinct (day, user) grid feeds BOTH sides:
+    * daily actives are a (day) re-aggregate, monthly actives a
+    * (month, user)-distinct re-aggregate — the corpus is touched
+    * once, everything downstream is grid-sized (days × avg actives).
+    * avg_dau divides day-count sums once; stickiness divides the two
+    * aggregates once (mau ≥ 1 wherever a month row exists — the
+    * denominators are ANSI-safe by construction). */
+  private val evtStickiness: Q = (s, dir) => {
+    val dayUser = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("dau_sum"))
+    val mau = dayUser
+      .select(trunc(col("day"), "month").as("month"), col("user_id"))
+      .distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"),
+        col("n_days").cast("long").as("n_days"),
+        round(col("dau_sum").cast("double") / col("n_days"), 4)
+          .as("avg_dau"),
+        col("mau").cast("long").as("mau"),
+        round(col("dau_sum").cast("double") /
+          (col("n_days") * col("mau")), 4).as("stickiness"))
+      .orderBy("month")
+  }
+
+  /** q_evt_session_stats — the distribution readout over
+    * q_win_sessionize's per-session grid (same 30-min idle-gap rule):
+    * session count, bounce rate (1-event sessions), mean and exact
+    * p50/p90 of events-per-session and of session duration — the
+    * product-health panel a funnel review opens with. The corpus
+    * contracts to per-(user, session) rows in two O(1)-state windows
+    * (sessionize's machinery), and the distribution statistics run on
+    * that session-sized grid: the exact `percentile` buffers sessions,
+    * not events (documented sketch swap = approx_percentile at
+    * 100 TB). Duration is integer µs DIV 1000000 — exact on both
+    * engines; divisions are by the session count ≥ 1. */
+  private val evtSessionStats: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sess = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(byUser) +
+            expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"),
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+          .as("dur_sec"))
+    sess.agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_ev") === 1, 1)).as("n_bounce"),
+        sum("n_ev").as("n_events"),
+        expr("percentile(n_ev, 0.5)").as("p50_ev"),
+        expr("percentile(n_ev, 0.9)").as("p90_ev"),
+        expr("percentile(dur_sec, 0.5)").as("p50_dur"),
+        expr("percentile(dur_sec, 0.9)").as("p90_dur"))
+      .select(col("n_sessions").cast("long").as("n_sessions"),
+        round(col("n_bounce").cast("double") / col("n_sessions"), 4)
+          .as("bounce_rate"),
+        round(col("n_events").cast("double") / col("n_sessions"), 4)
+          .as("avg_events"),
+        round(col("p50_ev"), 4).as("p50_events"),
+        round(col("p90_ev"), 4).as("p90_events"),
+        round(col("p50_dur"), 4).as("p50_dur_sec"),
+        round(col("p90_dur"), 4).as("p90_dur_sec"))
+  }
+
+  /** q_etl_checksum — per-partition reconciliation checksums of the
+    * event stream: row count, an order-independent key checksum (sum
+    * of a sha-derived 28-bit integer per event_id — the q_sample_hash
+    * idiom), an exact decimal value total, and a null-key count, per
+    * event day. This is the cross-system audit primitive: after any
+    * migration/backfill/replication, comparing this table between
+    * source and target localizes drift to a DAY without a row-by-row
+    * diff (the reference re-validated its loads by re-querying counts,
+    * `database/parse_and_upload_to_db.py:171-175` — this is that
+    * check made content-sensitive). Everything is one corpus
+    * contraction; the checksum is a SUM, so it is partition-order-free
+    * by construction, and days localize drift so a single corrupt
+    * partition doesn't force a full re-scan to find. */
+  private val etlChecksum: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(sha2(col("event_id").cast("string"), 256),
+          1, 7), 16, 10).cast("long")).as("key_checksum"),
+        sum(col("value").cast("decimal(18,2)")).as("value_total"),
+        count(when(col("user_id").isNull, 1)).as("null_users"))
+      .select(col("day"), col("n_rows").cast("long").as("n_rows"),
+        col("key_checksum").cast("long").as("key_checksum"),
+        col("value_total").cast("double").as("value_total"),
+        col("null_users").cast("long").as("null_users"))
+      .orderBy("day")
+
   val all: Map[String, Q] = Map(
+    "q_evt_session_stats" -> evtSessionStats,
+    "q_etl_checksum" -> etlChecksum,
+    "q_evt_stickiness" -> evtStickiness,
     "q_etl_bitemporal" -> etlBitemporal,
     "q_etl_profile" -> etlProfile,
     "q_evt_mix_drift" -> evtMixDrift,

@@ -1753,7 +1753,82 @@ object TextQueries {
       .orderBy("q_id", "rn")
   }
 
+  /** q_text_hapax — vocabulary-concentration profile per source:
+    * vocabulary size, hapax legomena count (terms seen exactly once)
+    * and rate, token count, and type–token ratio — the corpus-health
+    * readout that separates natural text (hapax rate ≈ 40–60%, Zipf's
+    * long tail) from template/boilerplate farms (tiny vocabulary,
+    * near-zero hapax) and from OCR/mojibake noise (hapax rate → 1).
+    * The q_text_zipf tokenization convention (whitespace split of
+    * lowercased text); the corpus contracts to (source, term) counts
+    * in one explode+groupBy shuffle, and every statistic is a
+    * vocabulary-sized re-aggregate — the 100 TB cost is the token
+    * explode, identical to zipf/tfidf. Divisions are vocab ≥ 1 and
+    * tokens ≥ 1 on any source that has a row (ANSI-safe by
+    * construction). */
+  private val textHapax: Q = (s, dir) => {
+    val counts = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    counts.groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        count(when(col("freq") === 1, 1)).as("hapax"),
+        sum("freq").as("tokens"))
+      .select(col("source"),
+        col("vocab").cast("long").as("vocab"),
+        col("hapax").cast("long").as("hapax"),
+        col("tokens").cast("long").as("tokens"),
+        round(col("hapax").cast("double") / col("vocab"), 4)
+          .as("hapax_rate"),
+        round(col("vocab").cast("double") / col("tokens"), 4)
+          .as("ttr"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  /** q_text_pmi — pointwise-mutual-information collocations: the
+    * top-50 adjacent token pairs by PMI = ln(p(ab)/(p(a)·p(b))) among
+    * pairs seen ≥ 10 times — the collocation score q_text_cooccur's
+    * raw counts can't give ("of the" tops counts; "machine learning"
+    * tops PMI). Shares cooccur's bigram machinery (codegen'd
+    * token_bigrams — no per-row lambda) plus the unigram count table;
+    * both contractions are vocabulary-sized. Unigram counts join back
+    * onto the ≥10 bigram survivors by term (co-keyed hash join, never
+    * a cross product); PMI's argument is one double division chain
+    * with identical structure in both engines and the single ln rounds
+    * at 4 dp in the OUTPUT (the q_samp_decay taxonomy: libm is safe in
+    * rounded outputs; nothing downstream sums it). c_a, c_b ≥ c_ab ≥
+    * 10 makes every division ANSI-safe. The (pmi desc, pair) total
+    * order pins the cut. */
+  private val textPmi: Q = (s, dir) => {
+    val toks = Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(TextSim.tokens(col("text")).as("w"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_term"))
+    val nTok = uni.agg(sum("c_term").as("n_tok"))
+    val big = toks.select(explode(org.apache.spark.sql.graftfns
+        .QuantFunctions.token_bigrams(col("w"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+    val nPair = big.agg(sum("c_ab").as("n_pair"))
+    big.filter(col("c_ab") >= 10)
+      .withColumn("ta", split(col("pair"), " ").getItem(0))
+      .withColumn("tb", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("term").as("ta"), col("c_term").as("c_a")), "ta")
+      .join(uni.select(col("term").as("tb"), col("c_term").as("c_b")), "tb")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("pair"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") / col("n_pair")) /
+          ((col("c_a").cast("double") / col("n_tok")) *
+            (col("c_b").cast("double") / col("n_tok")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_text_pmi" -> textPmi,
+    "q_text_hapax" -> textHapax,
     "q_text_dedup_spans" -> textDedupSpans,
     "q_text_dup_rate" -> textDupRate,
     "q_text_soft_dedup" -> textSoftDedup,

@@ -685,7 +685,145 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first, col("k"))
   }
 
+  /** q_ts_granger — Granger-style lagged-predictive screen between
+    * the daily click and purchase count series: does yesterday's
+    * clicks improve today's purchase prediction beyond purchases' own
+    * lag (and symmetrically, the reverse)? The F statistic compares
+    * RSS of the restricted OLS (y ~ y₋₁) against the unrestricted
+    * (y ~ y₋₁ + x₋₁), both in CLOSED FORM from one co-moment
+    * aggregate: the daily grid is integers, so Σu, Σu², Σuv, … are
+    * exact decimal(38) products, and the centered co-moments use the
+    * n·Σxy − Σx·Σy device (q_graph_assortativity's). The 2-regressor
+    * normal equations solve by Cramer's rule — b = (Suy·Svv −
+    * Svy·Suv)/det — so the whole test is one grid contraction + one
+    * closed-form double row per direction, shared verbatim with the
+    * oracle. Lags ride the OBSERVED day sequence (gap days don't
+    * exist in either engine's grid — documented; a calendar-spine
+    * variant would first q_etl_resample). F(1, n−3) crit 0.05 ≈ 3.9.
+    * This is the SCREEN, not causality: it finds which series lead
+    * which, subject to the usual Granger caveats. */
+  private val tsGranger: Q = (s, dir) => {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val wd = Window.orderBy("d")
+    val lagged = daily
+      .withColumn("xl", lag(col("x"), 1).over(wd))
+      .withColumn("yl", lag(col("y"), 1).over(wd))
+      .filter(col("xl").isNotNull)
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"),
+        col("xl").cast("decimal(38,0)").as("xl"),
+        col("yl").cast("decimal(38,0)").as("yl"))
+    val m = lagged.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum("xl").as("sxl"), sum("yl").as("syl"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("xl") * col("xl")).as("sxlxl"),
+      sum(col("yl") * col("yl")).as("sylyl"),
+      sum(col("xl") * col("yl")).as("sxlyl"),
+      sum(col("y") * col("yl")).as("syyl"),
+      sum(col("y") * col("xl")).as("syxl"),
+      sum(col("x") * col("xl")).as("sxxl"),
+      sum(col("x") * col("yl")).as("sxyl"))
+    // centered co-moments (× n) as doubles; one F per direction
+    def c(sab: String, sa: String, sb: String): Column =
+      (col("n") * col(sab) - col(sa) * col(sb)).cast("double")
+    def fStat(syyC: Column, suu: Column, svv: Column, suv: Column,
+              suy: Column, svy: Column): Column = {
+      val det = suu * svv - suv * suv
+      val bU = (suy * svv - svy * suv) / det
+      val cU = (svy * suu - suy * suv) / det
+      val rssU = syyC - bU * suy - cU * svy
+      val rssR = syyC - suy * suy / suu
+      (rssR - rssU) / (rssU / (col("n").cast("double") - 3.0))
+    }
+    // purchase ~ own lag (+ click lag): u = yl, v = xl, response y
+    val fCp = fStat(c("syy", "sy", "sy"), c("sylyl", "syl", "syl"),
+      c("sxlxl", "sxl", "sxl"), c("sxlyl", "sxl", "syl"),
+      c("syyl", "sy", "syl"), c("syxl", "sy", "sxl"))
+    // click ~ own lag (+ purchase lag): u = xl, v = yl, response x
+    val fPc = fStat(c("sxx", "sx", "sx"), c("sxlxl", "sxl", "sxl"),
+      c("sylyl", "syl", "syl"), c("sxlyl", "sxl", "syl"),
+      c("sxxl", "sx", "sxl"), c("sxyl", "sx", "syl"))
+    m.select(col("n").cast("long").as("n_days"),
+      round(fCp, 4).as("f_click_to_purchase"),
+      round(fPc, 4).as("f_purchase_to_click"),
+      when(fCp > 3.9, 1).otherwise(0).as("sig_click_to_purchase"),
+      when(fPc > 3.9, 1).otherwise(0).as("sig_purchase_to_click"))
+  }
+
+  /** q_ts_spectral_entropy — normalized Shannon entropy of the
+    * periodogram (harmonics k = 1..10) per event type: ≈1 for white
+    * noise (energy spread flat), →0 when one cycle carries the
+    * energy — the single-number "how forecastable is this series"
+    * screen (q_ts_periodogram names the peak; this scores its
+    * dominance; low entropy + weekly peak = trust q_ts_forecast_snaive,
+    * high entropy = don't). Reuses the periodogram's exact machinery
+    * verbatim — same 8-dp-rounded cos/sin terms, same decimal fold —
+    * then: powers round to a 4-dp decimal grid so their total is
+    * partition-order-free, shares p_k divide once, the p·ln p terms
+    * round to 8-dp decimals (logloss rule), and the ln(10)
+    * normalizer is a shared LITERAL (2.302585092994046) so no libm
+    * call sits outside a rounded term. Zero-power harmonics
+    * contribute 0 by the entropy convention (CASE-pinned on both
+    * engines). Dominant k picks by the (power desc, k) total order. */
+  private val tsSpectralEntropy: Q = (s, dir) => {
+    val base = dailySeries(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val ts = base
+      .withColumn("t", row_number().over(w) - lit(1))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("ybar", sum("y")
+        .over(Window.partitionBy("event_type")).cast("double") / col("n"))
+      .withColumn("ydev", col("y") - col("ybar"))
+    val grid = ts
+      .withColumn("k", explode(sequence(lit(1), lit(10))))
+      .withColumn("theta",
+        lit(2.0) * lit(math.Pi) * col("k") * col("t") / col("n"))
+      .withColumn("tc", round(col("ydev") * round(cos(col("theta")), 8), 8)
+        .cast("decimal(24,8)"))
+      .withColumn("tsn", round(col("ydev") * round(sin(col("theta")), 8), 8)
+        .cast("decimal(24,8)"))
+    val pw = grid.groupBy(col("event_type"), col("k"), col("n"))
+      .agg(sum("tc").as("sc"), sum("tsn").as("ss"))
+      .select(col("event_type"), col("k"), col("n"),
+        round((col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          col("n"), 4).cast("decimal(20,4)").as("power"))
+    val tot = pw.groupBy(col("event_type"), col("n"))
+      .agg(sum("power").as("p_tot"))
+    val wk = Window.partitionBy("event_type")
+      .orderBy(col("power").desc, col("k"))
+    val terms = pw.join(tot, Seq("event_type", "n"))
+      // try_divide (§7.5.12): p_tot is data-derived; a constant daily
+      // series would zero every power, and the NULL share then takes
+      // the CASE's 0 branch instead of aborting the scan
+      .withColumn("p_k", expr(
+        "try_divide(CAST(power AS DOUBLE), CAST(p_tot AS DOUBLE))"))
+      .withColumn("ent_term",
+        when(col("p_k") > 0.0,
+          round(-col("p_k") * log(col("p_k")), 8).cast("decimal(20,8)"))
+          .otherwise(lit(0.0).cast("decimal(20,8)")))
+      .withColumn("rk", row_number().over(wk))
+    terms.groupBy(col("event_type"), col("n"))
+      .agg(sum("ent_term").as("ent_d"),
+        max(when(col("rk") === 1, col("k"))).as("dom_k"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(col("ent_d").cast("double") / lit(2.302585092994046), 4)
+          .as("spectral_entropy"),
+        col("dom_k").cast("long").as("dominant_k"),
+        round(col("n").cast("double") / col("dom_k"), 2)
+          .as("dominant_period_days"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_spectral_entropy" -> tsSpectralEntropy,
+    "q_ts_granger" -> tsGranger,
     "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_strength" -> tsStrength,
     "q_ts_rolling_corr" -> tsRollingCorr,

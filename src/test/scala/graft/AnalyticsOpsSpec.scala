@@ -231,4 +231,55 @@ class AnalyticsOpsSpec extends SparkSpecBase {
         s"post-repartition bound broken for $key")
     }
   }
+
+  test("q_graph_kcore matches an independent in-memory peeling reference") {
+    // rebuild the demo graph's edge list with the same SF-held
+    // contraction, then peel it EXACTLY in memory — the reference
+    // shares the construction (pinned elsewhere by the triangles
+    // oracle) but none of the query's iterative join machinery
+    val m = Tables.load(spark, sf0001, "part")
+      .selectExpr("4 * greatest(1L, (max(p_partkey) + 1L) DIV 2000)")
+      .as[Long].head()
+    val items = Tables.load(spark, sf0001, "lineitem")
+      .filter(col("l_partkey") % m === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val edges0 = items.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.size)
+        yield (parts(i), parts(j))
+    }.toSet
+
+    def peelRef(k: Int): Set[(Long, Long)] = {
+      var e = edges0
+      var changed = true
+      while (changed && e.nonEmpty) {
+        val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+          .groupBy(identity).map { case (n, v) => n -> v.size }
+        val e2 = e.filter(p => deg(p._1) >= k && deg(p._2) >= k)
+        changed = e2.size != e.size
+        e = e2
+      }
+      e
+    }
+    val expected = Iterator.from(1).map { k =>
+      val core = peelRef(k)
+      val nodes = (core.map(_._1) ++ core.map(_._2)).size.toLong
+      (k.toLong, nodes, core.size.toLong)
+    }.takeWhile(_._2 > 0).toSeq
+
+    val got = SparkEntry.queries("q_graph_kcore")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected,
+      s"census mismatch:\n got      $got\n expected $expected")
+    // invariants: k=1 census is the full graph; cores shrink with k
+    assert(got.head == ((1L,
+      (edges0.map(_._1) ++ edges0.map(_._2)).size.toLong,
+      edges0.size.toLong)))
+    got.sliding(2).foreach {
+      case Seq((_, n1, e1), (_, n2, e2)) =>
+        assert(n2 <= n1 && e2 <= e1, "core census must shrink with k")
+      case _ =>
+    }
+  }
 }

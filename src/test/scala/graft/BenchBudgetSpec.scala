@@ -485,7 +485,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_levene" -> 1.0, "q_agg_friedman" -> 0.6,
     "q_ts_granger" -> 0.7, "q_graph_adamic_adar" -> 1.2,
     "q_graph_kcore" -> 2.5, "q_evt_stickiness" -> 0.8,
-    "q_text_hapax" -> 1.0)
+    "q_text_hapax" -> 1.0,
+    "q_agg_tukey" -> 0.7, "q_text_pmi" -> 1.2,
+    "q_evt_session_stats" -> 1.0, "q_ts_spectral_entropy" -> 0.8,
+    "q_etl_checksum" -> 0.8)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

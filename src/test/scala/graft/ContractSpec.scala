@@ -23,10 +23,10 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 332, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 303)
-    assert(declared.values.count(_ == "Q") == 21)
-    assert(declared.values.count(_ == "U") == 8)
+    assert(declared.size == 344, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 318)
+    assert(declared.values.count(_ == "Q") == 22)
+    assert(declared.values.count(_ == "U") == 4)
   }
 
   test("SURVEY's totals prose matches the declared-row census") {
