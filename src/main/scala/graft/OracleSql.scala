@@ -2934,6 +2934,183 @@ object OracleSql {
                 CASE WHEN f_bf > 3.0 THEN 1 ELSE 0 END
                   AS heteroscedastic
          FROM folded""",
+    // Mirrors aggAuc: the mannwhitney value-grid device with
+    // purchase/non-purchase counts; integer-exact to one division.
+    "q_agg_auc" ->
+      """WITH grid AS (
+           SELECT value AS v,
+                  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS HUGEINT) AS cp,
+                  CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                    AS HUGEINT) AS cn2
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT cp, cn2,
+                  2 * sum(cp + cn2) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - (cp + cn2) + 1 AS r2
+           FROM grid),
+         g AS (
+           SELECT sum(cp) AS np, sum(cn2) AS nn2, sum(cp * r2) AS r2p
+           FROM r)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn2 AS BIGINT) AS n_neg,
+                round((CAST(r2p AS DOUBLE)
+                  - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0))
+                  / 2.0 / (CAST(np AS DOUBLE) * CAST(nn2 AS DOUBLE)), 6)
+                  AS auc,
+                round((CAST(r2p AS DOUBLE)
+                  - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0))
+                  / (CAST(np AS DOUBLE) * CAST(nn2 AS DOUBLE)) - 1.0, 6)
+                  AS gini
+         FROM g""",
+    // Mirrors aggMcc: four integers leave the corpus; per-factor
+    // double casts (the product overflows BIGINT); x/0 → NULL is
+    // Spark's try_divide on both engines.
+    "q_agg_mcc" ->
+      """WITH b AS (
+           SELECT o_orderstatus = 'F' AS act,
+                  o_totalprice > 150000.0 AS pred
+           FROM orders),
+         c AS (
+           SELECT CAST(count(CASE WHEN act AND pred THEN 1 END)
+                    AS BIGINT) AS tp,
+                  CAST(count(CASE WHEN NOT act AND pred THEN 1 END)
+                    AS BIGINT) AS fp,
+                  CAST(count(CASE WHEN act AND NOT pred THEN 1 END)
+                    AS BIGINT) AS fn,
+                  CAST(count(CASE WHEN NOT act AND NOT pred THEN 1 END)
+                    AS BIGINT) AS tn
+           FROM b)
+         SELECT tp, fp, fn, tn,
+                round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                  AS "precision",
+                round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                  AS recall,
+                round((2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                    * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)))
+                  / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                    + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6)
+                  AS f1,
+                round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                    - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                  / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+                  6) AS mcc
+         FROM c""",
+    // Mirrors aggTrimmedMean: value grid, integer trim bounds
+    // (lo = n DIV 10 per side), interval-overlap contribution, one
+    // division per readout.
+    "q_agg_trimmed_mean" ->
+      """WITH grid AS (
+           SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+                  count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         w1 AS (
+           SELECT *, sum(cnt) OVER (PARTITION BY grp ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY grp) AS n
+           FROM grid),
+         w2 AS (
+           SELECT *, n // 10 AS lo, n - n // 10 AS hi FROM w1),
+         w3 AS (
+           SELECT grp, n, hi - lo AS n_kept, v, cnt,
+                  greatest(0, least(cum, hi) - greatest(cum - cnt, lo))
+                    AS cnt_in
+           FROM w2)
+         SELECT grp, CAST(n AS BIGINT) AS n,
+                CAST(n_kept AS BIGINT) AS n_kept,
+                round(CAST(sum(CAST(v AS HUGEINT) * cnt) AS DOUBLE)
+                  / n, 4) AS mean,
+                round(CAST(sum(CAST(v AS HUGEINT) * cnt_in) AS DOUBLE)
+                  / n_kept, 4) AS trimmed_mean
+         FROM w3 GROUP BY grp, n, n_kept ORDER BY grp""",
+    // Mirrors aggHodgesLehmann: per-group value grids, the 50×50
+    // difference distribution, weighted lower median (2·cum ≥ total).
+    "q_agg_hodges_lehmann" ->
+      """WITH ga AS (
+           SELECT CAST(l_quantity AS BIGINT) AS va,
+                  CAST(count(*) AS HUGEINT) AS ca
+           FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+         gr AS (
+           SELECT CAST(l_quantity AS BIGINT) AS vr,
+                  CAST(count(*) AS HUGEINT) AS cr
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         diffs AS (
+           SELECT va - vr AS d, sum(ca * cr) AS wgt
+           FROM ga, gr GROUP BY 1),
+         c AS (
+           SELECT d, sum(wgt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS cum,
+                  sum(wgt) OVER () AS tot
+           FROM diffs),
+         f AS (
+           SELECT d, tot, row_number() OVER (ORDER BY d) AS rn
+           FROM c WHERE cum * 2 >= tot)
+         SELECT CAST(tot AS BIGINT) AS n_pairs,
+                CAST(d AS DOUBLE) AS hl_shift
+         FROM f WHERE rn = 1""",
+    // Mirrors graphHits: pagerank's edge derivation, 3 unrolled
+    // a ← Aᵀh / h ← A·a rounds, sum-normalized via 1-row totals.
+    "q_graph_hits" ->
+      """WITH pr AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id)
+                    AS to_type
+           FROM events),
+         edges AS (
+           SELECT from_type, to_type, CAST(count(*) AS DOUBLE) AS wgt
+           FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         h0 AS (SELECT node, 1.0 / nn.n AS h FROM nodes, nn),
+         a1r AS (
+           SELECT e.to_type AS node, sum(h0.h * e.wgt) AS sc
+           FROM edges e JOIN h0 ON h0.node = e.from_type GROUP BY 1),
+         a1t AS (SELECT sum(sc) AS tot FROM a1r),
+         a1 AS (
+           SELECT n2.node, coalesce(a1r.sc, 0.0) / a1t.tot AS a
+           FROM nodes n2 LEFT JOIN a1r ON a1r.node = n2.node, a1t),
+         h1r AS (
+           SELECT e.from_type AS node, sum(a1.a * e.wgt) AS sc
+           FROM edges e JOIN a1 ON a1.node = e.to_type GROUP BY 1),
+         h1t AS (SELECT sum(sc) AS tot FROM h1r),
+         h1 AS (
+           SELECT n2.node, coalesce(h1r.sc, 0.0) / h1t.tot AS h
+           FROM nodes n2 LEFT JOIN h1r ON h1r.node = n2.node, h1t),
+         a2r AS (
+           SELECT e.to_type AS node, sum(h1.h * e.wgt) AS sc
+           FROM edges e JOIN h1 ON h1.node = e.from_type GROUP BY 1),
+         a2t AS (SELECT sum(sc) AS tot FROM a2r),
+         a2 AS (
+           SELECT n2.node, coalesce(a2r.sc, 0.0) / a2t.tot AS a
+           FROM nodes n2 LEFT JOIN a2r ON a2r.node = n2.node, a2t),
+         h2r AS (
+           SELECT e.from_type AS node, sum(a2.a * e.wgt) AS sc
+           FROM edges e JOIN a2 ON a2.node = e.to_type GROUP BY 1),
+         h2t AS (SELECT sum(sc) AS tot FROM h2r),
+         h2 AS (
+           SELECT n2.node, coalesce(h2r.sc, 0.0) / h2t.tot AS h
+           FROM nodes n2 LEFT JOIN h2r ON h2r.node = n2.node, h2t),
+         a3r AS (
+           SELECT e.to_type AS node, sum(h2.h * e.wgt) AS sc
+           FROM edges e JOIN h2 ON h2.node = e.from_type GROUP BY 1),
+         a3t AS (SELECT sum(sc) AS tot FROM a3r),
+         a3 AS (
+           SELECT n2.node, coalesce(a3r.sc, 0.0) / a3t.tot AS a
+           FROM nodes n2 LEFT JOIN a3r ON a3r.node = n2.node, a3t),
+         h3r AS (
+           SELECT e.from_type AS node, sum(a3.a * e.wgt) AS sc
+           FROM edges e JOIN a3 ON a3.node = e.to_type GROUP BY 1),
+         h3t AS (SELECT sum(sc) AS tot FROM h3r),
+         h3 AS (
+           SELECT n2.node, coalesce(h3r.sc, 0.0) / h3t.tot AS h
+           FROM nodes n2 LEFT JOIN h3r ON h3r.node = n2.node, h3t)
+         SELECT n4.node AS event_type, round(h3.h, 4) AS hub,
+                round(a3.a, 4) AS authority
+         FROM nodes n4
+         JOIN h3 ON h3.node = n4.node
+         JOIN a3 ON a3.node = n4.node
+         ORDER BY event_type""",
     // Mirrors aggTukey: one per-group decimal contraction, the anova
     // 8-dp MSW fold, q on the 3-row pair grid in one shared form.
     "q_agg_tukey" ->

@@ -2267,7 +2267,160 @@ object AggQueries {
       .orderBy("grp_a", "grp_b")
   }
 
+  /** q_agg_auc — exact ROC AUC of "event value predicts a purchase"
+    * via the rank formulation AUC = (ΣR₊ − n₊(n₊+1)/2)/(n₊·n₋) with
+    * mid-ranks (ties counted half) — THE threshold-free classifier
+    * metric, sitting beside q_agg_logloss (calibration) and
+    * q_agg_brier (decomposition) in the eval family; identical to the
+    * Mann–Whitney U normalization, so it rides q_agg_mannwhitney's
+    * value-grid machinery verbatim: the corpus contracts to
+    * per-distinct-value (pos, neg) counts, doubled mid-ranks come
+    * from ONE cumulative grid window, everything is integer-exact
+    * until the single AUC division. Gini = 2·AUC − 1 rides along. */
+  private val aggAuc: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "events")
+      .groupBy(col("value").as("v"))
+      .agg(count(when(col("event_type") === "purchase", 1))
+        .cast("decimal(38,0)").as("cp"),
+        count(when(col("event_type") =!= "purchase", 1))
+          .cast("decimal(38,0)").as("cn"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = grid.withColumn("cnt", col("cp") + col("cn"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("r2", lit(2) * col("cum") - col("cnt") + 1)
+    r.agg(sum("cp").as("np"), sum("cn").as("nneg"),
+      sum(col("cp") * col("r2")).as("r2p"))
+      .select(col("np").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"),
+        round((col("r2p").cast("double") -
+          col("np").cast("double") * (col("np").cast("double") + 1.0)) /
+          2.0 / (col("np").cast("double") * col("nneg").cast("double")),
+          6).as("auc"),
+        round((col("r2p").cast("double") -
+          col("np").cast("double") * (col("np").cast("double") + 1.0)) /
+          (col("np").cast("double") * col("nneg").cast("double")) -
+          lit(1.0), 6).as("gini"))
+  }
+
+  /** q_agg_mcc — binary-classification confusion panel between the
+    * recorded order state (actual = status 'F') and a fixed
+    * price-threshold rater (predicted = total > 150 000): tp/fp/fn/tn
+    * plus precision, recall, F1, and the Matthews correlation — the
+    * 2×2 twin of q_agg_cohen_kappa (κ chance-corrects agreement; MCC
+    * is the balanced correlation that survives class skew, the metric
+    * to trust when positives are rare). Four integers leave the
+    * corpus; MCC's four marginal factors multiply as doubles (each ≤
+    * corpus size — exact; the product would overflow BIGINT, which is
+    * why the cast happens per factor); try_divide guards every
+    * data-derived denominator (§7.5.12) — a degenerate rater yields
+    * NULL metrics on both engines, not a crash. */
+  private val aggMcc: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "orders")
+      .select((col("o_orderstatus") === "F").as("act"),
+        (col("o_totalprice") > 150000.0).as("pred"))
+      .agg(count(when(col("act") && col("pred"), 1)).as("tp"),
+        count(when(!col("act") && col("pred"), 1)).as("fp"),
+        count(when(col("act") && !col("pred"), 1)).as("fn"),
+        count(when(!col("act") && !col("pred"), 1)).as("tn"))
+    val p = expr("try_divide(CAST(tp AS DOUBLE), CAST(tp + fp AS DOUBLE))")
+    val rc = expr("try_divide(CAST(tp AS DOUBLE), CAST(tp + fn AS DOUBLE))")
+    c.select(col("tp").cast("long").as("tp"),
+        col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"),
+        col("tn").cast("long").as("tn"),
+        round(p, 6).as("precision"),
+        round(rc, 6).as("recall"),
+        round(expr("try_divide(2.0 * " +
+          "try_divide(CAST(tp AS DOUBLE), CAST(tp + fp AS DOUBLE)) * " +
+          "try_divide(CAST(tp AS DOUBLE), CAST(tp + fn AS DOUBLE)), " +
+          "try_divide(CAST(tp AS DOUBLE), CAST(tp + fp AS DOUBLE)) + " +
+          "try_divide(CAST(tp AS DOUBLE), CAST(tp + fn AS DOUBLE)))"), 6)
+          .as("f1"),
+        round(expr("""try_divide(
+            CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+              - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE),
+            sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))"""), 6)
+          .as("mcc"))
+  }
+
+  /** q_agg_trimmed_mean — 10%-per-side trimmed mean of quantity per
+    * return flag, EXACTLY, from the value grid: the robust location
+    * estimate between the mean (outlier-fragile) and the median
+    * (throws away 98% of the data). Trim counts are integer by the
+    * pinned convention lo = n DIV 10 per side (documented — not the
+    * fractional-weight variant); each grid row contributes
+    * `clamp(cum ∩ [lo, hi])` of its count, so the whole computation
+    * is integer/decimal-exact until ONE division by the kept count —
+    * no corpus sort, no percentile buffer, just the kruskal grid
+    * machinery with an interval-overlap readout. */
+  private val aggTrimmedMean: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wq = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid.withColumn("cum", sum("cnt").over(wq))
+      .withColumn("n", sum("cnt").over(wg))
+      .withColumn("lo", expr("n DIV 10"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("cnt_in",
+        greatest(lit(0L), least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("cnt"), col("lo"))))
+      .groupBy(col("grp"), col("n"), (col("hi") - col("lo")).as("n_kept"))
+      .agg(sum(col("v").cast("decimal(38,0)") * col("cnt")).as("s_all"),
+        sum(col("v").cast("decimal(38,0)") * col("cnt_in")).as("s_in"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("n_kept").cast("long").as("n_kept"),
+        round(col("s_all").cast("double") / col("n"), 4).as("mean"),
+        round(col("s_in").cast("double") / col("n_kept"), 4)
+          .as("trimmed_mean"))
+      .orderBy("grp")
+  }
+
+  /** q_agg_hodges_lehmann — Hodges–Lehmann shift estimate between
+    * return flags A and R on quantity: the MEDIAN OF ALL PAIRWISE
+    * DIFFERENCES x_A − x_R — the robust effect-size companion to
+    * q_agg_mannwhitney (U says "groups differ"; HL says "by how
+    * much", immune to outliers where the mean difference is not).
+    * The n_A·n_R pair space never materializes: both groups contract
+    * to ~50-row value grids, the difference DISTRIBUTION is the
+    * 50×50 grid cross (weights multiply — broadcast-sized), and the
+    * weighted median over ~99 distinct differences uses
+    * q_agg_weighted_median's lower-median convention (first d where
+    * 2·cum ≥ total). Integer throughout; n_pairs is decimal(38)
+    * products folded exactly. */
+  private val aggHodgesLehmann: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    def grid(flag: String, vc: String, cc: String): DataFrame =
+      li.filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity").cast("long").as(vc))
+        .agg(count(lit(1)).cast("decimal(38,0)").as(cc))
+    val diffs = grid("A", "va", "ca").crossJoin(grid("R", "vr", "cr"))
+      .groupBy((col("va") - col("vr")).as("d"))
+      .agg(sum(col("ca") * col("cr")).as("wgt"))
+    val wd = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    diffs.withColumn("cum", sum("wgt").over(wd))
+      .withColumn("tot", sum("wgt").over(wt))
+      .filter(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(Window.orderBy("d")))
+      .filter(col("rn") === 1)
+      .select(col("tot").cast("long").as("n_pairs"),
+        col("d").cast("double").as("hl_shift"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_auc" -> aggAuc,
+    "q_agg_mcc" -> aggMcc,
+    "q_agg_trimmed_mean" -> aggTrimmedMean,
+    "q_agg_hodges_lehmann" -> aggHodgesLehmann,
     "q_agg_tukey" -> aggTukey,
     "q_agg_levene" -> aggLevene,
     "q_agg_friedman" -> aggFriedman,

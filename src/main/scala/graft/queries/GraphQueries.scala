@@ -525,7 +525,58 @@ object GraphQueries {
     rows.toDF("k", "n_nodes", "n_edges").orderBy("k")
   }
 
+  /** q_graph_hits — HITS hubs & authorities on the weighted
+    * type-transition digraph (q_graph_pagerank's edge build): 3
+    * mutually-recursive rounds of a ← Aᵀh, h ← A·a, each sum-normalized
+    * — the asymmetric-role centrality pagerank can't express (a
+    * 'view' that feeds purchases is a HUB; 'purchase' that everything
+    * leads to is an AUTHORITY; pagerank mixes the two). Same scale
+    * contract as pagerank: the only corpus-sized phase is the edge
+    * contraction; each iteration is two joins + two aggregates on the
+    * k²-row edge grid, with totals riding as broadcast 1-row tables.
+    * Sum-normalization (not L2) keeps every step a closed-form
+    * rational of the integer weights — no sqrt chain for the oracle
+    * to drift on; outputs round at 4 dp like pagerank's. */
+  private val graphHits: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val events = Tables.load(s, dir, "events")
+    val edges = events
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("double").as("wgt"))
+      .localCheckpoint()
+    val nodes = events.select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var hub = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("h"))
+    var auth = hub.select(col("node"), col("h").as("a"))
+    for (_ <- 1 to 3) {
+      val a0 = edges.join(hub, edges("from_type") === hub("node"))
+        .groupBy(col("to_type")).agg(sum(col("h") * col("wgt")).as("sc"))
+      val aTot = a0.agg(sum("sc").as("tot"))
+      auth = nodes.join(a0, col("node") === col("to_type"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          (coalesce(col("sc"), lit(0.0)) / col("tot")).as("a"))
+      val h0 = edges.join(auth, edges("to_type") === auth("node"))
+        .groupBy(col("from_type")).agg(sum(col("a") * col("wgt")).as("sc"))
+      val hTot = h0.agg(sum("sc").as("tot"))
+      hub = nodes.join(h0, col("node") === col("from_type"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          (coalesce(col("sc"), lit(0.0)) / col("tot")).as("h"))
+    }
+    hub.join(auth, "node")
+      .select(col("node").as("event_type"),
+        round(col("h"), 4).as("hub"),
+        round(col("a"), 4).as("authority"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_graph_hits" -> graphHits,
     "q_graph_adamic_adar" -> graphAdamicAdar,
     "q_graph_kcore" -> graphKcore,
     "q_graph_bipartite" -> graphBipartite,

@@ -488,7 +488,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_hapax" -> 1.0,
     "q_agg_tukey" -> 0.7, "q_text_pmi" -> 1.2,
     "q_evt_session_stats" -> 1.0, "q_ts_spectral_entropy" -> 0.8,
-    "q_etl_checksum" -> 0.8)
+    "q_etl_checksum" -> 0.8,
+    "q_agg_auc" -> 0.8, "q_agg_mcc" -> 0.5,
+    "q_agg_trimmed_mean" -> 0.6, "q_agg_hodges_lehmann" -> 0.8,
+    "q_graph_hits" -> 2.0)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
