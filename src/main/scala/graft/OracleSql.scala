@@ -2934,6 +2934,188 @@ object OracleSql {
                 CASE WHEN f_bf > 3.0 THEN 1 ELSE 0 END
                   AS heteroscedastic
          FROM folded""",
+    // Mirrors tsLjungBox: autocorr's calendar-lag pair machinery for
+    // k = 1..10; 8-dp decimal rho^2/(n-k) terms; chi2 scale applied
+    // once at readout.
+    "q_ts_ljung_box" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, sum(y) AS tot, count(*) AS n,
+                  sum(y * y) AS ss
+           FROM daily GROUP BY 1),
+         l AS (
+           SELECT event_type, d, y, t.k
+           FROM daily CROSS JOIN
+                (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS k) t),
+         p AS (
+           SELECT l.event_type, l.k, l.y, r.y AS y2
+           FROM l JOIN daily r
+             ON r.event_type = l.event_type AND r.d = l.d + l.k),
+         a AS (
+           SELECT event_type, k, sum(y * y2) AS s1,
+                  sum(y + y2) AS s2, count(*) AS m
+           FROM p GROUP BY 1, 2),
+         terms AS (
+           SELECT a.event_type, q.n,
+                  CAST(round(
+                    ((CAST(s1 AS DOUBLE) - mu * s2 + m * mu * mu)
+                       / nullif(CAST(ss AS DOUBLE) - n * mu * mu, 0))
+                    * ((CAST(s1 AS DOUBLE) - mu * s2 + m * mu * mu)
+                       / nullif(CAST(ss AS DOUBLE) - n * mu * mu, 0))
+                    / (n - k), 8) AS DECIMAL(20,8)) AS lb_term
+           FROM a JOIN (SELECT event_type, n, ss,
+                               CAST(tot AS DOUBLE) / n AS mu
+                        FROM st) q
+             ON q.event_type = a.event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(n * (n + 2) * CAST(sum(lb_term) AS DOUBLE), 4)
+                  AS q_lb,
+                CAST(10 AS BIGINT) AS df,
+                CASE WHEN n * (n + 2) * CAST(sum(lb_term) AS DOUBLE)
+                  > 18.307 THEN 1 ELSE 0 END AS significant
+         FROM terms GROUP BY event_type, n
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsDickeyFuller: granger's closed-form OLS discipline on
+    // (y_lag, delta-y) per type.
+    "q_ts_dickey_fuller" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT * FROM (
+             SELECT event_type,
+                    CAST(lag(y) OVER (PARTITION BY event_type
+                      ORDER BY d) AS HUGEINT) AS u,
+                    CAST(y - lag(y) OVER (PARTITION BY event_type
+                      ORDER BY d) AS HUGEINT) AS v
+             FROM daily) q WHERE u IS NOT NULL),
+         m AS (
+           SELECT event_type, count(*) AS n, sum(u) AS su, sum(v) AS sv,
+                  sum(u * u) AS suu, sum(u * v) AS suv,
+                  sum(v * v) AS svv
+           FROM lagged GROUP BY 1),
+         c AS (
+           SELECT event_type, n,
+                  CAST(n * suu - su * su AS DOUBLE) AS sxx,
+                  CAST(n * suv - su * sv AS DOUBLE) AS sxy,
+                  CAST(n * svv - sv * sv AS DOUBLE) AS syy
+           FROM m),
+         r AS (
+           SELECT event_type, n, sxy / sxx AS beta,
+                  (sxy / sxx) * sqrt(sxx /
+                    ((syy - (sxy / sxx) * sxy)
+                      / (CAST(n AS DOUBLE) - 2.0))) AS t_s
+           FROM c)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(beta, 6) AS beta,
+                round(t_s, 4) AS t_stat,
+                CASE WHEN t_s < -2.86 THEN 1 ELSE 0 END AS stationary
+         FROM r ORDER BY event_type NULLS FIRST""",
+    // Mirrors aggFleissKappa: 3 deterministic raters explode to
+    // (item, cat) counts; two integers off the corpus; 8-dp share
+    // squares fold; one closed-form kappa.
+    "q_agg_fleiss_kappa" ->
+      """WITH rated AS (
+           SELECT o_orderkey AS item,
+                  unnest([
+                    CASE WHEN o_totalprice < 100000.0 THEN 0
+                         WHEN o_totalprice < 200000.0 THEN 1 ELSE 2 END,
+                    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0
+                         WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                         ELSE 2 END,
+                    CAST(month(o_orderdate) % 3 AS INTEGER)]) AS cat
+           FROM orders),
+         cells AS (
+           SELECT item, cat, count(*) AS nij
+           FROM rated GROUP BY 1, 2),
+         itemsq AS (
+           SELECT item, sum(nij * nij) AS sq FROM cells GROUP BY item),
+         tot AS (
+           SELECT count(*) AS n_items, sum(sq) AS s2 FROM itemsq),
+         pj AS (
+           SELECT cat, sum(nij) AS cj FROM cells GROUP BY cat),
+         pe AS (
+           SELECT sum(CAST(round(
+                    (CAST(cj AS DOUBLE) / (n_items * 3))
+                    * (CAST(cj AS DOUBLE) / (n_items * 3)), 8)
+                  AS DECIMAL(20,8))) AS pe_d
+           FROM pj, tot),
+         k AS (
+           SELECT CAST(n_items AS BIGINT) AS n_items,
+                  (CAST(s2 AS DOUBLE) - n_items * 3)
+                    / (CAST(n_items AS DOUBLE) * 3 * 2) AS p_bar,
+                  CAST(pe_d AS DOUBLE) AS p_e
+           FROM tot, pe)
+         SELECT n_items, round(p_bar, 6) AS p_bar,
+                round(p_e, 6) AS p_e,
+                round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+         FROM k""",
+    // Mirrors aggPermutation: per-user decimal contraction, 64
+    // sha-relabeled replicates on the USER grid, identical
+    // double-difference structure, count of at-least-as-extreme.
+    "q_agg_permutation" ->
+      """WITH pu AS (
+           SELECT user_id AS u,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sv,
+                  count(*) AS cnt
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         ob AS (
+           SELECT round(
+               (CAST(sum(CASE WHEN u % 2 = 0 THEN sv END) AS DOUBLE)
+                 / sum(CASE WHEN u % 2 = 0 THEN cnt END))
+             - (CAST(sum(CASE WHEN u % 2 = 1 THEN sv END) AS DOUBLE)
+                 / sum(CASE WHEN u % 2 = 1 THEN cnt END)), 8)
+               AS obs_diff,
+                  CAST(sum(cnt) AS BIGINT) AS n_events
+           FROM pu),
+         reps AS (
+           SELECT pu.*, b,
+                  CAST(concat('0x', substr(sha256(
+                    concat(CAST(u AS VARCHAR), ':',
+                           CAST(b AS VARCHAR))), 1, 7)) AS BIGINT) % 2
+                    AS arm
+           FROM pu CROSS JOIN
+                (SELECT unnest(range(0, 64)) AS b) t),
+         rd AS (
+           SELECT b, round(
+               (CAST(sum(CASE WHEN arm = 0 THEN sv END) AS DOUBLE)
+                 / sum(CASE WHEN arm = 0 THEN cnt END))
+             - (CAST(sum(CASE WHEN arm = 1 THEN sv END) AS DOUBLE)
+                 / sum(CASE WHEN arm = 1 THEN cnt END)), 8) AS d
+           FROM reps GROUP BY b)
+         SELECT max(n_events) AS n_events,
+                CAST(count(*) AS BIGINT) AS b_reps,
+                round(max(obs_diff), 4) AS obs_diff,
+                CAST(sum(CASE WHEN abs(d) >= abs(obs_diff)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                round(CAST(sum(CASE WHEN abs(d) >= abs(obs_diff)
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+                  AS p_value
+         FROM rd, ob""",
+    // Mirrors sampGroupSplit: sha(source) buckets — group-level split,
+    // realized shares reported.
+    "q_samp_group_split" ->
+      """WITH b AS (
+           SELECT source, n_chars,
+                  CAST(concat('0x', substr(sha256(source), 1, 7))
+                    AS BIGINT) % 100 AS bucket
+           FROM documents),
+         sp AS (
+           SELECT source, n_chars,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM b),
+         tot AS (SELECT count(*) AS n_total FROM sp)
+         SELECT split,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS n_chars,
+                round(CAST(count(*) AS DOUBLE) / n_total, 4) AS doc_share
+         FROM sp, tot GROUP BY split, n_total ORDER BY split""",
     // Mirrors aggAuc: the mannwhitney value-grid device with
     // purchase/non-purchase counts; integer-exact to one division.
     "q_agg_auc" ->

@@ -2416,7 +2416,116 @@ object AggQueries {
         col("d").cast("double").as("hl_shift"))
   }
 
+  /** q_agg_fleiss_kappa — Fleiss' κ across THREE deterministic raters
+    * (fixed price bands; order-priority class; order-month % 3) each
+    * assigning every order one of 3 categories — the multi-rater
+    * generalization of q_agg_cohen_kappa, THE agreement statistic for
+    * annotation pipelines with >2 labelers. Dataflow: the 3 rater
+    * verdicts explode to (order, category) rows, contract to per-item
+    * category counts n_ij, and the whole statistic needs only TWO
+    * integers off the corpus — Σᵢⱼ n²ᵢⱼ and the N·n grid of category
+    * totals: P̄ = (Σn² − N·n)/(N·n·(n−1)) is one division, P̄ₑ = Σ p²ⱼ
+    * folds 3 squared shares as 8-dp decimals (logloss rule), κ one
+    * shared closed form. 1 − P̄ₑ ≥ 2/3 for 3 categories, so the
+    * division is ANSI-safe by construction. */
+  private val aggFleissKappa: Q = (s, dir) => {
+    val rated = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("item"),
+        explode(array(
+          when(col("o_totalprice") < 100000.0, 0)
+            .when(col("o_totalprice") < 200000.0, 1).otherwise(2),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .when(col("o_orderpriority") === "3-MEDIUM", 1).otherwise(2),
+          (month(col("o_orderdate")) % 3).cast("int"))).as("cat"))
+    val cells = rated.groupBy("item", "cat")
+      .agg(count(lit(1)).as("nij"))
+    val itemsN = cells.groupBy("item")
+      .agg(sum(col("nij") * col("nij")).as("sq"))
+      .agg(count(lit(1)).as("n_items"), sum("sq").as("s2"))
+    val pj = cells.groupBy("cat").agg(sum("nij").as("cj"))
+    val pe = pj.crossJoin(broadcast(itemsN.select(col("n_items")
+        .as("ni2"))))
+      .select(round((col("cj").cast("double") /
+        (col("ni2") * 3)) * (col("cj").cast("double") /
+        (col("ni2") * 3)), 8).cast("decimal(20,8)").as("pj2"))
+      .agg(sum("pj2").as("pe_d"))
+    itemsN.crossJoin(broadcast(pe))
+      .withColumn("p_bar",
+        (col("s2").cast("double") - col("n_items") * 3) /
+          (col("n_items").cast("double") * 3 * 2))
+      .withColumn("p_e", col("pe_d").cast("double"))
+      .select(col("n_items").cast("long").as("n_items"),
+        round(col("p_bar"), 6).as("p_bar"),
+        round(col("p_e"), 6).as("p_e"),
+        round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6)
+          .as("kappa"))
+  }
+
+  /** q_agg_permutation — cluster-randomized permutation test of the
+    * user-parity A/B arm difference in mean event value: the
+    * distribution-free p-value that q_agg_ab_ztest's normal
+    * approximation only approximates, exact under relabeling. The
+    * permutations are DETERMINISTIC pseudo-relabelings (q_agg_bootstrap
+    * discipline): replicate b relabels USER u to arm sha(u‖b) % 2 —
+    * user-level, because randomization was user-level (event-level
+    * shuffling would fake independence inside a user). Scale shape:
+    * the corpus contracts ONCE to per-user decimal (Σvalue, n); the
+    * ×64 replicate explode runs on that user-grid (users × 64 rows,
+    * corpus-independent); each replicate's arm-mean difference is a
+    * closed form off decimal sums and the p-value counts replicates
+    * at least as extreme as observed (both sides compare identically
+    * computed doubles). */
+  private val aggPermutation: Q = (s, dir) => {
+    val reps = 64
+    // null users are excluded: they were never assigned an arm, and a
+    // third "null arm" would corrupt the two-sample difference
+    val perUser = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").as("u"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val obs = perUser
+      .withColumn("arm", (col("u") % 2).cast("int"))
+      .groupBy("arm")
+      .agg(sum("sv").as("s"), sum("cnt").as("c"))
+      .agg(round(
+        (sum(when(col("arm") === 0, col("s"))).cast("double") /
+          sum(when(col("arm") === 0, col("c")))) -
+        (sum(when(col("arm") === 1, col("s"))).cast("double") /
+          sum(when(col("arm") === 1, col("c")))), 8).as("obs_diff"),
+        sum("c").cast("long").as("n_events"))
+    val repDiffs = perUser
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("arm",
+        (conv(substring(sha2(concat(col("u").cast("string"), lit(":"),
+          col("b").cast("string")), 256), 1, 7), 16, 10).cast("long") % 2)
+          .cast("int"))
+      .groupBy("b", "arm")
+      .agg(sum("sv").as("s"), sum("cnt").as("c"))
+      .groupBy("b")
+      .agg(round(
+        (sum(when(col("arm") === 0, col("s"))).cast("double") /
+          sum(when(col("arm") === 0, col("c")))) -
+        (sum(when(col("arm") === 1, col("s"))).cast("double") /
+          sum(when(col("arm") === 1, col("c")))), 8).as("d"))
+    repDiffs.crossJoin(broadcast(obs))
+      .agg(max(col("n_events")).as("n_events"),
+        count(lit(1)).as("b_reps"),
+        max(col("obs_diff")).as("od"),
+        sum(when(abs(col("d")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_events"),
+        col("b_reps").cast("long").as("b_reps"),
+        round(col("od"), 4).as("obs_diff"),
+        col("n_extreme").cast("long").as("n_extreme"),
+        round(col("n_extreme").cast("double") / col("b_reps"), 4)
+          .as("p_value"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_fleiss_kappa" -> aggFleissKappa,
+    "q_agg_permutation" -> aggPermutation,
     "q_agg_auc" -> aggAuc,
     "q_agg_mcc" -> aggMcc,
     "q_agg_trimmed_mean" -> aggTrimmedMean,

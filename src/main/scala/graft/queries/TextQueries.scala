@@ -1826,7 +1826,41 @@ object TextQueries {
       .limit(50)
   }
 
+  /** q_samp_group_split — GROUP-aware train/val/test split: the split
+    * key is sha(source), not sha(doc_id), so every document of a
+    * source lands in the SAME split — the leakage guard q_sample_hash
+    * can't give (near-duplicate docs cluster within a source; an
+    * item-level split puts one twin in train and the other in test,
+    * and the eval leaks). The price is granularity: with few groups
+    * the 80/10/10 target is only hit in expectation, and the readout
+    * REPORTS the realized share per split — the honest number a
+    * dataset card needs. Same sha-bucket determinism as q_sample_hash
+    * (rerun/growth stable: adding docs to a source never moves the
+    * source); one corpus contraction keyed by split. */
+  private val sampGroupSplit: Q = (s, dir) => {
+    val bucketed = Tables.load(s, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(sha2(col("source"), 256), 1, 7), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+    val tot = bucketed.agg(count(lit(1)).as("n_total"))
+    bucketed.groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long")
+          .as("n_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("n_sources").cast("long").as("n_sources"),
+        col("n_docs").cast("long").as("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("n_total"), 4)
+          .as("doc_share"))
+      .orderBy("split")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_samp_group_split" -> sampGroupSplit,
     "q_text_pmi" -> textPmi,
     "q_text_hapax" -> textHapax,
     "q_text_dedup_spans" -> textDedupSpans,

@@ -821,7 +821,97 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_ljung_box — Ljung–Box portmanteau test per event type: is
+    * the daily series white noise, or is there ANY autocorrelation
+    * left in lags 1..10? Q = n(n+2)·Σ ρ²_k/(n−k) vs χ²(10) — the
+    * residual-diagnostics gate run after any fit (snaive backtest,
+    * decompose remainder): a model whose residuals flunk Ljung–Box is
+    * leaving signal on the table. ρ_k comes from q_ts_autocorr's
+    * calendar-lag machinery verbatim (pairs join on d+k, so gap days
+    * pair with nothing — same convention); each ρ²/(n−k) term rounds
+    * to an 8-dp decimal before the 10-row fold (logloss rule), and
+    * the χ² scale n(n+2) multiplies once at readout. */
+  private val tsLjungBox: Q = (s, dir) => {
+    val daily = dailySeries(s, dir).localCheckpoint()
+    val stats = daily.groupBy("event_type")
+      .agg(sum("y").as("tot"), count(lit(1)).as("n"),
+        sum(col("y") * col("y")).as("ss"))
+    val lags = daily.withColumn("k", explode(sequence(lit(1), lit(10))))
+    val rhs = daily.select(col("event_type").as("et2"),
+      col("d").as("d2"), col("y").as("y2"))
+    val terms = lags.join(rhs,
+        col("event_type") === col("et2") &&
+          col("d2") === date_add(col("d"), col("k")))
+      .groupBy("event_type", "k")
+      .agg(sum(col("y") * col("y2")).as("s1"),
+        sum(col("y") + col("y2")).as("s2"),
+        count(lit(1)).as("m"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("mu", col("tot").cast("double") / col("n"))
+      .withColumn("num", col("s1").cast("double") -
+        col("mu") * col("s2") + col("m") * col("mu") * col("mu"))
+      .withColumn("den", col("ss").cast("double") -
+        col("n") * col("mu") * col("mu"))
+      .withColumn("rho", try_divide(col("num"), col("den")))
+      .withColumn("lb_term",
+        round(col("rho") * col("rho") / (col("n") - col("k")), 8)
+          .cast("decimal(20,8)"))
+    terms.groupBy(col("event_type"), col("n"))
+      .agg(sum("lb_term").as("t_d"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(col("n") * (col("n") + 2) * col("t_d").cast("double"), 4)
+          .as("q_lb"),
+        lit(10L).as("df"),
+        when(col("n") * (col("n") + 2) * col("t_d").cast("double")
+          > 18.307, 1).otherwise(0).as("significant"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_dickey_fuller — Dickey–Fuller unit-root screen per event
+    * type: regress Δy_t on y_{t−1} (with intercept) over the observed
+    * day sequence and report β̂ and its t statistic against the DF
+    * 5% critical value −2.86 — "is this series mean-reverting or a
+    * random walk?", the stationarity precondition q_ts_autocorr /
+    * q_ts_forecast_snaive readouts implicitly assume. Same
+    * closed-form-OLS discipline as q_ts_granger: integer daily
+    * counts → decimal(38) raw moments of (y_{t−1}, Δy) → centered
+    * co-moments via n·Σxy − Σx·Σy → β̂ = Sxy/Sxx, t = β̂·√(Sxx/s²)
+    * with s² = (Syy − β̂·Sxy)/(n−2), all shared verbatim with the
+    * oracle. (The un-augmented DF: lag-1 only — the right screen for
+    * short daily panels; ADF's extra Δ-lags are the same machinery
+    * with more co-moment columns.) */
+  private val tsDickeyFuller: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val lagged = dailySeries(s, dir)
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .filter(col("yl").isNotNull)
+      .select(col("event_type"),
+        col("yl").cast("decimal(38,0)").as("u"),
+        (col("y") - col("yl")).cast("decimal(38,0)").as("v"))
+    val m = lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("u").as("su"), sum("v").as("sv"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("u") * col("v")).as("suv"),
+        sum(col("v") * col("v")).as("svv"))
+    val sxx = (col("n") * col("suu") - col("su") * col("su"))
+      .cast("double")
+    val sxy = (col("n") * col("suv") - col("su") * col("sv"))
+      .cast("double")
+    val syy = (col("n") * col("svv") - col("sv") * col("sv"))
+      .cast("double")
+    val beta = sxy / sxx
+    val s2 = (syy - beta * sxy) / (col("n").cast("double") - 2.0)
+    val tStat = beta * sqrt(sxx / s2)
+    m.select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(beta, 6).as("beta"),
+        round(tStat, 4).as("t_stat"),
+        when(tStat < -2.86, 1).otherwise(0).as("stationary"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_ljung_box" -> tsLjungBox,
+    "q_ts_dickey_fuller" -> tsDickeyFuller,
     "q_ts_spectral_entropy" -> tsSpectralEntropy,
     "q_ts_granger" -> tsGranger,
     "q_ts_periodogram" -> tsPeriodogram,

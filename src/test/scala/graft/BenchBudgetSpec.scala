@@ -491,7 +491,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_checksum" -> 0.8,
     "q_agg_auc" -> 0.8, "q_agg_mcc" -> 0.5,
     "q_agg_trimmed_mean" -> 0.6, "q_agg_hodges_lehmann" -> 0.8,
-    "q_graph_hits" -> 2.0)
+    "q_graph_hits" -> 2.0,
+    "q_ts_ljung_box" -> 0.8, "q_ts_dickey_fuller" -> 0.6,
+    "q_agg_fleiss_kappa" -> 0.8, "q_agg_permutation" -> 1.0,
+    "q_samp_group_split" -> 0.5)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
