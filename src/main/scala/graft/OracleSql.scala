@@ -2934,6 +2934,44 @@ object OracleSql {
                 CASE WHEN f_bf > 3.0 THEN 1 ELSE 0 END
                   AS heteroscedastic
          FROM folded""",
+    // Mirrors evtPerplexity: markov's transition contraction, 8-dp
+    // p*ln p terms at both fold levels (theil nested-fold precedent),
+    // exp in rounded outputs only.
+    "q_evt_perplexity" ->
+      """WITH pr AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id)
+                    AS to_type
+           FROM events),
+         e0 AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         edges AS (
+           SELECT from_type, n,
+                  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+                    AS p
+           FROM e0),
+         pf AS (
+           SELECT from_type, sum(n) AS n_trans,
+                  sum(CAST(round(-p * ln(p), 8) AS DECIMAL(20,8))) AS h_d
+           FROM edges GROUP BY 1),
+         ov AS (
+           SELECT '(overall)' AS from_type,
+                  CAST(sum(n_trans) AS BIGINT) AS n_trans,
+                  round(CAST(sum(CAST(round(n_trans * CAST(h_d AS DOUBLE),
+                      8) AS DECIMAL(24,8))) AS DOUBLE) / sum(n_trans), 4)
+                    AS entropy,
+                  round(exp(CAST(sum(CAST(round(n_trans
+                      * CAST(h_d AS DOUBLE), 8) AS DECIMAL(24,8)))
+                    AS DOUBLE) / sum(n_trans)), 4) AS perplexity
+           FROM pf)
+         SELECT from_type, CAST(n_trans AS BIGINT) AS n_trans,
+                round(CAST(h_d AS DOUBLE), 4) AS entropy,
+                round(exp(CAST(h_d AS DOUBLE)), 4) AS perplexity
+         FROM pf
+         UNION ALL SELECT from_type, n_trans, entropy, perplexity FROM ov
+         ORDER BY from_type NULLS FIRST""",
     // Mirrors tsLjungBox: autocorr's calendar-lag pair machinery for
     // k = 1..10; 8-dp decimal rho^2/(n-k) terms; chi2 scale applied
     // once at readout.

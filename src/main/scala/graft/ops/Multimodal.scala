@@ -152,4 +152,27 @@ object Multimodal {
         if (mt != "image") Some(1000L + i) else None)
     }
   }
+
+  /** 64-bit perceptual-style signature of a binary payload: a 64-bin
+    * byte histogram (byte DIV 4) thresholded at its mean, one bit per
+    * bin. This is the honest STUB analog of a DCT pHash (the codec
+    * libraries are absent — [[FakeCodec]] note): locality-sensitive
+    * for byte-level perturbations (a few flipped bytes move a few
+    * bins ⇒ small Hamming distance; unrelated payloads differ in
+    * ~half the bits), and a pure function of the payload so the
+    * signature is rerun-stable. The Spark-side plumbing this feeds —
+    * signature → Hamming bands → bucket equi-join → candidate rescue —
+    * is the REAL deliverable and is exactly the production pHash-dedup
+    * dataflow; swapping in a real DCT hash changes only this
+    * function. */
+  def phash64(bytes: Array[Byte]): Long = {
+    val hist = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 2) += 1; i += 1 }
+    val mean = if (bytes.isEmpty) 0.0 else bytes.length.toDouble / 64
+    var acc = 0L
+    var b = 0
+    while (b < 64) { if (hist(b) > mean) acc |= (1L << b); b += 1 }
+    acc
+  }
 }

@@ -95,7 +95,52 @@ object MediaQueries {
       .orderBy("media_type", "shard")
   }
 
+  /** q_media_phash — perceptual-hash NEAR-dup candidates over the
+    * binary payloads: 64-bit signatures ([[Multimodal.phash64]] — the
+    * documented stub analog of a DCT pHash), banded into 4×16-bit
+    * Hamming bands, candidates from the band equi-join (pigeonhole:
+    * signatures within Hamming 3 ALWAYS share an exact band; beyond
+    * that recall is probabilistic — the standard banding trade,
+    * tunable by band count), rescued by the exact bit_count(XOR)
+    * distance ≤ 4 (tight by design: the synthetic fixture's
+    * seed-derived payloads have near-uniform byte histograms, so loose
+    * thresholds degenerate to all-pairs — real DCT hashes separate
+    * further and the threshold is the recall/precision knob). This is q_media_dedup's near-dup
+    * twin — exact sha catches bit-identical copies; this catches
+    * re-encodes/minor corruption — and the same dataflow as
+    * q_text_simhash on text. All-pairs never materializes: candidates
+    * come from bucket joins only. Q-tier: DuckDB 1.0 has no BLOB
+    * byte-histogram to replicate the signature; signature
+    * determinism, perturbation locality, and pair correctness are
+    * pinned in MultimodalSpec. */
+  private val mediaPhash: Q = (s, _) => {
+    import s.implicits._
+    val path = Multimodal.mediaFixture(s)
+    val sigs = s.read.parquet(path).as[Multimodal.MediaRow]
+      .map(m => (m.media_id,
+        Multimodal.phash64(Option(m.payload).getOrElse(Array.empty))))
+      .toDF("media_id", "phash")
+      .localCheckpoint()
+    val bands = sigs.select(col("media_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftrightunsigned(phash, band_idx * 16) & 65535"))
+    val b1 = bands.as("b1"); val b2 = bands.as("b2")
+    b1.join(b2, col("b1.band_idx") === col("b2.band_idx") &&
+        col("b1.band_val") === col("b2.band_val") &&
+        col("b1.media_id") < col("b2.media_id"))
+      .select(col("b1.media_id").as("id_a"),
+        col("b2.media_id").as("id_b"),
+        col("b1.phash").as("pa"), col("b2.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= 4)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_media_phash" -> mediaPhash,
     "q_media_dedup" -> mediaDedup,
     "q_media_frames" -> mediaFrames,
     "q_media_shard" -> mediaShard)

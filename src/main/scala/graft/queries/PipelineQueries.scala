@@ -2092,7 +2092,56 @@ object PipelineQueries {
         col("null_users").cast("long").as("null_users"))
       .orderBy("day")
 
+  /** q_evt_perplexity — branching entropy and perplexity of the
+    * behavioral transition model: per from-state, H = −Σ p·ln p over
+    * q_evt_markov's transition row and PPX = exp(H) — "how
+    * predictable is the next action from this state" (PPX ≈ 1: a
+    * funnel rail; PPX ≈ k: anyone's guess — the state where
+    * recommendations/prefetch pay), plus the corpus-level perplexity
+    * as the transition-weighted aggregate — the exact quantity a
+    * sequence LM is scored by, computed here for the order-1
+    * behavioral LM. Same edge contraction as markov/pagerank/hits;
+    * p·ln p terms round to 8-dp decimals before folds at BOTH levels
+    * (logloss rule — the q_agg_theil nested-fold precedent); exp is
+    * libm-in-rounded-output (q_samp_decay taxonomy). The OVERALL row
+    * rides along with from_type '(overall)' so the readout is one
+    * table. */
+  private val evtPerplexity: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = Tables.load(s, dir, "events")
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")))
+      .localCheckpoint()
+    val perFrom = edges
+      .withColumn("ent_term",
+        round(-col("p") * log(col("p")), 8).cast("decimal(20,8)"))
+      .groupBy("from_type")
+      .agg(sum("n").as("n_trans"), sum("ent_term").as("h_d"))
+    val overall = perFrom
+      .select(col("n_trans"),
+        round(col("n_trans") * col("h_d").cast("double"), 8)
+          .cast("decimal(24,8)").as("wh"))
+      .agg(sum("n_trans").as("n_trans"), sum("wh").as("swh"))
+      .select(lit("(overall)").as("from_type"),
+        col("n_trans").cast("long").as("n_trans"),
+        round(col("swh").cast("double") / col("n_trans"), 4)
+          .as("entropy"),
+        round(exp(col("swh").cast("double") / col("n_trans")), 4)
+          .as("perplexity"))
+    perFrom
+      .select(col("from_type"), col("n_trans").cast("long").as("n_trans"),
+        round(col("h_d").cast("double"), 4).as("entropy"),
+        round(exp(col("h_d").cast("double")), 4).as("perplexity"))
+      .unionByName(overall)
+      .orderBy(col("from_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_perplexity" -> evtPerplexity,
     "q_evt_session_stats" -> evtSessionStats,
     "q_etl_checksum" -> etlChecksum,
     "q_evt_stickiness" -> evtStickiness,

@@ -494,7 +494,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_graph_hits" -> 2.0,
     "q_ts_ljung_box" -> 0.8, "q_ts_dickey_fuller" -> 0.6,
     "q_agg_fleiss_kappa" -> 0.8, "q_agg_permutation" -> 1.0,
-    "q_samp_group_split" -> 0.5)
+    "q_samp_group_split" -> 0.5,
+    "q_evt_perplexity" -> 0.8, "q_media_phash" -> 0.8)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

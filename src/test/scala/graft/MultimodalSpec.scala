@@ -74,4 +74,46 @@ class MultimodalSpec extends SparkSpecBase {
       .select("media_id").as[Long].collect().toSet
     assert(kept == (0L until 30L).toSet, "kept wrong copies")
   }
+
+  test("phash64 is deterministic and byte-flip local") {
+    val payload = (0 until 256).map(j => ((j * 13) % 256).toByte).toArray
+    val h1 = Multimodal.phash64(payload)
+    assert(h1 == Multimodal.phash64(payload.clone()),
+      "phash must be a pure function of the bytes")
+    // one flipped byte moves at most two histogram bins -> at most 2
+    // signature bits can cross their threshold
+    val flipped = payload.clone(); flipped(42) = (flipped(42) ^ 0x5A).toByte
+    val d = java.lang.Long.bitCount(h1 ^ Multimodal.phash64(flipped))
+    assert(d <= 2, s"single-byte flip moved $d bits (locality broken)")
+    // unrelated payloads should differ in many bits
+    val other = (0 until 256).map(j => ((j * j + 7) % 256).toByte).toArray
+    val far = java.lang.Long.bitCount(h1 ^ Multimodal.phash64(other))
+    assert(far > 8, s"unrelated payloads only $far bits apart")
+  }
+
+  test("q_media_phash matches the brute-force banded reference exactly") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_media_phash")(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent in-memory reference: all pairs that share >= 1 of
+    // the 4 exact 16-bit bands AND sit within hamming 4
+    val sigs = spark.read
+      .parquet(graft.ops.Multimodal.mediaFixture(spark))
+      .as[graft.ops.Multimodal.MediaRow].collect()
+      .map(m => m.media_id ->
+        graft.ops.Multimodal.phash64(Option(m.payload)
+          .getOrElse(Array.empty)))
+      .sortBy(_._1)
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >>> (b * 16)) & 0xFFFFL)).toSet
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if bands(sigs(i)._2).intersect(bands(sigs(j)._2)).nonEmpty
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= 4
+    } yield (sigs(i)._1, sigs(j)._1, d.toLong)).toSet
+    assert(got == expected,
+      s"pair set mismatch: ${got.size} got vs ${expected.size} expected")
+  }
 }
