@@ -228,7 +228,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-class window sort over documents + 1-row quota broadcast
     "q_samp_balanced" -> 0.4,
     // distinct (order,brand) contraction + co-partitioned pair join
-    "q_agg_basket" -> 1.0,
+    "q_agg_basket" -> 1.5,
     // k·dim centroid broadcast + one corpus pass scoring k dots/row
     "q_vec_silhouette" -> 0.8,
     // two cumulative windows on the types·days grid
