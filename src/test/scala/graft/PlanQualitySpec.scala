@@ -757,6 +757,66 @@ class PlanQualitySpec extends SparkSpecBase {
       "nested-array collects lost the two-phase shape")
   }
 
+  test("q_agg_auc contracts to the value grid, no join anywhere") {
+    val p = plan("q_agg_auc")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "grid contraction must partial-aggregate map-side")
+    assert(!p.contains("Join"),
+      "AUC is grid windows + one fold — a join means the rank " +
+        "formulation regressed to a pair build")
+  }
+
+  test("q_graph_adamic_adar wedge join is an equi-join on the pivot") {
+    val p = plan("q_graph_adamic_adar")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation regressed to all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on w")
+  }
+
+  test("q_text_pmi joins counts back by term — never a cross product") {
+    val p = plan("q_text_pmi")
+    assert(!p.contains("CartesianProduct"),
+      "PMI scoring must join survivors to unigram counts by key:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q_stream_left plans the interval condition as an equi-join") {
+    val p = plan("q_stream_left")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "left-outer interval join regressed to all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "expected an equi-join on user_id with the time bound as a " +
+        "post-condition (broadcast is fine when one side fits)")
+  }
+
+  test("q_stream_cdc folds the changelog as WindowGroupLimit, no join") {
+    val p = plan("q_stream_cdc")
+    assert(p.contains("WindowGroupLimit"),
+      "the maximal-op rank must stream with one row of per-key state")
+    assert(!p.contains("Join"), "final-state fold needs no join")
+  }
+
+  test("q_ts_granger is one daily contraction + one moment fold, no join") {
+    val p = plan("q_ts_granger")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "daily grid must partial-aggregate")
+    assert(!p.contains("Join"),
+      "both directions come from ONE 14-sum aggregate — a join means " +
+        "the closed form regressed to per-direction passes")
+  }
+
+  test("q_media_phash candidates come from band equi-joins") {
+    val p = plan("q_media_phash")
+    assert(!p.contains("CartesianProduct"),
+      "near-dup candidate build regressed to all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "expected an equi-join on (band_idx, band_val)")
+  }
+
   test("q_join_spatial grid join is an equi-join, never a cross product") {
     val p = plan("q_join_spatial")
     assert(!p.contains("CartesianProduct") &&
