@@ -2934,6 +2934,176 @@ object OracleSql {
                 CASE WHEN f_bf > 3.0 THEN 1 ELSE 0 END
                   AS heteroscedastic
          FROM folded""",
+    // Mirrors textLmScore: vocabulary-sized count tables, doc bigrams
+    // equi-joined by key, 8-dp ln terms, per-doc 4-dp decimal scores,
+    // source stats on exact decimals (sum/count, never DuckDB's
+    // double-folding avg).
+    "q_text_lm_score" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         uni AS (
+           SELECT unnest(w) AS term FROM t),
+         uc AS (
+           SELECT term, count(*) AS c_u FROM uni GROUP BY term),
+         vocab AS (SELECT count(*) AS v FROM uc),
+         b AS (
+           SELECT unnest(list_transform(range(len(w) - 1),
+                    i -> array_to_string(w[i+1:i+2], ' '))) AS pair
+           FROM t WHERE len(w) >= 2),
+         bc AS (
+           SELECT pair, count(*) AS c_b FROM b GROUP BY pair),
+         db AS (
+           SELECT doc_id, source,
+                  unnest(list_transform(range(len(w) - 1),
+                    i -> array_to_string(w[i+1:i+2], ' '))) AS pair
+           FROM t WHERE len(w) >= 2),
+         terms AS (
+           SELECT db.doc_id, db.source,
+                  CAST(round(ln((bc.c_b + 0.5) /
+                    (uc.c_u + 0.5 * v)), 8) AS DECIMAL(20,8)) AS lp
+           FROM db
+           JOIN bc ON bc.pair = db.pair
+           JOIN uc ON uc.term = string_split(db.pair, ' ')[1], vocab),
+         scored AS (
+           SELECT doc_id, source, count(*) AS n_bi,
+                  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*), 4)
+                    AS DECIMAL(14,4)) AS doc_lp
+           FROM terms GROUP BY doc_id, source)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(sum(doc_lp) AS DOUBLE) / count(*), 4)
+                  AS mean_logprob,
+                round(quantile_cont(CAST(doc_lp AS DOUBLE), 0.1), 4)
+                  AS p10_logprob,
+                round(quantile_cont(CAST(doc_lp AS DOUBLE), 0.5), 4)
+                  AS p50_logprob,
+                round(quantile_cont(CAST(doc_lp AS DOUBLE), 0.9), 4)
+                  AS p90_logprob
+         FROM scored GROUP BY source ORDER BY source NULLS FIRST""",
+    // Mirrors textDedupPrefix: prefix-sha groups, longest-copy keeper
+    // under the pinned (n_chars DESC, doc_id) order.
+    "q_text_dedup_prefix" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+                  sha256(substr(text, 1, 256)) AS prefix_sha
+           FROM documents),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY prefix_sha
+                    ORDER BY n_chars DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY prefix_sha) AS n_dups,
+                  min(n_chars) OVER (PARTITION BY prefix_sha)
+                    AS min_chars
+           FROM d)
+         SELECT prefix_sha, CAST(n_dups AS BIGINT) AS n_dups,
+                doc_id AS kept_doc,
+                CAST(n_chars AS BIGINT) AS kept_chars,
+                CAST(min_chars AS BIGINT) AS min_chars
+         FROM r WHERE rn = 1 AND n_dups > 1
+         ORDER BY prefix_sha""",
+    // Mirrors textUnicodeAudit: identical Java∩RE2 character-class
+    // strips ('g' flag — DuckDB replaces first-only by default),
+    // integer sums, two ratio divisions at readout.
+    "q_text_unicode_audit" ->
+      """WITH m AS (
+           SELECT source, length(text) AS n_ch,
+                  length(text) - length(regexp_replace(text,
+                    '[^\x00-\x7F]', '', 'g')) AS n_na,
+                  length(text) - length(regexp_replace(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl,
+                  length(text) - length(regexp_replace(text,
+                    '�', '', 'g')) AS n_repl,
+                  length(text) - length(regexp_replace(text,
+                    '[A-Z]', '', 'g')) AS n_up
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN n_na > 0 THEN 1 END) AS BIGINT)
+                  AS docs_non_ascii,
+                CAST(sum(n_ctrl) AS BIGINT) AS control_chars,
+                CAST(sum(n_repl) AS BIGINT) AS replacement_chars,
+                round(CAST(sum(n_na) AS DOUBLE) / sum(n_ch), 6)
+                  AS non_ascii_ratio,
+                round(CAST(sum(n_up) AS DOUBLE) / sum(n_ch), 6)
+                  AS upper_ratio
+         FROM m GROUP BY source ORDER BY source NULLS FIRST""",
+    // Mirrors tsHodCircular: minute-of-day grid, 8-dp cos/sin terms
+    // weighted by counts, atan2/sqrt in rounded outputs only.
+    "q_ts_hod_circular" ->
+      """WITH grid AS (
+           SELECT event_type,
+                  CAST(date_part('hour', ts) AS INTEGER) * 60
+                    + CAST(date_part('minute', ts) AS INTEGER) AS md,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t2 AS (
+           SELECT event_type, n,
+                  CAST(round(cos(2.0 * pi() * md / 1440.0), 8)
+                    AS DECIMAL(20,8)) * n AS tc,
+                  CAST(round(sin(2.0 * pi() * md / 1440.0), 8)
+                    AS DECIMAL(20,8)) * n AS tsn
+           FROM grid),
+         g AS (
+           SELECT event_type, sum(n) AS n, sum(tc) AS sc,
+                  sum(tsn) AS ss
+           FROM t2 GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                round(fmod(atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+                  / (2.0 * pi()) * 24.0 + 24.0, 24.0), 4) AS mean_hour,
+                round(sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n, 4)
+                  AS resultant,
+                CASE WHEN sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n > 0.5
+                  THEN 1 ELSE 0 END AS concentrated
+         FROM g ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsRunsTest: sign grid windows (zero changes dropped),
+    // integer R/n+/n-, one shared closed form.
+    "q_ts_runs_test" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         ch AS (
+           SELECT * FROM (
+             SELECT event_type, d,
+                    y - lag(y) OVER (PARTITION BY event_type ORDER BY d)
+                      AS dy
+             FROM daily) q WHERE dy IS NOT NULL AND dy <> 0),
+         sg AS (
+           SELECT event_type, d,
+                  CASE WHEN dy > 0 THEN 1 ELSE -1 END AS sgn
+           FROM ch),
+         b AS (
+           SELECT event_type,
+                  CASE WHEN lag(sgn) OVER w IS NULL
+                         OR sgn <> lag(sgn) OVER w
+                       THEN 1 ELSE 0 END AS brk,
+                  sgn
+           FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         runs AS (
+           SELECT event_type, sum(brk) AS r,
+                  count(CASE WHEN sgn = 1 THEN 1 END) AS n_up,
+                  count(CASE WHEN sgn = -1 THEN 1 END) AS n_dn
+           FROM b GROUP BY 1),
+         z AS (
+           SELECT event_type, r, n_up, n_dn,
+                  (CAST(r AS DOUBLE) -
+                    (2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                      / (CAST(n_up AS DOUBLE) + CAST(n_dn AS DOUBLE))
+                      + 1.0))
+                  / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                    * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                      - CAST(n_up AS DOUBLE) - CAST(n_dn AS DOUBLE))
+                    / ((CAST(n_up AS DOUBLE) + CAST(n_dn AS DOUBLE))
+                      * (CAST(n_up AS DOUBLE) + CAST(n_dn AS DOUBLE))
+                      * (CAST(n_up AS DOUBLE) + CAST(n_dn AS DOUBLE)
+                        - 1.0))) AS zs
+           FROM runs)
+         SELECT event_type, CAST(r AS BIGINT) AS n_runs,
+                CAST(n_up AS BIGINT) AS n_up,
+                CAST(n_dn AS BIGINT) AS n_dn,
+                round(zs, 4) AS z,
+                CASE WHEN abs(zs) > 1.96 THEN 1 ELSE 0 END
+                  AS non_random
+         FROM z ORDER BY event_type NULLS FIRST""",
     // Mirrors evtPerplexity: markov's transition contraction, 8-dp
     // p*ln p terms at both fold levels (theil nested-fold precedent),
     // exp in rounded outputs only.

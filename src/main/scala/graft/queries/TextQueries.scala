@@ -1859,7 +1859,139 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** q_text_lm_score — CCNet-style bigram-LM quality scoring: train an
+    * add-k-smoothed bigram model ON the corpus, score every document's
+    * average token log-probability, and report the per-source score
+    * distribution — the language-model perplexity filter every
+    * pretraining-data pipeline runs (fluent prose scores high;
+    * boilerplate, tag soup, and mojibake score low). Self-scoring on
+    * the corpus is the standard in-domain form; scoring against an
+    * external LM swaps the count tables, nothing else. Dataflow: the
+    * bigram/unigram count tables are vocabulary-sized contractions
+    * (cooccur's machinery); doc scoring re-explodes bigrams WITH
+    * doc_id and equi-joins the count tables by key — corpus-scale
+    * joins, but co-keyed, never cross. Float discipline: each
+    * bigram's ln term is 8-dp-decimal pre-rounded (logloss rule), the
+    * per-doc average divides once and re-rounds to a 4-dp decimal, so
+    * the source-level mean/percentiles run on exact decimals. Docs
+    * with < 2 tokens have no bigrams and drop out of scoring (join
+    * semantics, identical both engines). */
+  private val textLmScore: Q = (s, dir) => {
+    val toks = Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        TextSim.tokens(col("text")).as("w"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_u"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = toks.select(explode(org.apache.spark.sql.graftfns
+        .QuantFunctions.token_bigrams(col("w"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_b"))
+    val docBigrams = toks.select(col("doc_id"), col("source"),
+      explode(org.apache.spark.sql.graftfns.QuantFunctions
+        .token_bigrams(col("w"))).as("pair"))
+    val scored = docBigrams
+      .join(big, "pair")
+      .withColumn("ta", split(col("pair"), " ").getItem(0))
+      .join(uni.select(col("term").as("ta"), col("c_u")), "ta")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log((col("c_b") + lit(0.5)) /
+        (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
+      .withColumn("doc_lp",
+        round(col("slp").cast("double") / col("n_bi"), 4)
+          .cast("decimal(14,4)"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        // explicit sum/count: DuckDB's avg() folds decimals as
+        // DOUBLES (order-dependent); a decimal sum + one division is
+        // exact on both engines
+        sum(col("doc_lp")).as("sum_d"),
+        expr("percentile(CAST(doc_lp AS DOUBLE), 0.1)").as("p10"),
+        expr("percentile(CAST(doc_lp AS DOUBLE), 0.5)").as("p50"),
+        expr("percentile(CAST(doc_lp AS DOUBLE), 0.9)").as("p90"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        round(col("sum_d").cast("double") / col("n_docs"), 4)
+          .as("mean_logprob"),
+        round(col("p10"), 4).as("p10_logprob"),
+        round(col("p50"), 4).as("p50_logprob"),
+        round(col("p90"), 4).as("p90_logprob"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  /** q_text_dedup_prefix — truncation dedup: documents sharing the
+    * same 256-char PREFIX collapse to one group and the LONGEST copy
+    * wins — the near-dup class exact-hash dedup misses entirely (a
+    * truncated crawl re-fetch, a cut-off re-scrape, a snippet of a
+    * full page share a prefix but not a sha), and MinHash only
+    * catches when the truncation keeps most shingles. One sha
+    * contraction on the prefix; keeper = max n_chars then min doc_id
+    * (pinned total order). Reports only multi-doc groups — the dedup
+    * worklist. */
+  private val textDedupPrefix: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("prefix_sha", sha2(substring(col("text"), 1, 256), 256))
+    val wk = Window.partitionBy("prefix_sha")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(wk))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy("prefix_sha")))
+      .withColumn("min_chars",
+        min("n_chars").over(Window.partitionBy("prefix_sha")))
+      .filter(col("rn") === 1 && col("n_dups") > 1)
+      .select(col("prefix_sha"), col("n_dups").cast("long").as("n_dups"),
+        col("doc_id").as("kept_doc"),
+        col("n_chars").cast("long").as("kept_chars"),
+        col("min_chars").cast("long").as("min_chars"))
+      .orderBy("prefix_sha")
+  }
+
+  /** q_text_unicode_audit — encoding-health audit per source: share of
+    * docs containing non-ASCII, the non-ASCII character ratio, control
+    * characters, U+FFFD replacement characters (THE mojibake tell —
+    * every one marks a byte sequence some decoder gave up on), and the
+    * uppercase ratio — the pre-ingest screen that catches a
+    * mis-decoded shard before it poisons tokenizer training. Counting
+    * is length-difference against a character-class strip
+    * (`regexp_replace` with patterns in the Java∩RE2 subset so both
+    * engines run the identical regex); everything aggregates as
+    * integers, two ratios divide once at readout. */
+  private val textUnicodeAudit: Q = (s, dir) => {
+    val nonAscii = length(col("text")) -
+      length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+    val ctrl = length(col("text")) -
+      length(regexp_replace(col("text"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val repl = length(col("text")) -
+      length(regexp_replace(col("text"), "�", ""))
+    val upper = length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Z]", ""))
+    Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(col("source"), length(col("text")).as("n_ch"),
+        nonAscii.as("n_na"), ctrl.as("n_ctrl"), repl.as("n_repl"),
+        upper.as("n_up"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_na") > 0, 1)).as("docs_non_ascii"),
+        sum("n_ch").as("chars"), sum("n_na").as("na"),
+        sum("n_ctrl").as("ctrl"), sum("n_repl").as("repl"),
+        sum("n_up").as("up"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("docs_non_ascii").cast("long").as("docs_non_ascii"),
+        col("ctrl").cast("long").as("control_chars"),
+        col("repl").cast("long").as("replacement_chars"),
+        round(col("na").cast("double") / col("chars"), 6)
+          .as("non_ascii_ratio"),
+        round(col("up").cast("double") / col("chars"), 6)
+          .as("upper_ratio"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_text_lm_score" -> textLmScore,
+    "q_text_dedup_prefix" -> textDedupPrefix,
+    "q_text_unicode_audit" -> textUnicodeAudit,
     "q_samp_group_split" -> sampGroupSplit,
     "q_text_pmi" -> textPmi,
     "q_text_hapax" -> textHapax,

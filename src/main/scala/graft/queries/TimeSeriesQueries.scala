@@ -909,7 +909,84 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_hod_circular — circular statistics of event time-of-day per
+    * type: the mean hour as a CIRCULAR mean (23:00 and 01:00 average
+    * to midnight, not noon — the bug every linear hour-mean has) and
+    * the resultant length R ∈ [0,1] as the concentration score (R→1:
+    * sharply peaked daily habit; R→0: uniform around the clock) — the
+    * readout behind load forecasting, send-time optimization, and
+    * bot detection (machines are R≈1 at odd hours). One corpus
+    * contraction to per-(type, minute-of-day) counts (≤1440 grid
+    * rows), cos/sin of the pinned θ = 2π·mod/1440 rounded to 8-dp
+    * decimals BEFORE the weighted fold (the periodogram rule), atan2
+    * and sqrt only in rounded outputs. */
+  private val tsHodCircular: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).as("mod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("theta",
+        lit(2.0) * lit(math.Pi) * col("mod") / lit(1440.0))
+      .withColumn("tc", round(cos(col("theta")), 8)
+        .cast("decimal(20,8)") * col("n"))
+      .withColumn("tsn", round(sin(col("theta")), 8)
+        .cast("decimal(20,8)") * col("n"))
+    grid.groupBy("event_type")
+      .agg(sum("n").as("n"), sum("tc").as("sc"), sum("tsn").as("ss"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        round((atan2(col("ss").cast("double"), col("sc").cast("double"))
+          / (lit(2.0) * lit(math.Pi)) * 24.0 + 24.0) % 24.0, 4)
+          .as("mean_hour"),
+        round(sqrt(col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          col("n"), 4).as("resultant"),
+        when(sqrt(col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          col("n") > 0.5, 1).otherwise(0).as("concentrated"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_runs_test — Wald–Wolfowitz runs test on the SIGN of
+    * day-over-day change per type: too few runs = trending/sticky,
+    * too many = oscillating; |z| ≤ 1.96 is what "random fluctuation"
+    * actually looks like — the nonparametric randomness gate that
+    * says whether q_ts_changepoint/q_ts_anomaly findings sit on noise
+    * or structure. Zero-change days are dropped (the pinned
+    * convention — ties carry no direction). Signs and run breaks are
+    * two grid windows; R, n⁺, n⁻ are integers and μ, σ², z one shared
+    * closed form. */
+  private val tsRunsTest: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val signs = dailySeries(s, dir)
+      .withColumn("dy", col("y") - lag(col("y"), 1).over(w))
+      .filter(col("dy").isNotNull && col("dy") =!= 0)
+      .withColumn("sgn", when(col("dy") > 0, 1).otherwise(-1))
+    val runs = signs
+      .withColumn("brk",
+        when(lag(col("sgn"), 1).over(w).isNull ||
+          col("sgn") =!= lag(col("sgn"), 1).over(w), 1).otherwise(0))
+      .groupBy("event_type")
+      .agg(sum("brk").as("r"),
+        count(when(col("sgn") === 1, 1)).as("n_up"),
+        count(when(col("sgn") === -1, 1)).as("n_dn"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_dn").cast("double")
+    val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+    val sig2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+    val z = (col("r").cast("double") - mu) / sqrt(sig2)
+    runs.select(col("event_type"),
+        col("r").cast("long").as("n_runs"),
+        col("n_up").cast("long").as("n_up"),
+        col("n_dn").cast("long").as("n_dn"),
+        round(z, 4).as("z"),
+        when(abs(z) > 1.96, 1).otherwise(0).as("non_random"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_hod_circular" -> tsHodCircular,
+    "q_ts_runs_test" -> tsRunsTest,
     "q_ts_ljung_box" -> tsLjungBox,
     "q_ts_dickey_fuller" -> tsDickeyFuller,
     "q_ts_spectral_entropy" -> tsSpectralEntropy,

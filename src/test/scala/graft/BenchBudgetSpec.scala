@@ -495,7 +495,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_ljung_box" -> 0.8, "q_ts_dickey_fuller" -> 0.6,
     "q_agg_fleiss_kappa" -> 0.8, "q_agg_permutation" -> 1.0,
     "q_samp_group_split" -> 0.5,
-    "q_evt_perplexity" -> 0.8, "q_media_phash" -> 0.8)
+    "q_evt_perplexity" -> 0.8, "q_media_phash" -> 0.8,
+    "q_text_lm_score" -> 2.0, "q_text_dedup_prefix" -> 0.6,
+    "q_text_unicode_audit" -> 0.8, "q_ts_hod_circular" -> 0.7,
+    "q_ts_runs_test" -> 0.6)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 356, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 329)
+    assert(declared.size == 361, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 334)
     assert(declared.values.count(_ == "Q") == 23)
     assert(declared.values.count(_ == "U") == 4)
   }
