@@ -282,4 +282,126 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       case _ =>
     }
   }
+
+  /** lineitem at sf0.001 as (returnflag, quantity). */
+  private lazy val liQty: Array[(String, Double)] =
+    Tables.load(spark, sf0001, "lineitem")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS DOUBLE)")
+      .as[(String, Double)].collect()
+
+  test("q_agg_auc matches a hand-rolled mid-rank AUC") {
+    val scored = events.map(e => (e._5, e._4 == "purchase"))
+    val nPos = scored.count(_._2).toDouble
+    val nNeg = scored.count(!_._2).toDouble
+    // mid-ranks over the pooled sample
+    val byValue = scored.sortBy(_._1)
+    val ranks = new Array[Double](byValue.length)
+    var i = 0
+    while (i < byValue.length) {
+      var j = i
+      while (j + 1 < byValue.length && byValue(j + 1)._1 == byValue(i)._1)
+        j += 1
+      val mid = (i + j + 2) / 2.0 // average of 1-based ranks i+1..j+1
+      (i to j).foreach(k => ranks(k) = mid)
+      i = j + 1
+    }
+    val rPos = byValue.zip(ranks).collect { case ((_, true), r) => r }.sum
+    val expectedAuc = (rPos - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+    val row = SparkEntry.queries("q_agg_auc")(spark, sf0001)
+      .selectExpr("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(row._1 == nPos.toLong && row._2 == nNeg.toLong)
+    assert(math.abs(row._3 - expectedAuc) < 2e-6,
+      s"auc ${row._3} vs reference $expectedAuc")
+  }
+
+  test("q_agg_trimmed_mean matches the sorted-slice reference") {
+    val got = SparkEntry.queries("q_agg_trimmed_mean")(spark, sf0001)
+      .selectExpr("grp", "n", "n_kept", "trimmed_mean")
+      .as[(String, Long, Long, Double)].collect()
+    got.foreach { case (grp, n, nKept, tm) =>
+      val xs = liQty.collect { case (g, q) if g == grp => q }.sorted
+      val lo = xs.length / 10
+      val kept = xs.slice(lo, xs.length - lo)
+      assert(n == xs.length && nKept == kept.length,
+        s"$grp: counts $n/$nKept vs ${xs.length}/${kept.length}")
+      val ref = kept.sum / kept.length
+      assert(math.abs(tm - ref) < 2e-4,
+        s"$grp: trimmed mean $tm vs reference $ref")
+    }
+  }
+
+  test("q_agg_hodges_lehmann matches the brute-force pairwise median") {
+    val a = liQty.collect { case ("A", q) => q }
+    val r = liQty.collect { case ("R", q) => q }
+    val diffs = (for (x <- a; y <- r) yield x - y).sorted
+    // lower weighted median convention: first d where 2*cum >= total
+    val idx = (diffs.length + 1) / 2 - 1
+    val expected = diffs(idx)
+    val row = SparkEntry.queries("q_agg_hodges_lehmann")(spark, sf0001)
+      .selectExpr("n_pairs", "hl_shift").as[(Long, Double)].head()
+    assert(row._1 == diffs.length.toLong)
+    assert(row._2 == expected,
+      s"hl_shift ${row._2} vs reference $expected")
+  }
+
+  test("q_agg_friedman matches a hand-rolled blocked rank test") {
+    // same cell grid the query builds: 8-dp rounded per-cell means
+    val cells = events.groupBy(e => (dow(e._2), e._4)).map {
+      case ((d, t), evs) =>
+        // mirror the query: exact 2-dp decimal sum, one double
+        // division, 8-dp round
+        val sv = evs.map(_._5).map(v =>
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        val mean = BigDecimal(sv.toDouble / evs.size)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        (d, t, mean)
+    }.toSeq
+    val k = cells.map(_._2).distinct.size
+    val nBlocks = cells.map(_._1).distinct.size
+    val rj = cells.groupBy(_._1).values.flatMap { block =>
+      block.sortBy(c => (c._3, c._2)).zipWithIndex
+        .map { case (c, i) => c._2 -> (i + 1).toLong }
+    }.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sum }
+    val r2 = rj.values.map(r => r * r).sum
+    val chi2 = 12.0 * r2 / (nBlocks.toLong * k * (k + 1)) -
+      3.0 * nBlocks * (k + 1)
+    val row = SparkEntry.queries("q_agg_friedman")(spark, sf0001)
+      .selectExpr("n_blocks", "k", "chi2_f").as[(Long, Long, Double)]
+      .head()
+    assert(row._1 == nBlocks && row._2 == k)
+    assert(math.abs(row._3 - chi2) < 2e-4,
+      s"chi2_f ${row._3} vs reference $chi2")
+  }
+
+  test("q_ts_runs_test matches a hand-rolled runs count and z") {
+    val daily = events.groupBy(e => (e._4, e._2 / 86400000000L))
+      .map { case ((t, day), evs) => (t, day, evs.size) }.toSeq
+    val got = SparkEntry.queries("q_ts_runs_test")(spark, sf0001)
+      .selectExpr("event_type", "n_runs", "n_up", "n_dn", "z")
+      .as[(String, Long, Long, Long, Double)].collect()
+    got.foreach { case (t, nRuns, nUp, nDn, z) =>
+      val series = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val signs = series.zip(series.tail).map { case (a, b) => b - a }
+        .filter(_ != 0).map(d => if (d > 0) 1 else -1)
+      val runs = 1 + signs.zip(signs.tail).count { case (a, b) => a != b }
+      val (u, d) = (signs.count(_ == 1).toDouble,
+        signs.count(_ == -1).toDouble)
+      val mu = 2.0 * u * d / (u + d) + 1.0
+      val s2 = 2.0 * u * d * (2.0 * u * d - u - d) /
+        ((u + d) * (u + d) * (u + d - 1.0))
+      val zRef = (runs - mu) / math.sqrt(s2)
+      assert(nRuns == runs.toLong && nUp == u.toLong && nDn == d.toLong,
+        s"$t: counts ($nRuns,$nUp,$nDn) vs ($runs,$u,$d)")
+      assert(math.abs(z - zRef) < 2e-4, s"$t: z $z vs reference $zRef")
+    }
+  }
+
+  /** Day-of-week matching Spark's dayofweek() (1 = Sunday), from the
+    * event-time micros (UTC). */
+  private def dow(tsMicros: Long): Int = {
+    val days = java.time.Instant.ofEpochSecond(tsMicros / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.getDayOfWeek.getValue
+    // java DayOfWeek: 1 = Monday..7 = Sunday; Spark: 1 = Sunday
+    if (days == 7) 1 else days + 1
+  }
 }
