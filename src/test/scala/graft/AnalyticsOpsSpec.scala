@@ -404,4 +404,107 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     // java DayOfWeek: 1 = Monday..7 = Sunday; Spark: 1 = Sunday
     if (days == 7) 1 else days + 1
   }
+
+  test("q_ts_granger matches a direct residual-sum OLS reference") {
+    // independent route: fit BOTH models by explicit normal-equation
+    // solves and compute RSS as literal residual sums — no shared
+    // co-moment closed form with the query
+    val daily = events.groupBy(_._2 / 86400000000L).toSeq.sortBy(_._1)
+      .map { case (_, evs) =>
+        (evs.count(_._4 == "click").toDouble,
+          evs.count(_._4 == "purchase").toDouble)
+      }
+    val rows = daily.zip(daily.tail).map { case ((xl, yl), (x, y)) =>
+      (y, x, yl, xl) // response pair + lags
+    }
+    def ols(ys: Seq[Double], xs: Seq[Seq[Double]]): Double = {
+      // least squares with intercept via normal equations
+      // (tiny k: gaussian elimination), returns RSS
+      val k = xs.head.size + 1
+      val a = Array.ofDim[Double](k, k + 1)
+      val design = xs.map(1.0 +: _)
+      for (r <- design.indices; i <- 0 until k) {
+        for (j <- 0 until k) a(i)(j) += design(r)(i) * design(r)(j)
+        a(i)(k) += design(r)(i) * ys(r)
+      }
+      for (p0 <- 0 until k) {
+        val piv = (p0 until k).maxBy(r => math.abs(a(r)(p0)))
+        val tmp = a(p0); a(p0) = a(piv); a(piv) = tmp
+        for (r <- 0 until k if r != p0) {
+          val f = a(r)(p0) / a(p0)(p0)
+          for (c <- p0 to k) a(r)(c) -= f * a(p0)(c)
+        }
+      }
+      val beta = (0 until k).map(i => a(i)(k) / a(i)(i))
+      ys.zip(design).map { case (yv, d) =>
+        val e = yv - d.zip(beta).map(t => t._1 * t._2).sum
+        e * e
+      }.sum
+    }
+    val n = rows.size.toDouble
+    val yR = rows.map(_._1)
+    val rssU1 = ols(yR, rows.map(r => Seq(r._3, r._4)))
+    val rssR1 = ols(yR, rows.map(r => Seq(r._3)))
+    val fRef = (rssR1 - rssU1) / (rssU1 / (n - 3.0))
+    val got = SparkEntry.queries("q_ts_granger")(spark, sf0001)
+      .selectExpr("n_days", "f_click_to_purchase")
+      .as[(Long, Double)].head()
+    assert(got._1 == rows.size.toLong)
+    assert(math.abs(got._2 - fRef) < 5e-3,
+      s"f_click_to_purchase ${got._2} vs reference $fRef")
+  }
+
+  test("q_agg_levene matches a direct Brown-Forsythe reference") {
+    val byGrp = liQty.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted
+    }
+    val devs = byGrp.toSeq.flatMap { case (_, xs) =>
+      val med =
+        if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+      xs.map(x => math.abs(x - med))
+    }
+    val grpDevs = byGrp.toSeq.sortBy(_._1).map { case (_, xs) =>
+      val med =
+        if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+      xs.map(x => math.abs(x - med))
+    }
+    val k = grpDevs.size.toDouble
+    val nTot = devs.size.toDouble
+    val grand = devs.sum / nTot
+    val msb = grpDevs.map { zs =>
+      val m = zs.sum / zs.size
+      zs.size * (m - grand) * (m - grand)
+    }.sum / (k - 1)
+    val msw = grpDevs.map { zs =>
+      val m = zs.sum / zs.size
+      zs.map(z => (z - m) * (z - m)).sum
+    }.sum / (nTot - k)
+    val got = SparkEntry.queries("q_agg_levene")(spark, sf0001)
+      .selectExpr("f_bf").as[Double].head()
+    assert(math.abs(got - msb / msw) < 5e-3,
+      s"f_bf $got vs reference ${msb / msw}")
+  }
+
+  test("q_agg_tukey matches a direct pooled-variance reference") {
+    val byGrp = liQty.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2)
+    }
+    val k = byGrp.size.toDouble
+    val nTot = liQty.length.toDouble
+    val msw = byGrp.values.map { xs =>
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum
+    }.sum / (nTot - k)
+    val got = SparkEntry.queries("q_agg_tukey")(spark, sf0001)
+      .selectExpr("grp_a", "grp_b", "q_stat")
+      .as[(String, String, Double)].collect()
+    got.foreach { case (ga, gb, q) =>
+      val a = byGrp(ga); val b = byGrp(gb)
+      val ref = math.abs(a.sum / a.size - b.sum / b.size) /
+        math.sqrt(msw / 2.0 * (1.0 / a.size + 1.0 / b.size))
+      assert(math.abs(q - ref) < 5e-3, s"$ga-$gb: q $q vs reference $ref")
+    }
+  }
 }
