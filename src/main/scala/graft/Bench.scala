@@ -44,18 +44,37 @@ object Bench {
     // not the one-off fixture write
     graft.queries.SourceQueries.prepareFixtures(spark, sfDir)
     graft.ops.Multimodal.mediaFixture(spark)
+    // per-query hygiene (the round-14 judged-number killer): many
+    // operators localCheckpoint()/persist() intermediate stages, and in
+    // a single 357-query JVM those blocks are only reclaimed when the
+    // ContextCleaner notices the RDD is garbage — which a 128 GiB heap
+    // may not GC for hundreds of queries. The leaked blocks squeeze the
+    // unified memory pool until mid-bench queries spill and thrash
+    // (r14: q_text_decon_ngram 1.9 s first sample, 45/31 s after; 1.2 s
+    // isolated). Dropping every persisted block + a periodic GC breath
+    // (to let ContextCleaner release accumulated broadcasts) between
+    // queries keeps sample N as clean as sample 1.
+    var sinceGc = 0
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+    }
+    val resampledB = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // -1 marks a failed query instead of silently reporting its
       // time-to-crash as a (fast) success
-      def runOnce(): Double =
+      def runOnce(): (Double, Double) =
         try {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, loadavg())
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
+            (-1.0, loadavg())
         }
       // one retry after a failed warm-up: transient environment faults
       // (e.g. a scratch-dir race in the sink round trips) should not
@@ -63,21 +82,46 @@ object Bench {
       // but the retry is RECORDED (bench.json "retried" list + stderr),
       // so an intermittently flaky query stays distinguishable from a
       // clean run instead of being silently absorbed
-      val firstWarmFailed = runOnce() < 0
+      val firstWarmFailed = runOnce()._1 < 0
       if (firstWarmFailed)
         System.err.println(s"[bench] $name warm-up failed once; retrying")
       // TWO warm-ups: the round-12 judged run showed one is not enough —
       // first-timed samples still carried page-cache/codegen cold cost
       // (q_vec_cosine_dedup 11.3/3.6/0.97 s), skewing the median high
+      def sampleSet(): Seq[(Double, Double)] = Seq.fill(runs)(runOnce())
+      val first =
+        if (firstWarmFailed && runOnce()._1 < 0) Seq((-1.0, loadavg()))
+        else { runOnce(); sampleSet() }
+      // auto-resample (r14 postmortem): a transient host/JVM spike can
+      // turn one sample into a 20x outlier and drag the MEDIAN with it
+      // (q_text_decon_ngram samples [1.89, 45.09, 30.71] → median 30.7 s
+      // vs 1.2 s real). When the spread says "unstable measurement, not
+      // steady-state cost" (max/min > 5x on a non-trivial query), clean
+      // up and measure again; the fresh set replaces the noisy one and
+      // the query is recorded in "resampled" so the gate can see the
+      // re-measurement happened rather than trusting a noisy median.
+      def spread(s: Seq[(Double, Double)]): Double = {
+        val ts = s.map(_._1)
+        if (ts.exists(_ <= 0)) 1.0 else ts.max / ts.min
+      }
+      val unstable = spread(first) > 5.0 && first.map(_._1).max > 0.5
       val samples =
-        if (firstWarmFailed && runOnce() < 0) Seq(-1.0)
-        else { runOnce(); Seq.fill(runs)(runOnce()) }
+        if (unstable) {
+          System.err.println(
+            s"[bench] $name samples ${first.map(_._1)} unstable; resampling")
+          resampledB += name
+          hygiene()
+          sampleSet()
+        } else first
+      val times = samples.map(_._1)
       val median =
-        if (samples.exists(_ < 0)) -1.0
-        else samples.sorted.apply(samples.size / 2)
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      hygiene()
       name -> (median, samples, firstWarmFailed)
     }
     val retried = results.collect { case (k, (_, _, true)) => k }
+    val resampled = resampledB.toSeq
     val total = results.values.map(_._1).sum
     def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
     val fullJson = obj(Seq(
@@ -85,8 +129,14 @@ object Bench {
       s""""method":"median-warm"""", s""""n":$runs""",
       s""""queries":${obj(results.map { case (k, (m, _, _)) => s""""$k":$m""" })}""",
       s""""samples":${obj(results.map { case (k, (_, ss, _)) =>
-        s""""$k":${ss.mkString("[", ",", "]")}""" })}""",
+        s""""$k":${ss.map(_._1).mkString("[", ",", "]")}""" })}""",
+      // loadavg at the END of each sample: lets any later reader tell a
+      // slow query from a loaded host PER SAMPLE, not per run (the r14
+      // in-session blowups were invisible to the run-level [start, end])
+      s""""sample_load":${obj(results.map { case (k, (_, ss, _)) =>
+        s""""$k":${ss.map(s => f"${s._2}%.1f").mkString("[", ",", "]")}""" })}""",
       s""""retried":${retried.map(k => s""""$k"""").mkString("[", ",", "]")}""",
+      s""""resampled":${resampled.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""loadavg":[$loadStart,${loadavg()}]""",
       // run id: lets BenchBudgetSpec/BenchSlopeSpec prove the per-SF
       // snapshot they judge came from the SAME run as the latest

@@ -2737,6 +2737,64 @@ object OracleSql {
           AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
          WHERE v.event_type = 'view' AND c.event_type = 'click'
          ORDER BY view_id, click_id""",
+    // Mirrors StreamingQueries.seen: day-batched replay of the MapState
+    // seen-set — user-partitioned cumulative windows + the first-day
+    // inequality join for the as-of distinct-type count.
+    "q_stream_seen" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events WHERE user_id IS NOT NULL),
+         pb AS (
+           SELECT user_id, event_type, day, count(*) AS n_batch
+           FROM e GROUP BY 1, 2, 3),
+         c AS (
+           SELECT user_id, event_type, day,
+                  sum(n_batch) OVER (PARTITION BY user_id, event_type
+                    ORDER BY day ROWS UNBOUNDED PRECEDING) AS n_for_type,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY day) = 1 AS first_seen
+           FROM pb),
+         fd AS (
+           SELECT user_id, event_type, min(day) AS fd
+           FROM pb GROUP BY 1, 2)
+         SELECT c.user_id, c.event_type, c.day, c.first_seen,
+                CAST(c.n_for_type AS BIGINT) AS n_for_type,
+                CAST(count(*) AS BIGINT) AS n_types
+         FROM c JOIN fd ON fd.user_id = c.user_id AND fd.fd <= c.day
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY c.user_id, c.day, c.event_type""",
+    // Mirrors StreamingQueries.late: on-time batch (19/20) advances the
+    // watermark to max(ts) − 1 h; the late batch survives only within
+    // that hour; tumbling rollup over survivors.
+    "q_stream_late" ->
+      """WITH wm AS (
+           SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm
+           FROM events WHERE event_id % 20 <> 0),
+         kept AS (
+           SELECT e.* FROM events e, wm
+           WHERE e.event_id % 20 <> 0
+              OR CAST(e.ts AS TIMESTAMP) >= wm.wm)
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                event_type, count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM kept GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""",
+    // Mirrors StreamingQueries.foreachbatch: latest-wins is associative,
+    // so the four-batch merge through the real sink converges to the
+    // global per-key argmax of (seq, payload).
+    "q_stream_foreachbatch" ->
+      """WITH feed AS (
+           SELECT user_id AS key, event_type AS payload, value AS seq
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         r AS (
+           SELECT key, payload, seq,
+                  row_number() OVER (PARTITION BY key
+                    ORDER BY seq DESC, payload DESC) AS rn
+           FROM feed)
+         SELECT key, payload, seq FROM r WHERE rn = 1 ORDER BY key""",
     "q_stream_tumble" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                 event_type, count(*) AS n,
@@ -3333,7 +3391,7 @@ object OracleSql {
                     AS HUGEINT) AS cp,
                   CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
                     AS HUGEINT) AS cn2
-           FROM events GROUP BY 1),
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
          r AS (
            SELECT cp, cn2,
                   2 * sum(cp + cn2) OVER (ORDER BY v
@@ -3805,7 +3863,8 @@ object OracleSql {
       """WITH du AS (
            SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                   user_id
-           FROM events),
+           FROM events
+           WHERE user_id IS NOT NULL),
          d1 AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
          d2 AS (
            SELECT CAST(date_trunc('month', day) AS DATE) AS month,

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-sweep primitives: global `row_number`, running
+  * sums, and (exclusive) running maxima over a TOTAL order — without
+  * ever moving the data to a single partition.
+  *
+  * The problem this kills: `Window.orderBy(...)` with no partition
+  * spec plans a single-partition sort (`WindowExec: No Partition
+  * Defined` warning) — correct at demo SF, a scale-killer at 100×,
+  * because one task sorts the whole input. Eight round-14 queries
+  * (rank statistics over distinct-value grids, entity-grain ntile,
+  * skyline sweeps) carried that shape.
+  *
+  * The replacement is the classic two-pass distributed prefix scan:
+  *
+  *  1. `repartitionByRange` on the order key — partition i holds a
+  *     contiguous key range, all ranges ordered (equal keys land in
+  *     one partition, so a tie-broken total order is preserved).
+  *     The layout is `localCheckpoint`ed: `spark_partition_id()` must
+  *     agree between the offsets job and the readout job, and
+  *     RangePartitioner RE-SAMPLES (job-dependent seed) on every
+  *     execution — without the pin, the two jobs could disagree on
+  *     partition boundaries and the offsets would be garbage.
+  *  2. One aggregate computes per-partition counts/sums/maxima — P
+  *     rows, bounded by the cluster fan-out, never by the data.
+  *  3. Exclusive per-partition offsets come from a triangular
+  *     broadcast self-join over those P rows (pid' < pid) — O(P²)
+  *     pairs of metadata, no window, no driver collect.
+  *  4. The readout runs the ordinary PARTITIONED window
+  *     (`Window.partitionBy(__pid).orderBy(keys)`) and adds the
+  *     broadcast offset back: global value = local prefix + offset.
+  *
+  * Results are bit-identical to the single-partition window for any
+  * associative running aggregate (integer/decimal sums, max, rank)
+  * when `orderCols` is a total order — which every caller here
+  * guarantees with an explicit tiebreak column. */
+object PrefixSweep {
+
+  /** Adds to `df`, ordered globally by `orderCols` (must be a TOTAL
+    * order — tie-broken), any of:
+    *  - `rankCol`: global 1-based `row_number` (LongType);
+    *  - `runSums`: inclusive running sums of each (expr, outName);
+    *  - `runMaxExcl`: EXCLUSIVE running max of each (expr, outName) —
+    *    the `rowsBetween(unboundedPreceding, -1)` frame: null on the
+    *    global first row, exactly like the single-partition window.
+    *
+    * `parts` defaults to `spark.sql.shuffle.partitions`. */
+  def sweep(df: DataFrame, orderCols: Seq[Column],
+            rankCol: Option[String] = None,
+            runSums: Seq[(Column, String)] = Nil,
+            runMaxExcl: Seq[(Column, String)] = Nil,
+            parts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "sweep needs a total order")
+    val spark = df.sparkSession
+    val p =
+      if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.repartitionByRange(p, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+
+    // per-partition totals: P rows of metadata
+    val aggs =
+      count(lit(1)).as("__cnt") +:
+        (runSums.zipWithIndex.map { case ((c, _), i) =>
+          sum(c).as(s"__s$i")
+        } ++ runMaxExcl.zipWithIndex.map { case ((c, _), i) =>
+          max(c).as(s"__m$i")
+        })
+    val perPid = parted.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+
+    // exclusive offsets per pid (strictly-earlier partitions only)
+    val b = perPid.select(
+      col("__pid").as("__bpid") +:
+        col("__cnt").as("__bcnt") +:
+        (runSums.indices.map(i => col(s"__s$i").as(s"__bs$i")) ++
+          runMaxExcl.indices.map(i => col(s"__m$i").as(s"__bm$i"))): _*)
+    val offAggs =
+      coalesce(sum(col("__bcnt")), lit(0L)).as("__rankOff") +:
+        (runSums.indices.map(i => sum(col(s"__bs$i")).as(s"__so$i")) ++
+          runMaxExcl.indices.map(i => max(col(s"__bm$i")).as(s"__mo$i")))
+    val off = perPid.select("__pid")
+      .join(broadcast(b), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(offAggs.head, offAggs.tail: _*)
+
+    // readout: partitioned window + offset add-back
+    val win = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val cumWin = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exclWin = win.rowsBetween(Window.unboundedPreceding, -1)
+    var out = parted.join(broadcast(off), Seq("__pid"))
+    rankCol.foreach { rc =>
+      out = out.withColumn(rc,
+        row_number().over(win).cast("long") + col("__rankOff"))
+    }
+    runSums.zipWithIndex.foreach { case ((c, name), i) =>
+      out = out.withColumn(name,
+        sum(c).over(cumWin) + coalesce(col(s"__so$i"), lit(0)))
+    }
+    runMaxExcl.zipWithIndex.foreach { case ((c, name), i) =>
+      // greatest() skips nulls: local-prefix null (first row in its
+      // partition) falls back to the earlier-partition max, and vice
+      // versa; null only when BOTH are (the global first row)
+      out = out.withColumn(name, greatest(max(c).over(exclWin),
+        col(s"__mo$i")))
+    }
+    out.drop(
+      "__pid" +: "__rankOff" +:
+        (runSums.indices.map(i => s"__so$i") ++
+          runMaxExcl.indices.map(i => s"__mo$i")): _*)
+  }
+
+  /** Standard SQL `ntile(k)` from a global rank and the total row
+    * count N: the first (N mod k) tiles take ceil(N/k) rows, the rest
+    * floor(N/k) — the same bucket boundaries Spark's and DuckDB's
+    * NTILE produce over an identical total order. Pure expression, no
+    * window. `rank` is the 1-based global row_number, `n` the total
+    * count (both LongType columns). */
+  def ntileOf(rank: Column, n: Column, k: Int): Column = {
+    // Column `/` is true division (double) — floor() restores integer
+    // semantics; exact while counts stay below 2^53, i.e. always here
+    val q = floor(n / k).cast("long")
+    val r = (n % k).cast("long")
+    val cutoff = r * (q + 1) // rows living in the fat (q+1-row) tiles
+    (when(rank <= cutoff, floor((rank - 1) / (q + 1)))
+      .otherwise(r + floor((rank - cutoff - 1) / q)) + 1)
+      .cast("long")
+  }
+}

@@ -93,6 +93,42 @@ object Streaming {
       .dropDuplicatesWithinWatermark("band", "band_hash")
   }
 
+  /** Batch shadow of [[minhashClaimStream]] at the converged level:
+    * over a finite corpus whose whole span sits inside the watermark,
+    * `dropDuplicatesWithinWatermark(band, band_hash)` keeps the FIRST
+    * claimant per bucket in arrival order — which a batch replay pins
+    * as the (claim_ts, doc_id) total order. Same signature/banding
+    * kernel chain; the first-claimant pick is one PARTITIONED
+    * row_number over (band, band_hash) — per-bucket state, never a
+    * global sort. Returns per-doc novelty: `n_claims` buckets won (a
+    * near-duplicate of an earlier doc wins ~0; an exact duplicate
+    * exactly 0), `novel` = won at least one. */
+  def minhashClaimBatch(docs: DataFrame, idCol: String, textCol: String,
+                        orderCol: String, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16)
+      : DataFrame = {
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands " +
+        s"($bands)")
+    val claims = docs
+      .filter(size(TextSim.tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("doc_id"), col(orderCol).as("claim_ord"),
+        TextSim.minhashSignature(col(textCol), shingleSize, numHashes)
+          .as("sig"))
+      .select(col("doc_id"), col("claim_ord"),
+        posexplode(TextSim.bandHashesOfSig(
+          col("sig"), numHashes / bands, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_hash")
+      .orderBy(col("claim_ord"), col("doc_id"))
+    claims.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(when(col("rn") === 1, 1)).as("n_claims"))
+      .withColumn("novel", col("n_claims") > 0)
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream
     * joins the (slowly-changing, re-readable) dimension — the lookup
     * pattern of every event pipeline (ref: the scraper resolving each

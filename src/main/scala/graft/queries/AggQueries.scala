@@ -530,8 +530,10 @@ object AggQueries {
     * Scale: the corpus NEVER sorts globally — an approx-98.5th-
     * percentile pre-filter (rank error ≤ 1e-4·n at accuracy 10⁴, so
     * ≥ 1.49%·n ≥ k+1 rows survive for any n ≥ 205) contracts to the
-    * tail first, and the single-partition row_number sees only those
-    * ~1.5%·k-scale survivors. A declarative guard (OR survivors <
+    * tail first, and the tail ranks via the DISTRIBUTED
+    * [[graft.ops.PrefixSweep]] (the tail grows linearly with the
+    * corpus, so even it never single-partitions). A declarative guard
+    * (OR survivors <
     * k+1) keeps tiny fixtures exact without a driver round-trip; the
     * cut value's run-to-run wobble cannot change the answer because
     * the top k+1 rows are a strict subset of any valid survivor
@@ -547,11 +549,16 @@ object AggQueries {
     val surv = meta
       .filter(col("o_totalprice").cast("double") >= col("cut"))
       .agg(count(lit(1)).as("n_surv"))
-    val ranked = meta.crossJoin(broadcast(surv))
-      .filter(col("o_totalprice").cast("double") >= col("cut") ||
-        col("n_surv") < col("k") + 1)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    // distributed rank over the surviving tail (PrefixSweep): the
+    // ~1.5% pre-filter bounds the sort INPUT, but that tail still
+    // grows linearly with the corpus — range-partitioned ranking keeps
+    // it multi-partition at any scale
+    val ranked = graft.ops.PrefixSweep.sweep(
+        meta.crossJoin(broadcast(surv))
+          .filter(col("o_totalprice").cast("double") >= col("cut") ||
+            col("n_surv") < col("k") + 1),
+        Seq(col("o_totalprice").desc, col("o_orderkey")),
+        rankCol = Some("rn"))
       .filter(col("rn") <= col("k") + 1)
     val xmin = ranked.filter(col("rn") === col("k") + 1)
       .select(col("o_totalprice").as("x_min"))
@@ -591,10 +598,10 @@ object AggQueries {
         count(when(col("o_orderstatus") === "O", 1))
           .cast("decimal(38,0)").as("co"))
       .withColumn("cnt", col("cf") + col("co"))
-    val w = Window.orderBy("o_totalprice")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = grid
-      .withColumn("cum", sum("cnt").over(w))
+    // distributed prefix sum over the value grid (grid keys are
+    // distinct, hence a total order) — no single-partition window
+    val r = graft.ops.PrefixSweep.sweep(grid, Seq(col("o_totalprice")),
+        runSums = Seq((col("cnt"), "cum")))
       .withColumn("r2", lit(2) * col("cum") - col("cnt") + 1)
     r.agg(
       sum("cf").as("n1"), sum("co").as("n2"),
@@ -981,15 +988,28 @@ object AggQueries {
     val rev = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
-    val w = Window.orderBy(col("rev"), col("o_custkey"))
-    val deciles = rev.withColumn("decile", ntile(10).over(w))
+    // decile membership from a DISTRIBUTED global rank (PrefixSweep)
+    // + the closed-form ntile bucket formula — the entity-grain sort
+    // never single-partitions; tie-broken total order (rev, custkey)
+    // keeps boundaries engine-identical
+    val nTot = rev.agg(count(lit(1)).as("n_cust"))
+    val deciles = graft.ops.PrefixSweep
+      .sweep(rev, Seq(col("rev"), col("o_custkey")),
+        rankCol = Some("rnk"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("decile", graft.ops.PrefixSweep
+        .ntileOf(col("rnk"), col("n_cust"), 10).cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), expr("sum(rev)").as("drev"))
     val total = deciles.agg(expr("sum(drev)").as("trev"))
-    val wCum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    deciles.crossJoin(broadcast(total))
-      .withColumn("crev", expr("sum(drev)").over(wCum))
+    // cumulative share over the 10-row decile grid: triangular
+    // broadcast self-join (bounded metadata) instead of a window
+    deciles
+      .join(broadcast(deciles.select(col("decile").as("bd"),
+        col("drev").as("bdrev"))), col("bd") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("drev"))
+      .agg(sum(col("bdrev")).as("crev"))
+      .crossJoin(broadcast(total))
       .select(col("decile"), col("n_customers"),
         expr("CAST(round(drev, 4) AS DOUBLE)").as("revenue"),
         round(expr("CAST(drev AS DOUBLE)") / expr("CAST(trev AS DOUBLE)"),
@@ -1095,14 +1115,17 @@ object AggQueries {
     val grid = o.groupBy("o_totalprice")
       .agg(count(when(col("o_orderstatus") === "F", 1)).as("cf"),
         count(when(col("o_orderstatus") === "O", 1)).as("co"))
-    val w = Window.orderBy("o_totalprice")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val gaps = grid
-      .withColumn("cum_f", sum("cf").over(w).cast("decimal(38,0)"))
-      .withColumn("cum_o", sum("co").over(w).cast("decimal(38,0)"))
-      .withColumn("tf", sum("cf").over(wAll).cast("decimal(38,0)"))
-      .withColumn("to", sum("co").over(wAll).cast("decimal(38,0)"))
+    // both ECDFs from ONE distributed prefix sweep over the price grid
+    // (PrefixSweep — no single-partition window); the totals come from
+    // a 1-row aggregate broadcast, not an every-row window
+    val totals = grid.agg(
+      sum("cf").cast("decimal(38,0)").as("tf"),
+      sum("co").cast("decimal(38,0)").as("to"))
+    val gaps = graft.ops.PrefixSweep.sweep(grid, Seq(col("o_totalprice")),
+        runSums = Seq((col("cf"), "cum_f0"), (col("co"), "cum_o0")))
+      .withColumn("cum_f", col("cum_f0").cast("decimal(38,0)"))
+      .withColumn("cum_o", col("cum_o0").cast("decimal(38,0)"))
+      .crossJoin(broadcast(totals))
     gaps.agg(
       max("tf").cast("long").as("n_f"),
       max("to").cast("long").as("n_o"),
@@ -2014,10 +2037,10 @@ object AggQueries {
         count(when(col("l_returnflag") === "R", 1))
           .cast("decimal(38,0)").as("cR"))
       .withColumn("cnt", col("cA") + col("cN") + col("cR"))
-    val w = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = grid
-      .withColumn("cum", sum("cnt").over(w))
+    // distributed prefix sum over the quantity grid (PrefixSweep — no
+    // single-partition window; grid keys distinct ⇒ total order)
+    val r = graft.ops.PrefixSweep.sweep(grid, Seq(col("x")),
+        runSums = Seq((col("cnt"), "cum")))
       .withColumn("r2", lit(2) * col("cum") - col("cnt") + 1)
     r.agg(sum("cA").as("nA"), sum("cN").as("nN"), sum("cR").as("nR"),
       sum(col("cA") * col("r2")).as("r2A"),
@@ -2278,16 +2301,23 @@ object AggQueries {
     * from ONE cumulative grid window, everything is integer-exact
     * until the single AUC division. Gini = 2·AUC − 1 rides along. */
   private val aggAuc: Q = (s, dir) => {
+    // value IS NOT NULL on BOTH engines: a null score carries no rank
+    // information for a ranking metric, and the engines disagree on
+    // where an ORDER BY places a null group (Spark nulls-first vs
+    // DuckDB nulls-last) — filtering is the one convention that cannot
+    // diverge (ADVICE r14)
     val grid = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
       .groupBy(col("value").as("v"))
       .agg(count(when(col("event_type") === "purchase", 1))
         .cast("decimal(38,0)").as("cp"),
         count(when(col("event_type") =!= "purchase", 1))
           .cast("decimal(38,0)").as("cn"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = grid.withColumn("cnt", col("cp") + col("cn"))
-      .withColumn("cum", sum("cnt").over(w))
+    // distributed prefix sum over the score grid (PrefixSweep — no
+    // single-partition window; grid keys distinct ⇒ total order)
+    val r = graft.ops.PrefixSweep.sweep(
+        grid.withColumn("cnt", col("cp") + col("cn")), Seq(col("v")),
+        runSums = Seq((col("cnt"), "cum")))
       .withColumn("r2", lit(2) * col("cum") - col("cnt") + 1)
     r.agg(sum("cp").as("np"), sum("cn").as("nneg"),
       sum(col("cp") * col("r2")).as("r2p"))
@@ -2403,17 +2433,18 @@ object AggQueries {
     val diffs = grid("A", "va", "ca").crossJoin(grid("R", "vr", "cr"))
       .groupBy((col("va") - col("vr")).as("d"))
       .agg(sum(col("ca") * col("cr")).as("wgt"))
-    val wd = Window.orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    diffs.withColumn("cum", sum("wgt").over(wd))
-      .withColumn("tot", sum("wgt").over(wt))
+    // distributed prefix sum over the difference grid (PrefixSweep);
+    // total via a 1-row broadcast; "first d where 2·cum ≥ total" is
+    // simply min(d) over the qualifying rows — no window at all for
+    // the median pick
+    val tot = diffs.agg(sum("wgt").as("tot"))
+    graft.ops.PrefixSweep.sweep(diffs, Seq(col("d")),
+        runSums = Seq((col("wgt"), "cum")))
+      .crossJoin(broadcast(tot))
       .filter(col("cum") * 2 >= col("tot"))
-      .withColumn("rn", row_number().over(Window.orderBy("d")))
-      .filter(col("rn") === 1)
-      .select(col("tot").cast("long").as("n_pairs"),
-        col("d").cast("double").as("hl_shift"))
+      .agg(max("tot").as("tot_a"), min("d").as("d_a"))
+      .select(col("tot_a").cast("long").as("n_pairs"),
+        col("d_a").cast("double").as("hl_shift"))
   }
 
   /** q_agg_fleiss_kappa — Fleiss' κ across THREE deterministic raters

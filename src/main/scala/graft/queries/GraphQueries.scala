@@ -494,16 +494,6 @@ object GraphQueries {
     * rounds per k, and the edge list only ever shrinks. */
   private val graphKcore: Q = (s, dir) => {
     val (e0, _) = coOrderDemoGraph(s, dir)
-    // Coreness by h-index iteration (Lü et al. 2016): c⁰ = degree,
-    // c^{t+1}(v) = h-index of neighbours' c^t — provably converges to
-    // the peeling core number, in a handful of rounds on real graphs.
-    // This replaces per-k peel loops entirely: the r14 bench lesson is
-    // that BOTH naive and seeded per-k peeling are JOB-COUNT-dominated
-    // (~200 tiny jobs ≈ 6–9 s at sf0.1 regardless of data); h-index is
-    // one join + one contraction per ROUND (~5 rounds here), and the
-    // full census then falls out of two cumulative counts with ZERO
-    // per-k work. The h-index itself is a HOF on the node-sized grid
-    // (bounded by the SF-held node population, §7.5.11 doesn't bite).
     // Coreness via exact in-task Matula–Beck peeling — the
     // q_graph_components pattern: the SF-held demo graph fits one
     // task BY DESIGN (the modulus contract pins ~500 nodes at every

@@ -1133,14 +1133,17 @@ object PipelineQueries {
     * label ("111" = recent, frequent, high-spend) — the
     * customer-value stratification every lifecycle campaign keys on.
     * The user-grain rollup is one two-phase aggregate (state per user
-    * = 3 numbers); scores are `ntile(4)` over (metric, user_id) —
+    * = 3 numbers); scores are exact quartiles over (metric, user_id) —
     * total order, so quartile boundaries are deterministic on both
-    * engines. The three ntile windows are global sorts AT ENTITY
-    * GRAIN — fine to ~10⁸ users; past that, swap ntile for
-    * approx-quantile cut points broadcast back (the q_evt_anomaly
-    * shape) and the contract is unchanged except at the boundaries.
-    * Monetary sums decimal-exact (summation-order-free), and ntile
-    * compares the decimal, never a rounded double. */
+    * engines. Each quartile comes from a DISTRIBUTED global rank
+    * ([[graft.ops.PrefixSweep]]: range-partition + per-partition
+    * row_number + broadcast offsets) fed into the closed-form ntile
+    * bucket formula — no single-partition sort at any user count;
+    * beyond exactness requirements, approx-quantile cut points
+    * broadcast back (the q_evt_anomaly shape) trade boundary ties for
+    * one less shuffle. Monetary sums decimal-exact
+    * (summation-order-free), and ranking compares the decimal, never
+    * a rounded double. */
   private val evtRfm: Q = (s, dir) => {
     val u = Tables.load(s, dir, "events")
       .groupBy("user_id")
@@ -1150,13 +1153,23 @@ object PipelineQueries {
             col("value").cast("decimal(18,2)"))),
           lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
           .as("monetary_d"))
-    u.select(col("user_id"),
-        ntile(4).over(Window.orderBy(col("last_ts").desc, col("user_id")))
-          .cast("long").as("r_score"),
-        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id")))
-          .cast("long").as("f_score"),
-        ntile(4).over(Window.orderBy(col("monetary_d").desc, col("user_id")))
-          .cast("long").as("m_score"),
+    // three DISTRIBUTED global ranks (PrefixSweep, one per metric
+    // order) + the closed-form ntile bucket formula — the entity-grain
+    // sorts never single-partition; each order is total via the
+    // user_id tiebreak
+    import graft.ops.PrefixSweep
+    val nTot = u.agg(count(lit(1)).as("n_u"))
+    val ranked = PrefixSweep.sweep(
+      PrefixSweep.sweep(
+        PrefixSweep.sweep(u,
+          Seq(col("last_ts").desc, col("user_id")), Some("rrnk")),
+        Seq(col("n_events").desc, col("user_id")), Some("frnk")),
+      Seq(col("monetary_d").desc, col("user_id")), Some("mrnk"))
+    ranked.crossJoin(broadcast(nTot))
+      .select(col("user_id"),
+        PrefixSweep.ntileOf(col("rrnk"), col("n_u"), 4).as("r_score"),
+        PrefixSweep.ntileOf(col("frnk"), col("n_u"), 4).as("f_score"),
+        PrefixSweep.ntileOf(col("mrnk"), col("n_u"), 4).as("m_score"),
         col("monetary_d").cast("double").as("monetary"))
       .withColumn("segment",
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
@@ -2000,7 +2013,13 @@ object PipelineQueries {
     * aggregates once (mau ≥ 1 wherever a month row exists — the
     * denominators are ANSI-safe by construction). */
   private val evtStickiness: Q = (s, dir) => {
+    // user_id IS NOT NULL on BOTH engines: without it Spark's
+    // count-over-grid MAU counts a null user as an active while
+    // DuckDB's COUNT(DISTINCT user_id) drops it — one pinned
+    // convention (the q_agg_permutation precedent) beats two
+    // engine defaults (ADVICE r14)
     val dayUser = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
       .localCheckpoint()

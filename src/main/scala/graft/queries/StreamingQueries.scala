@@ -233,7 +233,117 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q_stream_seen — keyed seen-set (`MapState`,
+    * [[graft.ops.Streaming.SeenTypesProcessor]]), batch shadow as a
+    * DAY-BATCHED replay: feeding the processor one micro-batch per
+    * calendar day emits, per (user, type, day), `first_seen` (no
+    * earlier day had the type), the running count through that day,
+    * and the user's distinct-type cardinality as of that day — all
+    * three exactly reconstructable with user-partitioned windows + a
+    * first-day join, so an O-tier oracle exists. The MapState
+    * mechanics (per-entry O(1) reads/writes, batch-local tally) stay
+    * pinned incrementally in StreamingSpec. user_id IS NOT NULL on
+    * both engines (the processor keys by Long; the stickiness
+    * convention). */
+  private val seen: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val perBatch = d.groupBy("user_id", "event_type", "day")
+      .agg(count(lit(1)).as("n_batch"))
+    val wType = Window.partitionBy("user_id", "event_type").orderBy("day")
+    val cum = perBatch
+      .withColumn("n_for_type", sum("n_batch").over(
+        wType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("first_seen", row_number().over(wType) === 1)
+      .select(col("user_id").as("u"), col("event_type"), col("day"),
+        col("first_seen"), col("n_for_type"))
+    val firstDay = perBatch.groupBy("user_id", "event_type")
+      .agg(min("day").as("fd"))
+      .select(col("user_id").as("fu"), col("fd"))
+    // n_types as of a day = how many of the user's types debuted on or
+    // before it; per-user type counts are tiny, so the inequality join
+    // is user-keyed metadata, not a corpus blowup
+    cum.join(firstDay, col("fu") === col("u") && col("fd") <= col("day"))
+      .groupBy(col("u").as("user_id"), col("event_type"), col("day"),
+        col("first_seen"), col("n_for_type"))
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy(col("user_id"), col("day"), col("event_type"))
+  }
+
+  /** q_stream_late — watermark late-data drop, batch shadow: replay
+    * the feed as an on-time batch (19/20 of events) followed by a
+    * LATE batch (every 20th event) — by then the watermark sits at
+    * `max(on-time ts) − 1 h`, so a late event survives only if its
+    * event time is within the last watermark hour. The registered
+    * readout is the tumbling rollup over the surviving rows (identical
+    * shape to q_stream_tumble, visibly different content — the dropped
+    * tail). The incremental half (the state store actually REFUSING
+    * rows after the watermark passes) stays pinned in StreamingSpec's
+    * MemoryStream test. */
+  private val late: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "ts", "value")
+    val wmRow = ev.filter(col("event_id") % 20 =!= 0)
+      .agg((max("ts") - expr("INTERVAL 1 HOUR")).as("wm"))
+    val kept = ev.crossJoin(broadcast(wmRow))
+      .filter(col("event_id") % 20 =!= 0 || col("ts") >= col("wm"))
+    Streaming.tumbling(kept, "1 hour")
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q_stream_minhash — streaming near-dup suppression
+    * ([[graft.ops.Streaming.minhashClaimStream]]), batch shadow at the
+    * converged level ([[graft.ops.Streaming.minhashClaimBatch]]): the
+    * corpus replayed inside one watermark span, first claimant per LSH
+    * bucket pinned by the (doc_id) arrival order, per-doc novelty =
+    * buckets won. Q-tier (rows-only driver check): the MinHash
+    * signature kernel is not DuckDB-expressible; recall/suppression
+    * bounds are ScalaTest-gated in StreamingSpec/TextSimSpec. */
+  private val minhash: Q = (s, dir) =>
+    Streaming.minhashClaimBatch(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 2000),
+        "doc_id", "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** q_stream_foreachbatch — the foreachBatch merge-upsert serving
+    * sink ([[graft.ops.Streaming.mergeBatch]]), batch shadow that runs
+    * the REAL sink: the feed (key = user, payload = type, seq = value)
+    * replays as four seq-batches through `mergeBatch` — ledger guard,
+    * versioned directories, atomic pointer flip and all — and the
+    * registered readout is [[graft.ops.Streaming.servingTable]]'s
+    * final state. Latest-wins is associative (max (seq, payload) per
+    * key), so the converged table equals the global per-key argmax —
+    * the O-tier oracle. Replay idempotence (a re-run batchId is a
+    * no-op) is exactly what makes repeated invocations of this query
+    * deterministic: the scratch build is content-stamped and happens
+    * once. */
+  private val foreachbatch: Q = (s, dir) => {
+    import s.implicits._
+    val stamp = SourceQueries.sourceStamp(s"$dir/events.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val target = s"${SourceQueries.scratch}/fb_${key}_$stamp"
+    val done = new java.io.File(s"$target/_batches/3")
+    if (!done.exists()) {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      (0L to 3L).foreach { b =>
+        val batch = ev.filter(col("event_id") % 4 === b)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .as[(Long, String, Double)]
+        Streaming.mergeBatch(target)(batch, b)
+      }
+    }
+    Streaming.servingTable(s, target).orderBy("key")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_stream_seen" -> seen,
+    "q_stream_late" -> late,
+    "q_stream_minhash" -> minhash,
+    "q_stream_foreachbatch" -> foreachbatch,
     "q_stream_enrich" -> enrich,
     "q_stream_join" -> streamJoin,
     "q_stream_left" -> streamLeft,

@@ -364,18 +364,22 @@ object WindowQueries {
     * exactly non-strict dominance filtering, price ties included
     * (equal-price smaller-size pairs see the bigger size in the
     * running max). All comparisons integer/decimal; first row keeps
-    * via the NULL frame. The global single-partition sweep is safe
-    * BECAUSE of the contraction; the 100 TB swap is grid-partitioned
-    * local skylines + a merge sweep over the per-grid frontiers. */
+    * via the NULL frame. The sweep itself is DISTRIBUTED
+    * ([[graft.ops.PrefixSweep]]): range-partition on (price, size
+    * desc), per-partition exclusive running max, broadcast
+    * earlier-partition maxima added back — no single-partition sort
+    * even when the attribute grid grows with the catalog. */
   private val winSkyline: Q = (s, dir) => {
     val pairs = Tables.load(s, dir, "part")
       .select(expr("CAST(p_retailprice AS DECIMAL(18,2))").as("price"),
         col("p_size"))
       .groupBy("price", "p_size")
       .agg(count(lit(1)).as("n_parts"))
-    val w = Window.orderBy(col("price"), col("p_size").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pairs.withColumn("runmax", max("p_size").over(w))
+    // distributed exclusive running max over the (price, size desc)
+    // total order (pairs are distinct) — PrefixSweep, no global sort
+    graft.ops.PrefixSweep.sweep(pairs,
+        Seq(col("price"), col("p_size").desc),
+        runMaxExcl = Seq((col("p_size"), "runmax")))
       .filter(col("runmax").isNull || col("p_size") > col("runmax"))
       .select(expr("CAST(price AS DOUBLE)").as("price"), col("p_size"),
         col("n_parts"))

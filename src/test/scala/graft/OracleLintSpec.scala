@@ -20,13 +20,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleLintSpec extends AnyFunSuite {
 
-  /** Aliases introduced by `AS ident` outside a CAST type position. */
+  /** Aliases introduced by `AS ident` outside a CAST type position.
+    * The CAST type is excluded by NAME (the DuckDB type vocabulary the
+    * oracles use), not by position — the earlier "next char is ')' or
+    * '('" heuristic also silently dropped genuine aliases that happen
+    * to close a parenthesized subquery (`(SELECT x AS foo)`), shrinking
+    * lint coverage without notice (ADVICE r14). A query alias SPELLED
+    * like a type name would be skipped too, but the oracle style never
+    * aliases to bare type names, and a skipped alias only narrows the
+    * net — it cannot produce a false failure. */
+  private val typeNames = Set(
+    "double", "bigint", "hugeint", "uhugeint", "ubigint", "integer",
+    "uinteger", "smallint", "tinyint", "usmallint", "utinyint",
+    "decimal", "numeric", "varchar", "text", "boolean", "bool", "date",
+    "timestamp", "timestamptz", "time", "interval", "float", "real",
+    "blob", "json", "uuid")
   private def aliases(sql: String): Seq[String] = {
-    // Strip line comments first; then drop CAST(... AS TYPE) type
-    // tokens by removing AS-tokens that sit at paren depth > the
-    // depth of the statement's SELECT list... cheap approximation:
-    // a CAST type is always followed by ')' or '(n,m))' — filter any
-    // alias whose next non-space char sequence starts with digits/')'.
     val noComments = sql.linesIterator
       .map(l => l.indexOf("--") match {
         case -1 => l
@@ -36,12 +45,7 @@ class OracleLintSpec extends AnyFunSuite {
     val asIdent = """(?i)\bAS\s+([A-Za-z_][A-Za-z0-9_]*)""".r
     asIdent
       .findAllMatchIn(noComments)
-      .filter { m =>
-        val rest = noComments.substring(m.end).dropWhile(_ == ' ')
-        // CAST(... AS DOUBLE) / AS DECIMAL(38,0) / AS BIGINT) — the
-        // type token is immediately followed by ')' or '(': drop it.
-        !(rest.startsWith(")") || rest.startsWith("("))
-      }
+      .filter(m => !typeNames.contains(m.group(1).toLowerCase))
       .map(_.group(1))
       .toSeq
   }

@@ -505,6 +505,42 @@ class PlanQualitySpec extends SparkSpecBase {
       s"live corpus scan outside the vocab cache: $live\n$executed")
   }
 
+  test("PrefixSweep-converted queries plan no unpartitioned window") {
+    // the round-14 weak class: Window.orderBy with no partition spec
+    // plans a single-partition sort of its whole input ("WindowExec:
+    // No Partition Defined" warning) — correct at demo SF, a
+    // scale-killer at 100x. These queries were converted to the
+    // distributed PrefixSweep (range-partition + per-partition window
+    // + broadcast offsets); this gate pins that NO window in any of
+    // their plans — sweep-internal or residual — runs unpartitioned.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val converted = Seq("q_evt_rfm", "q_agg_lorenz", "q_agg_ks_test",
+      "q_agg_mannwhitney", "q_agg_kruskal", "q_agg_auc",
+      "q_agg_hodges_lehmann", "q_win_skyline", "q_agg_hill")
+    val offenders = converted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val bad = scala.collection.mutable.Buffer[String]()
+      def go(n: SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case s: QueryStageExec => go(s.plan)
+        case w: WindowExec =>
+          if (w.partitionSpec.isEmpty) bad += s"$name: ${w.nodeName}"
+          w.children.foreach(go)
+        case w: WindowGroupLimitExec =>
+          if (w.partitionSpec.isEmpty) bad += s"$name: ${w.nodeName}"
+          w.children.foreach(go)
+        case other => other.children.foreach(go)
+      }
+      go(df.queryExecution.executedPlan)
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned (single-partition) windows remain:\n  " +
+        offenders.mkString("\n  "))
+  }
+
   test("Spark's runtime bloom filter injects into selective shuffle joins") {
     // the built-in complement to Relational.bloomSemiLong: when a
     // shuffle join's build side carries a selective filter, Catalyst's

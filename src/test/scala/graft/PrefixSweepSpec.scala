@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.PrefixSweep
+
+/** PrefixSweep (distributed global rank / running sum / exclusive
+  * running max) must be BIT-IDENTICAL to the single-partition
+  * `Window.orderBy` it replaces, for any partition count — including
+  * degenerate ones (1 partition; more partitions than rows). */
+class PrefixSweepSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // deterministic pseudo-random rows with duplicate weights and a
+  // tie-broken total order (k unique)
+  private lazy val rows = (1 to 997).map { i =>
+    val k = (i * 7919) % 997 // a permutation of 0..996 — unique keys
+    (k.toLong, ((i * 31) % 13).toLong, ((i * 17) % 101).toLong)
+  }.toSeq
+  private lazy val df =
+    rows.toDF("k", "w", "m").repartition(7)
+
+  private lazy val reference = {
+    val win = Window.orderBy(col("k"))
+    df.withColumn("rnk", row_number().over(win).cast("long"))
+      .withColumn("cum", sum("w").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rmax", max("m").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)))
+      .select("k", "rnk", "cum", "rmax")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+  }
+
+  for (parts <- Seq(1, 5, 32, 2000)) {
+    test(s"sweep matches the single-partition window at parts=$parts") {
+      val got = PrefixSweep.sweep(df, Seq(col("k")),
+          rankCol = Some("rnk"),
+          runSums = Seq((col("w"), "cum")),
+          runMaxExcl = Seq((col("m"), "rmax")), parts = parts)
+        .select("k", "rnk", "cum", "rmax")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSet
+      assert(got == reference)
+    }
+  }
+
+  test("sweep honors descending order columns") {
+    val win = Window.orderBy(col("k").desc)
+    val ref = df.withColumn("rnk", row_number().over(win).cast("long"))
+      .select("k", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = PrefixSweep.sweep(df, Seq(col("k").desc),
+        rankCol = Some("rnk"))
+      .select("k", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+  }
+
+  test("ntileOf matches Spark's ntile for every k and N") {
+    for (k <- Seq(2, 3, 4, 7, 10); n <- Seq(5, 10, 37, 100)) {
+      val d = (1 to n).map(i => (i.toLong, i)).toDF("rnk", "x")
+      val ref = d.withColumn("t",
+          ntile(k).over(Window.orderBy("x")).cast("long"))
+        .select("rnk", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = d.withColumn("t",
+          PrefixSweep.ntileOf(col("rnk"), lit(n.toLong), k))
+        .select("rnk", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == ref, s"k=$k n=$n")
+    }
+  }
+
+  test("decimal running sums keep their exact type and value") {
+    val dd = rows.toDF("k", "w", "m")
+      .withColumn("w", col("w").cast("decimal(38,0)"))
+    val win = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = dd.withColumn("cum", sum("w").over(win))
+      .select("k", "cum").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger)).toSet
+    val got = PrefixSweep.sweep(dd, Seq(col("k")),
+        runSums = Seq((col("w"), "cum")))
+      .select("k", "cum").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger)).toSet
+    assert(got == ref)
+  }
+}
