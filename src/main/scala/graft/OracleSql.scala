@@ -147,6 +147,74 @@ object OracleSql {
                    + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END),
                   4) AS ema
          FROM l ORDER BY event_id""",
+    // Mirrors winEmaTime: exp(delta_us/3.6e9) weights 8-dp-rounded
+    // (libm term rule), exact integer microsecond deltas, same
+    // literal term order in both engines.
+    "q_win_ema_time" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE value IS NOT NULL),
+         l AS (
+           SELECT event_id, user_id, value, ts_us,
+                  lag(value, 1) OVER w AS l1, lag(ts_us, 1) OVER w AS t1,
+                  lag(value, 2) OVER w AS l2, lag(ts_us, 2) OVER w AS t2,
+                  lag(value, 3) OVER w AS l3, lag(ts_us, 3) OVER w AS t3,
+                  lag(value, 4) OVER w AS l4, lag(ts_us, 4) OVER w AS t4,
+                  lag(value, 5) OVER w AS l5, lag(ts_us, 5) OVER w AS t5,
+                  lag(value, 6) OVER w AS l6, lag(ts_us, 6) OVER w AS t6,
+                  lag(value, 7) OVER w AS l7, lag(ts_us, 7) OVER w AS t7
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         SELECT event_id, user_id, value,
+                round(
+                  (value * 1.0
+                   + CASE WHEN l1 IS NOT NULL THEN l1 * round(exp(
+                       CAST(t1 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l2 IS NOT NULL THEN l2 * round(exp(
+                       CAST(t2 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l3 IS NOT NULL THEN l3 * round(exp(
+                       CAST(t3 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l4 IS NOT NULL THEN l4 * round(exp(
+                       CAST(t4 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l5 IS NOT NULL THEN l5 * round(exp(
+                       CAST(t5 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l6 IS NOT NULL THEN l6 * round(exp(
+                       CAST(t6 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l7 IS NOT NULL THEN l7 * round(exp(
+                       CAST(t7 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END)
+                  /
+                  (1.0
+                   + CASE WHEN l1 IS NOT NULL THEN round(exp(
+                       CAST(t1 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l2 IS NOT NULL THEN round(exp(
+                       CAST(t2 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l3 IS NOT NULL THEN round(exp(
+                       CAST(t3 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l4 IS NOT NULL THEN round(exp(
+                       CAST(t4 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l5 IS NOT NULL THEN round(exp(
+                       CAST(t5 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l6 IS NOT NULL THEN round(exp(
+                       CAST(t6 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END
+                   + CASE WHEN l7 IS NOT NULL THEN round(exp(
+                       CAST(t7 - ts_us AS DOUBLE) / 3.6e9), 8)
+                     ELSE 0.0 END),
+                  4) AS ema_t
+         FROM l ORDER BY event_id""",
     // Mirrors mediaShard: same bytes-before-me prefix sum and floor
     // division over the shared synthetic fixture; integer-exact end to
     // end.
@@ -1328,6 +1396,43 @@ object OracleSql {
                  JOIN e e2 ON e2.u = e1.v
                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
                   AS n_triangles""",
+    // Mirrors graphModularity: same SF-held demo graph; the community
+    // fold collapses to E_in/m - (sum k_c^2)/(4 m^2) — two divisions
+    // of exact integers, no float fold over communities.
+    "q_graph_modularity" ->
+      """WITH md AS (
+           SELECT 4 * greatest(1, (max(p_partkey) + 1) // 2000) AS m
+           FROM part),
+         items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem, md WHERE l_partkey % m = 0),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS dg
+           FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+           GROUP BY p),
+         br AS (SELECT p_partkey AS p, p_brand AS c FROM part),
+         kc AS (
+           SELECT c, CAST(sum(dg) AS DECIMAL(18,0)) AS k_c
+           FROM deg JOIN br USING (p) GROUP BY c),
+         k2t AS (
+           SELECT count(*) AS n_comms, sum(k_c * k_c) AS k2 FROM kc),
+         ein AS (
+           SELECT count(*) AS m_edges,
+                  sum(CASE WHEN bu.c = bv.c THEN 1 ELSE 0 END) AS e_in
+           FROM e JOIN br bu ON e.u = bu.p JOIN br bv ON e.v = bv.p),
+         nn AS (SELECT count(*) AS n_nodes FROM deg)
+         SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                CAST(m_edges AS BIGINT) AS m_edges,
+                CAST(n_comms AS BIGINT) AS n_comms,
+                CAST(e_in AS BIGINT) AS e_in,
+                round(CAST(e_in AS DOUBLE) / m_edges, 4) AS intra_share,
+                round(CAST(e_in AS DOUBLE) / m_edges
+                  - CAST(k2 AS DOUBLE) / (4.0 * m_edges * m_edges), 4)
+                  AS modularity
+         FROM ein CROSS JOIN k2t CROSS JOIN nn""",
     "q_graph_clustering" ->
       // same SF-held demo graph as q_graph_triangles; NAIVE u<v<w
       // triangle enumeration credited to all three corners; per-node
@@ -3113,6 +3218,154 @@ object OracleSql {
                   + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n > 0.5
                   THEN 1 ELSE 0 END AS concentrated
          FROM g ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsTheilSen: 8-dp pre-rounded pair slopes on the grid,
+    // quantile_cont shares percentile's p*(n-1) interpolation, Conover
+    // intercept off integer-median interpolations.
+    "q_ts_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         dg AS (
+           SELECT event_type, d - DATE '1970-01-01' AS x, y FROM daily),
+         pairs AS (
+           SELECT a.event_type,
+                  round(CAST(b.y - a.y AS DOUBLE)
+                    / CAST(b.x - a.x AS DOUBLE), 8) AS sl
+           FROM dg a JOIN dg b
+             ON a.event_type = b.event_type AND a.x < b.x),
+         sl AS (
+           SELECT event_type, count(*) AS n_pairs,
+                  quantile_cont(sl, 0.5) AS slope_r
+           FROM pairs GROUP BY 1),
+         md AS (
+           SELECT event_type, count(*) AS n_days,
+                  quantile_cont(y, 0.5) AS my,
+                  quantile_cont(x, 0.5) AS mx
+           FROM dg GROUP BY 1)
+         SELECT event_type, n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+                round(slope_r, 4) AS slope,
+                round(my - slope_r * mx, 4) AS intercept
+         FROM sl JOIN md USING (event_type)
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsDes: two stacked truncated-EMA window passes (8 lags,
+    // exact binary 0.5^i weights, same literal term order), last-day
+    // readout.
+    "q_ts_des" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         e1 AS (
+           SELECT event_type, d, y,
+             (CASE WHEN CAST(y AS DOUBLE) IS NOT NULL
+                THEN CAST(y AS DOUBLE) * 1.0 ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 1) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 1) OVER w * 0.5 ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 2) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 2) OVER w * 0.25 ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 3) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 3) OVER w * 0.125 ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 4) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 4) OVER w * 0.0625
+                ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 5) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 5) OVER w * 0.03125
+                ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 6) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 6) OVER w * 0.015625
+                ELSE 0.0 END
+              + CASE WHEN lag(CAST(y AS DOUBLE), 7) OVER w IS NOT NULL
+                THEN lag(CAST(y AS DOUBLE), 7) OVER w * 0.0078125
+                ELSE 0.0 END)
+             / (CASE WHEN CAST(y AS DOUBLE) IS NOT NULL
+                  THEN 1.0 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 1) OVER w IS NOT NULL
+                  THEN 0.5 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 2) OVER w IS NOT NULL
+                  THEN 0.25 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 3) OVER w IS NOT NULL
+                  THEN 0.125 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 4) OVER w IS NOT NULL
+                  THEN 0.0625 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 5) OVER w IS NOT NULL
+                  THEN 0.03125 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 6) OVER w IS NOT NULL
+                  THEN 0.015625 ELSE 0.0 END
+                + CASE WHEN lag(CAST(y AS DOUBLE), 7) OVER w IS NOT NULL
+                  THEN 0.0078125 ELSE 0.0 END) AS s1
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         e2 AS (
+           SELECT event_type, d, y, s1,
+             (CASE WHEN s1 IS NOT NULL THEN s1 * 1.0 ELSE 0.0 END
+              + CASE WHEN lag(s1, 1) OVER w IS NOT NULL
+                THEN lag(s1, 1) OVER w * 0.5 ELSE 0.0 END
+              + CASE WHEN lag(s1, 2) OVER w IS NOT NULL
+                THEN lag(s1, 2) OVER w * 0.25 ELSE 0.0 END
+              + CASE WHEN lag(s1, 3) OVER w IS NOT NULL
+                THEN lag(s1, 3) OVER w * 0.125 ELSE 0.0 END
+              + CASE WHEN lag(s1, 4) OVER w IS NOT NULL
+                THEN lag(s1, 4) OVER w * 0.0625 ELSE 0.0 END
+              + CASE WHEN lag(s1, 5) OVER w IS NOT NULL
+                THEN lag(s1, 5) OVER w * 0.03125 ELSE 0.0 END
+              + CASE WHEN lag(s1, 6) OVER w IS NOT NULL
+                THEN lag(s1, 6) OVER w * 0.015625 ELSE 0.0 END
+              + CASE WHEN lag(s1, 7) OVER w IS NOT NULL
+                THEN lag(s1, 7) OVER w * 0.0078125 ELSE 0.0 END)
+             / (CASE WHEN s1 IS NOT NULL THEN 1.0 ELSE 0.0 END
+                + CASE WHEN lag(s1, 1) OVER w IS NOT NULL
+                  THEN 0.5 ELSE 0.0 END
+                + CASE WHEN lag(s1, 2) OVER w IS NOT NULL
+                  THEN 0.25 ELSE 0.0 END
+                + CASE WHEN lag(s1, 3) OVER w IS NOT NULL
+                  THEN 0.125 ELSE 0.0 END
+                + CASE WHEN lag(s1, 4) OVER w IS NOT NULL
+                  THEN 0.0625 ELSE 0.0 END
+                + CASE WHEN lag(s1, 5) OVER w IS NOT NULL
+                  THEN 0.03125 ELSE 0.0 END
+                + CASE WHEN lag(s1, 6) OVER w IS NOT NULL
+                  THEN 0.015625 ELSE 0.0 END
+                + CASE WHEN lag(s1, 7) OVER w IS NOT NULL
+                  THEN 0.0078125 ELSE 0.0 END) AS s2,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY d DESC) AS rn
+           FROM e1 WINDOW w AS (PARTITION BY event_type ORDER BY d))
+         SELECT event_type, d AS last_day, y AS last_y,
+                round(2.0 * s1 - s2, 4) AS level,
+                round(s1 - s2, 4) AS trend,
+                round(2.0 * s1 - s2 + 7.0 * (s1 - s2), 4) AS forecast_7d
+         FROM e2 WHERE rn = 1
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsIslands: d - row_number island key, pure integer day
+    // arithmetic, lag gap between islands.
+    "q_ts_islands" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, d - DATE '1970-01-01' AS x,
+                  (d - DATE '1970-01-01')
+                    - row_number() OVER (PARTITION BY event_type
+                        ORDER BY d - DATE '1970-01-01') AS grp
+           FROM daily),
+         isl AS (
+           SELECT event_type, grp, count(*) AS len,
+                  min(x) AS st, max(x) AS en
+           FROM g GROUP BY 1, 2),
+         gp AS (
+           SELECT event_type, len, st, en,
+                  st - lag(en) OVER (PARTITION BY event_type
+                    ORDER BY st) - 1 AS gap_before
+           FROM isl)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(sum(len) AS BIGINT) AS n_days,
+                CAST(max(en) - min(st) + 1 AS BIGINT) AS span_days,
+                CAST(max(len) AS BIGINT) AS longest_island,
+                CAST(coalesce(max(gap_before), 0) AS BIGINT)
+                  AS longest_gap,
+                round(CAST(sum(len) AS DOUBLE)
+                  / (max(en) - min(st) + 1), 4) AS coverage
+         FROM gp GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors tsRunsTest: sign grid windows (zero changes dropped),
     // integer R/n+/n-, one shared closed form.
     "q_ts_runs_test" ->
@@ -3282,6 +3535,135 @@ object OracleSql {
     // Mirrors aggFleissKappa: 3 deterministic raters explode to
     // (item, cat) counts; two integers off the corpus; 8-dp share
     // squares fold; one closed-form kappa.
+    // Mirrors aggBimodality: (8,2) decimal power sums to the quartic,
+    // shared closed-form g1/g2/corr/b doubles, 5/9 benchmark on the
+    // rounded coefficient.
+    "q_agg_bimodality" ->
+      """WITH g AS (
+           SELECT l_returnflag AS flag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
+                    AS s1,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s3,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY 1),
+         t AS (
+           SELECT flag, n, s1 / n AS m,
+                  s2 / n - (s1 / n) * (s1 / n) AS m2,
+                  s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                  s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                    AS m4
+           FROM g),
+         k AS (
+           SELECT flag, n, m3 / pow(m2, 1.5) AS g1,
+                  m4 / (m2 * m2) - 3.0 AS g2,
+                  3.0 * (CAST(n AS DOUBLE) - 1)
+                    * (CAST(n AS DOUBLE) - 1)
+                    / ((CAST(n AS DOUBLE) - 2)
+                      * (CAST(n AS DOUBLE) - 3)) AS corr
+           FROM t)
+         SELECT flag, n, round(g1, 4) AS skew, round(g2, 4) AS exkurt,
+                round((g1 * g1 + 1) / (g2 + corr), 4) AS b_coef,
+                CASE WHEN round((g1 * g1 + 1) / (g2 + corr), 4)
+                  > 5.0 / 9.0 THEN 1 ELSE 0 END AS bimodal
+         FROM k ORDER BY flag NULLS FIRST""",
+    // Mirrors aggDispersion: integer daily counts, exact decimal
+    // sums, one shared D/chi2/z closed form, verdict on the rounded z.
+    "q_agg_dispersion" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, count(*) AS n,
+                  sum(CAST(y AS DECIMAL(38,0))) AS s1,
+                  sum(CAST(y * y AS DECIMAL(38,0))) AS s2
+           FROM daily GROUP BY 1),
+         t AS (
+           SELECT event_type, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1) AS vr
+           FROM g),
+         r AS (
+           SELECT event_type, n, mean, vr / mean AS disp,
+                  (vr / mean - 1)
+                    * sqrt((CAST(n AS DOUBLE) - 1) / 2.0) AS z
+           FROM t)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(mean, 4) AS mean_daily,
+                round(disp, 4) AS dispersion,
+                round((CAST(n AS DOUBLE) - 1) * disp, 4) AS chi2,
+                round(z, 4) AS z,
+                CASE WHEN round(z, 4) > 1.96 THEN 'overdispersed'
+                     WHEN round(z, 4) < -1.96 THEN 'underdispersed'
+                     ELSE 'poisson_consistent' END AS verdict
+         FROM r ORDER BY event_type NULLS FIRST""",
+    // Mirrors aggFdrBh: Welch z per type off one contraction, 8-dp
+    // Chernoff p bound on the rounded z, BH step-up with pinned
+    // (p, type NULLS FIRST) rank and broadcast i_max.
+    "q_agg_fdr_bh" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS s2
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         tot AS (
+           SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2,
+                  count(*) AS m
+           FROM g),
+         sc AS (
+           SELECT event_type, n, m,
+                  round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(ts1 - s1 AS DOUBLE)
+                      / CAST(tn - n AS DOUBLE))
+                    / sqrt(((CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                        / (CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE))
+                      + ((CAST(ts2 - s2 AS DOUBLE)
+                        - CAST(tn - n AS DOUBLE)
+                        * (CAST(ts1 - s1 AS DOUBLE)
+                          / CAST(tn - n AS DOUBLE))
+                        * (CAST(ts1 - s1 AS DOUBLE)
+                          / CAST(tn - n AS DOUBLE)))
+                        / (CAST(tn - n AS DOUBLE) - 1)
+                        / CAST(tn - n AS DOUBLE))), 4) AS z
+           FROM g CROSS JOIN tot),
+         p AS (
+           SELECT event_type, n, m, z,
+                  round(least(exp(-1.0 * z * z / 2.0), 1.0), 8)
+                    AS p_bound
+           FROM sc),
+         rk AS (
+           SELECT event_type, n, m, z, p_bound,
+                  row_number() OVER (ORDER BY p_bound,
+                    event_type NULLS FIRST) AS rnk
+           FROM p),
+         thr AS (
+           SELECT event_type, n, z, p_bound, rnk,
+                  round(CAST(rnk AS DOUBLE) * 0.10 / m, 8) AS bh_thr
+           FROM rk),
+         cut AS (
+           SELECT coalesce(max(CASE WHEN p_bound <= bh_thr
+             THEN rnk END), 0) AS i_max
+           FROM thr)
+         SELECT event_type, CAST(n AS BIGINT) AS n, z, p_bound,
+                CAST(rnk AS BIGINT) AS rnk, bh_thr,
+                CASE WHEN rnk <= i_max THEN 1 ELSE 0 END AS discovery
+         FROM thr CROSS JOIN cut
+         ORDER BY rnk""",
     "q_agg_fleiss_kappa" ->
       """WITH rated AS (
            SELECT o_orderkey AS item,
@@ -3382,6 +3764,108 @@ object OracleSql {
                 CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS n_chars,
                 round(CAST(count(*) AS DOUBLE) / n_total, 4) AS doc_share
          FROM sp, tot GROUP BY split, n_total ORDER BY split""",
+    // Bound-verdict (r15): coreness needs the (non-monotone) peel, but
+    // the 1-core of an edge list IS the whole graph — the k=1 census
+    // anchors exactly on the SQL-reconstructed demo-graph contraction;
+    // nestedness + the defining min-degree property certify the peel.
+    "q_graph_kcore" ->
+      """WITH m AS (
+           SELECT 4 * greatest(1, (max(p_partkey) + 1) // 2000) AS mm
+           FROM part),
+         items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem, m WHERE l_partkey % m.mm = 0),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         nodes AS (
+           SELECT DISTINCT p FROM
+             (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e))
+         SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+                CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                true AS cores_nested, true AS core_mindeg_ok""",
+    // Bound-verdict (r15, planted-duplicate device): every 50th doc is
+    // re-keyed (+1e7) and appended, so the exact-dup pair set is pure
+    // arithmetic here; identical text ⇒ identical MinHash signature /
+    // SimHash fingerprint, so full coverage is a deterministic
+    // contract the verdict booleans certify.
+    "q_text_minhash" ->
+      """WITH pl AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id % 50 = 0
+             AND len(string_split(lower(text), ' ')) >= 3)
+         SELECT CAST((SELECT count(*) FROM documents) +
+                  (SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                  AS BIGINT) AS n_docs,
+                CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_dup_pairs,
+                CAST((SELECT count(*) FROM pl) AS BIGINT)
+                  AS n_dup_covered,
+                true AS all_dups_covered""",
+    "q_text_minhash_groups" ->
+      """WITH pl AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id % 50 = 0
+             AND len(string_split(lower(text), ' ')) >= 3)
+         SELECT CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_dup_pairs,
+                true AS all_dups_grouped,
+                true AS canonicals_are_minima""",
+    "q_text_simhash" ->
+      """SELECT CAST((SELECT count(*) FROM documents) +
+                  (SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                  AS BIGINT) AS n_docs,
+                CAST((SELECT count(*) FROM documents
+                  WHERE doc_id % 50 = 0 AND text IS NOT NULL)
+                  AS BIGINT) AS n_dup_pairs,
+                true AS all_dups_identical_fp""",
+    // Bound-verdict (r15): the Bloom bytes have no DuckDB twin; the
+    // oracle recomputes the corpus census and the exact sha-anti-join
+    // keep count, and asserts the filter-contract verdicts TRUE.
+    "q_text_decon_bloom" ->
+      """WITH ev AS (
+           SELECT DISTINCT sha256(text) AS esha FROM documents
+           WHERE doc_id % 97 = 0),
+         d AS (SELECT lang, sha256(text) AS sha FROM documents),
+         k AS (
+           SELECT lang, count(*) AS n_exact_kept FROM d
+           WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.esha = d.sha)
+           GROUP BY 1),
+         n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT n.lang, n_docs,
+                CAST(coalesce(n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
+                true AS no_false_negatives, true AS fp_within_slack
+         FROM n LEFT JOIN k ON k.lang = n.lang
+         ORDER BY n.lang""",
+    // Bound-verdict oracles (r15): the approx/sketch estimates have no
+    // DuckDB parity, so the registered readouts carry EXACT anchors
+    // (recomputed here) plus self-certifying bound booleans the oracle
+    // asserts as literal TRUE — a checked bound instead of no_oracle.
+    "q_agg_approx" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                true AS within_rsd
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_agg_countmin" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         counts AS (
+           SELECT term, count(*) AS n_exact FROM toks
+           WHERE len(term) > 0 GROUP BY 1)
+         SELECT term, CAST(n_exact AS BIGINT) AS n_exact,
+                true AS cms_bounds_ok
+         FROM counts ORDER BY n_exact DESC, term LIMIT 20""",
+    "q_agg_sketch" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT date_trunc('day',
+                  CAST(ts AS TIMESTAMP))) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                true AS hll_within_bound
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_agg_quantile_approx" ->
+      """SELECT event_type, count(*) AS n,
+                true AS ok_p25, true AS ok_p50, true AS ok_p75,
+                true AS ok_p90
+         FROM events GROUP BY 1 ORDER BY 1""",
     // Mirrors aggAuc: the mannwhitney value-grid device with
     // purchase/non-purchase counts; integer-exact to one division.
     "q_agg_auc" ->
@@ -4314,6 +4798,54 @@ object OracleSql {
                   AS jaccard
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          ORDER BY doc_a""",
+    // Mirrors textContainment: same shingle kernel as ngram_jaccard,
+    // asymmetric intersect/|A| divisions, verdict on rounded values
+    // (NULL comparisons fall to 'symmetric' on both engines).
+    "q_text_containment" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_transform(range(len(string_split(lower(text), ' ')) - 2),
+                    i -> array_to_string(
+                      string_split(lower(text), ' ')[i+1:i+3], ' ')) AS gr
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(len(list_intersect(a.gr, b.gr))
+                        / nullif(len(list_distinct(a.gr)), 0), 4)
+                    AS contain_a,
+                  round(len(list_intersect(a.gr, b.gr))
+                        / nullif(len(list_distinct(b.gr)), 0), 4)
+                    AS contain_b
+           FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+         SELECT doc_a, doc_b, contain_a, contain_b,
+                CASE WHEN contain_a > contain_b THEN 'a_in_b'
+                     WHEN contain_b > contain_a THEN 'b_in_a'
+                     ELSE 'symmetric' END AS direction
+         FROM p ORDER BY doc_a""",
+    // Mirrors vecBinaryQuant: per-position sign disagreement count
+    // (float->double widening preserves sign), top-5 by (hamming, id).
+    "q_vec_binary_quant" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         p AS (
+           SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 3),
+         sc AS (
+           SELECT q_id, vec_id,
+                  len(list_filter(range(len(v)),
+                    i -> (q[i+1] > 0) <> (v[i+1] > 0))) AS hamming,
+                  len(v) AS dim
+           FROM e CROSS JOIN p WHERE vec_id <> q_id),
+         r AS (
+           SELECT q_id, vec_id, hamming, dim,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY hamming, vec_id) AS rn
+           FROM sc)
+         SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id,
+                CAST(hamming AS BIGINT) AS hamming,
+                round(1.0 - CAST(hamming AS DOUBLE) / dim, 4)
+                  AS sign_sim
+         FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
     // nullif(norm, 0): a zero vector's c0 is NULL via Spark's
     // try_divide; the guard makes DuckDB agree on every version
     // instead of only pre-1.1 (where x/0 was already NULL).
@@ -6560,6 +7092,24 @@ object OracleSql {
                 max(o_totalprice) AS price_max,
                 CAST(count(DISTINCT o_orderstatus) AS BIGINT)
                   AS status_distinct,
+                min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
+         FROM orders""",
+    // Bound-verdict (r15): q_etl_dq's exact profile as the anchor, the
+    // two HLL estimates certified by ±3·rsd booleans.
+    "q_etl_dq_approx" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS custkey_nulls,
+                CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  AS custkey_distinct,
+                true AS custkey_est_ok,
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS price_nulls,
+                min(o_totalprice) AS price_min,
+                max(o_totalprice) AS price_max,
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                  AS status_distinct,
+                true AS status_est_ok,
                 min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
          FROM orders""",
     // mirrors the V1/V2 file split arithmetically: even event_ids were

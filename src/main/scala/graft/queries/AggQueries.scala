@@ -68,12 +68,24 @@ object AggQueries {
 
   /** q_agg_approx — HLL distinct (scale extension of q_agg_distinct: exact
     * distinct at 100 TB shuffles every key; HLL ships a constant-size
-    * sketch per group). Algorithm differs from DuckDB's → Q-tier, bounds
-    * checked in ApproxSpec. */
+    * sketch per group). The HLL++ estimate has no DuckDB twin, so the
+    * registered readout is SELF-CERTIFYING: it carries the exact
+    * distinct count (the anchor both engines compute identically) plus
+    * the 3·rsd bound verdict on the estimate — the oracle asserts the
+    * verdict is literally TRUE, which flips this row from `no_oracle`
+    * to a checked BOUND without pretending bit-parity exists. (The
+    * exact leg is demo-affordable; at 100 TB only the sketch runs and
+    * the certification moves to a sampled audit.) HLL++ is
+    * deterministic given the data, so the verdict cannot flap. */
   private val aggApprox: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("apx") - col("n_parts")).cast("double") <=
+          lit(3 * 0.02) * col("n_parts").cast("double"))
+          .as("within_rsd"))
       .orderBy("l_returnflag")
 
   /** q_agg_rollup — hierarchical subtotals region→nation (ref dim hierarchy
@@ -166,7 +178,7 @@ object AggQueries {
     * in SinksAndApproxSpec. (Ref: the reference counts category
     * frequencies client-side in pandas, `database/app.py:214-226` —
     * this is that capability made sublinear.) */
-  private val aggCountmin: Q = (s, dir) => {
+  private[graft] val aggCountminFull: Q = (s, dir) => {
     val d = 4
     val w = 1024
     def cell(i: Int, t: org.apache.spark.sql.Column) =
@@ -193,8 +205,27 @@ object AggQueries {
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy("term", "n_exact")
       .agg(min(col("cnt")).as("n_est"))
+      // n_tok (total token count = Σ vocab counts, read from the SAME
+      // persisted vocabulary — no second corpus pass) rides along for
+      // the registered bound readout
+      .crossJoin(broadcast(termCounts.agg(sum("n_exact").as("n_tok"))))
       .orderBy(col("n_exact").desc, col("term"))
   }
+
+  /** Registered readout of [[aggCountminFull]] — self-certifying BOUND
+    * form (the q_agg_approx device): exact top-20 term counts (DuckDB
+    * recomputes them — tokenization is the shared zipf convention)
+    * plus the CMS verdict `est ≥ exact AND est ≤ exact + 3εN` (ε =
+    * e/w; fixed seeds make it deterministic). The estimate values stay
+    * ScalaTest-pinned in SinksAndApproxSpec via [[aggCountminFull]]. */
+  private val aggCountmin: Q = (s, dir) =>
+    aggCountminFull(s, dir)
+      .select(col("term"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          (col("n_est") - col("n_exact")).cast("double") <=
+            lit(3.0 * math.E / 1024.0) * col("n_tok").cast("double"))
+          .as("cms_bounds_ok"))
+      .orderBy(col("n_exact").desc, col("term"))
 
   /** q_agg_sketch — MERGEABLE distinct-count sketches (Apache
     * DataSketches HLL): per-day sketches built once, then unioned into a
@@ -203,10 +234,13 @@ object AggQueries {
     * N daily sketches (constant bytes each), never from re-scanning N
     * days of raw events. `hll_sketch_agg` → binary sketch column
     * (persistable to the warehouse); `hll_union_agg` merges without
-    * precision loss. Q-tier: sketch internals have no DuckDB parity;
-    * the estimate is deterministic and bounds-checked vs exact in
-    * SinksAndApproxSpec. */
-  private val aggSketch: Q = (s, dir) =>
+    * precision loss. Sketch internals have no DuckDB parity, so the
+    * registered readout is the self-certifying BOUND form (the
+    * q_agg_approx device): exact n_days + exact distinct users as the
+    * oracle anchors, plus the 5% (≈3·rsd at lgK = 12) verdict on the
+    * merged estimate; the estimate VALUES and merge-invariance stay
+    * ScalaTest-pinned in SinksAndApproxSpec via [[aggSketchMerged]]. */
+  private[graft] val aggSketchMerged: Q = (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
@@ -215,6 +249,18 @@ object AggQueries {
         hll_sketch_estimate(hll_union_agg(col("sk"), false))
           .cast("long").as("apx_users"))
       .orderBy("event_type")
+
+  private val aggSketch: Q = (s, dir) => {
+    val exact = Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    aggSketchMerged(s, dir).join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_users"),
+        (abs(col("apx_users") - col("n_users")).cast("double") <=
+          lit(0.05) * col("n_users").cast("double"))
+          .as("hll_within_bound"))
+      .orderBy("event_type")
+  }
 
   /** q_agg_quantile — exact interpolated percentiles per group (the
     * distribution profile behind curation cutoffs — "drop the bottom
@@ -242,10 +288,17 @@ object AggQueries {
     * scaladoc claims the swap is one function name; this query EXECUTES
     * that claim so the plan shape (two-phase ObjectHashAggregate over
     * sketch partials) is driver-run every round, not just asserted.
-    * Q-tier: the sketch's error model is implementation-specific (no
-    * DuckDB parity); SinksAndApproxSpec bounds it against the exact
-    * percentiles at matching accuracy. */
-  private val aggQuantileApprox: Q = (s, dir) =>
+    * The sketch's error model is implementation-specific (no DuckDB
+    * value parity), so the registered readout is the self-certifying
+    * RANK-ERROR form: for each approximate percentile, the verdict
+    * that its rank among the group's non-null values sits within the
+    * Greenwald–Khanna tolerance n/accuracy (+2 interpolation slack) of
+    * the target rank — the exact guarantee the sketch advertises,
+    * checked with two conditional counts per quantile. The oracle
+    * anchors on the exact group count and asserts every verdict TRUE;
+    * the approximate VALUES stay ScalaTest-pinned in
+    * SinksAndApproxSpec via [[aggQuantileApproxRaw]]. */
+  private[graft] val aggQuantileApproxRaw: Q = (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -254,6 +307,37 @@ object AggQueries {
         round(expr("approx_percentile(value, 0.75, 10000)"), 4).as("p75"),
         round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"))
       .orderBy("event_type")
+
+  private val aggQuantileApprox: Q = (s, dir) => {
+    // unrounded sketch answers for the rank check (the 4-dp rounding in
+    // the raw readout is display-grade; rank verification needs the
+    // value the sketch actually returned)
+    val apx = Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_val"),
+        expr("approx_percentile(value, 0.25, 10000)").as("a25"),
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(value, 0.75, 10000)").as("a75"),
+        expr("approx_percentile(value, 0.9, 10000)").as("a90"))
+    val ev = Tables.load(s, dir, "events").select("event_type", "value")
+    def okCol(p: Double, a: String): org.apache.spark.sql.Column = {
+      // n_val is constant per group but not a grouping key — read it
+      // through max() so every reference sits inside an aggregate
+      val nv = max(col("n_val")).cast("double")
+      val tol = nv / 10000.0 + 2.0
+      val target = lit(p) * nv
+      (sum(when(col("value") <= col(a), 1).otherwise(0)).cast("double") >=
+        target - tol) &&
+        (sum(when(col("value") < col(a), 1).otherwise(0)).cast("double") <=
+          target + tol)
+    }
+    ev.join(broadcast(apx), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        okCol(0.25, "a25").as("ok_p25"), okCol(0.5, "a50").as("ok_p50"),
+        okCol(0.75, "a75").as("ok_p75"), okCol(0.9, "a90").as("ok_p90"))
+      .orderBy("event_type")
+  }
 
   /** q_agg_stats — second-moment statistics per group: sample
     * stddev/variance and the quantity↔price correlation/covariance
@@ -2554,7 +2638,145 @@ object AggQueries {
           .as("p_value"))
   }
 
+  /** q_agg_bimodality — Sarle's bimodality coefficient per return
+    * flag: b = (g₁² + 1) / (g₂ + 3(n−1)²/((n−2)(n−3))), flagged
+    * against the 5/9 uniform benchmark — the "is this one population
+    * or two" screen q_agg_moments stops short of (a mean and variance
+    * describe a mixture of two tight modes as one wide blob; b > 5/9
+    * says the histogram q_agg_histogram draws will show two humps —
+    * the signature of a mixed data source that should be split before
+    * any per-group model). Exactness: the §7.5.2 decimal power-sum
+    * discipline extended to FOURTH moments (2-dp inputs ⇒ 8-dp
+    * quartics, exact in decimal(38,8)); g₁, g₂, and b are shared
+    * closed-form doubles off those sums, rounded once. One two-phase
+    * aggregate; four decimal columns per group is the shuffle. */
+  private val aggBimodality: Q = (s, dir) => {
+    // (8,2) so the quartic product stays inside precision 38 on BOTH
+    // engines: (8,2)^4 = (35,8) Spark / (32,8) DuckDB — exact either way
+    val q = "CAST(l_quantity AS DECIMAL(8,2))"
+    val g = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"CAST(sum($q) AS DOUBLE)").as("s1"),
+        expr(s"CAST(sum($q * $q) AS DOUBLE)").as("s2"),
+        expr(s"CAST(sum($q * $q * $q) AS DOUBLE)").as("s3"),
+        expr(s"CAST(sum($q * $q * $q * $q) AS DOUBLE)").as("s4"))
+    val m = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - m * m
+    val m3 = col("s3") / col("n") - lit(3) * m * (col("s2") / col("n")) +
+      lit(2) * m * m * m
+    val m4 = col("s4") / col("n") - lit(4) * m * (col("s3") / col("n")) +
+      lit(6) * m * m * (col("s2") / col("n")) - lit(3) * m * m * m * m
+    val g1 = m3 / pow(m2, 1.5)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    val nd = col("n").cast("double")
+    val corr = lit(3.0) * (nd - 1) * (nd - 1) / ((nd - 2) * (nd - 3))
+    g.select(col("flag"), col("n"),
+        round(g1, 4).as("skew"),
+        round(g2, 4).as("exkurt"),
+        round((g1 * g1 + 1) / (g2 + corr), 4).as("b_coef"),
+        when(round((g1 * g1 + 1) / (g2 + corr), 4) > 5.0 / 9.0, 1)
+          .otherwise(0).as("bimodal"))
+      .orderBy(col("flag").asc_nulls_first)
+  }
+
+  /** q_agg_dispersion — index-of-dispersion test on daily event counts
+    * per type: D = var/mean of the daily series, χ² = (n−1)·D, and the
+    * normal-approximation z = (D−1)·√((n−1)/2) with the ±1.96 verdict —
+    * the "is arrival Poisson" gate under every rate model (D ≈ 1:
+    * Poisson; D ≫ 1: bursty/clumped arrivals — retries, bots, batch
+    * replays; D ≪ 1: rate-limited/scheduled). q_evt_interarrival looks
+    * at gaps; this looks at per-day count variance — the two catch
+    * different failure modes. Exactness: daily counts are integers, so
+    * Σy and Σy² are exact decimals; D, χ², z are one shared closed
+    * form. Scale: one corpus contraction to the daily grid; everything
+    * after is types-sized. */
+  private val aggDispersion: Q = (s, dir) => {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val g = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("s1"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("s2"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val vr = (col("s2").cast("double") -
+      nd * mean * mean) / (nd - 1)
+    val d = vr / mean
+    val z = (d - 1) * sqrt((nd - 1) / 2.0)
+    g.select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(mean, 4).as("mean_daily"),
+        round(d, 4).as("dispersion"),
+        round((nd - 1) * d, 4).as("chi2"),
+        round(z, 4).as("z"),
+        when(round(z, 4) > 1.96, "overdispersed")
+          .when(round(z, 4) < -1.96, "underdispersed")
+          .otherwise("poisson_consistent").as("verdict"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_agg_fdr_bh — Benjamini–Hochberg multiple-testing control over
+    * the per-type battery "does this event type's mean value differ
+    * from the rest" (Welch z per type off one contraction): running k
+    * marginal tests at α each inflates false discoveries k-fold — BH
+    * is the step-up that caps the EXPECTED false-discovery RATE at q,
+    * the correction every per-segment metric scan should apply before
+    * paging anyone (q_agg_ab_ztest tests ONE split; this disciplines
+    * k of them). The p-values are the Chernoff tail bound
+    * exp(−z²/2) ≥ 2(1−Φ(|z|)) — conservative by construction (a BH
+    * pass on bounds only under-rejects), engine-exact (one libm exp,
+    * 8-dp-rounded — the logloss rule), and pluggable: the OPERATOR is
+    * the step-up machinery (rank by p, threshold i·q/m, reject up to
+    * the largest qualifying rank). Exactness: decimal sums, one
+    * shared closed form per z; ranks sort the 8-dp p with the type
+    * name as pinned tiebreak; the step-up maximum broadcasts back —
+    * no unpartitioned window. */
+  private val aggFdrBh: Q = (s, dir) => {
+    val g = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s1"),
+        sum((col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)"))).as("s2"))
+    val tot = g.agg(sum("n").as("tn"), sum("s1").as("ts1"),
+      sum("s2").as("ts2"), count(lit(1)).as("m"))
+    val nd = col("n").cast("double")
+    val rn = (col("tn") - col("n")).cast("double")
+    val mt = col("s1").cast("double") / nd
+    val mr = (col("ts1") - col("s1")).cast("double") / rn
+    val vt = (col("s2").cast("double") - nd * mt * mt) / (nd - 1)
+    val vrr = ((col("ts2") - col("s2")).cast("double") - rn * mr * mr) /
+      (rn - 1)
+    val z = (mt - mr) / sqrt(vt / nd + vrr / rn)
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("z", round(z, 4))
+      .withColumn("p_bound",
+        round(least(exp(lit(-1.0) * col("z") * col("z") / 2.0),
+          lit(1.0)), 8))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("m")
+          .orderBy(col("p_bound"), col("event_type").asc_nulls_first)))
+      .withColumn("bh_thr",
+        round(col("rnk").cast("double") * 0.10 / col("m"), 8))
+      .localCheckpoint()
+    val cutoff = scored
+      .agg(coalesce(max(when(col("p_bound") <= col("bh_thr"),
+        col("rnk"))), lit(0)).as("i_max"))
+    scored.crossJoin(broadcast(cutoff))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("z"), col("p_bound"), col("rnk").cast("long").as("rnk"),
+        col("bh_thr"),
+        when(col("rnk") <= col("i_max"), 1).otherwise(0)
+          .as("discovery"))
+      .orderBy("rnk")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_bimodality" -> aggBimodality,
+    "q_agg_dispersion" -> aggDispersion,
+    "q_agg_fdr_bh" -> aggFdrBh,
     "q_agg_fleiss_kappa" -> aggFleissKappa,
     "q_agg_permutation" -> aggPermutation,
     "q_agg_auc" -> aggAuc,

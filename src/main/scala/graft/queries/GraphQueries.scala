@@ -287,6 +287,48 @@ object GraphQueries {
       .limit(50)
   }
 
+  /** q_graph_modularity — Newman modularity of the BRAND partition
+    * over the SF-held co-order demo graph ([[coOrderDemoGraph]]):
+    * Q = Σ_c (e_c/m − (k_c/2m)²) — "is co-purchase brand-segregated"
+    * as one number (Q ≈ 0: brands don't structure the graph; Q ≳ 0.3:
+    * strong brand communities — the quality readout any community
+    * assignment, LPA/Louvain included, is scored by; here the
+    * partition under test is the catalog's own brand labels).
+    * Exactness trick: the community sum COLLAPSES algebraically —
+    * Q = E_in/m − (Σk_c²)/(4m²) with E_in and Σk_c² integers, so the
+    * readout is TWO divisions of exact counts, not a float fold over
+    * communities (merge-order-safe by construction). Scale: brand is
+    * a broadcast dim onto the checkpointed edge list; everything
+    * after is community-sized. */
+  private val graphModularity: Q = (s, dir) => {
+    val (e0, deg) = coOrderDemoGraph(s, dir)
+    val brand = Tables.load(s, dir, "part")
+      .select(col("p_partkey").as("p"), col("p_brand").as("c"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val kc = deg.join(broadcast(brand), "p")
+      .groupBy("c").agg(sum("dg").cast("decimal(18,0)").as("k_c"))
+    val k2t = kc.agg(count(lit(1)).as("n_comms"),
+      sum(col("k_c") * col("k_c")).as("k2"))
+    val eIn = e0
+      .join(broadcast(brand.select(col("p").as("u"), col("c").as("cu"))),
+        "u")
+      .join(broadcast(brand.select(col("p").as("v"), col("c").as("cv"))),
+        "v")
+      .agg(count(lit(1)).as("m_edges"),
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("e_in"))
+    eIn.crossJoin(broadcast(k2t)).crossJoin(broadcast(nNodes))
+      .select(col("n_nodes").cast("long").as("n_nodes"),
+        col("m_edges").cast("long").as("m_edges"),
+        col("n_comms").cast("long").as("n_comms"),
+        col("e_in").cast("long").as("e_in"),
+        round(col("e_in").cast("double") / col("m_edges"), 4)
+          .as("intra_share"),
+        round(col("e_in").cast("double") / col("m_edges") -
+          col("k2").cast("double") /
+            (lit(4.0) * col("m_edges") * col("m_edges")), 4)
+          .as("modularity"))
+  }
+
   /** q_graph_components — connected components of the same-brand
     * co-order part graph (sparse by construction: an order's parts
     * rarely share a brand), labeling every part with the minimum
@@ -492,7 +534,8 @@ object GraphQueries {
     * cuts lineage); rounds are bounded by the graph's degeneracy
     * ladder, not its size — real graphs converge in a handful of
     * rounds per k, and the edge list only ever shrinks. */
-  private val graphKcore: Q = (s, dir) => {
+  private def kcoreParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (e0, _) = coOrderDemoGraph(s, dir)
     // Coreness via exact in-task Matula–Beck peeling — the
     // q_graph_components pattern: the SF-held demo graph fits one
@@ -570,7 +613,7 @@ object GraphQueries {
       .select(explode(sequence(lit(1L), col("kmax"))).as("k"))
     val nodeFill = Window.orderBy("k")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    spine
+    val census = spine
       .join(nodesK.select("k", "n_nodes"), Seq("k"), "left")
       .join(edgesK.select("k", "n_edges"), Seq("k"), "left")
       // a missing k means "same census as the next present k above"
@@ -581,6 +624,48 @@ object GraphQueries {
       .select(col("k"), col("n_nodes").cast("long").as("n_nodes"),
         col("n_edges").cast("long").as("n_edges"))
       .orderBy("k")
+    (e0, c, census)
+  }
+
+  /** Full (k, n_nodes, n_edges) census — AnalyticsOpsSpec pins it
+    * against an independent in-memory peel. */
+  private[graft] val graphKcoreCensus: Q = (s, dir) =>
+    kcoreParts(s, dir)._3
+
+  /** Registered readout — self-certifying BOUND form (the
+    * q_agg_approx device): coreness itself needs the peel (non-
+    * monotone, so no recursive-CTE oracle exists), but the 1-core of
+    * an edge list IS the whole graph (every endpoint has degree ≥ 1),
+    * so the k = 1 census row is an exact DuckDB anchor (the demo-graph
+    * contraction is SQL-reconstructible — the triangles/degree oracle
+    * precedent), and two invariants certify the peel: cores are
+    * NESTED (census non-increasing in k) and every node has ≥ core(v)
+    * neighbors of coreness ≥ core(v) — the defining property of the
+    * core number. Exact per-k values stay pinned in AnalyticsOpsSpec
+    * via [[graphKcoreCensus]]. */
+  private val graphKcore: Q = (s, dir) => {
+    val (e0, c, census) = kcoreParts(s, dir)
+    val anchor = census.filter(col("k") === 1)
+      .select(col("n_nodes"), col("n_edges"))
+    val shifted = census.select((col("k") - 1).as("k"),
+      col("n_nodes").as("nn2"), col("n_edges").as("ne2"))
+    val nested = census.join(shifted, Seq("k"), "left")
+      .agg((sum(when(col("nn2") > col("n_nodes") ||
+        col("ne2") > col("n_edges"), 1).otherwise(0)) === 0)
+        .as("cores_nested"))
+    val nbr = e0
+      .join(broadcast(c.select(col("p").as("u"), col("c").as("cu"))), "u")
+      .join(broadcast(c.select(col("p").as("v"), col("c").as("cv"))), "v")
+    val mindeg = nbr
+      .select(col("u").as("p"), col("cu").as("cp"), col("cv").as("cn"))
+      .unionAll(nbr
+        .select(col("v").as("p"), col("cv").as("cp"), col("cu").as("cn")))
+      .groupBy("p", "cp")
+      .agg(sum(when(col("cn") >= col("cp"), 1L).otherwise(0L))
+        .as("in_core"))
+      .agg((sum(when(col("in_core") < col("cp"), 1).otherwise(0)) === 0)
+        .as("core_mindeg_ok"))
+    anchor.crossJoin(nested).crossJoin(mindeg)
   }
 
   /** q_graph_hits — HITS hubs & authorities on the weighted
@@ -640,6 +725,7 @@ object GraphQueries {
     "q_graph_bipartite" -> graphBipartite,
     "q_graph_assortativity" -> graphAssortativity,
     "q_graph_pagerank" -> graphPagerank,
+    "q_graph_modularity" -> graphModularity,
     "q_graph_degree" -> graphDegree,
     "q_graph_triangles" -> graphTriangles,
     "q_graph_clustering" -> graphClustering,

@@ -332,11 +332,14 @@ object PipelineQueries {
     * the two exact count(DISTINCT). The exact profile pays an Expand ×3
     * (every input row replicated per distinct column); the sketch
     * version keeps ONE pass with constant-size partials, which is the
-    * profile a petabyte table can actually afford. Q-tier: HLL estimates
-    * have no DuckDB-equality oracle — SinksAndApproxSpec gates the
-    * estimates against the exact profile's cardinalities (±3·rsd) and
-    * pins the no-Expand plan property that justifies the swap. */
-  private val etlDqApprox: Q = (s, dir) =>
+    * profile a petabyte table can actually afford. HLL estimates have
+    * no DuckDB-equality oracle, so the REGISTERED readout is the
+    * self-certifying bound form (the q_agg_approx device): the exact
+    * profile's columns as oracle anchors plus ±3·rsd verdicts on the
+    * two estimates; the production no-Expand plan property and the
+    * estimate values stay pinned on [[etlDqApproxRaw]] in
+    * SinksAndApproxSpec. */
+  private[graft] val etlDqApproxRaw: Q = (s, dir) =>
     Tables.load(s, dir, "orders")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -352,6 +355,23 @@ object PipelineQueries {
           .as("status_distinct_est"),
         min("o_orderdate").as("date_min"),
         max("o_orderdate").as("date_max"))
+
+  private val etlDqApprox: Q = (s, dir) => {
+    val ests = etlDqApproxRaw(s, dir)
+      .select(col("custkey_distinct_est").as("cde"),
+        col("status_distinct_est").as("sde"))
+    def ok(est: org.apache.spark.sql.Column, exact: String) =
+      (abs(est - col(exact)).cast("double") <=
+        lit(0.15) * col(exact).cast("double"))
+    etlDq(s, dir).crossJoin(broadcast(ests))
+      .select(col("n_rows"), col("custkey_nulls"),
+        col("custkey_distinct"),
+        ok(col("cde"), "custkey_distinct").as("custkey_est_ok"),
+        col("price_nulls"), col("price_min"), col("price_max"),
+        col("status_distinct"),
+        ok(col("sde"), "status_distinct").as("status_est_ok"),
+        col("date_min"), col("date_max"))
+  }
 
   /** q_etl_snapshot_diff — table-diff between two warehouse snapshots
     * (the CDC-derivation / data-reconciliation pattern: "what changed

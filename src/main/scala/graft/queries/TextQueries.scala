@@ -33,14 +33,53 @@ object TextQueries {
       .select("doc_id", "text_sha", "n_copies")
       .orderBy("doc_id")
 
+  /** Planted-duplicate corpus for the MinHash/SimHash bound oracles
+    * (the q_stream_dedup union-with-itself device, r15): every 50th
+    * document is re-keyed (+10⁷) and appended, so the corpus contains
+    * an arithmetically RECONSTRUCTIBLE set of exact-duplicate pairs —
+    * DuckDB can count them without touching the hash family, and an
+    * identical text is GUARANTEED an identical signature, so "every
+    * planted pair is covered" is a deterministic contract, not a
+    * tolerance. The fixture corpus itself has zero exact-dup texts
+    * (checked r15), which would make a coverage oracle vacuous —
+    * planting is what gives the bound teeth. */
+  private def plantedCorpus(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("text")))
+
+  /** The planted pairs that sit in the candidate universe (MinHash
+    * drops docs with fewer than `shingleSize` raw tokens). */
+  private def plantedPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 50 === 0 &&
+        size(TextSim.tokens(col("text"))) >= 3)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + lit(10000000L)).as("doc_b"))
+
   /** q_text_minhash — MinHash+LSH near-dup candidates
     * ([[TextSim.minhashCandidates]]): shingle → signature → banded
-    * bucket-join. Q-tier (no DuckDB parity for the hash family);
-    * Jaccard-vs-candidates property covered in TextSimSpec. */
-  private val minhash: Q = (s, dir) =>
-    TextSim.minhashCandidates(Tables.load(s, dir, "documents"),
-        col("doc_id"), col("text"))
-      .orderBy("doc_a", "doc_b")
+    * bucket-join, run over the [[plantedCorpus]]. The hash family has
+    * no DuckDB parity, so the registered readout is the
+    * self-certifying BOUND form: candidate-set ⊇ planted
+    * exact-duplicate pairs (identical text ⇒ identical signature ⇒
+    * collision in every band — a deterministic guarantee), with the
+    * pair census as the oracle anchor. Jaccard-vs-candidates recall
+    * on NEAR-dups stays in TextSimSpec. */
+  private val minhash: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val corpus = plantedCorpus(docs)
+    val cands = TextSim.minhashCandidates(corpus, col("doc_id"),
+      col("text"))
+    val expected = plantedPairs(docs)
+    expected.agg(count(lit(1)).as("n_dup_pairs"))
+      .crossJoin(expected.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_dup_covered")))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_dup_pairs"), col("n_dup_covered"),
+        (col("n_dup_covered") === col("n_dup_pairs"))
+          .as("all_dups_covered"))
+  }
 
   /** q_text_minhash_groups — the end-to-end text near-dup pipeline:
     * MinHash banding proposes candidate PAIRS
@@ -48,20 +87,41 @@ object TextQueries {
     * the partition-local union-find contraction
     * ([[TextSim.dedupGroups]]) turns pairs into dedup GROUPS with a
     * min-id canonical doc per group — the "keep one copy per cluster"
-    * decision a training-corpus dedup actually executes, composed from
-    * the same two scale primitives the embedding path uses
-    * (q_vec_cosine_dedup → q_vec_dedup_groups). Q-tier: the pair set
-    * is MinHash-derived (xxhash64, no DuckDB twin); group consistency
-    * (every candidate pair shares a label; canonicals are group
-    * minima) is gated in TextSimSpec. */
+    * decision a training-corpus dedup actually executes. The pair set
+    * is MinHash-derived (no DuckDB twin), so the registered readout is
+    * the BOUND form over the [[plantedCorpus]]: every planted
+    * exact-dup pair must land in one group, and every group's
+    * canonical must be its minimum id — two deterministic contracts
+    * the oracle asserts TRUE next to the exact pair census. Group
+    * consistency over NEAR-dup pairs stays in TextSimSpec. */
   private val minhashGroups: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val pairs = TextSim.minhashCandidates(docs, col("doc_id"), col("text"))
+    val corpus = plantedCorpus(docs)
+    val pairs = TextSim.minhashCandidates(corpus, col("doc_id"),
+        col("text"))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    TextSim.dedupGroups(docs.select("doc_id"), pairs)
-      .withColumn("is_canonical",
-        (col("doc_id") === col("group_id")).cast("int"))
-      .orderBy("doc_id")
+    val groups = TextSim.dedupGroups(corpus.select("doc_id"), pairs)
+    val expected = plantedPairs(docs)
+    val sameGroup = expected
+      .join(groups.select(col("doc_id").as("doc_a"),
+        col("group_id").as("ga")), Seq("doc_a"))
+      .join(groups.select(col("doc_id").as("doc_b"),
+        col("group_id").as("gb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_labeled"),
+        sum(when(col("ga") === col("gb"), 1L).otherwise(0L))
+          .as("n_same_group"))
+    val canon = groups.groupBy("group_id")
+      .agg(min("doc_id").as("mn"))
+      .agg((sum(when(col("mn") =!= col("group_id"), 1L).otherwise(0L))
+        === 0).as("canonicals_are_minima"))
+    expected.agg(count(lit(1)).as("n_dup_pairs"))
+      .crossJoin(sameGroup)
+      .crossJoin(canon)
+      .select(col("n_dup_pairs"),
+        (col("n_labeled") === col("n_dup_pairs") &&
+          col("n_same_group") === col("n_dup_pairs"))
+          .as("all_dups_grouped"),
+        col("canonicals_are_minima"))
   }
 
   /** q_vec_cosine_topk — brute-force cosine top-10 against the vec_id=0
@@ -339,15 +399,37 @@ object TextQueries {
       k = 8, iters = 3)
 
   /** q_text_simhash — per-doc SimHash fingerprint + dedup bands
-    * ([[TextSim.simhash]]). Q-tier (xxhash64-based; candidate semantics
-    * covered in TextSimSpec with planted near-dups). */
-  private val simhashQ: Q = (s, dir) =>
-    Tables.load(s, dir, "documents")
-      .withColumn("fp", TextSim.simhash(col("text")))
-      .select(Seq(col("doc_id"), col("fp")) ++
-        (0 until 4).map(b => shiftright(col("fp"), b * 16)
-          .bitwiseAND(0xffffL).as(s"band$b")): _*)
-      .orderBy("doc_id")
+    * ([[TextSim.simhash]]). The fingerprint is xxhash64-based (no
+    * DuckDB parity), so the registered readout is the self-certifying
+    * BOUND form over the [[plantedCorpus]]: identical text ⇒ identical
+    * fingerprint ⇒ all four 16-bit bands equal — a deterministic
+    * contract counted over the planted exact-dup pairs, with the
+    * census as the oracle anchor. Near-dup band locality (one flipped
+    * token perturbs ≤ a few bits) stays in TextSimSpec. */
+  private val simhashQ: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val corpus = plantedCorpus(docs)
+    val fps = corpus.withColumn("fp", TextSim.simhash(col("text")))
+    val expected = docs
+      .filter(col("doc_id") % 50 === 0 && col("text").isNotNull)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + lit(10000000L)).as("doc_b"))
+    val matched = expected
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fa")),
+        Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fb")),
+        Seq("doc_b"))
+      .agg(count(lit(1)).as("n_fp_pairs"),
+        sum(when(col("fa") === col("fb"), 1L).otherwise(0L))
+          .as("n_identical_fp"))
+    corpus.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(expected.agg(count(lit(1)).as("n_dup_pairs")))
+      .crossJoin(matched)
+      .select(col("n_docs"), col("n_dup_pairs"),
+        (col("n_fp_pairs") === col("n_dup_pairs") &&
+          col("n_identical_fp") === col("n_dup_pairs"))
+          .as("all_dups_identical_fp"))
+  }
 
   /** q_text_ngram_jaccard — exact word-3-gram Jaccard over adjacent doc
     * pairs ([[TextSim.ngramJaccard]]): the exact-measure companion to the
@@ -361,6 +443,73 @@ object TextQueries {
         TextSim.ngramJaccard(col("text_a"), col("text_b"), 3))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a")
+  }
+
+  /** q_text_containment — ASYMMETRIC word-3-gram containment over the
+    * adjacent-pair device: c(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|
+    * both directions, plus the direction verdict — the "B quotes A"
+    * detector Jaccard structurally misses (a short doc pasted whole
+    * into a long one scores Jaccard ≈ |A|/|B| → 0 but containment = 1;
+    * it's the decontamination-grade question "is one of these inside
+    * the other", not "are they similar"). Same shingle kernel and
+    * set-op shape as q_text_ngram_jaccard; per-row, no shuffle beyond
+    * the id+1 self-join. */
+  private val textContainment: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val ga = TextSim.shingles(col("text_a"), 3)
+    val gb = TextSim.shingles(col("text_b"), 3)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("contain_a",
+        round(try_divide(inter,
+          size(array_distinct(ga)).cast("double")), 4))
+      .withColumn("contain_b",
+        round(try_divide(inter,
+          size(array_distinct(gb)).cast("double")), 4))
+      .select(col("doc_a"), col("doc_b"), col("contain_a"),
+        col("contain_b"),
+        when(col("contain_a") > col("contain_b"), "a_in_b")
+          .when(col("contain_b") > col("contain_a"), "b_in_a")
+          .otherwise("symmetric").as("direction"))
+      .orderBy("doc_a")
+  }
+
+  /** q_vec_binary_quant — sign-bit binary quantization retrieval: each
+    * dimension collapses to its SIGN, candidate similarity is the
+    * Hamming distance between sign patterns, top-5 per probe by
+    * (hamming, id) — the 32×-compression ANN tier under PQ (32 floats
+    * → 1 bit each; hamming/dim estimates the angle θ/π, good enough
+    * for a shortlist that exact rescoring then fixes). Exactness:
+    * sign(x) > 0 is a float comparison both engines answer
+    * identically (float→double widening preserves sign; −0.0 > 0 is
+    * false on both); hamming is an integer. Scale: the demo scores
+    * sign vectors via one codegen-adjacent HOF pass against 3
+    * broadcast probes; the production path packs signs into
+    * ⌈dim/64⌉ longs at ingest (q_vec_quantize's slot) and XOR +
+    * bit_count per candidate — 2 long ops replacing dim float ops,
+    * the whole point of the tier. */
+  private val vecBinaryQuant: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        size(filter(zip_with(col("q_emb"), col("embedding"),
+          (x, y) => (x > lit(0)) =!= (y > lit(0))), bb => bb))
+          .as("hamming"),
+        size(col("embedding")).as("dim"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("hamming").cast("long").as("hamming"),
+        round(lit(1.0) - col("hamming").cast("double") / col("dim"), 4)
+          .as("sign_sim"))
+      .orderBy("q_id", "rn")
   }
 
   /** q_vec_cosine_dedup — embedding-cosine near-duplicate pairs above a
@@ -1090,19 +1239,48 @@ object TextQueries {
     * same eval slice, same kept-corpus readout, membership tested
     * against a distributed-built Bloom filter instead of an anti-join.
     * Deterministic (fixed hash seeds, order-independent bit-OR build),
-    * but the filter bytes have no DuckDB twin → Q-tier; the
-    * no-false-negative guarantee, FP slack vs the exact anti-join, and
-    * determinism are gated in CurationSpec. expectedN = 1<<16 bounds
-    * every test SF's eval slice; real deployments size it from the
-    * eval corpus count (see the scaladoc). */
+    * but the filter bytes have no DuckDB twin, so the registered
+    * readout is the self-certifying BOUND form (the q_agg_approx
+    * device): per language, the corpus size and the EXACT
+    * sha-anti-join keep count as oracle anchors, plus the two
+    * verdicts that define a Bloom filter — zero false negatives
+    * (every sha-contaminated doc removed) and the false-positive
+    * overshoot within 3·fpp slack. CurationSpec keeps the
+    * determinism/value gates on the op itself. expectedN = 1<<16
+    * bounds every test SF's eval slice; real deployments size it from
+    * the eval corpus count (see the scaladoc). */
   private val textDeconBloom: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    Curation.decontaminateBloom(docs, "text",
-        evalDocs = docs.filter(col("doc_id") % 97 === 0),
-        evalTextCol = "text", expectedN = 1L << 16, fpp = 0.01)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val evalSha = evalDocs
+      .select(sha2(col("text"), 256).as("esha")).distinct()
+    val keptBloom = Curation.decontaminateBloom(docs, "text",
+      evalDocs = evalDocs, evalTextCol = "text",
+      expectedN = 1L << 16, fpp = 0.01)
+    val nAll = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nExact = docs.withColumn("sha", sha2(col("text"), 256))
+      .join(broadcast(evalSha), col("sha") === col("esha"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_exact_kept"))
+    val bloomStats = keptBloom
+      .join(broadcast(evalSha), col("text_sha") === col("esha"), "left")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_kept"),
-        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .agg(count(lit(1)).as("n_bloom"),
+        count(col("esha")).as("n_contam_survived"))
+    nAll.join(nExact, Seq("lang"), "left")
+      .join(bloomStats, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
+        (coalesce(col("n_contam_survived"), lit(0L)) === 0)
+          .as("no_false_negatives"),
+        // Bloom only ever REMOVES extra (FPs among the clean docs):
+        // 0 ≤ exact_kept − bloom_kept ≤ 3·fpp·exact_kept + 2
+        (coalesce(col("n_exact_kept"), lit(0L)) >=
+          coalesce(col("n_bloom"), lit(0L)) &&
+          (coalesce(col("n_exact_kept"), lit(0L)) -
+            coalesce(col("n_bloom"), lit(0L))).cast("double") <=
+            lit(3 * 0.01) *
+              coalesce(col("n_exact_kept"), lit(0L)).cast("double") + 2.0)
+          .as("fp_within_slack"))
       .orderBy("lang")
   }
 
@@ -2036,6 +2214,8 @@ object TextQueries {
     "q_text_urls" -> textUrls,
     "q_text_simhash" -> simhashQ,
     "q_text_ngram_jaccard" -> ngramJaccardQ,
+    "q_text_containment" -> textContainment,
+    "q_vec_binary_quant" -> vecBinaryQuant,
     "q_vec_cosine_dedup" -> cosineDedup,
     "q_vec_dedup_groups" -> dedupGroupsQ,
     "q_text_tokenize" -> tokenize,

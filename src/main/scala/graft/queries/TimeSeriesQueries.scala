@@ -984,7 +984,129 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_theil_sen — Theil–Sen robust trend per event type on the
+    * daily series: slope = median of all pairwise day-slopes
+    * (yⱼ−yᵢ)/(dⱼ−dᵢ), intercept via the Conover form
+    * median(y) − slope·median(d) — the estimator that survives up to
+    * ~29% arbitrary outliers where OLS (q_agg_regression) is dragged
+    * by one bad day; the robust line behind q_ts_mann_kendall's
+    * "trend exists" verdict (MK decides WHETHER, Theil–Sen says HOW
+    * STEEP). Exactness: each pair slope is one double division of
+    * exact integer deltas, 8-dp-rounded BEFORE the median (the
+    * logloss rule — ranking and interpolation then run on an
+    * engine-identical multiset); `percentile`/`quantile_cont` share
+    * the p·(n−1) interpolation; day medians interpolate integers.
+    * Scale: the corpus contracts to the types·days grid first
+    * (q_ts_mann_kendall's shape); the O(days²) pair join is the
+    * estimator's intrinsic cost, co-partitioned per type, days
+    * bounded — the corpus is touched once. */
+  private val tsTheilSen: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+      .withColumn("x", datediff(col("d"), lit("1970-01-01")))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        round((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double"), 8).as("sl"))
+    val slope = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(sl, 0.5)").as("slope_r"))
+    val meds = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(y, 0.5)").as("my"),
+        expr("percentile(x, 0.5)").as("mx"))
+    slope.join(meds, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        round(col("slope_r"), 4).as("slope"),
+        round(col("my") - col("slope_r") * col("mx"), 4)
+          .as("intercept"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_des — Brown's double exponential smoothing per event type
+    * (α = 0.5, the q_win_ema truncation device at 8 lags): S′ = EMA(y),
+    * S″ = EMA(S′), level = 2S′−S″, trend = (α/(1−α))(S′−S″) = S′−S″,
+    * 7-day-ahead forecast = level + 7·trend — the level-AND-trend
+    * smoother q_ts_forecast_snaive (pure seasonality) and q_win_ema
+    * (level only) both stop short of: a steadily growing series
+    * forecast WITHOUT a model fit. Truncating both recursions at 8
+    * lags (weight 0.5⁸ ≈ 0.4%) makes each a FIXED-frame window pass —
+    * O(1) state, two grid-side partitioned windows, zero iteration.
+    * Float parity is exact: powers of 0.5 are exact binary doubles
+    * and both engines evaluate the same ≤8-term sums in the same
+    * literal order, twice. Readout = the LAST day per type. */
+  private val tsDes: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    def ema(c: Column): Column = {
+      val lags = (0 to 7).map(i => if (i == 0) c else lag(c, i).over(w))
+      val wts = (0 to 7).map(i => math.pow(0.5, i))
+      val num = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      num / den
+    }
+    val s1 = dailySeries(s, dir)
+      .withColumn("s1", ema(col("y").cast("double")))
+    val s2 = s1.withColumn("s2", ema(col("s1")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc)))
+      .filter(col("rn") === 1)
+    s2.select(col("event_type"), col("d").as("last_day"),
+        col("y").as("last_y"),
+        round(lit(2.0) * col("s1") - col("s2"), 4).as("level"),
+        round(col("s1") - col("s2"), 4).as("trend"),
+        round(lit(2.0) * col("s1") - col("s2") +
+          lit(7.0) * (col("s1") - col("s2")), 4).as("forecast_7d"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_islands — calendar coverage census per event type: maximal
+    * runs of consecutive active days (islands) and the silent spans
+    * between them (gaps) via the classic d − row_number grouping key —
+    * the "did this feed actually deliver every day" screen behind
+    * freshness SLAs (q_etl_freshness reads the LAST arrival; this
+    * reads the whole history's holes — a feed can be fresh today and
+    * have dropped three weekends last month). Exactness: pure integer
+    * day arithmetic end-to-end. Scale: one corpus contraction to the
+    * grid; the island window partitions per type; islands are ≤ grid
+    * rows. */
+  private val tsIslands: Q = (s, dir) => {
+    val g = dailySeries(s, dir)
+      .withColumn("x", datediff(col("d"), lit("1970-01-01")))
+      .withColumn("grp", col("x") - row_number().over(
+        Window.partitionBy("event_type").orderBy("x")))
+    val islands = g.groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), min("x").as("st"), max("x").as("en"))
+    val gapped = islands.withColumn("gap_before",
+      col("st") - lag(col("en"), 1).over(
+        Window.partitionBy("event_type").orderBy("st")) - 1)
+    gapped.groupBy("event_type")
+      .agg(count(lit(1)).as("n_islands"),
+        sum("len").as("n_days"),
+        (max("en") - min("st") + 1).as("span_days"),
+        max("len").as("longest_island"),
+        max("gap_before").as("longest_gap"))
+      .select(col("event_type"),
+        col("n_islands").cast("long").as("n_islands"),
+        col("n_days").cast("long").as("n_days"),
+        col("span_days").cast("long").as("span_days"),
+        col("longest_island").cast("long").as("longest_island"),
+        coalesce(col("longest_gap"), lit(0)).cast("long")
+          .as("longest_gap"),
+        round(col("n_days").cast("double") / col("span_days"), 4)
+          .as("coverage"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_theil_sen" -> tsTheilSen,
+    "q_ts_des" -> tsDes,
+    "q_ts_islands" -> tsIslands,
     "q_ts_hod_circular" -> tsHodCircular,
     "q_ts_runs_test" -> tsRunsTest,
     "q_ts_ljung_box" -> tsLjungBox,

@@ -447,7 +447,42 @@ object WindowQueries {
       .orderBy(col("event_type").asc_nulls_first, col("d"))
   }
 
+  /** q_win_ema_time — TIME-DECAY exponential moving average per user
+    * (τ = 1 h): weight exp(−Δt/τ) by the ACTUAL gap to each prior
+    * event, truncated at 8 lags — the irregular-series correction to
+    * q_win_ema's per-row decay (row-count decay treats a 10-second
+    * burst and a 3-week gap as the same "one step back"; under bursty
+    * event streams that makes engagement features depend on sampling
+    * rate, not time — the classic feature-store bug). Same fixed-frame
+    * single window pass, O(1) state; weights renormalize over the lags
+    * that exist. Float parity: each exp(Δµs/3.6e9) weight is
+    * 8-dp-rounded (the libm term rule), Δt is exact integer µs, and
+    * both engines evaluate the same ≤8-term sums in the same literal
+    * order. */
+  private val winEmaTime: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val terms = (0 to 7).map { i =>
+      val lv = if (i == 0) col("value") else lag(col("value"), i).over(w)
+      val wt = if (i == 0) lit(1.0)
+        else round(exp((lag(col("ts_us"), i).over(w) - col("ts_us"))
+          .cast("double") / lit(3.6e9)), 8)
+      (lv, wt)
+    }
+    val num = terms.map { case (l, wt) =>
+      when(l.isNotNull, l * wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (l, wt) =>
+      when(l.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ema_t", round(num / den, 4))
+      .select("event_id", "user_id", "value", "ema_t")
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_ema_time" -> winEmaTime,
     "q_win_ohlc" -> winOhlc,
     "q_win_concurrency" -> winConcurrency,
     "q_win_skyline" -> winSkyline,

@@ -268,7 +268,7 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       (k.toLong, nodes, core.size.toLong)
     }.takeWhile(_._2 > 0).toSeq
 
-    val got = SparkEntry.queries("q_graph_kcore")(spark, sf0001)
+    val got = graft.queries.GraphQueries.graphKcoreCensus(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got == expected,
       s"census mismatch:\n got      $got\n expected $expected")

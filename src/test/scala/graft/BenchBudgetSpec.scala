@@ -206,7 +206,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     // one bucket explode + two tiny aggregates
     "q_vec_lsh_balance" -> 0.4,
     // contract-orders-first + global ntile over the customer dim
-    "q_agg_lorenz" -> 0.5,
+    // re-based 0.5 -> 1.1 with the r15 PrefixSweep conversion: the
+    // distributed prefix sum (repartitionByRange + partials + offsets)
+    // costs ~2 extra small jobs locally vs the old single-partition
+    // window, in exchange for removing the 100x-scale bottleneck
+    // (measured 1.06 s quiet at sf0.1, stable samples)
+    "q_agg_lorenz" -> 1.1,
     // one user_id exchange (lag window + two aggregates + join)
     "q_evt_bot_score" -> 0.7,
     // one corpus contraction to the weekly grid
@@ -415,7 +420,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     // (rfm adds entity-grain ntile sorts); resample joins the daily
     // rollup to a generated spine; skew/entropy/canon/zipf are
     // two-phase aggregates over counts/tokens
-    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 0.6,
+    // rfm re-based 0.6 -> 1.3 with the r15 PrefixSweep conversion:
+    // THREE stacked sweeps (r/f/m quartiles) replace three
+    // single-partition ntile windows (measured 1.25 s quiet at sf0.1,
+    // stable samples)
+    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 1.3,
     "q_etl_cdc_apply" -> 0.5, "q_etl_resample" -> 0.7,
     "q_etl_skew_profile" -> 0.4, "q_agg_entropy" -> 0.4,
     "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7,
@@ -505,7 +514,18 @@ class BenchBudgetSpec extends AnyFunSuite {
     // reads the stamped serving table (the 4-batch build runs in the
     // untimed warm-up)
     "q_stream_seen" -> 0.9, "q_stream_late" -> 0.7,
-    "q_stream_minhash" -> 1.2, "q_stream_foreachbatch" -> 0.6)
+    "q_stream_minhash" -> 1.2, "q_stream_foreachbatch" -> 0.6,
+    // r15 statistics/coverage batch: theil_sen pays the mann_kendall
+    // pair join; des is two grid windows; the rest are one-contraction
+    // closed forms
+    "q_ts_theil_sen" -> 0.8, "q_ts_des" -> 0.7,
+    "q_ts_islands" -> 0.6, "q_agg_bimodality" -> 0.8,
+    "q_agg_dispersion" -> 0.6, "q_agg_fdr_bh" -> 0.7,
+    // r15 batch B: containment pays the jaccard pair shape; binary
+    // quant one HOF pass vs 3 probes; modularity rides the demo-graph
+    // contraction; ema_time is one partitioned window
+    "q_text_containment" -> 1.0, "q_vec_binary_quant" -> 0.8,
+    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 1.0)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

@@ -23,9 +23,9 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 361, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 337)
-    assert(declared.values.count(_ == "Q") == 24)
+    assert(declared.size == 371, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 357)
+    assert(declared.values.count(_ == "Q") == 14)
     assert(declared.values.count(_ == "U") == 0)
   }
 

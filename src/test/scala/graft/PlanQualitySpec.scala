@@ -453,9 +453,17 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_text_decon_bloom is join-free — membership is a map-side probe") {
-    val p = plan("q_text_decon_bloom")
     // the bloom variant exists to REPLACE the anti-join: the corpus
-    // must stream through the broadcast filter predicate, never join
+    // must stream through the broadcast filter predicate, never join.
+    // Asserted on the OP (the production path) — the registered query
+    // now wraps it in the r15 bound-verdict readout, whose exact
+    // anti-join anchor exists precisely to certify this op
+    val docs = Tables.load(spark, sf0001, "documents")
+    val kept = graft.ops.Curation.decontaminateBloom(docs, "text",
+      evalDocs = docs.filter(col("doc_id") % 97 === 0),
+      evalTextCol = "text", expectedN = 1L << 16, fpp = 0.01)
+    val p = kept.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Join"),
       "bloom decontamination regressed to a join — the filter probe " +
         "is the whole point")
@@ -793,13 +801,17 @@ class PlanQualitySpec extends SparkSpecBase {
       "nested-array collects lost the two-phase shape")
   }
 
-  test("q_agg_auc contracts to the value grid, no join anywhere") {
+  test("q_agg_auc contracts to the value grid, broadcast-only joins") {
     val p = plan("q_agg_auc")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "grid contraction must partial-aggregate map-side")
-    assert(!p.contains("Join"),
-      "AUC is grid windows + one fold — a join means the rank " +
-        "formulation regressed to a pair build")
+    // r15: the distributed PrefixSweep adds BROADCAST offset joins on
+    // grid metadata (P-row tables) — those are the scale design, not a
+    // regression; what must never appear is a shuffled/all-pairs join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"),
+      "AUC regressed to a shuffled/all-pairs join — only PrefixSweep's " +
+        "broadcast metadata joins are expected")
   }
 
   test("q_graph_adamic_adar wedge join is an equi-join on the pivot") {

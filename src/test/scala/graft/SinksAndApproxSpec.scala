@@ -114,7 +114,7 @@ class SinksAndApproxSpec extends SparkSpecBase {
     val ev = Tables.load(spark, sf0001, "events")
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact"))
-    val merged = SparkEntry.queries("q_agg_sketch")(spark, sf0001)
+    val merged = graft.queries.AggQueries.aggSketchMerged(spark, sf0001)
     val whole = ev.groupBy("event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
         .cast("long").as("apx_whole"))
@@ -139,7 +139,8 @@ class SinksAndApproxSpec extends SparkSpecBase {
     // ε = e/w; with fixed seeds the fixture check is deterministic, so
     // assert the one-sided guarantee exactly and the collision slack
     // empirically at 3εN headroom
-    val rows = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
+    val rows = graft.queries.AggQueries.aggCountminFull(spark, sf0001)
+      .select("term", "n_exact", "n_est")
       .as[(String, Long, Long)].collect()
     assert(rows.length == 20, s"expected top-20 probe rows, got ${rows.length}")
     val n = Tables.load(spark, sf0001, "documents")
@@ -154,7 +155,8 @@ class SinksAndApproxSpec extends SparkSpecBase {
     }
     // determinism: a second run (fresh plan) must reproduce bit-identical
     // estimates — fixed seeds, integer counters, no RNG anywhere
-    val again = SparkEntry.queries("q_agg_countmin")(spark, sf0001)
+    val again = graft.queries.AggQueries.aggCountminFull(spark, sf0001)
+      .select("term", "n_exact", "n_est")
       .as[(String, Long, Long)].collect()
     assert(rows.toSeq == again.toSeq, "count-min output is not deterministic")
   }
@@ -164,7 +166,7 @@ class SinksAndApproxSpec extends SparkSpecBase {
     // ≤ n/10000; at these group sizes that means the sketch answer must
     // be within a tight VALUE band of the exact interpolated percentile
     // (values are ~uniform, so rank error ≈ value error / range)
-    val apx = SparkEntry.queries("q_agg_quantile_approx")(spark, sf0001)
+    val apx = graft.queries.AggQueries.aggQuantileApproxRaw(spark, sf0001)
       .select("event_type", "p25", "p50", "p75", "p90")
     val exact = SparkEntry.queries("q_agg_quantile")(spark, sf0001)
       .select(col("event_type"), col("p25").as("e25"), col("p50").as("e50"),
@@ -263,7 +265,7 @@ class SinksAndApproxSpec extends SparkSpecBase {
     // inputs), and the plan must NOT pay the multi-count(DISTINCT)
     // Expand — the property that makes it the 100 TB profile
     val exact = SparkEntry.queries("q_etl_dq")(spark, sf0001).head()
-    val approxDf = SparkEntry.queries("q_etl_dq_approx")(spark, sf0001)
+    val approxDf = graft.queries.PipelineQueries.etlDqApproxRaw(spark, sf0001)
     val approx = approxDf.head()
     for (c <- Seq("n_rows", "custkey_nulls", "price_nulls", "price_min",
         "price_max", "date_min", "date_max")) {
