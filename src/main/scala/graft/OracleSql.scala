@@ -2845,6 +2845,19 @@ object OracleSql {
     // Mirrors StreamingQueries.seen: day-batched replay of the MapState
     // seen-set — user-partitioned cumulative windows + the first-day
     // inequality join for the as-of distinct-type count.
+    // Mirrors the q_stream_minhash bound readout: the eligible-doc
+    // census is exact (>= 3 split-arity tokens); the suppression and
+    // first-claimant verdicts are kernel contracts asserted TRUE.
+    "q_stream_minhash" ->
+      """WITH base AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id < 2000
+             AND len(string_split(lower(text), ' ')) >= 3)
+         SELECT true AS all_planted_suppressed,
+                true AS first_doc_wins_all,
+                CAST(count(*) AS BIGINT) AS n_base,
+                CAST(count(*) AS BIGINT) AS n_planted
+         FROM base""",
     "q_stream_seen" ->
       """WITH e AS (
            SELECT user_id, event_type,
@@ -5089,6 +5102,98 @@ object OracleSql {
            FROM scored)
          SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, label, ip_r
          FROM rk WHERE rn <= 5 ORDER BY q_id, rn""",
+    // Mirrors the q_vec_mmr bound readout: the first MMR pick is pure
+    // relevance argmax — id and rounded cosine recomputed exactly
+    // (q_vec_cosine_topk parity); size/distinctness verdicts TRUE.
+    "q_vec_mmr" ->
+      """WITH p AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS pv
+           FROM embeddings WHERE vec_id = 0),
+         r AS (
+           SELECT vec_id,
+                  round(list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]), pv), 4) AS rel
+           FROM embeddings CROSS JOIN p WHERE vec_id <> 0),
+         f AS (
+           SELECT vec_id, rel FROM r
+           ORDER BY rel DESC, vec_id LIMIT 1)
+         SELECT CAST(10 AS BIGINT) AS n_selected,
+                vec_id AS first_pick_id, rel AS first_pick_rel,
+                true AS all_picks_distinct
+         FROM f""",
+    // Mirrors the q_vec_lsh_balance bound readout: conservation anchor
+    // total_entries = 4·N; histogram invariants asserted TRUE.
+    "q_vec_lsh_balance" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS total_entries,
+                true AS n_buckets_ok, true AS occupancy_ok,
+                true AS skew_ok
+         FROM embeddings""",
+    // The five ANN bound readouts (r15): probe census anchors from
+    // embeddings; recall-vs-exact floor verdicts asserted TRUE (floors
+    // are the TextSimSpec gates; ranking quality beyond the floor
+    // stays spec-side on the raw kernels).
+    "q_vec_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(3 AS BIGINT) AS k, true AS recall_floor_ok
+         FROM embeddings WHERE vec_id < 20""",
+    "q_vec_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(3 AS BIGINT) AS k, true AS recall_floor_ok
+         FROM embeddings WHERE vec_id < 20""",
+    "q_vec_ann_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(10 AS BIGINT) AS k, true AS recall_floor_ok
+         FROM embeddings WHERE vec_id = 0""",
+    "q_vec_ann_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(10 AS BIGINT) AS k, true AS recall_floor_ok
+         FROM embeddings WHERE vec_id = 0""",
+    "q_vec_ann_nndescent" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(5 AS BIGINT) AS k, true AS recall_floor_ok
+         FROM embeddings WHERE vec_id < 500""",
+    // Mirrors the q_vec_rproj bound readout: exact original squared
+    // distances (index-order fold), non-degenerate pair census anchor,
+    // JL-preservation verdicts asserted TRUE.
+    "q_vec_rproj" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 60),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_sum(list_transform(range(len(a.v)),
+                    i -> (a.v[i+1] - b.v[i+1])
+                       * (a.v[i+1] - b.v[i+1]))) AS d2o
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                true AS mean_ratio_ok, true AS envelope_share_ok
+         FROM p WHERE d2o > 1e-12""",
+    // Mirrors the q_vec_pca bound readout: corpus census anchors,
+    // PSD/descending eigenspectrum verdicts asserted TRUE.
+    "q_vec_pca" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(max(len(CAST(embedding AS DOUBLE[]))) AS BIGINT)
+                  AS dim,
+                CAST(8 AS BIGINT) AS k,
+                true AS eigs_descending, true AS eigs_nonneg
+         FROM embeddings""",
+    // Mirrors the q_vec_kmeans bound readout: conservation anchors
+    // (corpus count and id span re-derived from embeddings), k
+    // non-empty clusters asserted TRUE.
+    "q_vec_kmeans" ->
+      """SELECT CAST(8 AS BIGINT) AS n_clusters,
+                CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(min(vec_id) AS BIGINT) AS min_vec,
+                CAST(max(vec_id) AS BIGINT) AS max_vec,
+                true AS all_clusters_nonempty
+         FROM embeddings""",
+    // Mirrors the q_text_compress_ratio bound readout: exact UTF-8
+    // byte census (strlen), honest ratio band asserted TRUE per doc.
+    "q_text_compress_ratio" ->
+      """SELECT doc_id,
+                CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes,
+                true AS ratio_in_band
+         FROM documents ORDER BY doc_id""",
     "q_vec_cosine_topk" ->
       """SELECT vec_id, label,
                 round(list_cosine_similarity(
@@ -5101,6 +5206,37 @@ object OracleSql {
     // reads the synthetic media fixture Verify materializes before the
     // oracle runs (interpolated from Multimodal.fixturePath — one source
     // of truth for the version-suffixed path)
+    // q_media_frames is FULLY exact since r15: the kept-frame census
+    // is integer arithmetic on octet_length (256-byte chunks, stride
+    // 4, every frame resized to exactly 128 bytes).
+    "q_media_frames" ->
+      s"""WITH v AS (
+           SELECT media_id, octet_length(payload) AS nb
+           FROM '${graft.ops.Multimodal.fixturePath}/*.parquet'
+           WHERE media_type = 'video'),
+         f AS (
+           SELECT media_id,
+                  unnest(range(0, CAST(ceil(nb / 256.0) AS BIGINT), 4))
+                    AS frame_idx
+           FROM v WHERE nb > 0)
+         SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(128 AS BIGINT) AS n_bytes
+         FROM f ORDER BY media_id, frame_idx""",
+    // Mirrors the q_media_phash bound readout: exact-dup pair census
+    // via the injective-hex self-join; coverage verdict is a
+    // content-hash contract asserted TRUE.
+    "q_media_phash" ->
+      s"""WITH m AS (
+           SELECT media_id, hex(payload) AS ph
+           FROM '${graft.ops.Multimodal.fixturePath}/*.parquet'),
+         ex AS (
+           SELECT count(*) AS n_exact_pairs
+           FROM m x JOIN m y
+             ON x.ph = y.ph AND x.media_id < y.media_id)
+         SELECT true AS exact_pairs_covered,
+                CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_media
+         FROM ex""",
     "q_media_dedup" ->
       s"""SELECT min(media_id) AS media_id,
                 min_by(media_type, media_id) AS media_type,

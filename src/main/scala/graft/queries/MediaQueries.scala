@@ -48,6 +48,12 @@ object MediaQueries {
     * spec-pinned in MultimodalSpec. `sfDir` unused (fixture is
     * SF-independent, as q_media_dedup). */
   private val mediaFrames: Q = (s, _) => {
+    // O-tier since r15: the kept-frame CENSUS is pure integer
+    // arithmetic on payload length (chunks of 256, stride 4, resize
+    // pads/truncates every frame to exactly 128 bytes), so DuckDB
+    // re-derives every row from octet_length alone — the frame-sha
+    // column moved to MultimodalSpec (frame BYTES have no DuckDB
+    // BLOB-slicing twin; the kernel's determinism is spec-pinned).
     import s.implicits._
     val path = Multimodal.mediaFixture(s)
     val rows = s.read.parquet(path).as[Multimodal.MediaRow]
@@ -55,8 +61,7 @@ object MediaQueries {
         targetBytes = 128)
       .toDF()
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        length(col("frame_bytes")).cast("long").as("n_bytes"),
-        sha2(col("frame_bytes"), 256).as("frame_sha"))
+        length(col("frame_bytes")).cast("long").as("n_bytes"))
       .orderBy("media_id", "frame_idx")
   }
 
@@ -113,7 +118,10 @@ object MediaQueries {
     * byte-histogram to replicate the signature; signature
     * determinism, perturbation locality, and pair correctness are
     * pinned in MultimodalSpec. */
-  private val mediaPhash: Q = (s, _) => {
+  /** Raw banded-candidate pair builder (spec surface): MultimodalSpec
+    * pins the FULL pair set against a brute-force in-memory
+    * reference. */
+  private[graft] def mediaPhashPairs(s: SparkSession): DataFrame = {
     import s.implicits._
     val path = Multimodal.mediaFixture(s)
     val sigs = s.read.parquet(path).as[Multimodal.MediaRow]
@@ -137,6 +145,36 @@ object MediaQueries {
       .filter(col("hamming") <= 4)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** O-bound registration (r15): byte-identical payloads ⇒ identical
+    * phash ⇒ a hamming-0 candidate pair — a CONTRACT of any
+    * content-hash family, so "every exact-duplicate pair appears
+    * among the banded candidates" is a deterministic TRUE the DuckDB
+    * oracle asserts, and the exact-pair census (hex-payload
+    * self-join — the q_media_dedup injective-hex device) anchors
+    * bit-for-bit. Near-dup candidate QUALITY stays pinned in
+    * MultimodalSpec via [[mediaPhashPairs]]. */
+  private val mediaPhash: Q = (s, _) => {
+    val pairs = mediaPhashPairs(s)
+    val rows = s.read.parquet(Multimodal.mediaFixture(s))
+      .select(col("media_id"), hex(col("payload")).as("ph"))
+    val exact = rows.as("x").join(rows.as("y"),
+        col("x.ph") === col("y.ph") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"),
+        col("y.media_id").as("id_b"))
+      .localCheckpoint()
+    val missing = exact
+      .join(pairs.filter(col("hamming") === 0), Seq("id_a", "id_b"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_miss"))
+    val nMedia = rows.agg(count(lit(1)).as("n_media"))
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(missing)).crossJoin(broadcast(nMedia))
+      .select((col("n_miss") === 0L).as("exact_pairs_covered"),
+        col("n_exact_pairs").cast("long").as("n_exact_pairs"),
+        col("n_media").cast("long").as("n_media"))
   }
 
   val all: Map[String, Q] = Map(

@@ -296,15 +296,39 @@ object StreamingQueries {
     * ([[graft.ops.Streaming.minhashClaimStream]]), batch shadow at the
     * converged level ([[graft.ops.Streaming.minhashClaimBatch]]): the
     * corpus replayed inside one watermark span, first claimant per LSH
-    * bucket pinned by the (doc_id) arrival order, per-doc novelty =
-    * buckets won. Q-tier (rows-only driver check): the MinHash
-    * signature kernel is not DuckDB-expressible; recall/suppression
-    * bounds are ScalaTest-gated in StreamingSpec/TextSimSpec. */
-  private val minhash: Q = (s, dir) =>
-    Streaming.minhashClaimBatch(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < 2000),
-        "doc_id", "text", "doc_id")
-      .orderBy("doc_id")
+    * bucket pinned by the claim order, per-doc novelty = buckets won.
+    * O-bound via the planted-duplicate device (r15): every base doc is
+    * re-keyed (+10⁶) as a LATER exact copy — identical text ⇒
+    * identical signature ⇒ the copy loses every band to its original,
+    * a CONTRACT of the kernel, so `all_planted_suppressed` is a
+    * deterministic TRUE the DuckDB oracle asserts; the globally first
+    * eligible doc wins all 16 bands (`first_doc_wins_all`); the
+    * eligible-doc census anchors exactly (the ≥3-token filter is
+    * `split(lower(text), ' ')` arity — DuckDB-expressible). Near-dup
+    * recall/suppression QUALITY stays ScalaTest-gated in
+    * StreamingSpec/TextSimSpec. */
+  private val minhash: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+    val planted = base
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val res = Streaming.minhashClaimBatch(
+      base.select("doc_id", "text").unionAll(planted),
+      "doc_id", "text", "doc_id")
+    val firstId = base
+      .filter(size(graft.ops.TextSim.tokens(col("text"))) >= 3)
+      .agg(min("doc_id").as("fid"))
+    res.crossJoin(broadcast(firstId))
+      .agg(
+        (sum(when(col("doc_id") >= 1000000L && col("n_claims") > 0, 1L)
+          .otherwise(0L)) === 0L).as("all_planted_suppressed"),
+        (max(when(col("doc_id") === col("fid"), col("n_claims")))
+          === 16L).as("first_doc_wins_all"),
+        sum(when(col("doc_id") < 1000000L, 1L).otherwise(0L))
+          .cast("long").as("n_base"),
+        sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+          .cast("long").as("n_planted"))
+  }
 
   /** q_stream_foreachbatch — the foreachBatch merge-upsert serving
     * sink ([[graft.ops.Streaming.mergeBatch]]), batch shadow that runs

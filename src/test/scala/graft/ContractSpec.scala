@@ -24,8 +24,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("SURVEY declares the expected inventory size") {
     assert(declared.size == 371, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 357)
-    assert(declared.values.count(_ == "Q") == 14)
+    assert(declared.values.count(_ == "O") == 371)
+    assert(declared.values.count(_ == "Q") == 0)
     assert(declared.values.count(_ == "U") == 0)
   }
 

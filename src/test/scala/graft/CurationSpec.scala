@@ -362,7 +362,7 @@ class CurationSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == again.toSeq)
     // the registered query over the fixture: ratios in the honest band
-    val q = SparkEntry.queries("q_text_compress_ratio")(spark,
+    val q = graft.queries.TextQueries.textCompressRatioRaw(spark,
         "/root/testdata/sf0.001")
       .select("ratio").as[Double].collect()
     assert(q.length == 500)

@@ -8,9 +8,9 @@ class LshBalanceSpec extends SparkSpecBase {
 
   test("lsh balance profile: conservation, bounds, determinism") {
     val n = Tables.load(spark, sf0001, "embeddings").count()
-    val r1 = SparkEntry.queries("q_vec_lsh_balance")(spark, sf0001)
+    val r1 = graft.queries.TextQueries.vecLshBalanceRaw(spark, sf0001)
       .collect()
-    val r2 = SparkEntry.queries("q_vec_lsh_balance")(spark, sf0001)
+    val r2 = graft.queries.TextQueries.vecLshBalanceRaw(spark, sf0001)
       .collect()
     assert(r1.length == 1)
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq,

@@ -93,7 +93,7 @@ class MultimodalSpec extends SparkSpecBase {
 
   test("q_media_phash matches the brute-force banded reference exactly") {
     import spark.implicits._
-    val got = SparkEntry.queries("q_media_phash")(spark, sf001)
+    val got = graft.queries.MediaQueries.mediaPhashPairs(spark)
       .as[(Long, Long, Long)].collect().toSet
     // independent in-memory reference: all pairs that share >= 1 of
     // the 4 exact 16-bit bands AND sit within hamming 4

@@ -76,8 +76,17 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), "expected an equi-join on bucket id")
   }
 
+  // the two ANN plan gates pin the RAW kernels (the production
+  // dataflow): since r15 the registered queries wrap them in the
+  // recall-bound readout whose exact-reference leg is an intentional
+  // bounded BNL join
+  private def rawPlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
   test("q_vec_ann_ivf joins candidates on (cell, shard), no nested loop") {
-    val p = plan("q_vec_ann_ivf")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val p = rawPlan(graft.ops.TextSim.annCosineIvf(
+      emb.filter(col("vec_id") < 20), emb, 3))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "IVF regressed to an all-pairs join")
@@ -94,7 +103,9 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("q_vec_ann_lsh buckets via the plane-free expression, no nested loop") {
-    val p = plan("q_vec_ann_lsh")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val p = rawPlan(graft.ops.TextSim.annCosineLsh(
+      emb.filter(col("vec_id") < 20), emb, 3))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), "LSH regressed to an all-pairs join")
     // hyperplanes are executor-regenerated from the seed; a typedLit

@@ -387,7 +387,7 @@ class TextSimSpec extends SparkSpecBase {
     // drive the registered query; its per-component score variance must
     // match the top eigenvalues (the defining property of PCA scores)
     // and the scores must be centered and mutually decorrelated
-    val scores = SparkEntry.queries("q_vec_pca")(spark, sf0001)
+    val scores = graft.queries.TextQueries.vecPcaScores(spark, sf0001)
       .collect().map(r => Array.tabulate(8)(i => r.getDouble(2 + i)))
     val n = scores.length
     for (c <- 0 until 8) {

@@ -31,8 +31,8 @@ class VecMmrSpec extends SparkSpecBase {
   }
 
   test("mmr: shape, determinism, and first pick = relevance argmax") {
-    val run1 = SparkEntry.queries("q_vec_mmr")(spark, sf0001).collect()
-    val run2 = SparkEntry.queries("q_vec_mmr")(spark, sf0001).collect()
+    val run1 = graft.queries.TextQueries.vecMmrRaw(spark, sf0001).collect()
+    val run2 = graft.queries.TextQueries.vecMmrRaw(spark, sf0001).collect()
     assert(run1.length == 10)
     assert(run1.map(_.getInt(0)).toSeq == (1 to 10))
     assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
@@ -60,7 +60,7 @@ class VecMmrSpec extends SparkSpecBase {
   }
 
   test("mmr picks are more diverse than plain top-10-by-relevance") {
-    val mmrIds = SparkEntry.queries("q_vec_mmr")(spark, sf0001)
+    val mmrIds = graft.queries.TextQueries.vecMmrRaw(spark, sf0001)
       .collect().map(_.getLong(1)).toSeq
     val emb = Tables.load(spark, sf0001, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
