@@ -3158,6 +3158,64 @@ object OracleSql {
          FROM scored GROUP BY source ORDER BY source NULLS FIRST""",
     // Mirrors textDedupPrefix: prefix-sha groups, longest-copy keeper
     // under the pinned (n_chars DESC, doc_id) order.
+    // Mirrors textDedupSuffix: the prefix-dedup shape on right(text,
+    // 256); longest-copy keeper, multi-doc groups only.
+    "q_text_dedup_suffix" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text, n_chars FROM documents
+           WHERE doc_id % 50 = 0),
+         d AS (
+           SELECT doc_id, n_chars,
+                  sha256(right(text, 256)) AS suffix_sha
+           FROM corpus),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY suffix_sha
+                    ORDER BY n_chars DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY suffix_sha) AS n_dups,
+                  min(n_chars) OVER (PARTITION BY suffix_sha)
+                    AS min_chars
+           FROM d)
+         SELECT suffix_sha, CAST(n_dups AS BIGINT) AS n_dups,
+                doc_id AS kept_doc,
+                CAST(n_chars AS BIGINT) AS kept_chars,
+                CAST(min_chars AS BIGINT) AS min_chars
+         FROM r WHERE rn = 1 AND n_dups > 1
+         ORDER BY suffix_sha""",
+    // Mirrors textBurstiness: zipf tokenization, exact decimal
+    // per-containing-doc count moments, pinned (total DESC, term)
+    // top-20 cut.
+    "q_text_burstiness" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         tc AS (
+           SELECT doc_id, term, count(*) AS c FROM toks
+           WHERE len(term) > 0 GROUP BY 1, 2),
+         tot AS (
+           SELECT term, sum(c) AS total, count(*) AS n_docs,
+                  sum(CAST(c AS DECIMAL(38,0))) AS s1,
+                  sum(CAST(c * c AS DECIMAL(38,0))) AS s2
+           FROM tc GROUP BY 1),
+         top AS (
+           SELECT * FROM tot ORDER BY total DESC, term LIMIT 20)
+         SELECT term, CAST(total AS BIGINT) AS total,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                round(CAST(s1 AS DOUBLE) / n_docs, 4) AS mean_per_doc,
+                round((CAST(s2 AS DOUBLE)
+                    - CAST(n_docs AS DOUBLE)
+                      * (CAST(s1 AS DOUBLE) / n_docs)
+                      * (CAST(s1 AS DOUBLE) / n_docs))
+                  / nullif(CAST(n_docs AS DOUBLE) - 1, 0.0), 4)
+                  AS var_per_doc,
+                round(((CAST(s2 AS DOUBLE)
+                    - CAST(n_docs AS DOUBLE)
+                      * (CAST(s1 AS DOUBLE) / n_docs)
+                      * (CAST(s1 AS DOUBLE) / n_docs))
+                  / nullif(CAST(n_docs AS DOUBLE) - 1, 0.0))
+                  / (CAST(s1 AS DOUBLE) / n_docs), 4) AS burstiness
+         FROM top ORDER BY total DESC, term""",
     "q_text_dedup_prefix" ->
       """WITH d AS (
            SELECT doc_id, n_chars,
@@ -3231,6 +3289,108 @@ object OracleSql {
                   + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n > 0.5
                   THEN 1 ELSE 0 END AS concentrated
          FROM g ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsEwmaVar: two truncated-EMA weighted sums over the
+    // same 8 lags (y and y^2), last-day readout, sqrt in the rounded
+    // output only.
+    "q_ts_ewma_var" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, d, y,
+                  lag(CAST(y AS DOUBLE), 1) OVER w AS l1,
+                  lag(CAST(y AS DOUBLE), 2) OVER w AS l2,
+                  lag(CAST(y AS DOUBLE), 3) OVER w AS l3,
+                  lag(CAST(y AS DOUBLE), 4) OVER w AS l4,
+                  lag(CAST(y AS DOUBLE), 5) OVER w AS l5,
+                  lag(CAST(y AS DOUBLE), 6) OVER w AS l6,
+                  lag(CAST(y AS DOUBLE), 7) OVER w AS l7,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d DESC) AS rn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         t AS (
+           SELECT event_type, d, y,
+             (CASE WHEN CAST(y AS DOUBLE) IS NOT NULL
+                THEN CAST(y AS DOUBLE) * 1.0 ELSE 0.0 END
+              + CASE WHEN l1 IS NOT NULL THEN l1 * 0.5 ELSE 0.0 END
+              + CASE WHEN l2 IS NOT NULL THEN l2 * 0.25 ELSE 0.0 END
+              + CASE WHEN l3 IS NOT NULL THEN l3 * 0.125 ELSE 0.0 END
+              + CASE WHEN l4 IS NOT NULL THEN l4 * 0.0625 ELSE 0.0 END
+              + CASE WHEN l5 IS NOT NULL THEN l5 * 0.03125
+                ELSE 0.0 END
+              + CASE WHEN l6 IS NOT NULL THEN l6 * 0.015625
+                ELSE 0.0 END
+              + CASE WHEN l7 IS NOT NULL THEN l7 * 0.0078125
+                ELSE 0.0 END) /
+             (CASE WHEN CAST(y AS DOUBLE) IS NOT NULL
+                THEN 1.0 ELSE 0.0 END
+              + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+              + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+              + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+              + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+              + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+              + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+              + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+               AS m,
+             (CASE WHEN CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                IS NOT NULL
+                THEN CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1.0
+                ELSE 0.0 END
+              + CASE WHEN l1 * l1 IS NOT NULL THEN l1 * l1 * 0.5
+                ELSE 0.0 END
+              + CASE WHEN l2 * l2 IS NOT NULL THEN l2 * l2 * 0.25
+                ELSE 0.0 END
+              + CASE WHEN l3 * l3 IS NOT NULL THEN l3 * l3 * 0.125
+                ELSE 0.0 END
+              + CASE WHEN l4 * l4 IS NOT NULL THEN l4 * l4 * 0.0625
+                ELSE 0.0 END
+              + CASE WHEN l5 * l5 IS NOT NULL THEN l5 * l5 * 0.03125
+                ELSE 0.0 END
+              + CASE WHEN l6 * l6 IS NOT NULL THEN l6 * l6 * 0.015625
+                ELSE 0.0 END
+              + CASE WHEN l7 * l7 IS NOT NULL THEN l7 * l7 * 0.0078125
+                ELSE 0.0 END) /
+             (CASE WHEN CAST(y AS DOUBLE) IS NOT NULL
+                THEN 1.0 ELSE 0.0 END
+              + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+              + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+              + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+              + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+              + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+              + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+              + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+               AS m2
+           FROM l WHERE rn = 1)
+         SELECT event_type, d AS last_day, y AS last_y,
+                round(m, 4) AS ew_mean,
+                round(m2 - m * m, 4) AS ew_var,
+                round(sqrt(m2 - m * m), 4) AS ew_vol
+         FROM t ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsRollingOls: exact decimal power sums over the
+    // 14-row frame, closed-form slope, full frames only.
+    "q_ts_rolling_ols" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, d, d - DATE '1970-01-01' AS x, y
+           FROM daily),
+         w AS (
+           SELECT event_type, d, y,
+                  count(*) OVER win AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) OVER win AS sx,
+                  sum(CAST(y AS DECIMAL(38,0))) OVER win AS sy,
+                  sum(CAST(x * y AS DECIMAL(38,0))) OVER win AS sxy,
+                  sum(CAST(x * x AS DECIMAL(38,0))) OVER win AS sxx
+           FROM g
+           WINDOW win AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, d, CAST(y AS BIGINT) AS y,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope14
+         FROM w WHERE n = 14
+         ORDER BY event_type NULLS FIRST, d""",
     // Mirrors tsTheilSen: 8-dp pre-rounded pair slopes on the grid,
     // quantile_cont shares percentile's p*(n-1) interpolation, Conover
     // intercept off integer-median interpolations.
@@ -3548,6 +3708,82 @@ object OracleSql {
     // Mirrors aggFleissKappa: 3 deterministic raters explode to
     // (item, cat) counts; two integers off the corpus; 8-dp share
     // squares fold; one closed-form kappa.
+    // Mirrors evtStreaks: per-user distinct-day islands via the
+    // d - row_number key, max_by last streak, pure integer days.
+    "q_evt_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(ts AS DATE) - DATE '1970-01-01' AS x
+           FROM events WHERE user_id IS NOT NULL),
+         g AS (
+           SELECT user_id, x,
+                  x - row_number() OVER (PARTITION BY user_id
+                    ORDER BY x) AS grp
+           FROM days),
+         isl AS (
+           SELECT user_id, grp, count(*) AS len, max(x) AS en
+           FROM g GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, sum(len) AS n_active_days,
+                  count(*) AS n_streaks, max(len) AS longest,
+                  max_by(len, en) AS last_len
+           FROM isl GROUP BY 1)
+         SELECT user_id, CAST(n_active_days AS BIGINT) AS n_active_days,
+                CAST(n_streaks AS BIGINT) AS n_streaks,
+                CAST(longest AS BIGINT) AS longest_streak,
+                CAST(last_len AS BIGINT) AS current_streak,
+                CASE WHEN last_len = longest THEN 1 ELSE 0 END
+                  AS at_peak
+         FROM r ORDER BY user_id""",
+    // Mirrors evtCadence: exact integer microsecond gaps over the
+    // shared (ts, event_id) order, quantile_cont ≡ percentile
+    // interpolation, verdict on engine-identical doubles.
+    "q_evt_cadence" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE user_id IS NOT NULL),
+         g AS (
+           SELECT user_id,
+                  ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS gap
+           FROM e),
+         u AS (
+           SELECT user_id, count(*) AS n_gaps,
+                  quantile_cont(gap, 0.5) AS med,
+                  quantile_cont(gap, 0.25) AS p25,
+                  quantile_cont(gap, 0.75) AS p75
+           FROM g WHERE gap IS NOT NULL
+           GROUP BY 1 HAVING count(*) >= 4)
+         SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+                round(med / 1e6, 4) AS med_gap_s,
+                round((p75 - p25) / 1e6, 4) AS iqr_s,
+                CASE WHEN p75 - p25 < 0.5 * med THEN 1 ELSE 0 END
+                  AS regular
+         FROM u ORDER BY user_id""",
+    // Mirrors aggGmean: 8-dp-rounded ln/reciprocal terms accumulate
+    // as exact decimals (theil nested-fold rule); exp and divisions
+    // once per group; verdict compares the ROUNDED means.
+    "q_agg_gmean" ->
+      """WITH t AS (
+           SELECT l_returnflag AS flag, count(*) AS n,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                  sum(CAST(round(ln(CAST(l_quantity AS DOUBLE)), 8)
+                    AS DECIMAL(20,8))) AS slq,
+                  sum(CAST(round(1.0 / CAST(l_quantity AS DOUBLE), 8)
+                    AS DECIMAL(20,8))) AS siq
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT flag, n,
+                  round(CAST(sq AS DOUBLE) / n, 4) AS amean,
+                  round(exp(CAST(slq AS DOUBLE) / n), 4) AS gmean,
+                  round(CAST(n AS DOUBLE) / CAST(siq AS DOUBLE), 4)
+                    AS hmean
+           FROM t)
+         SELECT flag, n, amean, gmean, hmean,
+                CASE WHEN amean >= gmean AND gmean >= hmean
+                  THEN 1 ELSE 0 END AS am_gm_hm_ok
+         FROM r ORDER BY flag NULLS FIRST""",
     // Mirrors aggBimodality: (8,2) decimal power sums to the quartic,
     // shared closed-form g1/g2/corr/b doubles, 5/9 benchmark on the
     // rounded coefficient.
@@ -4561,6 +4797,46 @@ object OracleSql {
                      ELSE 'fr' END AS lang_pred,
                 lang
          FROM s ORDER BY doc_id""",
+    // Mirrors textLangPurity: the q_text_langid argmax machinery
+    // rolled up per declared language.
+    "q_text_lang_purity" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','a','in','is'], x))) AS BIGINT)
+                    AS s_en,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['der','die','und','das','ist','ein','zu'], x))) AS BIGINT)
+                    AS s_de,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','los','es'], x))) AS BIGINT)
+                    AS s_es,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['le','la','et','les','des','un','est'], x))) AS BIGINT)
+                    AS s_fr
+           FROM t),
+         p AS (
+           SELECT lang,
+                  CASE WHEN s_en >= s_de AND s_en >= s_es
+                         AND s_en >= s_fr THEN 'en'
+                       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                       WHEN s_es >= s_fr THEN 'es'
+                       ELSE 'fr' END AS lang_pred
+           FROM s),
+         r AS (
+           SELECT lang, count(*) AS n_docs,
+                  sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                    AS n_agree
+           FROM p GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_agree AS BIGINT) AS n_agree,
+                round(CAST(n_agree AS DOUBLE) / n_docs, 4) AS purity,
+                CASE WHEN CAST(n_agree AS DOUBLE) / n_docs < 0.5
+                  THEN 1 ELSE 0 END AS flag_mislabeled
+         FROM r ORDER BY lang NULLS FIRST""",
     "q_text_readability" ->
       // integer counts from one regex pass each (shared character
       // classes); sentence floor at 1; one closed-form double score.
@@ -5152,6 +5428,34 @@ object OracleSql {
       """SELECT CAST(count(*) AS BIGINT) AS n_probes,
                 CAST(5 AS BIGINT) AS k, true AS recall_floor_ok
          FROM embeddings WHERE vec_id < 500""",
+    // Mirrors vecLabelKnnAcc: brute-force 1-NN by (rounded cosine
+    // DESC, vec_id) per probe, label agreement rolled up per label.
+    "q_vec_label_knn_acc" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 500),
+         sc AS (
+           SELECT p.vec_id AS probe_id, p.label AS probe_label,
+                  c.label AS nn_label, c.vec_id,
+                  round(list_inner_product(p.v, c.v)
+                    / nullif(sqrt(list_inner_product(p.v, p.v))
+                      * sqrt(list_inner_product(c.v, c.v)), 0), 4)
+                    AS sim
+           FROM e p JOIN e c ON c.vec_id <> p.vec_id),
+         nn AS (
+           SELECT probe_id, probe_label, nn_label,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, vec_id) AS rn
+           FROM sc),
+         r AS (
+           SELECT probe_label AS label, count(*) AS n,
+                  sum(CASE WHEN nn_label = probe_label THEN 1 ELSE 0
+                    END) AS n_agree
+           FROM nn WHERE rn = 1 GROUP BY 1)
+         SELECT label, CAST(n AS BIGINT) AS n,
+                CAST(n_agree AS BIGINT) AS n_agree,
+                round(CAST(n_agree AS DOUBLE) / n, 4) AS knn_acc
+         FROM r ORDER BY label""",
     // Mirrors the q_vec_rproj bound readout: exact original squared
     // distances (index-order fold), non-degenerate pair census anchor,
     // JL-preservation verdicts asserted TRUE.

@@ -2773,7 +2773,43 @@ object AggQueries {
       .orderBy("rnk")
   }
 
+  /** q_agg_gmean — Pythagorean-mean profile per return flag:
+    * arithmetic, geometric, and harmonic means of quantity plus the
+    * AM ≥ GM ≥ HM sanity verdict — the mean that matches the
+    * question: AM for totals, GM for multiplicative quantities
+    * (growth factors, ratios — the mean that doesn't let one 100×
+    * outlier own the answer), HM for rates (items per order averaged
+    * the way throughput actually composes). Exactness: the theil
+    * nested-fold rule — each ln x and 1/x term is 8-dp-rounded ONCE
+    * per row then accumulates as an exact decimal, so the fold is
+    * merge-order-free; exp and the divisions run once per group in
+    * the rounded readout. One two-phase aggregate. */
+  private val aggGmean: Q = (s, dir) => {
+    val g = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        round(log(col("l_quantity").cast("double")), 8)
+          .cast("decimal(20,8)").as("lq"),
+        round(lit(1.0) / col("l_quantity").cast("double"), 8)
+          .cast("decimal(20,8)").as("iq"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum("lq").as("slq"), sum("iq").as("siq"))
+      .select(col("flag"), col("n"),
+        round(col("sq").cast("double") / col("n"), 4).as("amean"),
+        round(exp(col("slq").cast("double") / col("n")), 4).as("gmean"),
+        round(col("n").cast("double") / col("siq").cast("double"), 4)
+          .as("hmean"))
+    g.select(col("flag"), col("n"), col("amean"), col("gmean"),
+        col("hmean"),
+        when(col("amean") >= col("gmean") &&
+          col("gmean") >= col("hmean"), 1).otherwise(0)
+          .as("am_gm_hm_ok"))
+      .orderBy(col("flag").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_gmean" -> aggGmean,
     "q_agg_bimodality" -> aggBimodality,
     "q_agg_dispersion" -> aggDispersion,
     "q_agg_fdr_bh" -> aggFdrBh,

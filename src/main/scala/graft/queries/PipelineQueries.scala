@@ -2179,7 +2179,76 @@ object PipelineQueries {
       .orderBy(col("from_type").asc_nulls_first)
   }
 
+  /** q_evt_cadence — per-user event cadence profile: median
+    * inter-event gap, IQR, and a regularity verdict (IQR < half the
+    * median ⇒ metronome-like) — the rhythm screen bot detection and
+    * notification tuning both read (humans are bursty: IQR ≈ or ≫
+    * median; schedulers and scripts are tight). q_evt_interarrival
+    * profiles the GLOBAL gap distribution per type; this profiles
+    * each USER's own rhythm. Exactness: gaps are exact integer µs
+    * from one lag over the shared (ts, event_id) total order;
+    * median/quartiles interpolate integers (`percentile` ≡
+    * `quantile_cont`); two divisions at readout. Scale: one
+    * user-keyed window + one user-keyed aggregate — no grid, no
+    * corpus-wide window. */
+  private val evtCadence: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val g = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    g.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5)").as("med"),
+        expr("percentile(gap, 0.25)").as("p25"),
+        expr("percentile(gap, 0.75)").as("p75"))
+      .filter(col("n_gaps") >= 4)
+      .select(col("user_id"), col("n_gaps").cast("long").as("n_gaps"),
+        round(col("med") / 1e6, 4).as("med_gap_s"),
+        round((col("p75") - col("p25")) / 1e6, 4).as("iqr_s"),
+        when(col("p75") - col("p25") < lit(0.5) * col("med"), 1)
+          .otherwise(0).as("regular"))
+      .orderBy("user_id")
+  }
+
+  /** q_evt_streaks — per-user activity streaks: longest run of
+    * consecutive ACTIVE DAYS, streak count, and whether the streak
+    * containing the user's last active day is still their longest —
+    * the engagement-habit metric every retention team ships (the
+    * q_ts_islands island key applied per USER instead of per type;
+    * q_win_streak runs over value comparisons, this runs over the
+    * calendar). Pure integer day arithmetic; one distinct
+    * contraction, two user-keyed windows, one rollup. */
+  private val evtStreaks: Q = (s, dir) => {
+    val days = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+      .distinct()
+    val g = days.withColumn("grp", col("x") - row_number().over(
+      Window.partitionBy("user_id").orderBy("x")))
+    val islands = g.groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), max("x").as("en"))
+    islands.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest"),
+        max_by(col("len"), col("en")).as("last_len"))
+      .select(col("user_id"),
+        col("n_active_days").cast("long").as("n_active_days"),
+        col("n_streaks").cast("long").as("n_streaks"),
+        col("longest").cast("long").as("longest_streak"),
+        col("last_len").cast("long").as("current_streak"),
+        when(col("last_len") === col("longest"), 1).otherwise(0)
+          .as("at_peak"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_streaks" -> evtStreaks,
+    "q_evt_cadence" -> evtCadence,
     "q_evt_perplexity" -> evtPerplexity,
     "q_evt_session_stats" -> evtSessionStats,
     "q_etl_checksum" -> etlChecksum,

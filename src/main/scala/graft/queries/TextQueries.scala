@@ -608,6 +608,47 @@ object TextQueries {
       .orderBy("q_id", "rn")
   }
 
+  /** q_vec_label_knn_acc — 1-NN label agreement over the 500-vector
+    * slice: for every vector, does its nearest neighbor (rounded
+    * cosine, vec_id tie) carry the same label? The zero-training
+    * embedding-quality eval — if an encoder's neighbors don't share
+    * labels, no downstream classifier will fix it, and a per-label
+    * breakdown shows WHICH classes smear (q_vec_silhouette scores
+    * cluster geometry; this scores label locality). Brute-force
+    * scoring is the demo shape; the ANN rows shortlist the same
+    * neighbor at scale. */
+  private val vecLabelKnnAcc: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    val emb = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val probes = emb.select(col("vec_id").as("probe_id"),
+      col("label").as("probe_label"), col("v").as("pv"))
+    val nn = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("label"),
+        round(try_divide(fns.dot_product(col("pv"), col("v")),
+          sqrt(fns.dot_product(col("pv"), col("pv"))) *
+            sqrt(fns.dot_product(col("v"), col("v")))), 4).as("sim"),
+        col("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+    nn.select(col("probe_label"), col("label").as("nn_label"))
+      .groupBy("probe_label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nn_label") === col("probe_label"), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .select(col("probe_label").as("label"),
+        col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        round(col("n_agree").cast("double") / col("n"), 4).as("knn_acc"))
+      .orderBy("label")
+  }
+
   /** q_vec_cosine_dedup — embedding-cosine near-duplicate pairs above a
     * corpus-calibrated threshold ([[TextSim.cosineDedup]]): the collision
     * model dispatches between LSH bucket candidates (pruning regime,
@@ -2326,6 +2367,102 @@ object TextQueries {
       .orderBy("prefix_sha")
   }
 
+  /** q_text_dedup_suffix — truncation dedup from the OTHER end:
+    * documents sharing a 256-char SUFFIX collapse, longest copy wins —
+    * catches the head-varies class q_text_dedup_prefix misses
+    * (re-scrapes with different injected headers/navigation but the
+    * same article body, the mirror image of cut-off re-fetches); run
+    * both and a doc surviving both screens is genuinely distinct at
+    * both ends. Same one-sha-contraction shape and keeper order as
+    * the prefix twin. */
+  private val textDedupSuffix: Q = (s, dir) => {
+    // run over the planted corpus (the q_text_minhash device): the
+    // fixture has no NATURAL suffix duplicates, so the re-keyed
+    // doc_id % 50 copies give the screen real work both engines
+    // reconstruct arithmetically — originals win their groups via the
+    // (n_chars DESC, doc_id) keeper order
+    val docs = Tables.load(s, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("text"), col("n_chars")))
+    val d = corpus
+      .withColumn("suffix_sha", sha2(expr("right(text, 256)"), 256))
+    val wk = Window.partitionBy("suffix_sha")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(wk))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy("suffix_sha")))
+      .withColumn("min_chars",
+        min("n_chars").over(Window.partitionBy("suffix_sha")))
+      .filter(col("rn") === 1 && col("n_dups") > 1)
+      .select(col("suffix_sha"), col("n_dups").cast("long").as("n_dups"),
+        col("doc_id").as("kept_doc"),
+        col("n_chars").cast("long").as("kept_chars"),
+        col("min_chars").cast("long").as("min_chars"))
+      .orderBy("suffix_sha")
+  }
+
+  /** q_text_burstiness — per-term burstiness of the top-20 corpus
+    * terms: mean and variance of occurrences per CONTAINING document —
+    * the content-vs-function-word separator under keyword extraction
+    * (a function word like "the" spreads evenly, variance ≈ mean; a
+    * topical term clumps — a few docs use it many times — variance ≫
+    * mean), and the statistical basis of Church–Gale adaptation
+    * weights. One explode+groupBy contraction to (doc, term) counts
+    * (the zipf tokenization convention), a vocabulary-sized rollup
+    * with exact decimal Σc/Σc², and the global top-20 cut on the
+    * pinned (total DESC, term) order. */
+  private val textBurstiness: Q = (s, dir) => {
+    val tc = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("term")
+      .agg(sum("c").as("total"), count(lit(1)).as("n_docs"),
+        sum(col("c").cast("decimal(38,0)")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+    val nd = col("n_docs").cast("double")
+    val mean = col("s1").cast("double") / col("n_docs")
+    val vr = (col("s2").cast("double") - nd * mean * mean) /
+      nullif(nd - 1, lit(0.0))
+    tot.orderBy(col("total").desc, col("term")).limit(20)
+      .select(col("term"), col("total").cast("long").as("total"),
+        col("n_docs").cast("long").as("n_docs"),
+        round(mean, 4).as("mean_per_doc"),
+        round(vr, 4).as("var_per_doc"),
+        round(vr / mean, 4).as("burstiness"))
+      .orderBy(col("total").desc, col("term"))
+  }
+
+  /** q_text_lang_purity — per DECLARED language: how often the
+    * stopword-profile language ID agrees with the metadata label — the
+    * mislabeled-shard screen (a "French" crawl shard that IDs 40%
+    * English is a routing bug upstream, and language-balanced sampling
+    * (q_samp_balanced) silently inherits it); the per-SHARD rollup of
+    * q_text_langid's per-doc prediction. The zh row is the honest
+    * blind spot: no zh profile exists, so its purity is ≈0 by
+    * construction — exactly what "this screen can't see that
+    * language" should look like in the report. One per-row predict
+    * pass + one language-sized rollup. */
+  private val textLangPurity: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "documents")
+      .withColumn("w", TextSim.tokens(col("text")))
+      .withColumn("lang_pred", TextSim.langId(col("w")))
+    base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+        col("n_agree").cast("long").as("n_agree"),
+        round(col("n_agree").cast("double") / col("n_docs"), 4)
+          .as("purity"),
+        when(col("n_agree").cast("double") / col("n_docs") < 0.5, 1)
+          .otherwise(0).as("flag_mislabeled"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   /** q_text_unicode_audit — encoding-health audit per source: share of
     * docs containing non-ASCII, the non-ASCII character ratio, control
     * characters, U+FFFD replacement characters (THE mojibake tell —
@@ -2416,6 +2553,10 @@ object TextQueries {
     "q_text_simhash" -> simhashQ,
     "q_text_ngram_jaccard" -> ngramJaccardQ,
     "q_text_containment" -> textContainment,
+    "q_text_dedup_suffix" -> textDedupSuffix,
+    "q_text_burstiness" -> textBurstiness,
+    "q_text_lang_purity" -> textLangPurity,
+    "q_vec_label_knn_acc" -> vecLabelKnnAcc,
     "q_vec_binary_quant" -> vecBinaryQuant,
     "q_vec_cosine_dedup" -> cosineDedup,
     "q_vec_dedup_groups" -> dedupGroupsQ,

@@ -1103,7 +1103,83 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_ewma_var — exponentially weighted mean AND variance per
+    * type (α = 0.5, the q_win_ema/q_ts_des truncation device): at the
+    * last day, m = EMA(y), v = EMA(y²) − m², volatility = √v — the
+    * adaptive-baseline volatility every alerting threshold should use
+    * instead of the all-history variance (a level shift three months
+    * ago still inflates q_agg_stats' σ; the EW form forgets it at a
+    * controlled rate). One fixed-frame window pass computing both
+    * weighted sums over the SAME lags; exact binary 0.5 weights, same
+    * literal term order both engines; sqrt in the rounded output
+    * only. */
+  private val tsEwmaVar: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    def wsum(c: Column): (Column, Column) = {
+      val lags = (0 to 7).map(i => if (i == 0) c else lag(c, i).over(w))
+      val wts = (0 to 7).map(i => math.pow(0.5, i))
+      val num = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      (num, den)
+    }
+    val (n1, d1) = wsum(col("y").cast("double"))
+    val (n2, _) = wsum(col("y").cast("double") * col("y").cast("double"))
+    val scored = dailySeries(s, dir)
+      .withColumn("m", n1 / d1)
+      .withColumn("m2", n2 / d1)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc)))
+      .filter(col("rn") === 1)
+    scored.select(col("event_type"), col("d").as("last_day"),
+        col("y").as("last_y"),
+        round(col("m"), 4).as("ew_mean"),
+        round(col("m2") - col("m") * col("m"), 4).as("ew_var"),
+        round(sqrt(col("m2") - col("m") * col("m")), 4)
+          .as("ew_vol"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_rolling_ols — rolling 14-day OLS slope of the daily count
+    * per type: the windowed trend line under "is this metric
+    * accelerating" panels — q_agg_regression fits ONE line over all
+    * history, this fits one per day over the trailing fortnight, so a
+    * trend change shows up as the slope series crossing zero instead
+    * of being averaged away. Exactness: the four power sums
+    * (Σx/Σy/Σxy/Σx²) are frame-bounded EXACT decimal window
+    * aggregates over integer day/count values; the closed-form slope
+    * divides once per row (n·Σxy−ΣxΣy)/(n·Σx²−(Σx)²); full frames
+    * only (the decompose edge rule). Scale: frame-bounded window
+    * state on the contracted grid — O(1) per row, no corpus sort. */
+  private val tsRollingOls: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-13, Window.currentRow)
+    val g = dailySeries(s, dir)
+      .withColumn("x", datediff(col("d"), lit("1970-01-01")))
+    val scored = g
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x").cast("decimal(38,0)")).over(w))
+      .withColumn("sy", sum(col("y").cast("decimal(38,0)")).over(w))
+      .withColumn("sxy",
+        sum((col("x") * col("y")).cast("decimal(38,0)")).over(w))
+      .withColumn("sxx",
+        sum((col("x") * col("x")).cast("decimal(38,0)")).over(w))
+      .filter(col("n") === 14)
+    scored.select(col("event_type"), col("d"),
+        col("y").cast("long").as("y"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 4).as("slope14"))
+      .orderBy(col("event_type").asc_nulls_first, col("d"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_ewma_var" -> tsEwmaVar,
+    "q_ts_rolling_ols" -> tsRollingOls,
     "q_ts_theil_sen" -> tsTheilSen,
     "q_ts_des" -> tsDes,
     "q_ts_islands" -> tsIslands,

@@ -525,7 +525,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     // quant one HOF pass vs 3 probes; modularity rides the demo-graph
     // contraction; ema_time is one partitioned window
     "q_text_containment" -> 1.0, "q_vec_binary_quant" -> 0.8,
-    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 1.0)
+    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 1.0,
+    // r15 batch F: one-contraction grid/window shapes; burstiness and
+    // suffix dedup pay the corpus explode / sha window like their twins
+    "q_ts_ewma_var" -> 0.7, "q_ts_rolling_ols" -> 0.7,
+    "q_evt_cadence" -> 0.8, "q_agg_gmean" -> 0.8,
+    "q_text_dedup_suffix" -> 0.6, "q_text_burstiness" -> 1.2,
+    // r15 batch G: streaks is two user-keyed windows; lang_purity one
+    // predict pass + rollup; knn_acc pays the 500-slice brute force
+    "q_evt_streaks" -> 0.7, "q_text_lang_purity" -> 0.8,
+    "q_vec_label_knn_acc" -> 1.0)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

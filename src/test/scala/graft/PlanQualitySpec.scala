@@ -560,6 +560,68 @@ class PlanQualitySpec extends SparkSpecBase {
         offenders.mkString("\n  "))
   }
 
+  test("round-15 window operators plan only PARTITIONED windows") {
+    // born-partitioned discipline for the r15 batch: every window in
+    // these plans must carry a partition spec (the same detector as
+    // the PrefixSweep gate — new operators must not reintroduce the
+    // class the sweep removed). fdr_bh's constant-key rank and the
+    // per-user/per-type windows all qualify; an empty spec fails.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val r15 = Seq("q_ts_theil_sen", "q_ts_des", "q_ts_islands",
+      "q_ts_ewma_var", "q_ts_rolling_ols", "q_agg_fdr_bh",
+      "q_win_ema_time", "q_evt_cadence", "q_evt_streaks",
+      "q_text_dedup_suffix", "q_vec_label_knn_acc")
+    val offenders = r15.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val bad = scala.collection.mutable.Buffer[String]()
+      def go(n: SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case s: QueryStageExec => go(s.plan)
+        case w: WindowExec =>
+          if (w.partitionSpec.isEmpty) bad += s"$name: ${w.nodeName}"
+          w.children.foreach(go)
+        case w: WindowGroupLimitExec =>
+          if (w.partitionSpec.isEmpty) bad += s"$name: ${w.nodeName}"
+          w.children.foreach(go)
+        case other => other.children.foreach(go)
+      }
+      go(df.queryExecution.executedPlan)
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in round-15 operators:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("q_ts_theil_sen contracts the corpus before the O(days²) pair join") {
+    val p = plan("q_ts_theil_sen")
+    // the grid aggregate must sit BELOW the self-join (formatted
+    // explain lists leaves last: aggregate index > join index) and the
+    // pair join must be a real equi-join on event_type
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair join regressed to all-pairs across types")
+    val join = p.indexOf("Join")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(join >= 0 && agg > join,
+      s"expected grid aggregate feeding the pair join (join@$join, agg@$agg)")
+  }
+
+  test("q_agg_fdr_bh's readout never rescans the corpus") {
+    // the k-test battery contracts `events` ONCE into the checkpointed
+    // k-row grid (the corpus scan runs at construction); the registered
+    // plan — rank, step-up cutoff, verdict join — must read only that
+    // grid: any parquet scan of events here means the battery pays the
+    // corpus per leg
+    val p = plan("q_agg_fdr_bh")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 0,
+      s"readout rescans the corpus ($scans events scans):\n$p")
+  }
+
   test("Spark's runtime bloom filter injects into selective shuffle joins") {
     // the built-in complement to Relational.bloomSemiLong: when a
     // shuffle join's build side carries a selective filter, Catalyst's
