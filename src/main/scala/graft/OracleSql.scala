@@ -3708,6 +3708,39 @@ object OracleSql {
     // Mirrors aggFleissKappa: 3 deterministic raters explode to
     // (item, cat) counts; two integers off the corpus; 8-dp share
     // squares fold; one closed-form kappa.
+    // Mirrors evtDisorder: prior running max over exact integer µs
+    // in event_id arrival order; lateness quantiles interpolate
+    // integers; NULL (on-time) rows drop from quantile_cont.
+    "q_evt_disorder" ->
+      """WITH e AS (
+           SELECT event_type, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events),
+         g AS (
+           SELECT event_type, ts_us,
+                  max(ts_us) OVER (PARTITION BY event_type
+                    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS prior_max
+           FROM e),
+         l AS (
+           SELECT event_type, ts_us,
+                  CASE WHEN prior_max > ts_us
+                    THEN prior_max - ts_us END AS late_by
+           FROM g),
+         r AS (
+           SELECT event_type, count(*) AS n,
+                  count(late_by) AS n_late,
+                  quantile_cont(late_by, 0.5) AS p50,
+                  quantile_cont(late_by, 0.95) AS p95,
+                  max(late_by) AS mx
+           FROM l GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(n_late AS BIGINT) AS n_late,
+                round(CAST(n_late AS DOUBLE) / n, 4) AS disorder_share,
+                round(p50 / 1e6, 4) AS late_p50_s,
+                round(p95 / 1e6, 4) AS late_p95_s,
+                round(CAST(mx AS DOUBLE) / 1e6, 4) AS late_max_s
+         FROM r ORDER BY event_type NULLS FIRST""",
     // Mirrors evtStreaks: per-user distinct-day islands via the
     // d - row_number key, max_by last streak, pure integer days.
     "q_evt_streaks" ->
@@ -3761,6 +3794,154 @@ object OracleSql {
                 CASE WHEN p75 - p25 < 0.5 * med THEN 1 ELSE 0 END
                   AS regular
          FROM u ORDER BY user_id""",
+    // Mirrors aggWelchAnova: decimal group triples, 8-dp-rounded
+    // grid terms (w, w·mean, A/B terms) summed as decimals, shared
+    // closed-form F_W and Satterthwaite df2.
+    "q_agg_welch_anova" ->
+      """WITH g AS (
+           SELECT month(l_shipdate) AS grp, count(*) AS n_g,
+                  sum(CAST(l_quantity AS DECIMAL(9,0))) AS s1,
+                  sum(CAST(l_quantity AS DECIMAL(9,0))
+                    * CAST(l_quantity AS DECIMAL(9,0))) AS s2
+           FROM lineitem GROUP BY 1),
+         m AS (
+           SELECT grp, n_g,
+                  CAST(s1 AS DOUBLE) / n_g AS mean_g,
+                  (CAST(s2 AS DOUBLE)
+                    - n_g * (CAST(s1 AS DOUBLE) / n_g)
+                      * (CAST(s1 AS DOUBLE) / n_g)) / (n_g - 1) AS var_g
+           FROM g),
+         wgt AS (
+           SELECT grp, n_g, mean_g,
+                  CAST(round(CAST(n_g AS DOUBLE) / var_g, 8)
+                    AS DECIMAL(20,8)) AS w8,
+                  CAST(round((CAST(n_g AS DOUBLE) / var_g) * mean_g, 8)
+                    AS DECIMAL(20,8)) AS wm8
+           FROM m),
+         tot AS (
+           SELECT count(*) AS k, sum(w8) AS bw, sum(wm8) AS bwm
+           FROM wgt),
+         t2 AS (
+           SELECT k, n_g, w8, bw,
+                  CAST(round(CAST(w8 AS DOUBLE)
+                    * (mean_g - CAST(bwm AS DOUBLE) / CAST(bw AS DOUBLE))
+                    * (mean_g - CAST(bwm AS DOUBLE) / CAST(bw AS DOUBLE)),
+                    8) AS DECIMAL(20,8)) AS aterm,
+                  CAST(round(
+                    (1.0 - CAST(w8 AS DOUBLE) / CAST(bw AS DOUBLE))
+                    * (1.0 - CAST(w8 AS DOUBLE) / CAST(bw AS DOUBLE))
+                    / CAST(n_g - 1 AS DOUBLE), 8) AS DECIMAL(20,8))
+                    AS bterm
+           FROM wgt CROSS JOIN tot),
+         r AS (
+           SELECT k, sum(aterm) AS sa, sum(bterm) AS sb
+           FROM t2 GROUP BY k)
+         SELECT CAST(k AS BIGINT) AS k,
+                round((CAST(sa AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                  / (1.0 + 2.0 * CAST(k - 2 AS DOUBLE)
+                    / CAST(k * k - 1 AS DOUBLE)
+                    * CAST(sb AS DOUBLE)), 4) AS f_welch,
+                round(CAST(k * k - 1 AS DOUBLE)
+                  / (3.0 * CAST(sb AS DOUBLE)), 4) AS df2,
+                CASE WHEN round((CAST(sa AS DOUBLE)
+                    / CAST(k - 1 AS DOUBLE))
+                  / (1.0 + 2.0 * CAST(k - 2 AS DOUBLE)
+                    / CAST(k * k - 1 AS DOUBLE)
+                    * CAST(sb AS DOUBLE)), 4) > 1.79
+                  THEN 1 ELSE 0 END AS reject
+         FROM r""",
+    // Mirrors aggTtestPaired: data-derived half boundary (floor — cast
+    // rounds in DuckDB), per-user phase means, 8-dp decimal(18,8)
+    // differences, shared closed-form t.
+    "q_agg_ttest_paired" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  CAST(value AS DECIMAL(18,2)) AS v
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         span AS (
+           SELECT min(d) + CAST(floor((max(d) - min(d)) / 2) AS INT)
+             AS mid
+           FROM ev),
+         ph AS (
+           SELECT user_id,
+                  CASE WHEN d < mid THEN 'a' ELSE 'b' END AS phase,
+                  sum(v) AS sv, count(*) AS c
+           FROM ev CROSS JOIN span GROUP BY 1, 2),
+         pm AS (
+           SELECT user_id, phase, CAST(sv AS DOUBLE) / c AS m FROM ph),
+         d AS (
+           -- (19,8) not (18,8): DuckDB executes an (18,8) product in
+           -- int64 and overflows; width 19 forces the int128 path.
+           -- The VALUES are identical to Spark's decimal(18,8).
+           SELECT CAST(round(a.m - b.m, 8) AS DECIMAL(19,8)) AS dd
+           FROM pm a JOIN pm b ON a.user_id = b.user_id
+           WHERE a.phase = 'a' AND b.phase = 'b'),
+         r AS (
+           SELECT count(*) AS n, sum(dd) AS sd, sum(dd * dd) AS sd2
+           FROM d)
+         SELECT CAST(n AS BIGINT) AS n_pairs,
+                round(CAST(sd AS DOUBLE) / n, 4) AS mean_diff,
+                round((CAST(sd AS DOUBLE) / n)
+                  / sqrt(((CAST(sd2 AS DOUBLE)
+                    - n * (CAST(sd AS DOUBLE) / n)
+                      * (CAST(sd AS DOUBLE) / n)) / (n - 1)) / n), 4)
+                  AS t_paired,
+                CASE WHEN abs(round((CAST(sd AS DOUBLE) / n)
+                  / sqrt(((CAST(sd2 AS DOUBLE)
+                    - n * (CAST(sd AS DOUBLE) / n)
+                      * (CAST(sd AS DOUBLE) / n)) / (n - 1)) / n), 4))
+                  > 1.96 THEN 1 ELSE 0 END AS significant
+         FROM r""",
+    // Mirrors aggTrendCa: five exact integer sums off one scan,
+    // shared closed-form z, verdict on the rounded z.
+    "q_agg_trend_ca" ->
+      """WITH g AS (
+           SELECT CAST(count(*) AS DECIMAL(38,0)) AS nn,
+                  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1
+                    ELSE 0 END) AS DECIMAL(38,0)) AS x,
+                  sum(CAST(substr(o_orderpriority, 1, 1)
+                      AS DECIMAL(10,0))
+                    * (CASE WHEN o_totalprice > 150000 THEN 1
+                       ELSE 0 END)) AS sx,
+                  sum(CAST(substr(o_orderpriority, 1, 1)
+                    AS DECIMAL(10,0))) AS sn,
+                  sum(CAST(substr(o_orderpriority, 1, 1)
+                      AS DECIMAL(10,0))
+                    * CAST(substr(o_orderpriority, 1, 1)
+                      AS DECIMAL(10,0))) AS sn2
+           FROM orders)
+         SELECT CAST(nn AS BIGINT) AS n, CAST(x AS BIGINT) AS n_high,
+                round(CAST(x AS DOUBLE) / CAST(nn AS DOUBLE), 4)
+                  AS rate,
+                round((CAST(sx AS DOUBLE)
+                  - (CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * CAST(sn AS DOUBLE))
+                  / sqrt((CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1.0 - CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (CAST(sn2 AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                        / CAST(nn AS DOUBLE))), 4) AS z,
+                CASE WHEN round((CAST(sx AS DOUBLE)
+                  - (CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * CAST(sn AS DOUBLE))
+                  / sqrt((CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1.0 - CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (CAST(sn2 AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                        / CAST(nn AS DOUBLE))), 4) > 1.96
+                    THEN 'increasing'
+                  WHEN round((CAST(sx AS DOUBLE)
+                  - (CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * CAST(sn AS DOUBLE))
+                  / sqrt((CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1.0 - CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (CAST(sn2 AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                        / CAST(nn AS DOUBLE))), 4) < -1.96
+                    THEN 'decreasing'
+                  ELSE 'none' END AS trend
+         FROM g""",
     // Mirrors aggGmean: 8-dp-rounded ln/reciprocal terms accumulate
     // as exact decimals (theil nested-fold rule); exp and divisions
     // once per group; verdict compares the ROUNDED means.
@@ -4797,6 +4978,31 @@ object OracleSql {
                      ELSE 'fr' END AS lang_pred,
                 lang
          FROM s ORDER BY doc_id""",
+    // Mirrors textLengthProfile: exact decimal mean, interpolated
+    // quantiles, outlier count against the per-source median.
+    "q_text_length_profile" ->
+      """WITH d AS (
+           SELECT source, n_chars FROM documents),
+         qs AS (
+           SELECT source, count(*) AS n_docs,
+                  sum(CAST(n_chars AS DECIMAL(38,0))) AS s1,
+                  quantile_cont(n_chars, 0.1) AS p10,
+                  quantile_cont(n_chars, 0.5) AS p50,
+                  quantile_cont(n_chars, 0.9) AS p90
+           FROM d GROUP BY 1),
+         o AS (
+           SELECT d.source,
+                  sum(CASE WHEN d.n_chars > 4.0 * qs.p50 THEN 1
+                    ELSE 0 END) AS n_long
+           FROM d JOIN qs ON d.source = qs.source GROUP BY 1)
+         SELECT qs.source, CAST(n_docs AS BIGINT) AS n_docs,
+                round(CAST(s1 AS DOUBLE) / n_docs, 4) AS mean_chars,
+                round(p10, 4) AS p10, round(p50, 4) AS p50,
+                round(p90, 4) AS p90,
+                CAST(n_long AS BIGINT) AS n_long,
+                round(CAST(n_long AS DOUBLE) / n_docs, 4) AS long_share
+         FROM qs JOIN o ON qs.source = o.source
+         ORDER BY qs.source NULLS FIRST""",
     // Mirrors textLangPurity: the q_text_langid argmax machinery
     // rolled up per declared language.
     "q_text_lang_purity" ->

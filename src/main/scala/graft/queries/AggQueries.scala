@@ -2808,7 +2808,160 @@ object AggQueries {
       .orderBy(col("flag").asc_nulls_first)
   }
 
+  /** q_agg_welch_anova — Welch's heteroscedastic one-way ANOVA across
+    * ship months: the test to run when q_agg_levene REJECTS equal
+    * variances and classic q_agg_anova's pooled mean square is no
+    * longer valid (unequal group variances + unequal sizes make
+    * classic F anti-conservative exactly when the small groups are the
+    * noisy ones). Per-group weights w = n/s², variance-weighted grand
+    * mean, F_W = A/B with the Welch correction and Satterthwaite df₂.
+    * Exactness: per-group (n, Σx, Σx²) decimal triples; every
+    * group-level term (w, w·x̄, A- and B-terms) is 8-dp-rounded once
+    * and summed as a decimal (the anova bt/wt discipline — the grid
+    * fold is merge-order-free); F and df₂ are shared closed-form
+    * doubles. Scale: one corpus aggregate; everything after is the
+    * 12-row grid. */
+  private val aggWelchAnova: Q = (s, dir) => {
+    val q = "CAST(l_quantity AS DECIMAL(9,0))"
+    val g = Tables.load(s, dir, "lineitem")
+      .groupBy(month(col("l_shipdate")).as("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        expr(s"sum($q)").as("s1"),
+        expr(s"sum($q * $q)").as("s2"))
+      .withColumn("mean_g", col("s1").cast("double") / col("n_g"))
+      .withColumn("var_g", (col("s2").cast("double") -
+        col("n_g") * col("mean_g") * col("mean_g")) /
+        (col("n_g") - lit(1)))
+      .withColumn("w8",
+        round(col("n_g").cast("double") / col("var_g"), 8)
+          .cast("decimal(20,8)"))
+      .withColumn("wm8",
+        round((col("n_g").cast("double") / col("var_g")) *
+          col("mean_g"), 8).cast("decimal(20,8)"))
+      .localCheckpoint()
+    val tot = g.agg(count(lit(1)).as("k"), sum("w8").as("bw"),
+      sum("wm8").as("bwm"))
+    val t2 = g.crossJoin(broadcast(tot))
+      .withColumn("mhat",
+        col("bwm").cast("double") / col("bw").cast("double"))
+      .withColumn("aterm", round(col("w8").cast("double") *
+        (col("mean_g") - col("mhat")) * (col("mean_g") - col("mhat")),
+        8).cast("decimal(20,8)"))
+      .withColumn("bterm", round(
+        (lit(1.0) - col("w8").cast("double") /
+          col("bw").cast("double")) *
+        (lit(1.0) - col("w8").cast("double") /
+          col("bw").cast("double")) /
+        (col("n_g") - lit(1)).cast("double"), 8)
+        .cast("decimal(20,8)"))
+    val fw = (col("sa").cast("double") /
+      (col("k") - lit(1)).cast("double")) /
+      (lit(1.0) + lit(2.0) * (col("k") - lit(2)).cast("double") /
+        (col("k") * col("k") - lit(1)).cast("double") *
+        col("sb").cast("double"))
+    t2.groupBy("k")
+      .agg(sum("aterm").as("sa"), sum("bterm").as("sb"))
+      .select(col("k").cast("long").as("k"),
+        round(fw, 4).as("f_welch"),
+        round((col("k") * col("k") - lit(1)).cast("double") /
+          (lit(3.0) * col("sb").cast("double")), 4).as("df2"),
+        when(round(fw, 4) > 1.79, 1).otherwise(0).as("reject"))
+  }
+
+  /** q_agg_ttest_paired — paired t-test of per-user mean event value,
+    * first half vs second half of the observation window (the halves
+    * derive from the data's own span — no calendar literal): the
+    * WITHIN-subject experiment readout q_agg_ttest can't give
+    * (independent-samples t on before/after data throws away the
+    * pairing and lets between-user variance swamp the shift; the
+    * paired form differences it out — same reason q_agg_friedman
+    * blocks by day). Exactness: per-user phase means are single
+    * divisions off decimal sums, each user's DIFFERENCE is 8-dp
+    * rounded once (decimal(18,8) — its square at (37,16) stays inside
+    * both engines' precision 38), Σd/Σd² fold exactly, t is one
+    * shared closed form. Scale: one per-(user, phase) contraction;
+    * everything after is user-count-sized. */
+  private val aggTtestPaired: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("d", to_date(col("ts")))
+    val span = ev.agg(min("d").as("d0"), max("d").as("d1"))
+      // floor() explicitly: Spark's cast-to-int truncates but DuckDB's
+      // ROUNDS — floor of the double is identical on both
+      .select(date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val phased = ev.crossJoin(broadcast(span))
+      .withColumn("phase", when(col("d") < col("mid"), "a")
+        .otherwise("b"))
+      .groupBy("user_id", "phase")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("c"))
+      .withColumn("m", col("sv").cast("double") / col("c"))
+    val a = phased.filter(col("phase") === "a")
+      .select(col("user_id"), col("m").as("ma"))
+    val b = phased.filter(col("phase") === "b")
+      .select(col("user_id"), col("m").as("mb"))
+    val diffs = a.join(b, "user_id")
+      .select(round(col("ma") - col("mb"), 8).cast("decimal(18,8)")
+        .as("dd"))
+    diffs.agg(count(lit(1)).as("n"), sum("dd").as("sd"),
+        sum(col("dd") * col("dd")).as("sd2"))
+      .select(col("n").cast("long").as("n_pairs"),
+        round(col("sd").cast("double") / col("n"), 4).as("mean_diff"),
+        round((col("sd").cast("double") / col("n")) /
+          sqrt(((col("sd2").cast("double") -
+            col("n") * (col("sd").cast("double") / col("n")) *
+              (col("sd").cast("double") / col("n"))) /
+            (col("n") - lit(1))) / col("n")), 4).as("t_paired"),
+        when(abs(round((col("sd").cast("double") / col("n")) /
+          sqrt(((col("sd2").cast("double") -
+            col("n") * (col("sd").cast("double") / col("n")) *
+              (col("sd").cast("double") / col("n"))) /
+            (col("n") - lit(1))) / col("n")), 4)) > 1.96, 1)
+          .otherwise(0).as("significant"))
+  }
+
+  /** q_agg_trend_ca — Cochran–Armitage trend test: does the
+    * high-value-order RATE rise or fall monotonically across the
+    * ORDERED priority classes (1-URGENT … 5-LOW)? The ordered
+    * alternative q_agg_chisq's omnibus independence test dilutes —
+    * CA spends all its power on the dose-response direction, which is
+    * the question when the x-axis has an order (tiers, cohorts,
+    * severity bands). Exactness: scores are the priority digits, all
+    * five base sums (N, X, Σs·x, Σs·n, Σs²·n) are exact integer
+    * decimals off ONE corpus aggregate, z is one shared closed form.
+    * */
+  private val aggTrendCa: Q = (s, dir) => {
+    val g = Tables.load(s, dir, "orders")
+      .withColumn("sc", substring(col("o_orderpriority"), 1, 1)
+        .cast("decimal(10,0)"))
+      .withColumn("hi",
+        when(col("o_totalprice") > 150000, 1L).otherwise(0L))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+        sum("hi").cast("decimal(38,0)").as("x"),
+        sum(col("sc") * col("hi")).as("sx"),
+        sum(col("sc")).as("sn"),
+        sum(col("sc") * col("sc")).as("sn2"))
+    val p = col("x").cast("double") / col("nn").cast("double")
+    val z = (col("sx").cast("double") -
+      p * col("sn").cast("double")) /
+      sqrt(p * (lit(1.0) - p) *
+        (col("sn2").cast("double") -
+          col("sn").cast("double") * col("sn").cast("double") /
+            col("nn").cast("double")))
+    g.select(col("nn").cast("long").as("n"),
+        col("x").cast("long").as("n_high"),
+        round(p, 4).as("rate"),
+        round(z, 4).as("z"),
+        when(round(z, 4) > 1.96, "increasing")
+          .when(round(z, 4) < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_welch_anova" -> aggWelchAnova,
+    "q_agg_ttest_paired" -> aggTtestPaired,
+    "q_agg_trend_ca" -> aggTrendCa,
     "q_agg_gmean" -> aggGmean,
     "q_agg_bimodality" -> aggBimodality,
     "q_agg_dispersion" -> aggDispersion,

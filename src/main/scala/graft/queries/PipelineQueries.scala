@@ -2246,7 +2246,44 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** q_evt_disorder — out-of-order-arrival audit per event type:
+    * treating event_id as arrival order, what share of events carry a
+    * timestamp OLDER than something already seen, and by how much
+    * (p50/p95/max lateness) — the number a Structured Streaming
+    * watermark delay should be SET FROM (every §2.K op takes a delay
+    * on faith; this measures the actual disorder: watermark ≥ the p95
+    * here keeps 95% of late data out of the drop path, and the max
+    * prices exactly-once against completeness). Exactness: the prior
+    * running max is one partitioned window over exact integer µs;
+    * lateness quantiles interpolate integers; null (on-time) rows
+    * drop from the percentile on both engines. */
+  private val evtDisorder: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prior_max", max("ts_us").over(w))
+      .withColumn("late_by",
+        when(col("prior_max") > col("ts_us"),
+          col("prior_max") - col("ts_us")))
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("late_by")).as("n_late"),
+        expr("percentile(late_by, 0.5)").as("p50"),
+        expr("percentile(late_by, 0.95)").as("p95"),
+        max("late_by").as("mx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("n_late").cast("long").as("n_late"),
+        round(col("n_late").cast("double") / col("n"), 4)
+          .as("disorder_share"),
+        round(col("p50") / 1e6, 4).as("late_p50_s"),
+        round(col("p95") / 1e6, 4).as("late_p95_s"),
+        round(col("mx").cast("double") / 1e6, 4).as("late_max_s"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_disorder" -> evtDisorder,
     "q_evt_streaks" -> evtStreaks,
     "q_evt_cadence" -> evtCadence,
     "q_evt_perplexity" -> evtPerplexity,

@@ -2436,6 +2436,43 @@ object TextQueries {
       .orderBy(col("total").desc, col("term"))
   }
 
+  /** q_text_length_profile — per-source document-length planning
+    * profile: p10/p50/p90 of n_chars, the exact mean, and the share of
+    * docs longer than 4× the source median — the numbers sequence
+    * packing (q_text_pack) and chunking (q_text_chunk) budgets are SET
+    * FROM (window size follows p90; the >4·p50 outlier share says how
+    * much a truncation policy actually discards). q_etl_profile
+    * profiles a warehouse table generically; this is the corpus-length
+    * instance every data card reports. Two grid-sized passes: quantile
+    * contraction per source, then the outlier count against the
+    * broadcast median. */
+  private val textLengthProfile: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars"))
+    val qs = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("s1"),
+        expr("percentile(n_chars, 0.1)").as("p10"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
+    val out = d.join(broadcast(qs.select(col("source"), col("p50"))),
+        "source")
+      .groupBy("source")
+      .agg(sum(when(col("n_chars") > lit(4.0) * col("p50"), 1L)
+        .otherwise(0L)).as("n_long"))
+    qs.join(out, "source")
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        round(col("s1").cast("double") / col("n_docs"), 4)
+          .as("mean_chars"),
+        round(col("p10"), 4).as("p10"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        col("n_long").cast("long").as("n_long"),
+        round(col("n_long").cast("double") / col("n_docs"), 4)
+          .as("long_share"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
   /** q_text_lang_purity — per DECLARED language: how often the
     * stopword-profile language ID agrees with the metadata label — the
     * mislabeled-shard screen (a "French" crawl shard that IDs 40%
@@ -2556,6 +2593,7 @@ object TextQueries {
     "q_text_dedup_suffix" -> textDedupSuffix,
     "q_text_burstiness" -> textBurstiness,
     "q_text_lang_purity" -> textLangPurity,
+    "q_text_length_profile" -> textLengthProfile,
     "q_vec_label_knn_acc" -> vecLabelKnnAcc,
     "q_vec_binary_quant" -> vecBinaryQuant,
     "q_vec_cosine_dedup" -> cosineDedup,

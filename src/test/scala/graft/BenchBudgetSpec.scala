@@ -534,7 +534,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     // r15 batch G: streaks is two user-keyed windows; lang_purity one
     // predict pass + rollup; knn_acc pays the 500-slice brute force
     "q_evt_streaks" -> 0.7, "q_text_lang_purity" -> 0.8,
-    "q_vec_label_knn_acc" -> 1.0)
+    "q_vec_label_knn_acc" -> 1.0,
+    // r15 batch H: welch/trend/paired are one-contraction closed
+    // forms; disorder one running-max window; length profile two
+    // grid passes
+    "q_agg_welch_anova" -> 0.8, "q_agg_ttest_paired" -> 0.9,
+    "q_agg_trend_ca" -> 0.6, "q_evt_disorder" -> 0.9,
+    "q_text_length_profile" -> 0.7)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
