@@ -3794,6 +3794,41 @@ object OracleSql {
                 CASE WHEN p75 - p25 < 0.5 * med THEN 1 ELSE 0 END
                   AS regular
          FROM u ORDER BY user_id""",
+    // Mirrors aggCalibration: 4-dp double confidence cast to decimal
+    // (gmean term device), integer floor bins, 8-dp ECE terms summed
+    // as decimals over the 10-bin grid.
+    "q_agg_calibration" ->
+      """WITH ev AS (
+           SELECT round(least(CAST(value AS DOUBLE), 200.0)
+                    / 200.0, 4) AS conf,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS y
+           FROM events WHERE value IS NOT NULL),
+         eb AS (
+           SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+                  CAST(conf AS DECIMAL(18,4)) AS confd, y
+           FROM ev),
+         bins AS (
+           SELECT bin, count(*) AS n_b, sum(y) AS x_b,
+                  sum(confd) AS sc
+           FROM eb GROUP BY 1),
+         tot AS (SELECT sum(n_b) AS nn FROM bins),
+         terms AS (
+           SELECT bin, n_b,
+                  CAST(x_b AS DOUBLE) / n_b AS acc,
+                  CAST(sc AS DOUBLE) / n_b AS cf,
+                  CAST(round(CAST(n_b AS DOUBLE) / nn
+                    * abs(CAST(x_b AS DOUBLE) / n_b
+                      - CAST(sc AS DOUBLE) / n_b), 8)
+                    AS DECIMAL(20,8)) AS ece_term
+           FROM bins CROSS JOIN tot),
+         e AS (
+           SELECT round(CAST(sum(ece_term) AS DOUBLE), 4) AS ece
+           FROM terms)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(n_b AS BIGINT) AS n_b,
+                round(cf, 4) AS mean_conf, round(acc, 4) AS obs_rate,
+                round(acc - cf, 4) AS gap, ece
+         FROM terms CROSS JOIN e ORDER BY bin""",
     // Mirrors aggWelchAnova: decimal group triples, 8-dp-rounded
     // grid terms (w, w·mean, A/B terms) summed as decimals, shared
     // closed-form F_W and Satterthwaite df2.
@@ -4978,6 +5013,29 @@ object OracleSql {
                      ELSE 'fr' END AS lang_pred,
                 lang
          FROM s ORDER BY doc_id""",
+    // Mirrors textNgramNovelty: distinct 3-grams per doc (jaccard
+    // shingle kernel), gram-keyed min-doc introducer, integer readout.
+    "q_text_ngram_novelty" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(len(string_split(lower(text), ' ')) - 2),
+                    i -> array_to_string(
+                      string_split(lower(text), ' ')[i+1:i+3], ' '))))
+                    AS gr
+           FROM documents),
+         intro AS (
+           SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY 1),
+         r AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN intro.first_doc = g.doc_id THEN 1
+                    ELSE 0 END) AS n_novel
+           FROM g JOIN intro ON g.gr = intro.gr
+           GROUP BY 1)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_novel AS BIGINT) AS n_novel,
+                round(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novelty
+         FROM r ORDER BY doc_id""",
     // Mirrors textLengthProfile: exact decimal mean, interpolated
     // quantiles, outlier count against the per-source median.
     "q_text_length_profile" ->

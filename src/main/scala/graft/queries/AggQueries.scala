@@ -2958,7 +2958,58 @@ object AggQueries {
           .otherwise("none").as("trend"))
   }
 
+  /** q_agg_calibration — reliability diagram + expected calibration
+    * error for a deterministic pseudo-scorer (score = value/200
+    * clamped to [0,1], outcome = is-purchase): per decile bin, mean
+    * confidence vs observed rate, and ECE = Σ (n_b/N)·|acc_b −
+    * conf_b| — the eval under every "the model says 0.8, is it right
+    * 80% of the time" question (q_agg_brier scores sharpness+
+    * calibration fused; q_agg_logloss penalizes overconfidence; this
+    * LOCATES the miscalibration by bin, which is what you fix).
+    * Exactness: scores are 4-dp decimals (exact from 2-dp values),
+    * bins integer floors of a decimal (no float boundary), per-bin
+    * sums decimal; the ECE fold over ≤10 bins rounds each term to
+    * 8 dp first (grid-fold rule). One corpus aggregate; everything
+    * after is 10 rows. */
+  private val aggCalibration: Q = (s, dir) => {
+    // conf as a 4-dp-rounded DOUBLE cast to decimal (the gmean term
+    // device) — decimal DIVISION result types differ across engines,
+    // double division + one round does not
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .withColumn("conf",
+        round(least(col("value").cast("double"), lit(200.0)) / 200.0, 4))
+      .withColumn("bin",
+        least(floor(col("conf") * 10), lit(9)).cast("int"))
+      .withColumn("confd", col("conf").cast("decimal(18,4)"))
+      .withColumn("y",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val bins = ev.groupBy("bin")
+      .agg(count(lit(1)).as("n_b"),
+        sum("y").as("x_b"),
+        sum("confd").as("sc"))
+      .localCheckpoint()
+    val tot = bins.agg(sum("n_b").as("nn"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("acc", col("x_b").cast("double") / col("n_b"))
+      .withColumn("cf", col("sc").cast("double") / col("n_b"))
+      .withColumn("ece_term",
+        round(col("n_b").cast("double") / col("nn") *
+          abs(col("acc") - col("cf")), 8).cast("decimal(20,8)"))
+    val ece = terms.agg(round(sum("ece_term").cast("double"), 4)
+      .as("ece"))
+    terms.crossJoin(broadcast(ece))
+      .select(col("bin").cast("long").as("bin"),
+        col("n_b").cast("long").as("n_b"),
+        round(col("cf"), 4).as("mean_conf"),
+        round(col("acc"), 4).as("obs_rate"),
+        round(col("acc") - col("cf"), 4).as("gap"),
+        col("ece"))
+      .orderBy("bin")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_calibration" -> aggCalibration,
     "q_agg_welch_anova" -> aggWelchAnova,
     "q_agg_ttest_paired" -> aggTtestPaired,
     "q_agg_trend_ca" -> aggTrendCa,

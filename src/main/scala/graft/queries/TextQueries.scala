@@ -2436,6 +2436,35 @@ object TextQueries {
       .orderBy(col("total").desc, col("term"))
   }
 
+  /** q_text_ngram_novelty — per-document 3-gram novelty against
+    * everything EARLIER in the corpus (doc_id = ingestion order): the
+    * share of a doc's distinct grams it is the FIRST to introduce —
+    * the memorization/staleness curve of a growing corpus (novelty
+    * drifting toward 0 means new ingestion is re-crawling what you
+    * have — the incremental twin of q_text_dup_rate's within-corpus
+    * duplication; dedup asks "seen verbatim?", this asks "is anything
+    * here NEW?"). Shape: the corpus explodes distinct grams once, a
+    * gram-keyed min-doc contraction finds each gram's introducer, one
+    * co-keyed join back — the lm_score dataflow with min() instead of
+    * count(). Pure integer readout per doc. */
+  private val textNgramNovelty: Q = (s, dir) => {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextSim.shingles(col("text"), 3)))
+          .as("g"))
+    val intro = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(intro, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        col("n_novel").cast("long").as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** q_text_length_profile — per-source document-length planning
     * profile: p10/p50/p90 of n_chars, the exact mean, and the share of
     * docs longer than 4× the source median — the numbers sequence
@@ -2594,6 +2623,7 @@ object TextQueries {
     "q_text_burstiness" -> textBurstiness,
     "q_text_lang_purity" -> textLangPurity,
     "q_text_length_profile" -> textLengthProfile,
+    "q_text_ngram_novelty" -> textNgramNovelty,
     "q_vec_label_knn_acc" -> vecLabelKnnAcc,
     "q_vec_binary_quant" -> vecBinaryQuant,
     "q_vec_cosine_dedup" -> cosineDedup,

@@ -540,7 +540,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // grid passes
     "q_agg_welch_anova" -> 0.8, "q_agg_ttest_paired" -> 0.9,
     "q_agg_trend_ca" -> 0.6, "q_evt_disorder" -> 0.9,
-    "q_text_length_profile" -> 0.7)
+    "q_text_length_profile" -> 0.7,
+    // r15 batch I: calibration one aggregate to 10 bins; novelty pays
+    // the corpus gram explode + one co-keyed join (lm_score shape)
+    "q_agg_calibration" -> 0.7, "q_text_ngram_novelty" -> 1.5)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
