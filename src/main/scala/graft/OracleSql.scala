@@ -5024,18 +5024,18 @@ object OracleSql {
                       string_split(lower(text), ' ')[i+1:i+3], ' '))))
                     AS gr
            FROM documents),
-         intro AS (
-           SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY 1),
-         r AS (
-           SELECT g.doc_id, count(*) AS n_grams,
-                  sum(CASE WHEN intro.first_doc = g.doc_id THEN 1
-                    ELSE 0 END) AS n_novel
-           FROM g JOIN intro ON g.gr = intro.gr
+         pd AS (
+           SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         nv AS (
+           SELECT first_doc AS doc_id, count(*) AS n_novel
+           FROM (SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY 1)
            GROUP BY 1)
-         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-                CAST(n_novel AS BIGINT) AS n_novel,
-                round(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novelty
-         FROM r ORDER BY doc_id""",
+         SELECT pd.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                round(CAST(coalesce(n_novel, 0) AS DOUBLE) / n_grams, 4)
+                  AS novelty
+         FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id
+         ORDER BY pd.doc_id""",
     // Mirrors textLengthProfile: exact decimal mean, interpolated
     // quantiles, outlier count against the per-source median.
     "q_text_length_profile" ->

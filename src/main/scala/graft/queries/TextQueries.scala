@@ -2443,25 +2443,34 @@ object TextQueries {
     * drifting toward 0 means new ingestion is re-crawling what you
     * have — the incremental twin of q_text_dup_rate's within-corpus
     * duplication; dedup asks "seen verbatim?", this asks "is anything
-    * here NEW?"). Shape: the corpus explodes distinct grams once, a
-    * gram-keyed min-doc contraction finds each gram's introducer, one
-    * co-keyed join back — the lm_score dataflow with min() instead of
-    * count(). Pure integer readout per doc. */
+    * here NEW?"). Shape: the corpus explodes distinct grams ONCE and
+    * splits into two aggregates — per-doc gram counts (doc-keyed,
+    * map-side combined) and gram-keyed min-doc introducers re-rolled
+    * to per-doc novel counts — joined back at doc grain. Both earlier
+    * forms measured slower: groupBy+join-back re-shuffles the gram
+    * table (3.9 s at sf0.1), a window min sorts full gram rows inside
+    * each gram partition (2.7 s); the double aggregate combines
+    * map-side and never sorts. Pure integer readout per doc. */
   private val textNgramNovelty: Q = (s, dir) => {
-    val grams = Tables.load(s, dir, "documents")
+    // codegen'd TokenNgrams kernel + parallelized scan (the
+    // dedup_spans/boilerplate lesson — the HOF shingle transform is
+    // CodegenFallback and interpreted per gram)
+    import org.apache.spark.sql.graftfns.QuantFunctions.token_ngrams
+    val grams = Tables.parallelized(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
-        explode(array_distinct(TextSim.shingles(col("text"), 3)))
-          .as("g"))
-    val intro = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(intro, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+        explode(array_distinct(
+          token_ngrams(TextSim.tokens(col("text")), 3))).as("g"))
+      .localCheckpoint()
+    val perDoc = grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
-        col("n_novel").cast("long").as("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 4)
-          .as("novelty"))
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams"), 4).as("novelty"))
       .orderBy("doc_id")
   }
 
