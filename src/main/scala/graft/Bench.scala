@@ -62,6 +62,28 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
+    // Host-noise probe (round-16): a FIXED, SF-independent two-stage
+    // micro-job (1M-row range → modulo groupBy → count) timed around
+    // every query's samples. Its quiet cost is a known constant, so a
+    // probe reading far above it means the host was contended DURING
+    // that query's measurement window — the per-query, per-moment load
+    // signal that run-level loadavg cannot give (the r15 judged run
+    // breached budgets on queries whose own loadavg samples read a
+    // mild 2.5-2.7 while canary queries elsewhere in the run measured
+    // quiet-fast: host noise is temporally local). BenchBudgetSpec /
+    // BenchSlopeSpec divide each query's median by
+    // max(1, probeMedian/probeRef) before judging, making the gates
+    // load-robust without loosening them on quiet runs — a genuine
+    // plan regression leaves the probes at their quiet floor.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 20).selectExpr("id % 997 AS k")
+        .groupBy("k").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the probe path once so its first per-query reading is not
+    // codegen-cold (which would overstate the first query's correction)
+    (1 to 3).foreach(_ => probeOnce())
     val resampledB = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // -1 marks a failed query instead of silently reporting its
@@ -88,9 +110,21 @@ object Bench {
       // TWO warm-ups: the round-12 judged run showed one is not enough —
       // first-timed samples still carried page-cache/codegen cold cost
       // (q_vec_cosine_dedup 11.3/3.6/0.97 s), skewing the median high
-      def sampleSet(): Seq[(Double, Double)] = Seq.fill(runs)(runOnce())
-      val first =
-        if (firstWarmFailed && runOnce()._1 < 0) Seq((-1.0, loadavg()))
+      // probes BRACKET every timed sample (probe, sample, probe,
+      // sample, …, probe): a load spike inside the window inflates at
+      // least one adjacent probe, so the correction factor rises with
+      // the noise that actually touched this query's samples
+      def sampleSet(): (Seq[(Double, Double)], Seq[Double]) = {
+        val pb = scala.collection.mutable.ArrayBuffer.empty[Double]
+        pb += probeOnce()
+        val ss = Seq.fill(runs) {
+          val r = runOnce(); pb += probeOnce(); r
+        }
+        (ss, pb.toSeq)
+      }
+      val (first, firstProbes) =
+        if (firstWarmFailed && runOnce()._1 < 0)
+          (Seq((-1.0, loadavg())), Seq(probeOnce()))
         else { runOnce(); sampleSet() }
       // auto-resample (r14 postmortem): a transient host/JVM spike can
       // turn one sample into a 20x outlier and drag the MEDIAN with it
@@ -105,36 +139,40 @@ object Bench {
         if (ts.exists(_ <= 0)) 1.0 else ts.max / ts.min
       }
       val unstable = spread(first) > 5.0 && first.map(_._1).max > 0.5
-      val samples =
+      val (samples, probes) =
         if (unstable) {
           System.err.println(
             s"[bench] $name samples ${first.map(_._1)} unstable; resampling")
           resampledB += name
           hygiene()
           sampleSet()
-        } else first
+        } else (first, firstProbes)
       val times = samples.map(_._1)
       val median =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
       hygiene()
-      name -> (median, samples, firstWarmFailed)
+      name -> (median, samples, firstWarmFailed, probes)
     }
-    val retried = results.collect { case (k, (_, _, true)) => k }
+    val retried = results.collect { case (k, (_, _, true, _)) => k }
     val resampled = resampledB.toSeq
     val total = results.values.map(_._1).sum
     def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
     val fullJson = obj(Seq(
       s""""metric":"total"""", s""""value":$total""", s""""unit":"sec"""",
       s""""method":"median-warm"""", s""""n":$runs""",
-      s""""queries":${obj(results.map { case (k, (m, _, _)) => s""""$k":$m""" })}""",
-      s""""samples":${obj(results.map { case (k, (_, ss, _)) =>
+      s""""queries":${obj(results.map { case (k, (m, _, _, _)) => s""""$k":$m""" })}""",
+      s""""samples":${obj(results.map { case (k, (_, ss, _, _)) =>
         s""""$k":${ss.map(_._1).mkString("[", ",", "]")}""" })}""",
       // loadavg at the END of each sample: lets any later reader tell a
       // slow query from a loaded host PER SAMPLE, not per run (the r14
       // in-session blowups were invisible to the run-level [start, end])
-      s""""sample_load":${obj(results.map { case (k, (_, ss, _)) =>
+      s""""sample_load":${obj(results.map { case (k, (_, ss, _, _)) =>
         s""""$k":${ss.map(s => f"${s._2}%.1f").mkString("[", ",", "]")}""" })}""",
+      // host-noise probes bracketing each query's samples (see
+      // probeOnce above) — the gates' load-correction signal
+      s""""probes":${obj(results.map { case (k, (_, _, _, ps)) =>
+        s""""$k":${ps.map(p => f"$p%.4f").mkString("[", ",", "]")}""" })}""",
       s""""retried":${retried.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""resampled":${resampled.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""loadavg":[$loadStart,${loadavg()}]""",
@@ -170,7 +208,7 @@ object Bench {
     def compact(qs: Option[Int]): String = obj(Seq(
       s""""metric":"total"""", s""""value":${fmt(total, 3)}""",
       s""""unit":"sec"""", s""""method":"median-warm"""", s""""n":$runs""") ++
-      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _, _)) =>
+      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _, _, _)) =>
         s""""$k":${fmt(m, dp)}""" })}""") ++
       Seq(s""""queries_file":"${out.getAbsolutePath}"""",
         s""""sf":"$sfDir""""))

@@ -1967,6 +1967,122 @@ object OracleSql {
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM o GROUP BY source, seq_id
          ORDER BY source NULLS FIRST, seq_id NULLS FIRST""",
+    // Mirrors pipeCurate: the six curation stages composed in one
+    // statement — langid argmax gate, quality rule, bigram-LM score
+    // over the gated pool (threshold -3.41 in exact decimal), exact
+    // sha dedup (min-doc_id canonical), %97 eval-sha anti-join,
+    // 256-token packing — with the cumulative per-source funnel and
+    // packed totals as the readout.
+    "q_pipe_curate" ->
+      """WITH base AS (
+           SELECT doc_id, source, sha256(text) AS text_sha,
+                  string_split(lower(text), ' ') AS w,
+                  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]',
+                    '', 'g')) AS BIGINT) AS n_punct
+           FROM documents),
+         sc AS (
+           SELECT doc_id, source, text_sha, w, n_punct,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['the','and','of','to','a','in','is'], x)))
+                    AS BIGINT) AS s_en,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['der','die','und','das','ist','ein','zu'], x)))
+                    AS BIGINT) AS s_de,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['el','la','de','que','y','los','es'], x)))
+                    AS BIGINT) AS s_es,
+                  CAST(len(list_filter(w, x -> list_contains(
+                    ['le','la','et','les','des','un','est'], x)))
+                    AS BIGINT) AS s_fr
+           FROM base),
+         f AS (
+           SELECT doc_id, source, text_sha, w, n_words,
+                  ((CASE WHEN s_en >= s_de AND s_en >= s_es
+                           AND s_en >= s_fr THEN 'en'
+                         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                         WHEN s_es >= s_fr THEN 'es'
+                         ELSE 'fr' END) = 'en') AS lang_ok,
+                  ((CASE WHEN s_en >= s_de AND s_en >= s_es
+                           AND s_en >= s_fr THEN 'en'
+                         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                         WHEN s_es >= s_fr THEN 'es'
+                         ELSE 'fr' END) = 'en'
+                   AND n_words >= 5 AND n_words <= 10000
+                   AND n_punct * 4 < n_words) AS qual_ok
+           FROM sc),
+         s1 AS (SELECT doc_id, w FROM f WHERE qual_ok),
+         uc AS (
+           SELECT term, count(*) AS c_u
+           FROM (SELECT unnest(w) AS term FROM s1) GROUP BY term),
+         vocab AS (SELECT count(*) AS v FROM uc),
+         db AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(len(w) - 1),
+                    i -> array_to_string(w[i+1:i+2], ' '))) AS pair
+           FROM s1),
+         bc AS (SELECT pair, count(*) AS c_b FROM db GROUP BY pair),
+         terms AS (
+           SELECT db.doc_id,
+                  CAST(round(ln((bc.c_b + 0.5) /
+                    (uc.c_u + 0.5 * v)), 8) AS DECIMAL(20,8)) AS lp
+           FROM db
+           JOIN bc ON bc.pair = db.pair
+           JOIN uc ON uc.term = string_split(db.pair, ' ')[1], vocab),
+         lp AS (
+           SELECT doc_id,
+                  CAST(round(CAST(sum(lp) AS DOUBLE) / count(*), 4)
+                    AS DECIMAL(14,4)) AS doc_lp
+           FROM terms GROUP BY doc_id),
+         lf AS (
+           SELECT f.doc_id, f.source, f.text_sha, f.n_words,
+                  f.lang_ok, f.qual_ok,
+                  (f.qual_ok AND lp.doc_lp >= -3.41) AS lm_ok
+           FROM f LEFT JOIN lp ON lp.doc_id = f.doc_id),
+         canon AS (
+           SELECT text_sha, min(doc_id) AS keep_id
+           FROM lf WHERE lm_ok GROUP BY text_sha),
+         ev AS (
+           SELECT DISTINCT text_sha FROM base WHERE doc_id % 97 = 0),
+         fl AS (
+           SELECT lf.doc_id, lf.source, lf.n_words, lf.lang_ok,
+                  lf.qual_ok, lf.lm_ok,
+                  (lf.lm_ok AND lf.doc_id = canon.keep_id) AS dedup_ok,
+                  (lf.lm_ok AND lf.doc_id = canon.keep_id
+                   AND NOT EXISTS (SELECT 1 FROM ev
+                     WHERE ev.text_sha = lf.text_sha)) AS final_ok
+           FROM lf LEFT JOIN canon ON canon.text_sha = lf.text_sha),
+         funnel AS (
+           SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_raw,
+                  CAST(count(CASE WHEN lang_ok THEN 1 END) AS BIGINT)
+                    AS n_lang,
+                  CAST(count(CASE WHEN qual_ok THEN 1 END) AS BIGINT)
+                    AS n_quality,
+                  CAST(count(CASE WHEN lm_ok THEN 1 END) AS BIGINT)
+                    AS n_lm,
+                  CAST(count(CASE WHEN dedup_ok THEN 1 END) AS BIGINT)
+                    AS n_dedup,
+                  CAST(count(CASE WHEN final_ok THEN 1 END) AS BIGINT)
+                    AS n_final
+           FROM fl GROUP BY source),
+         pkr AS (
+           SELECT source, doc_id, n_words AS n_tok,
+                  floor((sum(n_words) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - n_words) / 256) AS seq_id
+           FROM fl WHERE final_ok),
+         packed AS (
+           SELECT source,
+                  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+                  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM pkr GROUP BY source)
+         SELECT funnel.source, n_raw, n_lang, n_quality, n_lm,
+                n_dedup, n_final,
+                CAST(coalesce(n_seqs, 0) AS BIGINT) AS n_seqs,
+                CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+         FROM funnel LEFT JOIN packed ON packed.source = funnel.source
+         ORDER BY funnel.source NULLS FIRST""",
     // Mirrors textZipf: same tokenize → count → (freq DESC, term)
     // heap cut → rank/share windows over the 50 survivors.
     "q_text_zipf" ->
@@ -4124,7 +4240,8 @@ object OracleSql {
            SELECT coalesce(max(CASE WHEN p_bound <= bh_thr
              THEN rnk END), 0) AS i_max
            FROM thr)
-         SELECT event_type, CAST(n AS BIGINT) AS n, z, p_bound,
+         SELECT event_type, CAST(n AS BIGINT) AS n, z + 0.0 AS z,
+                p_bound,
                 CAST(rnk AS BIGINT) AS rnk, bh_thr,
                 CASE WHEN rnk <= i_max THEN 1 ELSE 0 END AS discovery
          FROM thr CROSS JOIN cut

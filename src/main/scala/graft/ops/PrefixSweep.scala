@@ -98,8 +98,20 @@ object PrefixSweep {
         row_number().over(win).cast("long") + col("__rankOff"))
     }
     runSums.zipWithIndex.foreach { case ((c, name), i) =>
+      // SQL sum skips nulls and is null only over an all-null (or
+      // empty) prefix — mirror that GLOBALLY: null only when both the
+      // local prefix and every earlier partition's total are null;
+      // otherwise add the two legs with null-as-zero. A bare
+      // `local + coalesce(off, 0)` would null out any row whose
+      // entire LOCAL prefix is null even when earlier partitions
+      // carry values, diverging from the single-partition window
+      // (ADVICE r15; dormant — current callers sum non-null counts).
+      val localSum = sum(c).over(cumWin)
+      val offSum = col(s"__so$i")
       out = out.withColumn(name,
-        sum(c).over(cumWin) + coalesce(col(s"__so$i"), lit(0)))
+        when(localSum.isNull && offSum.isNull, localSum)
+          .otherwise(coalesce(localSum, lit(0)) +
+            coalesce(offSum, lit(0))))
     }
     runMaxExcl.zipWithIndex.foreach { case ((c, name), i) =>
       // greatest() skips nulls: local-prefix null (first row in its
@@ -112,6 +124,77 @@ object PrefixSweep {
       "__pid" +: "__rankOff" +:
         (runSums.indices.map(i => s"__so$i") ++
           runMaxExcl.indices.map(i => s"__mo$i")): _*)
+  }
+
+  /** Distributed bounded-lookahead frame: evaluates window expressions
+    * over `rowsBetween(1, w)` of the GLOBAL `orderCols` order (must be
+    * a tie-broken total order, ascending) — without the
+    * single-partition sort `Window.orderBy(...).rowsBetween(1, w)`
+    * plans.
+    *
+    * Scheme (the documented q_samp_negative scale form): range
+    * partition on the order key, then ship each partition's FIRST w
+    * rows to the preceding partition as overlap — the tail rows of
+    * partition p read their lookahead from the overlap, every other
+    * row's frame is partition-local, so the per-partition window is
+    * bit-identical to the global one. Overlap rows are tagged and
+    * dropped after the window.
+    *
+    * Correctness needs every partition except the last to hold ≥ w
+    * rows (a frame may not span TWO boundaries). The partition count
+    * is sized from a cheap count (avg ≥ 4·w rows per partition) and
+    * then VERIFIED from the per-partition histogram; in the
+    * vanishingly-rare skewed case the whole input collapses to one
+    * partition — always exact, never silently wrong. The verification
+    * histogram is partition-count-sized metadata, not data.
+    *
+    * `exprs` receives the framed WindowSpec and returns the columns to
+    * add (each built with `.over` of it). */
+  def lookaheadFrame(df: DataFrame, orderCols: Seq[String], w: Int,
+      parts: Int = 0)(
+      exprs: org.apache.spark.sql.expressions.WindowSpec =>
+        Seq[(String, Column)]): DataFrame = {
+    require(orderCols.nonEmpty && w > 0)
+    val spark = df.sparkSession
+    val pMax =
+      if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val n = df.count()
+    val p = math.max(1L, math.min(pMax.toLong, n / (4L * w))).toInt
+    val oc = orderCols.map(col)
+    def run(nParts: Int): DataFrame = {
+      val parted = df.repartitionByRange(nParts, oc: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint() // pin the sampled range boundaries (see sweep)
+      if (nParts > 1) {
+        val sizes = parted.groupBy(col("__pid")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // every pid BELOW the last non-empty one needs ≥ w rows —
+        // including EMPTY intermediate partitions, which the groupBy
+        // histogram omits (getOrElse 0)
+        val lastPid = if (sizes.isEmpty) 0 else sizes.keys.max
+        val tooSmall = (0 until lastPid).exists(pid =>
+          sizes.getOrElse(pid, 0L) < w)
+        if (tooSmall) return run(1)
+      }
+      val headW = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+      val overlap = parted
+        .withColumn("__rn", row_number().over(headW))
+        .filter(col("__rn") <= w && col("__pid") > 0)
+        .withColumn("__dst", col("__pid") - 1)
+        .withColumn("__own", lit(false))
+        .drop("__rn")
+      val own = parted.withColumn("__dst", col("__pid"))
+        .withColumn("__own", lit(true))
+      val union = own.unionByName(overlap)
+      val frameW = Window.partitionBy(col("__dst")).orderBy(oc: _*)
+        .rowsBetween(1, w)
+      val withExprs = exprs(frameW).foldLeft(union) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }
+      withExprs.filter(col("__own")).drop("__pid", "__dst", "__own")
+    }
+    run(p)
   }
 
   /** Standard SQL `ntile(k)` from a global rank and the total row

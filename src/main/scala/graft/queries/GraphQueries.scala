@@ -518,22 +518,22 @@ object GraphQueries {
   }
 
   /** q_graph_kcore — k-core decomposition of the SF-held co-order
-    * demo graph ([[coOrderDemoGraph]]) by iterative peeling: remove
-    * every node with degree < k, recompute degrees, repeat to
-    * fixpoint — for each k until the core empties, report the core's
-    * node/edge census. Core membership is the standard
-    * "structurally engaged" screen (a high-degree node whose
-    * neighbors are all leaves is NOT in the 2-core; degree can't see
-    * that). Q-tier: peeling is a degree-dependent DELETION fixpoint —
-    * non-monotone, so no recursive-CTE oracle exists (components'
-    * reachability IS monotone, which is why IT is O-tier);
-    * AnalyticsOpsSpec pins exact core numbers on a handcrafted graph
-    * plus invariants here (nested cores, min-degree ≥ k inside the
-    * core). Scale: each peel round is one degree aggregate + one
-    * semi-join on the shrinking edge list (localCheckpoint per round
-    * cuts lineage); rounds are bounded by the graph's degeneracy
-    * ladder, not its size — real graphs converge in a handful of
-    * rounds per k, and the edge list only ever shrinks. */
+    * demo graph ([[coOrderDemoGraph]]): per-vertex coreness by a
+    * single IN-TASK Matula–Beck bucket-queue peel (see the inline
+    * comment below for the algorithm and the measured-and-rejected
+    * iterative alternatives), then for each k the core's node/edge
+    * census as two descending cumulative histograms. Core membership
+    * is the standard "structurally engaged" screen (a high-degree
+    * node whose neighbors are all leaves is NOT in the 2-core; degree
+    * can't see that). O-bound: the peel is a non-monotone deletion
+    * fixpoint with no recursive-CTE oracle, so the oracle anchors the
+    * k=1 census exactly (the 1-core of an edge list IS the whole
+    * graph) and asserts nestedness + min-degree verdicts; the full
+    * per-k census is pinned on a handcrafted graph in
+    * AnalyticsOpsSpec. Scale: the modulus contract pins the demo
+    * graph to ~500 nodes at every SF, so one task peels it in O(E);
+    * on an UNBOUNDED graph the documented fallback is the distributed
+    * h-index recurrence (inline comment). */
   private def kcoreParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val (e0, _) = coOrderDemoGraph(s, dir)

@@ -1764,17 +1764,27 @@ object PipelineQueries {
     * segments). Determinism: the quintile boundary is ntile over a
     * TOTAL order (n_events, user_id), identical both engines; all
     * rates are integer ratios via shared closed forms, uplift rounds
-    * once. Shape: one per-user map-side collapse, one user-table
-    * window sort (users, not events), a 5-row grid readout. */
+    * once. Shape: one per-user map-side collapse, then a DISTRIBUTED
+    * global rank over the user grid (PrefixSweep — the user table is
+    * entity-grain and grows with users, so the old unpartitioned
+    * ntile window was the scale bottleneck) + the closed-form ntile
+    * bucket formula, a 5-row grid readout. */
   private val evtUplift: Q = (s, dir) => {
-    val users = Tables.load(s, dir, "events")
+    import graft.ops.PrefixSweep
+    val u = Tables.load(s, dir, "events")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_ev"),
         max(when(col("event_type") === "purchase" &&
           col("value") > 90, 1).otherwise(0)).as("y"))
       .withColumn("arm", col("user_id") % 2)
-      .withColumn("quintile", ntile(5).over(
-        Window.orderBy(col("n_ev"), col("user_id"))))
+    val ranked = PrefixSweep.sweep(u,
+      Seq(col("n_ev"), col("user_id")), Some("rnk"))
+    // count from the sweep output: it re-reads the sweep's internal
+    // localCheckpoint, not the events corpus (one corpus pass total)
+    val nTot = ranked.agg(count(lit(1)).as("n_u"))
+    val users = ranked.crossJoin(broadcast(nTot))
+      .withColumn("quintile",
+        PrefixSweep.ntileOf(col("rnk"), col("n_u"), 5).cast("int"))
     users.groupBy("quintile")
       .agg(
         count(when(col("arm") === 1, 1)).as("n_t"),

@@ -1547,22 +1547,25 @@ object TextQueries {
     * reruns/repartitions; ring neighbors are a pure function of the id
     * set). Ring order is (sha-bucket, vec_id) — total, so the window
     * is deterministic; hash placement makes ring neighbors
-    * label-agnostic, i.e. uniform negatives. Shape: ONE sort by ring
-    * position + a bounded 20-row lookahead frame (collect over the
-    * frame, filter in-row) — no self-join, no RNG; at corpus scale the
-    * ring range-partitions with a W-row boundary overlap per
-    * partition (the tail-of-partition rows read their neighbors from
-    * the overlap, keeping the sample identical to the single-sort
-    * result). Tail-of-ring anchors can yield < 5 (documented;
-    * wrap-around would double-read the head). */
+    * label-agnostic, i.e. uniform negatives. Shape: the ring
+    * range-partitions with a 20-row boundary overlap per partition
+    * ([[graft.ops.PrefixSweep.lookaheadFrame]] — the tail-of-partition
+    * rows read their neighbors from the overlap), so the bounded
+    * 20-row lookahead frame (collect over the frame, filter in-row)
+    * runs as an ordinary PARTITIONED window — bit-identical to the
+    * single-sort result, no corpus-wide single-partition sort, no
+    * self-join, no RNG. Tail-of-ring anchors can yield < 5
+    * (documented; wrap-around would double-read the head). */
   private val sampNegative: Q = (s, dir) => {
-    val w = Window.orderBy("ring", "vec_id").rowsBetween(1, 20)
-    Tables.load(s, dir, "embeddings")
+    val ringed = Tables.load(s, dir, "embeddings")
       .withColumn("ring",
         conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 7),
           16, 10).cast("long"))
-      .withColumn("cands", collect_list(
+    graft.ops.PrefixSweep.lookaheadFrame(
+        ringed, Seq("ring", "vec_id"), 20) { w =>
+      Seq("cands" -> collect_list(
         struct(col("label").as("lab"), col("vec_id").as("vid"))).over(w))
+    }
       .withColumn("negs",
         expr("slice(filter(cands, c -> c.lab != label), 1, 5)"))
       .select(col("vec_id"), col("label"),
@@ -2340,6 +2343,108 @@ object TextQueries {
       .orderBy(col("source").asc_nulls_first)
   }
 
+  /** q_pipe_curate — the curation battery composed as ONE fused
+    * pipeline over `documents` (the round-16 showcase): language-ID
+    * gate (predicted 'en', the q_text_langid argmax) → quality gate
+    * (q_text_quality's length/punct rule) → bigram-LM score gate
+    * (q_text_lm_score's CCNet-style smoothed logprob, trained on the
+    * gated pool itself, threshold −3.41 compared in exact
+    * DECIMAL(14,4)) → exact-hash dedup (q_text_dedup_exact's
+    * min-doc_id canonical per sha) → eval-set decontamination
+    * (q_text_decontaminate's sha anti-join against the doc_id % 97
+    * held-out set) → sequence packing of the survivors
+    * (q_text_pack's 256-token manifest). Proves the §2 curation
+    * operators COMPOSE without per-stage materialization: the corpus
+    * is tokenized, hashed, and stage-flagged in ONE pass (the single
+    * shared localCheckpoint — lm_score's discipline; every downstream
+    * stage is a flag predicate or a vocabulary/sha-keyed join on that
+    * table) and nothing writes between stages. Readout = the
+    * per-source funnel (survivor count after each stage, cumulative)
+    * + the packed-manifest totals — all integers, exact both engines;
+    * ln appears only inside the lm stage's 8-dp pre-rounded decimal
+    * terms (§7.5.10). Scale: the flag pass is one corpus scan; the LM
+    * tables shuffle the VOCABULARY, not the token stream; dedup/decon
+    * are sha-keyed; packing is the per-source prefix window
+    * (q_text_pack's shape). */
+  private val pipeCurate: Q = (s, dir) => {
+    import org.apache.spark.sql.graftfns.QuantFunctions.token_bigrams
+    val base = Tables.parallelized(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        sha2(col("text"), 256).as("text_sha"),
+        TextSim.tokens(col("text")).as("w"),
+        TextSim.punctCount(col("text")).as("n_punct"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("lang_ok", TextSim.langId(col("w")) === "en")
+      .withColumn("qual_ok",
+        col("lang_ok") && col("n_words") >= 5 &&
+          col("n_words") <= 10000 && col("n_punct") * 4 < col("n_words"))
+      .localCheckpoint()
+    // LM gate: vocabulary-sized count tables over the quality pool
+    val s1 = base.filter(col("qual_ok"))
+    val uni = s1.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_u"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = s1.select(explode(token_bigrams(col("w"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_b"))
+    val docLp = s1
+      .select(col("doc_id"), explode(token_bigrams(col("w"))).as("pair"))
+      .join(big, "pair")
+      .withColumn("ta", split(col("pair"), " ").getItem(0))
+      .join(uni.select(col("term").as("ta"), col("c_u")), "ta")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log((col("c_b") + lit(0.5)) /
+        (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)"))
+      .groupBy("doc_id")
+      .agg(sum("lp").as("slp"), count(lit(1)).as("n_bi"))
+      // every quality survivor has n_words ≥ 5 ⇒ n_bi ≥ 4: the
+      // division is ANSI-safe and every s1 doc gets a score
+      .withColumn("doc_lp",
+        round(col("slp").cast("double") / col("n_bi"), 4)
+          .cast("decimal(14,4)"))
+      .select("doc_id", "doc_lp")
+    val lmFlagged = base.join(docLp, Seq("doc_id"), "left")
+      .withColumn("lm_ok", col("qual_ok") &&
+        col("doc_lp") >= lit(new java.math.BigDecimal("-3.41")))
+    // exact dedup among LM survivors: canonical = min doc_id per sha
+    val canon = lmFlagged.filter(col("lm_ok"))
+      .groupBy("text_sha").agg(min("doc_id").as("keep_id"))
+    val evalShas = base.filter(col("doc_id") % 97 === 0)
+      .select("text_sha").distinct().withColumn("__contam", lit(1))
+    val full = lmFlagged
+      .join(canon, Seq("text_sha"), "left")
+      .withColumn("dedup_ok",
+        col("lm_ok") && col("doc_id") === col("keep_id"))
+      .join(broadcast(evalShas), Seq("text_sha"), "left")
+      .withColumn("final_ok", col("dedup_ok") && col("__contam").isNull)
+    val funnel = full.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("lang_ok"), 1)).as("n_lang"),
+      count(when(col("qual_ok"), 1)).as("n_quality"),
+      count(when(col("lm_ok"), 1)).as("n_lm"),
+      count(when(col("dedup_ok"), 1)).as("n_dedup"),
+      count(when(col("final_ok"), 1)).as("n_final"))
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = full.filter(col("final_ok"))
+      .select(col("source"), col("doc_id"), col("n_words").as("n_tok"))
+      .withColumn("seq_id",
+        floor((sum("n_tok").over(wSrc) - col("n_tok")) / 256))
+      .groupBy("source")
+      .agg(countDistinct("seq_id").as("n_seqs"),
+        sum("n_tok").as("n_tokens"))
+    funnel.join(packed, Seq("source"), "left")
+      .select(col("source"),
+        col("n_raw").cast("long").as("n_raw"),
+        col("n_lang").cast("long").as("n_lang"),
+        col("n_quality").cast("long").as("n_quality"),
+        col("n_lm").cast("long").as("n_lm"),
+        col("n_dedup").cast("long").as("n_dedup"),
+        col("n_final").cast("long").as("n_final"),
+        coalesce(col("n_seqs"), lit(0L)).cast("long").as("n_seqs"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
   /** q_text_dedup_prefix — truncation dedup: documents sharing the
     * same 256-char PREFIX collapse to one group and the LONGEST copy
     * wins — the near-dup class exact-hash dedup misses entirely (a
@@ -2663,5 +2768,6 @@ object TextQueries {
     "q_text_winnowing" -> textWinnowing,
     "q_vec_matryoshka" -> vecMatryoshka,
     "q_vec_dedup_sweep" -> vecDedupSweep,
-    "q_vec_lsh_balance" -> vecLshBalance)
+    "q_vec_lsh_balance" -> vecLshBalance,
+    "q_pipe_curate" -> pipeCurate)
 }

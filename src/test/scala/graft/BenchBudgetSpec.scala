@@ -543,7 +543,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_length_profile" -> 0.7,
     // r15 batch I: calibration one aggregate to 10 bins; novelty pays
     // the corpus gram explode + one co-keyed join (lm_score shape)
-    "q_agg_calibration" -> 0.7, "q_text_ngram_novelty" -> 1.5)
+    "q_agg_calibration" -> 0.7, "q_text_ngram_novelty" -> 1.5,
+    // r16 showcase: the six curation stages fused — one tokenize/flag
+    // checkpoint + the lm_score vocabulary joins + sha dedup/decon +
+    // per-source pack window (roughly the lm_score cost + small stages)
+    "q_pipe_curate" -> 2.2)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
@@ -590,9 +594,22 @@ class BenchBudgetSpec extends AnyFunSuite {
       s"queries with no committed budget: $unbudgeted")
     val failed = actual.filter(_._2 < 0).keys
     assert(failed.isEmpty, s"queries FAILED in the bench run: $failed")
+    // load-robust judging (r16): divide each median by its per-query
+    // probe correction (BenchGate) so a host-noise window around one
+    // query's samples cannot red the gate; a quiet run has every
+    // correction at 1.0 and is judged exactly as before
+    val probes = BenchGate.probesOf(root)
+    val corr = actual.keys.map(q =>
+      q -> BenchGate.correction(probes.getOrElse(q, Nil))).toMap
+    val corrected = corr.filter(_._2 > 1.0)
+    if (corrected.nonEmpty)
+      info(f"load corrections applied to ${corrected.size} queries " +
+        f"(max ${corrected.values.max}%.1fx on " +
+        s"${corrected.maxBy(_._2)._1})")
     val over = actual.collect {
-      case (q, t) if t > 2 * budgets(q) =>
-        f"$q: $t%.2fs > 2x budget ${budgets(q)}%.2fs"
+      case (q, t) if t / corr(q) > 2 * budgets(q) =>
+        f"$q: $t%.2fs (÷${corr(q)}%.1f load corr = ${t / corr(q)}%.2fs) " +
+          f"> 2x budget ${budgets(q)}%.2fs"
     }
     assert(over.isEmpty,
       "bench regressions (update the budget only with a root cause)" +
@@ -614,7 +631,6 @@ class BenchBudgetSpec extends AnyFunSuite {
     assume(root.path("sf").asText().endsWith("sf0.1"),
       "bench_sf0.1.json is not an sf0.1 run; stability is judged at sf0.1")
     assume(root.has("samples"), "bench.json predates per-sample recording")
-    val resampled = root.path("resampled").asScala.map(_.asText()).toSet
     val ss = root.path("samples")
     val unstable = ss.fieldNames.asScala.flatMap { q =>
       val ts = ss.get(q).asScala.map(_.asDouble()).toSeq
@@ -622,8 +638,12 @@ class BenchBudgetSpec extends AnyFunSuite {
       else {
         val ratio = ts.max / ts.min
         // the same (ratio > 5 AND max > 0.5 s) predicate Bench's
-        // auto-resample uses: sub-half-second queries jitter freely
-        if (ratio > 5.0 && ts.max > 0.5 && !resampled.contains(q))
+        // auto-resample uses: sub-half-second queries jitter freely.
+        // NO exemption for "resampled" queries (ADVICE r15): the
+        // recorded samples ARE the post-resample set, so a spread that
+        // persists after the harness's hygiene pass is exactly the
+        // condition this test exists to fail on.
+        if (ratio > 5.0 && ts.max > 0.5)
           Some(f"$q: samples ${ts.map(t => f"$t%.2f").mkString("[", ", ", "]")} spread ${ratio}%.1fx")
         else None
       }

@@ -26,10 +26,15 @@ class BenchSlopeSpec extends AnyFunSuite {
   private val maxRatio = 15.0 // 10× data + headroom for shuffle log-terms
   private val floorSec = 0.30 // below this, scheduling floor ≈ total
 
+  /** Per-query medians, load-corrected by each run's OWN probe
+    * readings (BenchGate, r16): the r15 slope reds came from comparing
+    * a quiet sf0.01 leg against a loaded sf0.1 leg — a condition
+    * mismatch, not growth. Correcting each leg by its own in-window
+    * host-noise probes puts both legs on the same (quiet-equivalent)
+    * footing; quiet runs are untouched. */
   private def load(f: java.io.File): Map[String, Double] = {
-    val qs = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(f).path("queries")
-    qs.fieldNames.asScala.map(n => n -> qs.get(n).asDouble()).toMap
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    BenchGate.correctedQueries(root)
   }
 
   test("no query's sf0.01→sf0.1 growth exceeds the linear-ish envelope") {

@@ -87,4 +87,31 @@ class PrefixSweepSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger)).toSet
     assert(got == ref)
   }
+
+  test("nullable running sums match the window's skip-null semantics") {
+    // ADVICE r15: a row whose entire LOCAL partition prefix is null
+    // must still pick up earlier partitions' non-null sum, and the
+    // leading all-null prefix must stay null (SQL sum over an all-null
+    // set) — exactly what the single-partition window does. Nulls are
+    // placed on the low keys so the first range partitions hold
+    // all-null prefixes at high partition counts.
+    val nd = (1 to 200).map { i =>
+      val w: java.lang.Long = if (i <= 40) null else ((i * 31) % 13).toLong
+      (i.toLong, w)
+    }.toDF("k", "w").repartition(5)
+    val win = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = nd.withColumn("cum", sum("w").over(win))
+      .select("k", "cum").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    for (parts <- Seq(1, 5, 64, 500)) {
+      val got = PrefixSweep.sweep(nd, Seq(col("k")),
+          runSums = Seq((col("w"), "cum")), parts = parts)
+        .select("k", "cum").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1))).toSet
+      assert(got == ref, s"parts=$parts")
+    }
+  }
 }

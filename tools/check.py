@@ -49,8 +49,35 @@ def cmp_cell(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # Bit-level parity like the driver's hash: 0.0 != -0.0
+        # (Python == treats them equal; the driver hashes raw bits).
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return a == b
+
+
+def neg_zero_cell(vals):
+    """First (row, col) holding IEEE -0.0, else None (arrays included)."""
+    def is_neg0(v):
+        if isinstance(v, float):
+            return v == 0.0 and math.copysign(1.0, v) < 0
+        if isinstance(v, (list, tuple)):
+            return any(is_neg0(x) for x in v)
+        try:
+            import numpy as np
+            if isinstance(v, np.ndarray):
+                return any(is_neg0(float(x)) for x in v.ravel().tolist())
+            if isinstance(v, np.floating):
+                return is_neg0(float(v))
+        except ImportError:
+            pass
+        return False
+    for i in range(vals.shape[0]):
+        for j in range(vals.shape[1]):
+            if is_neg0(vals[i][j]):
+                return (i, j)
+    return None
 
 
 def main():
@@ -112,6 +139,20 @@ def main():
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
                   f"spark={bad[2]!r} oracle={bad[3]!r}")
+            n_fail += 1
+            continue
+        # -0.0 lint (VERDICT r15): DuckDB round() preserves the sign of
+        # zero while Spark's BigDecimal round does not, and the driver
+        # hashes raw bits — q_agg_fdr_bh reddened round 15 on ONE -0.0
+        # cell. ANY signed-zero cell (either side) means the query is
+        # one fixture refresh away from joining that class: fail it
+        # here so the fix lands before the driver sees it. Normalize
+        # with `x + 0.0` in the oracle / `when(x === 0, 0.0)` in Spark.
+        neg0 = neg_zero_cell(sv) or neg_zero_cell(ov)
+        if neg0:
+            print(f"FAIL {name}: -0.0 cell at row {neg0[0]} col "
+                  f"{s.columns[neg0[1]]} (signed-zero lint: normalize "
+                  f"the zero on both engines)")
             n_fail += 1
         else:
             print(f"ok   {name}: {s.shape[0]} rows x {s.shape[1]} cols")
