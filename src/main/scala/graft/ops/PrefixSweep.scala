@@ -141,12 +141,11 @@ object PrefixSweep {
     * dropped after the window.
     *
     * Correctness needs every partition except the last to hold ≥ w
-    * rows (a frame may not span TWO boundaries). The partition count
-    * is sized from a cheap count (avg ≥ 4·w rows per partition) and
-    * then VERIFIED from the per-partition histogram; in the
-    * vanishingly-rare skewed case the whole input collapses to one
-    * partition — always exact, never silently wrong. The verification
-    * histogram is partition-count-sized metadata, not data.
+    * rows (a frame may not span TWO boundaries) — VERIFIED from the
+    * per-partition histogram (partition-count-sized metadata, not
+    * data); on violation (tiny or skewed input) the whole input
+    * collapses to one partition — always exact, never silently
+    * wrong.
     *
     * `exprs` receives the framed WindowSpec and returns the columns to
     * add (each built with `.over` of it). */
@@ -156,11 +155,13 @@ object PrefixSweep {
         Seq[(String, Column)]): DataFrame = {
     require(orderCols.nonEmpty && w > 0)
     val spark = df.sparkSession
-    val pMax =
+    // no sizing count: the per-partition histogram below VERIFIES the
+    // ≥ w invariant whatever p is, and collapses to one partition on
+    // violation — paying a whole corpus-count job just to pre-size p
+    // would duplicate that guarantee
+    val p =
       if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val n = df.count()
-    val p = math.max(1L, math.min(pMax.toLong, n / (4L * w))).toInt
     val oc = orderCols.map(col)
     def run(nParts: Int): DataFrame = {
       val parted = df.repartitionByRange(nParts, oc: _*)

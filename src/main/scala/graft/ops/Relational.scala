@@ -50,13 +50,21 @@ object Relational {
     * would under a global window.
     */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
-                      rankCol: String = "rn"): DataFrame = {
+                      rankCol: String = "rn"): DataFrame =
+    globalRowNumberWithCount(df, orderCols, rankCol)._1
+
+  /** [[globalRowNumber]] + the total row count for free — the count
+    * is a byproduct of GlobalIndex's offsets job, so callers that
+    * need N (ring moduli, ntile denominators) skip a count job. */
+  def globalRowNumberWithCount(df: DataFrame, orderCols: Seq[Column],
+                               rankCol: String = "rn")
+      : (DataFrame, Long) = {
     require(orderCols.nonEmpty, "globalRowNumber needs a total order")
     // fail loudly instead of silently replacing a caller column
     require(!df.columns.contains(rankCol),
       s"globalRowNumber would overwrite input column $rankCol; " +
         "rename it or pass a different rankCol")
-    org.apache.spark.sql.graftfns.GlobalIndex.attach(
+    org.apache.spark.sql.graftfns.GlobalIndex.attachWithTotal(
       df.repartitionByRange(orderCols: _*)
         .sortWithinPartitions(orderCols: _*),
       rankCol)

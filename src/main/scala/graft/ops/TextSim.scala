@@ -1042,7 +1042,18 @@ object TextSim {
         col("embedding").cast("array<double>").as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
       .localCheckpoint()
-    val n = vecs.count()
+    // Ring order = (murmur3 hash bucket of vec_id over a PINNED 32-way
+    // layout, vec_id within bucket) — a content-pure deterministic
+    // permutation of the id set, exactly as arbitrary as the id order
+    // a range sort would give (a seed ring has no meaningful order),
+    // but the hash exchange needs NO RangePartitioner sampling job
+    // (r16: one of the per-job overheads that dominated the demo
+    // slice). N rides the GlobalIndex offsets job as a byproduct — no
+    // separate count job either.
+    val (ranked, n) = org.apache.spark.sql.graftfns.GlobalIndex
+      .attachWithTotal(
+        vecs.select("vec_id").repartition(32, col("vec_id"))
+          .sortWithinPartitions("vec_id"), "rank")
     // the graph is BUILT wider than it is read: a k-NN list this sparse
     // cannot bootstrap (neighbors-of-neighbors of 5 arbitrary nodes stay
     // arbitrary); NN-Descent's standard remedy is a working K of a few
@@ -1053,19 +1064,42 @@ object TextSim {
     if (kk == 0) // 0- or 1-vector corpus: no neighbours exist
       return vecs.select(col("vec_id"), col("vec_id").as("neighbor_id"),
         lit(0d).as("sim"), lit(0L).as("rn")).limit(0)
+    // BOTH rescore sides join the IDENTICAL vecs subtree (aliased, not
+    // re-projected): exchange reuse then materializes it ONCE for the
+    // whole descent — the per-side renamed projections used to cost a
+    // separate broadcast job per join per round (r16: 6 broadcast jobs
+    // collapse to 1 at the job-overhead-bound demo size; at scale the
+    // same identity lets the shuffle exchange be reused instead)
     def rescore(pairs: DataFrame): DataFrame =
       pairs
-        .join(vecs.select(col("vec_id").as("src"), col("vec").as("va"),
-          col("norm").as("na")), "src")
-        .join(vecs.select(col("vec_id").as("dst"), col("vec").as("vb"),
-          col("norm").as("nb")), "dst")
+        .join(vecs.as("va"), col("src") === col("va.vec_id"))
+        .join(vecs.as("vb"), col("dst") === col("vb.vec_id"))
         .select(col("src"), col("dst"),
-          round(try_divide(dot(col("va"), col("vb")),
-            col("na") * col("nb")), 4).as("sim"))
+          round(try_divide(dot(col("va.vec"), col("vb.vec")),
+            col("va.norm") * col("vb.norm")), 4).as("sim"))
+        // a zero-norm vector scores null — not a neighbor; dropping it
+        // here keeps the fused top-k's struct sort null-free (the
+        // windowed form ranked nulls last, same outcome)
+        .filter(col("sim").isNotNull)
+    // fused dedup + top-k (r16): ONE src-keyed aggregation replaces
+    // the (src, dst)-dedup exchange AND the row_number window exchange
+    // the rounds used to pay — collect_set dedups re-arrived pairs
+    // (the same pair always carries the same rounded sim, so the
+    // structs are identical), array_sort orders by (-sim, dst) =
+    // (sim DESC, dst ASC) — the shared tie-break — and slice keeps the
+    // working K. Per-src set size is bounded by the (2K)² candidate
+    // fan, never by the data. sim is 4-dp BigDecimal-rounded, so -0.0
+    // cannot appear and the negation is order-exact.
+    // rn (1-based rank within the sorted slice) rides along for free:
+    // the final k-cut is then a FILTER on rn — no closing window pass
     def topK(scored: DataFrame): DataFrame =
-      Relational.topKPerGroup(scored, Seq(col("src")),
-          Seq(col("sim").desc, col("dst")), kk)
-        .select("src", "dst", "sim")
+      scored.groupBy("src")
+        .agg(slice(array_sort(collect_set(
+          struct((-col("sim")).as("ns"), col("dst"), col("sim")))),
+          1, kk).as("top"))
+        .select(col("src"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("src"), col("t.dst").as("dst"),
+          col("t.sim").as("sim"), (col("p") + 1).cast("long").as("rn"))
     // init = ring ∪ LSH chains. The ring (node at rank r → ranks
     // r+1..r+k mod n over the globalRowNumber order) guarantees every
     // node starts connected regardless of data; the LSH chains (each
@@ -1076,8 +1110,6 @@ object TextSim {
     // clustered data. Both parts are RNG-free pure functions of the
     // corpus (the LSH planes are seed-regenerated, the annCosineLsh
     // contract).
-    val ranked = Relational.globalRowNumber(
-      vecs.select("vec_id"), Seq(col("vec_id")), "rank")
     val byRank = ranked.select(col("rank").as("nbr_rank"),
       col("vec_id").as("dst"))
     val ringK = math.min(kk.toLong, math.max(n - 1, 1L)).toInt
@@ -1107,8 +1139,13 @@ object TextSim {
     // subtree before the cache fills — wall time went superlinear in
     // rounds when tried. One materialization job per round is the
     // cheaper trade at any round count.
+    // ONE exchange for the whole init: repartition the seed pairs by
+    // src, then dedup + rescore + top-k are all partition-local
+    // (HashPartitioning(src) satisfies the (src, dst) dedup's and the
+    // src top-k's clustering; the rescore joins preserve it)
     var edges =
-      topK(rescore(ringSeeds.unionByName(lshSeeds).distinct()))
+      topK(rescore(ringSeeds.unionByName(lshSeeds)
+        .repartition(col("src")).dropDuplicates("src", "dst")))
         .localCheckpoint()
     var rnd = 0 // not `round`: would shadow functions.round used above
     while (rnd < iters) {
@@ -1118,19 +1155,30 @@ object TextSim {
         .join(und.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-      val merged = edges.unionByName(rescore(cands))
-        // the same pair can re-arrive through several shared neighbours
-        // and as an existing edge — one copy (sims are equal: same
-        // rounded formula over the same vectors)
-        .groupBy("src", "dst").agg(max("sim").as("sim"))
-      edges = topK(merged).localCheckpoint()
+      // ONE exchange per round (r16; the distinct + merge-groupBy +
+      // top-k window used to cost three): existing edges rejoin as
+      // bare pairs (their sims RECOMPUTE identically — same rounded
+      // formula over the same vectors), the union repartitions by
+      // src once, and dedup + rescore + top-k all run partition-local
+      // downstream. Dedup stays BEFORE rescore: the n-of-n fan
+      // re-proposes a pair once per shared neighbor (~10x), and
+      // deduping after rescore measured 3x slower (the collect_set
+      // partials churn through every dup copy).
+      val allPairs = edges.select("src", "dst").unionByName(cands)
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+      val next = topK(rescore(allPairs))
+      // the FINAL round's graph is consumed exactly once (the k-cut
+      // below); its checkpoint would be a pure extra materialization
+      // job — earlier rounds keep it (3 readers in the next round)
+      edges = if (rnd == iters - 1) next else next.localCheckpoint()
       rnd += 1
     }
-    Relational.topKPerGroup(edges, Seq(col("src")),
-        Seq(col("sim").desc, col("dst")), math.min(k, kk))
+    // final k-cut = a filter on the rank topK already computed — the
+    // working graph is sorted per src, so rn ≤ k IS the top-k
+    edges.filter(col("rn") <= math.min(k, kk))
       .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
-        col("sim"), col("rn").cast("long").as("rn"))
+        col("sim"), col("rn"))
   }
 
   def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

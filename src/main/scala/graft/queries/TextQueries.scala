@@ -402,15 +402,24 @@ object TextQueries {
   private def annBoundReadout(emb: DataFrame, ann: DataFrame,
       probeCol: Column, neighborCol: Column, probePred: Column, k: Int,
       floor: Double): DataFrame = {
-    val exact = exactTopK(emb, probePred, k).localCheckpoint()
-    val hits = ann
-      .select(probeCol.as("probe_id"), neighborCol.as("vec_id"))
-      .join(exact, Seq("probe_id", "vec_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    val denom = exact.agg(count(lit(1)).as("n_exact"))
-    val nP = emb.filter(probePred).agg(count(lit(1)).as("n_probes"))
-    nP.crossJoin(broadcast(denom)).crossJoin(broadcast(hits))
-      .select(col("n_probes").cast("long").as("n_probes"),
+    // one-pass readout (r16): the exact reference is consumed exactly
+    // once — LEFT-join the ANN pairs as a hit marker, then fold
+    // census + recall in ONE aggregate (replaces three aggregate
+    // jobs + two broadcast jobs + an exact-leg checkpoint). n_probes
+    // = n_exact / k, EXACT because exactTopK emits exactly k rows per
+    // probe (every probe pairs with every non-self vector and the
+    // corpus exceeds k on every fixture) — a countDistinct here would
+    // plan an Expand + an extra shuffle for a number integer division
+    // already yields.
+    val exact = exactTopK(emb, probePred, k)
+    val marked = exact.join(
+      ann.select(probeCol.as("probe_id"), neighborCol.as("vec_id"),
+        lit(1).as("__hit")),
+      Seq("probe_id", "vec_id"), "left")
+    marked.agg(
+        count(lit(1)).as("n_exact"),
+        count(col("__hit")).as("n_hits"))
+      .select((col("n_exact") / k).cast("long").as("n_probes"),
         lit(k.toLong).as("k"),
         ((col("n_hits").cast("double") / col("n_exact")) >= floor)
           .as("recall_floor_ok"))

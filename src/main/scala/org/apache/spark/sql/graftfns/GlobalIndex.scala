@@ -28,7 +28,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * broadcast join. The offsets array is numPartitions longs — the only
   * driver-scale piece. */
 object GlobalIndex {
-  def attach(df: DataFrame, rankCol: String): DataFrame = {
+  def attach(df: DataFrame, rankCol: String): DataFrame =
+    attachWithTotal(df, rankCol)._1
+
+  /** attach + the total row count — the count is a BYPRODUCT of the
+    * offsets job this pattern already runs, so a caller needing N
+    * (e.g. a ring modulus) saves a whole separate count job. */
+  def attachWithTotal(df: DataFrame, rankCol: String)
+      : (DataFrame, Long) = {
     val spark = df.sparkSession
     val rdd = df.queryExecution.toRdd
     val counts = spark.sparkContext.runJob(rdd,
@@ -50,7 +57,7 @@ object GlobalIndex {
     }
     val schema = StructType(df.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .internalCreateDataFrame(out, schema)
+    (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(out, schema), offsets.last)
   }
 }

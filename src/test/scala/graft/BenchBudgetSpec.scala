@@ -134,10 +134,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_normalize" -> 0.9,
     // warehouse is build-once (stamped); cost = 5 collects + hub fold
     "q_etl_denormalize" -> 1.2,
-    // 2 descent rounds x (self-join + rescore + top-K + checkpoint):
-    // per-round Spark job overhead dominates at the 500-vector demo size
-    // (measured 2.40 s sf0.1 / 2.55 s sf0.01 — slope ~1x, pure overhead)
-    "q_vec_ann_nndescent" -> 2.5,
+    // 2 descent rounds x (self-join + rescore + fused top-K +
+    // checkpoint): per-round Spark job overhead dominates at the
+    // 500-vector demo size (slope ~1x, pure overhead). r16 job-cut
+    // rebuild (one exchange per round, fused readout, no final-round
+    // checkpoint, hash ring): 3.62 s quiet -> 2.44 s measured
+    "q_vec_ann_nndescent" -> 2.0,
     // 3 Lloyd rounds = 3 collect jobs over <= k*dim partial-mean rows,
     // then one assignment pass + k-group rollup; job count, not data
     "q_vec_kmeans" -> 1.2,
@@ -252,8 +254,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_mde" -> 0.5,
     // per-user collapse + 10-row decile grid
     "q_agg_logloss" -> 0.6,
-    // one ring sort + bounded lookahead frame over embeddings
-    "q_samp_negative" -> 0.5,
+    // ring lookahead via PrefixSweep.lookaheadFrame (r16): range
+    // partition + overlap ship + histogram guard + partitioned frame
+    // (measured 0.47 s median in the r16 probe-schema run)
+    "q_samp_negative" -> 0.7,
     // one pushed-down scan + broadcast dim join + two-phase agg
     "q_etl_bitemporal" -> 0.5,
     // dim write + whole-file multiLine json read-back
@@ -272,8 +276,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_hampel" -> 0.5,
     // cell-grid pair products per flag (metadata quadratic)
     "q_agg_kendall" -> 0.8,
-    // per-user collapse + user-table ntile window + 5-row grid
-    "q_evt_uplift" -> 0.6,
+    // per-user collapse + PrefixSweep global rank + closed-form ntile
+    // bucket (r16 conversion; the sweep's partials/offsets jobs cost
+    // ~2 small jobs locally vs the old single-partition window —
+    // the rfm/lorenz re-base precedent; measured 0.75 s)
+    "q_evt_uplift" -> 0.9,
     // argmax scan + langs^2 cells + recall broadcast
     "q_text_lang_confusion" -> 0.5,
     // two-phase day-grid count + integer frame sums
@@ -546,8 +553,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_calibration" -> 0.7, "q_text_ngram_novelty" -> 1.5,
     // r16 showcase: the six curation stages fused — one tokenize/flag
     // checkpoint + the lm_score vocabulary joins + sha dedup/decon +
-    // per-source pack window (roughly the lm_score cost + small stages)
-    "q_pipe_curate" -> 2.2)
+    // per-source pack window (measured 0.60 s median)
+    "q_pipe_curate" -> 1.2)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

@@ -31,11 +31,14 @@ import scala.jdk.CollectionConverters._
   */
 object BenchGate {
 
-  /** Quiet-floor reference for the probe (seconds) — set at ~P75 of a
-    * quiet-machine run's probe medians so ordinary quiet jitter never
-    * produces a spurious correction. Calibrated round 16 against the
-    * quiet anchor bench (probe medians 0.03–0.08 s quiet). */
-  val probeRef: Double = 0.12
+  /** Quiet-floor reference for the probe (seconds) — set just above a
+    * quiet-machine probe distribution so ordinary quiet jitter never
+    * produces a spurious correction. Calibrated round 16 on an IDLE
+    * host (ProbeCal, 30 warm samples: min 0.33, p50 0.38, p90 0.42,
+    * max 0.43) — the probe is a 2-3-AQE-job micro-query, so its cost
+    * is dominated by scheduler latency, which is exactly the signal
+    * being measured. */
+  val probeRef: Double = 0.45
 
   /** Max correction divisor — beyond this the artifact is noise. */
   val corrCap: Double = 10.0

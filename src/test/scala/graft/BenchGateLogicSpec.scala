@@ -21,8 +21,8 @@ class BenchGateLogicSpec extends AnyFunSuite {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   test("quiet probes leave the measurement untouched (regression caught)") {
-    // quiet probe floor ~0.05 s < probeRef → correction exactly 1.0
-    val corr = BenchGate.correction(Seq(0.05, 0.06, 0.05, 0.07))
+    // quiet probe floor ~0.38 s < probeRef 0.45 → correction exactly 1.0
+    val corr = BenchGate.correction(Seq(0.35, 0.38, 0.40, 0.42))
     assert(corr == 1.0)
     val budget = 0.4
     val measured = 1.65 // the r15 q_join_semi reading, on a QUIET host
@@ -33,7 +33,7 @@ class BenchGateLogicSpec extends AnyFunSuite {
   test("loaded-window breach with stable samples is absorbed") {
     // host noise inflates the bracketing probes ~5x their quiet floor;
     // the same noise inflated the query from ~0.3 s to 1.65 s
-    val corr = BenchGate.correction(Seq(0.55, 0.62, 0.58, 0.60))
+    val corr = BenchGate.correction(Seq(2.1, 2.4, 2.2, 2.3))
     assert(corr > 4.0 && corr < 6.0, s"expected ~5x correction, got $corr")
     val budget = 0.4
     val measured = 1.65
@@ -42,7 +42,7 @@ class BenchGateLogicSpec extends AnyFunSuite {
   }
 
   test("genuine regression under load still fails") {
-    val corr = BenchGate.correction(Seq(0.55, 0.62, 0.58, 0.60)) // ~5x
+    val corr = BenchGate.correction(Seq(2.1, 2.4, 2.2, 2.3)) // ~5x
     val budget = 0.4
     val measured = 8.0 // 20x budget — noise explains ~5x, not 20x
     assert(measured / corr > 2 * budget)
@@ -63,9 +63,9 @@ class BenchGateLogicSpec extends AnyFunSuite {
   test("correctedQueries divides by per-query probe medians") {
     val root = mapper.readTree(
       """{"queries":{"q_a":1.2,"q_b":0.6,"q_f":-1.0},
-          "probes":{"q_a":[0.24,0.24,0.24,0.24],
-                    "q_b":[0.05,0.05,0.05,0.05],
-                    "q_f":[0.24,0.24,0.24,0.24]}}""")
+          "probes":{"q_a":[0.90,0.90,0.90,0.90],
+                    "q_b":[0.40,0.40,0.40,0.40],
+                    "q_f":[0.90,0.90,0.90,0.90]}}""")
     val c = BenchGate.correctedQueries(root)
     assert(math.abs(c("q_a") - 0.6) < 1e-9) // 2x correction
     assert(c("q_b") == 0.6)                 // quiet → untouched
