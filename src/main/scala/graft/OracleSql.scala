@@ -13,7 +13,270 @@ package graft
   */
 object OracleSql {
 
+  /** The q_ts_des 8-lag truncated-EMA chain (α=0.5) over window `w`,
+    * spelled as the same CASE-guarded weighted sum / weight sum the
+    * Spark side evaluates — shared by q_ts_des's literal text and
+    * q_ts_holt_winters (which runs it on the deseasonalized series).
+    * Weights are exact binary doubles, so both engines add the same
+    * ≤8 terms in the same literal order. */
+  private def emaChain(v: String): String = {
+    def lagged(i: Int) = if (i == 0) v else s"lag($v, $i) OVER w"
+    val num = (0 to 7).map { i =>
+      s"CASE WHEN ${lagged(i)} IS NOT NULL THEN ${lagged(i)} * ${math.pow(0.5, i)} ELSE 0.0 END"
+    }.mkString("(", "\n              + ", ")")
+    val den = (0 to 7).map { i =>
+      s"CASE WHEN ${lagged(i)} IS NOT NULL THEN ${math.pow(0.5, i)} ELSE 0.0 END"
+    }.mkString("(", "\n              + ", ")")
+    s"$num\n             / $den"
+  }
+
   val all: Map[String, String] = Map(
+
+    // ───── round-16 additions (batch J) ─────
+    // Mirrors evtSrm: distinct (week, user) grid, parity arms, the
+    // algebraically collapsed equal-split χ² (n_t−n_c)²/(n_t+n_c).
+    "q_evt_srm" ->
+      """WITH wu AS (
+           SELECT DISTINCT
+                  CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                    AS wk,
+                  user_id
+           FROM events WHERE user_id IS NOT NULL),
+         c AS (
+           SELECT wk,
+                  CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END)
+                    AS BIGINT) AS n_t,
+                  CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+                    AS BIGINT) AS n_c
+           FROM wu GROUP BY wk)
+         SELECT wk, n_t, n_c,
+                round(CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE)
+                  / (n_t + n_c), 4) AS chi2,
+                CASE WHEN round(CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE)
+                  / (n_t + n_c), 4) > 3.84 THEN 1 ELSE 0 END AS srm_flag
+         FROM c ORDER BY wk""",
+    // Mirrors evtCuped: ttest_paired's mid split, delta_method's
+    // decimal power sums, and the algebraic var(adj) collapse — no
+    // per-user double is ever folded on either engine.
+    "q_evt_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+           FROM events WHERE user_id IS NOT NULL),
+         span AS (
+           SELECT min(d) + CAST(floor((max(d) - min(d)) / 2) AS INT)
+             AS mid
+           FROM ev),
+         u AS (
+           SELECT user_id,
+                  count(CASE WHEN d < mid THEN 1 END) AS pre,
+                  coalesce(sum(CASE WHEN d >= mid
+                      AND event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) END),
+                    CAST(0 AS DECIMAL(18,2))) AS post,
+                  user_id % 2 AS arm
+           FROM ev CROSS JOIN span GROUP BY user_id),
+         p AS (
+           SELECT count(*) AS n,
+                  CAST(sum(pre) AS DOUBLE) AS sp,
+                  CAST(sum(post) AS DOUBLE) AS so,
+                  CAST(sum(CAST(pre AS DECIMAL(18,0)) * pre) AS DOUBLE)
+                    AS spp,
+                  CAST(sum(post * post) AS DOUBLE) AS soo,
+                  CAST(sum(CAST(pre AS DECIMAL(19,0)) * post) AS DOUBLE) AS spo
+           FROM u),
+         q AS (
+           SELECT sp / n AS mp,
+                  (spp - sp * sp / n) / (n - 1) AS vpre,
+                  (soo - so * so / n) / (n - 1) AS vpost,
+                  (spo - sp * so / n) / (n - 1) AS cov
+           FROM p),
+         t AS (
+           SELECT mp, cov / vpre AS theta,
+                  cov * cov / (vpre * vpost) AS rho2
+           FROM q)
+         SELECT CAST(arm AS BIGINT) AS arm,
+                CAST(count(*) AS BIGINT) AS n_users,
+                round(CAST(sum(post) AS DOUBLE) / count(*), 4)
+                  AS mean_post,
+                round(CAST(sum(post) AS DOUBLE) / count(*)
+                  - theta * (CAST(sum(pre) AS DOUBLE) / count(*) - mp),
+                  4) AS mean_adjusted,
+                round(theta, 4) AS theta,
+                round(rho2, 4) AS var_reduction
+         FROM u CROSS JOIN t
+         GROUP BY arm, theta, mp, rho2 ORDER BY arm""",
+    // Mirrors aggOddsRatio: mcc's 2x2 cells read as OR + Wald CI;
+    // per-factor double casts, ln/exp inside rounded readouts only,
+    // all-cells-positive CASE guard identical both engines.
+    "q_agg_odds_ratio" ->
+      """WITH t0 AS (
+           SELECT o_orderstatus = 'F' AS act,
+                  o_totalprice > 150000.0 AS exp_
+           FROM orders),
+         t1 AS (
+           SELECT CAST(count(CASE WHEN act AND exp_ THEN 1 END)
+                    AS BIGINT) AS a,
+                  CAST(count(CASE WHEN NOT act AND exp_ THEN 1 END)
+                    AS BIGINT) AS b,
+                  CAST(count(CASE WHEN act AND NOT exp_ THEN 1 END)
+                    AS BIGINT) AS c,
+                  CAST(count(CASE WHEN NOT act AND NOT exp_ THEN 1 END)
+                    AS BIGINT) AS d
+           FROM t0)
+         SELECT a, b, c, d,
+                round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                  THEN CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+                  AS odds_ratio,
+                round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                  THEN exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                    - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                      + 1.0 / CAST(b AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      + 1.0 / CAST(d AS DOUBLE))) END, 6) AS ci_lo,
+                round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                  THEN exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                    + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                      + 1.0 / CAST(b AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      + 1.0 / CAST(d AS DOUBLE))) END, 6) AS ci_hi,
+                CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                  AND (exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                    - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                      + 1.0 / CAST(b AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      + 1.0 / CAST(d AS DOUBLE))) > 1.0
+                   OR exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                    + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                      + 1.0 / CAST(b AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      + 1.0 / CAST(d AS DOUBLE))) < 1.0)
+                  THEN 1 ELSE 0 END AS significant
+         FROM t1""",
+    // Mirrors textTokFertility: whitespace tokens, 4-dp pre-rounded
+    // per-doc ratios (engine-identical percentile multiset), strlen =
+    // BYTES for DuckDB VARCHAR (= Spark octet_length).
+    "q_text_tok_fertility" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(length(text) AS BIGINT) AS chars,
+                  CAST(strlen(text) AS BIGINT) AS bytes,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           FROM documents),
+         r AS (
+           SELECT source, chars, bytes, toks,
+                  CAST(round(CAST(chars AS DOUBLE) / toks, 4)
+                    AS DECIMAL(14,4)) AS ratio
+           FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens,
+                round(CAST(sum(chars) AS DOUBLE) / sum(toks), 4)
+                  AS chars_per_token,
+                round(CAST(sum(bytes) AS DOUBLE) / sum(toks), 4)
+                  AS bytes_per_token,
+                round(quantile_cont(CAST(ratio AS DOUBLE), 0.5), 4)
+                  AS p50_fertility,
+                round(quantile_cont(CAST(ratio AS DOUBLE), 0.9), 4)
+                  AS p90_fertility
+         FROM r GROUP BY source ORDER BY source NULLS FIRST""",
+    // Mirrors textVocabCoverage: zipf tokenization, the vocabulary
+    // rank (freq DESC, term) + conditional coverage sums.
+    "q_text_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         counts AS (
+           SELECT term, count(*) AS freq FROM toks
+           WHERE len(term) > 0 GROUP BY term),
+         rk AS (
+           SELECT term, freq,
+                  row_number() OVER (ORDER BY freq DESC, term) AS rnk
+           FROM counts)
+         SELECT CAST(count(*) AS BIGINT) AS vocab,
+                CAST(sum(freq) AS BIGINT) AS tokens,
+                round(CAST(sum(CASE WHEN rnk <= 10 THEN freq END)
+                  AS DOUBLE) / sum(freq), 4) AS cov_top10,
+                round(CAST(sum(CASE WHEN rnk <= 100 THEN freq END)
+                  AS DOUBLE) / sum(freq), 4) AS cov_top100,
+                round(CAST(sum(CASE WHEN rnk <= 1000 THEN freq END)
+                  AS DOUBLE) / sum(freq), 4) AS cov_top1000
+         FROM rk""",
+    // Mirrors graphJaccard: the adamic_adar wedge machinery with
+    // |union| = deg(u) + deg(v) - cn; integers to one division.
+    "q_graph_jaccard" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 8 = 0),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS dg FROM (
+             SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY p),
+         inc AS (
+           SELECT w, x FROM (
+             SELECT u AS w, v AS x FROM e0 UNION ALL SELECT v, u FROM e0) i
+           JOIN deg ON deg.p = i.w
+           WHERE deg.dg >= 2 AND deg.dg <= 64),
+         pairs AS (
+           SELECT i1.x AS u, i2.x AS v, count(*) AS cn
+           FROM inc i1 JOIN inc i2 ON i1.w = i2.w AND i1.x < i2.x
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT pairs.u, pairs.v, CAST(cn AS BIGINT) AS cn,
+                CAST(du.dg + dv.dg - cn AS BIGINT) AS union_sz,
+                round(CAST(cn AS DOUBLE) / (du.dg + dv.dg - cn), 4)
+                  AS jaccard
+         FROM pairs
+         JOIN deg du ON du.p = pairs.u
+         JOIN deg dv ON dv.p = pairs.v
+         ORDER BY jaccard DESC, pairs.u, pairs.v LIMIT 50""",
+    // Mirrors tsHoltWinters: decompose's dow index (Spark dayofweek =
+    // DuckDB dayofweek + 1), des's 8-lag EMA chain (emaChain) on the
+    // deseasonalized series, forecast re-adds the landing dow's index.
+    "q_ts_holt_winters" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         dw AS (
+           SELECT event_type, d, y, dayofweek(d) + 1 AS dow FROM daily),
+         dm AS (
+           SELECT event_type, dow, sum(y) AS sy, count(*) AS cy
+           FROM dw GROUP BY 1, 2),
+         tm AS (
+           SELECT event_type, sum(y) AS ty, count(*) AS tc
+           FROM dw GROUP BY 1),
+         seas AS (
+           SELECT dm.event_type, dm.dow,
+                  round(CAST(sy AS DOUBLE) / cy
+                    - CAST(ty AS DOUBLE) / tc, 4) AS sdow
+           FROM dm JOIN tm ON tm.event_type = dm.event_type),
+         adj AS (
+           SELECT dw.event_type, dw.d,
+                  CAST(dw.y AS DOUBLE) - seas.sdow AS yadj, seas.sdow
+           FROM dw JOIN seas
+             ON seas.event_type = dw.event_type AND seas.dow = dw.dow),
+         e1 AS (
+           SELECT event_type, d, sdow,
+             ${emaChain("yadj")} AS s1
+           FROM adj WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         e2 AS (
+           SELECT event_type, d, sdow, s1,
+             ${emaChain("s1")} AS s2,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY d DESC) AS rn
+           FROM e1 WINDOW w AS (PARTITION BY event_type ORDER BY d))
+         SELECT event_type, d AS last_day, sdow AS seasonal,
+                round(2.0 * s1 - s2, 4) AS level,
+                round(s1 - s2, 4) AS trend,
+                round(2.0 * s1 - s2 + 7.0 * (s1 - s2) + sdow, 4)
+                  AS forecast_7d
+         FROM e2 WHERE rn = 1
+         ORDER BY event_type NULLS FIRST""",
 
     // ───── round-8 additions (batch 4) ─────
     // Mirrors sqlReport: the parity argument for the spark.sql surface

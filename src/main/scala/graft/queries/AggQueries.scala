@@ -2459,6 +2459,46 @@ object AggQueries {
           .as("mcc"))
   }
 
+  /** q_agg_odds_ratio — 2×2 odds ratio with a Wald 95% CI between the
+    * recorded order state (actual = status 'F') and the fixed
+    * price-threshold rater (exposed = total > 150 000) — q_agg_mcc's
+    * cells read as the epidemiology/experimentation effect measure:
+    * OR = ad/bc with a MULTIPLICATIVE confidence band exp(ln OR ±
+    * 1.96·SE), SE = √(1/a+1/b+1/c+1/d), plus the "CI excludes 1"
+    * significance verdict — what MCC (a correlation) and χ² (a
+    * p-value) cannot give: an interpretable effect SIZE with
+    * uncertainty. Four integers leave the corpus; per-factor double
+    * casts (the mcc product-overflow rule); ln/exp only inside
+    * 6-dp-rounded readouts; try_divide + the all-cells-positive CASE
+    * guard make a degenerate table yield NULLs identically on both
+    * engines, not a crash. */
+  private val aggOddsRatio: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "orders")
+      .select((col("o_orderstatus") === "F").as("act"),
+        (col("o_totalprice") > 150000.0).as("exp_"))
+      .agg(count(when(col("act") && col("exp_"), 1)).as("a"),
+        count(when(!col("act") && col("exp_"), 1)).as("b"),
+        count(when(col("act") && !col("exp_"), 1)).as("c"),
+        count(when(!col("act") && !col("exp_"), 1)).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val lnOr = log(col("a").cast("double") * col("d").cast("double") /
+      (col("b").cast("double") * col("c").cast("double")))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    c.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"),
+        col("c").cast("long").as("c"),
+        col("d").cast("long").as("d"),
+        round(when(ok, col("a").cast("double") * col("d").cast("double") /
+          (col("b").cast("double") * col("c").cast("double"))), 6)
+          .as("odds_ratio"),
+        round(when(ok, exp(lnOr - lit(1.96) * se)), 6).as("ci_lo"),
+        round(when(ok, exp(lnOr + lit(1.96) * se)), 6).as("ci_hi"),
+        when(ok && (exp(lnOr - lit(1.96) * se) > 1.0 ||
+          exp(lnOr + lit(1.96) * se) < 1.0), 1).otherwise(0)
+          .as("significant"))
+  }
+
   /** q_agg_trimmed_mean — 10%-per-side trimmed mean of quantity per
     * return flag, EXACTLY, from the value grid: the robust location
     * estimate between the mean (outlier-fragile) and the median
@@ -3021,6 +3061,7 @@ object AggQueries {
     "q_agg_permutation" -> aggPermutation,
     "q_agg_auc" -> aggAuc,
     "q_agg_mcc" -> aggMcc,
+    "q_agg_odds_ratio" -> aggOddsRatio,
     "q_agg_trimmed_mean" -> aggTrimmedMean,
     "q_agg_hodges_lehmann" -> aggHodgesLehmann,
     "q_agg_tukey" -> aggTukey,

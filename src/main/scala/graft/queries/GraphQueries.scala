@@ -517,6 +517,50 @@ object GraphQueries {
       .limit(50)
   }
 
+  /** q_graph_jaccard — Jaccard link prediction on the same %8
+    * co-order graph as q_graph_common_neighbors / q_graph_adamic_adar:
+    * candidate pairs score |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — the NORMALIZED
+    * member of the link-prediction trio (raw counts saturate on hubs;
+    * Adamic–Adar reweights shared RARE neighbors; Jaccard normalizes
+    * by the union, so a pair sharing most of two small neighborhoods
+    * outranks a hub pair sharing crumbs). Same bucketed wedge
+    * machinery (incidence pivot-capped at dg ≤ 64 — no hub fan-out);
+    * the union needs NO extra set pass: |∪| = deg(u) + deg(v) − cn,
+    * with full degrees riding two broadcast dim joins. Integers to
+    * one division per surviving pair. */
+  private val graphJaccard: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 8 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
+    val inc = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+      .join(broadcast(deg.select(col("p").as("w"), col("dg"))), "w")
+      .filter(col("dg") >= 2 && col("dg") <= 64)
+      .select(col("w"), col("x"))
+      .localCheckpoint()
+    val i1 = inc.as("i1"); val i2 = inc.as("i2")
+    i1.join(i2, col("i1.w") === col("i2.w") && col("i1.x") < col("i2.x"))
+      .groupBy(col("i1.x").as("u"), col("i2.x").as("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+      .join(broadcast(deg.select(col("p").as("u"), col("dg").as("du"))), "u")
+      .join(broadcast(deg.select(col("p").as("v"), col("dg").as("dv"))), "v")
+      .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
+        (col("du") + col("dv") - col("cn")).cast("long").as("union_sz"),
+        round(col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   /** q_graph_kcore — k-core decomposition of the SF-held co-order
     * demo graph ([[coOrderDemoGraph]]): per-vertex coreness by a
     * single IN-TASK Matula–Beck bucket-queue peel (see the inline
@@ -721,6 +765,7 @@ object GraphQueries {
   val all: Map[String, Q] = Map(
     "q_graph_hits" -> graphHits,
     "q_graph_adamic_adar" -> graphAdamicAdar,
+    "q_graph_jaccard" -> graphJaccard,
     "q_graph_kcore" -> graphKcore,
     "q_graph_bipartite" -> graphBipartite,
     "q_graph_assortativity" -> graphAssortativity,

@@ -2292,7 +2292,110 @@ object PipelineQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_evt_srm — sample-ratio-mismatch health check per ISO week: the
+    * deterministic user_id-parity arms (the q_evt_uplift / q_agg_ab_ztest
+    * assignment) should split each week's ACTIVE users ~50/50; a week
+    * whose split drifts is a broken randomizer / logging loss / bot
+    * infusion, and every downstream experiment readout on that week is
+    * garbage — THE pre-test every A/B pipeline runs before looking at
+    * outcomes (ab_ztest tests the OUTCOME; SRM tests the ASSIGNMENT).
+    * χ² = (n_t − E)²/E + (n_c − E)²/E against the designed 1:1 split
+    * (E = (n_t+n_c)/2), df=1, flag at 3.84 (p<0.05). Shape: ONE
+    * distinct (week, user) contraction (the stickiness grid at week
+    * grain), then a weeks-sized readout; integers to one closed form.
+    * NULL users filtered both engines (the stickiness convention). */
+  private val evtSrm: Q = (s, dir) => {
+    val wu = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(trunc(to_date(col("ts")), "week").as("wk"), col("user_id"))
+      .distinct()
+      .withColumn("arm", col("user_id") % 2)
+    wu.groupBy("wk")
+      .agg(count(when(col("arm") === 1, 1)).as("n_t"),
+        count(when(col("arm") === 0, 1)).as("n_c"))
+      // the df=1 equal-split χ² collapses algebraically to
+      // (n_t−n_c)²/(n_t+n_c): INTEGER numerator, one division — exact
+      // on both engines with no pow/intermediate-E float
+      .withColumn("chi2", round(
+        ((col("n_t") - col("n_c")) * (col("n_t") - col("n_c")))
+          .cast("double") / (col("n_t") + col("n_c")), 4))
+      .select(col("wk"),
+        col("n_t").cast("long").as("n_t"),
+        col("n_c").cast("long").as("n_c"),
+        col("chi2"),
+        when(col("chi2") > 3.84, 1).otherwise(0).as("srm_flag"))
+      .orderBy("wk")
+  }
+
+  /** q_evt_cuped — CUPED variance reduction for the parity experiment:
+    * pre-period activity (event count before the span midpoint — the
+    * q_agg_ttest_paired half-split device) is the covariate; the
+    * post-period outcome is per-user purchase value. θ = cov(pre,
+    * post)/var(pre) over ALL users, adjusted outcome = post − θ(pre −
+    * mean(pre)) — the industry-standard trick that cuts experiment
+    * runtime by the ρ² between a user's past and future behaviour
+    * (Deng et al., WSDM'13). Per arm: raw vs adjusted mean; pooled:
+    * θ and the variance-reduction ratio ρ². EXACTNESS: no per-user
+    * double is ever folded — var(adj) collapses algebraically to
+    * var(post) − cov²/var(pre), and the per-arm adjusted mean to
+    * mean_post − θ(mean_pre − mean_pre_all), so everything derives
+    * from decimal power sums (the q_agg_delta_method discipline)
+    * through shared closed forms. Shape: one per-user contraction,
+    * 2-row arm grid + 1-row pooled broadcast. */
+  private val evtCuped: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+    val span = ev.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val users = ev.crossJoin(broadcast(span))
+      .groupBy("user_id")
+      .agg(count(when(col("d") < col("mid"), 1)).as("pre"),
+        coalesce(sum(when(col("d") >= col("mid") &&
+            col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .as("post"))
+      .withColumn("arm", col("user_id") % 2)
+    val pooled = users.agg(count(lit(1)).as("n"),
+        expr("CAST(sum(pre) AS DOUBLE)").as("sp"),
+        expr("CAST(sum(post) AS DOUBLE)").as("so"),
+        expr("CAST(sum(CAST(pre AS DECIMAL(18,0)) * pre) AS DOUBLE)")
+          .as("spp"),
+        expr("CAST(sum(post * post) AS DOUBLE)").as("soo"),
+        expr("CAST(sum(CAST(pre AS DECIMAL(19,0)) * post) AS DOUBLE)")
+          .as("spo"))
+      .withColumn("mp", col("sp") / col("n"))
+      .withColumn("vpre", (col("spp") - col("sp") * col("sp") / col("n"))
+        / (col("n") - 1))
+      .withColumn("vpost", (col("soo") - col("so") * col("so") / col("n"))
+        / (col("n") - 1))
+      .withColumn("cov", (col("spo") - col("sp") * col("so") / col("n"))
+        / (col("n") - 1))
+      .withColumn("theta", col("cov") / col("vpre"))
+      .withColumn("rho2",
+        col("cov") * col("cov") / (col("vpre") * col("vpost")))
+    users.groupBy("arm")
+      .agg(count(lit(1)).as("n_arm"),
+        expr("CAST(sum(pre) AS DOUBLE)").as("sp_a"),
+        expr("CAST(sum(post) AS DOUBLE)").as("so_a"))
+      .crossJoin(broadcast(pooled.select("mp", "theta", "rho2")))
+      .select(col("arm").cast("long").as("arm"),
+        col("n_arm").cast("long").as("n_users"),
+        round(col("so_a") / col("n_arm"), 4).as("mean_post"),
+        round(col("so_a") / col("n_arm") -
+          col("theta") * (col("sp_a") / col("n_arm") - col("mp")), 4)
+          .as("mean_adjusted"),
+        round(col("theta"), 4).as("theta"),
+        round(col("rho2"), 4).as("var_reduction"))
+      .orderBy("arm")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_srm" -> evtSrm,
+    "q_evt_cuped" -> evtCuped,
     "q_evt_disorder" -> evtDisorder,
     "q_evt_streaks" -> evtStreaks,
     "q_evt_cadence" -> evtCadence,

@@ -1243,6 +1243,81 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** q_text_tok_fertility — tokenizer fertility planning profile per
+    * source: characters-per-token and bytes-per-token (corpus ratios)
+    * plus the p50/p90 of the per-doc chars/token ratio — the numbers a
+    * tokenizer budget is set from (fertility × token budget = context
+    * chars; a source whose fertility is 2× the fleet's blows the
+    * packing estimate q_text_pack made), and the cross-encoding sanity
+    * check (bytes ≫ chars flags non-ASCII-heavy shards). Whitespace
+    * token convention (q_text_pack's); per-doc ratios are 4-dp
+    * pre-rounded decimals so the percentile multiset is
+    * engine-identical; corpus ratios divide two exact longs once.
+    * Shape: one narrow scan → per-source rollup; the percentile
+    * buffers docs per source (documented approx swap at 100 TB). */
+  private val textTokFertility: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      // split never yields an empty array (split("", " ") = [""]), so
+      // toks ≥ 1 and every ratio is ANSI-safe
+      .withColumn("ratio",
+        round(col("chars").cast("double") / col("toks"), 4)
+          .cast("decimal(14,4)"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").as("sc"), sum("bytes").as("sb"),
+        sum("toks").as("st"),
+        expr("percentile(CAST(ratio AS DOUBLE), 0.5)").as("p50"),
+        expr("percentile(CAST(ratio AS DOUBLE), 0.9)").as("p90"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("st").cast("long").as("n_tokens"),
+        round(col("sc").cast("double") / col("st"), 4)
+          .as("chars_per_token"),
+        round(col("sb").cast("double") / col("st"), 4)
+          .as("bytes_per_token"),
+        round(col("p50"), 4).as("p50_fertility"),
+        round(col("p90"), 4).as("p90_fertility"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  /** q_text_vocab_coverage — cumulative token coverage of the top-K
+    * vocabulary (K = 10/100/1000): what share of the corpus token
+    * stream the K most frequent terms cover — the Heaps/Zipf planning
+    * number behind every vocabulary-size decision (a 32k-entry
+    * tokenizer is sized by exactly this curve) and the
+    * domain-shift tripwire (coverage at fixed K dropping between
+    * snapshots means new vocabulary arriving). q_text_zipf shows the
+    * top-50 ranks; THIS integrates the curve at the decision points.
+    * The vocabulary is corpus-grain (Heaps' law — it GROWS), so the
+    * rank over (freq DESC, term) runs as a DISTRIBUTED PrefixSweep,
+    * never a single-partition window; coverage = conditional integer
+    * sums / total, three shared divisions. */
+  private val textVocabCoverage: Q = (s, dir) => {
+    val counts = Tables.load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val ranked = graft.ops.PrefixSweep.sweep(counts,
+      Seq(col("freq").desc, col("term")), Some("rnk"))
+    ranked.agg(count(lit(1)).as("vocab"),
+        sum("freq").as("tokens"),
+        sum(when(col("rnk") <= 10, col("freq"))).as("c10"),
+        sum(when(col("rnk") <= 100, col("freq"))).as("c100"),
+        sum(when(col("rnk") <= 1000, col("freq"))).as("c1000"))
+      .select(col("vocab").cast("long").as("vocab"),
+        col("tokens").cast("long").as("tokens"),
+        round(col("c10").cast("double") / col("tokens"), 4)
+          .as("cov_top10"),
+        round(col("c100").cast("double") / col("tokens"), 4)
+          .as("cov_top100"),
+        round(col("c1000").cast("double") / col("tokens"), 4)
+          .as("cov_top1000"))
+  }
+
   /** q_text_pack — sequence-packing manifest: documents concatenate in
     * a deterministic (source, doc_id) order and chunk into fixed
     * 256-token training sequences; each doc is assigned to the
@@ -2778,5 +2853,7 @@ object TextQueries {
     "q_vec_matryoshka" -> vecMatryoshka,
     "q_vec_dedup_sweep" -> vecDedupSweep,
     "q_vec_lsh_balance" -> vecLshBalance,
-    "q_pipe_curate" -> pipeCurate)
+    "q_pipe_curate" -> pipeCurate,
+    "q_text_tok_fertility" -> textTokFertility,
+    "q_text_vocab_coverage" -> textVocabCoverage)
 }

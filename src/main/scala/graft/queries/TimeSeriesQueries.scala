@@ -1065,6 +1065,60 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_holt_winters — additive Holt–Winters (level + trend +
+    * SEASONAL) per event type: the day-of-week index from the
+    * q_ts_decompose device (mean per dow − overall mean, exact
+    * integer-sum divisions rounded once), Brown's double smoothing
+    * (the q_ts_des 8-lag truncated-EMA device, same literal term
+    * order both engines) run on the DESEASONALIZED series, and the
+    * 7-day-ahead forecast level + 7·trend + s(dow) — landing on the
+    * SAME weekday, so the seasonal re-add is the last row's own
+    * index. Completes the smoothing family: snaive = season only,
+    * win_ema/ema_time = level only, des = level+trend, THIS = all
+    * three — the forecast a weekly-cycled ops series actually needs
+    * (des on raw counts chases the weekend dip as if it were trend).
+    * Shape: one corpus contraction to the daily grid, dow/type means
+    * as broadcast dims, two O(1)-state partitioned windows. */
+  private val tsHoltWinters: Q = (s, dir) => {
+    val base = dailySeries(s, dir)
+      .withColumn("dow", dayofweek(col("d")))
+    val dm = base.groupBy("event_type", "dow")
+      .agg(sum("y").as("sy"), count(lit(1)).as("cy"))
+    val tm = base.groupBy("event_type")
+      .agg(sum("y").as("ty"), count(lit(1)).as("tc"))
+    val seas = dm.join(tm, "event_type")
+      .select(col("event_type"), col("dow"),
+        round(col("sy").cast("double") / col("cy") -
+          col("ty").cast("double") / col("tc"), 4).as("sdow"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    def ema(c: Column): Column = {
+      val lags = (0 to 7).map(i => if (i == 0) c else lag(c, i).over(w))
+      val wts = (0 to 7).map(i => math.pow(0.5, i))
+      val num = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      num / den
+    }
+    val adj = base.join(broadcast(seas), Seq("event_type", "dow"))
+      .withColumn("yadj", col("y").cast("double") - col("sdow"))
+    val s1 = adj.withColumn("s1", ema(col("yadj")))
+    val s2 = s1.withColumn("s2", ema(col("s1")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc)))
+      .filter(col("rn") === 1)
+    s2.select(col("event_type"), col("d").as("last_day"),
+        col("sdow").as("seasonal"),
+        round(lit(2.0) * col("s1") - col("s2"), 4).as("level"),
+        round(col("s1") - col("s2"), 4).as("trend"),
+        round(lit(2.0) * col("s1") - col("s2") +
+          lit(7.0) * (col("s1") - col("s2")) + col("sdow"), 4)
+          .as("forecast_7d"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** q_ts_islands — calendar coverage census per event type: maximal
     * runs of consecutive active days (islands) and the silent spans
     * between them (gaps) via the classic d − row_number grouping key —
@@ -1182,6 +1236,7 @@ object TimeSeriesQueries {
     "q_ts_rolling_ols" -> tsRollingOls,
     "q_ts_theil_sen" -> tsTheilSen,
     "q_ts_des" -> tsDes,
+    "q_ts_holt_winters" -> tsHoltWinters,
     "q_ts_islands" -> tsIslands,
     "q_ts_hod_circular" -> tsHodCircular,
     "q_ts_runs_test" -> tsRunsTest,

@@ -554,7 +554,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     // r16 showcase: the six curation stages fused — one tokenize/flag
     // checkpoint + the lm_score vocabulary joins + sha dedup/decon +
     // per-source pack window (measured 0.60 s median)
-    "q_pipe_curate" -> 1.2)
+    "q_pipe_curate" -> 1.2,
+    // r16 batch J: srm/cuped are one distinct-grid / per-user
+    // contraction + closed forms; odds_ratio one mcc-shaped scan;
+    // fertility a narrow per-source rollup; vocab_coverage pays the
+    // zipf tokenize + one PrefixSweep rank; jaccard the adamic_adar
+    // wedge join; holt_winters the des windows + seasonal dim joins
+    "q_evt_srm" -> 0.6, "q_evt_cuped" -> 0.7,
+    "q_agg_odds_ratio" -> 0.5, "q_text_tok_fertility" -> 0.7,
+    "q_text_vocab_coverage" -> 1.0, "q_graph_jaccard" -> 1.2,
+    "q_ts_holt_winters" -> 0.9)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
