@@ -88,6 +88,46 @@ class PrefixSweepSpec extends SparkSpecBase {
     assert(got == ref)
   }
 
+  test("lookaheadFrame is bit-identical to the single-partition frame") {
+    // the q_samp_negative shape: collect over rowsBetween(1, w) of a
+    // global total order, with a struct payload
+    val df = rows.toDF("k", "w", "m").repartition(7)
+    val win = Window.orderBy("k").rowsBetween(1, 20)
+    val ref = df.withColumn("cands", collect_list(
+        struct(col("w"), col("m"))).over(win))
+      .select(col("k"), col("cands"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString))).toMap
+    for (parts <- Seq(1, 4, 16)) {
+      val got = PrefixSweep.lookaheadFrame(df, Seq("k"), 20, parts) { w =>
+        Seq("cands" -> collect_list(struct(col("w"), col("m"))).over(w))
+      }.select(col("k"), col("cands"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.toString))).toMap
+      assert(got == ref, s"parts=$parts")
+    }
+  }
+
+  test("lookaheadFrame collapses to one partition when the histogram " +
+      "guard trips, and stays exact") {
+    // 50 rows into 500 requested partitions: every non-last partition
+    // would hold < w rows, so the guard must collapse to a single
+    // partition — the result stays bit-identical, never silently wrong
+    val tiny = (1 to 50).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("k", "w").repartition(5)
+    val win = Window.orderBy("k").rowsBetween(1, 20)
+    val ref = tiny.withColumn("s", sum("w").over(win))
+      .select("k", "s").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    val got = PrefixSweep.lookaheadFrame(tiny, Seq("k"), 20, 500) { w =>
+      Seq("s" -> sum("w").over(w))
+    }.select("k", "s").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    assert(got == ref)
+  }
+
   test("nullable running sums match the window's skip-null semantics") {
     // ADVICE r15: a row whose entire LOCAL partition prefix is null
     // must still pick up earlier partitions' non-null sum, and the
