@@ -30,7 +30,637 @@ object OracleSql {
     s"$num\n             / $den"
   }
 
+  /** The same chain with a NULLIF-guarded denominator — for series
+    * whose CURRENT value can be NULL (q_ts_croston's interval chain:
+    * the first demand day has no predecessor, so the whole 8-lag
+    * window is empty and the weight sum is 0.0; NULLIF pins the NULL
+    * exactly where Spark's try_divide does). */
+  private def emaChainSafe(v: String): String = {
+    def lagged(i: Int) = if (i == 0) v else s"lag($v, $i) OVER w"
+    val num = (0 to 7).map { i =>
+      s"CASE WHEN ${lagged(i)} IS NOT NULL THEN ${lagged(i)} * ${math.pow(0.5, i)} ELSE 0.0 END"
+    }.mkString("(", "\n              + ", ")")
+    val den = (0 to 7).map { i =>
+      s"CASE WHEN ${lagged(i)} IS NOT NULL THEN ${math.pow(0.5, i)} ELSE 0.0 END"
+    }.mkString("(", "\n              + ", ")")
+    s"$num\n             / NULLIF($den, 0.0)"
+  }
+
   val all: Map[String, String] = Map(
+
+    // ───── round-16 additions (batch K) ─────
+    // Mirrors aggMcnemar: per-customer max-flag collapse, the four
+    // paired cells, Edwards-corrected χ² with greatest(|b−c|−1, 0)
+    // and the b+c=0 CASE pinned identically.
+    "q_agg_mcnemar" ->
+      """WITH flags AS (
+           SELECT o_custkey,
+                  max(CASE WHEN o_totalprice > 300000.0
+                      THEN 1 ELSE 0 END) AS ra,
+                  max(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS rb
+           FROM orders GROUP BY 1),
+         cells AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n11,
+                  CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n00
+           FROM flags),
+         c2 AS (
+           SELECT *,
+                  CASE WHEN n10 + n01 = 0 THEN 0.0
+                       ELSE round(CAST(greatest(abs(n10 - n01) - 1, 0)
+                              * greatest(abs(n10 - n01) - 1, 0)
+                              AS DOUBLE) / (n10 + n01), 4)
+                  END AS chi2_cc
+           FROM cells)
+         SELECT n, n11, n10, n01, n00, chi2_cc,
+                CASE WHEN chi2_cc > 3.84 THEN 1 ELSE 0 END
+                  AS significant
+         FROM c2""",
+    // Mirrors aggWilcoxon: the ttest_paired pre/post device, 8-dp
+    // decimal diffs, doubled mid-ranks off the distinct-|d| grid
+    // (the mannwhitney r2 device), tie-corrected z.
+    "q_agg_wilcoxon" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, value
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         span AS (
+           SELECT min(d) + CAST(floor(date_diff('day', min(d), max(d))
+             / 2) AS INT) AS mid FROM ev),
+         phased AS (
+           SELECT user_id,
+                  CASE WHEN d < (SELECT mid FROM span) THEN 'a'
+                       ELSE 'b' END AS phase,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sv,
+                  count(*) AS c
+           FROM ev GROUP BY 1, 2),
+         m AS (SELECT user_id, phase,
+                      CAST(sv AS DOUBLE) / c AS m FROM phased),
+         diffs AS (
+           SELECT CAST(round(b.m - a.m, 8) AS DECIMAL(18,8)) AS dd
+           FROM m a JOIN m b ON a.user_id = b.user_id
+             AND a.phase = 'a' AND b.phase = 'b'
+           WHERE CAST(round(b.m - a.m, 8) AS DECIMAL(18,8)) <> 0),
+         grid AS (
+           SELECT abs(dd) AS ad,
+                  CAST(count(*) AS HUGEINT) AS cg,
+                  CAST(count(CASE WHEN dd > 0 THEN 1 END) AS HUGEINT)
+                    AS pos
+           FROM diffs GROUP BY 1),
+         r AS (
+           SELECT cg, pos,
+                  2 * sum(cg) OVER (ORDER BY ad
+                    ROWS UNBOUNDED PRECEDING) - cg + 1 AS r2
+           FROM grid),
+         g AS (
+           SELECT sum(cg) AS n, sum(pos * r2) AS w2,
+                  sum(cg * cg * cg - cg) AS tsum
+           FROM r),
+         v AS (
+           SELECT n, w2,
+                  CAST(n * (n + 1) AS DOUBLE) / 2.0 AS mu2,
+                  CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6.0
+                    - CAST(tsum AS DOUBLE) / 12.0 AS var4
+           FROM g)
+         SELECT CAST(n AS BIGINT) AS n_pairs,
+                round(CAST(w2 AS DOUBLE) / 2.0, 1) AS w_plus,
+                round((CAST(w2 AS DOUBLE) - mu2) / sqrt(var4), 4) AS z,
+                CASE WHEN abs(round((CAST(w2 AS DOUBLE) - mu2)
+                       / sqrt(var4), 4)) > 1.96
+                     THEN 1 ELSE 0 END AS significant
+         FROM v""",
+    // Mirrors aggRateRatio: one (arm, user, day) contraction carrying
+    // both the error count and the exposure row; Wald ln-RR CI.
+    "q_agg_rate_ratio" ->
+      """WITH ud AS (
+           SELECT user_id % 2 AS arm, user_id, CAST(ts AS DATE) AS d,
+                  count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS ne
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+         arms AS (
+           SELECT arm, sum(ne) AS ev, count(*) AS pt
+           FROM ud GROUP BY 1),
+         one AS (
+           SELECT CAST(sum(CASE WHEN arm = 1 THEN ev END) AS BIGINT)
+                    AS ev_t,
+                  CAST(sum(CASE WHEN arm = 1 THEN pt END) AS BIGINT)
+                    AS pt_t,
+                  CAST(sum(CASE WHEN arm = 0 THEN ev END) AS BIGINT)
+                    AS ev_c,
+                  CAST(sum(CASE WHEN arm = 0 THEN pt END) AS BIGINT)
+                    AS pt_c
+           FROM arms),
+         rr AS (
+           SELECT *,
+                  CASE WHEN ev_t = 0 OR ev_c = 0 THEN NULL
+                       ELSE (CAST(ev_t AS DOUBLE) / pt_t)
+                              / (CAST(ev_c AS DOUBLE) / pt_c)
+                  END AS ratio,
+                  CASE WHEN ev_t = 0 OR ev_c = 0 THEN NULL
+                       ELSE 1.96 * sqrt(1.0 / ev_t + 1.0 / ev_c)
+                  END AS half
+           FROM one)
+         SELECT ev_t, pt_t, ev_c, pt_c,
+                round(CAST(ev_t AS DOUBLE) / pt_t * 1000, 4)
+                  AS rate_t_1k,
+                round(CAST(ev_c AS DOUBLE) / pt_c * 1000, 4)
+                  AS rate_c_1k,
+                round(ratio, 6) AS rate_ratio,
+                round(exp(ln(ratio) - half), 6) AS ci_lo,
+                round(exp(ln(ratio) + half), 6) AS ci_hi,
+                CASE WHEN ratio IS NULL THEN 0
+                     WHEN round(exp(ln(ratio) - half), 6) > 1.0
+                       OR round(exp(ln(ratio) + half), 6) < 1.0
+                     THEN 1 ELSE 0 END AS significant
+         FROM rr""",
+
+    // Mirrors aggCochranQ: per-customer 3-rater max-flag collapse,
+    // the denominator-cleared integer Q, unanimity → NULL via CASE.
+    "q_agg_cochran_q" ->
+      """WITH flags AS (
+           SELECT o_custkey,
+                  max(CASE WHEN o_totalprice > 300000.0
+                      THEN 1 ELSE 0 END) AS ra,
+                  max(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS rb,
+                  max(CASE WHEN o_orderpriority = '2-HIGH'
+                      THEN 1 ELSE 0 END) AS rc
+           FROM orders GROUP BY 1),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(ra) AS BIGINT) AS g1,
+                  CAST(sum(rb) AS BIGINT) AS g2,
+                  CAST(sum(rc) AS BIGINT) AS g3,
+                  CAST(sum(ra + rb + rc) AS BIGINT) AS sl,
+                  CAST(sum((ra + rb + rc) * (ra + rb + rc)) AS BIGINT)
+                    AS sl2
+           FROM flags),
+         qq AS (
+           SELECT *,
+                  CASE WHEN 3 * sl - sl2 = 0 THEN NULL
+                       ELSE round(
+                         CAST(2 * (3 * (g1*g1 + g2*g2 + g3*g3)
+                           - sl * sl) AS DOUBLE)
+                         / CAST(3 * sl - sl2 AS DOUBLE), 4)
+                  END AS q
+           FROM g)
+         SELECT n AS n_blocks, g1 AS g_spend, g2 AS g_urgent,
+                g3 AS g_high, q,
+                CASE WHEN q > 5.99 THEN 1 ELSE 0 END AS significant
+         FROM qq""",
+    // Mirrors aggQuantileCi: the (type, value) grid, floor/ceil
+    // order-statistic ranks, three selections off one cumulative pass.
+    "q_agg_quantile_ci" ->
+      """WITH grid AS (
+           SELECT event_type, value AS v, count(*) AS c
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+           FROM grid GROUP BY 1),
+         rk AS (
+           SELECT event_type, n,
+                  CAST(floor((n + 1) / 2.0) AS BIGINT) AS r_med,
+                  greatest(1, CAST(floor(n / 2.0
+                    - 1.96 * sqrt(CAST(n AS DOUBLE)) / 2) AS BIGINT))
+                    AS r_lo,
+                  least(n, CAST(ceil(n / 2.0
+                    + 1.96 * sqrt(CAST(n AS DOUBLE)) / 2) + 1
+                    AS BIGINT)) AS r_hi
+           FROM tot),
+         cm AS (
+           SELECT event_type, v, c,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM grid)
+         SELECT cm.event_type, CAST(max(n) AS BIGINT) AS n,
+                min(CASE WHEN cum >= r_med THEN v END) AS p50,
+                min(CASE WHEN cum >= r_lo THEN v END) AS ci_lo,
+                min(CASE WHEN cum >= r_hi THEN v END) AS ci_hi,
+                round(min(CASE WHEN cum >= r_hi THEN v END)
+                  - min(CASE WHEN cum >= r_lo THEN v END), 2)
+                  AS ci_width
+         FROM cm JOIN rk USING (event_type)
+         GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+    // Mirrors tsSax: row_number segments of 5, integer power-sum
+    // stats, the shared z CASE, string_agg word in segment order.
+    "q_ts_sax" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, y,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) AS rn
+           FROM daily),
+         sg AS (
+           SELECT event_type, CAST((rn - 1) // 5 AS BIGINT) AS seg, y
+           FROM idx),
+         stats AS (
+           SELECT event_type, count(*) AS n, sum(y) AS sy,
+                  sum(y * y) AS sy2
+           FROM daily GROUP BY 1),
+         st2 AS (
+           SELECT event_type, n,
+                  CAST(sy AS DOUBLE) / n AS m,
+                  CASE WHEN n - 1 = 0 THEN NULL
+                       ELSE sqrt((CAST(sy2 AS DOUBLE)
+                         - n * (CAST(sy AS DOUBLE) / n)
+                             * (CAST(sy AS DOUBLE) / n))
+                         / CAST(n - 1 AS DOUBLE))
+                  END AS sd
+           FROM stats),
+         paa AS (
+           SELECT event_type, seg, sum(y) AS ssum, count(*) AS sc
+           FROM sg GROUP BY 1, 2),
+         z AS (
+           SELECT p.event_type, seg, n,
+                  CASE WHEN sd IS NULL OR sd = 0.0 THEN NULL
+                       ELSE (CAST(ssum AS DOUBLE) / sc - m) / sd
+                  END AS z
+           FROM paa p JOIN st2 USING (event_type)),
+         lt AS (
+           SELECT event_type, seg, n,
+                  CASE WHEN z IS NULL THEN 'b'
+                       WHEN z < -0.6745 THEN 'a'
+                       WHEN z < 0.0 THEN 'b'
+                       WHEN z < 0.6745 THEN 'c'
+                       ELSE 'd' END AS letter
+           FROM z)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+                CAST(count(*) AS BIGINT) AS n_segments,
+                string_agg(letter, '' ORDER BY seg) AS sax_word
+         FROM lt GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+    // Mirrors tsHysteresis: μ/σ closed forms, the two-threshold
+    // crossing CASE, running last_value IGNORE NULLS state, islands
+    // rn-difference runs.
+    "q_ts_hysteresis" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, count(*) AS n, sum(y) AS sy,
+                  sum(y * y) AS sy2
+           FROM daily GROUP BY 1),
+         st2 AS (
+           SELECT event_type,
+                  CAST(sy AS DOUBLE) / n AS m,
+                  CASE WHEN n - 1 = 0 THEN NULL
+                       ELSE sqrt((CAST(sy2 AS DOUBLE)
+                         - n * (CAST(sy AS DOUBLE) / n)
+                             * (CAST(sy AS DOUBLE) / n))
+                         / CAST(n - 1 AS DOUBLE))
+                  END AS sd
+           FROM stats),
+         cr AS (
+           SELECT d.event_type, d.d,
+                  CASE WHEN y > m + sd THEN 1
+                       WHEN y < m THEN 0 END AS crossing
+           FROM daily d JOIN st2 USING (event_type)),
+         al AS (
+           SELECT event_type, d,
+                  coalesce(last_value(crossing IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING), 0) AS alert,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) AS rn
+           FROM cr),
+         runs AS (
+           SELECT event_type,
+                  rn - row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) AS grp
+           FROM al WHERE alert = 1),
+         r2 AS (
+           SELECT event_type, grp, count(*) AS len
+           FROM runs GROUP BY 1, 2),
+         eps AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_episodes,
+                  CAST(sum(len) AS BIGINT) AS n_alert_days,
+                  CAST(max(len) AS BIGINT) AS longest_run
+           FROM r2 GROUP BY 1),
+         nd AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1)
+         SELECT nd.event_type, n_days,
+                coalesce(n_alert_days, 0) AS n_alert_days,
+                coalesce(n_episodes, 0) AS n_episodes,
+                coalesce(longest_run, 0) AS longest_run
+         FROM nd LEFT JOIN eps USING (event_type)
+         ORDER BY 1 NULLS FIRST""",
+    // Mirrors graphLpa: the %8 co-order edge contraction, three
+    // unrolled synchronous rounds with the (count DESC, label ASC)
+    // pinned winner, top-10 census.
+    "q_graph_lpa" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 8 = 0),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b
+             ON a.o = b.o AND a.p < b.p),
+         nbr AS (
+           SELECT u AS w, v AS x FROM e0
+           UNION ALL
+           SELECT v AS w, u AS x FROM e0),
+         l0 AS (SELECT DISTINCT w AS node, w AS lab FROM nbr),
+         c1 AS (
+           SELECT n.w, l.lab, count(*) AS c
+           FROM nbr n JOIN l0 l ON n.x = l.node GROUP BY 1, 2),
+         r1 AS (
+           SELECT w AS node, lab FROM (
+             SELECT w, lab, row_number() OVER (PARTITION BY w
+               ORDER BY c DESC, lab ASC) AS rn
+             FROM c1) WHERE rn = 1),
+         c2 AS (
+           SELECT n.w, l.lab, count(*) AS c
+           FROM nbr n JOIN r1 l ON n.x = l.node GROUP BY 1, 2),
+         r2 AS (
+           SELECT w AS node, lab FROM (
+             SELECT w, lab, row_number() OVER (PARTITION BY w
+               ORDER BY c DESC, lab ASC) AS rn
+             FROM c2) WHERE rn = 1),
+         c3 AS (
+           SELECT n.w, l.lab, count(*) AS c
+           FROM nbr n JOIN r2 l ON n.x = l.node GROUP BY 1, 2),
+         r3 AS (
+           SELECT w AS node, lab FROM (
+             SELECT w, lab, row_number() OVER (PARTITION BY w
+               ORDER BY c DESC, lab ASC) AS rn
+             FROM c3) WHERE rn = 1),
+         census AS (SELECT lab, count(*) AS sz FROM r3 GROUP BY 1)
+         SELECT CAST(lab AS BIGINT) AS community,
+                CAST(sz AS BIGINT) AS n_nodes
+         FROM census ORDER BY sz DESC, lab ASC LIMIT 10""",
+    // Mirrors evtDecay: the retention grid, observability-restricted
+    // pooled rates, 8-dp decimal ln terms, closed-form OLS slope.
+    "q_evt_decay" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                    AS DATE) AS week
+           FROM events WHERE user_id IS NOT NULL),
+         c AS (
+           SELECT user_id, min(week) AS cohort FROM w GROUP BY 1),
+         ko AS (
+           SELECT c.cohort,
+                  CAST(date_diff('day', c.cohort, w.week) / 7 AS INT)
+                    AS k
+           FROM w JOIN c USING (user_id)),
+         grid AS (
+           SELECT cohort, k, count(*) AS ret FROM ko GROUP BY 1, 2),
+         sizes AS (
+           SELECT cohort, ret AS sz FROM grid WHERE k = 0),
+         mo AS (SELECT cohort, max(k) AS mk FROM grid GROUP BY 1),
+         span AS (
+           SELECT s.cohort, sz, mk FROM sizes s JOIN mo USING (cohort)),
+         offs AS (
+           SELECT unnest(range(1, (SELECT max(mk) FROM span) + 1))
+             AS k),
+         elig AS (
+           SELECT k, sum(sz) AS elig
+           FROM offs JOIN span ON mk >= k GROUP BY 1),
+         pooled AS (
+           SELECT g.k, g.ret AS retained, e.elig
+           FROM (SELECT k, sum(ret) AS ret FROM grid WHERE k >= 1
+                 GROUP BY 1) g
+           JOIN elig e USING (k)
+           WHERE g.ret > 0),
+         pts AS (
+           SELECT k,
+                  CAST(retained AS DOUBLE) / elig AS rate,
+                  CAST(round(ln(CAST(retained AS DOUBLE) / elig), 8)
+                    AS DECIMAL(20,8)) AS lr
+           FROM pooled),
+         fit AS (
+           SELECT CAST(count(*) AS BIGINT) AS np,
+                  CAST(sum(k) AS BIGINT) AS sx,
+                  CAST(sum(k * k) AS BIGINT) AS sx2,
+                  sum(lr) AS sy, sum(lr * k) AS sxy,
+                  min(CASE WHEN k = 1 THEN rate END) AS r1
+           FROM pts),
+         b AS (
+           SELECT *,
+                  CASE WHEN CAST(np * sx2 - sx * sx AS DOUBLE) = 0.0
+                       THEN NULL
+                       ELSE (np * CAST(sxy AS DOUBLE)
+                         - sx * CAST(sy AS DOUBLE))
+                         / CAST(np * sx2 - sx * sx AS DOUBLE)
+                  END AS b
+           FROM fit),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cohorts
+                FROM sizes)
+         SELECT n_cohorts, np AS n_points,
+                round(r1, 4) AS retention_w1,
+                round(b, 4) AS decay_per_week,
+                CASE WHEN b = 0.0 OR b IS NULL THEN NULL
+                     ELSE round(-0.6931471805599453 / b, 2)
+                END AS half_life_weeks
+         FROM b CROSS JOIN nc""",
+    // Mirrors vecMmd: the same Knuth-hash Rademacher grid built in
+    // SQL, 3-dp floor quantization, integer dots/signs, 8-dp decimal
+    // squared-gap terms, NULLIF exactly where try_divide NULLs.
+    "q_vec_mmd" ->
+      """WITH w AS (
+           SELECT CAST(i // 64 AS INT) AS k, CAST(i % 64 AS INT) AS d,
+                  CASE WHEN (((i * 2654435761) % 4294967296) // 65536)
+                         % 2 = 0
+                       THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(range(2048)) AS i)),
+         e AS (
+           SELECT vec_id, label,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS qx,
+                  CAST(unnest(range(64)) AS INT) AS d
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, label, k, sum(wt * qx) AS dot
+           FROM e JOIN w USING (d) GROUP BY 1, 2, 3),
+         sg AS (
+           SELECT vec_id, label, k,
+                  CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
+                       ELSE 0 END AS sgn
+           FROM s),
+         splits AS (
+           SELECT 'parity' AS split, vec_id % 2 = 0 AS grp, k, sgn
+           FROM sg
+           UNION ALL
+           SELECT 'label' AS split, label < 5 AS grp, k, sgn FROM sg),
+         g AS (
+           SELECT split, k,
+                  sum(CASE WHEN grp THEN sgn END) AS s1,
+                  count(CASE WHEN grp THEN 1 END) AS n1,
+                  sum(CASE WHEN NOT grp THEN sgn END) AS s0,
+                  count(CASE WHEN NOT grp THEN 1 END) AS n0
+           FROM splits GROUP BY 1, 2),
+         t AS (
+           SELECT split, n1, n0,
+                  CAST(round(
+                    (CAST(s1 AS DOUBLE) / NULLIF(n1, 0)
+                     - CAST(s0 AS DOUBLE) / NULLIF(n0, 0))
+                    * (CAST(s1 AS DOUBLE) / NULLIF(n1, 0)
+                       - CAST(s0 AS DOUBLE) / NULLIF(n0, 0)), 8)
+                    AS DECIMAL(20,8)) AS term
+           FROM g),
+         f AS (
+           SELECT split, max(n1) AS na, max(n0) AS nb,
+                  sum(term) AS st
+           FROM t GROUP BY 1)
+         SELECT split,
+                CAST(na AS BIGINT) AS n_a,
+                CAST(nb AS BIGINT) AS n_b,
+                round(CAST(st AS DOUBLE) / 32, 6) AS mmd2,
+                CASE WHEN round(CAST(st AS DOUBLE) / 32, 6) >
+                       2.0 * (1.0 / NULLIF(CAST(na AS DOUBLE), 0.0)
+                         + 1.0 / NULLIF(CAST(nb AS DOUBLE), 0.0))
+                     THEN 1 ELSE 0 END AS drift_flag
+         FROM f
+         ORDER BY split""",
+    // Mirrors evtSwitchback: 6-hour windows, parity arms over the
+    // window sequence, 4-dp decimal window means, Welch t over the
+    // two arm grids with NULLIF exactly where try_divide NULLs.
+    "q_evt_switchback" ->
+      """WITH win AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(floor(extract(hour FROM ts) / 6) AS INT)
+                    AS blk,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sv,
+                  count(*) AS c
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         m AS (
+           SELECT (date_diff('day', DATE '1970-01-01', day) * 4 + blk)
+                    % 2 AS arm,
+                  CAST(round(CAST(sv AS DOUBLE) / c, 4)
+                    AS DECIMAL(14,4)) AS m
+           FROM win),
+         arms AS (
+           SELECT arm, count(*) AS nw, sum(m) AS sm,
+                  sum(m * m) AS sm2
+           FROM m GROUP BY 1),
+         one AS (
+           SELECT sum(CASE WHEN arm = 1 THEN nw END) AS nw_t,
+                  sum(CASE WHEN arm = 1 THEN sm END) AS sm_t,
+                  sum(CASE WHEN arm = 1 THEN sm2 END) AS sm2_t,
+                  sum(CASE WHEN arm = 0 THEN nw END) AS nw_c,
+                  sum(CASE WHEN arm = 0 THEN sm END) AS sm_c,
+                  sum(CASE WHEN arm = 0 THEN sm2 END) AS sm2_c
+           FROM arms),
+         v AS (
+           SELECT *,
+                  CAST(sm_t AS DOUBLE) / nw_t AS mt,
+                  CAST(sm_c AS DOUBLE) / nw_c AS mc,
+                  (CAST(sm2_t AS DOUBLE)
+                    - nw_t * (CAST(sm_t AS DOUBLE) / nw_t)
+                           * (CAST(sm_t AS DOUBLE) / nw_t))
+                    / NULLIF(CAST(nw_t - 1 AS DOUBLE), 0.0) AS vt,
+                  (CAST(sm2_c AS DOUBLE)
+                    - nw_c * (CAST(sm_c AS DOUBLE) / nw_c)
+                           * (CAST(sm_c AS DOUBLE) / nw_c))
+                    / NULLIF(CAST(nw_c - 1 AS DOUBLE), 0.0) AS vc
+           FROM one),
+         se AS (
+           SELECT *, sqrt(vt / nw_t + vc / nw_c) AS se FROM v)
+         SELECT CAST(nw_t AS BIGINT) AS n_win_t,
+                CAST(nw_c AS BIGINT) AS n_win_c,
+                round(mt, 4) AS mean_t,
+                round(mc, 4) AS mean_c,
+                round(mt - mc, 4) AS diff,
+                round(se, 4) AS se,
+                round((mt - mc) / NULLIF(se, 0.0), 4) AS t_stat,
+                CASE WHEN abs(round((mt - mc) / NULLIF(se, 0.0), 4))
+                       > 1.96
+                     THEN 1 ELSE 0 END AS significant
+         FROM se""",
+    // Mirrors tsKpss: ×n-carried demeaning, ×5-cleared Bartlett
+    // weights, HUGEINT partial-sum/autocovariance sums, one guarded
+    // division.
+    "q_ts_kpss" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, sum(y) AS sy, count(*) AS nn
+           FROM daily GROUP BY 1),
+         e AS (
+           SELECT daily.event_type, d,
+                  CAST(y * nn - sy AS HUGEINT) AS en, nn
+           FROM daily JOIN tot ON daily.event_type = tot.event_type),
+         sn AS (
+           SELECT event_type, nn, en,
+                  sum(en) OVER w AS snn,
+                  lag(en, 1) OVER w AS l1,
+                  lag(en, 2) OVER w AS l2,
+                  lag(en, 3) OVER w AS l3,
+                  lag(en, 4) OVER w AS l4
+           FROM e
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING)),
+         g AS (
+           SELECT event_type, max(nn) AS n,
+                  sum(snn * snn) AS num,
+                  sum(en * en) AS g0,
+                  sum(en * l1) AS g1, sum(en * l2) AS g2,
+                  sum(en * l3) AS g3, sum(en * l4) AS g4
+           FROM sn GROUP BY 1),
+         v AS (
+           SELECT event_type, n,
+                  CASE WHEN CAST(n * (5 * g0
+                         + 8 * coalesce(g1, 0) + 6 * coalesce(g2, 0)
+                         + 4 * coalesce(g3, 0) + 2 * coalesce(g4, 0))
+                       AS DOUBLE) = 0.0 THEN NULL
+                       ELSE round(CAST(5 * num AS DOUBLE)
+                         / CAST(n * (5 * g0
+                           + 8 * coalesce(g1, 0) + 6 * coalesce(g2, 0)
+                           + 4 * coalesce(g3, 0) + 2 * coalesce(g4, 0))
+                           AS DOUBLE), 4)
+                  END AS eta
+           FROM g)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days, eta,
+                CASE WHEN eta > 0.463 THEN 0 ELSE 1 END
+                  AS level_stationary
+         FROM v
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsCroston: demand = extreme-value days, two 8-lag EMA
+    // chains (the des device; the interval chain NULLIF-guarded),
+    // readout at the last demand day.
+    "q_ts_croston" -> s"""
+         WITH demand AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS z
+           FROM events WHERE value > 240.0 GROUP BY 1, 2),
+         wp AS (
+           SELECT event_type, d, z,
+                  date_diff('day', lag(d, 1) OVER w, d) AS p
+           FROM demand
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         sm AS (
+           SELECT event_type, d, z, p,
+                  ${emaChain("CAST(z AS DOUBLE)")} AS zh,
+                  ${emaChainSafe("CAST(p AS DOUBLE)")} AS ph,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d DESC) AS rn
+           FROM wp
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         tot AS (
+           SELECT event_type, count(*) AS nd, min(d) AS d0,
+                  max(d) AS d1
+           FROM demand GROUP BY 1)
+         SELECT sm.event_type,
+                CAST(nd AS BIGINT) AS n_demand_days,
+                sm.d AS last_demand_day,
+                round(zh, 4) AS z_hat,
+                round(ph, 4) AS p_hat,
+                round(zh / ph, 4) AS forecast_per_day,
+                round(CAST(nd AS DOUBLE)
+                  / (date_diff('day', d0, d1) + 1), 4) AS demand_rate
+         FROM sm JOIN tot ON sm.event_type = tot.event_type
+         WHERE rn = 1
+         ORDER BY sm.event_type NULLS FIRST""",
 
     // ───── round-16 additions (batch J) ─────
     // Mirrors evtSrm: distinct (week, user) grid, parity arms, the

@@ -3048,7 +3048,253 @@ object AggQueries {
       .orderBy("bin")
   }
 
+  /** q_agg_mcnemar — McNemar's paired test between two binary raters
+    * of the SAME customers: rater A = "whale by spend" (any order
+    * above 300k), rater B = "urgency user" (any 1-URGENT order). The
+    * 2×2 cell counts answer "how often do the rules agree", but the
+    * TEST reads only the discordant cells: χ²_cc = (|b−c|−1)²/(b+c)
+    * (Edwards continuity correction, `greatest(|b−c|−1, 0)` so b=c
+    * pins to 0 on both engines) — "would switching priority rules
+    * reclassify customers SYMMETRICALLY, or does one rule
+    * systematically promote more?". The paired-binary member of the
+    * test shelf: odds_ratio reads an UNPAIRED 2×2; chisq tests
+    * independence; THIS tests marginal homogeneity of paired raters
+    * (the correct test when both labels come from the same subject —
+    * an unpaired test on paired data overstates n). Exactness: four
+    * integer cells off one per-customer contraction; χ² = integer
+    * numerator / integer denominator, ONE division; b+c=0 guarded by
+    * the identical CASE. Scale: the per-customer max-flag collapse is
+    * map-side partial; everything after is one row. */
+  private val aggMcnemar: Q = (s, dir) => {
+    val flags = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_totalprice") > 300000.0, 1).otherwise(0))
+          .as("ra"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .as("rb"))
+    flags.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ra") === 1 && col("rb") === 1, 1).otherwise(0))
+          .as("n11"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1).otherwise(0))
+          .as("n10"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1).otherwise(0))
+          .as("n01"),
+        sum(when(col("ra") === 0 && col("rb") === 0, 1).otherwise(0))
+          .as("n00"))
+      .withColumn("chi2_cc",
+        when(col("n10") + col("n01") === 0, lit(0.0)).otherwise(
+          round((greatest(abs(col("n10") - col("n01")) - 1, lit(0)) *
+            greatest(abs(col("n10") - col("n01")) - 1, lit(0)))
+            .cast("double") / (col("n10") + col("n01")), 4)))
+      .select(col("n").cast("long").as("n"),
+        col("n11").cast("long").as("n11"),
+        col("n10").cast("long").as("n10"),
+        col("n01").cast("long").as("n01"),
+        col("n00").cast("long").as("n00"),
+        col("chi2_cc"),
+        when(col("chi2_cc") > 3.84, 1).otherwise(0).as("significant"))
+  }
+
+  /** q_agg_wilcoxon — Wilcoxon signed-rank test on the SAME pre/post
+    * pairs as q_agg_ttest_paired (per-user mean event value in the
+    * first vs second half of the span): the rank-based twin that
+    * stays valid when the paired differences are heavy-tailed or
+    * skewed (the t-test's levene/mannwhitney relationship, replayed
+    * for PAIRED data). Zero differences drop (standard Wilcoxon);
+    * |d| ranks are doubled mid-ranks off the distinct-|d| grid so
+    * every rank quantity is an INTEGER (the mannwhitney r2 device);
+    * W⁺ = Σ ranks of positive d; z = (W⁺ − n(n+1)/4) /
+    * √(n(n+1)(2n+1)/24 − Σ(t³−t)/48) with the tie correction.
+    * Exactness: diffs are 8-dp decimals, the grid sweep is integer,
+    * 2W⁺ and the tie sum are decimal(38); z is one shared closed-form
+    * double from identical integers. Scale: per-user contraction →
+    * distinct-|d| grid → the grid rank runs as a DISTRIBUTED
+    * PrefixSweep (value-grain, never a single-partition window). */
+  private val aggWilcoxon: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("d", to_date(col("ts")))
+    val span = ev.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val phased = ev.crossJoin(broadcast(span))
+      .withColumn("phase", when(col("d") < col("mid"), "a")
+        .otherwise("b"))
+      .groupBy("user_id", "phase")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("c"))
+      .withColumn("m", col("sv").cast("double") / col("c"))
+    val a = phased.filter(col("phase") === "a")
+      .select(col("user_id"), col("m").as("ma"))
+    val b = phased.filter(col("phase") === "b")
+      .select(col("user_id"), col("m").as("mb"))
+    val diffs = a.join(b, "user_id")
+      .select(round(col("mb") - col("ma"), 8).cast("decimal(18,8)")
+        .as("dd"))
+      .filter(col("dd") =!= 0)
+    val grid = diffs.groupBy(abs(col("dd")).as("ad"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("cg"),
+        count(when(col("dd") > 0, 1)).cast("decimal(38,0)").as("pos"))
+    val r = graft.ops.PrefixSweep.sweep(grid, Seq(col("ad")),
+        runSums = Seq((col("cg"), "cum")))
+      .withColumn("r2", lit(2) * col("cum") - col("cg") + 1)
+    r.agg(sum("cg").as("n"),
+        sum(col("pos") * col("r2")).as("w2"),
+        sum(col("cg") * col("cg") * col("cg") - col("cg")).as("tsum"))
+      .withColumn("mu2", (col("n") * (col("n") + 1)).cast("double") / 2.0)
+      .withColumn("var4",
+        (col("n") * (col("n") + 1) * (col("n") * 2 + 1)).cast("double")
+          / 6.0 - col("tsum").cast("double") / 12.0)
+      .withColumn("z", round(
+        (col("w2").cast("double") - col("mu2")) / sqrt(col("var4")), 4))
+      .select(col("n").cast("long").as("n_pairs"),
+        round(col("w2").cast("double") / 2.0, 1).as("w_plus"),
+        col("z"),
+        when(abs(col("z")) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
+  /** q_agg_rate_ratio — two-sample Poisson rate comparison between
+    * the parity experiment arms: error events per 1000 user-days of
+    * exposure, rate ratio, and the Wald CI on ln RR (±1.96·√(1/a +
+    * 1/b) — counts only, the classic epidemiology/SRE incidence-rate
+    * readout). ab_ztest compares CONVERSION (per-user binary); THIS
+    * compares an event RATE against person-time — the right model
+    * when a user can contribute many events and exposure differs by
+    * arm (error budgets, crash rates, alert volumes). Exactness: a,
+    * b, and both exposures are integers off ONE per-(arm, user, day)
+    * contraction (events sum + presence row); rate/RR/CI are shared
+    * closed-form doubles, ln/exp only inside 6-dp-rounded readouts
+    * (odds_ratio rule); zero-count arms guarded by the identical
+    * CASE. Scale: the contraction is two-phase, the readout 2 rows. */
+  private val aggRateRatio: Q = (s, dir) => {
+    val ud = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy((col("user_id") % 2).as("arm"), col("user_id"),
+        to_date(col("ts")).as("d"))
+      .agg(count(when(col("event_type") === "error", 1)).as("ne"))
+    val arms = ud.groupBy("arm")
+      .agg(sum("ne").as("ev"), count(lit(1)).as("pt"))
+    val one = arms.agg(
+      sum(when(col("arm") === 1, col("ev"))).as("ev_t"),
+      sum(when(col("arm") === 1, col("pt"))).as("pt_t"),
+      sum(when(col("arm") === 0, col("ev"))).as("ev_c"),
+      sum(when(col("arm") === 0, col("pt"))).as("pt_c"))
+    val rr = (col("ev_t").cast("double") / col("pt_t")) /
+      (col("ev_c").cast("double") / col("pt_c"))
+    val half = lit(1.96) * sqrt(lit(1.0) / col("ev_t") +
+      lit(1.0) / col("ev_c"))
+    one.select(
+        col("ev_t").cast("long").as("ev_t"),
+        col("pt_t").cast("long").as("pt_t"),
+        col("ev_c").cast("long").as("ev_c"),
+        col("pt_c").cast("long").as("pt_c"),
+        round(col("ev_t").cast("double") / col("pt_t") * 1000, 4)
+          .as("rate_t_1k"),
+        round(col("ev_c").cast("double") / col("pt_c") * 1000, 4)
+          .as("rate_c_1k"),
+        when(col("ev_t") === 0 || col("ev_c") === 0, lit(null))
+          .otherwise(round(rr, 6)).as("rate_ratio"),
+        when(col("ev_t") === 0 || col("ev_c") === 0, lit(null))
+          .otherwise(round(exp(log(rr) - half), 6)).as("ci_lo"),
+        when(col("ev_t") === 0 || col("ev_c") === 0, lit(null))
+          .otherwise(round(exp(log(rr) + half), 6)).as("ci_hi"),
+        when(col("ev_t") === 0 || col("ev_c") === 0, lit(0))
+          .when(round(exp(log(rr) - half), 6) > 1.0 ||
+            round(exp(log(rr) + half), 6) < 1.0, 1)
+          .otherwise(0).as("significant"))
+  }
+
+  /** q_agg_cochran_q — Cochran's Q test across THREE binary raters of
+    * the same customers (whale-by-spend, urgency-user, high-priority
+    * user): does ANY rule classify a different share — the k-treatment
+    * generalization of q_agg_mcnemar exactly as ANOVA generalizes the
+    * t-test (k pairwise McNemars would inflate α; Q asks once, df =
+    * k−1, crit 5.99). Exactness: with column totals G_j and row sums
+    * L_i the statistic clears every denominator —
+    * Q = (k−1)·(k·ΣG_j² − G²)/(k·ΣL_i − ΣL_i²) — INTEGER numerator
+    * and denominator, ONE try_divide (denominator 0 ⇔ every block
+    * unanimous ⇔ no information, NULL on both engines). Scale: one
+    * per-customer max-flag collapse (map-side partial), then a 1-row
+    * readout. */
+  private val aggCochranQ: Q = (s, dir) => {
+    val flags = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_totalprice") > 300000.0, 1L).otherwise(0L))
+          .as("ra"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L)).as("rb"),
+        max(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("rc"))
+      .withColumn("li", col("ra") + col("rb") + col("rc"))
+    flags.agg(
+        count(lit(1)).as("n"),
+        sum("ra").as("g1"), sum("rb").as("g2"), sum("rc").as("g3"),
+        sum("li").as("sl"), sum(col("li") * col("li")).as("sl2"))
+      .withColumn("q", round(try_divide(
+        (lit(2) * (lit(3) * (col("g1") * col("g1") +
+          col("g2") * col("g2") + col("g3") * col("g3")) -
+          col("sl") * col("sl"))).cast("double"),
+        (lit(3) * col("sl") - col("sl2")).cast("double")), 4))
+      .select(col("n").cast("long").as("n_blocks"),
+        col("g1").cast("long").as("g_spend"),
+        col("g2").cast("long").as("g_urgent"),
+        col("g3").cast("long").as("g_high"),
+        col("q"),
+        when(col("q") > 5.99, 1).otherwise(0).as("significant"))
+  }
+
+  /** q_agg_quantile_ci — median with a DISTRIBUTION-FREE confidence
+    * interval per event type: the order-statistic CI (ranks
+    * n/2 ± 1.96·√n/2, the binomial normal approximation) — the
+    * uncertainty readout every p50 dashboard omits; q_agg_bootstrap
+    * resamples for the MEAN's CI, this reads the median's CI straight
+    * from order statistics, no resampling, no distributional
+    * assumption (Conover's classic). Exactness: ranks are
+    * floor/ceil of engine-identical doubles (the ttest_paired floor
+    * rule); the three order statistics are SELECTIONS — min(value
+    * WHERE cum ≥ rank) over the distinct-value grid, zero arithmetic
+    * on the values themselves. Scale: the corpus contracts to the
+    * (type, value) grid first (the weighted_median discipline); the
+    * grid window partitions per type; the three selections ride ONE
+    * conditional aggregate — no per-rank pass. */
+  private val aggQuantileCi: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = grid.groupBy("event_type").agg(sum("c").as("n"))
+      .withColumn("r_med", floor((col("n") + 1) / lit(2.0)).cast("long"))
+      .withColumn("r_lo",
+        greatest(lit(1L), floor(col("n") / lit(2.0) -
+          lit(1.96) * sqrt(col("n").cast("double")) / 2).cast("long")))
+      .withColumn("r_hi",
+        least(col("n"), (ceil(col("n") / lit(2.0) +
+          lit(1.96) * sqrt(col("n").cast("double")) / 2) + 1)
+          .cast("long")))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("cum", sum("c").over(wCum))
+      .join(broadcast(tot), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        min(when(col("cum") >= col("r_lo"), col("v"))).as("ci_lo"),
+        min(when(col("cum") >= col("r_med"), col("v"))).as("p50"),
+        min(when(col("cum") >= col("r_hi"), col("v"))).as("ci_hi"))
+      .select(col("event_type"), col("n"), col("p50"),
+        col("ci_lo"), col("ci_hi"),
+        round(col("ci_hi") - col("ci_lo"), 2).as("ci_width"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_cochran_q" -> aggCochranQ,
+    "q_agg_quantile_ci" -> aggQuantileCi,
+    "q_agg_mcnemar" -> aggMcnemar,
+    "q_agg_wilcoxon" -> aggWilcoxon,
+    "q_agg_rate_ratio" -> aggRateRatio,
     "q_agg_calibration" -> aggCalibration,
     "q_agg_welch_anova" -> aggWelchAnova,
     "q_agg_ttest_paired" -> aggTtestPaired,

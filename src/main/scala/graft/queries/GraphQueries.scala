@@ -762,7 +762,57 @@ object GraphQueries {
       .orderBy("event_type")
   }
 
+  /** q_graph_lpa — deterministic synchronous label propagation (3
+    * rounds) on the %8 co-order part graph: every node starts as its
+    * own label; each round it adopts its neighbors' MOST FREQUENT
+    * label, ties broken by MIN label — the classic near-linear
+    * community detector (Raghavan et al., PRE'07), made
+    * oracle-reproducible by pinning the update to a total order
+    * (count DESC, label ASC) and running rounds SYNCHRONOUSLY.
+    * Complements the graph shelf's existing structure readouts:
+    * components finds CONNECTIVITY (one bridge edge merges two dense
+    * clusters), modularity SCORES a given partition; LPA discovers
+    * density communities. Readout = the 10 largest communities.
+    * Exactness: labels are part keys, votes are integer counts, the
+    * per-round winner is a row_number over a pinned total order —
+    * nothing floats. Scale: contract-first (the GraphQueries
+    * discipline) — the corpus collapses to the distinct edge list
+    * once (localCheckpoint pins it across rounds); each round is one
+    * neighbor join + count + per-node top-1 window (node-partitioned,
+    * Pregel-shaped: cost ∝ edges, rounds fixed at 3); the final
+    * top-10 is a TakeOrdered heap cut, no global sort. */
+  private val graphLpa: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 8 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") &&
+        col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val nbr = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+      .localCheckpoint()
+    val init = nbr.select(col("w").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val wTop = Window.partitionBy("w")
+      .orderBy(col("c").desc, col("lab").asc)
+    val labels = (1 to 3).foldLeft(init) { (lab, _) =>
+      nbr.join(lab.select(col("node").as("x"), col("lab")), "x")
+        .groupBy("w", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("w").as("node"), col("lab"))
+    }
+    labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("lab").asc)
+      .limit(10)
+      .select(col("lab").cast("long").as("community"),
+        col("sz").cast("long").as("n_nodes"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_graph_lpa" -> graphLpa,
     "q_graph_hits" -> graphHits,
     "q_graph_adamic_adar" -> graphAdamicAdar,
     "q_graph_jaccard" -> graphJaccard,

@@ -2393,7 +2393,138 @@ object PipelineQueries {
       .orderBy("arm")
   }
 
+  /** q_evt_switchback — switchback (time-sliced) experiment readout:
+    * the span splits into 6-hour windows, consecutive windows
+    * alternate arms, the outcome is the WINDOW's mean event value,
+    * and inference runs over WINDOW means (the cluster-robust rule:
+    * events inside a window are correlated, so user-level n would
+    * fake precision — n here is #windows). The experiment shelf's
+    * answer to interference: ab_ztest randomizes USERS (assumes no
+    * spillover), CUPED cuts variance, SRM audits assignment; a
+    * switchback randomizes TIME and is the standard design when
+    * treatment leaks across users (pricing, ranking, dispatch — the
+    * DoorDash/Lyft design). Exactness: window sums are decimal, each
+    * window MEAN is one double division rounded to a 4-dp decimal
+    * (gmean term device), so the arm-level power sums fold decimals —
+    * partition-order-immune; Welch t over the two arm grids is one
+    * shared closed form; 1-window arms NULL via try_divide, pinned by
+    * the identical NULLIF. Scale: one corpus contraction to ≤ 4·days
+    * windows; everything after is grid-sized. */
+  private val evtSwitchback: Q = (s, dir) => {
+    val win = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"),
+        floor(hour(col("ts")) / 6).cast("int").as("blk"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("c"))
+      .withColumn("arm",
+        (datediff(col("day"), lit("1970-01-01")) * 4 + col("blk")) % 2)
+      .withColumn("m",
+        round(col("sv").cast("double") / col("c"), 4)
+          .cast("decimal(14,4)"))
+    val arms = win.groupBy("arm")
+      .agg(count(lit(1)).as("nw"), sum("m").as("sm"),
+        sum(col("m") * col("m")).as("sm2"))
+    val one = arms.agg(
+        sum(when(col("arm") === 1, col("nw"))).as("nw_t"),
+        sum(when(col("arm") === 1, col("sm"))).as("sm_t"),
+        sum(when(col("arm") === 1, col("sm2"))).as("sm2_t"),
+        sum(when(col("arm") === 0, col("nw"))).as("nw_c"),
+        sum(when(col("arm") === 0, col("sm"))).as("sm_c"),
+        sum(when(col("arm") === 0, col("sm2"))).as("sm2_c"))
+      .withColumn("mt", col("sm_t").cast("double") / col("nw_t"))
+      .withColumn("mc", col("sm_c").cast("double") / col("nw_c"))
+      .withColumn("vt", try_divide(
+        col("sm2_t").cast("double") - col("nw_t") * col("mt") * col("mt"),
+        (col("nw_t") - 1).cast("double")))
+      .withColumn("vc", try_divide(
+        col("sm2_c").cast("double") - col("nw_c") * col("mc") * col("mc"),
+        (col("nw_c") - 1).cast("double")))
+      .withColumn("se",
+        sqrt(col("vt") / col("nw_t") + col("vc") / col("nw_c")))
+    one.select(
+        col("nw_t").cast("long").as("n_win_t"),
+        col("nw_c").cast("long").as("n_win_c"),
+        round(col("mt"), 4).as("mean_t"),
+        round(col("mc"), 4).as("mean_c"),
+        round(col("mt") - col("mc"), 4).as("diff"),
+        round(col("se"), 4).as("se"),
+        round(try_divide(col("mt") - col("mc"), col("se")), 4)
+          .as("t_stat"),
+        when(abs(round(try_divide(col("mt") - col("mc"), col("se")), 4))
+          > 1.96, 1).otherwise(0).as("significant"))
+  }
+
+  /** q_evt_decay — retention-decay fit: pool the weekly cohort
+    * retention grid (q_evt_retention's shape) into per-offset rates,
+    * restrict to cohorts OBSERVABLE at each offset (a young cohort
+    * can't vote on week 4 — the survivorship bias every naive pooled
+    * curve ships), and fit ln(rate) = a + b·offset by OLS over
+    * offsets ≥ 1 — the exponential-decay summary (weekly decay rate,
+    * half-life) that turns a retention MATRIX into the two numbers a
+    * growth model consumes. Exactness: the grid is integer
+    * (retained/eligible per offset); each ln(rate) rounds to an 8-dp
+    * decimal BEFORE the ≤weeks-sized OLS fold (logloss grid rule);
+    * the OLS slope is one closed form over decimal/integer sums with
+    * ONE try_divide; ln2 is a shared literal, not a libm call at an
+    * engine boundary. Scale: one collect_set pass per user (the
+    * retention shape), then everything is (cohort × offset)
+    * grid-sized. */
+  private val evtDecay: Q = (s, dir) => {
+    val wu = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy("user_id")
+      .agg(collect_set(col("week")).as("weeks"))
+      .select(array_min(col("weeks")).as("cohort"),
+        explode(col("weeks")).as("week"))
+      .select(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("int").as("k"))
+    val grid = wu.groupBy("cohort", "k").agg(count(lit(1)).as("ret"))
+      .localCheckpoint()
+    val sizes = grid.filter(col("k") === 0)
+      .select(col("cohort"), col("ret").as("sz"))
+    val maxOff = grid.groupBy("cohort")
+      .agg(max("k").as("mk"))
+    // eligible cohorts at offset k: those whose span reaches k
+    val span = sizes.join(maxOff, "cohort")
+    val horizon = span.agg(max("mk").as("h"))
+    val offsets = horizon.select(
+      explode(sequence(lit(1), col("h"))).as("k"))
+    val elig = offsets.join(span, col("mk") >= col("k"))
+      .groupBy("k").agg(sum("sz").as("elig"))
+    val pooled = grid.filter(col("k") >= 1)
+      .groupBy("k").agg(sum("ret").as("retained"))
+      .join(elig, "k")
+      .filter(col("retained") > 0)
+      .withColumn("rate",
+        col("retained").cast("double") / col("elig"))
+      .withColumn("lr",
+        round(log(col("rate")), 8).cast("decimal(20,8)"))
+    val fit = pooled.agg(count(lit(1)).as("np"),
+        sum("k").as("sx"), sum(col("k") * col("k")).as("sx2"),
+        sum("lr").as("sy"),
+        sum(col("lr") * col("k")).as("sxy"),
+        min(when(col("k") === 1, col("rate"))).as("r1"))
+      .withColumn("b", try_divide(
+        (col("np") * col("sxy").cast("double") -
+          col("sx") * col("sy").cast("double")),
+        (col("np") * col("sx2") - col("sx") * col("sx"))
+          .cast("double")))
+    val nCoh = sizes.agg(count(lit(1)).as("n_cohorts"))
+    fit.crossJoin(broadcast(nCoh))
+      .select(col("n_cohorts").cast("long").as("n_cohorts"),
+        col("np").cast("long").as("n_points"),
+        round(col("r1"), 4).as("retention_w1"),
+        round(col("b"), 4).as("decay_per_week"),
+        round(try_divide(lit(-0.6931471805599453), col("b")), 2)
+          .as("half_life_weeks"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_decay" -> evtDecay,
+    "q_evt_switchback" -> evtSwitchback,
     "q_evt_srm" -> evtSrm,
     "q_evt_cuped" -> evtCuped,
     "q_evt_disorder" -> evtDisorder,

@@ -2768,7 +2768,83 @@ object TextQueries {
       .orderBy(col("source").asc_nulls_first)
   }
 
+  /** q_vec_mmd — kernel two-sample (MMD²) drift test between
+    * embedding slices via SIGN random features: K=32 Rademacher
+    * projections (±1 weights off a shared Knuth multiplicative hash,
+    * the same integer formula spelled in the oracle's SQL), each
+    * vector contributes sign(wₖ·q) ∈ {−1,0,+1} on 3-dp
+    * floor-quantized components, and MMD² = (1/K)·Σₖ(mean_A(signₖ) −
+    * mean_B(signₖ))² — the angular-kernel mean discrepancy. Runs
+    * BOTH canonical splits in one plan: parity (a null test — halves
+    * of one corpus, expect ≈0) and label<5 (clustered halves, expect
+    * drift). Completes the drift shelf: q_vec_drift compares
+    * per-dimension moment profiles (axis-aligned — misses
+    * distributional shifts that preserve marginals); MMD is a proper
+    * two-sample statistic over the joint (Gretton et al., JMLR'12).
+    * Exactness: quantization (floor ×1000), ±1 dot products, and
+    * signs are INTEGER end-to-end; per-k feature means divide once
+    * and each squared gap rounds to an 8-dp decimal before the 32-row
+    * fold (logloss grid rule); empty sides NULL via try_divide.
+    * Scale: one pass computes all K signs per row; the shuffle
+    * carries (split, k) sign-sums — 64 metadata rows, never vectors;
+    * flag threshold 2·(1/n_A+1/n_B) is twice the statistic's null
+    * expectation ((1/n_A+1/n_B)·Var(sign) ≤ (1/n_A+1/n_B)) — the
+    * parity null sits ~10× under it, the label split ~2× over. */
+  private val vecMmd: Q = (s, dir) => {
+    val nk = 32
+    val weights: Seq[Seq[Long]] = (0 until nk).map { k =>
+      (0 until 64).map { d =>
+        val i = k.toLong * 64 + d
+        if (((i * 2654435761L) % 4294967296L) / 65536 % 2 == 0) 1L
+        else -1L
+      }
+    }
+    val base = Tables.load(s, dir, "embeddings")
+      .withColumn("qv",
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000).cast("long")))
+      .withColumn("sg", array(weights.map { wk =>
+        val dot = aggregate(
+          zip_with(col("qv"), typedLit(wk), (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x)
+        when(dot > 0, 1).when(dot < 0, -1).otherwise(0)
+      }: _*))
+      .select(col("vec_id"), col("label"), col("sg"))
+      // consumed by BOTH splits below — materialize the 32-sign rows
+      // once instead of re-running the HOF tree per branch
+      .localCheckpoint()
+    val splits = base.select(lit("parity").as("split"),
+        (col("vec_id") % 2 === 0).as("grp"), col("sg"))
+      .unionAll(base.select(lit("label").as("split"),
+        (col("label") < 5).as("grp"), col("sg")))
+    val g = splits
+      .select(col("split"), col("grp"),
+        posexplode(col("sg")).as(Seq("k", "sgn")))
+      .groupBy("split", "k")
+      .agg(sum(when(col("grp"), col("sgn"))).as("s1"),
+        count(when(col("grp"), 1)).as("n1"),
+        sum(when(!col("grp"), col("sgn"))).as("s0"),
+        count(when(!col("grp"), 1)).as("n0"))
+    val gap = try_divide(col("s1").cast("double"), col("n1")) -
+      try_divide(col("s0").cast("double"), col("n0"))
+    val terms = g.withColumn("term",
+      round(gap * gap, 8).cast("decimal(20,8)"))
+    terms.groupBy("split")
+      .agg(max("n1").as("na"), max("n0").as("nb"),
+        sum("term").as("st"))
+      .select(col("split"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("st").cast("double") / nk, 6).as("mmd2"),
+        when(round(col("st").cast("double") / nk, 6) >
+          lit(2.0) * (try_divide(lit(1.0), col("na").cast("double")) +
+            try_divide(lit(1.0), col("nb").cast("double"))), 1)
+          .otherwise(0).as("drift_flag"))
+      .orderBy("split")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_vec_mmd" -> vecMmd,
     "q_text_lm_score" -> textLmScore,
     "q_text_dedup_prefix" -> textDedupPrefix,
     "q_text_unicode_audit" -> textUnicodeAudit,

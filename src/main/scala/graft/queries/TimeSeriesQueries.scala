@@ -1231,7 +1231,219 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first, col("d"))
   }
 
+  /** q_ts_kpss — KPSS level-stationarity test per event type: under
+    * H₀ the daily count series is stationary around a level, and
+    * η = Σ S_t² / (n²·σ̂²_lrv) stays small (S_t = partial sums of the
+    * demeaned series, σ̂² the Bartlett long-run variance at lag 4);
+    * η > 0.463 rejects at 5%. The designed COMPLEMENT of
+    * q_ts_dickey_fuller, whose H₀ is a unit root: run both and the
+    * four verdict cells separate "stationary" / "unit root" /
+    * "not enough data to tell" / "contradiction = structural break" —
+    * one test alone cannot make that call (the KPSS paper's own
+    * framing, J.Econometrics '92). Exactness: EVERYTHING up to the
+    * final division is INTEGER — the demeaned value is carried ×n
+    * (y·n − Σy), partial sums and autocovariances stay ×n-scaled, and
+    * the Bartlett weights (1−j/5) clear denominators through a ×5:
+    * η = 5·Σ(S·n)² / (n·(5G₀+8G₁+6G₂+4G₃+2G₄)) with G_j = Σ eₙ·lag_j(eₙ)
+    * — decimal(38) sums, ONE try_divide (σ̂²=0 ⇔ constant series →
+    * NULL on both engines). Scale: one corpus contraction to the
+    * (type, day) grid; per-type windows are grid-sized. */
+  private val tsKpss: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+    val tot = daily.groupBy("event_type")
+      .agg(sum("y").as("sy"), count(lit(1)).as("nn"))
+    // e_t × n as a narrow decimal: |en| ≤ y·n, decimal(16) holds it
+    // to SF ~10⁴; the squares/products below stay inside (38,0)
+    val e = daily.join(broadcast(tot), "event_type")
+      .withColumn("en",
+        (col("y") * col("nn") - col("sy")).cast("decimal(16,0)"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val sn = e.withColumn("snn",
+      sum("en").over(w).cast("decimal(18,0)"))
+    val lagged = (1 to 4).foldLeft(sn)((df, j) =>
+      df.withColumn(s"l$j", lag(col("en"), j).over(w)))
+    val g = lagged.groupBy("event_type")
+      .agg(max("nn").as("n"),
+        sum(col("snn") * col("snn")).as("num"),
+        sum(col("en") * col("en")).as("g0"),
+        sum(col("en") * col("l1")).as("g1"),
+        sum(col("en") * col("l2")).as("g2"),
+        sum(col("en") * col("l3")).as("g3"),
+        sum(col("en") * col("l4")).as("g4"))
+    val d = lit(5) * col("g0") + lit(8) * coalesce(col("g1"), lit(0)) +
+      lit(6) * coalesce(col("g2"), lit(0)) +
+      lit(4) * coalesce(col("g3"), lit(0)) +
+      lit(2) * coalesce(col("g4"), lit(0))
+    g.select(col("event_type"),
+        col("n").cast("long").as("n_days"),
+        round(try_divide((lit(5) * col("num")).cast("double"),
+          (col("n") * d).cast("double")), 4).as("eta"),
+        when(round(try_divide((lit(5) * col("num")).cast("double"),
+          (col("n") * d).cast("double")), 4) > 0.463, 0)
+          .otherwise(1).as("level_stationary"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_croston — Croston's method for INTERMITTENT demand per
+    * event type: the extreme-value days (any event over 240 — the
+    * ~1% tail) form a sparse demand series, and the classic smoother
+    * runs TWO EMAs — one over nonzero demand SIZES, one over the
+    * INTER-DEMAND INTERVALS — with forecast = ẑ/p̂ demand per day.
+    * The smoothing family's missing member for sparse series: on a
+    * mostly-zero series des/holt_winters chase zeros toward a
+    * meaningless sub-unit level, while Croston separates "how much
+    * when it happens" from "how often it happens" (the spare-parts /
+    * incident-volume standard since Croston '72). Exactness: sizes
+    * and intervals are integers; both EMAs are the q_ts_des 8-lag
+    * α=0.5 truncation (exact binary weights, same literal term order
+    * both engines); the interval chain's first row has an EMPTY
+    * window — try_divide/NULLIF pins the NULL identically. Scale:
+    * the tail filter pushes to the scan; one contraction to demand
+    * days; per-type windows are demand-grid-sized. */
+  private val tsCroston: Q = (s, dir) => {
+    val demand = Tables.load(s, dir, "events")
+      .filter(col("value") > 240.0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("z"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    def ema(c: Column): Column = {
+      val lags = (0 to 7).map(i => if (i == 0) c else lag(c, i).over(w))
+      val wts = (0 to 7).map(i => math.pow(0.5, i))
+      val num = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      try_divide(num, den)
+    }
+    val sm = demand
+      .withColumn("p", datediff(col("d"), lag(col("d"), 1).over(w)))
+      .withColumn("zh", ema(col("z").cast("double")))
+      .withColumn("ph", ema(col("p").cast("double")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d").desc)))
+      .filter(col("rn") === 1)
+    val tot = demand.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), min("d").as("d0"), max("d").as("d1"))
+    sm.join(tot, "event_type")
+      .select(col("event_type"),
+        col("nd").cast("long").as("n_demand_days"),
+        col("d").as("last_demand_day"),
+        round(col("zh"), 4).as("z_hat"),
+        round(col("ph"), 4).as("p_hat"),
+        round(col("zh") / col("ph"), 4).as("forecast_per_day"),
+        round(col("nd").cast("double") /
+          (datediff(col("d1"), col("d0")) + 1), 4).as("demand_rate"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_sax — SAX symbolization (PAA + Gaussian-breakpoint
+    * alphabet) of the daily series per type: the observed sequence
+    * splits into 5-day segments, each segment's mean z-normalizes
+    * against the series, and the quartile breakpoints (±0.6745, 0)
+    * map segments to letters a–d — the symbolic sketch under motif
+    * mining, seasonality eyeballing, and cross-series pattern joins
+    * (Lin et al., DMKD'07: compare WORDS, not wiggles — two series
+    * with the same word shape alike at segment resolution). Exactness:
+    * segment means and series mean/sd derive from exact integer/
+    * decimal power sums with shared closed-form double readouts; the
+    * letter CASE compares identical doubles (no rounding needed — no
+    * arithmetic divergence exists to round away); constant series
+    * (sd = 0) pin to 'b' via the identical NULL CASE. Scale: one
+    * corpus contraction to the (type, day) grid; segment windows are
+    * grid-sized and partitioned; the word folds ≤ ⌈days/5⌉ letters
+    * via sort_array(collect_list), deterministic by segment index. */
+  private val tsSax: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("d")))
+      .withColumn("seg", ((col("rn") - 1) / lit(5)).cast("long"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("m", col("sy").cast("double") / col("n"))
+      .withColumn("sd", sqrt(try_divide(
+        col("sy2").cast("double") - col("n") * col("m") * col("m"),
+        (col("n") - 1).cast("double"))))
+    val paa = daily.groupBy("event_type", "seg")
+      .agg(sum("y").as("ssum"), count(lit(1)).as("sc"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", try_divide(
+        col("ssum").cast("double") / col("sc") - col("m"), col("sd")))
+      .withColumn("letter",
+        when(col("z").isNull, "b")
+          .when(col("z") < -0.6745, "a")
+          .when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c")
+          .otherwise("d"))
+    paa.groupBy("event_type")
+      .agg(max("n").cast("long").as("n_days"),
+        count(lit(1)).cast("long").as("n_segments"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("seg"), col("letter")))),
+          x => x.getField("letter")), "").as("sax_word"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_hysteresis — two-threshold alert state machine per type:
+    * RAISE when the daily count exceeds μ+σ, CLEAR only when it falls
+    * back below μ — the debounce every production alert needs (a
+    * single-threshold rule flaps on every noisy re-cross; hysteresis
+    * fires once per genuine excursion). q_evt_anomaly flags DAYS;
+    * this counts EPISODES and their durations, which is what pages
+    * on-call. Exactness: μ and σ from exact integer power sums
+    * (shared closed-form doubles); the state machine is
+    * last(crossing) IGNORE NULLS over the ordered grid — O(1) window
+    * state, pinned identically in both engines; pre-first-crossing
+    * days pin to not-alerting via the same coalesce. Episode runs use
+    * the islands rn-difference device on sequence positions — pure
+    * integer. Scale: one corpus contraction to the grid; all windows
+    * partition per type. */
+  private val tsHysteresis: Q = (s, dir) => {
+    val stats = dailySeries(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("m", col("sy").cast("double") / col("n"))
+      .withColumn("sd", sqrt(try_divide(
+        col("sy2").cast("double") - col("n") * col("m") * col("m"),
+        (col("n") - 1).cast("double"))))
+      .select(col("event_type"), col("m"), col("sd"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val st = dailySeries(s, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("crossing",
+        when(col("y") > col("m") + col("sd"), 1)
+          .when(col("y") < col("m"), 0))
+      .withColumn("alert", coalesce(
+        last(col("crossing"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0)))
+      .withColumn("rn", row_number().over(w))
+    val runs = st.filter(col("alert") === 1)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+    val eps = runs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_episodes"),
+        sum("len").as("n_alert_days"), max("len").as("longest_run"))
+    dailySeries(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+      .join(eps, Seq("event_type"), "left")
+      .select(col("event_type"),
+        col("n_days").cast("long").as("n_days"),
+        coalesce(col("n_alert_days"), lit(0L)).cast("long")
+          .as("n_alert_days"),
+        coalesce(col("n_episodes"), lit(0L)).cast("long")
+          .as("n_episodes"),
+        coalesce(col("longest_run"), lit(0L)).cast("long")
+          .as("longest_run"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_sax" -> tsSax,
+    "q_ts_hysteresis" -> tsHysteresis,
+    "q_ts_kpss" -> tsKpss,
+    "q_ts_croston" -> tsCroston,
     "q_ts_ewma_var" -> tsEwmaVar,
     "q_ts_rolling_ols" -> tsRollingOls,
     "q_ts_theil_sen" -> tsTheilSen,

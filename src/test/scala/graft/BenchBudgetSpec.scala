@@ -563,7 +563,22 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_srm" -> 0.6, "q_evt_cuped" -> 0.7,
     "q_agg_odds_ratio" -> 0.5, "q_text_tok_fertility" -> 0.7,
     "q_text_vocab_coverage" -> 1.0, "q_graph_jaccard" -> 1.2,
-    "q_ts_holt_winters" -> 0.9)
+    "q_ts_holt_winters" -> 0.9,
+    // r16 batch K: paired tests / rate ratio / switchback are one
+    // contraction + closed forms; wilcoxon adds the PrefixSweep grid
+    // rank; kpss/croston grid windows; mmd one HOF pass + checkpoint
+    // (measured 0.09/0.49/0.07/0.18/0.16/0.07/0.73 s medians)
+    "q_agg_mcnemar" -> 0.4, "q_agg_wilcoxon" -> 0.9,
+    "q_agg_rate_ratio" -> 0.4, "q_ts_kpss" -> 0.6,
+    "q_ts_croston" -> 0.6, "q_evt_switchback" -> 0.4,
+    "q_vec_mmd" -> 1.2,
+    // r16 batch L: cochran_q one flag collapse; quantile_ci the
+    // (type, value) grid window; sax/hysteresis grid windows;
+    // lpa pays the co-order edge join + 3 vote rounds (the jaccard
+    // wedge class); decay the retention collect_set pass
+    "q_agg_cochran_q" -> 0.4, "q_agg_quantile_ci" -> 0.8,
+    "q_ts_sax" -> 0.6, "q_ts_hysteresis" -> 0.6,
+    "q_graph_lpa" -> 1.6, "q_evt_decay" -> 0.7)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
