@@ -181,6 +181,743 @@ object OracleSql {
                      THEN 1 ELSE 0 END AS significant
          FROM rr""",
 
+    // Mirrors pipeGraphHealth: one %8 edge contraction, degree/assort
+    // devices, the 3-round LPA leg (q_graph_lpa verbatim), 8-row panel.
+    "q_pipe_graph_health" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 8 = 0),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         nbr AS (
+           SELECT u AS w, v AS x FROM e0
+           UNION ALL
+           SELECT v AS w, u AS x FROM e0),
+         deg AS (SELECT w AS p, count(*) AS degree FROM nbr
+                 GROUP BY 1),
+         sz AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS ne,
+                  CAST(count(*) AS BIGINT) AS nn,
+                  CAST(max(degree) AS BIGINT) AS maxd
+           FROM deg),
+         am AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+                  sum(CAST(dx.degree AS HUGEINT)) AS sx,
+                  sum(CAST(dy.degree AS HUGEINT)) AS sy,
+                  sum(CAST(dx.degree AS HUGEINT)
+                    * CAST(dy.degree AS HUGEINT)) AS sxy,
+                  sum(CAST(dx.degree AS HUGEINT)
+                    * CAST(dx.degree AS HUGEINT)) AS sxx,
+                  sum(CAST(dy.degree AS HUGEINT)
+                    * CAST(dy.degree AS HUGEINT)) AS syy
+           FROM nbr JOIN deg dx ON nbr.w = dx.p
+                    JOIN deg dy ON nbr.x = dy.p),
+         ast AS (
+           SELECT CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                         = 0.0 THEN NULL
+                       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy
+                             AS DOUBLE))), 4)
+                  END AS assort
+           FROM am),
+         l0 AS (SELECT DISTINCT w AS node, w AS lab FROM nbr),
+         c1 AS (
+           SELECT n.w, l.lab, count(*) AS c
+           FROM nbr n JOIN l0 l ON n.x = l.node GROUP BY 1, 2),
+         r1 AS (
+           SELECT w AS node, lab FROM (
+             SELECT w, lab, row_number() OVER (PARTITION BY w
+               ORDER BY c DESC, lab ASC) AS rn
+             FROM c1) WHERE rn = 1),
+         c2 AS (
+           SELECT n.w, l.lab, count(*) AS c
+           FROM nbr n JOIN r1 l ON n.x = l.node GROUP BY 1, 2),
+         r2 AS (
+           SELECT w AS node, lab FROM (
+             SELECT w, lab, row_number() OVER (PARTITION BY w
+               ORDER BY c DESC, lab ASC) AS rn
+             FROM c2) WHERE rn = 1),
+         c3 AS (
+           SELECT n.w, l.lab, count(*) AS c
+           FROM nbr n JOIN r2 l ON n.x = l.node GROUP BY 1, 2),
+         r3 AS (
+           SELECT w AS node, lab FROM (
+             SELECT w, lab, row_number() OVER (PARTITION BY w
+               ORDER BY c DESC, lab ASC) AS rn
+             FROM c3) WHERE rn = 1),
+         comm AS (
+           SELECT CAST(count(*) AS BIGINT) AS ncomm,
+                  CAST(max(szc) AS BIGINT) AS topsz
+           FROM (SELECT lab, count(*) AS szc FROM r3 GROUP BY 1)),
+         one AS (SELECT * FROM sz CROSS JOIN ast CROSS JOIN comm),
+         checks AS (
+           SELECT '1_nodes' AS "check", CAST(nn AS DOUBLE) AS value
+           FROM one
+           UNION ALL
+           SELECT '2_edges', CAST(ne AS DOUBLE) FROM one
+           UNION ALL
+           SELECT '3_density',
+                  round(2.0 * ne / NULLIF(CAST(nn AS DOUBLE)
+                    * (CAST(nn AS DOUBLE) - 1), 0.0), 6)
+           FROM one
+           UNION ALL
+           SELECT '4_avg_degree',
+                  round(2.0 * ne / NULLIF(CAST(nn AS DOUBLE), 0.0), 4)
+           FROM one
+           UNION ALL
+           SELECT '5_max_degree', CAST(maxd AS DOUBLE) FROM one
+           UNION ALL
+           SELECT '6_assortativity', assort FROM one
+           UNION ALL
+           SELECT '7_communities', CAST(ncomm AS DOUBLE) FROM one
+           UNION ALL
+           SELECT '8_top_community_share',
+                  round(CAST(topsz AS DOUBLE)
+                    / NULLIF(CAST(nn AS DOUBLE), 0.0), 4)
+           FROM one)
+         SELECT * FROM checks ORDER BY "check"""",
+    // Mirrors pipeTsProfile: the daily grid feeding coverage, OLS
+    // trend, dow R², the verbatim KPSS device, and the hysteresis
+    // episode count.
+    "q_pipe_ts_profile" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         base AS (
+           SELECT event_type, count(*) AS n, min(d) AS d0,
+                  max(d) AS d1, sum(y) AS sy, sum(y * y) AS sy2
+           FROM daily GROUP BY 1),
+         tx AS (
+           SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01', d)
+                    AS HUGEINT) AS x,
+                  CAST(y AS HUGEINT) AS yv
+           FROM daily),
+         tr AS (
+           SELECT event_type, count(*) AS tn, sum(x) AS tsx,
+                  sum(yv) AS tsy, sum(x * x) AS tsx2,
+                  sum(x * yv) AS tsxy
+           FROM tx GROUP BY 1),
+         tr2 AS (
+           SELECT event_type,
+                  CASE WHEN CAST(tn * tsx2 - tsx * tsx AS DOUBLE)
+                         = 0.0 THEN NULL
+                       ELSE round(CAST(tn * tsxy - tsx * tsy
+                         AS DOUBLE) / CAST(tn * tsx2 - tsx * tsx
+                         AS DOUBLE), 4)
+                  END AS trend_slope
+           FROM tr),
+         dowt AS (
+           SELECT event_type, dayofweek(d) AS dow, sum(y) AS sd,
+                  count(*) AS nd
+           FROM daily GROUP BY 1, 2),
+         dsum AS (
+           SELECT event_type,
+                  sum(CAST(round(CAST(sd * sd AS DOUBLE) / nd, 8)
+                    AS DECIMAL(24,8))) AS ssd
+           FROM dowt GROUP BY 1),
+         dow2 AS (
+           SELECT b.event_type,
+                  round(1.0 - (CAST(sy2 AS DOUBLE)
+                    - CAST(ssd AS DOUBLE))
+                    / NULLIF(CAST(sy2 AS DOUBLE)
+                      - CAST(sy * sy AS DOUBLE) / n, 0.0), 4)
+                    AS dow_r2
+           FROM base b JOIN dsum USING (event_type)),
+         ktot AS (
+           SELECT event_type, sum(y) AS ksy, count(*) AS knn
+           FROM daily GROUP BY 1),
+         ke AS (
+           SELECT daily.event_type, d,
+                  CAST(y * knn - ksy AS HUGEINT) AS en, knn
+           FROM daily JOIN ktot ON daily.event_type = ktot.event_type),
+         ksn AS (
+           SELECT event_type, knn, en,
+                  sum(en) OVER w AS snn,
+                  lag(en, 1) OVER w AS l1,
+                  lag(en, 2) OVER w AS l2,
+                  lag(en, 3) OVER w AS l3,
+                  lag(en, 4) OVER w AS l4
+           FROM ke
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING)),
+         kgg AS (
+           SELECT event_type, max(knn) AS kn,
+                  sum(snn * snn) AS num,
+                  sum(en * en) AS g0,
+                  sum(en * l1) AS g1, sum(en * l2) AS g2,
+                  sum(en * l3) AS g3, sum(en * l4) AS g4
+           FROM ksn GROUP BY 1),
+         kv AS (
+           SELECT event_type,
+                  CASE WHEN CAST(kn * (5 * g0
+                         + 8 * coalesce(g1, 0) + 6 * coalesce(g2, 0)
+                         + 4 * coalesce(g3, 0) + 2 * coalesce(g4, 0))
+                       AS DOUBLE) = 0.0 THEN NULL
+                       ELSE round(CAST(5 * num AS DOUBLE)
+                         / CAST(kn * (5 * g0
+                           + 8 * coalesce(g1, 0) + 6 * coalesce(g2, 0)
+                           + 4 * coalesce(g3, 0) + 2 * coalesce(g4, 0))
+                           AS DOUBLE), 4)
+                  END AS kpss_eta
+           FROM kgg),
+         hstats AS (
+           SELECT event_type,
+                  CAST(sy AS DOUBLE) / n AS m,
+                  CASE WHEN n - 1 = 0 THEN NULL
+                       ELSE sqrt((CAST(sy2 AS DOUBLE)
+                         - n * (CAST(sy AS DOUBLE) / n)
+                             * (CAST(sy AS DOUBLE) / n))
+                         / CAST(n - 1 AS DOUBLE))
+                  END AS sd
+           FROM base),
+         cr AS (
+           SELECT d2.event_type, d2.d,
+                  CASE WHEN y > m + sd THEN 1
+                       WHEN y < m THEN 0 END AS crossing
+           FROM daily d2 JOIN hstats USING (event_type)),
+         al AS (
+           SELECT event_type, d,
+                  coalesce(last_value(crossing IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING), 0) AS alert,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) AS rn
+           FROM cr),
+         runs AS (
+           SELECT event_type,
+                  rn - row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) AS grp
+           FROM al WHERE alert = 1),
+         eps AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_episodes
+           FROM (SELECT event_type, grp, count(*) AS len
+                 FROM runs GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT base.event_type,
+                CAST(n AS BIGINT) AS n_days,
+                round(CAST(n AS DOUBLE)
+                  / (date_diff('day', d0, d1) + 1), 4) AS coverage,
+                trend_slope, dow_r2, kpss_eta,
+                CASE WHEN kpss_eta > 0.463 THEN 0 ELSE 1 END
+                  AS level_stationary,
+                coalesce(n_episodes, 0) AS alert_episodes
+         FROM base
+         JOIN tr2 USING (event_type)
+         JOIN dow2 USING (event_type)
+         JOIN kv USING (event_type)
+         LEFT JOIN eps USING (event_type)
+         ORDER BY base.event_type NULLS FIRST""",
+    // Mirrors pipeAbtest: ONE per-user contraction (conv, pre/post
+    // CUPED legs, errors, active days), then the four checks' proven
+    // closed forms (srm χ², pooled two-prop z, CUPED θ/ρ², Wald RR).
+    "q_pipe_abtest" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+           FROM events WHERE user_id IS NOT NULL),
+         span AS (
+           SELECT min(d) + CAST(floor(date_diff('day', min(d), max(d))
+             / 2) AS INT) AS mid FROM ev),
+         users AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS conv,
+                  count(CASE WHEN d < (SELECT mid FROM span)
+                      THEN 1 END) AS pre,
+                  coalesce(sum(CASE WHEN d >= (SELECT mid FROM span)
+                      AND event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) END),
+                    CAST(0 AS DECIMAL(18,2))) AS post,
+                  count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS ne,
+                  count(DISTINCT d) AS nd,
+                  user_id % 2 AS arm
+           FROM ev GROUP BY user_id),
+         a AS (
+           SELECT CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT)
+                    AS nt,
+                  CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT)
+                    AS nc,
+                  CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT)
+                    AS ct,
+                  CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT)
+                    AS cc,
+                  CAST(sum(CASE WHEN arm = 1 THEN pre END) AS DOUBLE)
+                    AS spt,
+                  CAST(sum(CASE WHEN arm = 0 THEN pre END) AS DOUBLE)
+                    AS spc,
+                  CAST(sum(CASE WHEN arm = 1 THEN post END) AS DOUBLE)
+                    AS sot,
+                  CAST(sum(CASE WHEN arm = 0 THEN post END) AS DOUBLE)
+                    AS soc,
+                  CAST(sum(CASE WHEN arm = 1 THEN ne END) AS BIGINT)
+                    AS ert,
+                  CAST(sum(CASE WHEN arm = 0 THEN ne END) AS BIGINT)
+                    AS erc,
+                  CAST(sum(CASE WHEN arm = 1 THEN nd END) AS BIGINT)
+                    AS pdt,
+                  CAST(sum(CASE WHEN arm = 0 THEN nd END) AS BIGINT)
+                    AS pdc
+           FROM users),
+         pooled AS (
+           SELECT count(*) AS nn,
+                  CAST(sum(pre) AS DOUBLE) AS tsp,
+                  CAST(sum(post) AS DOUBLE) AS tso,
+                  CAST(sum(CAST(pre AS DECIMAL(18,0)) * pre)
+                    AS DOUBLE) AS spp,
+                  CAST(sum(post * post) AS DOUBLE) AS soo,
+                  CAST(sum(CAST(pre AS DECIMAL(19,0)) * post)
+                    AS DOUBLE) AS spo
+           FROM users),
+         p2 AS (
+           SELECT *, tsp / nn AS mp,
+                  (spp - tsp * tsp / nn) / (nn - 1) AS vpre,
+                  (soo - tso * tso / nn) / (nn - 1) AS vpost,
+                  (spo - tsp * tso / nn) / (nn - 1) AS cv2
+           FROM pooled),
+         p3 AS (
+           SELECT *,
+                  CASE WHEN vpre = 0.0 THEN NULL
+                       ELSE cv2 / vpre END AS theta,
+                  CASE WHEN vpre * vpost = 0.0 THEN NULL
+                       ELSE cv2 * cv2 / (vpre * vpost) END AS rho2
+           FROM p2),
+         b AS (SELECT * FROM a CROSS JOIN p3),
+         z AS (
+           SELECT *,
+                  CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS pt,
+                  CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE) AS pc,
+                  CAST(ct + cc AS DOUBLE) / CAST(nt + nc AS DOUBLE)
+                    AS pp
+           FROM b),
+         z2 AS (
+           SELECT *,
+                  (pt - pc) / NULLIF(sqrt(pp * (1.0 - pp)
+                    * (1.0 / CAST(nt AS DOUBLE)
+                       + 1.0 / CAST(nc AS DOUBLE))), 0.0) AS zc,
+                  sot / CAST(nt AS DOUBLE) - theta
+                    * (spt / CAST(nt AS DOUBLE) - mp) AS adj_t,
+                  soc / CAST(nc AS DOUBLE) - theta
+                    * (spc / CAST(nc AS DOUBLE) - mp) AS adj_c,
+                  CASE WHEN ert = 0 OR erc = 0 THEN NULL
+                       ELSE (CAST(ert AS DOUBLE) / pdt)
+                         / (CAST(erc AS DOUBLE) / pdc) END AS rr,
+                  CASE WHEN ert = 0 OR erc = 0 THEN NULL
+                       ELSE 1.96 * sqrt(1.0 / ert + 1.0 / erc)
+                  END AS half
+           FROM z),
+         checks AS (
+           SELECT '1_srm' AS "check",
+                  CAST(nt AS DOUBLE) AS val_t,
+                  CAST(nc AS DOUBLE) AS val_c,
+                  round(CAST((nt - nc) * (nt - nc) AS DOUBLE)
+                    / (nt + nc), 4) AS stat,
+                  CASE WHEN round(CAST((nt - nc) * (nt - nc)
+                    AS DOUBLE) / (nt + nc), 4) > 3.84
+                    THEN 1 ELSE 0 END AS alarm
+           FROM z2
+           UNION ALL
+           SELECT '2_conversion', round(pt, 4), round(pc, 4),
+                  round(zc, 4),
+                  CASE WHEN abs(round(zc, 4)) > 1.96 THEN 1 ELSE 0
+                  END
+           FROM z2
+           UNION ALL
+           SELECT '3_cuped', round(adj_t, 4), round(adj_c, 4),
+                  round(rho2, 4),
+                  CASE WHEN round(rho2, 4) >= 0.005 THEN 1 ELSE 0 END
+           FROM z2
+           UNION ALL
+           SELECT '4_error_guardrail',
+                  round(CAST(ert AS DOUBLE) / pdt * 1000, 4),
+                  round(CAST(erc AS DOUBLE) / pdc * 1000, 4),
+                  round(rr, 6),
+                  CASE WHEN rr IS NULL THEN 0
+                       WHEN round(exp(ln(rr) - half), 6) > 1.0
+                         OR round(exp(ln(rr) + half), 6) < 1.0
+                       THEN 1 ELSE 0 END
+           FROM z2)
+         SELECT * FROM checks ORDER BY "check"""",
+    // Mirrors pipeEmbedQa: one quantize/sign pass, six scorecard
+    // checks off the shared grids (the vec_mmd + dimstats devices).
+    "q_pipe_embed_qa" ->
+      """WITH w AS (
+           SELECT CAST(i // 64 AS INT) AS k, CAST(i % 64 AS INT) AS d,
+                  CASE WHEN (((i * 2654435761) % 4294967296) // 65536)
+                         % 2 = 0
+                       THEN 1 ELSE -1 END AS wt
+           FROM (SELECT unnest(range(2048)) AS i)),
+         q AS (
+           SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nt2 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT qv) AS BIGINT) AS ndist,
+                  CAST(sum(CASE WHEN list_sum(list_transform(qv,
+                      x -> abs(x))) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nz
+           FROM q),
+         e AS (
+           SELECT vec_id, label, unnest(qv) AS qx,
+                  CAST(unnest(range(64)) AS INT) AS d
+           FROM q),
+         dims AS (
+           SELECT d, sum(qx) AS sq, count(*) AS c FROM e GROUP BY 1),
+         bias AS (
+           SELECT max(abs(round(CAST(sq AS DOUBLE) / (c * 1000), 4)))
+             AS bias
+           FROM dims),
+         s AS (
+           SELECT vec_id, label, k, sum(wt * qx) AS dot
+           FROM e JOIN w USING (d) GROUP BY 1, 2, 3),
+         sg AS (
+           SELECT vec_id, label, k,
+                  CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
+                       ELSE 0 END AS sgn
+           FROM s),
+         gp AS (
+           SELECT k,
+                  sum(CASE WHEN vec_id % 2 = 0 THEN sgn END) AS s1,
+                  count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n1,
+                  sum(CASE WHEN NOT vec_id % 2 = 0 THEN sgn END)
+                    AS s0,
+                  count(CASE WHEN NOT vec_id % 2 = 0 THEN 1 END)
+                    AS n0
+           FROM sg GROUP BY 1),
+         tp AS (
+           SELECT max(n1) AS na, max(n0) AS nb,
+                  sum(CAST(round(
+                    (CAST(s1 AS DOUBLE) / NULLIF(n1, 0)
+                     - CAST(s0 AS DOUBLE) / NULLIF(n0, 0))
+                    * (CAST(s1 AS DOUBLE) / NULLIF(n1, 0)
+                       - CAST(s0 AS DOUBLE) / NULLIF(n0, 0)), 8)
+                    AS DECIMAL(20,8))) AS st
+           FROM gp),
+         par AS (
+           SELECT round(CAST(st AS DOUBLE) / 32, 6) AS m_par,
+                  2.0 * (1.0 / NULLIF(CAST(na AS DOUBLE), 0.0)
+                    + 1.0 / NULLIF(CAST(nb AS DOUBLE), 0.0)) AS t_par
+           FROM tp),
+         gl AS (
+           SELECT k,
+                  sum(CASE WHEN label < 5 THEN sgn END) AS s1,
+                  count(CASE WHEN label < 5 THEN 1 END) AS n1,
+                  sum(CASE WHEN NOT label < 5 THEN sgn END) AS s0,
+                  count(CASE WHEN NOT label < 5 THEN 1 END) AS n0
+           FROM sg GROUP BY 1),
+         tl AS (
+           SELECT max(n1) AS na, max(n0) AS nb,
+                  sum(CAST(round(
+                    (CAST(s1 AS DOUBLE) / NULLIF(n1, 0)
+                     - CAST(s0 AS DOUBLE) / NULLIF(n0, 0))
+                    * (CAST(s1 AS DOUBLE) / NULLIF(n1, 0)
+                       - CAST(s0 AS DOUBLE) / NULLIF(n0, 0)), 8)
+                    AS DECIMAL(20,8))) AS st
+           FROM gl),
+         lab AS (
+           SELECT round(CAST(st AS DOUBLE) / 32, 6) AS m_lab,
+                  2.0 * (1.0 / NULLIF(CAST(na AS DOUBLE), 0.0)
+                    + 1.0 / NULLIF(CAST(nb AS DOUBLE), 0.0)) AS t_lab
+           FROM tl),
+         one AS (
+           SELECT * FROM nt2 CROSS JOIN bias CROSS JOIN par
+           CROSS JOIN lab),
+         checks AS (
+           SELECT '1_corpus_size' AS "check",
+                  CAST(n AS DOUBLE) AS value,
+                  CASE WHEN n > 0 THEN 1 ELSE 0 END AS pass
+           FROM one
+           UNION ALL
+           SELECT '2_zero_vectors', CAST(nz AS DOUBLE),
+                  CASE WHEN nz = 0 THEN 1 ELSE 0 END
+           FROM one
+           UNION ALL
+           SELECT '3_exact_dup_rate',
+                  round(CAST(n - ndist AS DOUBLE) / n, 4),
+                  CASE WHEN round(CAST(n - ndist AS DOUBLE) / n, 4)
+                    <= 0.01 THEN 1 ELSE 0 END
+           FROM one
+           UNION ALL
+           SELECT '4_max_dim_bias', bias,
+                  CASE WHEN bias <= 0.1 THEN 1 ELSE 0 END
+           FROM one
+           UNION ALL
+           SELECT '5_null_drift', m_par,
+                  CASE WHEN m_par <= t_par THEN 1 ELSE 0 END
+           FROM one
+           UNION ALL
+           SELECT '6_label_separation', m_lab,
+                  CASE WHEN m_lab > t_lab THEN 1 ELSE 0 END
+           FROM one)
+         SELECT * FROM checks ORDER BY "check"""",
+    // Mirrors aggHolm: the fdr_bh scored grid verbatim, step-down
+    // thresholds α/(m−i+1), first-failure cutoff.
+    "q_agg_holm" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS s2
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         tot AS (
+           SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2,
+                  count(*) AS m
+           FROM g),
+         z AS (
+           SELECT event_type, n, m,
+                  round(
+                    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ts1 - s1 AS DOUBLE)
+                       / CAST(tn - n AS DOUBLE))
+                    / sqrt(
+                        ((CAST(s2 AS DOUBLE)
+                          - CAST(n AS DOUBLE)
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / (CAST(n AS DOUBLE) - 1)) / CAST(n AS DOUBLE)
+                        + ((CAST(ts2 - s2 AS DOUBLE)
+                            - CAST(tn - n AS DOUBLE)
+                              * (CAST(ts1 - s1 AS DOUBLE)
+                                 / CAST(tn - n AS DOUBLE))
+                              * (CAST(ts1 - s1 AS DOUBLE)
+                                 / CAST(tn - n AS DOUBLE)))
+                           / (CAST(tn - n AS DOUBLE) - 1))
+                          / CAST(tn - n AS DOUBLE)), 4) AS z
+           FROM g CROSS JOIN tot),
+         p AS (
+           SELECT event_type, n, m, z,
+                  round(least(exp(-1.0 * z * z / 2.0), 1.0), 8)
+                    AS p_bound
+           FROM z),
+         rk AS (
+           SELECT *,
+                  row_number() OVER (ORDER BY p_bound,
+                    event_type NULLS FIRST) AS rnk
+           FROM p),
+         th AS (
+           SELECT *, round(0.10 / (m - rnk + 1), 8) AS holm_thr
+           FROM rk),
+         cut AS (
+           SELECT min(CASE WHEN p_bound > holm_thr THEN rnk END)
+             AS first_fail
+           FROM th)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                z + 0.0 AS z, p_bound,
+                CAST(rnk AS BIGINT) AS rnk, holm_thr,
+                CASE WHEN first_fail IS NULL OR rnk < first_fail
+                     THEN 1 ELSE 0 END AS discovery
+         FROM th CROSS JOIN cut
+         ORDER BY rnk""",
+    // Mirrors aggDeming: five decimal power sums off one scan, the
+    // λ=1 Deming closed form next to OLS, NULLIF where try_divide
+    // NULLs.
+    "q_agg_deming" ->
+      """WITH l AS (
+           SELECT l_returnflag,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(19,4)) AS y
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sx2, sum(y * y) AS sy2,
+                  sum(x * y) AS sxy
+           FROM l GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, n,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                  (CAST(sx2 AS DOUBLE)
+                   - CAST(n AS DOUBLE)
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1) AS sxx,
+                  (CAST(sy2 AS DOUBLE)
+                   - CAST(n AS DOUBLE)
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1) AS syy,
+                  (CAST(sxy AS DOUBLE)
+                   - CAST(n AS DOUBLE)
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1) AS sxy
+           FROM g),
+         d AS (
+           SELECT *,
+                  (syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+                    + 4.0 * sxy * sxy))
+                    / NULLIF(2.0 * sxy, 0.0) AS dem,
+                  sxy / NULLIF(sxx, 0.0) AS ols
+           FROM m)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(dem, 4) AS deming_slope,
+                round(my - dem * mx, 2) AS deming_intercept,
+                round(ols, 4) AS ols_slope,
+                round(dem - ols, 4) AS dilution_gap
+         FROM d ORDER BY l_returnflag NULLS FIRST""",
+    // Mirrors tsCoint: integer-sum OLS hedge fit, 6-dp decimal
+    // residuals, the three DF sums, consecutive-day pairs via a
+    // day+1 self-join (no window).
+    "q_ts_coint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT x.d, x.y AS x, v.y AS yy
+           FROM (SELECT d, y FROM daily WHERE event_type = 'click') x
+           JOIN (SELECT d, y FROM daily WHERE event_type = 'view') v
+             USING (d)),
+         fit AS (
+           SELECT count(*) AS n, sum(x) AS sx, sum(yy) AS sy,
+                  sum(x * x) AS sx2, sum(x * yy) AS sxy
+           FROM grid),
+         ab AS (
+           SELECT n,
+                  CASE WHEN CAST(n * sx2 - sx * sx AS DOUBLE) = 0.0
+                       THEN NULL
+                       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sx2 - sx * sx AS DOUBLE)
+                  END AS b,
+                  CAST(sy AS DOUBLE) / n AS myy,
+                  CAST(sx AS DOUBLE) / n AS mxx
+           FROM fit),
+         resid AS (
+           SELECT g.d, ab.n,
+                  CAST(round(g.yy - (myy - b * mxx) - b * g.x, 6)
+                    AS DECIMAL(12,6)) AS r
+           FROM grid g CROSS JOIN ab),
+         pairs AS (
+           SELECT a.n, p.r AS rp, a.r - p.r AS dr
+           FROM resid a
+           JOIN (SELECT d + 1 AS d, r FROM resid) p USING (d)),
+         s AS (
+           SELECT max(n) AS n_days, count(*) AS np,
+                  sum(rp * dr) AS ssa, sum(rp * rp) AS ssb,
+                  sum(dr * dr) AS ssc
+           FROM pairs),
+         v AS (
+           SELECT *,
+                  CASE WHEN CAST(ssb AS DOUBLE) = 0.0 THEN NULL
+                       ELSE CAST(ssa AS DOUBLE) / CAST(ssb AS DOUBLE)
+                  END AS phi
+           FROM s),
+         t AS (
+           SELECT *,
+                  CASE WHEN np - 2 = 0 OR CAST(ssb AS DOUBLE) = 0.0
+                         OR phi IS NULL
+                       THEN NULL
+                       ELSE phi / sqrt(
+                         ((CAST(ssc AS DOUBLE)
+                           - phi * CAST(ssa AS DOUBLE)) / (np - 2))
+                         / CAST(ssb AS DOUBLE))
+                  END AS t_df
+           FROM v)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+                CAST(np AS BIGINT) AS n_pairs,
+                (SELECT round(CASE WHEN
+                    CAST(n * sx2 - sx * sx AS DOUBLE) = 0.0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sx2 - sx * sx AS DOUBLE) END, 4)
+                 FROM fit) AS beta,
+                round(phi, 4) AS phi,
+                round(t_df, 4) AS t_df,
+                CASE WHEN round(t_df, 4) < -3.37 THEN 1 ELSE 0 END
+                  AS cointegrated
+         FROM t""",
+    // Mirrors vecHubness: the exact-knn reference slice, 4-dp rounded
+    // cosine with vec_id tie-break, integer in-degree moment sums.
+    "q_vec_hubness" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 256),
+         pairs AS (
+           SELECT a.vec_id AS pid, b.vec_id AS nid,
+                  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         top5 AS (
+           SELECT pid, nid FROM (
+             SELECT pid, nid,
+                    row_number() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, nid) AS rn
+             FROM pairs) WHERE rn <= 5),
+         indeg AS (SELECT nid, count(*) AS c FROM top5 GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_with_in,
+                  CAST(sum(c) AS BIGINT) AS s1,
+                  CAST(sum(c * c) AS BIGINT) AS s2,
+                  CAST(sum(c * c * c) AS BIGINT) AS s3,
+                  CAST(max(c) AS BIGINT) AS mx
+           FROM indeg),
+         v2 AS (
+           SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+           FROM m CROSS JOIN nt),
+         v3 AS (
+           SELECT *,
+                  (CAST(s2 AS DOUBLE)
+                    - CAST(n AS DOUBLE) * mean * mean)
+                    / (CAST(n AS DOUBLE) - 1) AS varr,
+                  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - 3.0 * mean
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    + 2.0 * mean * mean * mean AS m3
+           FROM v2)
+         SELECT n AS n_vectors, CAST(5 AS BIGINT) AS k,
+                mx AS max_indegree,
+                CASE WHEN pow(varr, 1.5) = 0.0 THEN NULL
+                     ELSE round(m3 / pow(varr, 1.5), 4)
+                END AS indeg_skew,
+                round(CAST(n - n_with_in AS DOUBLE)
+                  / CAST(n AS DOUBLE), 4) AS antihub_share
+         FROM v3""",
+    // Mirrors etlLateDim: the %97 missing-dim slice, per-status
+    // census + inferred top-5 (heap-cut order, no window).
+    "q_etl_late_dim" ->
+      """WITH dim AS (
+           SELECT c_custkey AS k FROM customer
+           WHERE c_custkey % 97 <> 0),
+         facts AS (
+           SELECT o.o_custkey,
+                  CASE WHEN d.k IS NOT NULL THEN 'matched'
+                       ELSE 'inferred' END AS status
+           FROM orders o LEFT JOIN dim d ON o.o_custkey = d.k),
+         census AS (
+           SELECT status, CAST(NULL AS BIGINT) AS custkey,
+                  CAST(count(*) AS BIGINT) AS n_facts,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys
+           FROM facts GROUP BY 1),
+         top AS (
+           SELECT 'inferred_top' AS status,
+                  CAST(o_custkey AS BIGINT) AS custkey,
+                  CAST(count(*) AS BIGINT) AS n_facts,
+                  CAST(1 AS BIGINT) AS n_keys
+           FROM facts WHERE status = 'inferred'
+           GROUP BY o_custkey
+           ORDER BY count(*) DESC, o_custkey LIMIT 5)
+         SELECT * FROM census
+         UNION ALL
+         SELECT * FROM top
+         ORDER BY status, n_facts DESC, custkey NULLS FIRST""",
+    // Shared with q_src_csv's readout plus the min/max row-identity
+    // anchor: the gzip round trip must be value-preserving, so the
+    // oracle aggregates the same logical rows from the events parquet.
+    "q_src_csv_gzip" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     // Mirrors aggCochranQ: per-customer 3-rater max-flag collapse,
     // the denominator-cleared integer Q, unanimity → NULL via CASE.
     "q_agg_cochran_q" ->

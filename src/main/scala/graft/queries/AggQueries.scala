@@ -3289,7 +3289,111 @@ object AggQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_agg_holm — Holm step-down multiple-testing correction on the
+    * SAME per-type z/p grid as q_agg_fdr_bh: thresholds α/(m−i+1),
+    * reject while p ≤ threshold, STOP at the first failure — the
+    * family-wise-error-rate companion to BH's FDR (Holm controls "any
+    * false positive at all", the regulatory/launch-gate standard; BH
+    * controls the false-discovery RATE, the dashboard standard —
+    * pipelines need both knobs and they disagree exactly when it
+    * matters, on the marginal discoveries). Exactness: identical
+    * scored grid as fdr_bh (4-dp z, 8-dp Chernoff p-bound, pinned
+    * rank order); the step-down cutoff is min(rank with p > thr) —
+    * integer logic; thresholds round to 8 dp. Scale: one corpus
+    * contraction; everything after is the m-row grid. */
+  private val aggHolm: Q = (s, dir) => {
+    val g = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s1"),
+        sum((col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)"))).as("s2"))
+    val tot = g.agg(sum("n").as("tn"), sum("s1").as("ts1"),
+      sum("s2").as("ts2"), count(lit(1)).as("m"))
+    val nd = col("n").cast("double")
+    val rn = (col("tn") - col("n")).cast("double")
+    val mt = col("s1").cast("double") / nd
+    val mr = (col("ts1") - col("s1")).cast("double") / rn
+    val vt = (col("s2").cast("double") - nd * mt * mt) / (nd - 1)
+    val vrr = ((col("ts2") - col("s2")).cast("double") - rn * mr * mr) /
+      (rn - 1)
+    val z = (mt - mr) / sqrt(vt / nd + vrr / rn)
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("z", round(z, 4))
+      .withColumn("p_bound",
+        round(least(exp(lit(-1.0) * col("z") * col("z") / 2.0),
+          lit(1.0)), 8))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("m")
+          .orderBy(col("p_bound"), col("event_type").asc_nulls_first)))
+      .withColumn("holm_thr",
+        round(lit(0.10) / (col("m") - col("rnk") + 1), 8))
+      .localCheckpoint()
+    val cut = scored
+      .agg(min(when(col("p_bound") > col("holm_thr"), col("rnk")))
+        .as("first_fail"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("z"), col("p_bound"), col("rnk").cast("long").as("rnk"),
+        col("holm_thr"),
+        when(col("first_fail").isNull ||
+          col("rnk") < col("first_fail"), 1).otherwise(0)
+          .as("discovery"))
+      .orderBy("rnk")
+  }
+
+  /** q_agg_deming — Deming (errors-in-both-variables) regression
+    * between TWO MEASUREMENTS of the same line: gross billed price
+    * (x = l_extendedprice) vs net collected price (y = x·(1−disc)),
+    * per return flag — the method-comparison setting (two meters on
+    * one quantity, differing by a noisy factor). OLS of y on x
+    * assumes x is error-free and ATTENUATES toward the x axis when
+    * it isn't (regression dilution — a calibration line fit by OLS
+    * systematically under-corrects); λ=1 Deming treats both axes as
+    * noisy and recovers the symmetric line; the dilution gap is the
+    * readout, and the slope itself reads as the effective net/gross
+    * ratio. Exactness: y is an EXACT 4-dp decimal product of 2-dp
+    * decimals; all five power sums are exact decimals off one scan;
+    * both slopes are shared closed-form doubles; S_xy=0 NULLs via
+    * try_divide/NULLIF. Scale: one two-phase aggregate to the flag
+    * grid. */
+  private val aggDeming: Q = (s, dir) => {
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("x"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("y"))
+    val g = l.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast("double")
+    val mx = col("sx").cast("double") / nd
+    val my = col("sy").cast("double") / nd
+    val sxx = (col("sx2").cast("double") - nd * mx * mx) / (nd - 1)
+    val syy = (col("sy2").cast("double") - nd * my * my) / (nd - 1)
+    val sxy = (col("sxy").cast("double") - nd * mx * my) / (nd - 1)
+    val dem = try_divide(
+      syy - sxx + sqrt((syy - sxx) * (syy - sxx) +
+        lit(4.0) * sxy * sxy),
+      lit(2.0) * sxy)
+    val ols = try_divide(sxy, sxx)
+    g.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(dem, 4).as("deming_slope"),
+        round(my - dem * mx, 2).as("deming_intercept"),
+        round(ols, 4).as("ols_slope"),
+        round(dem - ols, 4).as("dilution_gap"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_holm" -> aggHolm,
+    "q_agg_deming" -> aggDeming,
     "q_agg_cochran_q" -> aggCochranQ,
     "q_agg_quantile_ci" -> aggQuantileCi,
     "q_agg_mcnemar" -> aggMcnemar,

@@ -811,7 +811,104 @@ object GraphQueries {
         col("sz").cast("long").as("n_nodes"))
   }
 
+  /** q_pipe_graph_health — the graph shelf composed as ONE fused
+    * health panel over the %8 co-order part graph (the q_pipe_curate
+    * discipline, fourth shelf): a single edge contraction
+    * (localCheckpointed) feeds every check — size census
+    * (nodes/edges), density and average degree (the "is this graph
+    * even connected enough to analyze" numbers), max degree (the hub
+    * alarm), degree assortativity (q_graph_assortativity's decimal
+    * co-moment device on THIS graph: negative = hub-and-spoke,
+    * positive = core-periphery), and the q_graph_lpa community pass
+    * (3 deterministic rounds) for community count and top-community
+    * share (fragmentation vs one-giant-blob). This is the profile a
+    * graph pipeline prints before committing to expensive downstream
+    * algorithms — every number here changes which algorithm is even
+    * appropriate. Exactness: integer censuses; assortativity's
+    * decimal sums; community labels from the pinned (count DESC,
+    * label ASC) rounds. Scale: ONE edge contraction; degree and LPA
+    * rounds are edge-proportional joins; readout is a fixed 8-row
+    * grid. PipeShowcaseSpec pins the LPA leg bit-equal to
+    * q_graph_lpa. */
+  private val pipeGraphHealth: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") % 8 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") &&
+        col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val nbr = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+      .localCheckpoint()
+    val deg = nbr.groupBy(col("w").as("p"))
+      .agg(count(lit(1)).as("degree"))
+    val sizes = e0.agg(count(lit(1)).as("ne"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("nn"),
+        max("degree").as("maxd"))))
+    val assort = nbr
+      .join(broadcast(deg.select(col("p").as("w"),
+        col("degree").cast("decimal(18,0)").as("dx"))), "w")
+      .join(broadcast(deg.select(col("p").as("x"),
+        col("degree").cast("decimal(18,0)").as("dy"))), "x")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(round(try_divide(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 4).as("assort"))
+    val init = nbr.select(col("w").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val wTop = Window.partitionBy("w")
+      .orderBy(col("c").desc, col("lab").asc)
+    val labels = (1 to 3).foldLeft(init) { (lab, _) =>
+      nbr.join(lab.select(col("node").as("x"), col("lab")), "x")
+        .groupBy("w", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("w").as("node"), col("lab"))
+    }
+    val comm = labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("ncomm"), max("sz").as("topsz"))
+    val one = sizes.crossJoin(broadcast(assort))
+      .crossJoin(broadcast(comm))
+    val nnD = col("nn").cast("double")
+    val rows = one.select(
+      struct(lit("1_nodes").as("check"),
+        col("nn").cast("double").as("value")).as("r1"),
+      struct(lit("2_edges").as("check"),
+        col("ne").cast("double").as("value")).as("r2"),
+      struct(lit("3_density").as("check"),
+        round(try_divide(lit(2.0) * col("ne"),
+          nnD * (nnD - 1)), 6).as("value")).as("r3"),
+      struct(lit("4_avg_degree").as("check"),
+        round(try_divide(lit(2.0) * col("ne"), nnD), 4).as("value"))
+        .as("r4"),
+      struct(lit("5_max_degree").as("check"),
+        col("maxd").cast("double").as("value")).as("r5"),
+      struct(lit("6_assortativity").as("check"),
+        col("assort").as("value")).as("r6"),
+      struct(lit("7_communities").as("check"),
+        col("ncomm").cast("double").as("value")).as("r7"),
+      struct(lit("8_top_community_share").as("check"),
+        round(try_divide(col("topsz").cast("double"), nnD), 4)
+          .as("value")).as("r8"))
+    rows.select(explode(array(col("r1"), col("r2"), col("r3"),
+        col("r4"), col("r5"), col("r6"), col("r7"), col("r8")))
+        .as("r"))
+      .select(col("r.check"), col("r.value"))
+      .orderBy("check")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_pipe_graph_health" -> pipeGraphHealth,
     "q_graph_lpa" -> graphLpa,
     "q_graph_hits" -> graphHits,
     "q_graph_adamic_adar" -> graphAdamicAdar,

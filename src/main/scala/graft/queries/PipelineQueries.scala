@@ -2522,7 +2522,189 @@ object PipelineQueries {
           .as("half_life_weeks"))
   }
 
+  /** q_etl_late_dim — late-arriving-dimension handling (Kimball's
+    * "inferred members"): facts (orders) land before their dimension
+    * row (customers whose c_custkey % 97 = 0 model the
+    * not-yet-replicated slice), and the load must NOT drop or stall
+    * them — it inserts a PLACEHOLDER dim row per missing key, loads
+    * the fact against it, and reports the inferred census for the
+    * backfill job to reconcile. The warehouse-pattern shelf's missing
+    * member: upsert merges keyed rows, scd2 versions attributes,
+    * dim_asof joins time-correctly — THIS closes the referential gap
+    * the moment it appears (q_etl_ri only DETECTS orphans; the
+    * pattern REPAIRS them). Readout: per-status fact/key census +
+    * the top-5 inferred keys by pending fact count (the backfill
+    * priority list). Exactness: pure integer counts and a pinned
+    * (facts DESC, key) top-5. Scale: one broadcast-able dim anti-join
+    * per fact partition; censuses are two-phase aggregates. */
+  private val etlLateDim: Q = (s, dir) => {
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey").as("k"))
+    val facts = Tables.load(s, dir, "orders")
+      .join(dim, col("o_custkey") === col("k"), "left")
+      .withColumn("status",
+        when(col("k").isNotNull, "matched").otherwise("inferred"))
+    val census = facts.groupBy("status")
+      .agg(count(lit(1)).as("n_facts"),
+        countDistinct(col("o_custkey")).as("n_keys"))
+      .select(col("status"),
+        lit(null).cast("long").as("custkey"),
+        col("n_facts").cast("long").as("n_facts"),
+        col("n_keys").cast("long").as("n_keys"))
+    // top-5 backfill priorities ride a TakeOrdered heap cut (sort +
+    // limit), ranked implicitly by the pinned output order — no
+    // unpartitioned window anywhere
+    val top = facts.filter(col("status") === "inferred")
+      .groupBy("o_custkey").agg(count(lit(1)).as("nf"))
+      .orderBy(col("nf").desc, col("o_custkey"))
+      .limit(5)
+      .select(lit("inferred_top").as("status"),
+        col("o_custkey").cast("long").as("custkey"),
+        col("nf").cast("long").as("n_facts"),
+        lit(1L).as("n_keys"))
+    census.unionAll(top)
+      .orderBy(col("status"), col("n_facts").desc,
+        col("custkey").asc_nulls_first)
+  }
+
+  /** q_pipe_abtest — the experimentation battery composed as ONE
+    * fused readout (the q_pipe_curate discipline applied to §2's
+    * experiment shelf): a single per-user contraction over events —
+    * carrying arm, conversion flag, pre/post CUPED legs, error count,
+    * and active-day exposure in the SAME aggregate — feeds four
+    * checks with no intermediate materialization: (1) SRM assignment
+    * health (q_evt_srm's collapsed χ², alarm > 3.84); (2) the
+    * conversion two-proportion z (q_agg_ab_ztest's pooled form,
+    * alarm |z| > 1.96); (3) CUPED variance reduction (q_evt_cuped's
+    * algebraic θ/ρ², "covariate useful" at ρ² ≥ 0.005); (4) the
+    * error-rate ratio guardrail (q_agg_rate_ratio's Wald CI, alarm =
+    * CI excludes 1). This is the report an experiment platform
+    * renders per test: assignment health FIRST (a failed SRM voids
+    * the rest), effect, efficiency, guardrail. Exactness: every
+    * statistic derives from the contraction's integer/decimal sums
+    * via the proven per-op closed forms; output is a uniform 4-row
+    * (check, val_t, val_c, stat, alarm) grid. Scale: ONE corpus
+    * scan + one localCheckpointed user table; everything downstream
+    * is 2-row arm grids. */
+  private val pipeAbtest: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+    val span = ev.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val users = ev.crossJoin(broadcast(span))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 90, 1).otherwise(0)).as("conv"),
+        count(when(col("d") < col("mid"), 1)).as("pre"),
+        coalesce(sum(when(col("d") >= col("mid") &&
+            col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .as("post"),
+        count(when(col("event_type") === "error", 1)).as("ne"),
+        countDistinct(col("d")).as("nd"))
+      .withColumn("arm", col("user_id") % 2)
+      .localCheckpoint()
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("cv"),
+        expr("CAST(sum(pre) AS DOUBLE)").as("sp"),
+        expr("CAST(sum(post) AS DOUBLE)").as("so"),
+        sum("ne").as("er"), sum("nd").as("pd"))
+    val a = arms.agg(
+      sum(when(col("arm") === 1, col("n"))).as("nt"),
+      sum(when(col("arm") === 0, col("n"))).as("nc"),
+      sum(when(col("arm") === 1, col("cv"))).as("ct"),
+      sum(when(col("arm") === 0, col("cv"))).as("cc"),
+      sum(when(col("arm") === 1, col("sp"))).as("spt"),
+      sum(when(col("arm") === 0, col("sp"))).as("spc"),
+      sum(when(col("arm") === 1, col("so"))).as("sot"),
+      sum(when(col("arm") === 0, col("so"))).as("soc"),
+      sum(when(col("arm") === 1, col("er"))).as("ert"),
+      sum(when(col("arm") === 0, col("er"))).as("erc"),
+      sum(when(col("arm") === 1, col("pd"))).as("pdt"),
+      sum(when(col("arm") === 0, col("pd"))).as("pdc"))
+    val pooled = users.agg(count(lit(1)).as("nn"),
+        expr("CAST(sum(pre) AS DOUBLE)").as("tsp"),
+        expr("CAST(sum(post) AS DOUBLE)").as("tso"),
+        expr("CAST(sum(CAST(pre AS DECIMAL(18,0)) * pre) AS DOUBLE)")
+          .as("spp"),
+        expr("CAST(sum(post * post) AS DOUBLE)").as("soo"),
+        expr("CAST(sum(CAST(pre AS DECIMAL(19,0)) * post) AS DOUBLE)")
+          .as("spo"))
+      .withColumn("mp", col("tsp") / col("nn"))
+      .withColumn("vpre",
+        (col("spp") - col("tsp") * col("tsp") / col("nn")) /
+          (col("nn") - 1))
+      .withColumn("vpost",
+        (col("soo") - col("tso") * col("tso") / col("nn")) /
+          (col("nn") - 1))
+      .withColumn("cv2",
+        (col("spo") - col("tsp") * col("tso") / col("nn")) /
+          (col("nn") - 1))
+      .withColumn("theta", try_divide(col("cv2"), col("vpre")))
+      .withColumn("rho2", try_divide(col("cv2") * col("cv2"),
+        col("vpre") * col("vpost")))
+    val base = a.crossJoin(broadcast(pooled
+      .select("mp", "theta", "rho2")))
+    val ntD = col("nt").cast("double"); val ncD = col("nc").cast("double")
+    val pt = col("ct").cast("double") / ntD
+    val pc = col("cc").cast("double") / ncD
+    val pp = (col("ct") + col("cc")).cast("double") /
+      (col("nt") + col("nc")).cast("double")
+    val zConv = try_divide(pt - pc, sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / ntD + lit(1.0) / ncD)))
+    val chi2 = ((col("nt") - col("nc")) * (col("nt") - col("nc")))
+      .cast("double") / (col("nt") + col("nc"))
+    val adjT = col("sot") / ntD -
+      col("theta") * (col("spt") / ntD - col("mp"))
+    val adjC = col("soc") / ncD -
+      col("theta") * (col("spc") / ncD - col("mp"))
+    val rr = (col("ert").cast("double") / col("pdt")) /
+      (col("erc").cast("double") / col("pdc"))
+    val half = lit(1.96) * sqrt(lit(1.0) / col("ert") +
+      lit(1.0) / col("erc"))
+    val rrGuard = col("ert") === 0 || col("erc") === 0
+    val rows = base.select(
+      struct(lit("1_srm").as("check"),
+        ntD.as("val_t"), ncD.as("val_c"),
+        round(chi2, 4).as("stat"),
+        when(round(chi2, 4) > 3.84, 1).otherwise(0).as("alarm"))
+        .as("r1"),
+      struct(lit("2_conversion").as("check"),
+        round(pt, 4).as("val_t"), round(pc, 4).as("val_c"),
+        round(zConv, 4).as("stat"),
+        when(abs(round(zConv, 4)) > 1.96, 1).otherwise(0).as("alarm"))
+        .as("r2"),
+      struct(lit("3_cuped").as("check"),
+        round(adjT, 4).as("val_t"), round(adjC, 4).as("val_c"),
+        round(col("rho2"), 4).as("stat"),
+        when(round(col("rho2"), 4) >= 0.005, 1).otherwise(0)
+          .as("alarm")).as("r3"),
+      struct(lit("4_error_guardrail").as("check"),
+        round(col("ert").cast("double") / col("pdt") * 1000, 4)
+          .as("val_t"),
+        round(col("erc").cast("double") / col("pdc") * 1000, 4)
+          .as("val_c"),
+        when(rrGuard, lit(null)).otherwise(round(rr, 6)).as("stat"),
+        when(rrGuard, 0)
+          .when(round(exp(log(rr) - half), 6) > 1.0 ||
+            round(exp(log(rr) + half), 6) < 1.0, 1)
+          .otherwise(0).as("alarm")).as("r4"))
+    rows.select(explode(array(col("r1"), col("r2"), col("r3"),
+        col("r4"))).as("r"))
+      .select(col("r.check"), col("r.val_t"), col("r.val_c"),
+        col("r.stat"), col("r.alarm"))
+      .orderBy("check")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_pipe_abtest" -> pipeAbtest,
+    "q_etl_late_dim" -> etlLateDim,
     "q_evt_decay" -> evtDecay,
     "q_evt_switchback" -> evtSwitchback,
     "q_evt_srm" -> evtSrm,

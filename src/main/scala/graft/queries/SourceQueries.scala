@@ -502,6 +502,42 @@ object SourceQueries {
     * read-back aggregate adds an exact distinct-user count so the check
     * is not satisfied by row counts alone. O-tier: the oracle aggregates
     * the same logical rows from the events parquet. */
+  /** Gzipped CSV fixture: the same typed columns as [[csvFixture]],
+    * written with the gzip codec — the wire shape of most exported
+    * logs and third-party drops (a `.csv.gz` per part). */
+  private def csvGzipFixture(s: SparkSession, dir: String): String =
+    eventsFixture(s, dir, "csvgz",
+      Seq("event_id", "user_id", "event_type", "value"))(
+      _.write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(_))
+
+  /** q_src_csv_gzip — gzip-compressed CSV ingestion: the q_src_csv
+    * round trip through the codec path (`.csv.gz` parts — the
+    * default shape of exported logs, vendor drops, and archive
+    * buckets). Same schema-pinned read, same logical readout as the
+    * plain-CSV twin plus a row-identity anchor (min/max event_id), so
+    * the oracle checks the DECOMPRESSED rows, not just aggregates
+    * that could survive truncation. The operational point at scale:
+    * gzip parts are NOT SPLITTABLE — one part = one task regardless
+    * of size, so a 10 GB .csv.gz serializes its whole scan on one
+    * core (the q_udtf single-split lesson, baked into a format this
+    * time). The fixture writes session-parallelism-many parts, which
+    * is the mitigation the SCALE note prescribes: many medium gzip
+    * parts, or zstd/bzip2 if re-compression is allowed. */
+  private val srcCsvGzip: Q = (s, dir) => {
+    val path = csvGzipFixture(s, dir)
+    s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE")
+      .option("header", "true").csv(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   private val srcCsv: Q = (s, dir) => {
     val path = csvFixture(s, dir)
     s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
@@ -715,6 +751,7 @@ object SourceQueries {
     "q_src_fixed_width" -> srcFixedWidth,
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
+    "q_src_csv_gzip" -> srcCsvGzip,
     "q_src_corrupt" -> srcCorrupt,
     "q_src_file_meta" -> srcFileMeta,
     "q_src_xml" -> srcXml,

@@ -2843,7 +2843,166 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** q_vec_hubness — hubness audit of the k-NN graph (k=5) over the
+    * vec_id<256 reference slice: the in-degree distribution of "who
+    * appears in whose top-5" — high-dimensional embedding spaces grow
+    * HUBS (points that are everyone's neighbor) and ANTI-HUBS (points
+    * that are nobody's), and hubness skew is the standard symptom
+    * that similarity search, k-NN eval, and dedup thresholds are
+    * degrading (Radovanović et al., JMLR'10). label_knn_acc scores
+    * retrieval QUALITY; this diagnoses the geometry itself. Readout:
+    * max/p99-ish top in-degree, skewness of in-degree (exact integer
+    * moment sums — mean is exactly k), anti-hub share. Exactness: the
+    * neighbor lists reuse TextSim.knnJoin's 4-dp rounded cosine with
+    * vec_id tie-break (deterministic top-5), in-degrees and their
+    * moment sums are integers, the two readout divisions are shared
+    * closed forms. Scale: the exact all-pairs form is CAPPED by
+    * construction at 256 vectors (65k pairs — the bounded-reference
+    * device of the ANN bound oracles); at corpus scale the same
+    * readout runs on the ANN graph's neighbor lists
+    * (TextSim.nnDescentGraph / annCosineLsh) instead of the exact
+    * join — the statistic is downstream of WHICH k-NN graph feeds
+    * it. */
+  private val vecHubness: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 256)
+      .localCheckpoint()
+    val knn = graft.ops.TextSim.knnJoin(emb, emb, 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    val indeg = knn.groupBy("neighbor_id").agg(count(lit(1)).as("c"))
+    val nTot = emb.agg(count(lit(1)).as("n"))
+    val m = indeg.agg(count(lit(1)).as("n_with_in"),
+        sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * col("c") * col("c")).as("s3"),
+        max("c").as("mx"))
+      .crossJoin(broadcast(nTot))
+    // moments over ALL n vectors (absent rows are in-degree 0): the
+    // zero rows contribute nothing to the sums, only to n
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val varr = (col("s2").cast("double") - nd * mean * mean) / (nd - 1)
+    val m3 = col("s3").cast("double") / nd -
+      lit(3.0) * mean * (col("s2").cast("double") / nd) +
+      lit(2.0) * mean * mean * mean
+    m.select(col("n").cast("long").as("n_vectors"),
+        lit(5L).as("k"),
+        col("mx").cast("long").as("max_indegree"),
+        round(try_divide(m3, pow(varr, 1.5)), 4).as("indeg_skew"),
+        round((col("n") - col("n_with_in")).cast("double") / col("n"),
+          4).as("antihub_share"))
+  }
+
+  /** q_pipe_embed_qa — the embedding-QA battery composed as ONE
+    * fused scorecard (the q_pipe_curate discipline applied to the
+    * vector shelf): a single pass over `embeddings` computes, per
+    * vector, the 3-dp floor quantization, the norm flag, and the
+    * q_vec_mmd sign features — then six checks read that ONE
+    * localCheckpointed table: (1) corpus size; (2) zero-vector count
+    * (failed encodes — q_vec_normalize's degenerate rows); (3)
+    * exact-duplicate rate on the quantized vectors (q_vec_cosine_dedup's
+    * verbatim tier); (4) worst per-dimension mean bias (q_vec_dimstats'
+    * centering check); (5) parity-split MMD as the null drift test
+    * and (6) label-split MMD as the class-separation test (both
+    * q_vec_mmd's statistic and threshold). This is the pre-flight an
+    * embedding pipeline runs before indexing a new batch: broken
+    * encodes, collapsed batches, mean shift, and lost class structure
+    * each fire a distinct row. Exactness: quantization/signs/dots are
+    * integer end-to-end; dim means and MMD terms follow the proven
+    * per-op decimal devices; output is a uniform 6-row (check, value,
+    * pass) grid. Scale: ONE vector scan; the dim grid is 64 rows, the
+    * sign grid 64 (split, k) rows, the dup census a quantized-key
+    * two-phase count. */
+  private val pipeEmbedQa: Q = (s, dir) => {
+    val nk = 32
+    val weights: Seq[Seq[Long]] = (0 until nk).map { k =>
+      (0 until 64).map { d =>
+        val i = k.toLong * 64 + d
+        if (((i * 2654435761L) % 4294967296L) / 65536 % 2 == 0) 1L
+        else -1L
+      }
+    }
+    val base = Tables.load(s, dir, "embeddings")
+      .withColumn("qv",
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000).cast("long")))
+      .withColumn("isZero",
+        when(aggregate(col("qv"), lit(0L),
+          (acc, x) => acc + abs(x)) === 0, 1).otherwise(0))
+      .withColumn("sg", array(weights.map { wk =>
+        val dot = aggregate(
+          zip_with(col("qv"), typedLit(wk), (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x)
+        when(dot > 0, 1).when(dot < 0, -1).otherwise(0)
+      }: _*))
+      .select(col("vec_id"), col("label"), col("qv"), col("isZero"),
+        col("sg"))
+      .localCheckpoint()
+    val nTot = base.agg(count(lit(1)).as("n"),
+      sum("isZero").as("nz"),
+      countDistinct(col("qv")).as("ndist"))
+    val dimBias = base
+      .select(posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("dim").agg(sum("q").as("sq"), count(lit(1)).as("c"))
+      .agg(max(abs(round(col("sq").cast("double") /
+        (col("c") * 1000), 4))).as("bias"))
+    def mmdLeg(grpCol: org.apache.spark.sql.Column) = {
+      val g = base
+        .select(grpCol.as("grp"),
+          posexplode(col("sg")).as(Seq("k", "sgn")))
+        .groupBy("k")
+        .agg(sum(when(col("grp"), col("sgn"))).as("s1"),
+          count(when(col("grp"), 1)).as("n1"),
+          sum(when(!col("grp"), col("sgn"))).as("s0"),
+          count(when(!col("grp"), 1)).as("n0"))
+      val gap = try_divide(col("s1").cast("double"), col("n1")) -
+        try_divide(col("s0").cast("double"), col("n0"))
+      g.withColumn("term", round(gap * gap, 8).cast("decimal(20,8)"))
+        .agg(max("n1").as("na"), max("n0").as("nb"),
+          round(sum("term").cast("double") / nk, 6).as("mmd2"))
+        .withColumn("thr", lit(2.0) *
+          (try_divide(lit(1.0), col("na").cast("double")) +
+            try_divide(lit(1.0), col("nb").cast("double"))))
+    }
+    val par = mmdLeg(col("vec_id") % 2 === 0)
+    val lab = mmdLeg(col("label") < 5)
+    val one = nTot.crossJoin(broadcast(dimBias))
+      .crossJoin(broadcast(par.select(col("mmd2").as("m_par"),
+        col("thr").as("t_par"))))
+      .crossJoin(broadcast(lab.select(col("mmd2").as("m_lab"),
+        col("thr").as("t_lab"))))
+    val dupRate = round((col("n") - col("ndist")).cast("double") /
+      col("n"), 4)
+    val rows = one.select(
+      struct(lit("1_corpus_size").as("check"),
+        col("n").cast("double").as("value"),
+        when(col("n") > 0, 1).otherwise(0).as("pass")).as("r1"),
+      struct(lit("2_zero_vectors").as("check"),
+        col("nz").cast("double").as("value"),
+        when(col("nz") === 0, 1).otherwise(0).as("pass")).as("r2"),
+      struct(lit("3_exact_dup_rate").as("check"),
+        dupRate.as("value"),
+        when(dupRate <= 0.01, 1).otherwise(0).as("pass")).as("r3"),
+      struct(lit("4_max_dim_bias").as("check"),
+        col("bias").as("value"),
+        when(col("bias") <= 0.1, 1).otherwise(0).as("pass")).as("r4"),
+      struct(lit("5_null_drift").as("check"),
+        col("m_par").as("value"),
+        when(col("m_par") <= col("t_par"), 1).otherwise(0).as("pass"))
+        .as("r5"),
+      struct(lit("6_label_separation").as("check"),
+        col("m_lab").as("value"),
+        when(col("m_lab") > col("t_lab"), 1).otherwise(0).as("pass"))
+        .as("r6"))
+    rows.select(explode(array(col("r1"), col("r2"), col("r3"),
+        col("r4"), col("r5"), col("r6"))).as("r"))
+      .select(col("r.check"), col("r.value"), col("r.pass"))
+      .orderBy("check")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_pipe_embed_qa" -> pipeEmbedQa,
+    "q_vec_hubness" -> vecHubness,
     "q_vec_mmd" -> vecMmd,
     "q_text_lm_score" -> textLmScore,
     "q_text_dedup_prefix" -> textDedupPrefix,

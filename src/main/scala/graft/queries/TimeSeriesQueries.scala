@@ -1439,7 +1439,197 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_coint — Engle–Granger cointegration test between the click
+    * and view daily-count series: OLS hedge ratio view = a + b·click
+    * over the day grid, then a Dickey–Fuller regression (no constant)
+    * on the RESIDUAL — φ̂ = Σr₋₁Δr/Σr₋₁², t = φ̂/se, cointegrated if
+    * t < −3.37 (EG 5%). Two trending series can both be
+    * nonstationary (q_ts_kpss/dickey_fuller per-series verdicts) yet
+    * move TOGETHER — cointegration is the pairs-trading /
+    * metric-coupling test that correlation can't answer (correlation
+    * of trending series is spuriously ~1). Exactness: the OLS fit is
+    * a closed form over INTEGER sums; residuals are shared doubles
+    * rounded to 6-dp decimals, so Δr/r₋₁ products are exact decimals
+    * and the three DF sums are partition-order-immune; consecutive-day
+    * pairs come from a self-JOIN on day+1 (no window at all); two
+    * try_divides guard degenerate grids. Scale: one corpus
+    * contraction to the day grid; everything after is grid-sized. */
+  private val tsCoint: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("d"), col("y").as("x"))
+    val yv = daily.filter(col("event_type") === "view")
+      .select(col("d"), col("y").as("yy"))
+    val grid = x.join(yv, "d").localCheckpoint()
+    // decimal(16) counts: x·x products stay inside precision 38 to
+    // SF ~10⁴ (the kpss width discipline) where long sums overflow
+    val xd = col("x").cast("decimal(16,0)")
+    val yd = col("yy").cast("decimal(16,0)")
+    val fit = grid.agg(count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * xd).as("sx2"),
+        sum(xd * yd).as("sxy"))
+      .withColumn("b", try_divide(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")))
+      .withColumn("a",
+        col("sy").cast("double") / col("n") -
+          col("b") * (col("sx").cast("double") / col("n")))
+    val resid = grid.crossJoin(broadcast(fit.select("n", "a", "b")))
+      .select(col("d"), col("n"),
+        // decimal(12,6): |r| is bounded by the daily counts, and the
+        // narrow width keeps the rp·dr products inside precision 38
+        // (§7.5.16)
+        round(col("yy") - col("a") - col("b") * col("x"), 6)
+          .cast("decimal(12,6)").as("r"))
+    val prev = resid.select(date_add(col("d"), 1).as("d"),
+      col("r").as("rp"))
+    val pairs = resid.join(prev, "d")
+      .select(col("n"), col("rp"), (col("r") - col("rp")).as("dr"))
+    pairs.agg(max("n").as("n_days"), count(lit(1)).as("np"),
+        sum(col("rp") * col("dr")).as("ssa"),
+        sum(col("rp") * col("rp")).as("ssb"),
+        sum(col("dr") * col("dr")).as("ssc"))
+      .withColumn("phi", try_divide(col("ssa").cast("double"),
+        col("ssb").cast("double")))
+      .withColumn("rss",
+        col("ssc").cast("double") - col("phi") *
+          col("ssa").cast("double"))
+      .withColumn("t_df", try_divide(col("phi"),
+        sqrt(try_divide(
+          try_divide(col("rss"), (col("np") - 2).cast("double")),
+          col("ssb").cast("double")))))
+      .crossJoin(broadcast(fit.select(round(col("b"), 4).as("beta"))))
+      .select(col("n_days").cast("long").as("n_days"),
+        col("np").cast("long").as("n_pairs"),
+        col("beta"),
+        round(col("phi"), 4).as("phi"),
+        round(col("t_df"), 4).as("t_df"),
+        when(round(col("t_df"), 4) < -3.37, 1).otherwise(0)
+          .as("cointegrated"))
+  }
+
+  /** q_pipe_ts_profile — the time-series shelf composed as ONE fused
+    * per-type profile (the q_pipe_curate discipline, fifth shelf):
+    * a single corpus contraction to the (type, day) grid
+    * (localCheckpointed) feeds every column — calendar coverage
+    * (q_ts_islands' simple form), the per-day OLS trend slope
+    * (q_agg_regression's integer-sum closed form), day-of-week
+    * seasonality R² (how much of the variance the weekly cycle
+    * explains — the "should I even deseasonalize" number), the KPSS
+    * stationarity verdict (q_ts_kpss's ×n-carried integer statistic,
+    * verbatim), and the hysteresis alert-episode count
+    * (q_ts_hysteresis's state machine, verbatim). This is the
+    * per-metric triage panel an observability pipeline renders:
+    * trending? weekly-cycled? stationary? how often did it page?
+    * Exactness: every column is a proven per-op device over the same
+    * integer grid; the dow R² folds 8-dp pre-rounded decimal terms
+    * over the 7-row dow grid (grid rule). Scale: ONE corpus scan;
+    * all windows partition per type; output is types-sized.
+    * PipeShowcaseSpec pins the KPSS and episode columns bit-equal to
+    * the standalone ops. */
+  private val pipeTsProfile: Q = (s, dir) => {
+    val daily = dailySeries(s, dir).localCheckpoint()
+    val base = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("d").as("d0"), max("d").as("d1"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("sy2"))
+    // trend: per-day OLS slope over (epoch-day, y) — decimal sums
+    val xd = datediff(col("d"), lit("1970-01-01")).cast("decimal(16,0)")
+    val yd = col("y").cast("decimal(16,0)")
+    val tr = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("tn"), sum(xd).as("tsx"), sum(yd).as("tsy"),
+        sum(xd * xd).as("tsx2"), sum(xd * yd).as("tsxy"))
+      .select(col("event_type"), round(try_divide(
+        (col("tn") * col("tsxy") - col("tsx") * col("tsy"))
+          .cast("double"),
+        (col("tn") * col("tsx2") - col("tsx") * col("tsx"))
+          .cast("double")), 4).as("trend_slope"))
+    // dow seasonality R²: 1 − SSw/SST from integer sums; the per-dow
+    // terms pre-round to 8-dp decimals before the 7-row fold
+    val dowTerms = daily
+      .withColumn("dow", dayofweek(col("d")))
+      .groupBy("event_type", "dow")
+      .agg(sum("y").as("sd"), count(lit(1)).as("nd"))
+      .withColumn("term",
+        round((col("sd").cast("decimal(22,0)") * col("sd"))
+          .cast("double") / col("nd"), 8)
+          .cast("decimal(24,8)"))
+      .groupBy("event_type").agg(sum("term").as("ssd"))
+    val dow = base.join(dowTerms, "event_type")
+      .select(col("event_type"), round(lit(1.0) - try_divide(
+        col("sy2").cast("double") - col("ssd").cast("double"),
+        col("sy2").cast("double") -
+          (col("sy").cast("decimal(22,0)") * col("sy")).cast("double")
+            / col("n")), 4)
+        .as("dow_r2"))
+    // KPSS verbatim (q_ts_kpss's ×n-carried integer device)
+    val tot = daily.groupBy("event_type")
+      .agg(sum("y").as("ksy"), count(lit(1)).as("knn"))
+    val e = daily.join(broadcast(tot), "event_type")
+      .withColumn("en",
+        (col("y") * col("knn") - col("ksy")).cast("decimal(16,0)"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val sn = e.withColumn("snn",
+      sum("en").over(w).cast("decimal(18,0)"))
+    val lagged = (1 to 4).foldLeft(sn)((df, j) =>
+      df.withColumn(s"l$j", lag(col("en"), j).over(w)))
+    val kg = lagged.groupBy("event_type")
+      .agg(max("knn").as("kn"),
+        sum(col("snn") * col("snn")).as("num"),
+        sum(col("en") * col("en")).as("g0"),
+        sum(col("en") * col("l1")).as("g1"),
+        sum(col("en") * col("l2")).as("g2"),
+        sum(col("en") * col("l3")).as("g3"),
+        sum(col("en") * col("l4")).as("g4"))
+    val dk = lit(5) * col("g0") + lit(8) * coalesce(col("g1"), lit(0)) +
+      lit(6) * coalesce(col("g2"), lit(0)) +
+      lit(4) * coalesce(col("g3"), lit(0)) +
+      lit(2) * coalesce(col("g4"), lit(0))
+    val kpss = kg.select(col("event_type"),
+      round(try_divide((lit(5) * col("num")).cast("double"),
+        (col("kn") * dk).cast("double")), 4).as("kpss_eta"),
+      when(round(try_divide((lit(5) * col("num")).cast("double"),
+        (col("kn") * dk).cast("double")), 4) > 0.463, 0)
+        .otherwise(1).as("level_stationary"))
+    // hysteresis verbatim → episode count
+    val hstats = base.select(col("event_type"),
+      (col("sy").cast("double") / col("n")).as("m"),
+      sqrt(try_divide(
+        col("sy2").cast("double") - col("n") *
+          (col("sy").cast("double") / col("n")) *
+          (col("sy").cast("double") / col("n")),
+        (col("n") - 1).cast("double"))).as("sd"))
+    val st = daily.join(broadcast(hstats), "event_type")
+      .withColumn("crossing",
+        when(col("y") > col("m") + col("sd"), 1)
+          .when(col("y") < col("m"), 0))
+      .withColumn("alert", coalesce(
+        last(col("crossing"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0)))
+      .withColumn("rn", row_number().over(w))
+    val eps = st.filter(col("alert") === 1)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_episodes"))
+    base.select(col("event_type"),
+        col("n").cast("long").as("n_days"),
+        round(col("n").cast("double") /
+          (datediff(col("d1"), col("d0")) + 1), 4).as("coverage"))
+      .join(tr, "event_type")
+      .join(dow, "event_type")
+      .join(kpss, "event_type")
+      .join(eps, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("coverage"),
+        col("trend_slope"), col("dow_r2"), col("kpss_eta"),
+        col("level_stationary"),
+        coalesce(col("n_episodes"), lit(0L)).cast("long")
+          .as("alert_episodes"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_pipe_ts_profile" -> pipeTsProfile,
+    "q_ts_coint" -> tsCoint,
     "q_ts_sax" -> tsSax,
     "q_ts_hysteresis" -> tsHysteresis,
     "q_ts_kpss" -> tsKpss,

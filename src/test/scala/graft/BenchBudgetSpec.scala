@@ -578,7 +578,20 @@ class BenchBudgetSpec extends AnyFunSuite {
     // wedge class); decay the retention collect_set pass
     "q_agg_cochran_q" -> 0.4, "q_agg_quantile_ci" -> 0.8,
     "q_ts_sax" -> 0.6, "q_ts_hysteresis" -> 0.6,
-    "q_graph_lpa" -> 1.6, "q_evt_decay" -> 0.7)
+    "q_graph_lpa" -> 1.6, "q_evt_decay" -> 0.7,
+    // r16 batch M: holm shares fdr_bh's grid cost; deming one
+    // decimal-moment scan; coint two grid joins; hubness the capped
+    // 256-vector BNL knn; late_dim one dim join + censuses; csv_gzip
+    // the codec round trip (write amortized by the fixture cache)
+    "q_agg_holm" -> 0.7, "q_agg_deming" -> 0.7,
+    "q_ts_coint" -> 0.7, "q_vec_hubness" -> 1.0,
+    "q_etl_late_dim" -> 0.6, "q_src_csv_gzip" -> 0.8,
+    // r16 batch N showcases: abtest one user contraction + 2-row
+    // grids; embed_qa one vector HOF pass + 64-row grids
+    "q_pipe_abtest" -> 0.9, "q_pipe_embed_qa" -> 1.2,
+    // r16 batch O showcases: graph_health pays the edge contraction
+    // + LPA rounds (the lpa class); ts_profile the daily-grid legs
+    "q_pipe_graph_health" -> 2.2, "q_pipe_ts_profile" -> 1.0)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
