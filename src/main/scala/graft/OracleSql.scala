@@ -30,6 +30,20 @@ object OracleSql {
     s"$num\n             / $den"
   }
 
+  /** The q_ts_des chain at an arbitrary decay (1−α): q_win_ema_cross
+    * runs it at 0.5 (fast) and 0.75 (slow) — both exact binary
+    * weight families, same literal term order as Spark. */
+  private def emaChainDecay(v: String, decay: Double): String = {
+    def lagged(i: Int) = if (i == 0) v else s"lag($v, $i) OVER w"
+    val num = (0 to 7).map { i =>
+      s"CASE WHEN ${lagged(i)} IS NOT NULL THEN ${lagged(i)} * ${math.pow(decay, i)} ELSE 0.0 END"
+    }.mkString("(", "\n              + ", ")")
+    val den = (0 to 7).map { i =>
+      s"CASE WHEN ${lagged(i)} IS NOT NULL THEN ${math.pow(decay, i)} ELSE 0.0 END"
+    }.mkString("(", "\n              + ", ")")
+    s"$num\n             / $den"
+  }
+
   /** The same chain with a NULLIF-guarded denominator — for series
     * whose CURRENT value can be NULL (q_ts_croston's interval chain:
     * the first demand day has no predecessor, so the whole 8-lag
@@ -181,6 +195,427 @@ object OracleSql {
                      THEN 1 ELSE 0 END AS significant
          FROM rr""",
 
+    // Mirrors winEmaCross: the two decay chains (0.5 fast, 0.75
+    // slow) in the same literal term order, crossing census,
+    // arg_max last state, epoch sentinel for never-crossed types.
+    "q_win_ema_cross" -> s"""
+         WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         em AS (
+           SELECT event_type, d,
+                  ${emaChainDecay("CAST(y AS DOUBLE)", 0.5)} AS fast,
+                  ${emaChainDecay("CAST(y AS DOUBLE)", 0.75)} AS slow
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         st AS (
+           SELECT event_type, d,
+                  CASE WHEN fast > slow THEN 1 ELSE 0 END AS state
+           FROM em),
+         cr AS (
+           SELECT event_type, d, state,
+                  lag(state, 1) OVER (PARTITION BY event_type
+                    ORDER BY d) AS prev
+           FROM st),
+         c2 AS (
+           SELECT event_type, d, state,
+                  (prev IS NOT NULL AND prev <> state) AS crossed
+           FROM cr)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(count(CASE WHEN crossed THEN 1 END) AS BIGINT)
+                  AS n_crossings,
+                coalesce(max(CASE WHEN crossed THEN d END),
+                  DATE '1970-01-01') AS last_cross_day,
+                CAST(arg_max(state, d) AS INT) AS fast_above,
+                round(CAST(sum(state) AS DOUBLE) / count(*), 4)
+                  AS share_days_above
+         FROM c2 GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
+    // Mirrors tsHurst: ×m-carried cumulative deviations (integer),
+    // per-block R/S with HUGEINT variance terms, 8-dp decimal R/S
+    // and ln legs before their grid folds, 3-point OLS for H.
+    "q_ts_hurst" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         rn AS (
+           SELECT event_type, d, y,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY d) AS rn
+           FROM daily),
+         ms AS (
+           SELECT r.*, m, (rn - 1) // m AS blk
+           FROM rn r CROSS JOIN
+             (SELECT CAST(unnest([5, 10, 15]) AS INT) AS m)),
+         blocks AS (
+           SELECT event_type, m, blk, count(*) AS bn,
+                  sum(y) AS bs, sum(y * y) AS bs2
+           FROM ms GROUP BY 1, 2, 3),
+         fb AS (SELECT * FROM blocks WHERE bn = m),
+         wb AS (
+           SELECT ms.event_type, ms.m, ms.blk, ms.d,
+                  ms.y * ms.m - fb.bs AS devm, fb.bs, fb.bs2
+           FROM ms JOIN fb USING (event_type, m, blk)),
+         cums AS (
+           SELECT event_type, m, blk, bs, bs2,
+                  sum(devm) OVER (PARTITION BY event_type, m, blk
+                    ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+           FROM wb),
+         rstats AS (
+           SELECT event_type, m, blk, max(cum) AS cmax,
+                  min(cum) AS cmin, max(bs) AS tbs, max(bs2) AS tbs2
+           FROM cums GROUP BY 1, 2, 3),
+         rs AS (
+           SELECT event_type, m,
+                  CAST(round(
+                    CAST(cmax - cmin AS DOUBLE)
+                    / NULLIF(sqrt(CAST(CAST(m AS HUGEINT) * tbs2
+                        - CAST(tbs AS HUGEINT) * tbs AS DOUBLE)),
+                      0.0), 8) AS DECIMAL(20,8)) AS rs8
+           FROM rstats),
+         perm AS (
+           SELECT event_type, m, sum(rs8) AS srs,
+                  count(CASE WHEN rs8 IS NOT NULL THEN 1 END) AS nb
+           FROM rs GROUP BY 1, 2),
+         pm2 AS (
+           SELECT event_type, m,
+                  CAST(srs AS DOUBLE)
+                    / NULLIF(CAST(nb AS DOUBLE), 0.0) AS mean_rs
+           FROM perm),
+         pm3 AS (
+           SELECT event_type, m, mean_rs,
+                  CAST(round(ln(CAST(m AS DOUBLE)), 8)
+                    AS DECIMAL(20,8)) AS lx,
+                  CASE WHEN mean_rs > 0.0
+                       THEN CAST(round(ln(mean_rs), 8)
+                         AS DECIMAL(20,8))
+                  END AS ly
+           FROM pm2),
+         fit AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+                  sum(lx) AS fx, sum(ly) AS fy,
+                  sum(lx * lx) AS fx2, sum(lx * ly) AS fxy
+           FROM pm3 WHERE ly IS NOT NULL GROUP BY 1),
+         h AS (
+           SELECT event_type, np,
+                  round(
+                    (np * CAST(fxy AS DOUBLE)
+                     - CAST(fx AS DOUBLE) * CAST(fy AS DOUBLE))
+                    / NULLIF(np * CAST(fx2 AS DOUBLE)
+                      - CAST(fx AS DOUBLE) * CAST(fx AS DOUBLE),
+                      0.0), 4) AS h
+           FROM fit),
+         wide AS (
+           SELECT event_type,
+                  min(CASE WHEN m = 5 THEN round(mean_rs, 4) END)
+                    AS rs_m5,
+                  min(CASE WHEN m = 10 THEN round(mean_rs, 4) END)
+                    AS rs_m10,
+                  min(CASE WHEN m = 15 THEN round(mean_rs, 4) END)
+                    AS rs_m15
+           FROM pm3 GROUP BY 1)
+         SELECT h.event_type, np AS n_scales, rs_m5, rs_m10, rs_m15,
+                h,
+                CASE WHEN h > 0.6 THEN 'persistent'
+                     WHEN h < 0.4 THEN 'mean_reverting'
+                     ELSE 'random_walk' END AS regime
+         FROM h JOIN wide USING (event_type)
+         ORDER BY h.event_type NULLS FIRST""",
+    // Mirrors aggHoeffding: decimal power sums, shared ln(2/α)
+    // literal, closed-form widths.
+    "q_agg_hoeffding" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS s2
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         v AS (
+           SELECT event_type, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                  sqrt((CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1)) AS sd,
+                  600.0 * sqrt(3.6888794541139363
+                    / (2.0 * CAST(n AS DOUBLE))) AS hh
+           FROM g),
+         v2 AS (
+           SELECT *, 1.96 * sd / sqrt(CAST(n AS DOUBLE)) AS ch
+           FROM v)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                round(m, 4) AS mean,
+                round(m - hh, 4) AS hoeff_lo,
+                round(m + hh, 4) AS hoeff_hi,
+                round(hh, 4) AS hoeff_half,
+                round(ch, 4) AS clt_half,
+                round(hh / NULLIF(ch, 0.0), 4) AS conservatism
+         FROM v2 ORDER BY event_type NULLS FIRST""",
+    // Mirrors graphPowerlaw: degree-value grid, descending cumulative
+    // tail threshold, 8-dp decimal ln terms ×count, Hill closed form.
+    "q_graph_powerlaw" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+         e0 AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         deg AS (
+           SELECT p, count(*) AS degree FROM (
+             SELECT u AS p FROM e0 UNION ALL SELECT v AS p FROM e0)
+           GROUP BY 1),
+         grid AS (SELECT degree, count(*) AS cnt FROM deg GROUP BY 1),
+         sw AS (
+           SELECT degree, cnt,
+                  sum(cnt) OVER (ORDER BY degree DESC
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM grid),
+         xm AS (SELECT max(degree) AS xm FROM sw WHERE cum >= 50),
+         tail AS (
+           SELECT degree, cnt, xm.xm,
+                  CAST(CAST(round(ln(CAST(degree AS DOUBLE) / xm.xm),
+                    8) AS DECIMAL(20,8)) * cnt AS DECIMAL(28,8))
+                    AS term
+           FROM sw CROSS JOIN xm WHERE degree >= xm.xm),
+         f AS (
+           SELECT max(xm) AS xm, sum(cnt) AS k, sum(term) AS st
+           FROM tail),
+         nt3 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg)
+         SELECT nn AS n_nodes, CAST(xm AS BIGINT) AS xmin,
+                CAST(k AS BIGINT) AS k_tail,
+                round(1.0 + CAST(k AS DOUBLE)
+                  / NULLIF(CAST(st AS DOUBLE), 0.0), 4) AS alpha,
+                CASE WHEN round(1.0 + CAST(k AS DOUBLE)
+                       / NULLIF(CAST(st AS DOUBLE), 0.0), 4)
+                       BETWEEN 1.5 AND 3.5
+                     THEN 1 ELSE 0 END AS scale_free_range
+         FROM f CROSS JOIN nt3""",
+    // Mirrors srcCsvMultiline: the oracle recomputes the injected
+    // newline transformation on the base table — a sheared multiline
+    // parse cannot hash-match the char sums.
+    "q_src_csv_multiline" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(replace(text, ' a ',
+                  chr(10) || 'a '))) AS BIGINT) AS n_chars,
+                CAST(count(CASE WHEN contains(replace(text, ' a ',
+                  chr(10) || 'a '), chr(10)) THEN 1 END) AS BIGINT)
+                  AS n_multiline
+         FROM documents GROUP BY source
+         ORDER BY source NULLS FIRST""",
+    // Mirrors aggBayesBeta: per-user conversion collapse, Beta(1+c,
+    // 1+n−c) closed-form moments, the posterior-comparison z.
+    "q_agg_bayes_beta" ->
+      """WITH users AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS arm
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         one AS (
+           SELECT CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT)
+                    AS nt,
+                  CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT)
+                    AS ct,
+                  CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT)
+                    AS nc,
+                  CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT)
+                    AS cc
+           FROM users),
+         m AS (
+           SELECT *,
+                  CAST(ct + 1 AS DOUBLE) / CAST(nt + 2 AS DOUBLE)
+                    AS mt,
+                  CAST(cc + 1 AS DOUBLE) / CAST(nc + 2 AS DOUBLE)
+                    AS mc,
+                  CAST((ct + 1) * (nt - ct + 1) AS DOUBLE)
+                    / (CAST((nt + 2) * (nt + 2) AS DOUBLE)
+                       * CAST(nt + 3 AS DOUBLE)) AS vt,
+                  CAST((cc + 1) * (nc - cc + 1) AS DOUBLE)
+                    / (CAST((nc + 2) * (nc + 2) AS DOUBLE)
+                       * CAST(nc + 3 AS DOUBLE)) AS vc
+           FROM one)
+         SELECT nt AS n_t, ct AS c_t, nc AS n_c, cc AS c_c,
+                round(mt, 4) AS post_mean_t,
+                round(mc, 4) AS post_mean_c,
+                round((mt - mc) / sqrt(vt + vc), 4) + 0.0
+                  AS z_post,
+                CASE WHEN round((mt - mc) / sqrt(vt + vc), 4) > 1.645
+                     THEN 1 ELSE 0 END AS t_better_95
+         FROM m""",
+    // Mirrors aggPartialCorr: centi-unit integer moments (HUGEINT),
+    // three pairwise r's, the partial closed form; dow = DuckDB
+    // dayofweek + 1 (the Spark convention).
+    "q_agg_partial_corr" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                    AS x,
+                  CAST(extract(hour FROM ts) AS HUGEINT) AS h,
+                  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1
+                    AS HUGEINT) AS z
+           FROM events WHERE value IS NOT NULL),
+         g AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                  sum(x) AS sx, sum(h) AS sh, sum(z) AS sz,
+                  sum(x * x) AS sx2, sum(h * h) AS sh2,
+                  sum(z * z) AS sz2, sum(x * h) AS sxh,
+                  sum(x * z) AS sxz, sum(h * z) AS shz
+           FROM e GROUP BY 1),
+         rr AS (
+           SELECT event_type, n,
+                  (CAST(n * sxh AS DOUBLE) - CAST(sx * sh AS DOUBLE))
+                    / NULLIF(sqrt(CAST(n * sx2 AS DOUBLE)
+                        - CAST(sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * sh2 AS DOUBLE)
+                        - CAST(sh * sh AS DOUBLE)), 0.0) AS rxh,
+                  (CAST(n * sxz AS DOUBLE) - CAST(sx * sz AS DOUBLE))
+                    / NULLIF(sqrt(CAST(n * sx2 AS DOUBLE)
+                        - CAST(sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * sz2 AS DOUBLE)
+                        - CAST(sz * sz AS DOUBLE)), 0.0) AS rxz,
+                  (CAST(n * shz AS DOUBLE) - CAST(sh * sz AS DOUBLE))
+                    / NULLIF(sqrt(CAST(n * sh2 AS DOUBLE)
+                        - CAST(sh * sh AS DOUBLE))
+                      * sqrt(CAST(n * sz2 AS DOUBLE)
+                        - CAST(sz * sz AS DOUBLE)), 0.0) AS rhz
+           FROM g),
+         pp AS (
+           SELECT event_type, n, rxh, rxz, rhz,
+                  (rxh - rxz * rhz)
+                    / NULLIF(sqrt((1.0 - rxz * rxz)
+                      * (1.0 - rhz * rhz)), 0.0) AS part
+           FROM rr)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                round(rxh, 4) + 0.0 AS r_value_hour,
+                round(rxz, 4) + 0.0 AS r_value_dow,
+                round(part, 4) + 0.0 AS r_partial,
+                round(rxh - part, 4) + 0.0 AS confound_gap
+         FROM pp ORDER BY event_type NULLS FIRST""",
+    // Mirrors aggCronbach: per-item and per-day-total integer power
+    // sums, 8-dp decimal item-variance terms before the k-row fold.
+    "q_agg_cronbach" ->
+      """WITH grid AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS ndv
+                FROM grid),
+         items AS (
+           SELECT event_type, sum(y) AS sy, sum(y * y) AS sy2
+           FROM grid GROUP BY 1),
+         iv AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  sum(CAST(round((CAST(sy2 AS DOUBLE)
+                    - CAST(sy * sy AS DOUBLE) / ndv) / (ndv - 1), 8)
+                    AS DECIMAL(24,8))) AS svi
+           FROM items CROSS JOIN nd),
+         dt AS (SELECT d, sum(y) AS t FROM grid GROUP BY 1),
+         tv AS (
+           SELECT CAST(count(*) AS BIGINT) AS ndt, sum(t) AS st,
+                  sum(t * t) AS st2
+           FROM dt),
+         tv2 AS (
+           SELECT ndt,
+                  (CAST(st2 AS DOUBLE)
+                    - CAST(st * st AS DOUBLE) / ndt) / (ndt - 1)
+                    AS vt
+           FROM tv),
+         f AS (SELECT * FROM iv CROSS JOIN tv2)
+         SELECT k AS k_items, ndt AS n_days,
+                round(CAST(svi AS DOUBLE), 4) AS sum_item_var,
+                round(vt, 4) AS total_var,
+                round((CAST(k AS DOUBLE) / (k - 1))
+                  * (1.0 - CAST(svi AS DOUBLE) / NULLIF(vt, 0.0)), 4)
+                  + 0.0 AS alpha,
+                CASE WHEN round((CAST(k AS DOUBLE) / (k - 1))
+                       * (1.0 - CAST(svi AS DOUBLE)
+                          / NULLIF(vt, 0.0)), 4) >= 0.7
+                     THEN 1 ELSE 0 END AS reliable
+         FROM f""",
+    // Mirrors tsCcf: calendar date-shift join per lag, HUGEINT
+    // moment sums, one closed-form r per lag.
+    "q_ts_ccf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         x AS (SELECT d, CAST(y AS HUGEINT) AS xv FROM daily
+               WHERE event_type = 'click'),
+         yv AS (SELECT d AS dy, CAST(y AS HUGEINT) AS yvv FROM daily
+                WHERE event_type = 'view'),
+         lags AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS k),
+         pairs AS (
+           SELECT k, xv, yvv
+           FROM x CROSS JOIN lags
+           JOIN yv ON yv.dy = x.d + k),
+         g AS (
+           SELECT k, CAST(count(*) AS HUGEINT) AS n,
+                  sum(xv) AS sx, sum(yvv) AS sy,
+                  sum(xv * xv) AS sx2, sum(yvv * yvv) AS sy2,
+                  sum(xv * yvv) AS sxy
+           FROM pairs GROUP BY 1)
+         SELECT CAST(k AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+                round((CAST(n * sxy AS DOUBLE)
+                  - CAST(sx * sy AS DOUBLE))
+                  / NULLIF(sqrt(CAST(n * sx2 AS DOUBLE)
+                      - CAST(sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * sy2 AS DOUBLE)
+                      - CAST(sy * sy AS DOUBLE)), 0.0), 4) + 0.0
+                  AS r
+         FROM g ORDER BY lag""",
+    // Mirrors tsPeaks: lag/lead neighbor comparisons, integer
+    // prominence, exact spacing ratio.
+    "q_ts_peaks" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, d, y,
+                  lag(y, 1) OVER w AS pv, lead(y, 1) OVER w AS nx
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+         p AS (
+           SELECT event_type, d, y, pv, nx,
+                  (pv IS NOT NULL AND nx IS NOT NULL
+                   AND y > pv AND y >= nx) AS ispeak
+           FROM g),
+         a AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(count(CASE WHEN ispeak THEN 1 END) AS BIGINT)
+                    AS np,
+                  max(CASE WHEN ispeak
+                      THEN y - greatest(pv, nx) END) AS maxp,
+                  min(CASE WHEN ispeak THEN d END) AS p0,
+                  max(CASE WHEN ispeak THEN d END) AS p1
+           FROM p GROUP BY 1)
+         SELECT event_type, n_days, np AS n_peaks,
+                CAST(coalesce(maxp, 0) AS BIGINT) AS max_prominence,
+                round(CASE WHEN np - 1 = 0 THEN NULL
+                      ELSE CAST(date_diff('day', p0, p1) AS DOUBLE)
+                        / (np - 1) END, 4) AS avg_spacing_days
+         FROM a ORDER BY event_type NULLS FIRST""",
+    // Mirrors sampSystematic: global doc_id rank, k = ⌊n/100⌋,
+    // keep ranks ≡ 1 (mod k), per-source census.
+    "q_samp_systematic" ->
+      """WITH ranked AS (
+           SELECT doc_id, source,
+                  row_number() OVER (ORDER BY doc_id) AS rnk
+           FROM documents),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  greatest(1, CAST(floor(count(*) / 100.0) AS BIGINT))
+                    AS k
+           FROM ranked)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN (rnk - 1) % k = 0 THEN 1 END)
+                  AS BIGINT) AS n_sampled,
+                max(k) AS k,
+                round(CAST(count(CASE WHEN (rnk - 1) % k = 0
+                    THEN 1 END) AS DOUBLE) / count(*), 4)
+                  AS realized_rate
+         FROM ranked CROSS JOIN tot
+         GROUP BY source ORDER BY source NULLS FIRST""",
     // Mirrors pipeGraphHealth: one %8 edge contraction, degree/assort
     // devices, the 3-round LPA leg (q_graph_lpa verbatim), 8-row panel.
     "q_pipe_graph_health" ->

@@ -3391,7 +3391,200 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  /** q_agg_bayes_beta — Bayesian A/B readout for the parity
+    * experiment's conversion: Beta(1+c, 1+n−c) posteriors per arm
+    * (uniform prior), posterior means, and the normal-approximation
+    * comparison z = (m_B−m_A)/√(v_A+v_B) with the "B better at 95%"
+    * call — the Bayesian twin of q_agg_ab_ztest (same contraction,
+    * same data; the frequentist z asks "how surprising under H₀",
+    * the posterior z reads "how sure are we B is ahead" — the
+    * decision framing product teams actually use, and the two
+    * disagree exactly at small n where the prior matters).
+    * Exactness: two integers per arm; posterior mean/variance are
+    * shared closed-form doubles (a,b ≥ 1 so every denominator is
+    * provably positive — plain division); the normal approximation
+    * is deterministic (no erf/Φ at an engine boundary — the z itself
+    * is the readout). Scale: one per-user map-side collapse, 1-row
+    * readout. */
+  private val aggBayesBeta: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 90, 1).otherwise(0)).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    val one = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .agg(sum(when(col("arm") === 1, col("n"))).as("nt"),
+        sum(when(col("arm") === 1, col("c"))).as("ct"),
+        sum(when(col("arm") === 0, col("n"))).as("nc"),
+        sum(when(col("arm") === 0, col("c"))).as("cc"))
+    def m(aa: Column, bb: Column) =
+      aa.cast("double") / (aa + bb).cast("double")
+    def v(aa: Column, bb: Column) =
+      (aa * bb).cast("double") /
+        (((aa + bb) * (aa + bb)).cast("double") *
+          (aa + bb + 1).cast("double"))
+    val at = col("ct") + 1; val bt = col("nt") - col("ct") + 1
+    val ac = col("cc") + 1; val bc = col("nc") - col("cc") + 1
+    val z = (m(at, bt) - m(ac, bc)) / sqrt(v(at, bt) + v(ac, bc))
+    one.select(col("nt").cast("long").as("n_t"),
+        col("ct").cast("long").as("c_t"),
+        col("nc").cast("long").as("n_c"),
+        col("cc").cast("long").as("c_c"),
+        round(m(at, bt), 4).as("post_mean_t"),
+        round(m(ac, bc), 4).as("post_mean_c"),
+        round(z, 4).as("z_post"),
+        when(round(z, 4) > 1.645, 1).otherwise(0).as("t_better_95"))
+  }
+
+  /** q_agg_partial_corr — partial correlation of event value and
+    * hour-of-day CONTROLLING for day-of-week, per event type:
+    * r_xy·z = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)) — the
+    * confounder-removal primitive (q_agg_corr answers "do value and
+    * hour move together"; THIS answers "do they still move together
+    * once the weekly rhythm is held fixed" — the difference is the
+    * confound every naive correlation dashboard ships). Exactness:
+    * all ten moment sums are exact decimals/integers off ONE scan;
+    * the three pairwise r's and the partial are shared closed-form
+    * doubles; degenerate axes (zero variance, |r|=1 controls) NULL
+    * via try_divide on both engines. Scale: one two-phase aggregate
+    * to the type grid. */
+  private val aggPartialCorr: Q = (s, dir) => {
+    // integer centi-units: x_c = value×100 exactly (2-dp input), so
+    // every moment sum is an integer in decimal(38,0) — correlation
+    // is scale-invariant, the closed forms see identical integers on
+    // both engines
+    val e = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("x"),
+        hour(col("ts")).cast("long").as("h"),
+        dayofweek(col("ts")).cast("long").as("z"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = e.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("h"))).as("sh"),
+        sum(d38(col("z"))).as("sz"),
+        sum(d38(col("x") * col("x"))).as("sx2"),
+        sum(d38(col("h") * col("h"))).as("sh2"),
+        sum(d38(col("z") * col("z"))).as("sz2"),
+        sum(d38(col("x") * col("h"))).as("sxh"),
+        sum(d38(col("x") * col("z"))).as("sxz"),
+        sum(d38(col("h") * col("z"))).as("shz"))
+    def r(sab: Column, sa: Column, sb: Column,
+          sa2: Column, sb2: Column) =
+      try_divide(
+        (col("n") * sab).cast("double") - (sa * sb).cast("double"),
+        sqrt((col("n") * sa2).cast("double") -
+          (sa * sa).cast("double")) *
+          sqrt((col("n") * sb2).cast("double") -
+            (sb * sb).cast("double")))
+    val rxh = r(col("sxh"), col("sx"), col("sh"), col("sx2"),
+      col("sh2"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sx2"),
+      col("sz2"))
+    val rhz = r(col("shz"), col("sh"), col("sz"), col("sh2"),
+      col("sz2"))
+    val part = try_divide(rxh - rxz * rhz,
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - rhz * rhz)))
+    g.select(col("event_type"), col("n").cast("long").as("n"),
+        round(rxh, 4).as("r_value_hour"),
+        round(rxz, 4).as("r_value_dow"),
+        round(part, 4).as("r_partial"),
+        round(rxh - part, 4).as("confound_gap"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_agg_cronbach — Cronbach's α over the five event-type daily
+    * series treated as test ITEMS scored per day: α = k/(k−1) ·
+    * (1 − Σσ²ᵢ/σ²_total) — the internal-consistency statistic
+    * ("do these k signals measure one underlying thing") applied to
+    * telemetry: high α means the per-type series are redundant
+    * readouts of one traffic factor (dashboard consolidation is
+    * safe); low α means they carry independent signals. Exactness:
+    * per-item and total variances derive from INTEGER power sums with
+    * absent (day, type) cells contributing zero exactly (sums skip
+    * them, n is the day census); the per-item variance terms round
+    * to 8-dp decimals before the k-row fold (grid rule); one
+    * try_divide. Scale: one corpus contraction to the (type, day)
+    * grid; everything after is k- or day-sized. */
+  private val aggCronbach: Q = (s, dir) => {
+    val grid = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val nDays = grid.select(countDistinct(col("d")).as("nd"))
+    val items = grid.groupBy("event_type")
+      .agg(sum("y").as("sy"),
+        sum(col("y") * col("y")).as("sy2"))
+      .crossJoin(broadcast(nDays))
+      .withColumn("vi", round(
+        (col("sy2").cast("double") -
+          (col("sy").cast("decimal(22,0)") * col("sy")).cast("double")
+            / col("nd")) / (col("nd") - 1), 8).cast("decimal(24,8)"))
+      .agg(count(lit(1)).as("k"), sum("vi").as("svi"))
+    val totals = grid.groupBy("d").agg(sum("y").as("t"))
+      .agg(count(lit(1)).as("ndt"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("st2"))
+      .withColumn("vt",
+        (col("st2").cast("double") -
+          (col("st").cast("decimal(22,0)") * col("st")).cast("double")
+            / col("ndt")) / (col("ndt") - 1))
+    val alpha = (col("k").cast("double") / (col("k") - 1)) *
+      (lit(1.0) - try_divide(col("svi").cast("double"), col("vt")))
+    items.crossJoin(broadcast(totals))
+      .select(col("k").cast("long").as("k_items"),
+        col("ndt").cast("long").as("n_days"),
+        round(col("svi").cast("double"), 4).as("sum_item_var"),
+        round(col("vt"), 4).as("total_var"),
+        round(alpha, 4).as("alpha"),
+        when(round(alpha, 4) >= 0.7, 1).otherwise(0).as("reliable"))
+  }
+
+  /** q_agg_hoeffding — distribution-free mean CI per event type via
+    * Hoeffding's inequality on the pinned [0, 600] value range:
+    * half-width = B·√(ln(2/α)/(2n)) — the ASSUMPTION-FREE companion
+    * to the CLT interval (q_agg_quantile_ci does this for the
+    * median; THIS covers the mean): valid at ANY n and ANY
+    * distribution with bounded support, which is what a guardrail on
+    * a heavy-tailed metric actually needs — the CLT interval it sits
+    * next to understates coverage exactly when the tail is at its
+    * worst. The conservatism RATIO (Hoeffding/CLT width) is the
+    * readout that says how much certainty the assumption is buying.
+    * Exactness: mean/sd from exact decimal power sums; ln(2/0.05) is
+    * a shared numeric literal (no libm at an engine boundary); one
+    * closed form per type. Scale: one two-phase aggregate. */
+  private val aggHoeffding: Q = (s, dir) => {
+    val ln40 = 3.6888794541139363 // ln(2/0.05), shared literal
+    val g = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).as("s2"))
+    val nd = col("n").cast("double")
+    val m = col("s1").cast("double") / nd
+    val sd = sqrt((col("s2").cast("double") - nd * m * m) / (nd - 1))
+    val hh = lit(600.0) * sqrt(lit(ln40) / (lit(2.0) * nd))
+    val ch = lit(1.96) * sd / sqrt(nd)
+    g.select(col("event_type"), col("n").cast("long").as("n"),
+        round(m, 4).as("mean"),
+        round(m - hh, 4).as("hoeff_lo"),
+        round(m + hh, 4).as("hoeff_hi"),
+        round(hh, 4).as("hoeff_half"),
+        round(ch, 4).as("clt_half"),
+        round(try_divide(hh, ch), 4).as("conservatism"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_agg_hoeffding" -> aggHoeffding,
+    "q_agg_bayes_beta" -> aggBayesBeta,
+    "q_agg_partial_corr" -> aggPartialCorr,
+    "q_agg_cronbach" -> aggCronbach,
     "q_agg_holm" -> aggHolm,
     "q_agg_deming" -> aggDeming,
     "q_agg_cochran_q" -> aggCochranQ,

@@ -907,7 +907,59 @@ object GraphQueries {
       .orderBy("check")
   }
 
+  /** q_graph_powerlaw — Hill tail-index estimate of the co-order
+    * degree distribution: xmin = the largest degree whose
+    * ≥-xmin tail holds at least 50 nodes, α = 1 + k/Σ ln(d/xmin)
+    * over that tail — "is this a scale-free hub structure or a
+    * homogeneous mesh", the number that decides whether hub-capping
+    * strategies (the adamic_adar dg ≤ 64 pivot cap) are load-bearing
+    * or cosmetic. q_agg_hill estimates a VALUE tail; this reads the
+    * GRAPH's connectivity tail, where the answer changes partitioning
+    * strategy. Exactness: the tail threshold comes from a cumulative
+    * count over the distinct-DEGREE grid ranked by a DISTRIBUTED
+    * PrefixSweep (value-grain, no single-partition window); the ln
+    * terms round to 8-dp decimals ×tail-count before the grid fold
+    * (grid rule); α is one closed form with try_divide. Scale: one
+    * edge contraction → node degrees → the DEGREE-VALUE grid
+    * (bounded by max degree, not nodes). */
+  private val graphPowerlaw: Q = (s, dir) => {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val a = items.as("a"); val b = items.as("b")
+    val e0 = a.join(b, col("a.o") === col("b.o") &&
+        col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = e0.select(col("u").as("p"))
+      .unionAll(e0.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("degree"))
+    val grid = deg.groupBy("degree").agg(count(lit(1)).as("cnt"))
+    val swept = graft.ops.PrefixSweep.sweep(grid,
+        Seq(col("degree").desc), runSums = Seq((col("cnt"), "cum")))
+      .localCheckpoint()
+    val xm = swept.filter(col("cum") >= 50)
+      .agg(max("degree").as("xm"))
+    val tail = swept.crossJoin(broadcast(xm))
+      .filter(col("degree") >= col("xm"))
+      .withColumn("term",
+        (round(log(col("degree").cast("double") / col("xm")), 8)
+          .cast("decimal(20,8)") * col("cnt")).cast("decimal(28,8)"))
+    val nTot = deg.agg(count(lit(1)).as("nn"))
+    tail.agg(max("xm").as("xm"), sum("cnt").as("k"),
+        sum("term").as("st"))
+      .crossJoin(broadcast(nTot))
+      .select(col("nn").cast("long").as("n_nodes"),
+        col("xm").cast("long").as("xmin"),
+        col("k").cast("long").as("k_tail"),
+        round(lit(1.0) + try_divide(col("k").cast("double"),
+          col("st").cast("double")), 4).as("alpha"),
+        when(round(lit(1.0) + try_divide(col("k").cast("double"),
+          col("st").cast("double")), 4).between(1.5, 3.5), 1)
+          .otherwise(0).as("scale_free_range"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_graph_powerlaw" -> graphPowerlaw,
     "q_pipe_graph_health" -> pipeGraphHealth,
     "q_graph_lpa" -> graphLpa,
     "q_graph_hits" -> graphHits,

@@ -538,6 +538,50 @@ object SourceQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** Multiline-CSV fixture: documents with a deterministic newline
+    * injection (every " a " becomes "\na " — length-preserving), so
+    * the written CSV contains QUOTED MULTILINE fields. Standard
+    * doubled-quote escaping on write and read. */
+  private def csvMultilineFixture(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stamp = sourceStamp(s"$dir/documents.parquet")
+    val path = s"$scratch/csvml_${key}_$stamp"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("replace(text, ' a ', chr(10) || 'a ')").as("text2"))
+        .write.mode("overwrite").option("header", "true")
+        .option("escape", "\"").csv(path)
+    path
+  }
+
+  /** q_src_csv_multiline — CSV with embedded newlines in quoted
+    * fields, read in multiLine mode ([[csvMultilineFixture]]): the
+    * reader path every "export with free-text column" drop exercises
+    * and the one the default line-splitting reader silently corrupts
+    * (a naive reader splits a quoted field at its newline and shears
+    * every following row). The readout anchors the DECOMPRESSED
+    * text — per-source char sums and the multiline-doc census — so a
+    * sheared parse cannot hash-match. The operational cost at scale:
+    * multiLine CSV, like gzip, is NOT SPLITTABLE (a record boundary
+    * can't be found mid-file), so one file = one task — the same
+    * many-medium-parts mitigation as q_src_csv_gzip. */
+  private val srcCsvMultiline: Q = (s, dir) => {
+    val path = csvMultilineFixture(s, dir)
+    s.read.schema("doc_id LONG, source STRING, text2 STRING")
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text2"))).as("n_chars"),
+        count(when(col("text2").contains("\n"), 1)).as("n_multiline"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_multiline").cast("long").as("n_multiline"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
   private val srcCsv: Q = (s, dir) => {
     val path = csvFixture(s, dir)
     s.read.schema("event_id LONG, user_id LONG, event_type STRING, " +
@@ -752,6 +796,7 @@ object SourceQueries {
     "q_join_dpp" -> joinDpp,
     "q_src_csv" -> srcCsv,
     "q_src_csv_gzip" -> srcCsvGzip,
+    "q_src_csv_multiline" -> srcCsvMultiline,
     "q_src_corrupt" -> srcCorrupt,
     "q_src_file_meta" -> srcFileMeta,
     "q_src_xml" -> srcXml,

@@ -3000,7 +3000,45 @@ object TextQueries {
       .orderBy("check")
   }
 
+  /** q_samp_systematic — systematic (every-k-th) sampling of the
+    * document corpus by a pinned total order (doc_id), target ~100
+    * docs: k = max(1, ⌊n/100⌋), keep ranks ≡ 1 (mod k) — the
+    * survey-sampling member the shelf lacked (hash sampling is
+    * per-row independent, reservoir is fixed-size random, stratified
+    * is per-group; SYSTEMATIC guarantees even coverage along the
+    * order — by ingestion time, this is "one doc per batch-window",
+    * the standard corpus-inspection draw). Readout = the per-source
+    * census with realized rates (systematic sampling preserves
+    * source mix to within one doc per stratum — the audit proves
+    * it). Exactness: ranks, k, and the keep rule are pure integers.
+    * Scale: the global rank runs as a DISTRIBUTED PrefixSweep
+    * (doc_id is a total order — never a single-partition window);
+    * the census is a two-phase aggregate. */
+  private val sampSystematic: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val ranked = graft.ops.PrefixSweep.sweep(docs,
+      Seq(col("doc_id")), rankCol = Some("rnk"))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+      .withColumn("k", greatest(lit(1L),
+        floor(col("n") / lit(100.0)).cast("long")))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("keep", (col("rnk") - 1) % col("k") === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_sampled"),
+        max("k").as("k"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_sampled").cast("long").as("n_sampled"),
+        col("k").cast("long").as("k"),
+        round(col("n_sampled").cast("double") / col("n_docs"), 4)
+          .as("realized_rate"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_samp_systematic" -> sampSystematic,
     "q_pipe_embed_qa" -> pipeEmbedQa,
     "q_vec_hubness" -> vecHubness,
     "q_vec_mmd" -> vecMmd,

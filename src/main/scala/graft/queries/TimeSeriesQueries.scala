@@ -1627,7 +1627,170 @@ object TimeSeriesQueries {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_ts_ccf — cross-correlation function between the click and
+    * view daily series at lags −3..+3: r_k = corr(click_t, view_{t+k})
+    * — the LEAD-LAG detector (q_ts_rolling_corr tracks same-time
+    * co-movement over time; the CCF asks WHICH SERIES MOVES FIRST —
+    * a peak at k=+1 means clicks lead views by a day, the causal-
+    * direction hint every funnel/capacity model wants). Exactness:
+    * per-lag pairs come from a calendar date-shift equi-join (the
+    * q_ts_autocorr device — a gap day must not shift the alignment);
+    * every moment sum is integer in decimal(38); one closed-form r
+    * per lag with try_divide on degenerate overlaps. Scale: one
+    * corpus contraction to the day grid, 7 lag keys exploded over it
+    * — the join is grid×lags metadata. */
+  private val tsCcf: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("d"), col("y").cast("long").as("xv"))
+    val yv = daily.filter(col("event_type") === "view")
+      .select(col("d").as("dy"), col("y").cast("long").as("yv"))
+    val lags = s.range(1)
+      .select(explode(sequence(lit(-3), lit(3))).as("k"))
+    val pairs = x.crossJoin(broadcast(lags))
+      .withColumn("dy", expr("date_add(d, k)"))
+      .join(yv, "dy")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = pairs.groupBy("k")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d38(col("xv"))).as("sx"), sum(d38(col("yv"))).as("sy"),
+        sum(d38(col("xv") * col("xv"))).as("sx2"),
+        sum(d38(col("yv") * col("yv"))).as("sy2"),
+        sum(d38(col("xv") * col("yv"))).as("sxy"))
+    g.select(col("k").cast("int").as("lag"),
+        col("n").cast("long").as("n_pairs"),
+        round(try_divide(
+          (col("n") * col("sxy")).cast("double") -
+            (col("sx") * col("sy")).cast("double"),
+          sqrt((col("n") * col("sx2")).cast("double") -
+            (col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("sy2")).cast("double") -
+              (col("sy") * col("sy")).cast("double"))), 4).as("r"))
+      .orderBy("lag")
+  }
+
+  /** q_ts_peaks — local-maximum census per type: a peak is a day
+    * strictly above its predecessor and at least its successor (the
+    * pinned tie rule), its prominence the rise over the taller
+    * neighbor — peak COUNT, max prominence, and mean inter-peak
+    * spacing per type. The LOCAL-shape complement of q_evt_anomaly's
+    * global threshold (a metric can set a local peak every Monday
+    * without ever crossing a global band — release-cadence and
+    * batch-job signatures live here, not in z-scores). Exactness:
+    * neighbor comparisons and prominence are pure integers; spacing
+    * is one exact integer ratio (first-to-last peak span over
+    * peak-count−1), NULL below two peaks via try_divide. Scale: one
+    * grid contraction; lag/lead are O(1)-state per-type windows. */
+  private val tsPeaks: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val g = dailySeries(s, dir)
+      .withColumn("pv", lag(col("y"), 1).over(w))
+      .withColumn("nx", lead(col("y"), 1).over(w))
+      .withColumn("isPeak",
+        col("pv").isNotNull && col("nx").isNotNull &&
+          col("y") > col("pv") && col("y") >= col("nx"))
+      .withColumn("prom",
+        when(col("isPeak"), col("y") - greatest(col("pv"), col("nx"))))
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("isPeak"), 1)).as("np"),
+        max("prom").as("maxp"),
+        min(when(col("isPeak"), col("d"))).as("p0"),
+        max(when(col("isPeak"), col("d"))).as("p1"))
+      .select(col("event_type"),
+        col("n_days").cast("long").as("n_days"),
+        col("np").cast("long").as("n_peaks"),
+        coalesce(col("maxp"), lit(0L)).cast("long")
+          .as("max_prominence"),
+        round(try_divide(datediff(col("p1"), col("p0"))
+          .cast("double"), (col("np") - 1).cast("double")), 4)
+          .as("avg_spacing_days"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  /** q_ts_hurst — rescaled-range (R/S) Hurst exponent per type:
+    * blocks of m ∈ {5,10,15} days, per block R = range of cumulative
+    * deviations and S = population std, H = OLS slope of
+    * ln(mean R/S) on ln(m) — the LONG-MEMORY detector (H ≈ 0.5
+    * random walk, H > 0.5 persistent trends, H < 0.5 mean-reverting;
+    * autocorr sees ONE lag at a time, Hurst integrates the whole
+    * dependence structure — the difference between "yesterday
+    * predicts today" and "shocks echo for weeks", which decides
+    * whether naive capacity extrapolation is safe). Exactness: the
+    * cumulative deviation is carried ×m (y·m − block-sum — INTEGER),
+    * so R·m is integer and R/S = R·m/√(m·Σy² − (Σy)²) divides exact
+    * integers once per block; per-block R/S and the two ln legs
+    * round to 8-dp decimals before their grid folds (grid rule);
+    * constant blocks NULL via try_divide and drop from the mean.
+    * Scale: one corpus contraction; blocks/windows are grid-sized
+    * per (type, m); the fit is 3 points per type. */
+  private val tsHurst: Q = (s, dir) => {
+    val daily = dailySeries(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val withRn = daily.withColumn("rn", row_number().over(w))
+      .localCheckpoint()
+    val ms = withRn.crossJoin(broadcast(s.range(1)
+        .select(explode(typedLit(Seq(5, 10, 15))).as("m"))))
+      .withColumn("blk", expr("(rn - 1) DIV m"))
+    val blocks = ms.groupBy("event_type", "m", "blk")
+      .agg(count(lit(1)).as("bn"), sum("y").as("bs"),
+        sum(col("y") * col("y")).as("bs2"))
+      .filter(col("bn") === col("m"))
+    val withBs = ms.join(blocks, Seq("event_type", "m", "blk"))
+      .withColumn("devm", col("y") * col("m") - col("bs"))
+      .withColumn("cum", sum("devm").over(
+        Window.partitionBy("event_type", "m", "blk").orderBy("d")))
+    val rstats = withBs.groupBy("event_type", "m", "blk")
+      .agg(max("cum").as("cmax"), min("cum").as("cmin"),
+        max("bs").as("tbs"), max("bs2").as("tbs2"))
+      // decimal(22) products: m·Σy² and (Σy)² overflow long past
+      // SF ~10³ (§7.5.16)
+      .withColumn("rs", try_divide(
+        (col("cmax") - col("cmin")).cast("double"),
+        sqrt((col("m").cast("decimal(22,0)") * col("tbs2") -
+          col("tbs").cast("decimal(22,0)") * col("tbs"))
+          .cast("double"))))
+      .withColumn("rs8", round(col("rs"), 8).cast("decimal(20,8)"))
+    val perM = rstats.groupBy("event_type", "m")
+      .agg(sum("rs8").as("srs"),
+        count(when(col("rs8").isNotNull, 1)).as("nb"))
+      .withColumn("mean_rs", try_divide(col("srs").cast("double"),
+        col("nb").cast("double")))
+      .withColumn("lx",
+        round(log(col("m").cast("double")), 8).cast("decimal(20,8)"))
+      .withColumn("ly",
+        round(log(col("mean_rs")), 8).cast("decimal(20,8)"))
+      .localCheckpoint()
+    val fit = perM.filter(col("ly").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("np"), sum("lx").as("fx"),
+        sum("ly").as("fy"), sum(col("lx") * col("lx")).as("fx2"),
+        sum(col("lx") * col("ly")).as("fxy"))
+      .withColumn("h", round(try_divide(
+        (col("np") * col("fxy").cast("double") -
+          col("fx").cast("double") * col("fy").cast("double")),
+        (col("np") * col("fx2").cast("double") -
+          col("fx").cast("double") * col("fx").cast("double"))), 4))
+    val wide = perM.groupBy("event_type")
+      .agg(min(when(col("m") === 5, round(col("mean_rs"), 4)))
+          .as("rs_m5"),
+        min(when(col("m") === 10, round(col("mean_rs"), 4)))
+          .as("rs_m10"),
+        min(when(col("m") === 15, round(col("mean_rs"), 4)))
+          .as("rs_m15"))
+    fit.join(wide, "event_type")
+      .select(col("event_type"), col("np").cast("long").as("n_scales"),
+        col("rs_m5"), col("rs_m10"), col("rs_m15"), col("h"),
+        when(col("h") > 0.6, lit("persistent"))
+          .when(col("h") < 0.4, lit("mean_reverting"))
+          .otherwise(lit("random_walk")).as("regime"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_ts_hurst" -> tsHurst,
+    "q_ts_ccf" -> tsCcf,
+    "q_ts_peaks" -> tsPeaks,
     "q_pipe_ts_profile" -> pipeTsProfile,
     "q_ts_coint" -> tsCoint,
     "q_ts_sax" -> tsSax,

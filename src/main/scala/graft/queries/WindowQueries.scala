@@ -481,7 +481,65 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** q_win_ema_cross — fast/slow EMA crossover detector per event
+    * type's daily series: fast = the q_win_ema 8-lag α=0.5 chain,
+    * slow = the same chain at α=0.25 (weights (3/4)^k — exact binary
+    * doubles like the 0.5 family), state = fast above slow, and the
+    * census counts CROSSINGS — the classic signal-line device
+    * (golden/dead cross) that q_ts_hysteresis's fixed thresholds
+    * can't express: a crossover adapts to level drift, firing on
+    * momentum REVERSALS rather than band exits (trend-following
+    * monitors, spend pacing, capacity ramps). Exactness: both EMA
+    * chains are ≤8-term sums of exact binary weights in the same
+    * literal order both engines; the state is one double comparison
+    * on identical values; crossings/last-state/shares are integers
+    * and one division. Scale: one corpus contraction to the daily
+    * grid; two O(1)-state windows per type. */
+  private val winEmaCross: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    def ema(alpha: Double): org.apache.spark.sql.Column = {
+      val lags = (0 to 7).map(i =>
+        if (i == 0) col("y").cast("double")
+        else lag(col("y").cast("double"), i).over(w))
+      val wts = (0 to 7).map(i => math.pow(1.0 - alpha, i))
+      val num = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      num / den
+    }
+    val st = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("state",
+        when(ema(0.5) > ema(0.25), 1).otherwise(0))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .withColumn("cross",
+        col("prev").isNotNull && col("prev") =!= col("state"))
+    st.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("cross"), 1)).as("nx"),
+        max(when(col("cross"), col("d"))).as("lastx"),
+        max(when(col("d").isNotNull, struct(col("d"), col("state"))))
+          .as("last"),
+        sum("state").as("above"))
+      .select(col("event_type"),
+        col("n_days").cast("long").as("n_days"),
+        col("nx").cast("long").as("n_crossings"),
+        // driver protocol: no null dates — epoch sentinel for
+        // never-crossed types (§7.5.8)
+        coalesce(col("lastx"), lit("1970-01-01").cast("date"))
+          .as("last_cross_day"),
+        col("last").getField("state").cast("int").as("fast_above"),
+        round(col("above").cast("double") / col("n_days"), 4)
+          .as("share_days_above"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val all: Map[String, Q] = Map(
+    "q_win_ema_cross" -> winEmaCross,
     "q_win_ema_time" -> winEmaTime,
     "q_win_ohlc" -> winOhlc,
     "q_win_concurrency" -> winConcurrency,

@@ -591,7 +591,23 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_pipe_abtest" -> 0.9, "q_pipe_embed_qa" -> 1.2,
     // r16 batch O showcases: graph_health pays the edge contraction
     // + LPA rounds (the lpa class); ts_profile the daily-grid legs
-    "q_pipe_graph_health" -> 2.2, "q_pipe_ts_profile" -> 1.0)
+    "q_pipe_graph_health" -> 2.2, "q_pipe_ts_profile" -> 1.0,
+    // r16 batch P: bayes/partial_corr/cronbach one-contraction closed
+    // forms; ccf the 7-lag grid join; peaks two O(1) windows;
+    // systematic one PrefixSweep rank + census
+    "q_agg_bayes_beta" -> 0.4, "q_agg_partial_corr" -> 0.6,
+    "q_agg_cronbach" -> 0.6, "q_ts_ccf" -> 0.7,
+    "q_ts_peaks" -> 0.5, "q_samp_systematic" -> 0.7,
+    // r16 batch Q: hurst the 3x block grids + windows; ema_cross two
+    // chains on one grid; hoeffding one scan; powerlaw the full
+    // co-order edge join (the assortativity class); csv_multiline
+    // the quoted-newline read
+    "q_ts_hurst" -> 0.9, "q_win_ema_cross" -> 0.6,
+    "q_agg_hoeffding" -> 0.5,
+    // powerlaw pays the FULL co-order edge self-join (assortativity's
+    // class) + the degree census: 2.79 s measured median
+    "q_graph_powerlaw" -> 2.4,
+    "q_src_csv_multiline" -> 0.8)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")
