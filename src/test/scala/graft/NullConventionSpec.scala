@@ -48,4 +48,28 @@ class NullConventionSpec extends SparkSpecBase {
       "auc must drop NULL values on the Spark side (the engines' " +
         "null-ordering defaults differ on the rank window)")
   }
+
+  // ── round-16 batch coverage: every new events-reading operator
+  // that pins a null convention must be INVARIANT to injected nulls
+  // on the column it filters, or a fixture refresh reds it (the
+  // stickiness/auc class, swept instead of named one at a time) ──
+
+  private lazy val nullUserDir =
+    probeDir("user16")(_.withColumn("user_id", lit(null).cast("bigint")))
+  private lazy val nullValueDir =
+    probeDir("value16")(_.withColumn("value", lit(null).cast("double")))
+
+  for (q <- Seq("q_agg_wilcoxon", "q_agg_rate_ratio",
+      "q_agg_bayes_beta", "q_evt_decay", "q_pipe_abtest"))
+    test(s"$q is invariant to NULL-user rows") {
+      assert(rows(q, nullUserDir) == rows(q, sf0001),
+        s"$q must drop NULL users on the Spark side")
+    }
+
+  for (q <- Seq("q_agg_quantile_ci", "q_agg_hoeffding",
+      "q_agg_partial_corr", "q_evt_switchback", "q_agg_holm"))
+    test(s"$q is invariant to NULL-value rows") {
+      assert(rows(q, nullValueDir) == rows(q, sf0001),
+        s"$q must drop NULL values on the Spark side")
+    }
 }
