@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (r16 verdict task #5): one more DECADE of slope evidence
+  * for the top-10 cost rows. The standing sf0.01→sf0.1 gate
+  * (BenchSlopeSpec) catches quadratic growth early, but a 10× step
+  * from a small base can hide a mild exponent; this main prices the
+  * same queries at an sf≈1 scale (10× the sf0.1 leg) and writes
+  * `target/slope_sf1.json` for BenchSlopeSpec's optional sf1 leg.
+  *
+  * The sf1 corpus is SYNTHESIZED from the driver's sf0.1 tables (the
+  * driver ships no sf1): 10 replicas with per-replica key shifts —
+  * a scale HARNESS only, never a correctness input (the oracle gate
+  * still runs exclusively on driver data). Replication is designed so
+  * a genuinely linear operator measures linear:
+  *  - key columns shift by `rep · (max_key + 1)` — replicas are
+  *    disjoint key spaces, so joins/groups grow 10×, not 100×;
+  *  - `documents.text` word-ROTATES by rep — replicas of a doc stop
+  *    being near-duplicates (naive text copies would multiply every
+  *    MinHash band bucket 10-fold and quadratically explode the
+  *    banded pair build — an artifact of copying, not of scale);
+  *  - `embeddings.embedding` component-ROTATES by rep — within a
+  *    replica all cosines are EXACTLY preserved (a uniform
+  *    permutation cancels in every dot product), across replicas
+  *    vectors decorrelate instead of duplicating.
+  *
+  * Usage: `sbt "runMain graft.SlopeSf1"` (≈3 min: one-time corpus
+  * build + 10 queries × 2 scales × (1 warm + 2 timed)).
+  */
+object SlopeSf1 {
+  /** The top-10 cost rows of the r16 final-5 anchor. */
+  val top10: Seq[String] = Seq(
+    "q_graph_powerlaw", "q_vec_ann_nndescent", "q_agg_basket",
+    "q_graph_assortativity", "q_vec_kmeans", "q_evt_rfm",
+    "q_graph_adamic_adar", "q_graph_lpa", "q_text_minhash_groups",
+    "q_graph_degree")
+
+  private val reps = 10
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = "/root/repo/target/sf1synth"
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-slope-sf1")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    buildIfMissing(spark, src, out)
+
+    def timeOne(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def hygiene(): Unit = {
+        // standalone per-query pricing: drop the shared graph
+        // contractions too (Bench keeps them; here they would make
+        // the FIRST graph query absorb the build every ratio leg)
+        graft.ops.CoOrderGraph.invalidate()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      hygiene(); once() // warm (codegen + page cache)
+      val t = math.min(once(), once())
+      hygiene()
+      t
+    }
+    def leg(dir: String): Seq[(String, Double)] =
+      top10.map(q => q -> timeOne(q, dir))
+    val small = leg(src)
+    val big = leg(out)
+    def obj(xs: Seq[(String, Double)]) = xs
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val json = s"""{"reps":$reps,"src":"$src",""" +
+      s""""sf01":${obj(small)},"sf1":${obj(big)},""" +
+      s""""run_id":${System.currentTimeMillis()}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/slope_sf1.json"), json)
+    println(json)
+    spark.stop()
+  }
+
+  /** Synthesize the five tables the top-10 rows read (others unused). */
+  private def buildIfMissing(s: SparkSession, src: String,
+                             out: String): Unit = {
+    val marker = java.nio.file.Paths.get(s"$out/_DONE")
+    if (java.nio.file.Files.exists(marker)) return
+    val r = explode(sequence(lit(0), lit(reps - 1))).as("rep")
+    def shift(c: String, stride: Column) =
+      (col(c) + col("rep") * stride).as(c)
+    def strideOf(df: DataFrame, c: String): Column =
+      lit(df.agg(max(col(c))).head().getLong(0) + 1L)
+
+    val li = Tables.load(s, src, "lineitem")
+    val liOut = li.select(col("*"), r).select(
+      shift("l_orderkey", strideOf(li, "l_orderkey")),
+      shift("l_partkey", strideOf(li, "l_partkey")),
+      shift("l_suppkey", strideOf(li, "l_suppkey")),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"))
+
+    val pt = Tables.load(s, src, "part")
+    val ptOut = pt.select(col("*"), r).select(
+      shift("p_partkey", strideOf(pt, "p_partkey")),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice"))
+
+    val ev = Tables.load(s, src, "events")
+    val evOut = ev.select(col("*"), r).select(
+      shift("event_id", strideOf(ev, "event_id")),
+      col("ts"),
+      shift("user_id", strideOf(ev, "user_id")),
+      col("event_type"), col("value"), col("props"))
+
+    val dc = Tables.load(s, src, "documents")
+    val dcOut = dc.select(col("*"), r)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("text2", concat_ws(" ",
+        concat(slice(col("w"), col("rep") + 1,
+            greatest(size(col("w")) - col("rep"), lit(0))),
+          slice(col("w"), lit(1), least(col("rep"), size(col("w")))))))
+      .select(
+        shift("doc_id", strideOf(dc, "doc_id")),
+        col("text2").as("text"), col("lang"), col("source"),
+        length(col("text2")).cast("long").as("n_chars"))
+
+    val em = Tables.load(s, src, "embeddings")
+    val emOut = em.select(col("*"), r)
+      .withColumn("d", size(col("embedding")))
+      .withColumn("embedding", concat(
+        slice(col("embedding"), col("rep") + 1,
+          greatest(col("d") - col("rep"), lit(0))),
+        slice(col("embedding"), lit(1), least(col("rep"), col("d"))))
+        .cast("array<float>"))
+      .select(
+        shift("vec_id", strideOf(em, "vec_id")),
+        col("embedding"), col("label"))
+
+    Seq("lineitem" -> liOut, "part" -> ptOut, "events" -> evOut,
+      "documents" -> dcOut, "embeddings" -> emOut).foreach {
+      case (n, df) => df.write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+}

@@ -2364,7 +2364,13 @@ object PipelineQueries {
         expr("CAST(sum(post) AS DOUBLE)").as("so"),
         expr("CAST(sum(CAST(pre AS DECIMAL(18,0)) * pre) AS DOUBLE)")
           .as("spp"),
-        expr("CAST(sum(post * post) AS DOUBLE)").as("soo"),
+        // post narrows to (14,2) before squaring (r16 advisor note):
+        // the square is (29,4), leaving its sum 9 integer digits of
+        // headroom inside precision 38 — the raw (18,2) square summed
+        // at (38,4) could overflow to NULL at large SF. Exact while
+        // one user's purchase sum < 10^12 (per-event value ≤ 600).
+        expr("CAST(sum(CAST(post AS DECIMAL(14,2)) * " +
+          "CAST(post AS DECIMAL(14,2))) AS DOUBLE)").as("soo"),
         expr("CAST(sum(CAST(pre AS DECIMAL(19,0)) * post) AS DOUBLE)")
           .as("spo"))
       .withColumn("mp", col("sp") / col("n"))
@@ -2633,7 +2639,13 @@ object PipelineQueries {
         expr("CAST(sum(post) AS DOUBLE)").as("tso"),
         expr("CAST(sum(CAST(pre AS DECIMAL(18,0)) * pre) AS DOUBLE)")
           .as("spp"),
-        expr("CAST(sum(post * post) AS DOUBLE)").as("soo"),
+        // post narrows to (14,2) before squaring (r16 advisor note):
+        // the square is (29,4), leaving its sum 9 integer digits of
+        // headroom inside precision 38 — the raw (18,2) square summed
+        // at (38,4) could overflow to NULL at large SF. Exact while
+        // one user's purchase sum < 10^12 (per-event value ≤ 600).
+        expr("CAST(sum(CAST(post AS DECIMAL(14,2)) * " +
+          "CAST(post AS DECIMAL(14,2))) AS DOUBLE)").as("soo"),
         expr("CAST(sum(CAST(pre AS DECIMAL(19,0)) * post) AS DOUBLE)")
           .as("spo"))
       .withColumn("mp", col("tsp") / col("nn"))

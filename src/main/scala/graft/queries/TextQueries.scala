@@ -3001,8 +3001,13 @@ object TextQueries {
   }
 
   /** q_samp_systematic — systematic (every-k-th) sampling of the
-    * document corpus by a pinned total order (doc_id), target ~100
-    * docs: k = max(1, ⌊n/100⌋), keep ranks ≡ 1 (mod k) — the
+    * document corpus by a pinned total order (doc_id):
+    * k = max(1, ⌊n/100⌋), keep ranks ≡ 1 (mod k). The floor means the
+    * realized sample is between 100 and ⌈2·100⌉−1 docs (n=199 → k=1
+    * keeps all 199) — the classical "k = ⌊N/n⌋" systematic-sampling
+    * convention, which trades sample-size precision for an integer
+    * skip interval; the census columns report the REALIZED rate so a
+    * caller sees exactly what the draw kept (r16 advisor note) — the
     * survey-sampling member the shelf lacked (hash sampling is
     * per-row independent, reservoir is fixed-size random, stratified
     * is per-group; SYSTEMATIC guarantees even coverage along the

@@ -88,6 +88,22 @@ class BatchQStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_agg_hoeffding's hard-coded support bound holds on the fixture") {
+    // the op pins B = 600 (the [0, 600] support the interval is valid
+    // for); a fixture refresh with values outside that range would
+    // silently produce a TOO-NARROW "assumption-free" interval while
+    // still hash-matching the oracle (r16 advisor note) — this guard
+    // makes such a refresh fail loudly instead
+    val (lo, hi) = Tables.load(spark, sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .selectExpr("CAST(min(value) AS DOUBLE)",
+        "CAST(max(value) AS DOUBLE)")
+      .as[(Double, Double)].head()
+    assert(lo >= 0.0 && hi <= 600.0,
+      s"events.value range [$lo, $hi] escapes the pinned [0, 600] " +
+        "support — update q_agg_hoeffding's B (and its oracle) together")
+  }
+
   test("q_graph_powerlaw matches a direct Hill computation") {
     val items = Tables.load(spark, sf0001, "lineitem")
       .selectExpr("l_orderkey", "l_partkey").distinct()

@@ -599,13 +599,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_cronbach" -> 0.6, "q_ts_ccf" -> 0.7,
     "q_ts_peaks" -> 0.5, "q_samp_systematic" -> 0.7,
     // r16 batch Q: hurst the 3x block grids + windows; ema_cross two
-    // chains on one grid; hoeffding one scan; powerlaw the full
-    // co-order edge join (the assortativity class); csv_multiline
-    // the quoted-newline read
+    // chains on one grid; hoeffding one scan; csv_multiline the
+    // quoted-newline read
     "q_ts_hurst" -> 0.9, "q_win_ema_cross" -> 0.6,
     "q_agg_hoeffding" -> 0.5,
-    // powerlaw pays the FULL co-order edge self-join (assortativity's
-    // class) + the degree census: 2.79 s measured median
+    // powerlaw r17: full co-order edges via the shared in-row pair
+    // contraction (CoOrderGraph) + degree census + PrefixSweep grid —
+    // 1.77 s cold-session BenchOne; the r16 self-join form measured
+    // 4.5-5.1 s quiet and breached this same budget (r16 verdict #1)
     "q_graph_powerlaw" -> 2.4,
     "q_src_csv_multiline" -> 0.8)
 

@@ -62,4 +62,32 @@ class BenchSlopeSpec extends AnyFunSuite {
       "superlinear growth across the 10x data step (O(N^2) suspects):\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("top-10 cost rows stay linear-ish across the sf0.1→sf1 decade") {
+    // optional leg (r16 verdict #5): graft.SlopeSf1 prices the top-10
+    // cost rows against a 10×-replicated sf0.1 corpus (disjoint key
+    // spaces; text/embedding rotation so replicas don't collapse into
+    // near-duplicates — see SlopeSf1's scaladoc) and writes
+    // target/slope_sf1.json. One more decade of evidence on exactly
+    // the rows where hidden superlinearity would hurt most.
+    val f = new java.io.File("/root/repo/target/slope_sf1.json")
+    assume(f.exists(), "no target/slope_sf1.json — run graft.SlopeSf1")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    def leg(k: String): Map[String, Double] = {
+      val node = root.path(k)
+      node.fieldNames.asScala
+        .map(q => q -> node.path(q).asDouble()).toMap
+    }
+    val s01 = leg("sf01"); val s1 = leg("sf1")
+    info(s"sf1 leg run_id=${root.path("run_id").asText("<none>")}")
+    val offenders = s1.collect {
+      case (q, tBig)
+          if tBig >= floorSec && s01.getOrElse(q, 0.0) > 0 &&
+            tBig / s01(q) > maxRatio =>
+        f"$q: ${s01(q)}%.3fs -> $tBig%.3fs (${tBig / s01(q)}%.1fx)"
+    }
+    assert(offenders.isEmpty,
+      "superlinear growth across the sf0.1->sf1 decade:\n  " +
+        offenders.mkString("\n  "))
+  }
 }

@@ -577,4 +577,142 @@ class StreamingSpec extends SparkSpecBase {
     assert(java.nio.file.Files.exists(ledger2),
       "recovery must complete the ledger mark")
   }
+
+  // ---- transformWithState checkpoint recovery (r16 verdict #6) ----
+  // The live-semantics tests above pin WHAT each processor computes;
+  // these four pin that its RocksDB state SURVIVES a kill-and-resume
+  // from the checkpoint — the production state path: a 1000-executor
+  // job loses executors and restarts queries as a matter of course,
+  // and every stateful contract here is worthless if resume resets it.
+
+  /** One AvailableNow run against a shared checkpoint: start, drain
+    * the staged data, terminate — the second call IS the restart. */
+  private def ckptRun[T](mem: MemoryStream[T],
+      build: org.apache.spark.sql.Dataset[T] =>
+        org.apache.spark.sql.DataFrame,
+      out: String, ckpt: String, data: Seq[T]): Unit = {
+    mem.addData(data: _*)
+    val q = build(mem.toDS()).writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def withRocksDb(body: => Unit): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try body
+    finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("seen-set MapState survives a checkpointed restart " +
+      "(q_stream_seen)") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_seen_ckpt").toString
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val mem = MemoryStream[(Long, String, Double)]
+      def run(d: Seq[(Long, String, Double)]): Unit =
+        ckptRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
+          Double)]) => Streaming.userSeenTypes(ds).toDF(), out, ckpt, d)
+      run(Seq((4L, "view", 1.0), (4L, "click", 1.0)))
+      run(Seq((4L, "view", 1.0))) // restart from checkpoint
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      // the re-arrival must read as ALREADY SEEN with its per-type
+      // count continued — a reset would emit a second first_seen=true
+      assert(rows.contains((4L, "view", false, 2L, 2L)),
+        s"seen-set did not survive the restart: ${rows.mkString(", ")}")
+      assert(rows.count { case (_, t, f, _, _) =>
+        t == "view" && f } == 1,
+        s"restart re-flagged a seen type as new: ${rows.mkString(", ")}")
+    }
+  }
+
+  test("cdc version-guard state survives a checkpointed restart " +
+      "(q_stream_cdc)") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cdc_ckpt").toString
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val mem = MemoryStream[(Long, String, Long, Double)]
+      def run(d: Seq[(Long, String, Long, Double)]): Unit =
+        ckptRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
+          Long, Double)]) => Streaming.cdcApplyStream(ds).toDF(),
+          out, ckpt, d)
+      run(Seq((7L, "U", 2L, 20.0), (8L, "U", 1L, 80.0)))
+      // restart, then a STALE v1 update for key 7: the reloaded
+      // version guard must drop it — losing state would apply v1
+      run(Seq((7L, "U", 1L, 10.0)))
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSeq
+      assert(rows.count(_ == ((7L, 2L, 20.0, true))) == 2,
+        s"version guard did not survive the restart: " +
+          rows.mkString(", "))
+      assert(!rows.contains((7L, 1L, 10.0, true)),
+        s"restart let a stale version apply: ${rows.mkString(", ")}")
+    }
+  }
+
+  test("TTL ValueState survives a checkpointed restart inside its " +
+      "window (q_stream_ttl)") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ttl_ckpt").toString
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val mem = MemoryStream[(Long, String, Double)]
+      // TTL far above the test's wall time: this test pins RECOVERY
+      // (state persists across restart while unexpired); the live
+      // expiry test above pins the TTL semantics themselves
+      def run(d: Seq[(Long, String, Double)]): Unit =
+        ckptRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
+          Double)]) => Streaming.userActivityTwsTtl(ds,
+          java.time.Duration.ofMinutes(10)).toDF(), out, ckpt, d)
+      run(Seq((3L, "click", 1.0), (3L, "purchase", 2.0)))
+      run(Seq((3L, "purchase", 4.5))) // restart from checkpoint
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(rows.contains((3L, 3L, 2L, 750L)),
+        s"TTL state did not survive the restart: ${rows.mkString(", ")}")
+      assert(!rows.contains((3L, 1L, 1L, 450L)),
+        s"restart reset the TTL accumulator: ${rows.mkString(", ")}")
+    }
+  }
+
+  test("inactivity timer state survives a checkpointed restart " +
+      "(q_stream_timer)") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_timer_ckpt").toString
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val mem = MemoryStream[(Long, String, Double)]
+      // timeout far above the test's wall time: the pending timer and
+      // the per-key count must RELOAD, not fire or reset — the live
+      // timer test above pins expiry itself
+      def run(d: Seq[(Long, String, Double)]): Unit =
+        ckptRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
+          Double)]) => Streaming.userInactivity(ds,
+          java.time.Duration.ofMinutes(10)).toDF(), out, ckpt, d)
+      run(Seq((9L, "click", 1.0)))
+      run(Seq((9L, "view", 1.0))) // restart from checkpoint
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows.contains((9L, "active", 2L)),
+        s"timer-op state did not survive the restart: " +
+          rows.mkString(", "))
+      assert(rows.count(_ == ((9L, "active", 1L))) == 1,
+        s"restart reset the session counter: ${rows.mkString(", ")}")
+    }
+  }
 }
