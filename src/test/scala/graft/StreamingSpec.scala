@@ -600,6 +600,36 @@ class StreamingSpec extends SparkSpecBase {
     q.awaitTermination()
   }
 
+  /** Like [[ckptRun]] but await-output-then-stop: required for
+    * ProcessingTime-time-mode processors (TTL, timers), where neither
+    * AvailableNow nor processAllAvailable ever settles — the
+    * wall-clock state machinery schedules no-data maintenance batches
+    * forever, so "stream idle" is unreachable. Waiting for the
+    * EXPECTED ROW in the (durable, committed-batch-consistent)
+    * parquet sink bounds the run; the checkpoint still makes the
+    * second call a genuine restart. */
+  private def drainRun[T](mem: MemoryStream[T],
+      build: org.apache.spark.sql.Dataset[T] =>
+        org.apache.spark.sql.DataFrame,
+      out: String, ckpt: String, data: Seq[T],
+      done: Seq[org.apache.spark.sql.Row] => Boolean): Unit = {
+    mem.addData(data: _*)
+    val q = build(mem.toDS()).writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      def rows(): Seq[org.apache.spark.sql.Row] =
+        scala.util.Try(spark.read.parquet(out).collect().toSeq)
+          .getOrElse(Seq.empty)
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!done(rows()) && System.nanoTime < deadline)
+        Thread.sleep(200)
+      assert(done(rows()),
+        s"timed out waiting for streamed output in $out")
+    } finally q.stop()
+  }
+
   private def withRocksDb(body: => Unit): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
@@ -672,13 +702,22 @@ class StreamingSpec extends SparkSpecBase {
       val mem = MemoryStream[(Long, String, Double)]
       // TTL far above the test's wall time: this test pins RECOVERY
       // (state persists across restart while unexpired); the live
-      // expiry test above pins the TTL semantics themselves
-      def run(d: Seq[(Long, String, Double)]): Unit =
-        ckptRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
+      // expiry test above pins the TTL semantics themselves.
+      // drainRun, not ckptRun: TimeMode.ProcessingTime +
+      // Trigger.AvailableNow self-triggers no-data batches without
+      // terminating (the TTL/timer wall-clock machinery keeps the
+      // query "not caught up") — drain-then-stop bounds the run
+      def run(d: Seq[(Long, String, Double)],
+              want: (Long, Long, Long, Long)): Unit =
+        drainRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
           Double)]) => Streaming.userActivityTwsTtl(ds,
-          java.time.Duration.ofMinutes(10)).toDF(), out, ckpt, d)
-      run(Seq((3L, "click", 1.0), (3L, "purchase", 2.0)))
-      run(Seq((3L, "purchase", 4.5))) // restart from checkpoint
+          java.time.Duration.ofMinutes(10)).toDF(), out, ckpt, d,
+          rs => rs.exists(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)) == want))
+      run(Seq((3L, "click", 1.0), (3L, "purchase", 2.0)),
+        (3L, 2L, 1L, 300L))
+      // restart from checkpoint
+      run(Seq((3L, "purchase", 4.5)), (3L, 3L, 2L, 750L))
       val rows = spark.read.parquet(out).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSeq
@@ -699,13 +738,18 @@ class StreamingSpec extends SparkSpecBase {
       val mem = MemoryStream[(Long, String, Double)]
       // timeout far above the test's wall time: the pending timer and
       // the per-key count must RELOAD, not fire or reset — the live
-      // timer test above pins expiry itself
-      def run(d: Seq[(Long, String, Double)]): Unit =
-        ckptRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
+      // timer test above pins expiry itself. drainRun for the same
+      // reason as the TTL restart test (ProcessingTime time mode)
+      def run(d: Seq[(Long, String, Double)],
+              want: (Long, String, Long)): Unit =
+        drainRun(mem, (ds: org.apache.spark.sql.Dataset[(Long, String,
           Double)]) => Streaming.userInactivity(ds,
-          java.time.Duration.ofMinutes(10)).toDF(), out, ckpt, d)
-      run(Seq((9L, "click", 1.0)))
-      run(Seq((9L, "view", 1.0))) // restart from checkpoint
+          java.time.Duration.ofMinutes(10)).toDF(), out, ckpt, d,
+          rs => rs.exists(r => (r.getLong(0), r.getString(1),
+            r.getLong(2)) == want))
+      run(Seq((9L, "click", 1.0)), (9L, "active", 1L))
+      // restart from checkpoint
+      run(Seq((9L, "view", 1.0)), (9L, "active", 2L))
       val rows = spark.read.parquet(out).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(rows.contains((9L, "active", 2L)),
