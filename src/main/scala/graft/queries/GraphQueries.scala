@@ -889,7 +889,152 @@ object GraphQueries {
           .otherwise(0).as("scale_free_range"))
   }
 
+  /** q_graph_betweenness — exact Brandes betweenness centrality on
+    * the SF-held demo graph ([[graft.ops.CoOrderGraph.demoEdges]]):
+    * the "which nodes sit on the routes" readout that ranks cut
+    * vertices and brokers where degree ranks hubs — the load-bearing
+    * number behind cache placement and partition-boundary choices on
+    * a real routing graph. One task runs all-sources Brandes
+    * ([[graft.ops.GraphLocal.betweenness]], endpoints excluded, each
+    * unordered pair once) — exact by the modulus contract that pins
+    * the demo graph at ~500 nodes; the distributed fallback for an
+    * unbounded graph (per-source BFS fan-out / pivot sampling,
+    * Brandes & Pich 2007) is documented at the algorithm. Oracle is
+    * the kcore bound-verdict form: the SQL-reconstructed census
+    * anchors n_nodes/n_edges exactly; the analytical invariants
+    * (non-negativity, leaf-zero, star upper bound) ride as
+    * engine-certified booleans; true values are pinned on handcrafted
+    * graphs in GraphLocalSpec. */
+  private val graphBetweenness: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = graft.ops.CoOrderGraph.demoEdges(s, dir)
+    val deg = graft.ops.CoOrderGraph.degrees(e0, "dg")
+    val bc = e0.as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, rows) =>
+        graft.ops.GraphLocal.betweenness(rows.toSeq).iterator
+      }
+      .toDF("p", "bc")
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = e0.agg(count(lit(1)).as("n_edges"))
+    bc.join(broadcast(deg), "p")
+      .crossJoin(broadcast(nodes))
+      .agg(
+        max("n_nodes").as("nn"),
+        (min("bc") >= -1e-9).as("bc_nonneg"),
+        (max(when(col("dg") === 1, abs(col("bc"))))
+          .isNull || max(when(col("dg") === 1, abs(col("bc"))))
+          < 1e-9).as("leaves_zero"),
+        (max("bc") <= (max("n_nodes") - 1) * (max("n_nodes") - 2)
+          / lit(2.0) + 1e-6).as("bc_bound_ok"))
+      .crossJoin(broadcast(edges))
+      .select(col("nn").cast("long").as("n_nodes"),
+        col("n_edges").cast("long").as("n_edges"),
+        col("bc_nonneg"), col("leaves_zero"), col("bc_bound_ok"))
+  }
+
+  /** q_graph_eccentricity — radius / diameter / center / periphery of
+    * the demo graph's LARGEST component (exact per-node BFS
+    * eccentricities, [[graft.ops.GraphLocal.eccentricity]]): the
+    * "how many hops across is this graph" profile that bounds
+    * synchronous-round algorithms (a Pregel pass count is a diameter
+    * bound) and picks broadcast- vs iterate-style propagation. The
+    * DuckDB oracle independently reconstructs ALL-PAIRS shortest
+    * paths with a bounded recursive CTE over the same contraction —
+    * full value-level verification, not just anchors (its d < 24
+    * expansion cap is certified by the under_cap verdict the engine
+    * computes from the true diameter). Largest component ties break
+    * to the min node label. */
+  private val graphEccentricity: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = graft.ops.CoOrderGraph.demoEdges(s, dir)
+    val ecc = e0.as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, rows) =>
+        graft.ops.GraphLocal.eccentricity(rows.toSeq).iterator
+      }
+      .toDF("p", "lbl", "ecc")
+      .localCheckpoint()
+    val lcc = ecc.groupBy("lbl").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lbl").asc).limit(1)
+    val rows = ecc.join(broadcast(lcc), "lbl")
+    val stats = rows.agg(count(lit(1)).as("lcc_nodes"),
+      min("ecc").as("radius"), max("ecc").as("diameter"))
+    rows.crossJoin(broadcast(stats))
+      .agg(max("lcc_nodes").as("lcc_nodes"),
+        max("radius").as("r"), max("diameter").as("d"),
+        count(when(col("ecc") === col("radius"), 1)).as("n_center"),
+        count(when(col("ecc") === col("diameter"), 1))
+          .as("n_periphery"))
+      .select(col("lcc_nodes").cast("long").as("lcc_nodes"),
+        col("r").cast("long").as("radius"),
+        col("d").cast("long").as("diameter"),
+        col("n_center"), col("n_periphery"),
+        (col("d") < 24).as("under_cap"))
+  }
+
+  /** q_graph_bridges — bridge / articulation-point census of the demo
+    * graph (Tarjan low-link DFS,
+    * [[graft.ops.GraphLocal.bridgesAndArticulation]]): the
+    * single-point-of-failure profile — a bridge is an edge whose loss
+    * disconnects, an articulation point a node that does the same;
+    * on a dependency or delivery graph these are the rows an SRE
+    * wants FIRST. The op SELF-CERTIFIES: for every bridge (and every
+    * articulation point) it re-runs union-find on the graph minus
+    * that edge (node) and asserts the split really happens — the
+    * engine-side proof the oracle's booleans pin, since per-edge
+    * removal reachability has no tractable SQL twin. n_components
+    * additionally anchors value-exactly against the oracle's
+    * recursive-CTE reachability. Counts are pinned on handcrafted
+    * graphs in GraphLocalSpec. */
+  private val graphBridges: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = graft.ops.CoOrderGraph.demoEdges(s, dir)
+    val verdicts = e0.as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .mapGroups { (_, rows) =>
+        val edges = rows.toSeq
+        val (bridges, artic) =
+          graft.ops.GraphLocal.bridgesAndArticulation(edges)
+        val nComp = graft.ops.GraphLocal.components(edges)
+          .values.toSet.size
+        def nCompWithout(drop: ((Long, Long)) => Boolean): Int =
+          graft.ops.GraphLocal.components(edges.filterNot(drop))
+            .values.toSet.size
+        // removing a bridge must ADD a component
+        val bridgesSplit = bridges.forall(b =>
+          nCompWithout(e => e == b) == nComp + 1)
+        // removing an articulation point must split ITS component:
+        // the node's own component contributes ≥ 2 pieces afterwards,
+        // so the global count (edge-bearing pieces + nodes the
+        // removal isolated) must EXCEED the original
+        val articSplit = artic.forall { a =>
+          val rest = edges.filterNot(e => e._1 == a || e._2 == a)
+          val isolated = graft.ops.GraphLocal.components(edges)
+            .count { case (n, _) => n != a &&
+              !rest.exists(e => e._1 == n || e._2 == n) }
+          graft.ops.GraphLocal.components(rest).values.toSet.size +
+            isolated >= nComp + 1
+        }
+        (nComp.toLong, bridges.size.toLong, artic.size.toLong,
+          bridgesSplit, articSplit)
+      }
+      .toDF("n_components", "n_bridges", "n_artic",
+        "bridges_split", "artic_split")
+    val nodes = graft.ops.CoOrderGraph.degrees(e0, "dg")
+      .agg(count(lit(1)).as("n_nodes"))
+    val edges = e0.agg(count(lit(1)).as("n_edges"))
+    verdicts
+      .crossJoin(broadcast(nodes)).crossJoin(broadcast(edges))
+      .select(col("n_nodes").cast("long").as("n_nodes"),
+        col("n_edges").cast("long").as("n_edges"),
+        col("n_components"), col("bridges_split"), col("artic_split"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_graph_betweenness" -> graphBetweenness,
+    "q_graph_eccentricity" -> graphEccentricity,
+    "q_graph_bridges" -> graphBridges,
     "q_graph_powerlaw" -> graphPowerlaw,
     "q_pipe_graph_health" -> pipeGraphHealth,
     "q_graph_lpa" -> graphLpa,

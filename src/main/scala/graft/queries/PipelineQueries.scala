@@ -2714,7 +2714,64 @@ object PipelineQueries {
       .orderBy("check")
   }
 
+  /** q_evt_shapley — Shapley-value attribution under the presence
+    * model: each purchase's credit splits EQUALLY among the channel
+    * types (view, click) that touched the user within the 3 days
+    * before it — the Shapley value of the symmetric "any touched
+    * coalition converts" game is exactly 1/|S| per present channel,
+    * so the game-theoretic answer here is closed-form, order-free,
+    * and position-free (the fairness axioms last-touch
+    * q_evt_attribution violates: it hands 100% to recency). Untouched
+    * purchases land in the organic bucket with full credit,
+    * identically on both engines. Exactness: presence flags are
+    * timestamp comparisons; |S| ∈ {1,2}, so every credit is 1.0 or
+    * 0.5 — dyadic rationals whose double sum is exact in ANY
+    * partition order (no rounding discipline needed). Scale: ONE
+    * window pass per channel carries O(1) running state (the
+    * q_evt_attribution device — never a touches×purchases range
+    * join); the readout is a 3-row fold. */
+  private val evtShapley: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("lv", max(when(col("event_type") === "view",
+        col("ts"))).over(w))
+      .withColumn("lc", max(when(col("event_type") === "click",
+        col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("hv", col("lv").isNotNull &&
+        col("lv") >= col("ts") - expr("INTERVAL 3 DAY"))
+      .withColumn("hc", col("lc").isNotNull &&
+        col("lc") >= col("ts") - expr("INTERVAL 3 DAY"))
+      .withColumn("sz",
+        col("hv").cast("int") + col("hc").cast("int"))
+    val agg = p.agg(
+      sum(when(col("hv"), 1).otherwise(0)).as("tv"),
+      sum(when(col("hc"), 1).otherwise(0)).as("tc"),
+      sum(when(col("sz") === 0, 1).otherwise(0)).as("to"),
+      sum(when(col("hv"), lit(1.0) / col("sz"))).as("cv"),
+      sum(when(col("hc"), lit(1.0) / col("sz"))).as("cc"))
+    agg.select(explode(array(
+        struct(lit("view").as("channel"),
+          col("tv").cast("long").as("n_touched"),
+          round(coalesce(col("cv"), lit(0.0)), 2).as("credit")),
+        struct(lit("click").as("channel"),
+          col("tc").cast("long").as("n_touched"),
+          round(coalesce(col("cc"), lit(0.0)), 2).as("credit")),
+        struct(lit("organic").as("channel"),
+          col("to").cast("long").as("n_touched"),
+          round(col("to").cast("double"), 2).as("credit"))))
+        .as("r"))
+      .select(col("r.channel"), col("r.n_touched"), col("r.credit"))
+      .orderBy("channel")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_evt_shapley" -> evtShapley,
     "q_pipe_abtest" -> pipeAbtest,
     "q_etl_late_dim" -> etlLateDim,
     "q_evt_decay" -> evtDecay,

@@ -3042,7 +3042,95 @@ object TextQueries {
       .orderBy(col("source").asc_nulls_first)
   }
 
+  /** q_samp_ppswor — probability-proportional-to-size sampling
+    * WITHOUT replacement (Efraimidis–Spirakis 2006), weight =
+    * `n_chars`: each doc draws a deterministic uniform u from the
+    * shared sha-prefix device (the q_sample_hash contract — both
+    * engines derive the identical integer from the hex prefix) and
+    * competes on priority ln(u)/w; the top-200 by that key ARE an
+    * exact PPS-WOR draw. This is the curation draw the shelf lacked:
+    * hash sampling is per-row Bernoulli (sample size drifts),
+    * reservoir is uniform (long docs underrepresented per TOKEN),
+    * importance reweights but keeps everything; PPS-WOR yields a
+    * fixed-size sample where a doc's inclusion odds scale with its
+    * token mass — the standard draw for char-budgeted corpus audits.
+    * Exactness: u = (h+1)/16⁷ is one exact division; the priority
+    * rounds to the 8-dp grid with doc_id as the strict tie-break
+    * (boundary discipline), so the top-200 cut is identical on both
+    * engines. Scale: scoring is per-row; the global cut is a
+    * TakeOrderedAndProject (top-k, never a full sort materialized);
+    * the census a two-phase aggregate. */
+  private val sampPpswor: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars") > 0)
+    val top = docs
+      .withColumn("h", conv(substring(sha2(
+          concat(lit("pps:"), col("doc_id").cast("string")), 256),
+          1, 7), 16, 10).cast("long"))
+      .withColumn("u",
+        (col("h") + 1).cast("double") / lit(268435456.0))
+      .withColumn("k8", round(log(col("u")) /
+        col("n_chars").cast("double"), 8))
+      .orderBy(col("k8").desc, col("doc_id").asc)
+      .limit(200)
+    val tot = docs.agg(sum("n_chars").cast("double").as("tot_chars"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("src_chars"))
+      .join(top.groupBy(col("source").as("s2"))
+        .agg(count(lit(1)).as("n_sampled")),
+        col("source") === col("s2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(col("src_chars").cast("double") / col("tot_chars"), 4)
+          .as("char_share"),
+        round(coalesce(col("n_sampled"), lit(0L)).cast("double")
+          / 200.0, 4).as("samp_share"))
+      .orderBy("source")
+  }
+
+  /** q_data_mixture — training-mixture allocator: per-source sampling
+    * weights w = n_docs^0.7 (the sub-linear exponent that caps head
+    * sources — the Pile/temperature-mixing convention, here on the
+    * doc axis), normalized shares, and an EXACT largest-remainder
+    * apportionment of a 10,000-doc budget (floor allocations + the
+    * remainder ranking hands out the leftover, so the allocations
+    * sum to the budget by construction — the property a
+    * proportional-rounding allocator silently loses). Exactness: w
+    * rounds to a 6-dp DECIMAL before the source fold (grid rule);
+    * floor and remainder derive from the same shared division; the
+    * remainder rank ties break on source (boundary discipline).
+    * Scale: sources are a contraction; everything after the first
+    * aggregate is grid-sized. */
+  private val dataMixture: Q = (s, dir) => {
+    val src = Tables.load(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(pow(col("n_docs").cast("double"),
+        0.7), 6).cast("decimal(18,6)"))
+    val tot = src.agg(sum("w").as("tw"),
+      count(lit(1)).as("n_src"))
+    val based = src.crossJoin(broadcast(tot))
+      .withColumn("exact",
+        col("w").cast("double") * 10000.0 / col("tw").cast("double"))
+      .withColumn("alloc0", floor(col("exact")).cast("long"))
+      .withColumn("rem", round(col("exact") - col("alloc0"), 8))
+    val wr = Window.orderBy(col("rem").desc, col("source").asc)
+    val short = based.agg((lit(10000) - sum("alloc0")).as("k"))
+    based
+      .withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(short))
+      .select(col("source"), col("n_docs"),
+        round(col("w").cast("double") / col("tw").cast("double"), 4)
+          .as("share"),
+        (col("alloc0") + when(col("rk") <= col("k"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_samp_ppswor" -> sampPpswor,
+    "q_data_mixture" -> dataMixture,
     "q_samp_systematic" -> sampSystematic,
     "q_pipe_embed_qa" -> pipeEmbedQa,
     "q_vec_hubness" -> vecHubness,

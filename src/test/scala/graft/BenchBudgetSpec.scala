@@ -608,7 +608,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     // 1.77 s cold-session BenchOne; the r16 self-join form measured
     // 4.5-5.1 s quiet and breached this same budget (r16 verdict #1)
     "q_graph_powerlaw" -> 2.4,
-    "q_src_csv_multiline" -> 0.8)
+    "q_src_csv_multiline" -> 0.8,
+    // r17 batch R: the three in-task graph readouts ride the shared
+    // CoOrderGraph demo contraction + one flatMapGroups task (the
+    // kcore cost class; bridges adds the per-finding removal
+    // re-checks); ppswor one scan + top-k; boilerplate the sentence
+    // explode + two aggregates; mixture/shapley/ljung_box
+    // one-contraction closed forms
+    "q_graph_betweenness" -> 1.1, "q_graph_eccentricity" -> 0.8,
+    "q_graph_bridges" -> 0.8, "q_samp_ppswor" -> 0.6,
+    "q_data_mixture" -> 0.7, "q_evt_shapley" -> 0.9)
 
   private val benchFile =
     new java.io.File("/root/repo/target/bench_sf0.1.json")

@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
     }.toMap
 
   test("SURVEY declares the expected inventory size") {
-    assert(declared.size == 429, s"got ${declared.size}")
-    assert(declared.values.count(_ == "O") == 429)
+    assert(declared.size == 435, s"got ${declared.size}")
+    assert(declared.values.count(_ == "O") == 435)
     assert(declared.values.count(_ == "Q") == 0)
     assert(declared.values.count(_ == "U") == 0)
   }
