@@ -540,12 +540,26 @@ object TextQueries {
     * pairs ([[TextSim.ngramJaccard]]): the exact-measure companion to the
     * MinHash estimate. */
   private val ngramJaccardQ: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
-    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // parallelized + shingles BEFORE the join (r17 cold-anchor sweep):
+    // the interpreted shingle HOF used to sit in the post-join
+    // projection, where (a) CollapseProject inlined it into every
+    // reference (~4 evaluations per row — the r12 winnowing
+    // re-hashing class) and (b) at bench SFs the one-split documents
+    // scan ran it on a single core. count()-shaped sinks never
+    // noticed (the jaccard column prunes away); a consumer
+    // MATERIALIZING rows paid ~10 s at sf0.1 for what is now ~0.5 s.
+    // Pre-join, the arrays are computed once per doc across the full
+    // session parallelism and cross the join exchange as values.
+    val d = Tables.parallelized(Tables.load(s, dir, "documents"))
+    val a = d.select(col("doc_id").as("doc_a"),
+      TextSim.shingles(col("text"), 3).as("ga"))
+    val b = d.select(col("doc_id").as("doc_b"),
+      TextSim.shingles(col("text"), 3).as("gb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
       .withColumn("jaccard",
-        TextSim.ngramJaccard(col("text_a"), col("text_b"), 3))
+        round(try_divide(
+          size(array_intersect(col("ga"), col("gb"))).cast("double"),
+          size(array_union(col("ga"), col("gb"))).cast("double")), 4))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a")
   }
@@ -560,11 +574,18 @@ object TextQueries {
     * set-op shape as q_text_ngram_jaccard; per-row, no shuffle beyond
     * the id+1 self-join. */
   private val textContainment: Q = (s, dir) => {
-    val d = Tables.load(s, dir, "documents")
-    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val ga = TextSim.shingles(col("text_a"), 3)
-    val gb = TextSim.shingles(col("text_b"), 3)
+    // parallelized + shingles pre-join, exactly the
+    // q_text_ngram_jaccard rationale (see that op): post-join the
+    // interpreted HOF re-expanded into ~10 references per row AND ran
+    // on the one-split scan's single core — 15.8 s at sf0.1 for a
+    // materializing consumer (r17 cold-anchor sweep) vs ~0.6 s now;
+    // count()-shaped sinks pruned the columns and never saw it.
+    val d = Tables.parallelized(Tables.load(s, dir, "documents"))
+    val a = d.select(col("doc_id").as("doc_a"),
+      TextSim.shingles(col("text"), 3).as("ga"))
+    val b = d.select(col("doc_id").as("doc_b"),
+      TextSim.shingles(col("text"), 3).as("gb"))
+    val ga = col("ga"); val gb = col("gb")
     val inter = size(array_intersect(ga, gb)).cast("double")
     a.join(b, col("doc_b") === col("doc_a") + 1)
       .withColumn("contain_a",
