@@ -539,7 +539,10 @@ class PlanQualitySpec extends SparkSpecBase {
     "q_ts_rolling_corr" -> "frame sums over the day grid",
     "q_ts_survival" -> ("Kaplan-Meier windows over the distinct-" +
       "lifetime-days grid (calendar-span-bounded, not customer-grain)"),
-    "q_ts_wow" -> "lag window over the weekly grid")
+    "q_ts_wow" -> "lag window over the weekly grid",
+    "q_data_mixture" -> ("largest-remainder rank over the SOURCE grid " +
+      "(one row per distinct documents.source — domain-bounded; the " +
+      "corpus contracts in the aggregate before it)"))
 
   test("GLOBAL sweep: no unaudited unpartitioned window in ANY plan") {
     // the round-14 weak class, made repo-wide (VERDICT r15 ask #4):
