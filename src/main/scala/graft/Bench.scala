@@ -96,10 +96,19 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // -1 marks a failed query instead of silently reporting its
       // time-to-crash as a (fast) success
+      // noop SINK, not count() (r17): count() lets Catalyst prune the
+      // FINAL projection — an operator whose cost lives in its output
+      // expressions benched at the price of its joins alone
+      // (q_text_containment 0.16 s counted vs 15.8 s materialized;
+      // window functions feeding only pruned columns are eliminated
+      // outright, q_agg_spearman 0.15 vs 2.96 s). The noop sink
+      // materializes every output row — what a real consumer pays —
+      // while writing nothing. Totals are NOT comparable to the
+      // count()-era anchors (BASELINE.md marks the generation switch).
       def runOnce(): (Double, Double) =
         try {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           ((System.nanoTime() - t0) / 1e9, loadavg())
         } catch {
           case e: Throwable =>
@@ -176,6 +185,7 @@ object Bench {
     val fullJson = obj(Seq(
       s""""metric":"total"""", s""""value":$total""", s""""unit":"sec"""",
       s""""method":"median-warm"""", s""""n":$runs""",
+      s""""sink":"noop"""",
       s""""queries":${obj(results.map { case (k, (m, _, _, _)) => s""""$k":$m""" })}""",
       s""""samples":${obj(results.map { case (k, (_, ss, _, _)) =>
         s""""$k":${ss.map(_._1).mkString("[", ",", "]")}""" })}""",

@@ -33,18 +33,13 @@ object BenchCold {
       try {
         graft.queries.SourceQueries.prepareFixtures(spark, dir)
         graft.ops.Multimodal.mediaFixture(spark)
-        // .count(), NOT the noop sink: these anchors lint the budget
-        // gate, which judges graft.Bench's count()-based medians —
-        // count() column-prunes final projections, so a noop figure
-        // here would demand budgets cover work the gate never prices.
-        // (That pruning blind spot is real for consumers — the r17
-        // cold sweep caught q_text_containment at 15.8 s noop vs
-        // 0.16 s count() and led to the shingle-placement fix — but
-        // it is a PLAN-HONESTY concern, tracked per-op, not a budget
-        // one.)
+        // noop sink, matching graft.Bench's r17 sink switch: these
+        // anchors lint the budget gate, so they must price the same
+        // (fully materialized) plan the gate judges.
         def once(): Double = {
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir).count()
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm-up (codegen, footer cache — NOT session state)

@@ -31,15 +31,26 @@ class BenchBudgetSpec extends AnyFunSuite {
     * wall-clock gate: it cannot distinguish a slow query from a slow
     * machine, which is why a breach triggers a quiet-machine rerun
     * before any budget edit. */
+  /** BUDGET GENERATION NOTE (round 17): graft.Bench switched its sink
+    * from `.count()` to the noop writer — count() let Catalyst prune
+    * final projections, so operators whose cost lives in output
+    * expressions benched at the price of their joins alone
+    * (q_text_containment 0.16 s counted vs 15.8 s materialized;
+    * windows feeding only pruned columns were eliminated outright).
+    * Every budget was re-based to `max(old, ceil(noop_median × 1.4))`
+    * against the r17 materialized sweep; per-row comments that quote
+    * pre-r17 second figures describe the count()-era cost and remain
+    * as shape rationale — the committed number is the noop-era one.
+    * BASELINE.md marks the anchor-generation switch. */
   private val budgets: Map[String, Double] = Map(
     // sources
-    "q_src_parquet" -> 0.4, "q_src_ndjson" -> 0.6,
-    "q_src_csv" -> 0.6, "q_src_orc" -> 0.5,
+    "q_src_parquet" -> 0.8, "q_src_ndjson" -> 0.6,
+    "q_src_csv" -> 0.9, "q_src_orc" -> 0.5,
     // corrupt triage: text write + PERMISSIVE json read-back
     "q_src_corrupt" -> 1.2,
     // XML parse is the costliest text source (per-row element parse)
-    "q_src_xml" -> 1.0,
-    "q_src_stream_file" -> 2.0,
+    "q_src_xml" -> 1.3,
+    "q_src_stream_file" -> 2.5,
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
     // double JDBC write (drop/create + batched inserts) of the %5 slice
     "q_sink_jdbc" -> 2.5,
@@ -47,31 +58,31 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_jdbc" -> 2.5,
     "q_src_partition_prune" -> 1.2, "q_sink_bucketed" -> 1.5,
     // projections / filters
-    "q_proj_select" -> 0.3, "q_proj_derived" -> 0.3,
-    "q_filter_eq" -> 0.3, "q_filter_bool" -> 0.3,
+    "q_proj_select" -> 0.3, "q_proj_derived" -> 0.5,
+    "q_filter_eq" -> 0.4, "q_filter_bool" -> 0.3,
     "q_filter_ilike" -> 0.3, "q_filter_rlike" -> 0.3,
-    "q_filter_range_disj" -> 0.4, "q_filter_null" -> 0.3,
+    "q_filter_range_disj" -> 0.5, "q_filter_null" -> 0.4,
     // joins
-    "q_join_inner" -> 0.5, "q_join_bridge3" -> 0.6, "q_join_left" -> 0.5,
+    "q_join_inner" -> 0.5, "q_join_bridge3" -> 1.3, "q_join_left" -> 0.6,
     "q_join_semi" -> 0.4, "q_join_anti" -> 0.4, "q_join_full" -> 0.5,
     "q_join_broadcast" -> 0.5, "q_join_range" -> 0.4, "q_join_asof" -> 0.6,
     // interval overlap: two bucket explodes + one equi-join + daily rollup
-    "q_join_interval" -> 0.8,
-    "q_join_salted" -> 0.6, "q_join_nullsafe" -> 0.5,
+    "q_join_interval" -> 1.4,
+    "q_join_salted" -> 0.6, "q_join_nullsafe" -> 0.6,
     // aggregations
-    "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 0.6,
+    "q_agg_count" -> 0.4, "q_agg_group" -> 0.6, "q_agg_multi" -> 1.3,
     "q_agg_distinct" -> 0.4, "q_dedup_distinct" -> 0.4,
-    "q_agg_approx" -> 0.5, "q_agg_sketch" -> 0.6, "q_agg_countmin" -> 0.8,
-    "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.7,
-    "q_agg_gsets" -> 0.7, "q_agg_collect" -> 0.7, "q_agg_pivot" -> 0.6,
-    "q_agg_quantile" -> 0.5, "q_agg_quantile_approx" -> 0.6,
+    "q_agg_approx" -> 2.5, "q_agg_sketch" -> 0.6, "q_agg_countmin" -> 0.8,
+    "q_agg_rollup" -> 1.0, "q_agg_cube" -> 0.8,
+    "q_agg_gsets" -> 1.9, "q_agg_collect" -> 1.5, "q_agg_pivot" -> 0.6,
+    "q_agg_quantile" -> 1.0, "q_agg_quantile_approx" -> 0.9,
     "q_agg_stats" -> 0.4, "q_agg_histogram" -> 0.4,
     // bitmap: two-phase chunk bit_or + bit_count rollup
     "q_agg_bitmap" -> 0.7,
     // misra-gries: one typed-aggregator pass over events
     "q_agg_heavy_hitters" -> 0.8,
     // moments: one two-phase aggregate with decimal power sums
-    "q_agg_moments" -> 0.8,
+    "q_agg_moments" -> 1.1,
     // regression: same decimal-sum family, 4 columns per group
     "q_agg_regression" -> 0.8,
     // topn share: per-customer contraction + TakeOrdered-10 + tiny window
@@ -79,70 +90,70 @@ class BenchBudgetSpec extends AnyFunSuite {
     // soft dedup: sha contraction + fingerprint-keyed join-back
     "q_text_soft_dedup" -> 0.9,
     // moving median: bounded 7-row frame window
-    "q_win_median" -> 0.9,
+    "q_win_median" -> 1.1,
     // rolling z: one key shuffle, decimal frame sums, closed-form readout
-    "q_win_zscore" -> 0.9,
+    "q_win_zscore" -> 1.6,
     // windows
-    "q_win_rownum" -> 0.8, "q_win_rank" -> 0.5, "q_win_lag" -> 0.4,
-    "q_win_running" -> 0.4, "q_win_topk_group" -> 0.8,
-    "q_win_ntile" -> 0.5, "q_win_locf" -> 0.5, "q_win_moving" -> 0.5, "q_win_paginate" -> 0.7,
+    "q_win_rownum" -> 0.8, "q_win_rank" -> 1.4, "q_win_lag" -> 0.6,
+    "q_win_running" -> 0.8, "q_win_topk_group" -> 0.8,
+    "q_win_ntile" -> 0.5, "q_win_locf" -> 0.7, "q_win_moving" -> 0.7, "q_win_paginate" -> 0.7,
     // sort / set
-    "q_sort_multi" -> 0.3, "q_limit" -> 0.3, "q_topk" -> 0.3,
-    "q_set_union" -> 0.4, "q_set_except" -> 0.5, "q_set_intersect" -> 0.5,
+    "q_sort_multi" -> 0.4, "q_limit" -> 0.3, "q_topk" -> 0.3,
+    "q_set_union" -> 0.4, "q_set_except" -> 0.6, "q_set_intersect" -> 0.5,
     // scalar: strings / datetime / math
     "q_str_concat" -> 0.3, "q_str_split" -> 0.3,
     "q_str_trim_replace" -> 0.3, "q_str_case" -> 0.3,
-    "q_str_regex_extract" -> 0.3, "q_str_like" -> 0.3, "q_str_len" -> 0.3, "q_str_levenshtein" -> 0.5,
-    "q_dt_parse" -> 0.3, "q_dt_format" -> 0.3, "q_dt_arith" -> 0.3,
-    "q_dt_extract" -> 0.3, "q_dt_tz" -> 0.5, "q_dt_trunc" -> 0.3,
-    "q_dt_series" -> 0.6,
-    "q_math_arith" -> 0.3,
+    "q_str_regex_extract" -> 0.4, "q_str_like" -> 0.3, "q_str_len" -> 0.3, "q_str_levenshtein" -> 0.5,
+    "q_dt_parse" -> 1.5, "q_dt_format" -> 0.8, "q_dt_arith" -> 0.6,
+    "q_dt_extract" -> 0.8, "q_dt_tz" -> 0.5, "q_dt_trunc" -> 0.6,
+    "q_dt_series" -> 0.8,
+    "q_math_arith" -> 1.9,
     // collections / json
-    "q_arr_explode" -> 0.4, "q_arr_posexplode" -> 0.5, "q_arr_ops" -> 0.7,
-    "q_arr_transform" -> 0.5, "q_arr_position" -> 0.3,
-    "q_json_get" -> 0.4, "q_json_from" -> 0.5, "q_json_to" -> 0.4,
-    "q_map_ops" -> 0.4,
+    "q_arr_explode" -> 0.9, "q_arr_posexplode" -> 0.7, "q_arr_ops" -> 0.7,
+    "q_arr_transform" -> 0.7, "q_arr_position" -> 0.4,
+    "q_json_get" -> 1.0, "q_json_from" -> 1.3, "q_json_to" -> 0.4,
+    "q_map_ops" -> 0.6,
     // streaming batch shadows
     "q_stream_join" -> 0.9, "q_stream_tumble" -> 0.4, "q_stream_slide" -> 0.5,
-    "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.5,
+    "q_stream_session" -> 0.8, "q_stream_dedup" -> 0.8,
     "q_stream_state" -> 1.2,
     "q_stream_left" -> 1.4, "q_stream_cdc" -> 0.9,
     "q_stream_ttl" -> 1.1, "q_stream_timer" -> 1.0,
     // UDF family
     // hours_explode: outer-explode form, parse parallelized (round 4)
-    "q_udf_parse_hours" -> 0.8, "q_udtf_hours_explode" -> 0.8,
-    "q_udaf_wavg" -> 0.4, "q_udf_time_until_close" -> 0.8,
+    "q_udf_parse_hours" -> 2.6, "q_udtf_hours_explode" -> 1.2,
+    "q_udaf_wavg" -> 1.0, "q_udf_time_until_close" -> 0.8,
     // text / vector pipeline
     "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
-    "q_text_minhash" -> 1.0,
+    "q_text_minhash" -> 1.2,
     // minhash pairs + union-find contraction (the two stages composed)
     "q_text_minhash_groups" -> 2.2,
     "q_vec_cosine_topk" -> 0.4, "q_vec_normalize" -> 0.4,
-    "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.4,
-    "q_text_quality" -> 0.4, "q_text_repetition" -> 0.7,
-    "q_text_tokens" -> 0.3,
+    "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.8,
+    "q_text_quality" -> 0.8, "q_text_repetition" -> 0.7,
+    "q_text_tokens" -> 0.7,
     "q_text_fingerprint" -> 0.6, "q_vec_ann_lsh" -> 0.8,
     "q_vec_ann_ivf" -> 0.8, "q_text_simhash" -> 0.5,
-    "q_text_ngram_jaccard" -> 0.4, "q_vec_cosine_dedup" -> 0.9,
+    "q_text_ngram_jaccard" -> 1.3, "q_vec_cosine_dedup" -> 1.2,
     "q_vec_dedup_groups" -> 1.6, // partition-local UF contraction (r4)
     "q_media_dedup" -> 0.8, "q_media_frames" -> 0.8,
     // curation / pipeline patterns (round 4)
     "q_sample_hash" -> 0.4, "q_text_scrub" -> 0.5, "q_text_urls" -> 0.5,
-    "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 0.7,
+    "q_evt_funnel" -> 0.8, "q_etl_upsert" -> 1.0,
     // warehouse is a stamped build-once fixture; the timed part is the
     // 4-table join-back aggregate
-    "q_etl_normalize" -> 0.9,
+    "q_etl_normalize" -> 1.4,
     // warehouse is build-once (stamped); cost = 5 collects + hub fold
-    "q_etl_denormalize" -> 1.2,
+    "q_etl_denormalize" -> 5.9,
     // 2 descent rounds x (self-join + rescore + fused top-K +
     // checkpoint): per-round Spark job overhead dominates at the
     // 500-vector demo size (slope ~1x, pure overhead). r16 job-cut
     // rebuild (one exchange per round, fused readout, no final-round
     // checkpoint, hash ring): 3.62 s quiet -> 2.44 s measured
-    "q_vec_ann_nndescent" -> 2.0,
+    "q_vec_ann_nndescent" -> 4.0,
     // 3 Lloyd rounds = 3 collect jobs over <= k*dim partial-mean rows,
     // then one assignment pass + k-group rollup; job count, not data
-    "q_vec_kmeans" -> 1.2,
+    "q_vec_kmeans" -> 1.4,
     // one stratum-keyed WindowGroupLimit pass over documents
     "q_samp_reservoir" -> 0.5,
     // capped per-user collect (the evt_paths shape) + one regexp_count
@@ -150,21 +161,21 @@ class BenchBudgetSpec extends AnyFunSuite {
     // 64-file binaryFile scan + sha; fixture build is outside the timer
     "q_src_binary" -> 0.5,
     // one two-phase count to <= 20 cells, then cell-level arithmetic
-    "q_agg_chisq" -> 0.5,
+    "q_agg_chisq" -> 1.0,
     // x16 explode + 16 shas/row collapse map-side to types*16 rows
-    "q_agg_bootstrap" -> 1.5,
+    "q_agg_bootstrap" -> 4.3,
     // two aggregation passes + broadcast band join
-    "q_agg_winsorize" -> 0.6,
+    "q_agg_winsorize" -> 0.8,
     // wedge join on the %8 co-order graph: ~1.2 M wedge rows into the
     // pair aggregate is the inherent cost (quiet 1.8 s; the %4 graph's
     // 4.8 M wedges cost 3.4 s — the demo prices the shape, not volume)
     "q_graph_common_neighbors" -> 2.0,
     // orders contract + one window sort per segment + one aggregate
-    "q_agg_gini" -> 0.5,
+    "q_agg_gini" -> 0.8,
     // one corpus count to the daily series, then broadcast-sized passes
     "q_ts_decompose" -> 0.6,
     "q_ts_changepoint" -> 0.5,
-    "q_ts_anomaly" -> 0.8,
+    "q_ts_anomaly" -> 0.9,
     "q_ts_autocorr" -> 0.6,
     "q_ts_forecast_snaive" -> 0.5,
     // one user_id exchange, array-derived states, audit aggregate
@@ -174,13 +185,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     // one window pass over the contracted daily series
     "q_ts_drawdown" -> 0.5,
     // two conditional-aggregate scans + one co-keyed join aggregate
-    "q_etl_contract" -> 0.6,
+    "q_etl_contract" -> 1.3,
     // centroid aggregate + broadcast + one fold-scoring scan
-    "q_vec_ood" -> 0.5,
+    "q_vec_ood" -> 0.6,
     // x9 cell fan-out equi-join on the customer dim
-    "q_join_spatial" -> 0.6,
+    "q_join_spatial" -> 0.7,
     // contract-orders-first + one segment aggregate
-    "q_agg_hhi" -> 0.5,
+    "q_agg_hhi" -> 0.6,
     // two-phase (user,type) -> user rollup
     "q_evt_diversity" -> 0.4,
     // per-user conditional-min contraction + percentile profile
@@ -193,16 +204,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     // scale-safe shape (no group ever sorts its full row set)
     "q_agg_weighted_median" -> 1.7,
     // retention-shaped user_id exchange + tiny grid cumsum
-    "q_evt_ltv_cohort" -> 0.5,
+    "q_evt_ltv_cohort" -> 0.7,
     // one digit-count aggregate + 9-row broadcast arithmetic
-    "q_agg_benford" -> 0.4,
+    "q_agg_benford" -> 0.7,
     // distinct-pair contraction + single-partition sweep
-    "q_win_skyline" -> 0.4,
+    "q_win_skyline" -> 1.1,
     // per-gram sha over the corpus + window min + banding join; cost
     // is 4 chained exchanges + the checkpoint materialization (2.1 s
     // quiet via BenchOne after the parallelized-scan lift; the HOF
     // shuffle-free form is O(n^2) via CollapseProject — see the op doc)
-    "q_text_winnowing" -> 1.5,
+    "q_text_winnowing" -> 2.0,
     // one corpus scan to the daily grid
     "q_evt_slo_burn" -> 0.4,
     // one bucket explode + two tiny aggregates
@@ -213,43 +224,43 @@ class BenchBudgetSpec extends AnyFunSuite {
     // costs ~2 extra small jobs locally vs the old single-partition
     // window, in exchange for removing the 100x-scale bottleneck
     // (measured 1.06 s quiet at sf0.1, stable samples)
-    "q_agg_lorenz" -> 1.1,
+    "q_agg_lorenz" -> 1.6,
     // one user_id exchange (lag window + two aggregates + join)
     "q_evt_bot_score" -> 0.7,
     // one corpus contraction to the weekly grid
     "q_ts_wow" -> 0.4,
     // three brute-force probe scans (16/32/64-dim)
-    "q_vec_matryoshka" -> 0.6,
+    "q_vec_matryoshka" -> 0.8,
     // quantile profile broadcast + one fence-count scan
-    "q_agg_iqr" -> 0.5,
+    "q_agg_iqr" -> 0.8,
     // spine generate + two IGNORE-NULLS window passes on the grid
     "q_ts_interpolate" -> 0.5,
     // one blocked-exact pair build on the %4 slice + filters
     "q_vec_dedup_sweep" -> 0.9,
     // per-user flag contraction + one closed-form row
-    "q_agg_ab_ztest" -> 0.4,
+    "q_agg_ab_ztest" -> 0.8,
     // distinct-price grid window (orders-sized, single partition)
-    "q_agg_ks_test" -> 0.6,
+    "q_agg_ks_test" -> 1.7,
     // two per-group rank windows over lineitem + decimal co-moments
-    "q_agg_spearman" -> 1.5,
+    "q_agg_spearman" -> 4.2,
     // per-class window sort over documents + 1-row quota broadcast
     "q_samp_balanced" -> 0.4,
     // distinct (order,brand) contraction + co-partitioned pair join
-    "q_agg_basket" -> 1.5,
+    "q_agg_basket" -> 3.8,
     // k·dim centroid broadcast + one corpus pass scoring k dots/row
-    "q_vec_silhouette" -> 0.8,
+    "q_vec_silhouette" -> 0.9,
     // two cumulative windows on the types·days grid
     "q_ts_cusum" -> 0.5,
     // per-customer collapse + two windows on the lifetime grid
     "q_ts_survival" -> 0.5,
     // chisq's cell-table shape on orders
-    "q_agg_cramers_v" -> 0.5,
+    "q_agg_cramers_v" -> 0.6,
     // per-row regex counts over documents, no shuffle
     "q_text_readability" -> 0.8,
     // vocabulary-shuffle token count + 1-row totals broadcast
     "q_text_keyness" -> 0.8,
     // grid pair join per type (days^2 on metadata)
-    "q_ts_mann_kendall" -> 0.6,
+    "q_ts_mann_kendall" -> 0.8,
     // ab_ztest's per-user collapse + closed-form readout
     "q_agg_mde" -> 0.5,
     // per-user collapse + 10-row decile grid
@@ -257,32 +268,32 @@ class BenchBudgetSpec extends AnyFunSuite {
     // ring lookahead via PrefixSweep.lookaheadFrame (r16): range
     // partition + overlap ship + histogram guard + partitioned frame
     // (measured 0.47 s median in the r16 probe-schema run)
-    "q_samp_negative" -> 0.7,
+    "q_samp_negative" -> 0.8,
     // one pushed-down scan + broadcast dim join + two-phase agg
-    "q_etl_bitemporal" -> 0.5,
+    "q_etl_bitemporal" -> 0.6,
     // dim write + whole-file multiLine json read-back
     "q_src_json_multiline" -> 0.8,
     // round-13 stats batch: each one corpus contraction to a tiny
     // grid + closed-form readouts (mutual_info/brier add a checkpoint
     // job; psi/kappa ride broadcast totals)
     "q_agg_mutual_info" -> 0.9, "q_agg_cohen_kappa" -> 0.7,
-    "q_agg_psi" -> 0.9, "q_agg_kruskal" -> 0.6,
+    "q_agg_psi" -> 0.9, "q_agg_kruskal" -> 0.9,
     "q_agg_cohens_d" -> 0.5, "q_agg_brier" -> 0.9,
     // round-13 pre-contraction: approx-98.5pct cut + survivor guard
     // (3 cheap passes, 1.3 s quiet) replaced the single-partition
     // corpus sort — the scale fix costs local job overhead
-    "q_agg_hill" -> 1.4,
+    "q_agg_hill" -> 1.7,
     // bounded 7-row frame collects on the types-days grid
     "q_ts_hampel" -> 0.5,
     // cell-grid pair products per flag (metadata quadratic)
-    "q_agg_kendall" -> 0.8,
+    "q_agg_kendall" -> 1.1,
     // per-user collapse + PrefixSweep global rank + closed-form ntile
     // bucket (r16 conversion; the sweep's partials/offsets jobs cost
     // ~2 small jobs locally vs the old single-partition window —
     // the rfm/lorenz re-base precedent; measured 0.75 s)
-    "q_evt_uplift" -> 0.9,
+    "q_evt_uplift" -> 1.1,
     // argmax scan + langs^2 cells + recall broadcast
-    "q_text_lang_confusion" -> 0.5,
+    "q_text_lang_confusion" -> 0.7,
     // two-phase day-grid count + integer frame sums
     "q_ts_rolling_corr" -> 0.5,
     // one lag window per type on the contracted grid
@@ -290,9 +301,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-user type sets + in-row pairing + broadcast counts
     "q_graph_bipartite" -> 0.8,
     // grid windows on the pooled distinct-value domain
-    "q_agg_mannwhitney" -> 0.6,
+    "q_agg_mannwhitney" -> 1.4,
     // one per-user window + types^2 percentile grid
-    "q_evt_transition_time" -> 1.0,
+    "q_evt_transition_time" -> 1.3,
     // distinct (user, week) contraction + co-partitioned join-back
     "q_evt_new_returning" -> 0.6,
     // one (type,day) shuffle + two shared-partition window passes
@@ -302,15 +313,15 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-row hash compare + age-week rollup
     "q_samp_decay" -> 0.6,
     // one two-phase decimal power-sum aggregate
-    "q_agg_jarque_bera" -> 0.6,
+    "q_agg_jarque_bera" -> 1.1,
     // exact P95 broadcast + one conditional-sum scan
     "q_agg_cvar" -> 0.7,
     // centroid broadcast + one corpus pass of fold kernels
     "q_vec_drift" -> 0.6,
     // one (user,type) shuffle + lag + type rollup
-    "q_etl_debounce" -> 0.7,
+    "q_etl_debounce" -> 1.6,
     // one user shuffle feeding all feature frames
-    "q_etl_feature_snapshot" -> 0.8,
+    "q_etl_feature_snapshot" -> 1.7,
     // (source, prefix) count + per-source argmax
     "q_text_template" -> 0.5,
     // per-user collapse + per-arm co-moment sums
@@ -318,7 +329,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // (day,user) contraction + day-grid decimal windows
     "q_agg_sprt" -> 0.6,
     // stack unpivot (4x rows) + (column,value) count + argmax
-    "q_etl_profile" -> 0.9,
+    "q_etl_profile" -> 2.6,
     // dim csv write + dialect read-back rollup
     "q_src_csv_dialect" -> 0.8,
     // daily->weekly grids + types-row closed-form readout
@@ -328,7 +339,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // two per-row hashes + one aggregate
     "q_agg_capture_recapture" -> 0.5,
     // customer-revenue contraction + broadcast means + decimal terms
-    "q_agg_theil" -> 0.7,
+    "q_agg_theil" -> 0.8,
     // two regex passes over documents + source rollup
     "q_text_code_detect" -> 0.7,
     // ab_ztest's per-user collapse + closed forms
@@ -341,7 +352,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // 1.07 s quiet after trading the share window for broadcast totals
     "q_evt_mix_drift" -> 1.1,
     // one corpus agg + 7-row broadcast closed forms
-    "q_agg_anova" -> 0.5,
+    "q_agg_anova" -> 1.5,
     // triangle-census plan + per-corner union fold
     "q_graph_clustering" -> 2.2,
     // daily contraction + 10-harmonic explode + grouped fold
@@ -349,24 +360,24 @@ class BenchBudgetSpec extends AnyFunSuite {
     // 168-cell contraction + broadcast share
     "q_evt_heatmap" -> 0.4,
     // 2x corpus marks + per-day running sum + daily argmax
-    "q_win_concurrency" -> 0.6,
+    "q_win_concurrency" -> 0.7,
     // 3-block explode + candidate equi-join + scorer on the %20 slice;
     // the fixture's constant leading third makes the candidate set
     // quadratic in the slice (~280k id pairs), so the dedup + scorer
     // dominate (id-only distinct; names re-attach broadcast)
-    "q_join_fuzzy" -> 0.8,
+    "q_join_fuzzy" -> 1.4,
     // partitioned write (30 files) + metadata-column read-back
-    "q_src_file_meta" -> 1.2,
+    "q_src_file_meta" -> 1.4,
     // median profile broadcast + coalesce + one aggregate
-    "q_etl_impute" -> 0.5,
+    "q_etl_impute" -> 0.8,
     // relevance scan + top-50 cut; greedy runs on the collected slate
     "q_vec_mmr" -> 0.8,
     // round-6 curation additions (r6 medians: chunk 0.14, quantize 0.06,
     // tfidf 0.89, scd2 0.07)
     "q_text_chunk" -> 0.5, "q_vec_quantize" -> 0.3,
-    "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.4,
+    "q_text_tfidf" -> 1.4, "q_etl_scd2" -> 0.6,
     // scd2 window + user_id equi-join with interval post-filter
-    "q_etl_dim_asof" -> 0.8,
+    "q_etl_dim_asof" -> 1.2,
     // partition overwrite: full hive-layout write + dynamic restatement
     "q_etl_partition_overwrite" -> 2.0,
     // vacuum: three versioned writes + listing/unlink + read-back
@@ -388,16 +399,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     // deflate kernel: narrow map, one Deflater per partition
     "q_text_compress_ratio" -> 0.9,
     // interarrival: one window pass + grouped percentile rollup
-    "q_evt_interarrival" -> 0.7,
-    "q_agg_mode" -> 0.5, "q_etl_dq" -> 0.5,
-    "q_etl_compact" -> 1.2, "q_win_pctrank" -> 0.5,
+    "q_evt_interarrival" -> 1.3,
+    "q_agg_mode" -> 0.5, "q_etl_dq" -> 2.2,
+    "q_etl_compact" -> 2.8, "q_win_pctrank" -> 0.5,
     "q_etl_schema_evolve" -> 1.2, "q_join_dpp" -> 1.2,
     "q_stream_enrich" -> 0.6, "q_sample_stratified" -> 0.5,
     // round-7 additions: range window + single-pass agg are §2.E/§2.C
     // shapes; cooccur shuffles distinct bigrams (tokenize-like ×2);
     // centroid is one posexplode aggregate; decontaminate a broadcast
     // anti-join + sha scan; dq_approx replaces Expand with HLL partials
-    "q_win_range_frame" -> 0.6, "q_agg_maxby" -> 0.5,
+    "q_win_range_frame" -> 1.1, "q_agg_maxby" -> 0.5,
     "q_text_cooccur" -> 0.8, "q_vec_centroid" -> 0.6,
     "q_text_decontaminate" -> 0.6, "q_text_decon_bloom" -> 0.7,
     // gram explode + broadcast left join + doc-keyed aggregate — the
@@ -406,10 +417,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // input split at small SF → one core: 1.92 s in the r10 bench);
     // with the lift, BenchOne measured 1.24 s under load — budget 1.0
     "q_text_decon_ngram" -> 1.0,
-    "q_etl_dq_approx" -> 0.5,
-    "q_win_sessionize" -> 0.6, "q_text_feature_hash" -> 0.6,
-    "q_json_flatten" -> 0.6, "q_win_streak" -> 0.6,
-    "q_etl_snapshot_diff" -> 0.7, "q_evt_paths" -> 0.7,
+    "q_etl_dq_approx" -> 1.3,
+    "q_win_sessionize" -> 0.9, "q_text_feature_hash" -> 0.8,
+    "q_json_flatten" -> 1.7, "q_win_streak" -> 0.6,
+    "q_etl_snapshot_diff" -> 0.8, "q_evt_paths" -> 0.7,
     "q_agg_ttest" -> 0.5,
     // staged write + audit aggregate + publish + read-back (I/O-bound,
     // the sink-family cost profile)
@@ -420,8 +431,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // customer; corr one lineitem aggregate pass; blocklist/recon_error
     // pure per-row expression scans
     "q_evt_retention" -> 0.6, "q_evt_attribution" -> 0.6,
-    "q_evt_anomaly" -> 0.6, "q_etl_backfill" -> 1.5,
-    "q_etl_anonymize" -> 0.5, "q_agg_corr" -> 0.5,
+    "q_evt_anomaly" -> 0.6, "q_etl_backfill" -> 4.3,
+    "q_etl_anonymize" -> 0.5, "q_agg_corr" -> 0.6,
     "q_text_blocklist" -> 0.5, "q_vec_recon_error" -> 0.5,
     // round-8 batch 2: markov/cdc/rfm are one-window-pass event scans
     // (rfm adds entity-grain ntile sorts); resample joins the daily
@@ -431,14 +442,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     // THREE stacked sweeps (r/f/m quartiles) replace three
     // single-partition ntile windows (measured 1.25 s quiet at sf0.1,
     // stable samples)
-    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 1.3,
-    "q_etl_cdc_apply" -> 0.5, "q_etl_resample" -> 0.7,
+    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 1.8,
+    "q_etl_cdc_apply" -> 0.5, "q_etl_resample" -> 1.0,
     "q_etl_skew_profile" -> 0.4, "q_agg_entropy" -> 0.4,
     "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7,
     // per-source prefix-sum window + small (source, seq) aggregate
     "q_text_pack" -> 0.5,
     // one key shuffle, two running windows, two-phase span aggregate
-    "q_win_interval_merge" -> 0.5,
+    "q_win_interval_merge" -> 1.0,
     // round-8 batch 3: pagerank pays one pair-count contraction + an
     // eager localCheckpoint, then k-row iterations; mad is three
     // broadcast-profile passes over events; purge three fact scans
@@ -446,7 +457,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // temperature a sha scan + k-row rates; ngram_lm explodes tokens
     // and joins the frequency table on term; boilerplate explodes
     // per-doc distinct bigrams
-    "q_graph_pagerank" -> 0.9, "q_agg_mad" -> 0.7,
+    "q_graph_pagerank" -> 1.2, "q_agg_mad" -> 1.0,
     // degree: one 1.2M-pair self-join + two contractions (shuffle-bound)
     "q_graph_degree" -> 2.0,
     // triangles: oriented wedge join on the SF-held demo graph (round
@@ -455,18 +466,18 @@ class BenchBudgetSpec extends AnyFunSuite {
     // now the cost is the corpus scan + pair contraction, ~2.0 s quiet)
     "q_graph_triangles" -> 2.2,
     // components: brand-grouped union-find, one shuffle + local pass
-    "q_graph_components" -> 2.2,
-    "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.5,
+    "q_graph_components" -> 2.6,
+    "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.7,
     // purge's broadcast probes plus two Bloom builds (each a count +
     // bloomFilter aggregate over the key list) and a candidate-sliver
     // shuffle semi-join per fact hop
-    "q_etl_purge_bloom" -> 1.2,
+    "q_etl_purge_bloom" -> 2.1,
     // one full events range-shuffle + write + read-back aggregate per
     // invocation (the sink/compact I/O cost family)
     "q_etl_zorder" -> 1.2,
     // partial-state write + read-back + one merge aggregate (the
     // schema_evolve I/O family, smaller payload)
-    "q_etl_incr_agg" -> 1.0,
+    "q_etl_incr_agg" -> 1.3,
     "q_samp_temperature" -> 0.5, "q_text_ngram_lm" -> 0.9,
     // 0.9 at registration was an under-load guess that the first full
     // sf0.1 bench disproved: isolated warm rerun measured 2.5-3.8 s on a
@@ -490,26 +501,26 @@ class BenchBudgetSpec extends AnyFunSuite {
     // (source, shingle) DISTINCT + self-join (the boilerplate family);
     // ema one fixed-frame window pass; media_shard a per-type window
     // over the 2400-row fixture
-    "q_sql_report" -> 1.3, "q_dt_busdays" -> 0.8,
+    "q_sql_report" -> 2.2, "q_dt_busdays" -> 0.9,
     // ~11 frontier iterations over a customer-sized and shrinking set
-    "q_sql_recursive" -> 1.0,
+    "q_sql_recursive" -> 2.3,
     // lateral = WindowGroupLimit top-2 over orders + broadcast join
     "q_sql_lateral" -> 1.0, "q_sql_exists" -> 0.6, "q_sql_unpivot" -> 0.6,
     "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
-    "q_win_ema" -> 0.9, "q_media_shard" -> 0.6,
+    "q_win_ema" -> 1.0, "q_media_shard" -> 0.6,
     // round-14 additions
-    "q_agg_levene" -> 1.0, "q_agg_friedman" -> 0.6,
+    "q_agg_levene" -> 1.7, "q_agg_friedman" -> 0.6,
     "q_ts_granger" -> 0.7, "q_graph_adamic_adar" -> 1.2,
     "q_graph_kcore" -> 2.5, "q_evt_stickiness" -> 0.8,
     "q_text_hapax" -> 1.0,
-    "q_agg_tukey" -> 0.7, "q_text_pmi" -> 1.2,
+    "q_agg_tukey" -> 1.2, "q_text_pmi" -> 1.3,
     "q_evt_session_stats" -> 1.0, "q_ts_spectral_entropy" -> 0.8,
     "q_etl_checksum" -> 0.8,
-    "q_agg_auc" -> 0.8, "q_agg_mcc" -> 0.5,
-    "q_agg_trimmed_mean" -> 0.6, "q_agg_hodges_lehmann" -> 0.8,
-    "q_graph_hits" -> 2.0,
+    "q_agg_auc" -> 1.6, "q_agg_mcc" -> 0.5,
+    "q_agg_trimmed_mean" -> 0.6, "q_agg_hodges_lehmann" -> 1.1,
+    "q_graph_hits" -> 8.6,
     "q_ts_ljung_box" -> 0.8, "q_ts_dickey_fuller" -> 0.6,
-    "q_agg_fleiss_kappa" -> 0.8, "q_agg_permutation" -> 1.0,
+    "q_agg_fleiss_kappa" -> 1.4, "q_agg_permutation" -> 1.0,
     "q_samp_group_split" -> 0.5,
     "q_evt_perplexity" -> 0.8, "q_media_phash" -> 0.8,
     "q_text_lm_score" -> 2.0, "q_text_dedup_prefix" -> 0.6,
@@ -520,28 +531,28 @@ class BenchBudgetSpec extends AnyFunSuite {
     // the signature kernel over the 2000-doc demo slice; foreachbatch
     // reads the stamped serving table (the 4-batch build runs in the
     // untimed warm-up)
-    "q_stream_seen" -> 0.9, "q_stream_late" -> 0.7,
+    "q_stream_seen" -> 1.3, "q_stream_late" -> 0.7,
     "q_stream_minhash" -> 1.2, "q_stream_foreachbatch" -> 0.6,
     // r15 statistics/coverage batch: theil_sen pays the mann_kendall
     // pair join; des is two grid windows; the rest are one-contraction
     // closed forms
     "q_ts_theil_sen" -> 0.8, "q_ts_des" -> 0.7,
-    "q_ts_islands" -> 0.6, "q_agg_bimodality" -> 0.8,
+    "q_ts_islands" -> 0.6, "q_agg_bimodality" -> 1.2,
     "q_agg_dispersion" -> 0.6, "q_agg_fdr_bh" -> 0.7,
     // r15 batch B: containment pays the jaccard pair shape; binary
     // quant one HOF pass vs 3 probes; modularity rides the demo-graph
     // contraction; ema_time is one partitioned window
-    "q_text_containment" -> 1.0, "q_vec_binary_quant" -> 0.8,
-    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 1.0,
+    "q_text_containment" -> 1.1, "q_vec_binary_quant" -> 0.8,
+    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 4.1,
     // r15 batch F: one-contraction grid/window shapes; burstiness and
     // suffix dedup pay the corpus explode / sha window like their twins
     "q_ts_ewma_var" -> 0.7, "q_ts_rolling_ols" -> 0.7,
-    "q_evt_cadence" -> 0.8, "q_agg_gmean" -> 0.8,
+    "q_evt_cadence" -> 1.6, "q_agg_gmean" -> 1.8,
     "q_text_dedup_suffix" -> 0.6, "q_text_burstiness" -> 1.2,
     // r15 batch G: streaks is two user-keyed windows; lang_purity one
     // predict pass + rollup; knn_acc pays the 500-slice brute force
     "q_evt_streaks" -> 0.7, "q_text_lang_purity" -> 0.8,
-    "q_vec_label_knn_acc" -> 1.0,
+    "q_vec_label_knn_acc" -> 1.1,
     // r15 batch H: welch/trend/paired are one-contraction closed
     // forms; disorder one running-max window; length profile two
     // grid passes
@@ -550,11 +561,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_length_profile" -> 0.7,
     // r15 batch I: calibration one aggregate to 10 bins; novelty pays
     // the corpus gram explode + one co-keyed join (lm_score shape)
-    "q_agg_calibration" -> 0.7, "q_text_ngram_novelty" -> 1.5,
+    "q_agg_calibration" -> 0.8, "q_text_ngram_novelty" -> 1.5,
     // r16 showcase: the six curation stages fused — one tokenize/flag
     // checkpoint + the lm_score vocabulary joins + sha dedup/decon +
     // per-source pack window (measured 0.60 s median)
-    "q_pipe_curate" -> 1.2,
+    "q_pipe_curate" -> 3.3,
     // r16 batch J: srm/cuped are one distinct-grid / per-user
     // contraction + closed forms; odds_ratio one mcc-shaped scan;
     // fertility a narrow per-source rollup; vocab_coverage pays the
@@ -563,41 +574,41 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_srm" -> 0.6, "q_evt_cuped" -> 0.7,
     "q_agg_odds_ratio" -> 0.5, "q_text_tok_fertility" -> 0.7,
     "q_text_vocab_coverage" -> 1.0, "q_graph_jaccard" -> 1.2,
-    "q_ts_holt_winters" -> 0.9,
+    "q_ts_holt_winters" -> 1.0,
     // r16 batch K: paired tests / rate ratio / switchback are one
     // contraction + closed forms; wilcoxon adds the PrefixSweep grid
     // rank; kpss/croston grid windows; mmd one HOF pass + checkpoint
     // (measured 0.09/0.49/0.07/0.18/0.16/0.07/0.73 s medians)
-    "q_agg_mcnemar" -> 0.4, "q_agg_wilcoxon" -> 0.9,
-    "q_agg_rate_ratio" -> 0.4, "q_ts_kpss" -> 0.6,
+    "q_agg_mcnemar" -> 0.4, "q_agg_wilcoxon" -> 1.3,
+    "q_agg_rate_ratio" -> 0.4, "q_ts_kpss" -> 0.7,
     "q_ts_croston" -> 0.6, "q_evt_switchback" -> 0.4,
-    "q_vec_mmd" -> 1.2,
+    "q_vec_mmd" -> 1.4,
     // r16 batch L: cochran_q one flag collapse; quantile_ci the
     // (type, value) grid window; sax/hysteresis grid windows;
     // lpa pays the co-order edge join + 3 vote rounds (the jaccard
     // wedge class); decay the retention collect_set pass
     "q_agg_cochran_q" -> 0.4, "q_agg_quantile_ci" -> 0.8,
-    "q_ts_sax" -> 0.6, "q_ts_hysteresis" -> 0.6,
+    "q_ts_sax" -> 0.6, "q_ts_hysteresis" -> 0.8,
     "q_graph_lpa" -> 1.6, "q_evt_decay" -> 0.7,
     // r16 batch M: holm shares fdr_bh's grid cost; deming one
     // decimal-moment scan; coint two grid joins; hubness the capped
     // 256-vector BNL knn; late_dim one dim join + censuses; csv_gzip
     // the codec round trip (write amortized by the fixture cache)
-    "q_agg_holm" -> 0.7, "q_agg_deming" -> 0.7,
+    "q_agg_holm" -> 0.7, "q_agg_deming" -> 1.8,
     "q_ts_coint" -> 0.7, "q_vec_hubness" -> 1.0,
     "q_etl_late_dim" -> 0.6, "q_src_csv_gzip" -> 0.8,
     // r16 batch N showcases: abtest one user contraction + 2-row
     // grids; embed_qa one vector HOF pass + 64-row grids
-    "q_pipe_abtest" -> 0.9, "q_pipe_embed_qa" -> 1.2,
+    "q_pipe_abtest" -> 0.9, "q_pipe_embed_qa" -> 1.4,
     // r16 batch O showcases: graph_health pays the edge contraction
     // + LPA rounds (the lpa class); ts_profile the daily-grid legs
-    "q_pipe_graph_health" -> 2.2, "q_pipe_ts_profile" -> 1.0,
+    "q_pipe_graph_health" -> 2.2, "q_pipe_ts_profile" -> 1.4,
     // r16 batch P: bayes/partial_corr/cronbach one-contraction closed
     // forms; ccf the 7-lag grid join; peaks two O(1) windows;
     // systematic one PrefixSweep rank + census
-    "q_agg_bayes_beta" -> 0.4, "q_agg_partial_corr" -> 0.6,
+    "q_agg_bayes_beta" -> 0.5, "q_agg_partial_corr" -> 0.7,
     "q_agg_cronbach" -> 0.6, "q_ts_ccf" -> 0.7,
-    "q_ts_peaks" -> 0.5, "q_samp_systematic" -> 0.7,
+    "q_ts_peaks" -> 0.5, "q_samp_systematic" -> 0.8,
     // r16 batch Q: hurst the 3x block grids + windows; ema_cross two
     // chains on one grid; hoeffding one scan; csv_multiline the
     // quoted-newline read
@@ -736,51 +747,80 @@ class BenchBudgetSpec extends AnyFunSuite {
     * price. Re-measure when an op's plan changes (see BASELINE.md
     * round-17 notes for the recorded run). */
   private val coldAnchors: Map[String, Double] = Map(
-    // round-17 sweep: quiet host, count() sink, run after the
-    // CoOrderGraph rewrite (BASELINE.md "Cold-session anchors")
-    "q_agg_basket" -> 2.84, "q_agg_bootstrap" -> 0.29,
-    "q_agg_hill" -> 1.50, "q_agg_levene" -> 0.67,
-    "q_agg_lorenz" -> 1.92, "q_agg_permutation" -> 0.46,
-    "q_agg_rollup" -> 0.29, "q_agg_spearman" -> 0.23,
-    "q_agg_weighted_median" -> 1.33, "q_etl_backfill" -> 1.25,
-    "q_etl_compact" -> 0.96, "q_etl_denormalize" -> 0.87,
-    "q_etl_incr_agg" -> 0.72, "q_etl_partition_overwrite" -> 0.79,
-    "q_etl_purge_bloom" -> 1.61, "q_etl_ri" -> 0.29,
-    "q_etl_schema_evolve" -> 0.57, "q_etl_vacuum" -> 0.71,
-    "q_etl_wap" -> 0.79, "q_etl_zorder" -> 0.60,
-    "q_evt_mix_drift" -> 0.34, "q_evt_rfm" -> 1.41,
-    "q_evt_session_stats" -> 0.12, "q_evt_transition_time" -> 0.41,
-    "q_graph_adamic_adar" -> 1.03, "q_graph_assortativity" -> 0.47,
-    "q_graph_betweenness" -> 0.82, "q_graph_clustering" -> 0.46,
-    "q_graph_common_neighbors" -> 0.74, "q_graph_components" -> 1.88,
-    "q_graph_degree" -> 0.39, "q_graph_hits" -> 1.10,
-    "q_graph_jaccard" -> 0.76, "q_graph_kcore" -> 0.27,
-    "q_graph_lpa" -> 0.98, "q_graph_modularity" -> 0.22,
-    "q_graph_powerlaw" -> 1.03, "q_graph_triangles" -> 0.38,
-    "q_join_dpp" -> 0.83, "q_pipe_curate" -> 0.80,
-    "q_pipe_embed_qa" -> 0.82, "q_pipe_graph_health" -> 1.08,
-    "q_pipe_ts_profile" -> 0.43, "q_sink_append" -> 0.58,
-    "q_sink_bucketed" -> 0.57, "q_sink_jdbc" -> 1.18,
-    "q_sink_warehouse" -> 0.82, "q_sql_lateral" -> 0.42,
-    "q_sql_recursive" -> 1.36, "q_sql_report" -> 0.60,
-    "q_src_corrupt" -> 0.52, "q_src_file_meta" -> 1.13,
-    "q_src_jdbc" -> 1.17, "q_src_partition_prune" -> 0.51,
-    "q_src_stream_file" -> 1.66, "q_src_xml" -> 0.67,
-    "q_stream_left" -> 0.20, "q_stream_minhash" -> 0.33,
-    "q_stream_state" -> 0.28, "q_stream_timer" -> 0.42,
-    "q_stream_ttl" -> 0.43, "q_text_boilerplate" -> 0.71,
-    "q_text_burstiness" -> 0.41, "q_text_containment" -> 0.23,
-    "q_text_decon_ngram" -> 0.65, "q_text_dedup_spans" -> 0.72,
-    "q_text_dup_rate" -> 0.49, "q_text_hapax" -> 0.16,
-    "q_text_lm_score" -> 1.09, "q_text_minhash" -> 0.90,
-    "q_text_minhash_groups" -> 1.36, "q_text_ngram_novelty" -> 0.72,
-    "q_text_pmi" -> 0.91, "q_text_source_overlap" -> 0.52,
-    "q_text_tfidf" -> 0.85, "q_text_vocab_coverage" -> 0.41,
-    "q_text_winnowing" -> 1.54, "q_vec_ann_ivfpq" -> 0.37,
-    "q_vec_ann_nndescent" -> 2.05, "q_vec_dedup_groups" -> 0.78,
-    "q_vec_hubness" -> 0.33, "q_vec_kmeans" -> 1.03,
-    "q_vec_knn_join" -> 0.56, "q_vec_label_knn_acc" -> 0.68,
-    "q_vec_mmd" -> 0.92, "q_win_ema_time" -> 0.12)
+    // round-17 sweep #2: quiet host, NOOP sink (matches the r17
+    // bench sink generation), run after the CoOrderGraph rewrite
+    // (BASELINE.md "Cold-session anchors")
+    "q_agg_anova" -> 1.63, "q_agg_approx" -> 2.29, "q_agg_auc" -> 1.14,
+    "q_agg_basket" -> 3.27, "q_agg_bimodality" -> 1.09,
+    "q_agg_bootstrap" -> 4.32, "q_agg_chisq" -> 0.86,
+    "q_agg_collect" -> 1.29, "q_agg_deming" -> 1.66,
+    "q_agg_fleiss_kappa" -> 1.00, "q_agg_gmean" -> 1.81,
+    "q_agg_gsets" -> 1.02, "q_agg_hill" -> 1.16,
+    "q_agg_hodges_lehmann" -> 0.79, "q_agg_jarque_bera" -> 0.98,
+    "q_agg_kendall" -> 1.21, "q_agg_ks_test" -> 1.53,
+    "q_agg_levene" -> 1.40, "q_agg_lorenz" -> 1.92,
+    "q_agg_mad" -> 0.78, "q_agg_mannwhitney" -> 1.22,
+    "q_agg_moments" -> 0.70, "q_agg_multi" -> 1.13,
+    "q_agg_permutation" -> 0.55, "q_agg_quantile" -> 0.72,
+    "q_agg_rollup" -> 0.34, "q_agg_spearman" -> 3.36,
+    "q_agg_tukey" -> 1.18, "q_agg_weighted_median" -> 1.29,
+    "q_agg_wilcoxon" -> 1.28, "q_dt_parse" -> 1.10,
+    "q_etl_backfill" -> 1.12, "q_etl_compact" -> 1.20,
+    "q_etl_contract" -> 0.54, "q_etl_debounce" -> 0.43,
+    "q_etl_denormalize" -> 1.19, "q_etl_dim_asof" -> 0.43,
+    "q_etl_dq" -> 0.51, "q_etl_dq_approx" -> 0.38,
+    "q_etl_feature_snapshot" -> 1.05, "q_etl_incr_agg" -> 0.77,
+    "q_etl_normalize" -> 0.59, "q_etl_partition_overwrite" -> 0.95,
+    "q_etl_profile" -> 1.81, "q_etl_purge_bloom" -> 1.69,
+    "q_etl_resample" -> 0.88, "q_etl_ri" -> 0.32,
+    "q_etl_schema_evolve" -> 0.83, "q_etl_upsert" -> 0.76,
+    "q_etl_vacuum" -> 0.99, "q_etl_wap" -> 0.90,
+    "q_etl_zorder" -> 0.69, "q_evt_cadence" -> 1.43,
+    "q_evt_interarrival" -> 1.26, "q_evt_mix_drift" -> 0.46,
+    "q_evt_rfm" -> 1.91, "q_evt_session_stats" -> 0.39,
+    "q_evt_transition_time" -> 1.25, "q_evt_uplift" -> 0.72,
+    "q_graph_adamic_adar" -> 0.85, "q_graph_assortativity" -> 0.75,
+    "q_graph_betweenness" -> 0.48, "q_graph_clustering" -> 0.46,
+    "q_graph_common_neighbors" -> 0.72, "q_graph_components" -> 2.01,
+    "q_graph_degree" -> 0.45, "q_graph_hits" -> 8.15,
+    "q_graph_jaccard" -> 0.85, "q_graph_kcore" -> 0.60,
+    "q_graph_lpa" -> 0.94, "q_graph_modularity" -> 0.28,
+    "q_graph_pagerank" -> 1.18, "q_graph_powerlaw" -> 1.07,
+    "q_graph_triangles" -> 0.38, "q_join_bridge3" -> 1.06,
+    "q_join_dpp" -> 0.70, "q_join_fuzzy" -> 1.09,
+    "q_join_interval" -> 0.93, "q_json_flatten" -> 1.50,
+    "q_json_from" -> 1.01, "q_json_get" -> 0.79,
+    "q_math_arith" -> 2.31, "q_pipe_curate" -> 2.05,
+    "q_pipe_embed_qa" -> 0.93, "q_pipe_graph_health" -> 1.04,
+    "q_pipe_ts_profile" -> 0.69, "q_sink_append" -> 0.59,
+    "q_sink_bucketed" -> 0.77, "q_sink_jdbc" -> 1.34,
+    "q_sink_warehouse" -> 0.73, "q_sql_lateral" -> 0.39,
+    "q_sql_recursive" -> 1.19, "q_sql_report" -> 1.20,
+    "q_src_corrupt" -> 0.42, "q_src_file_meta" -> 0.87,
+    "q_src_jdbc" -> 1.06, "q_src_partition_prune" -> 0.44,
+    "q_src_stream_file" -> 1.25, "q_src_xml" -> 0.86,
+    "q_stream_left" -> 0.41, "q_stream_minhash" -> 0.54,
+    "q_stream_seen" -> 1.05, "q_stream_state" -> 0.35,
+    "q_stream_timer" -> 0.57, "q_stream_ttl" -> 0.50,
+    "q_text_boilerplate" -> 0.70, "q_text_burstiness" -> 0.55,
+    "q_text_containment" -> 0.93, "q_text_decon_ngram" -> 0.66,
+    "q_text_dedup_spans" -> 0.67, "q_text_dup_rate" -> 0.84,
+    "q_text_hapax" -> 0.23, "q_text_lm_score" -> 1.57,
+    "q_text_minhash" -> 0.88, "q_text_minhash_groups" -> 1.45,
+    "q_text_ngram_jaccard" -> 0.84, "q_text_ngram_novelty" -> 0.86,
+    "q_text_pmi" -> 0.79, "q_text_source_overlap" -> 0.79,
+    "q_text_tfidf" -> 0.91, "q_text_vocab_coverage" -> 0.50,
+    "q_text_winnowing" -> 1.44, "q_ts_holt_winters" -> 0.74,
+    "q_udaf_wavg" -> 0.64, "q_udf_parse_hours" -> 2.05,
+    "q_udtf_hours_explode" -> 0.72, "q_vec_ann_ivfpq" -> 0.43,
+    "q_vec_ann_nndescent" -> 3.21, "q_vec_cosine_dedup" -> 0.64,
+    "q_vec_dedup_groups" -> 0.68, "q_vec_hubness" -> 0.47,
+    "q_vec_kmeans" -> 0.86, "q_vec_knn_join" -> 0.31,
+    "q_vec_label_knn_acc" -> 0.54, "q_vec_mmd" -> 0.85,
+    "q_win_ema" -> 0.56, "q_win_ema_time" -> 1.96,
+    "q_win_interval_merge" -> 0.60, "q_win_median" -> 0.59,
+    "q_win_range_frame" -> 0.56, "q_win_rank" -> 0.67,
+    "q_win_skyline" -> 0.61, "q_win_zscore" -> 0.85)
 
   test("every >=1s budget covers its recorded cold-session price") {
     val missing = budgets.collect {
