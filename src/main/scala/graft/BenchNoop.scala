@@ -29,9 +29,11 @@ object BenchNoop {
     spark.sparkContext.setLogLevel("ERROR")
     graft.queries.SourceQueries.prepareFixtures(spark, dir)
     graft.ops.Multimodal.mediaFixture(spark)
-    val keep = graft.ops.CoOrderGraph.protectedRddIds
     def hygiene(): Unit = {
       spark.catalog.clearCache()
+      // re-read at sweep time: the protected set is created lazily by
+      // the first contraction build, after this main starts
+      val keep = graft.ops.CoOrderGraph.protectedRddIds
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!keep.contains(id)) rdd.unpersist(blocking = false) }
     }

@@ -122,12 +122,24 @@ object SlopeSf1 {
       col("event_type"), col("value"), col("props"))
 
     val dc = Tables.load(s, src, "documents")
+    // rotate by rep MOD size — a raw rep ≥ size degenerates to the
+    // identity (first slice empty, second returns everything), so
+    // short docs would replicate as exact duplicates and re-inflate
+    // the MinHash near-dup rows the rotation exists to damp. Docs
+    // with size ≤ rep still cycle, so those also get a per-rep salt
+    // token to keep every replica distinct.
     val dcOut = dc.select(col("*"), r)
       .withColumn("w", split(col("text"), " "))
+      .withColumn("k", pmod(col("rep"),
+        greatest(size(col("w")), lit(1))))
       .withColumn("text2", concat_ws(" ",
-        concat(slice(col("w"), col("rep") + 1,
-            greatest(size(col("w")) - col("rep"), lit(0))),
-          slice(col("w"), lit(1), least(col("rep"), size(col("w")))))))
+        concat(slice(col("w"), col("k") + 1,
+            greatest(size(col("w")) - col("k"), lit(0))),
+          slice(col("w"), lit(1), least(col("k"), size(col("w")))))))
+      .withColumn("text2",
+        when(col("rep") > 0 && col("rep") >= size(col("w")),
+          concat(col("text2"), lit(" zdup"), col("rep")))
+        .otherwise(col("text2")))
       .select(
         shift("doc_id", strideOf(dc, "doc_id")),
         col("text2").as("text"), col("lang"), col("source"),

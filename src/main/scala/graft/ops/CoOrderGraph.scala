@@ -44,17 +44,25 @@ import org.apache.spark.sql.functions._
   */
 object CoOrderGraph {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
-  private val protectedIds =
-    ConcurrentHashMap.newKeySet[Int]()
+  private val protectedByCtx =
+    new ConcurrentHashMap[String, java.util.Set[Int]]()
+  @volatile private var liveCtx = ""
 
-  /** RDD ids backing cached contractions — bench hygiene must not
-    * unpersist these between queries (they are the whole point of the
-    * shared cache; a localCheckpointed RDD cannot be recomputed once
-    * its blocks are dropped). */
-  def protectedRddIds: java.util.Set[Int] = protectedIds
+  /** RDD ids backing cached contractions of the LIVE context — bench
+    * hygiene must not unpersist these between queries (they are the
+    * whole point of the shared cache; a localCheckpointed RDD cannot
+    * be recomputed once its blocks are dropped). Scoped per context
+    * incarnation: RDD ids restart from 0 in a new SparkContext, so an
+    * id protected under a dead context must never shield an unrelated
+    * new RDD. Call at sweep time, not once up front — the set is
+    * created lazily by the first contraction build.
+    */
+  def protectedRddIds: java.util.Set[Int] =
+    Option(protectedByCtx.get(liveCtx))
+      .getOrElse(java.util.Collections.emptySet[Int]())
 
   /** Drop every cached contraction (tests that restart contexts). */
-  def invalidate(): Unit = { cache.clear(); protectedIds.clear() }
+  def invalidate(): Unit = { cache.clear(); protectedByCtx.clear() }
 
   /** Full co-order part graph: parts are adjacent when some order
     * contains both; u < v, distinct. */
@@ -87,37 +95,74 @@ object CoOrderGraph {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
     }
 
+  /** Same-brand co-order edges (q_graph_components): parts adjacent
+    * when some order contains both AND they share a brand — output
+    * (brand, u, v) with u < v, distinct; brand-closed by construction
+    * so a per-brand union-find is exact. Same in-row pair device,
+    * grouped by the composite (order, brand) key instead of the order
+    * alone: the previous fact-table self-join
+    * (`a.join(b, o=o && brand=brand && p<p)`) paid a second corpus
+    * shuffle plus a shuffled join for the identical edge set. */
+  def brandEdges(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "brand") {
+      pairEdgesBy(Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("brand"),
+          col("l_partkey").as("p")),
+        Seq("o", "brand"), Seq("brand"))
+    }
+
   /** Undirected node degrees of an edge list (u,v) → (p, `name`). */
   def degrees(e0: DataFrame, name: String): DataFrame =
     e0.select(col("u").as("p"))
       .unionAll(e0.select(col("v").as("p")))
       .groupBy("p").agg(count(lit(1)).as(name))
 
-  /** The basket pair device: per-order sorted part sets, in-row pair
-    * explode, distinct. Array is sorted so struct order ≡ u < v. */
-  private def pairEdges(items: DataFrame): DataFrame =
-    items.groupBy(col("o"))
+  /** The basket pair device: per-`grp` sorted part sets, in-row pair
+    * explode, distinct; `carry` keeps group columns on the edges.
+    * Array is sorted so struct order ≡ u < v. */
+  private def pairEdgesBy(items: DataFrame, grp: Seq[String],
+      carry: Seq[String]): DataFrame =
+    items.groupBy(grp.map(col): _*)
       .agg(sort_array(collect_set(col("p"))).as("ps"))
-      .select(explode(expr(
+      .select(carry.map(col) :+ explode(expr(
         """flatten(transform(ps, (x, i) -> transform(
              slice(ps, i + 2, size(ps)),
-             y -> struct(x AS u, y AS v))))""")).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+             y -> struct(x AS u, y AS v))))""")).as("e"): _*)
+      .select(carry.map(col) ++
+        Seq(col("e.u").as("u"), col("e.v").as("v")): _*)
       .distinct()
+
+  private def pairEdges(items: DataFrame): DataFrame =
+    pairEdgesBy(items, Seq("o"), Nil)
 
   private def cached(s: SparkSession, dir: String, variant: String)
       (build: => DataFrame): DataFrame = {
     // keyed per SparkContext incarnation: sessions sharing a context
     // share checkpointed blocks; a restarted context gets fresh keys
-    val key = s"${s.sparkContext.applicationId}|" +
-      s"${s.sparkContext.startTime}|$dir|$variant"
+    val ctx = s"${s.sparkContext.applicationId}|" +
+      s"${s.sparkContext.startTime}"
+    if (liveCtx != ctx) {
+      // evict state of dead context incarnations: stale DataFrames
+      // would pin stopped-context lineage in long-lived test JVMs,
+      // and stale protected ids (RDD ids restart from 0) would
+      // shield unrelated new RDDs from the bench unpersist sweep
+      cache.keySet.removeIf(k => !k.startsWith(ctx + "|"))
+      protectedByCtx.keySet.removeIf(_ != ctx)
+      liveCtx = ctx
+    }
+    val key = s"$ctx|$dir|$variant"
     Option(cache.get(key)).getOrElse {
       // bench runs queries sequentially; a lost race here only costs
       // a duplicate (idempotent) checkpoint
       val before = s.sparkContext.getPersistentRDDs.keySet
       val e = build.localCheckpoint()
+      val ids = protectedByCtx.computeIfAbsent(
+        ctx, _ => ConcurrentHashMap.newKeySet[Int]())
       (s.sparkContext.getPersistentRDDs.keySet -- before)
-        .foreach(id => protectedIds.add(id))
+        .foreach(id => ids.add(id))
       cache.put(key, e)
       e
     }

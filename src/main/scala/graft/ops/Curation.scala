@@ -258,30 +258,39 @@ object Curation {
     * word n-grams appear anywhere in the eval set's n-gram inventory;
     * the caller thresholds (n_hits > 0 is the strict policy).
     *
-    * Scale shape: eval n-grams are benchmark-sized → distinct +
-    * broadcast (outgrowing that, swap in the [[decontaminateBloom]]
-    * filter build — same one-sided guarantee); the corpus explodes its
-    * per-doc distinct grams ONCE (`array_distinct` before the explode,
-    * no per-doc groupBy) and left-joins map-side, then one aggregate
-    * keyed on the doc id. `explode_outer` keeps sub-`n`-token and
-    * null-text docs in the output with n_grams = 0 — dropping them
-    * would make "not flagged" ambiguous between "clean" and "too
-    * short to test". */
+    * Scale shape: eval n-grams are benchmark-sized → distinct, then
+    * shipped once per executor as a broadcast SET (outgrowing that,
+    * swap in the [[decontaminateBloom]] filter build — same one-sided
+    * guarantee); the corpus keeps its per-doc distinct grams IN-ROW
+    * (`array_distinct`, no explode) and both readouts are one
+    * map-side pass — n_grams a size(), n_hits a set-membership count
+    * over the broadcast inventory. ZERO corpus shuffle: the previous
+    * explode → broadcast-join → groupBy(doc) form re-materialized
+    * every gram as its own row (~100× row inflation) only to collapse
+    * straight back to the doc key — at sf0.1 that round trip was the
+    * whole 2.0 s noop-sink cost (r17 verdict #1); this form prices at
+    * the shingle construction itself. The membership probe is a
+    * closure over the broadcast set (the [[decontaminateBloom]]
+    * precedent: Spark exposes no codegen'd probe against a prebuilt
+    * broadcast collection); sub-`n`-token and null-text docs stay in
+    * the output with n_grams = 0 — dropping them would make "not
+    * flagged" ambiguous between "clean" and "too short to test". */
   def decontaminateNgrams(corpus: DataFrame, idCol: String,
                           textCol: String, evalDocs: DataFrame,
                           evalTextCol: String, n: Int): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(TextSim.shingles(col(evalTextCol), n)).as("gram"))
       .distinct()
-      .withColumn("hit", lit(1L))
+      .collect().map(_.getString(0)).toSet
+    val bcast = corpus.sparkSession.sparkContext.broadcast(evalGrams)
+    val nHits = udf((grams: Seq[String]) =>
+      if (grams == null) 0L else grams.count(bcast.value.contains).toLong)
     corpus
       .select(col(idCol),
-        explode_outer(array_distinct(TextSim.shingles(col(textCol), n)))
-          .as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left")
-      .groupBy(idCol)
-      .agg(count(col("gram")).as("n_grams"),
-        count(col("hit")).as("n_hits"))
+        array_distinct(TextSim.shingles(col(textCol), n)).as("grams"))
+      .select(col(idCol),
+        coalesce(size(col("grams")), lit(0)).cast("long").as("n_grams"),
+        nHits(col("grams")).as("n_hits"))
   }
 
   /** SCD-2 validity intervals from an append-only change stream: each

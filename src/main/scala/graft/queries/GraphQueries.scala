@@ -320,20 +320,15 @@ object GraphQueries {
     * key exists (or a group outgrows a task), the iterative
     * propagation loop — demonstrated at [[graft.ops.TextSim]]'s
     * q_vec_dedup_groups — is the fallback. Min-key canonical labels
-    * make the result partition-order independent. */
+    * make the result partition-order independent. The edge list rides
+    * the family's shared in-row pair device
+    * ([[graft.ops.CoOrderGraph.brandEdges]]) — one (order, brand)
+    * grouped aggregate + local pair explode instead of the fact-table
+    * self-join this op paid through r17 (one avoidable corpus shuffle,
+    * the r17 verdict's task #3). */
   private val graphComponents: Q = (s, dir) => {
     import s.implicits._
-    val items = Tables.load(s, dir, "lineitem")
-      .join(broadcast(Tables.load(s, dir, "part")
-        .select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
-        col("p_brand").as("b")).distinct()
-    val a = items.as("a"); val b = items.as("b")
-    val e0 = a.join(b, col("a.o") === col("b.o") && col("a.b") === col("b.b")
-        && col("a.p") < col("b.p"))
-      .select(col("a.b").as("brand"), col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+    val e0 = graft.ops.CoOrderGraph.brandEdges(s, dir)
     val comps = e0.as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
@@ -669,44 +664,48 @@ object GraphQueries {
     * 'view' that feeds purchases is a HUB; 'purchase' that everything
     * leads to is an AUTHORITY; pagerank mixes the two). Same scale
     * contract as pagerank: the only corpus-sized phase is the edge
-    * contraction; each iteration is two joins + two aggregates on the
-    * k²-row edge grid, with totals riding as broadcast 1-row tables.
-    * Sum-normalization (not L2) keeps every step a closed-form
-    * rational of the integer weights — no sqrt chain for the oracle
-    * to drift on; outputs round at 4 dp like pagerank's. */
+    * contraction (one user-partitioned window + one aggregate down to
+    * the k²-row type-transition grid, k = event types — single
+    * digits). The power iteration itself runs ON THE DRIVER over the
+    * collected grid (the q_vec_pca driver-eigensolve precedent):
+    * unrolling 3 rounds of joins + aggregates + broadcast totals as
+    * Spark jobs cost ~5 s of pure lineage/job overhead on a few dozen
+    * rows (the r17 #1 bench row) while the same arithmetic is
+    * microseconds locally, and the collect is dimension-bounded (k²),
+    * never corpus-sized. Sum-normalization (not L2) keeps every step
+    * a closed-form rational of the integer weights — no sqrt chain
+    * for the oracle to drift on; outputs round at 4 dp like
+    * pagerank's, through the same Spark `round` so HALF_UP semantics
+    * stay identical to the distributed form this replaced. */
   private val graphHits: Q = (s, dir) => {
+    import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val events = Tables.load(s, dir, "events")
-    val edges = events
+    val grid = events
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).cast("double").as("wgt"))
-      .localCheckpoint()
+      .as[(String, String, Double)].collect()
+    // a type can appear with no transitions at all — the node set is
+    // its own (tiny) distinct, exactly the oracle's `nodes` CTE
     val nodes = events.select(col("event_type").as("node"))
-      .distinct().localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var hub = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("h"))
-    var auth = hub.select(col("node"), col("h").as("a"))
+      .distinct().as[String].collect().sorted
+    var hub = nodes.map(n => n -> 1.0 / nodes.length).toMap
+    var auth = Map.empty[String, Double]
     for (_ <- 1 to 3) {
-      val a0 = edges.join(hub, edges("from_type") === hub("node"))
-        .groupBy(col("to_type")).agg(sum(col("h") * col("wgt")).as("sc"))
-      val aTot = a0.agg(sum("sc").as("tot"))
-      auth = nodes.join(a0, col("node") === col("to_type"), "left")
-        .crossJoin(broadcast(aTot))
-        .select(col("node"),
-          (coalesce(col("sc"), lit(0.0)) / col("tot")).as("a"))
-      val h0 = edges.join(auth, edges("to_type") === auth("node"))
-        .groupBy(col("from_type")).agg(sum(col("a") * col("wgt")).as("sc"))
-      val hTot = h0.agg(sum("sc").as("tot"))
-      hub = nodes.join(h0, col("node") === col("from_type"), "left")
-        .crossJoin(broadcast(hTot))
-        .select(col("node"),
-          (coalesce(col("sc"), lit(0.0)) / col("tot")).as("h"))
+      val a0 = grid.groupBy(_._2).map { case (n, es) =>
+        n -> es.map(e => hub(e._1) * e._3).sum }
+      val aTot = a0.values.sum
+      auth = nodes.map(n => n -> a0.getOrElse(n, 0.0) / aTot).toMap
+      val h0 = grid.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(e => auth(e._2) * e._3).sum }
+      val hTot = h0.values.sum
+      hub = nodes.map(n => n -> h0.getOrElse(n, 0.0) / hTot).toMap
     }
-    hub.join(auth, "node")
-      .select(col("node").as("event_type"),
+    nodes.toSeq.map(n => (n, hub(n), auth(n)))
+      .toDF("event_type", "h", "a")
+      .select(col("event_type"),
         round(col("h"), 4).as("hub"),
         round(col("a"), 4).as("authority"))
       .orderBy("event_type")
@@ -957,12 +956,17 @@ object GraphQueries {
       .localCheckpoint()
     val lcc = ecc.groupBy("lbl").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lbl").asc).limit(1)
+    // under_cap certifies the oracle's d < 24 BFS cap over EVERY
+    // component (the walk truncates everywhere, not just the LCC),
+    // so the max eccentricity is taken BEFORE the LCC filter.
+    val gmax = ecc.agg(max("ecc").as("gecc"))
     val rows = ecc.join(broadcast(lcc), "lbl")
     val stats = rows.agg(count(lit(1)).as("lcc_nodes"),
       min("ecc").as("radius"), max("ecc").as("diameter"))
-    rows.crossJoin(broadcast(stats))
+    rows.crossJoin(broadcast(stats)).crossJoin(broadcast(gmax))
       .agg(max("lcc_nodes").as("lcc_nodes"),
         max("radius").as("r"), max("diameter").as("d"),
+        max("gecc").as("ge"),
         count(when(col("ecc") === col("radius"), 1)).as("n_center"),
         count(when(col("ecc") === col("diameter"), 1))
           .as("n_periphery"))
@@ -970,7 +974,7 @@ object GraphQueries {
         col("r").cast("long").as("radius"),
         col("d").cast("long").as("diameter"),
         col("n_center"), col("n_periphery"),
-        (col("d") < 24).as("under_cap"))
+        (col("ge") < 24).as("under_cap"))
   }
 
   /** q_graph_bridges — bridge / articulation-point census of the demo
@@ -998,12 +1002,19 @@ object GraphQueries {
           graft.ops.GraphLocal.bridgesAndArticulation(edges)
         val nComp = graft.ops.GraphLocal.components(edges)
           .values.toSet.size
-        def nCompWithout(drop: ((Long, Long)) => Boolean): Int =
-          graft.ops.GraphLocal.components(edges.filterNot(drop))
-            .values.toSet.size
-        // removing a bridge must ADD a component
-        val bridgesSplit = bridges.forall(b =>
-          nCompWithout(e => e == b) == nComp + 1)
+        // removing a bridge must ADD a component. components() only
+        // sees nodes that still carry an edge, so an endpoint the
+        // removal isolates (pendant leaf, or both ends of an
+        // isolated-K2 edge) vanishes from the remaining-edge count —
+        // add those back before comparing, exactly like the
+        // articulation branch below.
+        val bridgesSplit = bridges.forall { b =>
+          val rest = edges.filterNot(_ == b)
+          val isolated = Seq(b._1, b._2).distinct.count(n =>
+            !rest.exists(e => e._1 == n || e._2 == n))
+          graft.ops.GraphLocal.components(rest).values.toSet.size +
+            isolated == nComp + 1
+        }
         // removing an articulation point must split ITS component:
         // the node's own component contributes ≥ 2 pieces afterwards,
         // so the global count (edge-bearing pieces + nodes the
