@@ -89,9 +89,30 @@ object Bench {
         .groupBy("k").count().count()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm the probe path once so its first per-query reading is not
+    // CPU-work probe (round-18): the scheduler probe above is a
+    // 2-3-job micro-query whose cost is scheduler LATENCY — it is
+    // demonstrably blind to CPU-THROUGHPUT contention (the r17 judged
+    // run: q_text_decon_ngram's samples ran at loadavg 12-13 while its
+    // scheduler probes read a quiet 0.29-0.55 s → correction 1.0).
+    // This leg is fixed CPU work fanned across every core (268M
+    // codegen'd xxhash64 over a range, 32 partitions, bit_xor fold —
+    // no shuffle, no memory): external busy cores slow it roughly in
+    // proportion to the cores they steal, which is exactly the signal
+    // that slows a codegen'd CPU-bound kernel. Quiet floor is a
+    // committed constant (BenchGate.cpuProbeRef, ProbeCal-calibrated);
+    // readings land at the FIRST and LAST probe positions only (the
+    // sustained-contention signal needs a bracket, not per-sample
+    // granularity, and two ~0.17 s legs keep the added wall-clock per
+    // query negligible).
+    def cpuProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 28, 1, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the probe paths once so the first per-query reading is not
     // codegen-cold (which would overstate the first query's correction)
-    (1 to 3).foreach(_ => probeOnce())
+    (1 to 3).foreach { _ => probeOnce(); cpuProbeOnce() }
     val resampledB = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // -1 marks a failed query instead of silently reporting its
@@ -131,17 +152,21 @@ object Bench {
       // sample, …, probe): a load spike inside the window inflates at
       // least one adjacent probe, so the correction factor rises with
       // the noise that actually touched this query's samples
-      def sampleSet(): (Seq[(Double, Double)], Seq[Double]) = {
+      def sampleSet()
+          : (Seq[(Double, Double)], Seq[Double], Seq[Double]) = {
         val pb = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val cb = scala.collection.mutable.ArrayBuffer.empty[Double]
+        cb += cpuProbeOnce()
         pb += probeOnce()
         val ss = Seq.fill(runs) {
           val r = runOnce(); pb += probeOnce(); r
         }
-        (ss, pb.toSeq)
+        cb += cpuProbeOnce()
+        (ss, pb.toSeq, cb.toSeq)
       }
-      val (first, firstProbes) =
+      val (first, firstProbes, firstCpu) =
         if (firstWarmFailed && runOnce()._1 < 0)
-          (Seq((-1.0, loadavg())), Seq(probeOnce()))
+          (Seq((-1.0, loadavg())), Seq(probeOnce()), Seq(cpuProbeOnce()))
         else { runOnce(); sampleSet() }
       // auto-resample (r14 postmortem): a transient host/JVM spike can
       // turn one sample into a 20x outlier and drag the MEDIAN with it
@@ -162,23 +187,35 @@ object Bench {
       // the probe blind spot. 2.5× still clears steady-state queries
       // (r15/r16 quiet anchors max sample spread 2.2–2.4×) while
       // catching single-sample bursts.
-      val unstable = spread(first) > 2.5 && first.map(_._1).max > 0.5
-      val (samples, probes) =
-        if (unstable) {
-          System.err.println(
-            s"[bench] $name samples ${first.map(_._1)} unstable; resampling")
-          resampledB += name
-          hygiene()
-          sampleSet()
-        } else (first, firstProbes)
+      // LOOPED resample (r18, was single-shot): the r17 judged run
+      // tripped the trigger on q_agg_levene, resampled ONCE, and kept
+      // a replacement set with a 29.5× spread — a noisy set replacing
+      // a noisy set proves nothing. Re-measure up to 3 times until the
+      // spread clears the trigger, and keep the STABLEST set seen
+      // (its median is the best estimate this run can produce even if
+      // no attempt fully settles).
+      def unstable(s: Seq[(Double, Double)]): Boolean =
+        spread(s) > 2.5 && s.map(_._1).max > 0.5
+      var best = (first, firstProbes, firstCpu)
+      var attempts = 0
+      while (unstable(best._1) && attempts < 3) {
+        System.err.println(s"[bench] $name samples " +
+          s"${best._1.map(_._1)} unstable; resampling (#${attempts + 1})")
+        if (attempts == 0) resampledB += name
+        hygiene()
+        val next = sampleSet()
+        if (spread(next._1) < spread(best._1)) best = next
+        attempts += 1
+      }
+      val (samples, probes, cpuProbes) = best
       val times = samples.map(_._1)
       val median =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
       hygiene()
-      name -> (median, samples, firstWarmFailed, probes)
+      name -> (median, samples, firstWarmFailed, probes, cpuProbes)
     }
-    val retried = results.collect { case (k, (_, _, true, _)) => k }
+    val retried = results.collect { case (k, (_, _, true, _, _)) => k }
     val resampled = resampledB.toSeq
     val total = results.values.map(_._1).sum
     def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
@@ -186,18 +223,23 @@ object Bench {
       s""""metric":"total"""", s""""value":$total""", s""""unit":"sec"""",
       s""""method":"median-warm"""", s""""n":$runs""",
       s""""sink":"noop"""",
-      s""""queries":${obj(results.map { case (k, (m, _, _, _)) => s""""$k":$m""" })}""",
-      s""""samples":${obj(results.map { case (k, (_, ss, _, _)) =>
+      s""""queries":${obj(results.map { case (k, (m, _, _, _, _)) => s""""$k":$m""" })}""",
+      s""""samples":${obj(results.map { case (k, (_, ss, _, _, _)) =>
         s""""$k":${ss.map(_._1).mkString("[", ",", "]")}""" })}""",
       // loadavg at the END of each sample: lets any later reader tell a
       // slow query from a loaded host PER SAMPLE, not per run (the r14
       // in-session blowups were invisible to the run-level [start, end])
-      s""""sample_load":${obj(results.map { case (k, (_, ss, _, _)) =>
+      s""""sample_load":${obj(results.map { case (k, (_, ss, _, _, _)) =>
         s""""$k":${ss.map(s => f"${s._2}%.1f").mkString("[", ",", "]")}""" })}""",
       // host-noise probes bracketing each query's samples (see
       // probeOnce above) — the gates' load-correction signal
-      s""""probes":${obj(results.map { case (k, (_, _, _, ps)) =>
+      s""""probes":${obj(results.map { case (k, (_, _, _, ps, _)) =>
         s""""$k":${ps.map(p => f"$p%.4f").mkString("[", ",", "]")}""" })}""",
+      // fixed-CPU-work probe readings bracketing the sample window
+      // (first/last; see cpuProbeOnce) — the gates' CPU-throughput
+      // contention signal, orthogonal to the scheduler probes
+      s""""probes_cpu":${obj(results.map { case (k, (_, _, _, _, cs)) =>
+        s""""$k":${cs.map(p => f"$p%.4f").mkString("[", ",", "]")}""" })}""",
       s""""retried":${retried.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""resampled":${resampled.map(k => s""""$k"""").mkString("[", ",", "]")}""",
       s""""loadavg":[$loadStart,${loadavg()}]""",
@@ -233,7 +275,7 @@ object Bench {
     def compact(qs: Option[Int]): String = obj(Seq(
       s""""metric":"total"""", s""""value":${fmt(total, 3)}""",
       s""""unit":"sec"""", s""""method":"median-warm"""", s""""n":$runs""") ++
-      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _, _, _)) =>
+      qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _, _, _, _)) =>
         s""""$k":${fmt(m, dp)}""" })}""") ++
       Seq(s""""queries_file":"${out.getAbsolutePath}"""",
         s""""sf":"$sfDir""""))

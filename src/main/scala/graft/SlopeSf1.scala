@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool (r16 verdict task #5): one more DECADE of slope evidence
-  * for the top-10 cost rows. The standing sf0.01→sf0.1 gate
+  * for the top-25 cost rows. The standing sf0.01→sf0.1 gate
   * (BenchSlopeSpec) catches quadratic growth early, but a 10× step
   * from a small base can hide a mild exponent; this main prices the
   * same queries at an sf≈1 scale (10× the sf0.1 leg) and writes
@@ -30,12 +30,20 @@ import org.apache.spark.sql.functions._
   * build + 10 queries × 2 scales × (1 warm + 2 timed)).
   */
 object SlopeSf1 {
-  /** The top-10 cost rows of the r16 final-5 anchor. */
-  val top10: Seq[String] = Seq(
+  /** The top cost rows: the r16 final-5 top-10 plus the next 15 of
+    * the r17 judged (noop-sink) artifact that read only the five
+    * synthesized tables (r17 verdict task #6 — sink/source fixture
+    * rows are excluded: they price scratch IO, not the corpus). */
+  val top25: Seq[String] = Seq(
     "q_graph_powerlaw", "q_vec_ann_nndescent", "q_agg_basket",
     "q_graph_assortativity", "q_vec_kmeans", "q_evt_rfm",
     "q_graph_adamic_adar", "q_graph_lpa", "q_text_minhash_groups",
-    "q_graph_degree")
+    "q_graph_degree",
+    "q_graph_hits", "q_agg_bootstrap", "q_vec_quantize",
+    "q_agg_levene", "q_text_readability", "q_win_ema_time",
+    "q_agg_lorenz", "q_agg_spearman", "q_text_decon_ngram",
+    "q_text_source_overlap", "q_pipe_curate", "q_math_arith",
+    "q_agg_approx", "q_etl_profile", "q_text_lm_score")
 
   private val reps = 10
 
@@ -74,7 +82,16 @@ object SlopeSf1 {
       t
     }
     def leg(dir: String): Seq[(String, Double)] =
-      top10.map(q => q -> timeOne(q, dir))
+      top25.flatMap { q =>
+        // a row that cannot run on the synthesized 5-table corpus is
+        // dropped LOUDLY (stderr) rather than poisoning the leg
+        try Some(q -> timeOne(q, dir))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[slope-sf1] $q skipped: ${e.getMessage}")
+            None
+        }
+      }
     val small = leg(src)
     val big = leg(out)
     def obj(xs: Seq[(String, Double)]) = xs

@@ -16,16 +16,19 @@ object TextSim {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Word n-gram shingles (the MinHash input unit). Texts with fewer
-    * than `n` tokens yield an empty shingle set — without the guard,
-    * `sequence(0, size-n)` would run descending and `slice` would throw
-    * on the negative index, aborting the job on the first short doc. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * than `n` tokens yield an empty shingle set, null texts an empty
+    * set too. Built on the codegen'd
+    * [[org.apache.spark.sql.graftfns.TokenNgrams]] kernel (r18): the
+    * previous `transform(sequence(...), i -> concat_ws(slice(...)))`
+    * HOF form is CodegenFallback — an interpreted lambda frame + array
+    * slice allocation per gram, the same tax the TokenBigrams swap
+    * removed from q_text_boilerplate; the kernel emits identical gram
+    * strings (TextSimSpec pins equivalence). */
+  def shingles(text: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graftfns.QuantFunctions
+        .token_ngrams(tokens(text), n),
+      array().cast("array<string>"))
 
   /* Hash-family construction: each token STRING is xxhash64'd once;
    * shingle hashes are XXH64 chains over consecutive token hashes
@@ -1038,10 +1041,9 @@ object TextSim {
                      buildK: Int = 0): DataFrame = {
     require(k > 0 && iters >= 0,
       s"need k ($k) > 0 and iters ($iters) >= 0")
-    val vecs = corpus.select(col("vec_id").cast("long").as("vec_id"),
+    val vecs0 = corpus.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
-      .localCheckpoint()
     // Ring order = (murmur3 hash bucket of vec_id over a PINNED 32-way
     // layout, vec_id within bucket) — a content-pure deterministic
     // permutation of the id set, exactly as arbitrary as the id order
@@ -1049,11 +1051,21 @@ object TextSim {
     // but the hash exchange needs NO RangePartitioner sampling job
     // (r16: one of the per-job overheads that dominated the demo
     // slice). N rides the GlobalIndex offsets job as a byproduct — no
-    // separate count job either.
+    // separate count job either. Ranked off the raw corpus so N is
+    // known BEFORE deciding whether the vector table needs its own
+    // materialization (below).
     val (ranked, n) = org.apache.spark.sql.graftfns.GlobalIndex
       .attachWithTotal(
-        vecs.select("vec_id").repartition(32, col("vec_id"))
+        corpus.select(col("vec_id").cast("long").as("vec_id"))
+          .repartition(32, col("vec_id"))
           .sortWithinPartitions("vec_id"), "rank")
+    // one materialization for the whole descent: every rescore join
+    // (two per round) and the broadcast builds of the small-build
+    // regime read these blocks instead of re-scanning the corpus —
+    // rounds are separate query executions (split by their own
+    // checkpoints), so exchange reuse alone cannot carry vecs across
+    // them
+    val vecs = vecs0.localCheckpoint()
     // the graph is BUILT wider than it is read: a k-NN list this sparse
     // cannot bootstrap (neighbors-of-neighbors of 5 arbitrary nodes stay
     // arbitrary); NN-Descent's standard remedy is a working K of a few
@@ -1064,6 +1076,13 @@ object TextSim {
     if (kk == 0) // 0- or 1-vector corpus: no neighbours exist
       return vecs.select(col("vec_id"), col("vec_id").as("neighbor_id"),
         lit(0d).as("sim"), lit(0L).as("rn")).limit(0)
+    // small-build regime: the N this build already computed picks the
+    // join strategy exactly as AQE would with known stats — at demo N
+    // the vector sides and the ring lookup broadcast (no exchange per
+    // rescore join), at scale every one of these joins falls back to
+    // its node-keyed shuffle form
+    val smallN = n <= (1L << 20)
+    def vside = if (smallN) broadcast(vecs) else vecs
     // BOTH rescore sides join the IDENTICAL vecs subtree (aliased, not
     // re-projected): exchange reuse then materializes it ONCE for the
     // whole descent — the per-side renamed projections used to cost a
@@ -1072,8 +1091,8 @@ object TextSim {
     // same identity lets the shuffle exchange be reused instead)
     def rescore(pairs: DataFrame): DataFrame =
       pairs
-        .join(vecs.as("va"), col("src") === col("va.vec_id"))
-        .join(vecs.as("vb"), col("dst") === col("vb.vec_id"))
+        .join(vside.as("va"), col("src") === col("va.vec_id"))
+        .join(vside.as("vb"), col("dst") === col("vb.vec_id"))
         .select(col("src"), col("dst"),
           round(try_divide(dot(col("va.vec"), col("vb.vec")),
             col("va.norm") * col("vb.norm")), 4).as("sim"))
@@ -1110,8 +1129,12 @@ object TextSim {
     // clustered data. Both parts are RNG-free pure functions of the
     // corpus (the LSH planes are seed-regenerated, the annCosineLsh
     // contract).
-    val byRank = ranked.select(col("rank").as("nbr_rank"),
+    val byRank0 = ranked.select(col("rank").as("nbr_rank"),
       col("vec_id").as("dst"))
+    // the ring lookup side is N rows — broadcast under the same
+    // small-build regime as the rescore sides (smallN below; at scale
+    // the node-keyed shuffle join stands)
+    val byRank = if (n <= (1L << 20)) broadcast(byRank0) else byRank0
     val ringK = math.min(kk.toLong, math.max(n - 1, 1L)).toInt
     val ringSeeds = ranked
       .select(col("vec_id").as("src"), col("rank"),
@@ -1149,10 +1172,14 @@ object TextSim {
         .localCheckpoint()
     var rnd = 0 // not `round`: would shadow functions.round used above
     while (rnd < iters) {
-      val und = edges.select("src", "dst").unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val pairs = edges.select("src", "dst")
+      val und = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // n-of-n self-join; the probe side broadcasts in the small-build
+      // regime (2·N·K pair rows, N already known), shuffle-joins at scale
+      val e2 = if (smallN) broadcast(und.as("e2")) else und.as("e2")
       val cands = und.as("e1")
-        .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(e2, col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
       // ONE exchange per round (r16; the distinct + merge-groupBy +
@@ -1164,7 +1191,7 @@ object TextSim {
       // re-proposes a pair once per shared neighbor (~10x), and
       // deduping after rescore measured 3x slower (the collect_set
       // partials churn through every dup copy).
-      val allPairs = edges.select("src", "dst").unionByName(cands)
+      val allPairs = pairs.unionByName(cands)
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
       val next = topK(rescore(allPairs))

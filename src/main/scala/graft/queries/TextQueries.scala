@@ -412,9 +412,12 @@ object TextQueries {
     // plan an Expand + an extra shuffle for a number integer division
     // already yields.
     val exact = exactTopK(emb, probePred, k)
-    val marked = exact.join(
+    // the ANN leg is candidate pairs for ≤ 500 probes (this readout's
+    // documented certification bound, never the scale path) — broadcast
+    // it so the hit-marker join adds no exchange
+    val marked = exact.join(broadcast(
       ann.select(probeCol.as("probe_id"), neighborCol.as("vec_id"),
-        lit(1).as("__hit")),
+        lit(1).as("__hit"))),
       Seq("probe_id", "vec_id"), "left")
     marked.agg(
         count(lit(1)).as("n_exact"),

@@ -680,8 +680,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // query's samples cannot red the gate; a quiet run has every
     // correction at 1.0 and is judged exactly as before
     val probes = BenchGate.probesOf(root)
+    val cpuProbes = BenchGate.cpuProbesOf(root)
     val corr = actual.keys.map(q =>
-      q -> BenchGate.correction(probes.getOrElse(q, Nil))).toMap
+      q -> BenchGate.correction(probes.getOrElse(q, Nil),
+        cpuProbes.getOrElse(q, Nil))).toMap
     val corrected = corr.filter(_._2 > 1.0)
     if (corrected.nonEmpty)
       info(f"load corrections applied to ${corrected.size} queries " +

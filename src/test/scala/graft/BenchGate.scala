@@ -40,6 +40,18 @@ object BenchGate {
     * being measured. */
   val probeRef: Double = 0.45
 
+  /** Quiet-floor reference for the CPU-work probe leg (seconds) — the
+    * fixed 268M-xxhash64 fold `graft.Bench.cpuProbeOnce` runs at the
+    * first and last probe positions of every query's sample window.
+    * The scheduler probe is blind to CPU-THROUGHPUT contention (r17:
+    * decon_ngram's samples at loadavg 12-13 judged at correction 1.0
+    * because its scheduler probes stayed quiet); this leg slows
+    * roughly in proportion to stolen cores. Calibrated round 18
+    * (ProbeCal, 30 warm samples under residual ~2-3 loadavg: min
+    * 0.128, p50 0.166, p90 0.204, max 0.219) — 0.20 sits at the quiet
+    * p90 so ordinary jitter never corrects. */
+  val cpuProbeRef: Double = 0.20
+
   /** Max correction divisor — beyond this the artifact is noise. */
   val corrCap: Double = 10.0
 
@@ -53,25 +65,51 @@ object BenchGate {
       math.min(corrCap, math.max(1.0, med / probeRef))
     }
 
+  /** Two-signal correction (r18): the larger of the scheduler-latency
+    * correction and the CPU-throughput correction. The CPU leg uses
+    * the MIN of its (two, bracketing) readings — contention must span
+    * the whole sample window to correct, so a momentary lull at either
+    * end keeps the gate strict; sustained core theft (the r17 judged
+    * failure, loadavg 12-13 across all samples) slows both readings
+    * and fires. Either signal absent → that leg is 1.0. */
+  def correction(probes: Seq[Double], cpuProbes: Seq[Double]): Double = {
+    val cpu =
+      if (cpuProbes.isEmpty) 1.0
+      else math.min(corrCap, math.max(1.0, cpuProbes.min / cpuProbeRef))
+    math.min(corrCap, math.max(correction(probes), cpu))
+  }
+
   /** Per-query probe samples from a bench.json tree ("probes" node);
     * empty map when the artifact predates probe recording. */
   def probesOf(root: com.fasterxml.jackson.databind.JsonNode)
-      : Map[String, Seq[Double]] = {
-    val node = root.path("probes")
+      : Map[String, Seq[Double]] =
+    probeNode(root, "probes")
+
+  /** Per-query CPU-probe samples ("probes_cpu"); empty map when the
+    * artifact predates the r18 CPU leg. */
+  def cpuProbesOf(root: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Seq[Double]] =
+    probeNode(root, "probes_cpu")
+
+  private def probeNode(root: com.fasterxml.jackson.databind.JsonNode,
+      name: String): Map[String, Seq[Double]] = {
+    val node = root.path(name)
     if (!node.isObject) Map.empty
     else node.fieldNames.asScala.map { q =>
       q -> node.get(q).asScala.map(_.asDouble()).toSeq
     }.toMap
   }
 
-  /** Load-corrected per-query medians: raw median ÷ correction. */
+  /** Load-corrected per-query medians: raw median ÷ correction
+    * (both signals). */
   def correctedQueries(root: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, Double] = {
     val qs = root.path("queries")
     val probes = probesOf(root)
+    val cpu = cpuProbesOf(root)
     qs.fieldNames.asScala.map { q =>
       val raw = qs.get(q).asDouble()
-      val c = correction(probes.getOrElse(q, Nil))
+      val c = correction(probes.getOrElse(q, Nil), cpu.getOrElse(q, Nil))
       q -> (if (raw < 0) raw else raw / c)
     }.toMap
   }

@@ -14,7 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *     still FAILS (the correction is bounded by the probes' own
   *     inflation, and capped at corrCap regardless);
   *  4. pre-probe artifacts (no "probes" node) → correction 1.0, judged
-  *     exactly as before.
+  *     exactly as before;
+  *  5. (r18) sustained CPU-throughput contention — quiet scheduler
+  *     probes but both CPU-leg readings above their floor — corrects;
+  *     one-sided CPU bursts and quiet-CPU regressions do not.
   */
 class BenchGateLogicSpec extends AnyFunSuite {
 
@@ -70,5 +73,54 @@ class BenchGateLogicSpec extends AnyFunSuite {
     assert(math.abs(c("q_a") - 0.6) < 1e-9) // 2x correction
     assert(c("q_b") == 0.6)                 // quiet → untouched
     assert(c("q_f") == -1.0)                // failure marker preserved
+  }
+
+  test("CPU-throughput contention with quiet scheduler probes corrects") {
+    // the r17 judged failure: q_text_decon_ngram's samples ran at
+    // loadavg 12-13 (sustained core theft slowing its codegen'd
+    // CPU-bound kernel ~1.26x: 2.48 s judged vs 1.97 s quiet) while
+    // its SCHEDULER probes read a quiet 0.29-0.55 s → correction 1.0
+    // and a gate red. The CPU-work leg reads the same core theft
+    // directly: both bracketing readings above the quiet floor.
+    val sched = Seq(0.29, 0.40, 0.44, 0.55) // quiet: median < probeRef
+    assert(BenchGate.correction(sched) == 1.0)
+    val cpu = Seq(0.26, 0.29) // both ~1.3-1.45x the 0.20 quiet floor
+    val corr = BenchGate.correction(sched, cpu)
+    assert(corr > 1.25 && corr < 1.5, s"expected ~1.3x, got $corr")
+    val budget = 1.0
+    val measured = 2.48 // the judged reading
+    assert(measured / corr <= 2 * budget,
+      "the r17 decon_ngram class must pass once CPU-corrected")
+  }
+
+  test("CPU correction needs sustained contention (min of the bracket)") {
+    // a burst that touches only ONE end of the window must not excuse
+    // a slow median — the scheduler probes and the resample loop own
+    // transient noise; the CPU leg corrects only sustained theft
+    val corr = BenchGate.correction(Seq(0.40, 0.40), Seq(0.14, 1.80))
+    assert(corr == 1.0)
+  }
+
+  test("genuine regression with quiet CPU probes still fails") {
+    val corr = BenchGate.correction(
+      Seq(0.40, 0.40, 0.40, 0.40), Seq(0.15, 0.16))
+    assert(corr == 1.0)
+    assert(3.0 / corr > 2 * 1.0,
+      "a quiet-host regression must breach regardless of the CPU leg")
+  }
+
+  test("artifacts without the CPU leg judge on scheduler probes alone") {
+    val corr = BenchGate.correction(Seq(2.1, 2.4, 2.2, 2.3), Nil)
+    assert(corr > 4.0 && corr < 6.0)
+    val root = mapper.readTree(
+      """{"queries":{"q_a":1.2},
+          "probes":{"q_a":[0.90,0.90,0.90,0.90]}}""")
+    assert(BenchGate.cpuProbesOf(root).isEmpty)
+    assert(math.abs(BenchGate.correctedQueries(root)("q_a") - 0.6) < 1e-9)
+  }
+
+  test("two-signal correction stays capped at corrCap") {
+    assert(BenchGate.correction(Seq(100.0), Seq(100.0, 100.0))
+      == BenchGate.corrCap)
   }
 }

@@ -63,9 +63,10 @@ class BenchSlopeSpec extends AnyFunSuite {
         offenders.mkString("\n  "))
   }
 
-  test("top-10 cost rows stay linear-ish across the sf0.1→sf1 decade") {
-    // optional leg (r16 verdict #5): graft.SlopeSf1 prices the top-10
-    // cost rows against a 10×-replicated sf0.1 corpus (disjoint key
+  test("top-25 cost rows stay linear-ish across the sf0.1→sf1 decade") {
+    // optional leg (r16 verdict #5, widened top-10 → top-25 in r18):
+    // graft.SlopeSf1 prices the top cost rows
+    // against a 10×-replicated sf0.1 corpus (disjoint key
     // spaces; text/embedding rotation so replicas don't collapse into
     // near-duplicates — see SlopeSf1's scaladoc) and writes
     // target/slope_sf1.json. One more decade of evidence on exactly
