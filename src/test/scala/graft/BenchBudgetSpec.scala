@@ -149,7 +149,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // checkpoint): per-round Spark job overhead dominates at the
     // 500-vector demo size (slope ~1x, pure overhead). r16 job-cut
     // rebuild (one exchange per round, fused readout, no final-round
-    // checkpoint, hash ring): 3.62 s quiet -> 2.44 s measured
+    // checkpoint, hash ring): 3.62 s quiet -> 2.44 s measured. r18
+    // small-build regime (known-N broadcast of ring lookup, rescore
+    // sides, candidate probe side; shuffle at scale): ~2.6 s quiet,
+    // 3.44 cold — the residual is irreducible per-round job latency
     "q_vec_ann_nndescent" -> 4.0,
     // 3 Lloyd rounds = 3 collect jobs over <= k*dim partial-mean rows,
     // then one assignment pass + k-group rollup; job count, not data
@@ -411,11 +414,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_win_range_frame" -> 1.1, "q_agg_maxby" -> 0.5,
     "q_text_cooccur" -> 0.8, "q_vec_centroid" -> 0.6,
     "q_text_decontaminate" -> 0.6, "q_text_decon_bloom" -> 0.7,
-    // gram explode + broadcast left join + doc-keyed aggregate — the
-    // tfidf cost family, one corpus pass. 0.8 at registration missed
-    // that the corpus-side explode needs Tables.parallelized (single
-    // input split at small SF → one core: 1.92 s in the r10 bench);
-    // with the lift, BenchOne measured 1.24 s under load — budget 1.0
+    // r18 rewrite: in-row gram counting against a broadcast eval
+    // inventory (array_distinct + size + set-membership UDF) — ZERO
+    // corpus shuffle; the r17 explode→join→groupBy round trip
+    // re-materialized every gram as a row (~100×) only to collapse
+    // back to the doc key, and the noop sink priced that at ~2.0 s
+    // quiet (the r17 gate red). Now 0.7 s quiet warm, 0.67 cold —
+    // budget keeps the shingle-construction headroom
     "q_text_decon_ngram" -> 1.0,
     "q_etl_dq_approx" -> 1.3,
     "q_win_sessionize" -> 0.9, "q_text_feature_hash" -> 0.8,
@@ -465,8 +470,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     // 13.4× slope of the fixed %4 graph came from SF-densifying edges;
     // now the cost is the corpus scan + pair contraction, ~2.0 s quiet)
     "q_graph_triangles" -> 2.2,
-    // components: brand-grouped union-find, one shuffle + local pass
-    "q_graph_components" -> 2.6,
+    // components: brand-grouped union-find, one local pass; r18 moved
+    // the edge build onto the shared in-row pair device
+    // (CoOrderGraph.brandEdges — one (order,brand) aggregate + local
+    // explode instead of the fact-table self-join): 2.73 s r17 judged
+    // -> 0.71 s quiet warm, 0.39 cold
+    "q_graph_components" -> 1.0,
     "q_etl_purge" -> 0.7, "q_evt_abandon" -> 0.7,
     // purge's broadcast probes plus two Bloom builds (each a count +
     // bloomFilter aggregate over the key list) and a candidate-sliver
@@ -518,7 +527,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_checksum" -> 0.8,
     "q_agg_auc" -> 1.6, "q_agg_mcc" -> 0.5,
     "q_agg_trimmed_mean" -> 0.6, "q_agg_hodges_lehmann" -> 1.1,
-    "q_graph_hits" -> 8.6,
+    // hits: r18 collects the k²-row type-transition grid and runs the
+    // 3-round power iteration on the driver (the q_vec_pca
+    // driver-eigensolve precedent) — the r17 unrolled join/agg rounds
+    // were ~5 s of pure lineage/job overhead on a few dozen rows:
+    // 7.51 s r17 judged -> ~1.2 s quiet warm (corpus window + collect),
+    // 0.50 cold
+    "q_graph_hits" -> 1.7,
     "q_ts_ljung_box" -> 0.8, "q_ts_dickey_fuller" -> 0.6,
     "q_agg_fleiss_kappa" -> 1.4, "q_agg_permutation" -> 1.0,
     "q_samp_group_split" -> 0.5,
@@ -737,105 +752,231 @@ class BenchBudgetSpec extends AnyFunSuite {
         unstable.mkString("\n  "))
   }
 
-  /** Cold-session anchors (r16 verdict #2): `graft.BenchOne` on a
-    * quiet host — fresh JVM, one in-session warm-up, one timed run —
-    * for every committed budget ≥ 1.0 s. In-bench medians run WARM
-    * (session caches, codegen, the shared CoOrderGraph contraction
-    * built during warm-ups), so a budget anchored only on the warm
-    * figure undercounts what the driver's bench pays after cache
-    * churn — the r16 q_graph_powerlaw breach class (2.79 s warm
-    * anchor, 4.5–5.1 s cold reality). Linting budget ≥ cold/2 keeps
-    * the 2× gate safe even if a judged sample lands at the full cold
-    * price. Re-measure when an op's plan changes (see BASELINE.md
-    * round-17 notes for the recorded run). */
+  /** Cold-session anchors (r16 verdict #2; widened r18):
+    * `graft.BenchCold` on a quiet host — fresh SparkSession per
+    * query, noop sink, one in-session warm-up, one timed run — for
+    * every committed budget ≥ 0.5 s (was ≥ 1.0; q_text_decon_ngram
+    * slipped through exactly at the old boundary). In-bench medians
+    * run WARM (session caches, codegen, the shared CoOrderGraph
+    * contraction built during warm-ups), so a budget anchored only on
+    * the warm figure undercounts what the driver's bench pays after
+    * cache churn — the r16 q_graph_powerlaw breach class (2.79 s warm
+    * anchor, 4.5–5.1 s cold reality). Linting 1.5 × budget ≥ cold
+    * (was 2×, which left zero headroom between a full-cold sample and
+    * the gate cap) keeps the 2× gate safe with margin even if a
+    * judged sample lands at the full cold price. Re-measure when an
+    * op's plan changes. Recorded sweep: round 18 (254 queries after
+    * the hits/components/decon/nndescent rewrites; three marginal
+    * rows re-measured ×2 on a quieter window and recorded at their
+    * median — see BASELINE.md "Cold-session anchors"). */
   private val coldAnchors: Map[String, Double] = Map(
-    // round-17 sweep #2: quiet host, NOOP sink (matches the r17
-    // bench sink generation), run after the CoOrderGraph rewrite
-    // (BASELINE.md "Cold-session anchors")
-    "q_agg_anova" -> 1.63, "q_agg_approx" -> 2.29, "q_agg_auc" -> 1.14,
-    "q_agg_basket" -> 3.27, "q_agg_bimodality" -> 1.09,
-    "q_agg_bootstrap" -> 4.32, "q_agg_chisq" -> 0.86,
-    "q_agg_collect" -> 1.29, "q_agg_deming" -> 1.66,
-    "q_agg_fleiss_kappa" -> 1.00, "q_agg_gmean" -> 1.81,
-    "q_agg_gsets" -> 1.02, "q_agg_hill" -> 1.16,
-    "q_agg_hodges_lehmann" -> 0.79, "q_agg_jarque_bera" -> 0.98,
-    "q_agg_kendall" -> 1.21, "q_agg_ks_test" -> 1.53,
-    "q_agg_levene" -> 1.40, "q_agg_lorenz" -> 1.92,
+    "q_agg_ab_ztest" -> 0.75, "q_agg_anova" -> 1.63,
+    "q_agg_approx" -> 2.29, "q_agg_auc" -> 1.14,
+    "q_agg_basket" -> 3.27, "q_agg_bayes_beta" -> 0.57,
+    "q_agg_benford" -> 0.95, "q_agg_bimodality" -> 1.09,
+    "q_agg_bitmap" -> 0.89, "q_agg_bootstrap" -> 4.32,
+    "q_agg_brier" -> 0.86, "q_agg_calibration" -> 0.76,
+    "q_agg_capture_recapture" -> 0.27, "q_agg_chisq" -> 0.86,
+    "q_agg_cohen_kappa" -> 0.68, "q_agg_cohens_d" -> 0.44,
+    "q_agg_collect" -> 1.29, "q_agg_corr" -> 0.47,
+    "q_agg_countmin" -> 0.68, "q_agg_cramers_v" -> 0.82,
+    "q_agg_cronbach" -> 0.53, "q_agg_cube" -> 0.69,
+    "q_agg_cvar" -> 0.63, "q_agg_delta_method" -> 0.53,
+    "q_agg_deming" -> 1.66, "q_agg_dispersion" -> 0.27,
+    "q_agg_extreme" -> 0.37, "q_agg_fdr_bh" -> 0.52,
+    "q_agg_fleiss_kappa" -> 1.00, "q_agg_friedman" -> 0.34,
+    "q_agg_gini" -> 0.71, "q_agg_gmean" -> 1.81,
+    "q_agg_group" -> 0.23, "q_agg_gsets" -> 1.02,
+    "q_agg_heavy_hitters" -> 0.19, "q_agg_hhi" -> 0.40,
+    "q_agg_hill" -> 1.16, "q_agg_hodges_lehmann" -> 0.79,
+    "q_agg_hoeffding" -> 0.30, "q_agg_holm" -> 0.46,
+    "q_agg_iqr" -> 0.51, "q_agg_jarque_bera" -> 0.98,
+    "q_agg_kendall" -> 1.21, "q_agg_kruskal" -> 0.63,
+    "q_agg_ks_test" -> 1.53, "q_agg_levene" -> 1.40,
+    "q_agg_logloss" -> 0.28, "q_agg_lorenz" -> 1.92,
     "q_agg_mad" -> 0.78, "q_agg_mannwhitney" -> 1.22,
+    "q_agg_maxby" -> 0.29, "q_agg_mcc" -> 0.11,
+    "q_agg_mde" -> 0.16, "q_agg_mode" -> 0.27,
     "q_agg_moments" -> 0.70, "q_agg_multi" -> 1.13,
-    "q_agg_permutation" -> 0.55, "q_agg_quantile" -> 0.72,
-    "q_agg_rollup" -> 0.34, "q_agg_spearman" -> 3.36,
-    "q_agg_tukey" -> 1.18, "q_agg_weighted_median" -> 1.29,
-    "q_agg_wilcoxon" -> 1.28, "q_dt_parse" -> 1.10,
-    "q_etl_backfill" -> 1.12, "q_etl_compact" -> 1.20,
-    "q_etl_contract" -> 0.54, "q_etl_debounce" -> 0.43,
-    "q_etl_denormalize" -> 1.19, "q_etl_dim_asof" -> 0.43,
-    "q_etl_dq" -> 0.51, "q_etl_dq_approx" -> 0.38,
-    "q_etl_feature_snapshot" -> 1.05, "q_etl_incr_agg" -> 0.77,
+    "q_agg_mutual_info" -> 0.35, "q_agg_odds_ratio" -> 0.14,
+    "q_agg_partial_corr" -> 0.65, "q_agg_permutation" -> 0.55,
+    "q_agg_pivot" -> 0.29, "q_agg_psi" -> 0.39,
+    "q_agg_quantile" -> 0.72, "q_agg_quantile_approx" -> 0.66,
+    "q_agg_quantile_ci" -> 0.63, "q_agg_regression" -> 0.50,
+    "q_agg_rollup" -> 0.34, "q_agg_sketch" -> 0.34,
+    "q_agg_spearman" -> 3.36, "q_agg_sprt" -> 0.27,
+    "q_agg_theil" -> 0.58, "q_agg_topn_share" -> 0.35,
+    "q_agg_tost" -> 0.18, "q_agg_trend_ca" -> 0.17,
+    "q_agg_trimmed_mean" -> 0.28, "q_agg_ttest" -> 0.16,
+    "q_agg_ttest_paired" -> 0.42, "q_agg_tukey" -> 1.18,
+    "q_agg_weighted_median" -> 1.29, "q_agg_welch_anova" -> 0.66,
+    "q_agg_wilcoxon" -> 1.28, "q_agg_winsorize" -> 0.42,
+    "q_arr_explode" -> 0.74, "q_arr_ops" -> 0.29,
+    "q_arr_posexplode" -> 0.48, "q_arr_transform" -> 0.40,
+    "q_data_mixture" -> 0.25, "q_dt_arith" -> 0.34,
+    "q_dt_busdays" -> 0.60, "q_dt_extract" -> 0.31,
+    "q_dt_format" -> 0.54, "q_dt_parse" -> 1.10,
+    "q_dt_series" -> 0.27, "q_dt_trunc" -> 0.25,
+    "q_dt_tz" -> 0.26, "q_etl_anonymize" -> 0.28,
+    "q_etl_backfill" -> 1.12, "q_etl_bitemporal" -> 0.41,
+    "q_etl_cdc_apply" -> 0.31, "q_etl_checksum" -> 0.36,
+    "q_etl_compact" -> 1.20, "q_etl_contract" -> 0.54,
+    "q_etl_debounce" -> 0.43, "q_etl_denormalize" -> 1.19,
+    "q_etl_dim_asof" -> 0.43, "q_etl_dq" -> 0.51,
+    "q_etl_dq_approx" -> 0.38, "q_etl_feature_snapshot" -> 1.05,
+    "q_etl_freshness" -> 0.19, "q_etl_impute" -> 0.51,
+    "q_etl_incr_agg" -> 0.77, "q_etl_late_dim" -> 0.30,
     "q_etl_normalize" -> 0.59, "q_etl_partition_overwrite" -> 0.95,
-    "q_etl_profile" -> 1.81, "q_etl_purge_bloom" -> 1.69,
-    "q_etl_resample" -> 0.88, "q_etl_ri" -> 0.32,
-    "q_etl_schema_evolve" -> 0.83, "q_etl_upsert" -> 0.76,
+    "q_etl_profile" -> 1.81, "q_etl_purge" -> 0.40,
+    "q_etl_purge_bloom" -> 1.69, "q_etl_resample" -> 0.88,
+    "q_etl_ri" -> 0.32, "q_etl_scd2" -> 0.44,
+    "q_etl_schema_evolve" -> 0.83, "q_etl_snapshot_diff" -> 0.47,
+    "q_etl_stats_collect" -> 0.67, "q_etl_upsert" -> 0.76,
     "q_etl_vacuum" -> 0.99, "q_etl_wap" -> 0.90,
-    "q_etl_zorder" -> 0.69, "q_evt_cadence" -> 1.43,
-    "q_evt_interarrival" -> 1.26, "q_evt_mix_drift" -> 0.46,
-    "q_evt_rfm" -> 1.91, "q_evt_session_stats" -> 0.39,
-    "q_evt_transition_time" -> 1.25, "q_evt_uplift" -> 0.72,
+    "q_etl_zorder" -> 0.69, "q_evt_abandon" -> 0.43,
+    "q_evt_anomaly" -> 0.45, "q_evt_attribution" -> 0.40,
+    "q_evt_bot_score" -> 0.41, "q_evt_cadence" -> 1.43,
+    "q_evt_conversion_ci" -> 0.48, "q_evt_cuped" -> 0.44,
+    "q_evt_dau_wau" -> 0.63, "q_evt_decay" -> 0.57,
+    "q_evt_disorder" -> 0.51, "q_evt_funnel" -> 0.53,
+    "q_evt_interarrival" -> 1.26, "q_evt_lifecycle" -> 0.50,
+    "q_evt_ltv_cohort" -> 0.55, "q_evt_markov" -> 0.54,
+    "q_evt_match" -> 0.50, "q_evt_mix_drift" -> 0.46,
+    "q_evt_new_returning" -> 0.36, "q_evt_paths" -> 0.41,
+    "q_evt_perplexity" -> 0.59, "q_evt_retention" -> 0.27,
+    "q_evt_rfm" -> 1.91, "q_evt_seqpairs" -> 0.39,
+    "q_evt_session_stats" -> 0.39, "q_evt_shapley" -> 0.42,
+    "q_evt_srm" -> 0.29, "q_evt_stickiness" -> 0.54,
+    "q_evt_streaks" -> 0.51, "q_evt_transition_time" -> 1.25,
+    "q_evt_uplift" -> 0.72, "q_filter_range_disj" -> 0.29,
     "q_graph_adamic_adar" -> 0.85, "q_graph_assortativity" -> 0.75,
-    "q_graph_betweenness" -> 0.48, "q_graph_clustering" -> 0.46,
-    "q_graph_common_neighbors" -> 0.72, "q_graph_components" -> 2.01,
-    "q_graph_degree" -> 0.45, "q_graph_hits" -> 8.15,
-    "q_graph_jaccard" -> 0.85, "q_graph_kcore" -> 0.60,
-    "q_graph_lpa" -> 0.94, "q_graph_modularity" -> 0.28,
-    "q_graph_pagerank" -> 1.18, "q_graph_powerlaw" -> 1.07,
-    "q_graph_triangles" -> 0.38, "q_join_bridge3" -> 1.06,
-    "q_join_dpp" -> 0.70, "q_join_fuzzy" -> 1.09,
-    "q_join_interval" -> 0.93, "q_json_flatten" -> 1.50,
-    "q_json_from" -> 1.01, "q_json_get" -> 0.79,
-    "q_math_arith" -> 2.31, "q_pipe_curate" -> 2.05,
-    "q_pipe_embed_qa" -> 0.93, "q_pipe_graph_health" -> 1.04,
-    "q_pipe_ts_profile" -> 0.69, "q_sink_append" -> 0.59,
+    "q_graph_betweenness" -> 0.48, "q_graph_bipartite" -> 0.40,
+    "q_graph_bridges" -> 0.34, "q_graph_clustering" -> 0.46,
+    "q_graph_common_neighbors" -> 0.72, "q_graph_components" -> 0.39,
+    "q_graph_degree" -> 0.45, "q_graph_eccentricity" -> 0.37,
+    "q_graph_hits" -> 0.50, "q_graph_jaccard" -> 0.85,
+    "q_graph_kcore" -> 0.60, "q_graph_lpa" -> 0.94,
+    "q_graph_modularity" -> 0.28, "q_graph_pagerank" -> 1.18,
+    "q_graph_powerlaw" -> 1.07, "q_graph_triangles" -> 0.38,
+    "q_join_asof" -> 0.44, "q_join_bridge3" -> 1.06,
+    "q_join_broadcast" -> 0.20, "q_join_dpp" -> 0.70,
+    "q_join_full" -> 0.34, "q_join_fuzzy" -> 1.09,
+    "q_join_inner" -> 0.39, "q_join_interval" -> 0.93,
+    "q_join_left" -> 0.56, "q_join_nullsafe" -> 0.49,
+    "q_join_salted" -> 0.42, "q_join_spatial" -> 0.68,
+    "q_json_flatten" -> 1.50, "q_json_from" -> 1.01,
+    "q_json_get" -> 0.79, "q_map_ops" -> 0.46,
+    "q_math_arith" -> 2.31, "q_media_dedup" -> 0.32,
+    "q_media_frames" -> 0.24, "q_media_phash" -> 0.89,
+    "q_media_shard" -> 0.25, "q_pipe_abtest" -> 0.74,
+    "q_pipe_curate" -> 2.05, "q_pipe_embed_qa" -> 0.93,
+    "q_pipe_graph_health" -> 1.04, "q_pipe_ts_profile" -> 0.69,
+    "q_proj_derived" -> 0.39, "q_samp_decay" -> 0.40,
+    "q_samp_group_split" -> 0.20, "q_samp_negative" -> 0.66,
+    "q_samp_ppswor" -> 0.28, "q_samp_reservoir" -> 0.16,
+    "q_samp_systematic" -> 0.82, "q_samp_temperature" -> 0.40,
+    "q_sample_stratified" -> 0.26, "q_set_except" -> 0.46,
+    "q_set_intersect" -> 0.37, "q_sink_append" -> 0.59,
     "q_sink_bucketed" -> 0.77, "q_sink_jdbc" -> 1.34,
-    "q_sink_warehouse" -> 0.73, "q_sql_lateral" -> 0.39,
-    "q_sql_recursive" -> 1.19, "q_sql_report" -> 1.20,
-    "q_src_corrupt" -> 0.42, "q_src_file_meta" -> 0.87,
-    "q_src_jdbc" -> 1.06, "q_src_partition_prune" -> 0.44,
+    "q_sink_warehouse" -> 0.73, "q_sql_exists" -> 0.24,
+    "q_sql_lateral" -> 0.39, "q_sql_recursive" -> 1.19,
+    "q_sql_report" -> 1.20, "q_sql_unpivot" -> 0.30,
+    "q_src_binary" -> 0.14, "q_src_corrupt" -> 0.42,
+    "q_src_csv" -> 0.48, "q_src_csv_dialect" -> 0.32,
+    "q_src_csv_gzip" -> 0.53, "q_src_csv_multiline" -> 0.21,
+    "q_src_file_meta" -> 0.87, "q_src_fixed_width" -> 0.26,
+    "q_src_jdbc" -> 1.06, "q_src_json_multiline" -> 0.36,
+    "q_src_ndjson" -> 0.34, "q_src_orc" -> 0.33,
+    "q_src_parquet" -> 0.64, "q_src_partition_prune" -> 0.44,
     "q_src_stream_file" -> 1.25, "q_src_xml" -> 0.86,
-    "q_stream_left" -> 0.41, "q_stream_minhash" -> 0.54,
-    "q_stream_seen" -> 1.05, "q_stream_state" -> 0.35,
-    "q_stream_timer" -> 0.57, "q_stream_ttl" -> 0.50,
+    "q_str_levenshtein" -> 0.33, "q_stream_cdc" -> 0.32,
+    "q_stream_dedup" -> 0.66, "q_stream_enrich" -> 0.33,
+    "q_stream_foreachbatch" -> 0.15, "q_stream_join" -> 0.37,
+    "q_stream_late" -> 0.41, "q_stream_left" -> 0.41,
+    "q_stream_minhash" -> 0.54, "q_stream_seen" -> 1.05,
+    "q_stream_session" -> 0.62, "q_stream_slide" -> 0.27,
+    "q_stream_state" -> 0.35, "q_stream_timer" -> 0.57,
+    "q_stream_ttl" -> 0.50, "q_text_blocklist" -> 0.38,
     "q_text_boilerplate" -> 0.70, "q_text_burstiness" -> 0.55,
-    "q_text_containment" -> 0.93, "q_text_decon_ngram" -> 0.66,
-    "q_text_dedup_spans" -> 0.67, "q_text_dup_rate" -> 0.84,
-    "q_text_hapax" -> 0.23, "q_text_lm_score" -> 1.57,
-    "q_text_minhash" -> 0.88, "q_text_minhash_groups" -> 1.45,
-    "q_text_ngram_jaccard" -> 0.84, "q_text_ngram_novelty" -> 0.86,
-    "q_text_pmi" -> 0.79, "q_text_source_overlap" -> 0.79,
-    "q_text_tfidf" -> 0.91, "q_text_vocab_coverage" -> 0.50,
-    "q_text_winnowing" -> 1.44, "q_ts_holt_winters" -> 0.74,
-    "q_udaf_wavg" -> 0.64, "q_udf_parse_hours" -> 2.05,
-    "q_udtf_hours_explode" -> 0.72, "q_vec_ann_ivfpq" -> 0.43,
-    "q_vec_ann_nndescent" -> 3.21, "q_vec_cosine_dedup" -> 0.64,
-    "q_vec_dedup_groups" -> 0.68, "q_vec_hubness" -> 0.47,
+    "q_text_chunk" -> 0.28, "q_text_code_detect" -> 0.24,
+    "q_text_compress_ratio" -> 0.49, "q_text_containment" -> 0.56,
+    "q_text_cooccur" -> 0.48, "q_text_decon_bloom" -> 0.47,
+    "q_text_decon_ngram" -> 0.67, "q_text_decontaminate" -> 0.19,
+    "q_text_dedup_prefix" -> 0.17, "q_text_dedup_spans" -> 0.92,
+    "q_text_dedup_suffix" -> 0.27, "q_text_dup_rate" -> 0.84,
+    "q_text_feature_hash" -> 0.67, "q_text_fingerprint" -> 0.39,
+    "q_text_hapax" -> 0.23, "q_text_keyness" -> 0.28,
+    "q_text_lang_confusion" -> 0.65, "q_text_lang_purity" -> 0.54,
+    "q_text_langid" -> 0.75, "q_text_length_profile" -> 0.28,
+    "q_text_lm_score" -> 1.57, "q_text_minhash" -> 0.99,
+    "q_text_minhash_groups" -> 1.64, "q_text_ngram_jaccard" -> 0.69,
+    "q_text_ngram_lm" -> 0.56, "q_text_ngram_novelty" -> 0.86,
+    "q_text_pack" -> 0.26, "q_text_pmi" -> 0.79,
+    "q_text_quality" -> 0.56, "q_text_readability" -> 0.48,
+    "q_text_repetition" -> 0.47, "q_text_scrub" -> 0.30,
+    "q_text_simhash" -> 0.38, "q_text_soft_dedup" -> 0.54,
+    "q_text_source_overlap" -> 0.89, "q_text_template" -> 0.29,
+    "q_text_tfidf" -> 0.91, "q_text_tok_fertility" -> 0.23,
+    "q_text_tokens" -> 0.43, "q_text_unicode_audit" -> 0.73,
+    "q_text_urls" -> 0.21, "q_text_vocab_coverage" -> 0.50,
+    "q_text_winnowing" -> 1.44, "q_text_zipf" -> 0.25,
+    "q_ts_anomaly" -> 0.64, "q_ts_autocorr" -> 0.33,
+    "q_ts_backtest" -> 0.23, "q_ts_ccf" -> 0.39,
+    "q_ts_changepoint" -> 0.32, "q_ts_coint" -> 0.47,
+    "q_ts_croston" -> 0.52, "q_ts_cusum" -> 0.34,
+    "q_ts_decompose" -> 0.34, "q_ts_des" -> 0.44,
+    "q_ts_dickey_fuller" -> 0.28, "q_ts_drawdown" -> 0.26,
+    "q_ts_ewma_var" -> 0.45, "q_ts_forecast_snaive" -> 0.26,
+    "q_ts_granger" -> 0.38, "q_ts_hampel" -> 0.26,
+    "q_ts_hod_circular" -> 0.26, "q_ts_holt_winters" -> 0.74,
+    "q_ts_hurst" -> 0.68, "q_ts_hysteresis" -> 0.53,
+    "q_ts_interpolate" -> 0.33, "q_ts_islands" -> 0.25,
+    "q_ts_kpss" -> 0.43, "q_ts_ljung_box" -> 0.38,
+    "q_ts_mann_kendall" -> 0.47, "q_ts_peaks" -> 0.26,
+    "q_ts_periodogram" -> 0.29, "q_ts_rolling_corr" -> 0.19,
+    "q_ts_rolling_ols" -> 0.35, "q_ts_runs_test" -> 0.40,
+    "q_ts_sax" -> 0.30, "q_ts_spectral_entropy" -> 0.46,
+    "q_ts_strength" -> 0.34, "q_ts_survival" -> 0.27,
+    "q_ts_theil_sen" -> 0.35, "q_udaf_wavg" -> 0.64,
+    "q_udf_parse_hours" -> 2.05, "q_udf_time_until_close" -> 0.35,
+    "q_udtf_hours_explode" -> 0.72, "q_vec_ann_ivf" -> 0.48,
+    "q_vec_ann_ivfpq" -> 0.45, "q_vec_ann_lsh" -> 0.53,
+    "q_vec_ann_nndescent" -> 3.44, "q_vec_ann_pq" -> 0.39,
+    "q_vec_binary_quant" -> 0.38, "q_vec_centroid" -> 0.47,
+    "q_vec_cosine_dedup" -> 0.64, "q_vec_dedup_groups" -> 0.68,
+    "q_vec_dedup_sweep" -> 0.62, "q_vec_dimstats" -> 0.24,
+    "q_vec_drift" -> 0.73, "q_vec_hubness" -> 0.47,
     "q_vec_kmeans" -> 0.86, "q_vec_knn_join" -> 0.31,
-    "q_vec_label_knn_acc" -> 0.54, "q_vec_mmd" -> 0.85,
-    "q_win_ema" -> 0.56, "q_win_ema_time" -> 1.96,
-    "q_win_interval_merge" -> 0.60, "q_win_median" -> 0.59,
-    "q_win_range_frame" -> 0.56, "q_win_rank" -> 0.67,
-    "q_win_skyline" -> 0.61, "q_win_zscore" -> 0.85)
+    "q_vec_label_knn_acc" -> 0.54, "q_vec_matryoshka" -> 0.62,
+    "q_vec_mips" -> 0.46, "q_vec_mmd" -> 0.85,
+    "q_vec_mmr" -> 0.53, "q_vec_ood" -> 0.74,
+    "q_vec_pca" -> 0.42, "q_vec_recon_error" -> 0.28,
+    "q_vec_rproj" -> 0.42, "q_vec_silhouette" -> 0.91,
+    "q_win_concurrency" -> 0.70, "q_win_ema" -> 0.56,
+    "q_win_ema_cross" -> 0.55, "q_win_ema_time" -> 1.96,
+    "q_win_interval_merge" -> 0.60, "q_win_lag" -> 0.63,
+    "q_win_locf" -> 0.64, "q_win_median" -> 0.59,
+    "q_win_moving" -> 0.80, "q_win_ntile" -> 0.32,
+    "q_win_ohlc" -> 0.71, "q_win_paginate" -> 0.49,
+    "q_win_pctrank" -> 0.39, "q_win_range_frame" -> 0.56,
+    "q_win_rank" -> 0.67, "q_win_rownum" -> 0.46,
+    "q_win_running" -> 0.73, "q_win_sessionize" -> 1.00,
+    "q_win_skyline" -> 0.61, "q_win_streak" -> 0.52,
+    "q_win_topk_group" -> 0.66, "q_win_zscore" -> 0.85)
 
-  test("every >=1s budget covers its recorded cold-session price") {
+  test("every >=0.5s budget covers its recorded cold-session price") {
     val missing = budgets.collect {
-      case (q, b) if b >= 1.0 && !coldAnchors.contains(q) => q
+      case (q, b) if b >= 0.5 && !coldAnchors.contains(q) => q
     }
     assert(missing.isEmpty,
-      s"budgets >= 1.0s without a recorded cold anchor: $missing")
+      s"budgets >= 0.5s without a recorded cold anchor: $missing")
     val offenders = coldAnchors.collect {
-      case (q, cold) if budgets.getOrElse(q, 0.0) * 2 < cold =>
-        f"$q: cold $cold%.2fs exceeds 2x budget ${budgets(q)}%.1fs"
+      case (q, cold) if budgets.getOrElse(q, 0.0) * 1.5 < cold =>
+        f"$q: cold $cold%.2fs exceeds 1.5x budget ${budgets(q)}%.1fs"
     }
     assert(offenders.isEmpty,
-      "budgets whose 2x gate a cold-session run would breach:\n  " +
+      "budgets a cold-session sample would push to the 2x gate cap " +
+        "(raise the budget with the cold root cause):\n  " +
         offenders.mkString("\n  "))
   }
 
