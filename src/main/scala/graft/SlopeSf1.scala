@@ -105,7 +105,7 @@ object SlopeSf1 {
     spark.stop()
   }
 
-  /** Synthesize the five tables the top-10 rows read (others unused). */
+  /** Synthesize the six tables the top-25 rows read (others unused). */
   private def buildIfMissing(s: SparkSession, src: String,
                              out: String): Unit = {
     val marker = java.nio.file.Paths.get(s"$out/_DONE")
@@ -174,8 +174,20 @@ object SlopeSf1 {
         shift("vec_id", strideOf(em, "vec_id")),
         col("embedding"), col("label"))
 
+    // orders (r18, the lorenz/profile rows): max(o_orderkey) ==
+    // max(l_orderkey) on the driver fixtures (every order has
+    // lineitems), so the o_orderkey stride matches lineitem's and the
+    // fact↔order join stays replica-consistent
+    val or = Tables.load(s, src, "orders")
+    val orOut = or.select(col("*"), r).select(
+      shift("o_orderkey", strideOf(or, "o_orderkey")),
+      shift("o_custkey", strideOf(or, "o_custkey")),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+
     Seq("lineitem" -> liOut, "part" -> ptOut, "events" -> evOut,
-      "documents" -> dcOut, "embeddings" -> emOut).foreach {
+      "documents" -> dcOut, "embeddings" -> emOut,
+      "orders" -> orOut).foreach {
       case (n, df) => df.write.mode("overwrite")
         .parquet(s"$out/$n.parquet")
     }

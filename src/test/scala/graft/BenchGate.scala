@@ -46,11 +46,18 @@ object BenchGate {
     * The scheduler probe is blind to CPU-THROUGHPUT contention (r17:
     * decon_ngram's samples at loadavg 12-13 judged at correction 1.0
     * because its scheduler probes stayed quiet); this leg slows
-    * roughly in proportion to stolen cores. Calibrated round 18
-    * (ProbeCal, 30 warm samples under residual ~2-3 loadavg: min
-    * 0.128, p50 0.166, p90 0.204, max 0.219) — 0.20 sits at the quiet
-    * p90 so ordinary jitter never corrects. */
-  val cpuProbeRef: Double = 0.20
+    * roughly in proportion to stolen cores. Calibrated round 18 on
+    * the IN-BENCH distribution, not ProbeCal: a long JIT-hot bench
+    * session runs the leg at min-reading p50 0.091 / p90 0.106 / p99
+    * 0.127 (quiet sf0.1 run, run_id 1786903388700, 435 windows),
+    * where a short ProbeCal session reads ~0.17 — anchoring on the
+    * short-session figure would re-open the r17 blind spot (a 1.3×
+    * sustained contention moves the hot floor to ~0.13, not past
+    * 0.20). 0.13 = the quiet in-bench p99: at most a reading or two
+    * per quiet run corrects (and only mildly — the min-of-bracket
+    * demands BOTH window ends slow), while the decon_ngram-class
+    * sustained theft fires. */
+  val cpuProbeRef: Double = 0.13
 
   /** Max correction divisor — beyond this the artifact is noise. */
   val corrCap: Double = 10.0

@@ -84,7 +84,7 @@ class BenchGateLogicSpec extends AnyFunSuite {
     // directly: both bracketing readings above the quiet floor.
     val sched = Seq(0.29, 0.40, 0.44, 0.55) // quiet: median < probeRef
     assert(BenchGate.correction(sched) == 1.0)
-    val cpu = Seq(0.26, 0.29) // both ~1.3-1.45x the 0.20 quiet floor
+    val cpu = Seq(0.17, 0.19) // both ~1.3-1.45x the 0.13 quiet ref
     val corr = BenchGate.correction(sched, cpu)
     assert(corr > 1.25 && corr < 1.5, s"expected ~1.3x, got $corr")
     val budget = 1.0
@@ -97,13 +97,13 @@ class BenchGateLogicSpec extends AnyFunSuite {
     // a burst that touches only ONE end of the window must not excuse
     // a slow median — the scheduler probes and the resample loop own
     // transient noise; the CPU leg corrects only sustained theft
-    val corr = BenchGate.correction(Seq(0.40, 0.40), Seq(0.14, 1.80))
+    val corr = BenchGate.correction(Seq(0.40, 0.40), Seq(0.09, 1.80))
     assert(corr == 1.0)
   }
 
   test("genuine regression with quiet CPU probes still fails") {
     val corr = BenchGate.correction(
-      Seq(0.40, 0.40, 0.40, 0.40), Seq(0.15, 0.16))
+      Seq(0.40, 0.40, 0.40, 0.40), Seq(0.09, 0.11))
     assert(corr == 1.0)
     assert(3.0 / corr > 2 * 1.0,
       "a quiet-host regression must breach regardless of the CPU leg")
