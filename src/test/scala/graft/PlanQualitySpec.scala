@@ -169,6 +169,35 @@ class PlanQualitySpec extends SparkSpecBase {
     // rounds instead)
     assert(p.contains("MapGroups"),
       "brand-grouped union-find pass missing from the plan")
+    // r18: the edge list rides the SHARED brandEdges contraction
+    // (CoOrderGraph cache → Scan ExistingRDD), so nothing below the
+    // union-find may join — the fact-table self-join this replaced
+    // would plan a join under MapGroups. Judged on the TREE segment
+    // only (the formatted detail section re-lists every node above).
+    val tree = p.split("\n\n")(0)
+    val below = tree.substring(tree.indexOf("MapGroups"))
+    assert(!below.contains("Join"),
+      "edge build regressed to a join below the union-find:\n" +
+        below.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q_text_decon_ngram is map-side only (no join, no aggregate)") {
+    // r18 zero-shuffle rewrite: per-doc distinct grams stay IN-ROW and
+    // the hit count probes a broadcast set — the plan must show no
+    // join (the old broadcast left join) and no aggregate (the old
+    // explode → groupBy(doc) collapse). The only exchanges allowed are
+    // the documented parallelize lift and the output sort.
+    // judged on the TREE segment only (the formatted detail section
+    // re-lists every node, double-counting)
+    val tree = plan("q_text_decon_ngram").split("\n\n")(0)
+    assert(!tree.contains("Join"),
+      "decon_ngram regressed to a join form")
+    assert(!tree.contains("HashAggregate") && !tree.contains("SortAggregate"),
+      "decon_ngram regressed to an explode+groupBy form")
+    val exchanges = "Exchange".r.findAllIn(tree).size
+    assert(exchanges <= 2,
+      s"expected <= 2 exchanges (lift + output sort), got $exchanges:\n" +
+        tree.linesIterator.take(12).mkString("\n"))
   }
 
   test("q_join_salted scatters the key across salt replicas in the join key") {
