@@ -2342,7 +2342,7 @@ object OracleSql {
                     AS dim,
                   CAST(unnest(embedding) AS DOUBLE) AS v
            FROM embeddings)
-         SELECT dim, count(*) AS n, round(avg(v), 4) AS mean,
+         SELECT dim, count(*) AS n, round(avg(v), 4) + 0.0 AS mean,
                 round(stddev_samp(v), 4) AS sd,
                 min(v) AS vmin, max(v) AS vmax
          FROM ex GROUP BY dim ORDER BY dim""",
@@ -3373,8 +3373,8 @@ object OracleSql {
                   m4 / (m2 * m2) - 3.0 AS kurt
            FROM c),
          j AS (
-           SELECT flag, n, round(skew, 4) AS skew,
-                  round(kurt, 4) AS kurtosis,
+           SELECT flag, n, round(skew, 4) + 0.0 AS skew,
+                  round(kurt, 4) + 0.0 AS kurtosis,
                   round(CAST(n AS DOUBLE) / 6.0
                     * (skew*skew + kurt*kurt/4.0), 4) AS jb
            FROM r)
@@ -3412,7 +3412,7 @@ object OracleSql {
                 round(s2 / n - (s1/n)*(s1/n), 4) AS variance,
                 round((s3/n - 3*(s1/n)*(s2/n)
                        + 2*(s1/n)*(s1/n)*(s1/n))
-                  / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew
+                  / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) + 0.0 AS skew
          FROM s ORDER BY flag""",
     // Mirrors winMedian: quantile_cont at p=0.5 interpolates exactly
     // like Spark's percentile over the same explicit 7-row frame;
@@ -3437,7 +3437,7 @@ object OracleSql {
                   sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)) AS sd
            FROM f)
          SELECT event_id, user_id,
-                round((value - s1 / cnt) / sd, 4) AS z,
+                round((value - s1 / cnt) / sd, 4) + 0.0 AS z,
                 (abs((value - s1 / cnt) / sd) > 3.0) AS is_outlier
          FROM g WHERE cnt >= 3 AND sd > 0
          ORDER BY event_id""",
@@ -3528,8 +3528,9 @@ object OracleSql {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4)
                   AS DOUBLE) AS sum_value,
-                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                      / count(*), 4) AS avg_value
+                CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        * 10000 AS HUGEINT) + count(*))
+                      // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value
          FROM events
          GROUP BY 1, 2
          ORDER BY day, event_type NULLS FIRST""",
@@ -6420,7 +6421,8 @@ object OracleSql {
                     / ((CAST(n AS DOUBLE) - 2)
                       * (CAST(n AS DOUBLE) - 3)) AS corr
            FROM t)
-         SELECT flag, n, round(g1, 4) AS skew, round(g2, 4) AS exkurt,
+         SELECT flag, n, round(g1, 4) + 0.0 AS skew,
+                round(g2, 4) + 0.0 AS exkurt,
                 round((g1 * g1 + 1) / (g2 + corr), 4) AS b_coef,
                 CASE WHEN round((g1 * g1 + 1) / (g2 + corr), 4)
                   > 5.0 / 9.0 THEN 1 ELSE 0 END AS bimodal
@@ -7488,24 +7490,30 @@ object OracleSql {
          FROM r ORDER BY lang NULLS FIRST""",
     "q_text_readability" ->
       // integer counts from one regex pass each (shared character
-      // classes); sentence floor at 1; one closed-form double score.
-      """SELECT doc_id, lang,
-                CAST(len(string_split(lower(text), ' ')) AS BIGINT)
-                  AS n_words,
-                greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
-                  AS BIGINT), 1) AS n_sent,
-                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
-                  AS BIGINT) AS n_syll,
-                round(206.835
-                  - 1.015 * (CAST(len(string_split(lower(text), ' '))
-                      AS DOUBLE)
-                    / greatest(CAST(len(regexp_extract_all(text,
-                        '[.!?]+')) AS BIGINT), 1))
-                  - 84.6 * (CAST(len(regexp_extract_all(lower(text),
-                        '[aeiouy]+')) AS DOUBLE)
-                    / len(string_split(lower(text), ' '))), 2)
-                  AS flesch
-         FROM documents ORDER BY doc_id""",
+      // classes); sentence floor at 1. The 2-dp round runs entirely in
+      // integers ((2*|num|*100 + den) // (2*den), signed back) — the
+      // same exact-rational HALF-AWAY device as the Spark side; the
+      // double-formula form disagreed by 0.01 on a genuine boundary
+      // doc (85.165) at sf0.001.
+      """WITH c AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                    AS w,
+                  greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT), 1) AS s,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS y
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang, w, s, y,
+                  206835 * s * w - 1015 * w * w - 84600 * y * s AS fnum,
+                  1000 * s * w AS fden
+           FROM c)
+         SELECT doc_id, lang, w AS n_words, s AS n_sent, y AS n_syll,
+                CAST((CASE WHEN fnum < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(fnum) * 100 + fden) // (2 * fden))
+                  AS DOUBLE) / 100 AS flesch
+         FROM f ORDER BY doc_id""",
     "q_text_quality" ->
       """WITH t AS (
            SELECT doc_id,
@@ -7795,7 +7803,7 @@ object OracleSql {
                   sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
            FROM e)
          SELECT vec_id, round(norm, 4) AS norm,
-                round(v[1] / nullif(norm, 0), 4) AS c0,
+                round(v[1] / nullif(norm, 0), 4) + 0.0 AS c0,
                 CAST(len(v) AS BIGINT) AS dim
          FROM n ORDER BY vec_id""",
     // Mirrors Curation.chunkTokens exactly: window=32, stride=24,
@@ -9043,8 +9051,13 @@ object OracleSql {
              LIMIT 10) t),
          full_t AS (SELECT vec_id FROM tops WHERE dims = 64),
          ov AS (
-           SELECT t.dims, count(*) AS n_overlap
-           FROM tops t JOIN full_t f USING (vec_id)
+           -- LEFT join: a truncation whose top-10 shares NOTHING with
+           -- the full set must still emit its dims row with 0 (the
+           -- engine's global-agg-per-dims always does; an inner join
+           -- dropped the dims=16 row on first contact at sf0.001 —
+           -- the vecDedupSweep zero-group discipline)
+           SELECT t.dims, count(f.vec_id) AS n_overlap
+           FROM tops t LEFT JOIN full_t f USING (vec_id)
            GROUP BY 1)
          SELECT dims, n_overlap,
                 round(CAST(n_overlap AS DOUBLE) / (20 - n_overlap), 4)

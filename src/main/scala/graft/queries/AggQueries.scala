@@ -1520,13 +1520,16 @@ object AggQueries {
         round(col("s2") / col("n") -
           (col("s1") / col("n")) * (col("s1") / col("n")), 4)
           .as("variance"),
-        round((col("s3") / col("n") -
+        // + 0.0 normalizes a rounded −0.0 (an exactly-symmetric group
+        // skews to −0.0 in one engine and +0.0 in the other — the
+        // §7.5.20 signed-zero class, hit at sf0.001)
+        (round((col("s3") / col("n") -
           lit(3) * (col("s1") / col("n")) * (col("s2") / col("n")) +
           lit(2) * (col("s1") / col("n")) * (col("s1") / col("n")) *
             (col("s1") / col("n"))) /
           pow(col("s2") / col("n") -
             (col("s1") / col("n")) * (col("s1") / col("n")), 1.5), 4)
-          .as("skew"))
+          + lit(0.0)).as("skew"))
       .orderBy("flag")
   }
 
@@ -1877,8 +1880,11 @@ object AggQueries {
       .withColumn("jb", round(col("n").cast("double") / 6.0 *
         (col("skew") * col("skew") +
           col("kurt") * col("kurt") / 4.0), 4))
-      .select(col("flag"), col("n"), round(col("skew"), 4).as("skew"),
-        round(col("kurt"), 4).as("kurtosis"), col("jb"),
+      .select(col("flag"), col("n"),
+        // + 0.0: signed-zero normalization (§7.5.20; sf0.001 hits a
+        // symmetric group whose skew rounds to −0.0 in one engine)
+        (round(col("skew"), 4) + lit(0.0)).as("skew"),
+        (round(col("kurt"), 4) + lit(0.0)).as("kurtosis"), col("jb"),
         when(col("jb") > 5.99, 1).otherwise(0).as("reject_normal"))
       .orderBy("flag")
   }
@@ -2712,8 +2718,9 @@ object AggQueries {
     val nd = col("n").cast("double")
     val corr = lit(3.0) * (nd - 1) * (nd - 1) / ((nd - 2) * (nd - 3))
     g.select(col("flag"), col("n"),
-        round(g1, 4).as("skew"),
-        round(g2, 4).as("exkurt"),
+        // + 0.0: signed-zero normalization (§7.5.20, the sf0.001 class)
+        (round(g1, 4) + lit(0.0)).as("skew"),
+        (round(g2, 4) + lit(0.0)).as("exkurt"),
         round((g1 * g1 + 1) / (g2 + corr), 4).as("b_coef"),
         when(round((g1 * g1 + 1) / (g2 + corr), 4) > 5.0 / 9.0, 1)
           .otherwise(0).as("bimodal"))

@@ -1431,9 +1431,15 @@ object PipelineQueries {
     state.unionByName(delta)
       .groupBy("day", "event_type")
       .agg(sum("n").as("n"), sum("sv").as("sv"))
+      // avg at 4 dp via exact integer HALF-UP ((2·sv·10⁴ + n) DIV 2n;
+      // sv is a 2-dp decimal and event values are non-negative by the
+      // table contract): round(double(sv)/n, 4) hit a genuine .00005
+      // boundary group at sf0.001 where the two engines' double-round
+      // paths split by 1e-4 — the §7.5.20 sweep catch
       .select(col("day"), col("event_type"), col("n"),
         expr("CAST(round(sv, 4) AS DOUBLE)").as("sum_value"),
-        round(col("sv").cast("double") / col("n"), 4).as("avg_value"))
+        (expr("(2 * CAST(sv * 10000 AS BIGINT) + n) DIV (2 * n)")
+          .cast("double") / lit(10000.0)).as("avg_value"))
       .orderBy(col("day"), col("event_type").asc_nulls_first)
   }
 

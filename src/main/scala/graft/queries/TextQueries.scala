@@ -305,8 +305,16 @@ object TextQueries {
     * q_text_quality's ratios): too-low scores flag run-on noise,
     * too-high flag fragment spam. Pure per-row expressions — no
     * shuffle at all until the final orderBy; counts are integers from
-    * ONE regex pass each, and the score is one closed-form double
-    * shared literally with the oracle. */
+    * ONE regex pass each. Exactness (r18): the score is a rational of
+    * the three integer counts — flesch = (206835·S·W − 1015·W² −
+    * 84600·Y·S) / (1000·S·W) — so the 2-dp HALF-AWAY round runs
+    * ENTIRELY in integers ((2·|num|·100 + den) DIV (2·den), signed
+    * back) on BOTH engines; the double-formula form hit a genuine
+    * rounding-boundary doc at sf0.001 (85.165 exactly — Spark's
+    * BigDecimal HALF_UP of the binary double disagreed with DuckDB's
+    * round by one ulp-class, the §7.5.20 sweep catch). The final
+    * /100.0 is the nearest-double of the exact 2-dp decimal on both
+    * engines. */
   private val textReadability: Q = (s, dir) =>
     Tables.load(s, dir, "documents")
       .withColumn("n_words",
@@ -317,9 +325,15 @@ object TextQueries {
       .withColumn("n_syll",
         size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
           .cast("long"))
-      .withColumn("flesch", round(lit(206.835) -
-        lit(1.015) * (col("n_words").cast("double") / col("n_sent")) -
-        lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 2))
+      .withColumn("fnum",
+        lit(206835L) * col("n_sent") * col("n_words") -
+          lit(1015L) * col("n_words") * col("n_words") -
+          lit(84600L) * col("n_syll") * col("n_sent"))
+      .withColumn("fden", lit(1000L) * col("n_sent") * col("n_words"))
+      .withColumn("flesch",
+        (when(col("fnum") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2 * abs(fnum) * 100 + fden) DIV (2 * fden)"))
+          .cast("double") / lit(100.0))
       .select("doc_id", "lang", "n_words", "n_sent", "n_syll", "flesch")
       .orderBy("doc_id")
 
@@ -1388,7 +1402,10 @@ object TextQueries {
         round(sqrt(sumsq), 4).as("norm"),
         // try_divide: a zero vector would otherwise ANSI-abort the
         // scan; NULL c0 matches DuckDB's x/0 on the oracle side
-        round(try_divide(element_at(v, 1), sqrt(sumsq)), 4).as("c0"),
+        // + 0.0: signed-zero normalization (§7.5.20; a −ulp first
+        // component rounds to −0.0 in one engine and +0.0 in the other)
+        (round(try_divide(element_at(v, 1), sqrt(sumsq)), 4)
+          + lit(0.0)).as("c0"),
         size(v).cast("long").as("dim"))
       .orderBy("vec_id")
   }
@@ -1950,7 +1967,8 @@ object TextQueries {
         col("v").cast("double").as("v"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        round(avg("v"), 4).as("mean"),
+        // + 0.0: signed-zero normalization (§7.5.20, sf0.1 class)
+        (round(avg("v"), 4) + lit(0.0)).as("mean"),
         round(stddev_samp(col("v")), 4).as("sd"),
         min("v").as("vmin"),
         max("v").as("vmax"))

@@ -344,8 +344,9 @@ object WindowQueries {
       .withColumn("sd", sqrt(variance))
       .filter(col("cnt") >= 3 && col("sd") > 0)
       .select(col("event_id"), col("user_id"),
-        round((col("value") - col("s1") / col("cnt")) / col("sd"), 4)
-          .as("z"),
+        // + 0.0: signed-zero normalization (§7.5.20, sf0.1 class)
+        (round((col("value") - col("s1") / col("cnt")) / col("sd"), 4)
+          + lit(0.0)).as("z"),
         (abs((col("value") - col("s1") / col("cnt")) / col("sd")) > 3.0)
           .as("is_outlier"))
       .orderBy("event_id")
