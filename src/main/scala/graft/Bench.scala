@@ -114,7 +114,15 @@ object Bench {
     // codegen-cold (which would overstate the first query's correction)
     (1 to 3).foreach { _ => probeOnce(); cpuProbeOnce() }
     val resampledB = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev convenience: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run
+    // for focused optimization loops (the driver never sets it → full
+    // contract run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // -1 marks a failed query instead of silently reporting its
       // time-to-crash as a (fast) success
       // noop SINK, not count() (r17): count() lets Catalyst prune the
@@ -204,7 +212,12 @@ object Bench {
         if (attempts == 0) resampledB += name
         hygiene()
         val next = sampleSet()
-        if (spread(next._1) < spread(best._1)) best = next
+        // a set containing a failed run (time ≤ 0) reports spread 1.0
+        // — never let it displace a noisy-but-successful set (the
+        // median would flip to the -1 failure marker despite valid
+        // measurements in hand)
+        if (next._1.forall(_._1 > 0) &&
+            spread(next._1) < spread(best._1)) best = next
         attempts += 1
       }
       val (samples, probes, cpuProbes) = best

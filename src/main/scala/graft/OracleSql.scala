@@ -2174,20 +2174,41 @@ object OracleSql {
            FROM documents),
          r AS (
            SELECT source, chars, bytes, toks,
-                  CAST(round(CAST(chars AS DOUBLE) / toks, 4)
-                    AS DECIMAL(14,4)) AS ratio
-           FROM d)
-         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(toks) AS BIGINT) AS n_tokens,
-                round(CAST(sum(chars) AS DOUBLE) / sum(toks), 4)
+                  CAST(CAST(round(CAST(chars AS DOUBLE) / toks, 4)
+                    AS DECIMAL(14,4)) * 10000 AS BIGINT) AS ratio_i
+           FROM d),
+         rr AS (
+           SELECT source, chars, bytes, toks, ratio_i,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY ratio_i) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM r),
+         a AS (
+           SELECT source, count(*) AS n_docs,
+                  sum(chars) AS sc, sum(bytes) AS sb,
+                  sum(toks) AS st,
+                  max(CASE WHEN rn = (5 * (n-1)) // 10 + 1
+                      THEN ratio_i END) AS lo5,
+                  max(CASE WHEN rn = (5 * (n-1)) // 10 + 2
+                      THEN ratio_i END) AS hi5,
+                  max(CASE WHEN rn = (9 * (n-1)) // 10 + 1
+                      THEN ratio_i END) AS lo9,
+                  max(CASE WHEN rn = (9 * (n-1)) // 10 + 2
+                      THEN ratio_i END) AS hi9
+           FROM rr GROUP BY source)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(st AS BIGINT) AS n_tokens,
+                round(CAST(sc AS DOUBLE) / st, 4)
                   AS chars_per_token,
-                round(CAST(sum(bytes) AS DOUBLE) / sum(toks), 4)
+                round(CAST(sb AS DOUBLE) / st, 4)
                   AS bytes_per_token,
-                round(quantile_cont(CAST(ratio AS DOUBLE), 0.5), 4)
-                  AS p50_fertility,
-                round(quantile_cont(CAST(ratio AS DOUBLE), 0.9), 4)
-                  AS p90_fertility
-         FROM r GROUP BY source ORDER BY source NULLS FIRST""",
+                CAST(((10 - (5 * (n_docs-1)) % 10) * lo5
+                    + ((5 * (n_docs-1)) % 10) * coalesce(hi5, 0) + 5)
+                  // 10 AS DOUBLE) / 1e4 AS p50_fertility,
+                CAST(((10 - (9 * (n_docs-1)) % 10) * lo9
+                    + ((9 * (n_docs-1)) % 10) * coalesce(hi9, 0) + 5)
+                  // 10 AS DOUBLE) / 1e4 AS p90_fertility
+         FROM a ORDER BY source NULLS FIRST""",
     // Mirrors textVocabCoverage: zipf tokenization, the vocabulary
     // rank (freq DESC, term) + conditional coverage sums.
     "q_text_vocab_coverage" ->
@@ -6166,53 +6187,87 @@ object OracleSql {
                   ts_us - lag(ts_us) OVER (PARTITION BY user_id
                     ORDER BY ts_us, event_id) AS gap
            FROM e),
+         r AS (
+           SELECT user_id, gap,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY gap) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM g WHERE gap IS NOT NULL),
+         a AS (
+           SELECT user_id, max(n) AS n_gaps,
+                  max(CASE WHEN rn = (1 * (n-1)) // 4 + 1
+                      THEN gap END) AS lo1,
+                  max(CASE WHEN rn = (1 * (n-1)) // 4 + 2
+                      THEN gap END) AS hi1,
+                  max(CASE WHEN rn = (2 * (n-1)) // 4 + 1
+                      THEN gap END) AS lo2,
+                  max(CASE WHEN rn = (2 * (n-1)) // 4 + 2
+                      THEN gap END) AS hi2,
+                  max(CASE WHEN rn = (3 * (n-1)) // 4 + 1
+                      THEN gap END) AS lo3,
+                  max(CASE WHEN rn = (3 * (n-1)) // 4 + 2
+                      THEN gap END) AS hi3
+           FROM r GROUP BY 1 HAVING max(n) >= 4),
          u AS (
-           SELECT user_id, count(*) AS n_gaps,
-                  quantile_cont(gap, 0.5) AS med,
-                  quantile_cont(gap, 0.25) AS p25,
-                  quantile_cont(gap, 0.75) AS p75
-           FROM g WHERE gap IS NOT NULL
-           GROUP BY 1 HAVING count(*) >= 4)
+           SELECT user_id, n_gaps,
+                  (4 - (1 * (n_gaps-1)) % 4) * lo1
+                    + ((1 * (n_gaps-1)) % 4) * coalesce(hi1, 0)
+                    AS num25,
+                  (4 - (2 * (n_gaps-1)) % 4) * lo2
+                    + ((2 * (n_gaps-1)) % 4) * coalesce(hi2, 0)
+                    AS num50,
+                  (4 - (3 * (n_gaps-1)) % 4) * lo3
+                    + ((3 * (n_gaps-1)) % 4) * coalesce(hi3, 0)
+                    AS num75
+           FROM a)
          SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-                round(med / 1e6, 4) AS med_gap_s,
-                round((p75 - p25) / 1e6, 4) AS iqr_s,
-                CASE WHEN p75 - p25 < 0.5 * med THEN 1 ELSE 0 END
-                  AS regular
+                CAST((num50 + 200) // 400 AS DOUBLE) / 1e4
+                  AS med_gap_s,
+                CAST((num75 - num25 + 200) // 400 AS DOUBLE) / 1e4
+                  AS iqr_s,
+                CASE WHEN 2 * (num75 - num25) < num50 THEN 1 ELSE 0
+                  END AS regular
          FROM u ORDER BY user_id""",
-    // Mirrors aggCalibration: 4-dp double confidence cast to decimal
-    // (gmean term device), integer floor bins, 8-dp ECE terms summed
-    // as decimals over the 10-bin grid.
+    // Mirrors aggCalibration (§7.5.21): exact 2-dp decimal cast,
+    // confidence in integer 1e-4 units, every readout an integer
+    // HALF-AWAY DIV fold — BIGINT throughout so both engines share
+    // the identical overflow envelope.
     "q_agg_calibration" ->
       """WITH ev AS (
-           SELECT round(least(CAST(value AS DOUBLE), 200.0)
-                    / 200.0, 4) AS conf,
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS v,
                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                     AS y
            FROM events WHERE value IS NOT NULL),
          eb AS (
-           SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
-                  CAST(conf AS DECIMAL(18,4)) AS confd, y
+           SELECT (least(v, 20000) + 1) // 2 AS conf_i, y
            FROM ev),
          bins AS (
-           SELECT bin, count(*) AS n_b, sum(y) AS x_b,
-                  sum(confd) AS sc
+           SELECT CAST(least(conf_i // 1000, 9) AS INT) AS bin,
+                  count(*) AS n_b,
+                  CAST(sum(y) AS BIGINT) AS x_b,
+                  CAST(sum(conf_i) AS BIGINT) AS sci
            FROM eb GROUP BY 1),
-         tot AS (SELECT sum(n_b) AS nn FROM bins),
+         tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS nn FROM bins),
          terms AS (
-           SELECT bin, n_b,
-                  CAST(x_b AS DOUBLE) / n_b AS acc,
-                  CAST(sc AS DOUBLE) / n_b AS cf,
-                  CAST(round(CAST(n_b AS DOUBLE) / nn
-                    * abs(CAST(x_b AS DOUBLE) / n_b
-                      - CAST(sc AS DOUBLE) / n_b), 8)
-                    AS DECIMAL(20,8)) AS ece_term
+           SELECT bin, n_b, x_b, sci,
+                  10000 * x_b - sci AS ngap,
+                  (2 * abs(10000 * x_b - sci) * 10000 + nn)
+                    // (2 * nn) AS t8
            FROM bins CROSS JOIN tot),
          e AS (
-           SELECT round(CAST(sum(ece_term) AS DOUBLE), 4) AS ece
+           SELECT CAST((sum(t8) + 5000) // 10000 AS DOUBLE) / 1e4
+                    AS ece
            FROM terms)
          SELECT CAST(bin AS BIGINT) AS bin, CAST(n_b AS BIGINT) AS n_b,
-                round(cf, 4) AS mean_conf, round(acc, 4) AS obs_rate,
-                round(acc - cf, 4) AS gap, ece
+                CAST((2 * sci + n_b) // (2 * n_b) AS DOUBLE) / 1e4
+                  AS mean_conf,
+                CAST((2 * x_b * 10000 + n_b) // (2 * n_b) AS DOUBLE)
+                  / 1e4 AS obs_rate,
+                CAST(sign(ngap) AS DOUBLE)
+                  * CAST((2 * abs(ngap) + n_b) // (2 * n_b) AS DOUBLE)
+                  / 1e4 + 0.0 AS gap,
+                ece
          FROM terms CROSS JOIN e ORDER BY bin""",
     // Mirrors aggWelchAnova: decimal group triples, 8-dp-rounded
     // grid terms (w, w·mean, A/B terms) summed as decimals, shared
@@ -7506,8 +7561,10 @@ object OracleSql {
            FROM documents),
          f AS (
            SELECT doc_id, lang, w, s, y,
-                  206835 * s * w - 1015 * w * w - 84600 * y * s AS fnum,
-                  1000 * s * w AS fden
+                  206835 * CAST(s AS HUGEINT) * w
+                    - 1015 * CAST(w AS HUGEINT) * w
+                    - 84600 * CAST(y AS HUGEINT) * s AS fnum,
+                  1000 * CAST(s AS HUGEINT) * w AS fden
            FROM c)
          SELECT doc_id, lang, w AS n_words, s AS n_sent, y AS n_syll,
                 CAST((CASE WHEN fnum < 0 THEN -1 ELSE 1 END)
@@ -8772,8 +8829,8 @@ object OracleSql {
                   AS spent_prior,
                 date_diff('day', CAST(first_ts AS DATE),
                   CAST(ts AS DATE)) AS days_active,
-                round(CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1e6, 4)
-                  AS gap_prev_s
+                CAST((2 * (epoch_us(ts) - prev_us) + 100) // 200
+                  AS DOUBLE) / 1e4 AS gap_prev_s
          FROM p WHERE rn = 1 ORDER BY user_id""",
     "q_etl_bitemporal" ->
       // identical synthetic transaction time (orderdate + orderkey%3

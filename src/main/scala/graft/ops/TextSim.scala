@@ -1080,8 +1080,15 @@ object TextSim {
     // join strategy exactly as AQE would with known stats — at demo N
     // the vector sides and the ring lookup broadcast (no exchange per
     // rescore join), at scale every one of these joins falls back to
-    // its node-keyed shuffle form
-    val smallN = n <= (1L << 20)
+    // its node-keyed shuffle form. Each broadcast side gets its OWN
+    // bound sized to its row weight (r18 ADVICE — one shared 2^20
+    // cutoff put multi-GB embedding-bearing relations and ~50M-row
+    // candidate sets on the driver in the gap before the shuffle
+    // fallback engaged): the vector table carries dim doubles per row
+    // (2^16 rows ≈ 40 MB at dim 64), the candidate pair set carries
+    // two longs per row but 2·N·K rows (bound the ROW COUNT, not N),
+    // and the id-only ring lookup is the lightest (2^20 rows ≈ 50 MB).
+    val smallN = n <= (1L << 16)
     def vside = if (smallN) broadcast(vecs) else vecs
     // BOTH rescore sides join the IDENTICAL vecs subtree (aliased, not
     // re-projected): exchange reuse then materializes it ONCE for the
@@ -1131,9 +1138,9 @@ object TextSim {
     // contract).
     val byRank0 = ranked.select(col("rank").as("nbr_rank"),
       col("vec_id").as("dst"))
-    // the ring lookup side is N rows — broadcast under the same
-    // small-build regime as the rescore sides (smallN below; at scale
-    // the node-keyed shuffle join stands)
+    // the ring lookup side is N id-only rows — the lightest broadcast
+    // candidate, so it keeps the widest bound (2^20 rows ≈ 50 MB; at
+    // scale the node-keyed shuffle join stands)
     val byRank = if (n <= (1L << 20)) broadcast(byRank0) else byRank0
     val ringK = math.min(kk.toLong, math.max(n - 1, 1L)).toInt
     val ringSeeds = ranked
@@ -1175,9 +1182,12 @@ object TextSim {
       val pairs = edges.select("src", "dst")
       val und = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      // n-of-n self-join; the probe side broadcasts in the small-build
-      // regime (2·N·K pair rows, N already known), shuffle-joins at scale
-      val e2 = if (smallN) broadcast(und.as("e2")) else und.as("e2")
+      // n-of-n self-join; the probe side broadcasts only while the
+      // 2·N·K pair-row count stays bounded (its own regime — the pair
+      // set outgrows the vector table by a factor of K), shuffle-joins
+      // at scale
+      val e2 = if (2L * n * kk <= (1L << 22)) broadcast(und.as("e2"))
+               else und.as("e2")
       val cands = und.as("e1")
         .join(e2, col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
@@ -1194,11 +1204,13 @@ object TextSim {
       val allPairs = pairs.unionByName(cands)
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
-      val next = topK(rescore(allPairs))
-      // the FINAL round's graph is consumed exactly once (the k-cut
-      // below); its checkpoint would be a pure extra materialization
-      // job — earlier rounds keep it (3 readers in the next round)
-      edges = if (rnd == iters - 1) next else next.localCheckpoint()
+      // the final round checkpoints too (r19): the k-cut below often
+      // feeds a BROADCAST consumer (the recall readout), and an
+      // unmaterialized final round then executes inside the 1-task
+      // broadcast-build job — measured 0.8 s single-threaded where the
+      // same work is ~0.1 s across the session's cores; the extra
+      // materialization job is the cheaper trade on every path
+      edges = topK(rescore(allPairs)).localCheckpoint()
       rnd += 1
     }
     // final k-cut = a filter on the rank topK already computed — the

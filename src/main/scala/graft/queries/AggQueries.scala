@@ -813,36 +813,49 @@ object AggQueries {
     * q_sample_hash arithmetic) through the Poisson(1) inverse-CDF
     * ladder — identical literals in the oracle, so BOTH engines
     * produce the same weights, the same replicate means, and the same
-    * interval. Shape: explode ×B (generated, not shuffled), decimal
-    * weighted sums per (type, replicate) — map-side combine collapses
-    * the scan to types·B rows — then the CI is an exact interpolated
-    * percentile over B replicate means per type. The double readout
-    * CAST(Σwv)/Σw shares its expression structure with the oracle. */
+    * interval. Shape (r19 — was explode ×B): all B weights fold
+    * IN-ROW — one projection computes the B per-replicate weights per
+    * row, one aggregation sums 2·B decimal/long accumulators per
+    * type, so the corpus passes the aggregate machinery ONCE at its
+    * own row count (the ×B row inflation through the map-side combine
+    * is gone; the B hash draws per row are the semantics and remain).
+    * The types·B replicate table is then re-derived by posexploding
+    * the B sums per type — a |types|-row operation — and the final
+    * count/avg/percentile expressions are untouched, so every readout
+    * is value-identical to the exploded form and the oracle. */
   private val aggBootstrap: Q = (s, dir) => {
     val reps = 16
-    val reroll = Tables.load(s, dir, "events")
-      .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("u",
-        conv(substring(sha2(concat(col("event_id").cast("string"),
-          lit(":"), col("b").cast("string")), 256), 1, 13), 16, 10)
-          .cast("double") / lit(4503599627370496.0)) // 16^13 = 2^52
-      .withColumn("w",
-        when(col("u") < 0.36787944117144233, 0L)
-          .when(col("u") < 0.7357588823428847, 1L)
-          .when(col("u") < 0.9196986029286058, 2L)
-          .when(col("u") < 0.9810118431238463, 3L)
-          .when(col("u") < 0.9963401531726563, 4L)
-          .when(col("u") < 0.9994058151824183, 5L)
-          .when(col("u") < 0.999916758850712, 6L)
-          .when(col("u") < 0.9999897508033253, 7L)
-          .otherwise(8L))
-    val repMeans = reroll
-      .groupBy("event_type", "b")
-      .agg(expr("CAST(sum(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
-          .as("swv"),
-        sum("w").as("sw"))
-      .withColumn("rep_mean", try_divide(col("swv"), col("sw")))
+    // all 16 draws come from ONE codegen'd digest-loop call per row
+    // (Sha256Prefix52Seq); the 16 element_at references dedupe onto a
+    // single evaluation via codegen subexpression elimination
+    def wcol(b: Int): Column = {
+      val u = element_at(col("pfx"), b + 1)
+        .cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+      when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .when(u < 0.999916758850712, 6L)
+        .when(u < 0.9999897508033253, 7L)
+        .otherwise(8L)
+    }
+    val withW = Tables.load(s, dir, "events")
+      .withColumn("pfx", org.apache.spark.sql.graftfns.HashFunctions
+        .sha256_prefix52_seq(col("event_id").cast("string"), reps))
+      .select(col("event_type") +:
+        col("value").cast("decimal(18,2)").as("vd") +:
+        (0 until reps).map(b => wcol(b).as(s"w$b")): _*)
+    val sums = (0 until reps).flatMap(b => Seq(
+      sum(col(s"w$b") * col("vd")).as(s"swv$b"),
+      sum(col(s"w$b")).as(s"sw$b")))
+    val byType = withW.groupBy("event_type")
+      .agg(sums.head, sums.tail: _*)
+    val repMeans = byType.select(col("event_type"),
+      posexplode(array((0 until reps).map(b =>
+        try_divide(col(s"swv$b").cast("double"), col(s"sw$b"))): _*))
+        .as(Seq("b", "rep_mean")))
     repMeans.groupBy("event_type")
       .agg(count(lit(1)).as("b_reps"),
         round(avg("rep_mean"), 4).as("mean_boot"),
@@ -3013,44 +3026,65 @@ object AggQueries {
     * 80% of the time" question (q_agg_brier scores sharpness+
     * calibration fused; q_agg_logloss penalizes overconfidence; this
     * LOCATES the miscalibration by bin, which is what you fix).
-    * Exactness: scores are 4-dp decimals (exact from 2-dp values),
-    * bins integer floors of a decimal (no float boundary), per-bin
-    * sums decimal; the ECE fold over ≤10 bins rounds each term to
-    * 8 dp first (grid-fold rule). One corpus aggregate; everything
-    * after is 10 rows. */
+    * Exactness (§7.5.21 — the r18 tri-SF sweep caught a one-ulp
+    * mean_conf row, and the root cause was the PER-ROW
+    * round(value/200, 4): Spark rounds the shortest decimal
+    * representation of the double while DuckDB rounds its binary
+    * value, so the two engines built slightly different confidence
+    * multisets that only usually agreed after the mean): the whole
+    * chain is restated in int64. value is a 2-dp quantity — casting
+    * to DECIMAL(18,2) is exact and engine-identical (no 2-dp double
+    * sits near a .005 cast boundary) — so v = value·100 is an exact
+    * integer, conf in 1e-4 units is (min(v, 20000) + 1) DIV 2 (the
+    * HALF-AWAY device for v/2), the bin is conf_i DIV 1000, and
+    * every readout — mean_conf, obs_rate, gap, the 8-dp ECE terms
+    * and their 4-dp sum — is a (2·|N| + D) DIV (2·D) fold over
+    * integer numerators; signs split off through abs() so integer
+    * division never sees a negative operand. The only doubles are
+    * the terminal units/1e4 divisions both engines share
+    * bit-for-bit. int64 envelope: ece terms carry |N|·10^4 ≤
+    * 10^8·n_b, safe to ~9·10^10 rows per bin (documented bound; the
+    * events table at 100 TB is ~10^12 rows across 10 bins — move
+    * the two products to DECIMAL(38,0) beyond that). One corpus
+    * aggregate; everything after is 10 rows. */
   private val aggCalibration: Q = (s, dir) => {
-    // conf as a 4-dp-rounded DOUBLE cast to decimal (the gmean term
-    // device) — decimal DIVISION result types differ across engines,
-    // double division + one round does not
     val ev = Tables.load(s, dir, "events")
       .filter(col("value").isNotNull)
-      .withColumn("conf",
-        round(least(col("value").cast("double"), lit(200.0)) / 200.0, 4))
-      .withColumn("bin",
-        least(floor(col("conf") * 10), lit(9)).cast("int"))
-      .withColumn("confd", col("conf").cast("decimal(18,4)"))
+      .withColumn("v",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
       .withColumn("y",
         when(col("event_type") === "purchase", 1L).otherwise(0L))
-    val bins = ev.groupBy("bin")
+    val bins = ev
+      .withColumn("conf_i", expr("(least(v, 20000L) + 1) DIV 2"))
+      .withColumn("bin",
+        least(expr("conf_i DIV 1000"), lit(9)).cast("int"))
+      .groupBy("bin")
       .agg(count(lit(1)).as("n_b"),
         sum("y").as("x_b"),
-        sum("confd").as("sc"))
+        sum("conf_i").as("sci"))
       .localCheckpoint()
     val tot = bins.agg(sum("n_b").as("nn"))
     val terms = bins.crossJoin(broadcast(tot))
-      .withColumn("acc", col("x_b").cast("double") / col("n_b"))
-      .withColumn("cf", col("sc").cast("double") / col("n_b"))
-      .withColumn("ece_term",
-        round(col("n_b").cast("double") / col("nn") *
-          abs(col("acc") - col("cf")), 8).cast("decimal(20,8)"))
-    val ece = terms.agg(round(sum("ece_term").cast("double"), 4)
-      .as("ece"))
+      // N = 10^4·x_b − sci is the exact (acc − cf) numerator over the
+      // denominator 10^4·n_b; the ECE term is |N|/(10^4·nn) rounded
+      // at 8 dp = (2·|N|·10^4 + nn) DIV (2·nn) in 1e-8 units
+      .withColumn("ngap", expr("10000 * x_b - sci"))
+      .withColumn("t8", expr("(2 * abs(ngap) * 10000 + nn)" +
+        " DIV (2 * nn)"))
+    val ece = terms.agg(
+      (expr("(sum(t8) + 5000) DIV 10000").cast("double") / 1e4)
+        .as("ece"))
     terms.crossJoin(broadcast(ece))
       .select(col("bin").cast("long").as("bin"),
         col("n_b").cast("long").as("n_b"),
-        round(col("cf"), 4).as("mean_conf"),
-        round(col("acc"), 4).as("obs_rate"),
-        round(col("acc") - col("cf"), 4).as("gap"),
+        (expr("(2 * sci + n_b) DIV (2 * n_b)").cast("double") / 1e4)
+          .as("mean_conf"),
+        (expr("(2 * x_b * 10000 + n_b) DIV (2 * n_b)").cast("double")
+          / 1e4).as("obs_rate"),
+        // + 0.0 normalizes −0.0 when |ngap| rounds to zero units
+        // (the r18 signed-zero discipline)
+        (expr("sign(ngap) * ((2 * abs(ngap) + n_b) DIV (2 * n_b))")
+          .cast("double") / 1e4 + lit(0.0)).as("gap"),
         col("ece"))
       .orderBy("bin")
   }

@@ -677,16 +677,27 @@ object GraphQueries {
     * for the oracle to drift on; outputs round at 4 dp like
     * pagerank's, through the same Spark `round` so HALF_UP semantics
     * stay identical to the distributed form this replaced. */
-  private val graphHits: Q = (s, dir) => {
+  private val graphHits: Q = (s, dir) =>
+    hitsFromEvents(s, Tables.load(s, dir, "events"))
+
+  /** Core of q_graph_hits, split from the registration so
+    * LayoutInvarianceSpec can drive it over pathological partition
+    * layouts (the driver-local fold must be a pure function of the
+    * grid CONTENT, never of collect order). */
+  private[graft] def hitsFromEvents(s: SparkSession,
+                                    events: DataFrame): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val events = Tables.load(s, dir, "events")
     val grid = events
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).cast("double").as("wgt"))
       .as[(String, String, Double)].collect()
+      // collect order is partition-layout-dependent; the driver-local
+      // float folds below must see one canonical order (§7.5) — sort
+      // the k²-row grid before any summation touches it
+      .sortBy(t => (t._1, t._2))
     // a type can appear with no transitions at all — the node set is
     // its own (tiny) distinct, exactly the oracle's `nodes` CTE
     val nodes = events.select(col("event_type").as("node"))
@@ -694,17 +705,26 @@ object GraphQueries {
     var hub = nodes.map(n => n -> 1.0 / nodes.length).toMap
     var auth = Map.empty[String, Double]
     for (_ <- 1 to 3) {
+      // groupBy preserves the sorted encounter order inside each
+      // group; totals fold in sorted node order for the same reason
       val a0 = grid.groupBy(_._2).map { case (n, es) =>
         n -> es.map(e => hub(e._1) * e._3).sum }
-      val aTot = a0.values.sum
+      val aTot = a0.toSeq.sortBy(_._1).map(_._2).sum
       auth = nodes.map(n => n -> a0.getOrElse(n, 0.0) / aTot).toMap
       val h0 = grid.groupBy(_._1).map { case (n, es) =>
         n -> es.map(e => auth(e._2) * e._3).sum }
-      val hTot = h0.values.sum
+      val hTot = h0.toSeq.sortBy(_._1).map(_._2).sum
       hub = nodes.map(n => n -> h0.getOrElse(n, 0.0) / hTot).toMap
     }
-    nodes.toSeq.map(n => (n, hub(n), auth(n)))
-      .toDF("event_type", "h", "a")
+    // degenerate corpus (no user has 2+ events): the oracle's sum over
+    // an empty relation is NULL and every ratio is NULL — mirror that
+    // instead of folding 0.0/0.0 = NaN
+    val rows =
+      if (grid.isEmpty)
+        nodes.toSeq.map(n =>
+          (n, Option.empty[Double], Option.empty[Double]))
+      else nodes.toSeq.map(n => (n, Option(hub(n)), Option(auth(n))))
+    rows.toDF("event_type", "h", "a")
       .select(col("event_type"),
         round(col("h"), 4).as("hub"),
         round(col("a"), 4).as("authority"))

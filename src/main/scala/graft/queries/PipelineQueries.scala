@@ -1435,10 +1435,14 @@ object PipelineQueries {
       // sv is a 2-dp decimal and event values are non-negative by the
       // table contract): round(double(sv)/n, 4) hit a genuine .00005
       // boundary group at sf0.001 where the two engines' double-round
-      // paths split by 1e-4 — the §7.5.20 sweep catch
+      // paths split by 1e-4 — the §7.5.20 sweep catch. The numerator
+      // folds in DECIMAL(38,0), matching the oracle's HUGEINT — an
+      // int64 numerator would overflow once a group's sum_value
+      // passes ~4.6e14 while the oracle kept going (r18 ADVICE)
       .select(col("day"), col("event_type"), col("n"),
         expr("CAST(round(sv, 4) AS DOUBLE)").as("sum_value"),
-        (expr("(2 * CAST(sv * 10000 AS BIGINT) + n) DIV (2 * n)")
+        (expr("(2 * CAST(sv * 10000 AS DECIMAL(38,0)) + n)" +
+          " DIV (2 * n)")
           .cast("double") / lit(10000.0)).as("avg_value"))
       .orderBy(col("day"), col("event_type").asc_nulls_first)
   }
@@ -1933,8 +1937,12 @@ object PipelineQueries {
           .as("spent_prior"),
         datediff(to_date(col("ts")), to_date(col("first_ts")))
           .as("days_active"),
-        round((unix_micros(col("ts")) - col("prev_us"))
-          .cast("double") / 1e6, 4).as("gap_prev_s"))
+        // gap = N µs exactly; 4-dp seconds = N/1e6 rounded HALF-AWAY
+        // = (2N + 100) DIV 200 in 1e-4 s units, all int64 — the
+        // double chain round(N/1e6, 4) lost a sf0.1 row by one ulp
+        // (r18 tri-SF sweep, §7.5.21 restatement)
+        (expr("(2 * (unix_micros(ts) - prev_us) + 100) DIV 200")
+          .cast("double") / 1e4).as("gap_prev_s"))
       .orderBy("user_id")
   }
 
@@ -2201,12 +2209,21 @@ object PipelineQueries {
     * notification tuning both read (humans are bursty: IQR ≈ or ≫
     * median; schedulers and scripts are tight). q_evt_interarrival
     * profiles the GLOBAL gap distribution per type; this profiles
-    * each USER's own rhythm. Exactness: gaps are exact integer µs
-    * from one lag over the shared (ts, event_id) total order;
-    * median/quartiles interpolate integers (`percentile` ≡
-    * `quantile_cont`); two divisions at readout. Scale: one
-    * user-keyed window + one user-keyed aggregate — no grid, no
-    * corpus-wide window. */
+    * each USER's own rhythm. Exactness (§7.5.21 — the r18 tri-SF
+    * sweep caught a one-ulp iqr_s row in the double `percentile`
+    * chain): gaps are exact integer µs from one lag over the shared
+    * (ts, event_id) total order; each quartile at 0-based position
+    * K·(n−1)/4 (K = 1, 2, 3) is picked as its two bracketing ORDER
+    * STATISTICS via a per-user rank window, then interpolated as the
+    * exact integer numK = (4−rK)·lo + rK·hi over the common
+    * denominator 4 (rK = (K·(n−1)) mod 4) — quarter-µs rationals,
+    * never a double; the 4-dp second readouts fold through the
+    * HALF-AWAY device (numK + 200) DIV 400 and the regularity verdict
+    * compares integers (2·(num75−num25) < num50). One double appears
+    * per row: the terminal units/1e4 both engines share. Scale: one
+    * user-keyed window pair (lag, then rank over gaps) + one
+    * user-keyed aggregate — no grid, no corpus-wide window, and the
+    * old `percentile` per-group buffer is gone. */
   private val evtCadence: Q = (s, dir) => {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
@@ -2215,16 +2232,40 @@ object PipelineQueries {
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
       .filter(col("gap").isNotNull)
-    g.groupBy("user_id")
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("percentile(gap, 0.5)").as("med"),
-        expr("percentile(gap, 0.25)").as("p25"),
-        expr("percentile(gap, 0.75)").as("p75"))
+    val ranked = g.select(col("user_id"), col("gap"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("gap")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("user_id")))
+    // hiK is NULL when posK+2 > n, which only happens when rK = 0 —
+    // coalesce keeps the 0·NULL term from nulling the whole numerator
+    def num(k: Int): Column = expr(
+      s"""(4 - ($k * (n_gaps - 1)) % 4) * lo$k
+          + (($k * (n_gaps - 1)) % 4) * coalesce(hi$k, 0L)""")
+    val agg = ranked.groupBy("user_id")
+      .agg(max("n").as("n_gaps"),
+        max(expr("CASE WHEN rn = (1 * (n-1)) DIV 4 + 1 THEN gap END"))
+          .as("lo1"),
+        max(expr("CASE WHEN rn = (1 * (n-1)) DIV 4 + 2 THEN gap END"))
+          .as("hi1"),
+        max(expr("CASE WHEN rn = (2 * (n-1)) DIV 4 + 1 THEN gap END"))
+          .as("lo2"),
+        max(expr("CASE WHEN rn = (2 * (n-1)) DIV 4 + 2 THEN gap END"))
+          .as("hi2"),
+        max(expr("CASE WHEN rn = (3 * (n-1)) DIV 4 + 1 THEN gap END"))
+          .as("lo3"),
+        max(expr("CASE WHEN rn = (3 * (n-1)) DIV 4 + 2 THEN gap END"))
+          .as("hi3"))
       .filter(col("n_gaps") >= 4)
-      .select(col("user_id"), col("n_gaps").cast("long").as("n_gaps"),
-        round(col("med") / 1e6, 4).as("med_gap_s"),
-        round((col("p75") - col("p25")) / 1e6, 4).as("iqr_s"),
-        when(col("p75") - col("p25") < lit(0.5) * col("med"), 1)
+      .withColumn("num25", num(1))
+      .withColumn("num50", num(2))
+      .withColumn("num75", num(3))
+    agg.select(col("user_id"), col("n_gaps").cast("long").as("n_gaps"),
+        (expr("(num50 + 200) DIV 400").cast("double") / 1e4)
+          .as("med_gap_s"),
+        (expr("(num75 - num25 + 200) DIV 400").cast("double") / 1e4)
+          .as("iqr_s"),
+        when(lit(2) * (col("num75") - col("num25")) < col("num50"), 1)
           .otherwise(0).as("regular"))
       .orderBy("user_id")
   }

@@ -325,11 +325,18 @@ object TextQueries {
       .withColumn("n_syll",
         size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
           .cast("long"))
+      // fnum/fden and the rounding device fold in DECIMAL(38,0),
+      // mirroring the oracle's explicit HUGEINT — an int64 fold
+      // overflows 2·|fnum|·100 for documents past ~10^7 words while
+      // the oracle kept going (r18 ADVICE envelope alignment)
+      .withColumn("w38", col("n_words").cast("decimal(20,0)"))
+      .withColumn("s38", col("n_sent").cast("decimal(20,0)"))
+      .withColumn("y38", col("n_syll").cast("decimal(20,0)"))
       .withColumn("fnum",
-        lit(206835L) * col("n_sent") * col("n_words") -
-          lit(1015L) * col("n_words") * col("n_words") -
-          lit(84600L) * col("n_syll") * col("n_sent"))
-      .withColumn("fden", lit(1000L) * col("n_sent") * col("n_words"))
+        lit(206835L) * col("s38") * col("w38") -
+          lit(1015L) * col("w38") * col("w38") -
+          lit(84600L) * col("y38") * col("s38"))
+      .withColumn("fden", lit(1000L) * col("s38") * col("w38"))
       .withColumn("flesch",
         (when(col("fnum") < 0, lit(-1L)).otherwise(lit(1L)) *
           expr("(2 * abs(fnum) * 100 + fden) DIV (2 * fden)"))
@@ -389,17 +396,25 @@ object TextQueries {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fns = org.apache.spark.sql.graftfns.VectorFunctions
+    // norms precompute per SIDE (knnJoin's discipline — the per-pair
+    // form recomputed two self-dots per candidate), and the streamed
+    // corpus side repartitions first: the demo slice is one parquet
+    // split, so the BNL join otherwise runs as a single 0.7 s task on
+    // one core (r19 job profile) — same doubles either way (sqrt of
+    // the same self-dot), so the 4-dp sims are untouched
     val probes = emb.filter(probePred)
       .select(col("vec_id").as("probe_id"),
         col("embedding").cast("array<double>").as("pv"))
+      .withColumn("pn", sqrt(fns.dot_product(col("pv"), col("pv"))))
     val scored = emb
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(fns.dot_product(col("cv"), col("cv"))))
+      .repartition(16)
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(try_divide(fns.dot_product(col("pv"), col("cv")),
-          sqrt(fns.dot_product(col("pv"), col("pv"))) *
-            sqrt(fns.dot_product(col("cv"), col("cv")))), 4).as("sim"))
+          col("pn") * col("cn")), 4).as("sim"))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy("probe_id")
           .orderBy(col("sim").desc, col("vec_id"))))
@@ -1289,10 +1304,19 @@ object TextQueries {
     * packing estimate q_text_pack made), and the cross-encoding sanity
     * check (bytes ≫ chars flags non-ASCII-heavy shards). Whitespace
     * token convention (q_text_pack's); per-doc ratios are 4-dp
-    * pre-rounded decimals so the percentile multiset is
-    * engine-identical; corpus ratios divide two exact longs once.
-    * Shape: one narrow scan → per-source rollup; the percentile
-    * buffers docs per source (documented approx swap at 100 TB). */
+    * pre-rounded decimals held as exact 1e-4-unit longs; corpus
+    * ratios divide two exact longs once. Exactness (§7.5.21 — the
+    * r18 tri-SF sweep caught a one-ulp p50 row in the double
+    * `percentile` chain): each percentile at 0-based position
+    * K·(n−1)/10 (K = 5 for p50, 9 for p90) reads its two bracketing
+    * order statistics off a per-source rank window and interpolates
+    * as the exact integer numK = (10−rK)·lo + rK·hi over the common
+    * denominator 10; the 4-dp readout is (numK + 5) DIV 10 — all
+    * int64, one terminal units/1e4 double both engines share. Shape:
+    * one narrow scan → per-source rank window → per-source rollup;
+    * the per-source window sort replaces the old `percentile`
+    * buffer (same per-source grain, documented approx swap at
+    * 100 TB). */
   private val textTokFertility: Q = (s, dir) => {
     val d = Tables.load(s, dir, "documents")
       .select(col("source"),
@@ -1301,15 +1325,25 @@ object TextQueries {
         size(split(col("text"), " ")).cast("long").as("toks"))
       // split never yields an empty array (split("", " ") = [""]), so
       // toks ≥ 1 and every ratio is ANSI-safe
-      .withColumn("ratio",
-        round(col("chars").cast("double") / col("toks"), 4)
-          .cast("decimal(14,4)"))
+      .withColumn("ratio_i",
+        (round(col("chars").cast("double") / col("toks"), 4)
+          .cast("decimal(14,4)") * 10000).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("ratio_i")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("source")))
     d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("chars").as("sc"), sum("bytes").as("sb"),
         sum("toks").as("st"),
-        expr("percentile(CAST(ratio AS DOUBLE), 0.5)").as("p50"),
-        expr("percentile(CAST(ratio AS DOUBLE), 0.9)").as("p90"))
+        max(expr("CASE WHEN rn = (5 * (n-1)) DIV 10 + 1" +
+          " THEN ratio_i END")).as("lo5"),
+        max(expr("CASE WHEN rn = (5 * (n-1)) DIV 10 + 2" +
+          " THEN ratio_i END")).as("hi5"),
+        max(expr("CASE WHEN rn = (9 * (n-1)) DIV 10 + 1" +
+          " THEN ratio_i END")).as("lo9"),
+        max(expr("CASE WHEN rn = (9 * (n-1)) DIV 10 + 2" +
+          " THEN ratio_i END")).as("hi9"))
       .select(col("source"),
         col("n_docs").cast("long").as("n_docs"),
         col("st").cast("long").as("n_tokens"),
@@ -1317,8 +1351,14 @@ object TextQueries {
           .as("chars_per_token"),
         round(col("sb").cast("double") / col("st"), 4)
           .as("bytes_per_token"),
-        round(col("p50"), 4).as("p50_fertility"),
-        round(col("p90"), 4).as("p90_fertility"))
+        // hiK is NULL only when rK = 0 — coalesce keeps 0·NULL from
+        // nulling the numerator (the cadence device)
+        (expr("""((10 - (5 * (n_docs-1)) % 10) * lo5
+                 + ((5 * (n_docs-1)) % 10) * coalesce(hi5, 0L) + 5)
+                DIV 10""").cast("double") / 1e4).as("p50_fertility"),
+        (expr("""((10 - (9 * (n_docs-1)) % 10) * lo9
+                 + ((9 * (n_docs-1)) % 10) * coalesce(hi9, 0L) + 5)
+                DIV 10""").cast("double") / 1e4).as("p90_fertility"))
       .orderBy(col("source").asc_nulls_first)
   }
 

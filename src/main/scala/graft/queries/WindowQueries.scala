@@ -459,16 +459,24 @@ object WindowQueries {
     * that exist. Float parity: each exp(Δµs/3.6e9) weight is
     * 8-dp-rounded (the libm term rule), Δt is exact integer µs, and
     * both engines evaluate the same ≤8-term sums in the same literal
-    * order. */
+    * order. Plan shape (r19): each lag i fetches ONE struct-packed
+    * lag(struct(value, ts_us), i) — 8 offset frames in the single
+    * WindowExec pass instead of the 16 the per-column lags cost (the
+    * two getFields of a lag dedupe onto one window expression);
+    * values are bit-identical to the per-column form, so the oracle
+    * is untouched. */
   private val winEmaTime: Q = (s, dir) => {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
     val terms = (0 to 7).map { i =>
-      val lv = if (i == 0) col("value") else lag(col("value"), i).over(w)
-      val wt = if (i == 0) lit(1.0)
-        else round(exp((lag(col("ts_us"), i).over(w) - col("ts_us"))
-          .cast("double") / lit(3.6e9)), 8)
-      (lv, wt)
+      if (i == 0) (col("value"), lit(1.0))
+      else {
+        val st = lag(struct(col("value").as("v"),
+          col("ts_us").as("t")), i).over(w)
+        (st.getField("v"),
+          round(exp((st.getField("t") - col("ts_us"))
+            .cast("double") / lit(3.6e9)), 8))
+      }
     }
     val num = terms.map { case (l, wt) =>
       when(l.isNotNull, l * wt).otherwise(lit(0.0)) }.reduce(_ + _)

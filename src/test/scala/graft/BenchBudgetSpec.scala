@@ -148,12 +148,15 @@ class BenchBudgetSpec extends AnyFunSuite {
     // 2 descent rounds x (self-join + rescore + fused top-K +
     // checkpoint): per-round Spark job overhead dominates at the
     // 500-vector demo size (slope ~1x, pure overhead). r16 job-cut
-    // rebuild (one exchange per round, fused readout, no final-round
-    // checkpoint, hash ring): 3.62 s quiet -> 2.44 s measured. r18
-    // small-build regime (known-N broadcast of ring lookup, rescore
-    // sides, candidate probe side; shuffle at scale): ~2.6 s quiet,
-    // 3.44 cold — the residual is irreducible per-round job latency
-    "q_vec_ann_nndescent" -> 4.0,
+    // rebuild (one exchange per round, fused readout, hash ring):
+    // 3.62 s quiet -> 2.44 s. r19 re-base: the final round now
+    // checkpoints (its plan used to execute inside the 1-task
+    // broadcast-build of the recall readout — 0.8 s on one core) and
+    // exactTopK parallelizes its streamed side + per-side norms:
+    // 2.40 -> 1.68 s quiet; cold 3.86 (fresh-session contraction +
+    // ~20% host drag on the r19 sweep) — per-round job latency is
+    // the residual
+    "q_vec_ann_nndescent" -> 2.8,
     // 3 Lloyd rounds = 3 collect jobs over <= k*dim partial-mean rows,
     // then one assignment pass + k-group rollup; job count, not data
     "q_vec_kmeans" -> 1.4,
@@ -165,8 +168,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_binary" -> 0.5,
     // one two-phase count to <= 20 cells, then cell-level arithmetic
     "q_agg_chisq" -> 1.0,
-    // x16 explode + 16 shas/row collapse map-side to types*16 rows
-    "q_agg_bootstrap" -> 4.3,
+    // r19 re-base: the 16 draws/row fold IN-ROW (no x16 explode) and
+    // come from ONE codegen'd digest-loop expression instead of 16
+    // sha2+conv string round trips: 2.90 -> 1.67 s quiet, cold 2.33
+    "q_agg_bootstrap" -> 2.9,
     // two aggregation passes + broadcast band join
     "q_agg_winsorize" -> 0.8,
     // wedge join on the %8 co-order graph: ~1.2 M wedge rows into the
@@ -556,9 +561,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_dispersion" -> 0.6, "q_agg_fdr_bh" -> 0.7,
     // r15 batch B: containment pays the jaccard pair shape; binary
     // quant one HOF pass vs 3 probes; modularity rides the demo-graph
-    // contraction; ema_time is one partitioned window
+    // contraction; ema_time is one partitioned window — r19 re-base:
+    // struct-packed lag(struct(value, ts_us), i) halves the window
+    // expression count 16 -> 8 (2.9 -> 1.76 s quiet, cold 3.46 incl.
+    // ~20% host drag on the r19 sweep)
     "q_text_containment" -> 1.1, "q_vec_binary_quant" -> 0.8,
-    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 4.1,
+    "q_graph_modularity" -> 2.2, "q_win_ema_time" -> 2.9,
     // r15 batch F: one-contraction grid/window shapes; burstiness and
     // suffix dedup pay the corpus explode / sha window like their twins
     "q_ts_ewma_var" -> 0.7, "q_ts_rolling_ols" -> 0.7,
@@ -768,13 +776,18 @@ class BenchBudgetSpec extends AnyFunSuite {
     * op's plan changes. Recorded sweep: round 18 (254 queries after
     * the hits/components/decon/nndescent rewrites; three marginal
     * rows re-measured ×2 on a quieter window and recorded at their
-    * median — see BASELINE.md "Cold-session anchors"). */
+    * median — see BASELINE.md "Cold-session anchors"). Round 19
+    * re-measured the eight plans that round changed (ema_time,
+    * bootstrap, nndescent, the exactTopK consumers, hits) on a host
+    * running ~20% slow (unchanged-query quiet medians were uniformly
+    * elevated that session) — those anchors carry that drag as
+    * honest margin. */
   private val coldAnchors: Map[String, Double] = Map(
     "q_agg_ab_ztest" -> 0.75, "q_agg_anova" -> 1.63,
     "q_agg_approx" -> 2.29, "q_agg_auc" -> 1.14,
     "q_agg_basket" -> 3.27, "q_agg_bayes_beta" -> 0.57,
     "q_agg_benford" -> 0.95, "q_agg_bimodality" -> 1.09,
-    "q_agg_bitmap" -> 0.89, "q_agg_bootstrap" -> 4.32,
+    "q_agg_bitmap" -> 0.89, "q_agg_bootstrap" -> 2.33,
     "q_agg_brier" -> 0.86, "q_agg_calibration" -> 0.76,
     "q_agg_capture_recapture" -> 0.27, "q_agg_chisq" -> 0.86,
     "q_agg_cohen_kappa" -> 0.68, "q_agg_cohens_d" -> 0.44,
@@ -854,7 +867,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_graph_bridges" -> 0.34, "q_graph_clustering" -> 0.46,
     "q_graph_common_neighbors" -> 0.72, "q_graph_components" -> 0.39,
     "q_graph_degree" -> 0.45, "q_graph_eccentricity" -> 0.37,
-    "q_graph_hits" -> 0.50, "q_graph_jaccard" -> 0.85,
+    "q_graph_hits" -> 0.71, "q_graph_jaccard" -> 0.85,
     "q_graph_kcore" -> 0.60, "q_graph_lpa" -> 0.94,
     "q_graph_modularity" -> 0.28, "q_graph_pagerank" -> 1.18,
     "q_graph_powerlaw" -> 1.07, "q_graph_triangles" -> 0.38,
@@ -940,20 +953,20 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_theil_sen" -> 0.35, "q_udaf_wavg" -> 0.64,
     "q_udf_parse_hours" -> 2.05, "q_udf_time_until_close" -> 0.35,
     "q_udtf_hours_explode" -> 0.72, "q_vec_ann_ivf" -> 0.48,
-    "q_vec_ann_ivfpq" -> 0.45, "q_vec_ann_lsh" -> 0.53,
-    "q_vec_ann_nndescent" -> 3.44, "q_vec_ann_pq" -> 0.39,
+    "q_vec_ann_ivfpq" -> 0.63, "q_vec_ann_lsh" -> 0.90,
+    "q_vec_ann_nndescent" -> 3.86, "q_vec_ann_pq" -> 0.78,
     "q_vec_binary_quant" -> 0.38, "q_vec_centroid" -> 0.47,
     "q_vec_cosine_dedup" -> 0.64, "q_vec_dedup_groups" -> 0.68,
     "q_vec_dedup_sweep" -> 0.62, "q_vec_dimstats" -> 0.24,
     "q_vec_drift" -> 0.73, "q_vec_hubness" -> 0.47,
     "q_vec_kmeans" -> 0.86, "q_vec_knn_join" -> 0.31,
-    "q_vec_label_knn_acc" -> 0.54, "q_vec_matryoshka" -> 0.62,
+    "q_vec_label_knn_acc" -> 0.90, "q_vec_matryoshka" -> 0.62,
     "q_vec_mips" -> 0.46, "q_vec_mmd" -> 0.85,
     "q_vec_mmr" -> 0.53, "q_vec_ood" -> 0.74,
     "q_vec_pca" -> 0.42, "q_vec_recon_error" -> 0.28,
     "q_vec_rproj" -> 0.42, "q_vec_silhouette" -> 0.91,
     "q_win_concurrency" -> 0.70, "q_win_ema" -> 0.56,
-    "q_win_ema_cross" -> 0.55, "q_win_ema_time" -> 1.96,
+    "q_win_ema_cross" -> 0.55, "q_win_ema_time" -> 3.46,
     "q_win_interval_merge" -> 0.60, "q_win_lag" -> 0.63,
     "q_win_locf" -> 0.64, "q_win_median" -> 0.59,
     "q_win_moving" -> 0.80, "q_win_ntile" -> 0.32,

@@ -69,6 +69,22 @@ class LayoutInvarianceSpec extends SparkSpecBase {
       "decontamination keep-set depends on partition layout")
   }
 
+  test("q_graph_hits is identical across partition layouts") {
+    // the driver-local power iteration folds the collected k²-grid in
+    // floating point — the r18 verdict flagged that an UNSORTED
+    // collect makes those folds layout-dependent (a latent 4-dp
+    // rounding flip); the .sortBy on the grid is the fix, and this is
+    // where the claim is executed
+    val ev = Tables.load(spark, sf0001, "events")
+    val results = layouts.map { p =>
+      canon(graft.queries.GraphQueries
+        .hitsFromEvents(spark, ev.repartition(p)))
+    }
+    assert(results.head.nonEmpty)
+    assert(results.distinct.size == 1,
+      "HITS scores depend on partition layout — grid sort regressed")
+  }
+
   test("z-ordered write produces disjoint per-file z-ranges (rectangles)") {
     // the data-skipping claim of q_etl_zorder: repartitionByRange on the
     // Morton key hands each output file a CONTIGUOUS, NON-OVERLAPPING

@@ -185,4 +185,36 @@ class UtilityOpsSpec extends SparkSpecBase {
     assert(sqlSide.nonEmpty)
     assert(sqlSide.toSeq == dfSide.toSeq)
   }
+
+  test("sha256 prefix expressions equal the spelled-out conv chain") {
+    // Sha256PrefixBits / Sha256Prefix52Seq replace
+    // conv(substring(sha2(key, 256), 1, nHex), 16, 10) in hot paths
+    // (the bootstrap's 16-draws-per-row projection); the whole oracle
+    // parity story rests on the values being bit-identical to the SQL
+    // chain DuckDB still runs — execute that claim over real keys,
+    // both prefix widths, and the fused 16-draw array
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftfns.HashFunctions
+    val keys = Tables.load(spark, sf0001, "events")
+      .select(concat(col("event_id").cast("string"), lit(":"),
+        (col("event_id") % 16).cast("string")).as("key"))
+    for (nHex <- Seq(7, 13)) {
+      val bad = keys.select(
+          conv(substring(sha2(col("key"), 256), 1, nHex), 16, 10)
+            .cast("long").as("ref"),
+          HashFunctions.sha256_prefix(col("key"), nHex).as("fast"))
+        .filter(col("ref") =!= col("fast")).count()
+      assert(bad == 0L, s"nHex=$nHex prefix mismatch on $bad keys")
+    }
+    val badSeq = Tables.load(spark, sf0001, "events")
+      .select(col("event_id").cast("string").as("id"))
+      .select(col("id"),
+        HashFunctions.sha256_prefix52_seq(col("id"), 16).as("arr"))
+      .select(col("id"), posexplode(col("arr")).as(Seq("b", "fast")))
+      .withColumn("ref",
+        conv(substring(sha2(concat(col("id"), lit(":"),
+          col("b").cast("string")), 256), 1, 13), 16, 10).cast("long"))
+      .filter(col("ref") =!= col("fast")).count()
+    assert(badSeq == 0L, s"fused 16-draw mismatch on $badSeq rows")
+  }
 }
