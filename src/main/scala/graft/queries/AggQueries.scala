@@ -1255,18 +1255,42 @@ object AggQueries {
     * (ranking IS a sort — same bound as q_agg_weighted_median); the
     * co-moment reduction collapses map-side to five decimals per
     * group. */
+  /* r19 plan rewrite (guide §2.5): the old form ran FOUR full-corpus
+   * window passes (rank + tie count per axis, each with its own sort)
+   * partitioned by the 3-value return flag. Two changes, values
+   * untouched:
+   *   x side — l_quantity is a bounded integer domain (~50 values per
+   *     flag at ANY scale), so its doubled mid-ranks fold on a
+   *     metadata-sized contraction (rank = rows-before + 1 ⇒
+   *     rx2 = 2·cumBefore + cnt + 1) and BROADCAST back: the corpus
+   *     never sorts by quantity at all.
+   *   y side — the tie count rides the SAME sort as rank() via a
+   *     RANGE(currentRow, currentRow) frame (peer rows ≡ the (flag,
+   *     price) partition count): one window pass, one sort, instead
+   *     of two.
+   * Net: 4 corpus sorts → 1 (the price ranking, which IS a sort —
+   * same documented skew bound as q_agg_weighted_median). rx2/ry2 are
+   * the same integers, the decimal moment sums and the closed-form
+   * rho are unchanged expressions. */
   private val aggSpearman: Q = (s, dir) => {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"),
         col("l_extendedprice"))
-    val wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    val wxt = Window.partitionBy("l_returnflag", "l_quantity")
+    val wq = Window.partitionBy("f").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qr = li.groupBy(col("l_returnflag").as("f"),
+        col("l_quantity").as("q"))
+      .agg(count(lit(1)).as("cq"))
+      .withColumn("rx2",
+        (lit(2) * coalesce(sum("cq").over(wq), lit(0L)) + col("cq") + 1)
+          .cast("decimal(38,0)"))
     val wy = Window.partitionBy("l_returnflag")
       .orderBy("l_extendedprice")
-    val wyt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    val wyt = wy.rangeBetween(Window.currentRow, Window.currentRow)
     val ranked = li
-      .withColumn("rx2", (lit(2) * rank().over(wx) +
-        count(lit(1)).over(wxt) - 1).cast("decimal(38,0)"))
+      .join(broadcast(qr.select(col("f"), col("q"), col("rx2"))),
+        col("l_returnflag") === col("f") &&
+          col("l_quantity") === col("q"))
       .withColumn("ry2", (lit(2) * rank().over(wy) +
         count(lit(1)).over(wyt) - 1).cast("decimal(38,0)"))
     ranked.groupBy("l_returnflag")

@@ -37,7 +37,12 @@ object HoursQueries {
     * pure-expression parser ([[HoursParser]]; ref `parse_hours`
     * `database/parse_and_upload_to_db.py:58-81`). */
   private val parseHours: Q = (s, dir) =>
-    withHoursStr(Tables.load(s, dir, "events"))
+    // same single-split lift as hoursExplode below: the regex/HOF parse
+    // (filter∘transform is CodegenFallback) otherwise sits in the
+    // one-split scan stage BELOW the presentation sort's range
+    // exchange and runs on one core (r19 bench: the whole 2.4 s quiet
+    // cost was this one serial stage)
+    withHoursStr(Tables.parallelized(Tables.load(s, dir, "events")))
       // the parser returns BIGINT arrays; the final projection serializes
       // them to '|'-joined strings only so the driver's scalar comparator
       // can hash them (q_udtf_hours_explode covers the array form)

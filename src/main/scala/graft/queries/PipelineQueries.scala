@@ -1173,19 +1173,42 @@ object PipelineQueries {
             col("value").cast("decimal(18,2)"))),
           lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
           .as("monetary_d"))
-    // three DISTRIBUTED global ranks (PrefixSweep, one per metric
-    // order) + the closed-form ntile bucket formula — the entity-grain
-    // sorts never single-partition; each order is total via the
-    // user_id tiebreak
+    // three DISTRIBUTED global ranks + the closed-form ntile bucket
+    // formula — the entity-grain sorts never single-partition; each
+    // order is total via the user_id tiebreak. r19: the three
+    // per-metric sweeps fold into ONE PrefixSweep over the 3n-row
+    // metric union — each metric's descending order is encoded as an
+    // ascending exact decimal (negated micros / count / cents, all
+    // lossless in decimal(38,6)), blocks are contiguous in
+    // (metric_id, enc, user_id) order and each holds exactly n rows,
+    // so per-metric rank = global rank − (metric_id − 1)·n. One range
+    // shuffle + one offsets pass instead of three chained sweeps
+    // (~2/3 of this query's r19 quiet cost was the sweep-chain job
+    // floor); ranks — and therefore ntile buckets — are unchanged.
     import graft.ops.PrefixSweep
-    val nTot = u.agg(count(lit(1)).as("n_u"))
-    val ranked = PrefixSweep.sweep(
-      PrefixSweep.sweep(
-        PrefixSweep.sweep(u,
-          Seq(col("last_ts").desc, col("user_id")), Some("rrnk")),
-        Seq(col("n_events").desc, col("user_id")), Some("frnk")),
-      Seq(col("monetary_d").desc, col("user_id")), Some("mrnk"))
-    ranked.crossJoin(broadcast(nTot))
+    val uc = u.localCheckpoint()
+    val nTot = uc.agg(count(lit(1)).as("n_u"))
+    val tall = uc.select(col("user_id"), col("monetary_d"), explode(array(
+        struct(lit(1).as("m"),
+          (-unix_micros(col("last_ts"))).cast("decimal(38,6)").as("enc")),
+        struct(lit(2).as("m"),
+          (-col("n_events")).cast("decimal(38,6)").as("enc")),
+        struct(lit(3).as("m"),
+          (-col("monetary_d")).cast("decimal(38,6)").as("enc"))))
+        .as("e"))
+      .select(col("user_id"), col("monetary_d"),
+        col("e.m").as("m"), col("e.enc").as("enc"))
+    val swept = PrefixSweep.sweep(tall,
+      Seq(col("m"), col("enc"), col("user_id")), Some("grk"))
+    val ranked = swept.crossJoin(broadcast(nTot))
+      .withColumn("rk", col("grk") - (col("m") - 1).cast("long") * col("n_u"))
+      .groupBy("user_id")
+      .agg(max(when(col("m") === 1, col("rk"))).as("rrnk"),
+        max(when(col("m") === 2, col("rk"))).as("frnk"),
+        max(when(col("m") === 3, col("rk"))).as("mrnk"),
+        max(col("monetary_d")).as("monetary_d"),
+        max(col("n_u")).as("n_u"))
+    ranked
       .select(col("user_id"),
         PrefixSweep.ntileOf(col("rrnk"), col("n_u"), 4).as("r_score"),
         PrefixSweep.ntileOf(col("frnk"), col("n_u"), 4).as("f_score"),

@@ -2479,13 +2479,26 @@ object TextQueries {
     val docBigrams = toks.select(col("doc_id"), col("source"),
       explode(org.apache.spark.sql.graftfns.QuantFunctions
         .token_bigrams(col("w"))).as("pair"))
-    val scored = docBigrams
-      .join(big, "pair")
+    // r19: lp is a function of the PAIR alone, so the ln/8-dp-round/
+    // split work happens once per DISTINCT bigram on the
+    // vocabulary-sized score table — the occurrence stream picks the
+    // finished decimal up through one broadcast hash join (it used to
+    // evaluate round(log(...)) per occurrence: ~50× the arithmetic
+    // for identical values; decimal sums are order-independent, so
+    // slp is unchanged)
+    val scoreTab = big
       .withColumn("ta", split(col("pair"), " ").getItem(0))
       .join(uni.select(col("term").as("ta"), col("c_u")), "ta")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", round(log((col("c_b") + lit(0.5)) /
-        (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)"))
+      .select(col("pair"), round(log((col("c_b") + lit(0.5)) /
+        (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)")
+        .as("lp"))
+    // no broadcast hint: the planner already broadcasts the
+    // vocabulary-sized table at demo scale, and a 100 TB bigram
+    // vocabulary that outgrew the threshold should degrade to the
+    // co-keyed shuffle join, not a forced over-sized broadcast
+    val scored = docBigrams
+      .join(scoreTab, "pair")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
       .withColumn("doc_lp",
@@ -2552,14 +2565,20 @@ object TextQueries {
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = s1.select(explode(token_bigrams(col("w"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c_b"))
-    val docLp = s1
-      .select(col("doc_id"), explode(token_bigrams(col("w"))).as("pair"))
-      .join(big, "pair")
+    // r19: lp folds once per DISTINCT bigram on the vocabulary-sized
+    // score table (lm_score's rewrite) — the occurrence stream joins
+    // the finished decimal, never re-evaluating round(log(...)) per
+    // occurrence; decimal sums unchanged
+    val lmScore = big
       .withColumn("ta", split(col("pair"), " ").getItem(0))
       .join(uni.select(col("term").as("ta"), col("c_u")), "ta")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", round(log((col("c_b") + lit(0.5)) /
-        (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)"))
+      .select(col("pair"), round(log((col("c_b") + lit(0.5)) /
+        (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)")
+        .as("lp"))
+    val docLp = s1
+      .select(col("doc_id"), explode(token_bigrams(col("w"))).as("pair"))
+      .join(lmScore, "pair")
       .groupBy("doc_id")
       .agg(sum("lp").as("slp"), count(lit(1)).as("n_bi"))
       // every quality survivor has n_words ≥ 5 ⇒ n_bi ≥ 4: the

@@ -478,10 +478,19 @@ object WindowQueries {
             .cast("double") / lit(3.6e9)), 8))
       }
     }
+    // coalesce, not when(isNotNull): value is filtered non-null below
+    // and ts is the fixture's non-null time axis (the window's orderBy
+    // would be ill-defined otherwise), so l, t and wt are null exactly
+    // when the lag row is missing — the coalesce forms compute the
+    // same sums — and keeping wt in an always-evaluated position lets
+    // codegen's subexpression elimination compute each
+    // round(exp(...)) ONCE per row instead of twice (a `when` branch
+    // is conditionally evaluated and excluded from CSE; the duplicated
+    // BigDecimal rounds were ~45 % of this query's r19 quiet cost)
     val num = terms.map { case (l, wt) =>
-      when(l.isNotNull, l * wt).otherwise(lit(0.0)) }.reduce(_ + _)
-    val den = terms.map { case (l, wt) =>
-      when(l.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+      coalesce(l * wt, lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (_, wt) =>
+      coalesce(wt, lit(0.0)) }.reduce(_ + _)
     Tables.load(s, dir, "events")
       .filter(col("value").isNotNull)
       .withColumn("ts_us", unix_micros(col("ts")))
