@@ -78,9 +78,16 @@ object AggQueries {
     * the certification moves to a sampled audit.) HLL++ is
     * deterministic given the data, so the verdict cannot flap. */
   private val aggApprox: Q = (s, dir) =>
+    // r19: both legs fold over the (flag, partkey) DISTINCT
+    // contraction — HLL registers are max-folds over hashed values,
+    // so duplicates never move the estimate, and the exact leg is the
+    // contraction's group count; this replaces the mixed
+    // distinct+non-distinct aggregate's Expand (×2 row inflation +
+    // double aggregate layer) with one map-side-combining distinct
     Tables.load(s, dir, "lineitem")
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+      .agg(count(lit(1)).as("n_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("apx"))
       .select(col("l_returnflag"), col("n_parts"),
         (abs(col("apx") - col("n_parts")).cast("double") <=
@@ -1325,15 +1332,18 @@ object AggQueries {
   private val aggBasket: Q = (s, dir) => {
     // ONE shuffle builds per-order brand SETS; pairing then happens
     // IN-ROW (a basket has a handful of brands — its pairs are a local
-    // product, never a self-join shuffle). Checkpointing the set table
-    // for its three readers measured SLOWER than recomputing it (the
-    // contraction is one cheap broadcast join + groupBy), so unlike
-    // the graph ops this one recomputes.
+    // product, never a self-join shuffle). The set table is
+    // localCheckpointed for its three readers (tot / item counts /
+    // pairs): re-measured in r19, one materialized contraction beats
+    // three recomputes 1.6 s vs 2.1 s (the opposite held in the round
+    // that wrote the old recompute note, when the contraction was
+    // cheaper than the checkpoint write).
     val sets = Tables.load(s, dir, "lineitem")
       .join(Tables.load(s, dir, "part"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey").as("okey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .localCheckpoint()
     val tot = sets.agg(count(lit(1)).as("n_orders"))
     val bcount = sets
       .select(explode(col("brands")).as("brand"))

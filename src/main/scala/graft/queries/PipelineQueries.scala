@@ -1993,18 +1993,23 @@ object PipelineQueries {
         AS (col_name, val)"""))
     val counts = unpiv.groupBy("col_name", "val")
       .agg(count(lit(1)).as("cnt"))
+    // r19: the per-column totals fold in a two-phase aggregate (4
+    // result rows, map-side combining) broadcast back onto the top-1
+    // row instead of three unbounded windows re-materializing the
+    // whole counts table at 4-partition parallelism; the argmax
+    // filter keeps its WindowGroupLimit shape (partial top-1 per map
+    // task). Same counts, same deterministic argmax order.
+    val stats = counts.groupBy("col_name")
+      .agg(count(when(col("val").isNotNull, 1)).as("n_distinct"),
+        sum("cnt").as("n"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_null"))
     counts
       .withColumn("rn", row_number().over(
         Window.partitionBy("col_name")
           .orderBy(col("cnt").desc, col("val").asc_nulls_last)))
-      .withColumn("n_distinct",
-        count(when(col("val").isNotNull, 1)).over(
-          Window.partitionBy("col_name")))
-      .withColumn("n", sum("cnt").over(
-        Window.partitionBy("col_name")))
-      .withColumn("n_null", sum(when(col("val").isNull, col("cnt"))
-        .otherwise(lit(0L))).over(Window.partitionBy("col_name")))
       .filter(col("rn") === 1)
+      .join(broadcast(stats), "col_name")
       .select(col("col_name"), col("n"), col("n_null"),
         col("n_distinct"), col("val").as("top_value"),
         col("cnt").as("top_n"))

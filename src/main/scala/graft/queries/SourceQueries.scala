@@ -267,9 +267,12 @@ object SourceQueries {
     * metadata column, not the data. */
   private val srcFileMeta: Q = (s, dir) => {
     val out = freshSinkDir("file_meta")
+    // r19: the audit reads only (event_id, event_date, _metadata) back
+    // — `value` was written and never consumed; projecting it away
+    // halves the sink bytes without touching the per-file layout or
+    // the read-back result (guide §2.3, project before the exchange)
     Tables.load(s, dir, "events")
-      .select(col("event_id"), col("value"),
-        to_date(col("ts")).as("event_date"))
+      .select(col("event_id"), to_date(col("ts")).as("event_date"))
       .repartition(col("event_date"))
       .write.partitionBy("event_date").mode("overwrite").parquet(out)
     s.read.parquet(out)
