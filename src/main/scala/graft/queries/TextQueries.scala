@@ -2493,12 +2493,14 @@ object TextQueries {
       .select(col("pair"), round(log((col("c_b") + lit(0.5)) /
         (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)")
         .as("lp"))
-    // no broadcast hint: the planner already broadcasts the
-    // vocabulary-sized table at demo scale, and a 100 TB bigram
-    // vocabulary that outgrew the threshold should degrade to the
-    // co-keyed shuffle join, not a forced over-sized broadcast
+    // explicit broadcast of the SCORE TABLE: left unhinted, the
+    // planner's generate-side estimate is smaller and it broadcasts
+    // the occurrence STREAM (BuildLeft over the explode — backwards at
+    // any scale). The LM score table is the model artifact — bounded
+    // by the bigram vocabulary, the side a CCNet-style scorer ships to
+    // every worker by design.
     val scored = docBigrams
-      .join(scoreTab, "pair")
+      .join(broadcast(scoreTab), "pair")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
       .withColumn("doc_lp",
@@ -2578,7 +2580,9 @@ object TextQueries {
         .as("lp"))
     val docLp = s1
       .select(col("doc_id"), explode(token_bigrams(col("w"))).as("pair"))
-      .join(lmScore, "pair")
+      // broadcast the score table, never the occurrence stream (see
+      // q_text_lm_score — unhinted, the planner builds on the explode)
+      .join(broadcast(lmScore), "pair")
       .groupBy("doc_id")
       .agg(sum("lp").as("slp"), count(lit(1)).as("n_bi"))
       // every quality survivor has n_words ≥ 5 ⇒ n_bi ≥ 4: the
