@@ -67,6 +67,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!keep.contains(id)) rdd.unpersist(blocking = false) }
+      // streaming leftovers (r19): every finished streaming run leaves
+      // its state-store providers (RocksDB ones: native memory + a
+      // background maintenance slot each) in the global registry until
+      // the 60 s maintenance tick notices the query is gone — in a
+      // session that runs hundreds of short streaming queries the
+      // registry grows into real native-memory and maintenance churn
+      // (q_src_stream_file read 6.6–12.9 s late in the full r19 run vs
+      // 1.4 s in a fresh session, with quiet host probes). No stream is
+      // active between bench queries, so dropping terminated handles
+      // and unloading all providers is pure cleanup.
+      spark.streams.resetTerminated()
+      org.apache.spark.sql.graftfns.StreamHygiene.unloadAllStateStores()
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }

@@ -848,20 +848,29 @@ object AggQueries {
         .when(u < 0.9999897508033253, 7L)
         .otherwise(8L)
     }
+    // exact-integer accumulators (§7.5.21): value is an exact 2-dp
+    // money column bounded by the catalog (≤ ~560), so w·cents is a
+    // long ≤ 8·56021 and Σ w·cents stays ~30× under int64 even at
+    // 6·10¹¹ rows — the 16 per-row decimal multiplies + decimal sum
+    // buffers become codegen'd long arithmetic. The readout rebuilds
+    // the old decimal sum EXACTLY (swv_c/100 at scale 6 is an exact
+    // division) before the same cast-to-double, so every rep_mean —
+    // and the percentile interval — is bit-identical.
     val withW = Tables.load(s, dir, "events")
       .withColumn("pfx", org.apache.spark.sql.graftfns.HashFunctions
         .sha256_prefix52_seq(col("event_id").cast("string"), reps))
       .select(col("event_type") +:
-        col("value").cast("decimal(18,2)").as("vd") +:
+        expr("CAST(rint(value * 100) AS BIGINT)").as("vc") +:
         (0 until reps).map(b => wcol(b).as(s"w$b")): _*)
     val sums = (0 until reps).flatMap(b => Seq(
-      sum(col(s"w$b") * col("vd")).as(s"swv$b"),
+      sum(col(s"w$b") * col("vc")).as(s"swv$b"),
       sum(col(s"w$b")).as(s"sw$b")))
     val byType = withW.groupBy("event_type")
       .agg(sums.head, sums.tail: _*)
     val repMeans = byType.select(col("event_type"),
       posexplode(array((0 until reps).map(b =>
-        try_divide(col(s"swv$b").cast("double"), col(s"sw$b"))): _*))
+        try_divide((col(s"swv$b").cast("decimal(20,0)") / lit(100))
+          .cast("double"), col(s"sw$b"))): _*))
         .as(Seq("b", "rep_mean")))
     repMeans.groupBy("event_type")
       .agg(count(lit(1)).as("b_reps"),
@@ -2879,16 +2888,31 @@ object AggQueries {
     * merge-order-free; exp and the divisions run once per group in
     * the rounded readout. One two-phase aggregate. */
   private val aggGmean: Q = (s, dir) => {
-    val g = Tables.load(s, dir, "lineitem")
-      .select(col("l_returnflag").as("flag"),
-        col("l_quantity").cast("decimal(18,2)").as("q"),
-        round(log(col("l_quantity").cast("double")), 8)
+    // contraction (the q_agg_spearman device): l_quantity is a bounded
+    // ~50-value domain, so the stream folds to a (flag, quantity) count
+    // grid first (codegen'd long count, map-side combining) and the
+    // decimal casts + 8-dp BigDecimal rounds run once per DISTINCT
+    // quantity (~150 cells) instead of once per row. Σ round(ln q, 8)
+    // over rows ≡ Σ round(ln q, 8)·cnt over cells — decimal products
+    // and sums are exact (cnt as DECIMAL(12,0) keeps every product at
+    // precision ≤ 33, no scale loss; one cell outgrows 10¹² rows only
+    // past ~10 PB per quantity value), so the group sums, and every
+    // readout double, are bit-identical to the per-row fold.
+    val grid = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qv"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = grid
+      .select(col("flag"),
+        col("cnt"), col("cnt").cast("decimal(12,0)").as("cntd"),
+        col("qv").cast("decimal(18,2)").as("q"),
+        round(log(col("qv").cast("double")), 8)
           .cast("decimal(20,8)").as("lq"),
-        round(lit(1.0) / col("l_quantity").cast("double"), 8)
+        round(lit(1.0) / col("qv").cast("double"), 8)
           .cast("decimal(20,8)").as("iq"))
       .groupBy("flag")
-      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
-        sum("lq").as("slq"), sum("iq").as("siq"))
+      .agg(sum("cnt").as("n"), sum(col("q") * col("cntd")).as("sq"),
+        sum(col("lq") * col("cntd")).as("slq"),
+        sum(col("iq") * col("cntd")).as("siq"))
       .select(col("flag"), col("n"),
         round(col("sq").cast("double") / col("n"), 4).as("amean"),
         round(exp(col("slq").cast("double") / col("n")), 4).as("gmean"),

@@ -1363,9 +1363,15 @@ object PipelineQueries {
     val del = customer.filter(requested)
       .select(col("c_custkey").as("del_key"))
     val orders = Tables.load(s, dir, "orders")
+    // localCheckpoint: purgedOrders has THREE consumers (the lineitem
+    // hop's bloom build — itself two eager actions —, its audit count,
+    // and the exact semi-join's build side in the final readout); an
+    // unshared plan re-runs the orders probe chain once per consumer.
+    // One materialization of the purged sliver (tiny by construction —
+    // it is the deletion wave) feeds all three (guide §5 reuse).
     val purgedOrders = graft.ops.Relational.bloomSemiLong(
       orders.select("o_orderkey", "o_custkey"), "o_custkey",
-      del, "del_key")
+      del, "del_key").localCheckpoint()
     val lineitem = Tables.load(s, dir, "lineitem")
     val purgedLi = graft.ops.Relational.bloomSemiLong(
       lineitem.select("l_orderkey"), "l_orderkey",

@@ -220,13 +220,21 @@ object ScalarQueries {
     * facts). */
   private val mathArith: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
-      // exact decimal product → round → double: double arithmetic here
-      // would hit HALF_UP-vs-binary rounding divergence on half-cases and
-      // is partition-order-dependent under sums (SURVEY.md §7.5.2)
+      // exact-integer restatement (§7.5.21) of the decimal product: the
+      // money columns are exact 2-dp values, so price·(1−disc)·(1+tax)
+      // scaled by 10⁶ is EXACT long arithmetic (≤ 1.05e7·100·108 ≈ 1.1e11)
+      // and HALF_UP at 4 dp on that non-negative exact integer is
+      // (x+50) div 100 — bit-identical to the former
+      // round(DECIMAL product, 4) readout (same doubles: y/10000.0 is one
+      // correctly-rounded division of exact operands, exactly what
+      // BigDecimal(y,4).doubleValue() produces) at ~10 codegen'd long ops
+      // per row instead of three Decimal128 casts, two decimal multiplies
+      // and a BigDecimal round
       .withColumn("charge", expr(
-        """CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 4) AS DOUBLE)"""))
+        """CAST((CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
+                 * (100 - CAST(l_discount * 100 + 0.5 AS BIGINT))
+                 * (100 + CAST(l_tax * 100 + 0.5 AS BIGINT))
+                 + 50) DIV 100 AS DOUBLE) / 10000.0"""))
       .withColumn("qty_int", col("l_quantity").cast("long"))
       .withColumn("mod7", col("l_orderkey") % 7)
       .withColumn("disc_pct", floor(col("l_discount") * 100).cast("long"))

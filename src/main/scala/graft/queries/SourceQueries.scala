@@ -91,7 +91,10 @@ object SourceQueries {
     * content-stamped fixtures on disk that were WRITTEN by the old
     * (collapsing) reader against the new data — stamp matched, values
     * wrong. v2 = native-µs events reader. */
-  private val readerVersion = "v2"
+  // v3: ndjson fixture layout changed to 16 files (see ndjsonFixture) —
+  // the version bump invalidates any single-file fixture surviving in
+  // target/tmp from an earlier JVM
+  private val readerVersion = "v3"
 
   /** Fingerprint of the source file(s) backing a fixture: CRC32 over
     * (relative path, length, mtime) of every file, sorted, prefixed with
@@ -131,11 +134,18 @@ object SourceQueries {
     path
   }
 
-  /** NDJSON fixture (scraper-log shape, nested props included). */
+  /** NDJSON fixture (scraper-log shape, nested props included).
+    * Written as 16 files, not the events table's single split: a real
+    * scraper feed is many rotated log files, and the FILE-streaming
+    * scan under test parallelizes per file (unlike the batch reader,
+    * it never byte-splits one file — one giant file serializes the
+    * whole parse onto one core, guide §2.5 input skew; 1.4 s vs 0.4 s
+    * per micro-batch at sf0.1). Row set, schema, and both read-back
+    * aggregates are unchanged — only the file boundaries move. */
   private def ndjsonFixture(s: SparkSession, dir: String): String =
     eventsFixture(s, dir, "ndjson",
       Seq("event_id", "user_id", "event_type", "value", "props"))(
-      _.write.mode("overwrite").json(_))
+      _.repartition(16).write.mode("overwrite").json(_))
 
   /** CSV fixture: header on, no props column (its free-form JSON would
     * only exercise quoting, which stays a CSV-reader concern — the round

@@ -44,13 +44,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     * BASELINE.md marks the anchor-generation switch. */
   private val budgets: Map[String, Double] = Map(
     // sources
-    "q_src_parquet" -> 0.8, "q_src_ndjson" -> 0.6,
+    "q_src_parquet" -> 0.8, "q_src_ndjson" -> 0.4,
     "q_src_csv" -> 0.9, "q_src_orc" -> 0.5,
     // corrupt triage: text write + PERMISSIVE json read-back
     "q_src_corrupt" -> 1.2,
     // XML parse is the costliest text source (per-row element parse)
     "q_src_xml" -> 1.3,
-    "q_src_stream_file" -> 2.5,
+    "q_src_stream_file" -> 1.8,
     "q_sink_append" -> 1.5, "q_sink_warehouse" -> 1.8,
     // double JDBC write (drop/create + batched inserts) of the %5 slice
     "q_sink_jdbc" -> 2.5,
@@ -107,7 +107,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_dt_parse" -> 1.5, "q_dt_format" -> 0.8, "q_dt_arith" -> 0.6,
     "q_dt_extract" -> 0.8, "q_dt_tz" -> 0.5, "q_dt_trunc" -> 0.6,
     "q_dt_series" -> 0.8,
-    "q_math_arith" -> 1.9,
+    "q_math_arith" -> 1.0,
     // collections / json
     "q_arr_explode" -> 0.9, "q_arr_posexplode" -> 0.7, "q_arr_ops" -> 0.7,
     "q_arr_transform" -> 0.7, "q_arr_position" -> 0.4,
@@ -171,7 +171,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // r19 re-base: the 16 draws/row fold IN-ROW (no x16 explode) and
     // come from ONE codegen'd digest-loop expression instead of 16
     // sha2+conv string round trips: 2.90 -> 1.67 s quiet, cold 2.33
-    "q_agg_bootstrap" -> 2.9,
+    "q_agg_bootstrap" -> 1.6,
     // two aggregation passes + broadcast band join
     "q_agg_winsorize" -> 0.8,
     // wedge join on the %8 co-order graph: ~1.2 M wedge rows into the
@@ -485,7 +485,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // purge's broadcast probes plus two Bloom builds (each a count +
     // bloomFilter aggregate over the key list) and a candidate-sliver
     // shuffle semi-join per fact hop
-    "q_etl_purge_bloom" -> 2.1,
+    "q_etl_purge_bloom" -> 1.5,
     // one full events range-shuffle + write + read-back aggregate per
     // invocation (the sink/compact I/O cost family)
     "q_etl_zorder" -> 1.2,
@@ -570,7 +570,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // r15 batch F: one-contraction grid/window shapes; burstiness and
     // suffix dedup pay the corpus explode / sha window like their twins
     "q_ts_ewma_var" -> 0.7, "q_ts_rolling_ols" -> 0.7,
-    "q_evt_cadence" -> 1.6, "q_agg_gmean" -> 1.8,
+    "q_evt_cadence" -> 1.6, "q_agg_gmean" -> 0.6,
     "q_text_dedup_suffix" -> 0.6, "q_text_burstiness" -> 1.2,
     // r15 batch G: streaks is two user-keyed windows; lang_purity one
     // predict pass + rollup; knn_acc pays the 500-slice brute force
@@ -787,7 +787,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_approx" -> 2.29, "q_agg_auc" -> 1.14,
     "q_agg_basket" -> 3.27, "q_agg_bayes_beta" -> 0.57,
     "q_agg_benford" -> 0.95, "q_agg_bimodality" -> 1.09,
-    "q_agg_bitmap" -> 0.89, "q_agg_bootstrap" -> 2.33,
+    "q_agg_bitmap" -> 0.89, "q_agg_bootstrap" -> 1.26,
     "q_agg_brier" -> 0.86, "q_agg_calibration" -> 0.76,
     "q_agg_capture_recapture" -> 0.27, "q_agg_chisq" -> 0.86,
     "q_agg_cohen_kappa" -> 0.68, "q_agg_cohens_d" -> 0.44,
@@ -798,7 +798,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_deming" -> 1.66, "q_agg_dispersion" -> 0.27,
     "q_agg_extreme" -> 0.37, "q_agg_fdr_bh" -> 0.52,
     "q_agg_fleiss_kappa" -> 1.00, "q_agg_friedman" -> 0.34,
-    "q_agg_gini" -> 0.71, "q_agg_gmean" -> 1.81,
+    "q_agg_gini" -> 0.71, "q_agg_gmean" -> 0.64,
     "q_agg_group" -> 0.23, "q_agg_gsets" -> 1.02,
     "q_agg_heavy_hitters" -> 0.19, "q_agg_hhi" -> 0.40,
     "q_agg_hill" -> 1.16, "q_agg_hodges_lehmann" -> 0.79,
@@ -841,7 +841,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_etl_incr_agg" -> 0.77, "q_etl_late_dim" -> 0.30,
     "q_etl_normalize" -> 0.59, "q_etl_partition_overwrite" -> 0.95,
     "q_etl_profile" -> 1.81, "q_etl_purge" -> 0.40,
-    "q_etl_purge_bloom" -> 1.69, "q_etl_resample" -> 0.88,
+    "q_etl_purge_bloom" -> 1.50, "q_etl_resample" -> 0.88,
     "q_etl_ri" -> 0.32, "q_etl_scd2" -> 0.44,
     "q_etl_schema_evolve" -> 0.83, "q_etl_snapshot_diff" -> 0.47,
     "q_etl_stats_collect" -> 0.67, "q_etl_upsert" -> 0.76,
@@ -879,7 +879,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_join_salted" -> 0.42, "q_join_spatial" -> 0.68,
     "q_json_flatten" -> 1.50, "q_json_from" -> 1.01,
     "q_json_get" -> 0.79, "q_map_ops" -> 0.46,
-    "q_math_arith" -> 2.31, "q_media_dedup" -> 0.32,
+    "q_math_arith" -> 1.26, "q_media_dedup" -> 0.32,
     "q_media_frames" -> 0.24, "q_media_phash" -> 0.89,
     "q_media_shard" -> 0.25, "q_pipe_abtest" -> 0.74,
     "q_pipe_curate" -> 2.05, "q_pipe_embed_qa" -> 0.93,
@@ -899,9 +899,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_src_csv_gzip" -> 0.53, "q_src_csv_multiline" -> 0.21,
     "q_src_file_meta" -> 0.87, "q_src_fixed_width" -> 0.26,
     "q_src_jdbc" -> 1.06, "q_src_json_multiline" -> 0.36,
-    "q_src_ndjson" -> 0.34, "q_src_orc" -> 0.33,
+    "q_src_ndjson" -> 0.23, "q_src_orc" -> 0.33,
     "q_src_parquet" -> 0.64, "q_src_partition_prune" -> 0.44,
-    "q_src_stream_file" -> 1.25, "q_src_xml" -> 0.86,
+    "q_src_stream_file" -> 1.41, "q_src_xml" -> 0.86,
     "q_str_levenshtein" -> 0.33, "q_stream_cdc" -> 0.32,
     "q_stream_dedup" -> 0.66, "q_stream_enrich" -> 0.33,
     "q_stream_foreachbatch" -> 0.15, "q_stream_join" -> 0.37,
