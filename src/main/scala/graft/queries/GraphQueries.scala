@@ -37,37 +37,49 @@ object GraphQueries {
     * ~1e-16, far under the rounding grid. Each iteration is a
     * broadcast join + k-row aggregate on the contracted graph; the
     * driver never touches per-event data. */
-  private val graphPagerank: Q = (s, dir) => {
+  private val graphPagerank: Q = (s, dir) =>
+    pagerankFromEvents(s, Tables.load(s, dir, "events"))
+
+  /** Core of q_graph_pagerank, split from the registration so
+    * LayoutInvarianceSpec can drive it over pathological partition
+    * layouts (same contract as [[hitsFromEvents]]). r19: the 5
+    * iterations used to run as 5 chained distributed join/agg layers
+    * over the CHECKPOINTED k²-row grid — ~15 jobs of pure metadata
+    * scheduling. The grid is k² ≤ a few hundred rows by construction,
+    * so the power iteration moves to the driver (the r18 HITS device):
+    * corpus work stays one window + two-phase aggregate; the collected
+    * grid is SORTED before any float fold (§7.5 layout discipline),
+    * per-target contributions fold in ascending from_type order, and
+    * out-degree totals are exact integer sums. */
+  private[graft] def pagerankFromEvents(s: SparkSession,
+                                        events: DataFrame): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val events = Tables.load(s, dir, "events")
     // corpus-sized phase: one scan, two-phase aggregate → k² edge rows
-    val edges = events
+    val grid = events
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n").cast("double") /
-        sum("n").over(Window.partitionBy("from_type")))
-      .select("from_type", "to_type", "p")
-      .localCheckpoint()
+      .as[(String, String, Long)].collect()
+      .sortBy(t => (t._1, t._2))
     val nodes = events.select(col("event_type").as("node"))
-      .distinct().localCheckpoint()
-    // n_nodes rides as a broadcast 1-row table, never a driver literal
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .distinct().as[String].collect().sorted
+    // p(from→to) = n / Σ_to n — integer-exact totals, one double
+    // division per edge (identical to the former window-sum form)
+    val outTot = grid.groupBy(_._1)
+      .map { case (f, es) => f -> es.map(_._3).sum }
+    val probs = grid.map { case (f, t, n) => (f, t, n.toDouble / outTot(f)) }
+    var rank = nodes.map(n => n -> 1.0 / nodes.length).toMap
     for (_ <- 1 to 5) {
-      val contrib = edges
-        .join(ranks, edges("from_type") === ranks("node"))
-        .groupBy(col("to_type"))
-        .agg(sum(col("rank") * col("p")).as("contrib"))
-      ranks = nodes.crossJoin(broadcast(nn))
-        .join(contrib, col("node") === col("to_type"), "left")
-        .select(col("node"),
-          (lit(0.15) / col("n_nodes") +
-            lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      // groupBy preserves the sorted encounter order inside each group
+      // — contributions fold in ascending from_type order every run
+      val contrib = probs.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(e => rank(e._1) * e._3).sum }
+      rank = nodes.map(n => n ->
+        (0.15 / nodes.length + 0.85 * contrib.getOrElse(n, 0.0))).toMap
     }
-    ranks
+    nodes.toSeq.map(n => (n, rank(n))).toDF("node", "rank")
       .select(col("node").as("event_type"), round(col("rank"), 4).as("rank"))
       .orderBy("event_type")
   }

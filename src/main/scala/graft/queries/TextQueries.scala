@@ -2591,6 +2591,12 @@ object TextQueries {
         round(col("slp").cast("double") / col("n_bi"), 4)
           .cast("decimal(14,4)"))
       .select("doc_id", "doc_lp")
+      // doc-grain score table (one row per quality survivor). Without
+      // the checkpoint the whole LM chain (two vocabulary folds + the
+      // bigram-occurrence explode/join/fold) re-executes once per
+      // consumer of `full` and once more under canon — FOUR
+      // instantiations in the r19 before-plan, zero exchange reuse.
+      .localCheckpoint()
     val lmFlagged = base.join(docLp, Seq("doc_id"), "left")
       .withColumn("lm_ok", col("qual_ok") &&
         col("doc_lp") >= lit(new java.math.BigDecimal("-3.41")))
@@ -2605,6 +2611,9 @@ object TextQueries {
         col("lm_ok") && col("doc_id") === col("keep_id"))
       .join(broadcast(evalShas), Seq("text_sha"), "left")
       .withColumn("final_ok", col("dedup_ok") && col("__contam").isNull)
+      // doc-grain flag table read by BOTH readouts (funnel + packing):
+      // materialized once so neither re-runs the dedup/decon joins
+      .localCheckpoint()
     val funnel = full.groupBy("source").agg(
       count(lit(1)).as("n_raw"),
       count(when(col("lang_ok"), 1)).as("n_lang"),

@@ -85,6 +85,21 @@ class LayoutInvarianceSpec extends SparkSpecBase {
       "HITS scores depend on partition layout — grid sort regressed")
   }
 
+  test("q_graph_pagerank is identical across partition layouts") {
+    // r19 moved pagerank's power iteration to the driver (the HITS
+    // device); same latent hazard, same fix — the collected k²-grid is
+    // sorted before any float fold, so the ranks must not move when
+    // the corpus arrives in a different partition layout
+    val ev = Tables.load(spark, sf0001, "events")
+    val results = layouts.map { p =>
+      canon(graft.queries.GraphQueries
+        .pagerankFromEvents(spark, ev.repartition(p)))
+    }
+    assert(results.head.nonEmpty)
+    assert(results.distinct.size == 1,
+      "PageRank scores depend on partition layout — grid sort regressed")
+  }
+
   test("z-ordered write produces disjoint per-file z-ranges (rectangles)") {
     // the data-skipping claim of q_etl_zorder: repartitionByRange on the
     // Morton key hands each output file a CONTIGUOUS, NON-OVERLAPPING
