@@ -290,6 +290,18 @@ object Bench {
     val perSf = new java.io.File(s"/root/repo/target/bench_$sfBase.json")
     val w2 = new java.io.PrintWriter(perSf)
     try w2.println(fullJson) finally w2.close()
+    // cpu-stamped copy, and the one the stdout line points at (r20): the
+    // per-query map never fits the driver's 2000-char stdout tail window
+    // (435 entries ≈ 10 kB), so the driver follows `queries_file` — but
+    // `bench.json` is overwritten by EVERY run, and the driver benches
+    // twice (main + low-core scaling leg), so by comparison time the
+    // pointer led to whichever run happened last (PERF_r19: per_query
+    // empty two rounds running). A file stamped by core count survives
+    // its sibling run; each run's stdout line points at its OWN artifact.
+    val stamped =
+      new java.io.File(s"/root/repo/target/bench_cpus${cpus}_$sfBase.json")
+    val w3 = new java.io.PrintWriter(stamped)
+    try w3.println(fullJson) finally w3.close()
     // stop BEFORE the final println so no shutdown logging can land after
     // it; reduced time resolution keeps the line inside the driver's
     // ~2000-char stdout tail window (full precision is in bench.json)
@@ -302,7 +314,8 @@ object Bench {
       s""""unit":"sec"""", s""""method":"median-warm"""", s""""n":$runs""") ++
       qs.map(dp => s""""queries":${obj(results.map { case (k, (m, _, _, _, _)) =>
         s""""$k":${fmt(m, dp)}""" })}""") ++
-      Seq(s""""queries_file":"${out.getAbsolutePath}"""",
+      Seq(s""""queries_file":"${stamped.getAbsolutePath}"""",
+        s""""cpus":$cpus""",
         s""""sf":"$sfDir""""))
     // degrade per-query resolution (then drop the map) until the line
     // fits the tail window with headroom — a decapitated JSON line is

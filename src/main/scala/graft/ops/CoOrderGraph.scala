@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.util.concurrent.ConcurrentHashMap
-
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,26 +41,14 @@ import org.apache.spark.sql.functions._
   * paid, on top of its extra fact-table shuffle.
   */
 object CoOrderGraph {
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
-  private val protectedByCtx =
-    new ConcurrentHashMap[String, java.util.Set[Int]]()
-  @volatile private var liveCtx = ""
-
-  /** RDD ids backing cached contractions of the LIVE context — bench
-    * hygiene must not unpersist these between queries (they are the
-    * whole point of the shared cache; a localCheckpointed RDD cannot
-    * be recomputed once its blocks are dropped). Scoped per context
-    * incarnation: RDD ids restart from 0 in a new SparkContext, so an
-    * id protected under a dead context must never shield an unrelated
-    * new RDD. Call at sweep time, not once up front — the set is
-    * created lazily by the first contraction build.
-    */
+  /** Cache machinery lives in [[ContractionCache]] (r20: the MinHash
+    * pair set shares it); these forwarders keep the bench/tool call
+    * sites stable. */
   def protectedRddIds: java.util.Set[Int] =
-    Option(protectedByCtx.get(liveCtx))
-      .getOrElse(java.util.Collections.emptySet[Int]())
+    ContractionCache.protectedRddIds
 
   /** Drop every cached contraction (tests that restart contexts). */
-  def invalidate(): Unit = { cache.clear(); protectedByCtx.clear() }
+  def invalidate(): Unit = ContractionCache.invalidate()
 
   /** Full co-order part graph: parts are adjacent when some order
     * contains both; u < v, distinct. */
@@ -139,32 +125,6 @@ object CoOrderGraph {
     pairEdgesBy(items, Seq("o"), Nil)
 
   private def cached(s: SparkSession, dir: String, variant: String)
-      (build: => DataFrame): DataFrame = {
-    // keyed per SparkContext incarnation: sessions sharing a context
-    // share checkpointed blocks; a restarted context gets fresh keys
-    val ctx = s"${s.sparkContext.applicationId}|" +
-      s"${s.sparkContext.startTime}"
-    if (liveCtx != ctx) {
-      // evict state of dead context incarnations: stale DataFrames
-      // would pin stopped-context lineage in long-lived test JVMs,
-      // and stale protected ids (RDD ids restart from 0) would
-      // shield unrelated new RDDs from the bench unpersist sweep
-      cache.keySet.removeIf(k => !k.startsWith(ctx + "|"))
-      protectedByCtx.keySet.removeIf(_ != ctx)
-      liveCtx = ctx
-    }
-    val key = s"$ctx|$dir|$variant"
-    Option(cache.get(key)).getOrElse {
-      // bench runs queries sequentially; a lost race here only costs
-      // a duplicate (idempotent) checkpoint
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      val e = build.localCheckpoint()
-      val ids = protectedByCtx.computeIfAbsent(
-        ctx, _ => ConcurrentHashMap.newKeySet[Int]())
-      (s.sparkContext.getPersistentRDDs.keySet -- before)
-        .foreach(id => ids.add(id))
-      cache.put(key, e)
-      e
-    }
-  }
+      (build: => DataFrame): DataFrame =
+    ContractionCache.cached(s, dir, s"graph_$variant")(build)
 }

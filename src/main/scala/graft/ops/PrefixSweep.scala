@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *     execution — without the pin, the two jobs could disagree on
   *     partition boundaries and the offsets would be garbage.
   *  2. One aggregate computes per-partition counts/sums/maxima — P
-  *     rows, bounded by the cluster fan-out, never by the data.
+  *     rows, bounded by the cluster fan-out, never by the data —
+  *     collected once to the driver (metadata-sized, the same class
+  *     as lookaheadFrame's partition histogram).
   *  3. Exclusive per-partition offsets come from a triangular
-  *     broadcast self-join over those P rows (pid' < pid) — O(P²)
-  *     pairs of metadata, no window, no driver collect.
+  *     self-join over those P LOCAL rows (pid' < pid) — O(P²) pairs
+  *     of metadata evaluated over LocalTableScans, no window, no
+  *     distributed re-scan.
   *  4. The readout runs the ordinary PARTITIONED window
   *     (`Window.partitionBy(__pid).orderBy(keys)`) and adds the
   *     broadcast offset back: global value = local prefix + offset.
@@ -59,9 +62,15 @@ object PrefixSweep {
     val p =
       if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // LAZY checkpoint (r20): the per-partition totals are collected
+    // right below, and that first action both computes the layout and
+    // pins its blocks — an EAGER checkpoint would spend a whole extra
+    // materialization job on the same work. The pin itself is still
+    // load-bearing (see the header: RangePartitioner re-samples per
+    // execution); laziness only fuses the pin into the offsets pass.
     val parted = df.repartitionByRange(p, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // per-partition totals: P rows of metadata
     val aggs =
@@ -71,7 +80,20 @@ object PrefixSweep {
         } ++ runMaxExcl.zipWithIndex.map { case ((c, _), i) =>
           max(c).as(s"__m$i")
         })
-    val perPid = parted.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+    // totals COLLECTED to the driver (the lookaheadFrame histogram
+    // precedent: P rows, bounded by the cluster fan-out, never by the
+    // data) and re-planted as a LOCAL relation (r20). The triangular
+    // offsets join below then runs over LocalTableScans, so the
+    // readout's broadcast(off) build does no distributed work — the
+    // former all-DataFrame form paid TWO broadcast-build jobs that
+    // each re-scanned the checkpointed blocks (one aggregating the pid
+    // totals for `b`, one re-aggregating them for `off`): a whole pass
+    // over `parted` per sweep, deleted. Expressions are unchanged, so
+    // the null/decimal semantics of the offsets are exactly the old
+    // ones — Catalyst evaluates the same plan over a local source.
+    val perPid0 = parted.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+    val perPid = spark.createDataFrame(
+      java.util.Arrays.asList(perPid0.collect(): _*), perPid0.schema)
 
     // exclusive offsets per pid (strictly-earlier partitions only)
     val b = perPid.select(
@@ -164,9 +186,11 @@ object PrefixSweep {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val oc = orderCols.map(col)
     def run(nParts: Int): DataFrame = {
+      // lazy pin of the sampled range boundaries (see sweep): the
+      // histogram collect below is the materializing action
       val parted = df.repartitionByRange(nParts, oc: _*)
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint() // pin the sampled range boundaries (see sweep)
+        .localCheckpoint(false)
       if (nParts > 1) {
         val sizes = parted.groupBy(col("__pid")).count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object TextSim {
 
+  /** Broadcast bound for the bigram-LM score table (pair string +
+    * decimal(20,8) ≈ 60 B/row framed → ~2M rows ≈ 120 MB hash
+    * relation — the TextSim per-side sizing discipline: well under the
+    * driver's comfort, far over any demo vocabulary). */
+  val lmBroadcastRows: Long = 1L << 21
+
+  /** Size-gated build side for a model-table equi-join (r19 verdict
+    * item 1): broadcast the table while its MEASURED row count stays
+    * under [[lmBroadcastRows]]; above it, keep the build side pinned to
+    * the same table with a shuffle-hash hint — an unhinted join here
+    * historically built on the exploded occurrence STREAM (BuildLeft
+    * over the generate-side estimate), and an unconditional broadcast
+    * hint overrides every size check (driver OOM once a Heaps'-law
+    * vocabulary outgrows memory). The caller must pass a
+    * localCheckpointed table so the count reads materialized blocks. */
+  def gateBroadcast(tab: DataFrame,
+      bound: Long = lmBroadcastRows): DataFrame =
+    if (tab.count() <= bound) broadcast(tab) else tab.hint("shuffle_hash")
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 

@@ -3452,31 +3452,45 @@ object AggQueries {
     * systematically under-corrects); λ=1 Deming treats both axes as
     * noisy and recovers the symmetric line; the dilution gap is the
     * readout, and the slope itself reads as the effective net/gross
-    * ratio. Exactness: y is an EXACT 4-dp decimal product of 2-dp
-    * decimals; all five power sums are exact decimals off one scan;
-    * both slopes are shared closed-form doubles; S_xy=0 NULLs via
-    * try_divide/NULLIF. Scale: one two-phase aggregate to the flag
-    * grid. */
+    * ratio. Exactness: y is an EXACT scale-4 integer product of the
+    * 2-dp money values; all five power sums fold exactly in 128-bit
+    * integer space (graftfns.Sum128) and read out the same doubles
+    * the decimal sums cast to; both slopes are shared closed-form
+    * doubles; S_xy=0 NULLs via try_divide/NULLIF. Scale: one
+    * two-phase aggregate to the flag grid. */
   private val aggDeming: Q = (s, dir) => {
+    val fns = org.apache.spark.sql.graftfns.SumFunctions
+    // r20 exact-integer restatement (§7.5.21 lifted into an aggregate):
+    // price and discount are exact 2-dp, so with xc = price·100 and
+    // dc = disc·100 (exact BIGINTs via the +0.5 cast on non-negative
+    // values), x = xc/10² and y = x·(1−disc) = xc·(100−dc)/10⁴
+    // EXACTLY. Every power-sum term is then an exact long product
+    // (xc² ≤ 1.2e14, y4² ≤ 1.2e18, xc·y4 ≤ 1.2e16 — all inside
+    // Sum128's input contract) and Sum128 folds them in 128-bit
+    // integer space, reading out the identical double the old decimal
+    // sums cast to (scales 2/4/4/8/6). This is the lossless scale-8
+    // reconstruction Spark's decimal-DIVISION typing cannot spell
+    // (result scale caps at 6 past precision 38), which is why the
+    // r19 round deferred this row; the per-row path is now ~6 long
+    // multiplies/adds instead of Decimal128 casts and multiplies.
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"),
-        col("l_extendedprice").cast("decimal(18,2)").as("x"),
-        (col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)").as("y"))
+        expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)").as("xc"),
+        expr("CAST(l_discount * 100 + 0.5 AS BIGINT)").as("dc"))
+      .withColumn("y4", col("xc") * (lit(100L) - col("dc")))
     val g = l.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sx2"),
-        sum(col("y") * col("y")).as("sy2"),
-        sum(col("x") * col("y")).as("sxy"))
+        fns.sum128(col("xc"), 2).as("sx"),
+        fns.sum128(col("y4"), 4).as("sy"),
+        fns.sum128(col("xc") * col("xc"), 4).as("sx2"),
+        fns.sum128(col("y4") * col("y4"), 8).as("sy2"),
+        fns.sum128(col("xc") * col("y4"), 6).as("sxy"))
     val nd = col("n").cast("double")
-    val mx = col("sx").cast("double") / nd
-    val my = col("sy").cast("double") / nd
-    val sxx = (col("sx2").cast("double") - nd * mx * mx) / (nd - 1)
-    val syy = (col("sy2").cast("double") - nd * my * my) / (nd - 1)
-    val sxy = (col("sxy").cast("double") - nd * mx * my) / (nd - 1)
+    val mx = col("sx") / nd
+    val my = col("sy") / nd
+    val sxx = (col("sx2") - nd * mx * mx) / (nd - 1)
+    val syy = (col("sy2") - nd * my * my) / (nd - 1)
+    val sxy = (col("sxy") - nd * mx * my) / (nd - 1)
     val dem = try_divide(
       syy - sxx + sqrt((syy - sxx) * (syy - sxx) +
         lit(4.0) * sxy * sxy),

@@ -23,10 +23,11 @@ object SqlQueries {
     * CTE + 3-table join + decimal-exact revenue + per-segment window
     * rank, the shape an ORM-emitted dashboard query takes (ref: the
     * FastAPI endpoints compose exactly such joins over customers and
-    * orders). Revenue sums in DECIMAL(18,2) before the one cast to
-    * double (§7.5.2: a double sum is partition-order-dependent; the
-    * decimal sum is exact, so the window's ORDER BY revenue is over
-    * exact values and rank ties are engine-identical). Temp views are
+    * orders). Revenue folds EXACTLY — scaled-long per lineitem, decimal
+    * across orders — before the one cast to double (§7.5.2: a double
+    * sum is partition-order-dependent; the exact fold means the
+    * window's ORDER BY revenue is over exact values and rank ties are
+    * engine-identical). Temp views are
     * session-scoped and re-registered per call — no global state.
     * Scale: lineitem is CONTRACTED to one decimal revenue row per
     * orderkey BEFORE any join — the widest table shrinks ~4× at the
@@ -42,18 +43,33 @@ object SqlQueries {
     Tables.load(s, dir, "lineitem").createOrReplaceTempView("sqlr_lineitem")
     Tables.load(s, dir, "orders").createOrReplaceTempView("sqlr_orders")
     Tables.load(s, dir, "customer").createOrReplaceTempView("sqlr_customer")
+    // r20 exact-integer restatement of the per-lineitem revenue term
+    // (§7.5.21, the q_math_arith device). Equivalence: price and
+    // discount are exact 2-dp money values, so with p = price·100 and
+    // d = disc·100 (both exact BIGINTs via the +0.5 cast on positive
+    // values), price·(1−disc) ≡ p·(100−d)/10⁴ exactly; each term is
+    // ≤ 1.1e9 and an order holds ≤ 7 lineitems, so the per-order sum
+    // orev4 is a bounded BIGINT at ANY scale. The cross-order sum —
+    // unbounded in the order count — stays a DECIMAL(38,0) fold, and
+    // sum(orev4)/10000 lands in DECIMAL(38,6): the identical rational
+    // as the old scale-4 decimal sum, so round(·,2) and the double
+    // cast are bit-identical. What moved: 6×-the-order-count rows of
+    // Decimal128 casts/multiplies in the widest scan became ~5 long
+    // ops per row; the group-grain decimal work is untouched.
     s.sql(
       """WITH lrev AS (
            SELECT l_orderkey,
-                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS orev
+                  sum(CAST(l_extendedprice * 100 + 0.5 AS BIGINT)
+                      * (100 - CAST(l_discount * 100 + 0.5 AS BIGINT)))
+                    AS orev4
            FROM sqlr_lineitem
            GROUP BY l_orderkey),
          rev AS (
            SELECT c.c_mktsegment AS segment,
                   CAST(year(o.o_orderdate) AS BIGINT) AS yr,
                   CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
-                  CAST(round(sum(l.orev), 2) AS DOUBLE) AS revenue,
+                  CAST(round(sum(CAST(l.orev4 AS DECIMAL(38,0))) / 10000,
+                             2) AS DOUBLE) AS revenue,
                   CAST(count(*) AS BIGINT) AS n_orders
            FROM lrev l
            JOIN sqlr_orders o ON l.l_orderkey = o.o_orderkey
