@@ -25,8 +25,9 @@ object TextSim {
     * historically built on the exploded occurrence STREAM (BuildLeft
     * over the generate-side estimate), and an unconditional broadcast
     * hint overrides every size check (driver OOM once a Heaps'-law
-    * vocabulary outgrows memory). The caller must pass a
-    * localCheckpointed table so the count reads materialized blocks. */
+    * vocabulary outgrows memory). The caller passes a localCheckpointed
+    * table — lazily is best: the count here is then the materializing
+    * action and the join build reads the pinned blocks. */
   def gateBroadcast(tab: DataFrame,
       bound: Long = lmBroadcastRows): DataFrame =
     if (tab.count() <= bound) broadcast(tab) else tab.hint("shuffle_hash")
@@ -1109,6 +1110,13 @@ object TextSim {
     // and the id-only ring lookup is the lightest (2^20 rows ≈ 50 MB).
     val smallN = n <= (1L << 16)
     def vside = if (smallN) broadcast(vecs) else vecs
+    // Round parallelism stays at the session's configured fan-out: a
+    // low-partition layout was probed in r20 (derive the count from
+    // the 2·N·K edge bound → 1 partition at the demo slice) and
+    // MEASURED SLOWER (2.5 → 3.9 s): the per-round volume that matters
+    // is the candidate fan ≤ N·(2K)² (~1.15M pair rows here), whose
+    // dedup + rescore is real parallel compute, not scheduling floor —
+    // the flat layout is already right-sized for it.
     // BOTH rescore sides join the IDENTICAL vecs subtree (aliased, not
     // re-projected): exchange reuse then materializes it ONCE for the
     // whole descent — the per-side renamed projections used to cost a

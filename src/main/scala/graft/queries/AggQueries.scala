@@ -1287,7 +1287,18 @@ object AggQueries {
    * Net: 4 corpus sorts → 1 (the price ranking, which IS a sort —
    * same documented skew bound as q_agg_weighted_median). rx2/ry2 are
    * the same integers, the decimal moment sums and the closed-form
-   * rho are unchanged expressions. */
+   * rho are unchanged expressions.
+   *
+   * r20 re-probe of the last sort (A/B, back-to-back solo benches):
+   * folding the y ranks on the (flag, price) grid via PrefixSweep +
+   * RFM block offsets + a shuffle-hash rank attach — the form that
+   * would lift the |flags|-way parallelism ceiling — measured 3.78 s
+   * vs 3.01 s for this form at sf0.1 (and 4.65 s with the unhinted
+   * sort-merge attach): the grid build + sweep + co-keyed join cost
+   * more than the skewed sort at any demo SF. Kept as the documented
+   * scale fallback: at a scale where one flag's partition no longer
+   * sorts in acceptable time, that sweep form is the drop-in (its
+   * ry2 = 2·cumBefore + cnt + 1 integers are proven identical). */
   private val aggSpearman: Q = (s, dir) => {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"),
@@ -2308,26 +2319,57 @@ object AggQueries {
     * return flags on quantity: one-way ANOVA on |x − median_g|, the
     * robust (median-centered) Levene variant — THE precondition check
     * before trusting q_agg_anova's pooled-variance F (heteroscedastic
-    * groups inflate its false-positive rate). Two cheap passes: group
-    * medians via the exact `percentile` kernel (q_agg_quantile parity;
-    * at 100 TB the documented sketch swap is `approx_percentile`),
-    * then the q_agg_anova machinery on the deviations. Quantities are
+    * groups inflate its false-positive rate). ONE corpus pass: the
+    * quantity domain is bounded (~50 integers), so the stream folds to
+    * the (flag, quantity) count grid and both the exact group medians
+    * (cumulative-count interpolation, percentile-identical) and the
+    * q_agg_anova deviation machinery run on the grid. Quantities are
     * integers, medians are .0/.5, so deviations are exact multiples of
     * 0.5 — DECIMAL(9,1)/(18,2) sums stay exact on both engines; the
     * F readout mirrors anova's 8-dp term rounding and shares its
     * structure verbatim. F crit at (2, ∞) 0.05 = 3.0. */
   private val aggLevene: Q = (s, dir) => {
+    // r20 bounded-domain contraction (the gmean/spearman grid device,
+    // §2.3): l_quantity is a ~50-value integer domain, so the corpus
+    // folds to the (grp, x) count grid in ONE map-side-combined pass,
+    // and BOTH former corpus passes — the `percentile` median (which
+    // buffered every group's values in executor memory: the §5 cost
+    // the r19 cadence/fertility rewrites removed elsewhere) and the
+    // deviation aggregate — become metadata-sized grid work.
+    // Median equivalence: percentile(x, 0.5) = a + 0.5·(b − a) with a,
+    // b the values at 0-based positions floor/ceil((n−1)/2), recovered
+    // here from cumulative grid counts; a and b are small integers, so
+    // the interpolation is the identical exact double (odd n: a = b
+    // and both forms read a). Deviation equivalence: Σ_rows f(z) =
+    // Σ_cells cnt·f(z) exactly — z is a multiple of 0.5 ≤ 50, the
+    // decimal products are exact, and only the s1/s2 VALUES (which are
+    // unchanged) feed the double readouts below.
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag").as("grp"),
         col("l_quantity").cast("double").as("x"))
-    val med = li.groupBy("grp")
-      .agg(expr("percentile(x, 0.5)").as("med"))
-    val g = li.join(broadcast(med), "grp")
+    val grid = li.groupBy("grp", "x").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // 3 grid readers: totals, median cells, devs
+    val ng = grid.groupBy("grp").agg(sum("cnt").as("n_g"))
+    val wCum = Window.partitionBy("grp").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = grid.withColumn("cum", sum("cnt").over(wCum))
+      .join(broadcast(ng), "grp")
+      .withColumn("k1", floor((col("n_g") - 1) / 2) + 1)
+      .withColumn("k2", ceil((col("n_g") - 1) / 2) + 1)
+      .withColumn("a_val", when(col("cum") >= col("k1"), col("x")))
+      .withColumn("b_val", when(col("cum") >= col("k2"), col("x")))
+      .groupBy("grp")
+      .agg(min("a_val").as("a"), min("b_val").as("b"))
+      .select(col("grp"),
+        (col("a") + lit(0.5) * (col("b") - col("a"))).as("med"))
+    val g = grid.join(broadcast(med), "grp")
       .withColumn("z", abs(col("x") - col("med")))
       .groupBy("grp")
-      .agg(count(lit(1)).as("n_g"),
-        sum(col("z").cast("decimal(9,1)")).as("s1"),
-        sum((col("z") * col("z")).cast("decimal(18,2)")).as("s2"))
+      .agg(sum("cnt").as("n_g"),
+        sum(col("z").cast("decimal(9,1)") *
+          col("cnt").cast("decimal(14,0)")).as("s1"),
+        sum((col("z") * col("z")).cast("decimal(18,2)") *
+          col("cnt").cast("decimal(14,0)")).as("s2"))
     val tot = g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
       sum("s1").as("s"))
     val terms = g.crossJoin(broadcast(tot))

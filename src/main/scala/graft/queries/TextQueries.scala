@@ -2500,9 +2500,9 @@ object TextQueries {
     // evaluate round(log(...)) per occurrence: ~50× the arithmetic
     // for identical values; decimal sums are order-independent, so
     // slp is unchanged)
-    // materialized once (it is consumed whole by the join build either
-    // way), so the row count below reads checkpointed blocks —
-    // metadata-cheap, no recomputation of the vocabulary fold
+    // LAZY checkpoint: the gate's count() is the materializing action
+    // (one job computes AND pins the table; the broadcast build then
+    // reads blocks) — an eager pin would spend a separate job first
     val scoreTab = big
       .withColumn("ta", split(col("pair"), " ").getItem(0))
       .join(uni.select(col("term").as("ta"), col("c_u")), "ta")
@@ -2510,7 +2510,7 @@ object TextQueries {
       .select(col("pair"), round(log((col("c_b") + lit(0.5)) /
         (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)")
         .as("lp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // build side chosen EXPLICITLY, never the occurrence stream: left
     // unhinted, the planner's generate-side estimate is smaller and it
     // broadcasts the STREAM (BuildLeft over the explode — backwards at
@@ -2600,7 +2600,8 @@ object TextQueries {
       .select(col("pair"), round(log((col("c_b") + lit(0.5)) /
         (col("c_u") + lit(0.5) * col("v"))), 8).cast("decimal(20,8)")
         .as("lp"))
-      .localCheckpoint()
+      // lazy: the gate's count() materializes (see q_text_lm_score)
+      .localCheckpoint(false)
     val docLp = s1
       .select(col("doc_id"), explode(token_bigrams(col("w"))).as("pair"))
       // build on the score table, never the occurrence stream (see
