@@ -125,9 +125,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_udaf_wavg" -> 1.0, "q_udf_time_until_close" -> 0.8,
     // text / vector pipeline
     "q_text_tokenize" -> 0.4, "q_text_dedup_exact" -> 0.4,
-    "q_text_minhash" -> 1.2,
+    "q_text_minhash" -> 0.7,
     // minhash pairs + union-find contraction (the two stages composed)
-    "q_text_minhash_groups" -> 2.2,
+    "q_text_minhash_groups" -> 1.5,
     "q_vec_cosine_topk" -> 0.4, "q_vec_normalize" -> 0.4,
     "q_vec_knn_join" -> 1.2, "q_text_langid" -> 0.8,
     "q_text_quality" -> 0.8, "q_text_repetition" -> 0.7,
@@ -248,7 +248,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // per-user flag contraction + one closed-form row
     "q_agg_ab_ztest" -> 0.8,
     // distinct-price grid window (orders-sized, single partition)
-    "q_agg_ks_test" -> 1.7,
+    "q_agg_ks_test" -> 1.5,
     // two per-group rank windows over lineitem + decimal co-moments
     "q_agg_spearman" -> 4.2,
     // per-class window sort over documents + 1-row quota broadcast
@@ -452,7 +452,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // THREE stacked sweeps (r/f/m quartiles) replace three
     // single-partition ntile windows (measured 1.25 s quiet at sf0.1,
     // stable samples)
-    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 1.8,
+    "q_evt_markov" -> 0.5, "q_evt_rfm" -> 1.5,
     "q_etl_cdc_apply" -> 0.5, "q_etl_resample" -> 1.0,
     "q_etl_skew_profile" -> 0.4, "q_agg_entropy" -> 0.4,
     "q_text_url_canon" -> 0.4, "q_text_zipf" -> 0.7,
@@ -515,7 +515,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // (source, shingle) DISTINCT + self-join (the boilerplate family);
     // ema one fixed-frame window pass; media_shard a per-type window
     // over the 2400-row fixture
-    "q_sql_report" -> 2.2, "q_dt_busdays" -> 0.9,
+    "q_sql_report" -> 1.4, "q_dt_busdays" -> 0.9,
     // ~11 frontier iterations over a customer-sized and shrinking set
     "q_sql_recursive" -> 2.3,
     // lateral = WindowGroupLimit top-2 over orders + broadcast join
@@ -523,14 +523,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_vec_dimstats" -> 0.5, "q_text_source_overlap" -> 2.0,
     "q_win_ema" -> 1.0, "q_media_shard" -> 0.6,
     // round-14 additions
-    "q_agg_levene" -> 1.7, "q_agg_friedman" -> 0.6,
+    "q_agg_levene" -> 1.4, "q_agg_friedman" -> 0.6,
     "q_ts_granger" -> 0.7, "q_graph_adamic_adar" -> 1.2,
     "q_graph_kcore" -> 2.5, "q_evt_stickiness" -> 0.8,
     "q_text_hapax" -> 1.0,
     "q_agg_tukey" -> 1.2, "q_text_pmi" -> 1.3,
     "q_evt_session_stats" -> 1.0, "q_ts_spectral_entropy" -> 0.8,
     "q_etl_checksum" -> 0.8,
-    "q_agg_auc" -> 1.6, "q_agg_mcc" -> 0.5,
+    "q_agg_auc" -> 1.4, "q_agg_mcc" -> 0.5,
     "q_agg_trimmed_mean" -> 0.6, "q_agg_hodges_lehmann" -> 1.1,
     // hits: r18 collects the k²-row type-transition grid and runs the
     // 3-round power iteration on the driver (the q_vec_pca
@@ -617,7 +617,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     // decimal-moment scan; coint two grid joins; hubness the capped
     // 256-vector BNL knn; late_dim one dim join + censuses; csv_gzip
     // the codec round trip (write amortized by the fixture cache)
-    "q_agg_holm" -> 0.7, "q_agg_deming" -> 1.8,
+    "q_agg_holm" -> 0.7, "q_agg_deming" -> 1.0,
     "q_ts_coint" -> 0.7, "q_vec_hubness" -> 1.0,
     "q_etl_late_dim" -> 0.6, "q_src_csv_gzip" -> 0.8,
     // r16 batch N showcases: abtest one user contraction + 2-row
@@ -781,10 +781,18 @@ class BenchBudgetSpec extends AnyFunSuite {
     * bootstrap, nndescent, the exactTopK consumers, hits) on a host
     * running ~20% slow (unchanged-query quiet medians were uniformly
     * elevated that session) — those anchors carry that drag as
-    * honest margin. */
+    * honest margin. Round 20 re-measured the 27 plans that round
+    * changed (the PrefixSweep/lookahead consumers, the Sum128/grid
+    * restatements, the gated LM chain, the shared minhash build, the
+    * exactTopK consumers) as the per-query MIN of three full BenchCold
+    * sweeps: that session's host carried recurring multi-minute load
+    * bursts (loadavg 0.1→10 inside single sweeps), so a single-sweep
+    * median mixes quiet and burst prices — the cross-sweep min is the
+    * uncontended cold estimate, and the probe correction absorbs
+    * bursts at judge time. */
   private val coldAnchors: Map[String, Double] = Map(
     "q_agg_ab_ztest" -> 0.75, "q_agg_anova" -> 1.63,
-    "q_agg_approx" -> 2.29, "q_agg_auc" -> 1.14,
+    "q_agg_approx" -> 2.29, "q_agg_auc" -> 0.82,
     "q_agg_basket" -> 3.27, "q_agg_bayes_beta" -> 0.57,
     "q_agg_benford" -> 0.95, "q_agg_bimodality" -> 1.09,
     "q_agg_bitmap" -> 0.89, "q_agg_bootstrap" -> 1.26,
@@ -795,19 +803,19 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_countmin" -> 0.68, "q_agg_cramers_v" -> 0.82,
     "q_agg_cronbach" -> 0.53, "q_agg_cube" -> 0.69,
     "q_agg_cvar" -> 0.63, "q_agg_delta_method" -> 0.53,
-    "q_agg_deming" -> 1.66, "q_agg_dispersion" -> 0.27,
+    "q_agg_deming" -> 0.90, "q_agg_dispersion" -> 0.27,
     "q_agg_extreme" -> 0.37, "q_agg_fdr_bh" -> 0.52,
     "q_agg_fleiss_kappa" -> 1.00, "q_agg_friedman" -> 0.34,
     "q_agg_gini" -> 0.71, "q_agg_gmean" -> 0.64,
     "q_agg_group" -> 0.23, "q_agg_gsets" -> 1.02,
     "q_agg_heavy_hitters" -> 0.19, "q_agg_hhi" -> 0.40,
-    "q_agg_hill" -> 1.16, "q_agg_hodges_lehmann" -> 0.79,
+    "q_agg_hill" -> 1.24, "q_agg_hodges_lehmann" -> 0.95,
     "q_agg_hoeffding" -> 0.30, "q_agg_holm" -> 0.46,
     "q_agg_iqr" -> 0.51, "q_agg_jarque_bera" -> 0.98,
-    "q_agg_kendall" -> 1.21, "q_agg_kruskal" -> 0.63,
-    "q_agg_ks_test" -> 1.53, "q_agg_levene" -> 1.40,
-    "q_agg_logloss" -> 0.28, "q_agg_lorenz" -> 1.92,
-    "q_agg_mad" -> 0.78, "q_agg_mannwhitney" -> 1.22,
+    "q_agg_kendall" -> 1.21, "q_agg_kruskal" -> 0.76,
+    "q_agg_ks_test" -> 1.41, "q_agg_levene" -> 1.19,
+    "q_agg_logloss" -> 0.28, "q_agg_lorenz" -> 1.61,
+    "q_agg_mad" -> 0.78, "q_agg_mannwhitney" -> 1.50,
     "q_agg_maxby" -> 0.29, "q_agg_mcc" -> 0.11,
     "q_agg_mde" -> 0.16, "q_agg_mode" -> 0.27,
     "q_agg_moments" -> 0.70, "q_agg_multi" -> 1.13,
@@ -823,7 +831,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_agg_trimmed_mean" -> 0.28, "q_agg_ttest" -> 0.16,
     "q_agg_ttest_paired" -> 0.42, "q_agg_tukey" -> 1.18,
     "q_agg_weighted_median" -> 1.29, "q_agg_welch_anova" -> 0.66,
-    "q_agg_wilcoxon" -> 1.28, "q_agg_winsorize" -> 0.42,
+    "q_agg_wilcoxon" -> 1.02, "q_agg_winsorize" -> 0.42,
     "q_arr_explode" -> 0.74, "q_arr_ops" -> 0.29,
     "q_arr_posexplode" -> 0.48, "q_arr_transform" -> 0.40,
     "q_data_mixture" -> 0.25, "q_dt_arith" -> 0.34,
@@ -857,11 +865,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_evt_match" -> 0.50, "q_evt_mix_drift" -> 0.46,
     "q_evt_new_returning" -> 0.36, "q_evt_paths" -> 0.41,
     "q_evt_perplexity" -> 0.59, "q_evt_retention" -> 0.27,
-    "q_evt_rfm" -> 1.91, "q_evt_seqpairs" -> 0.39,
+    "q_evt_rfm" -> 0.98, "q_evt_seqpairs" -> 0.39,
     "q_evt_session_stats" -> 0.39, "q_evt_shapley" -> 0.42,
     "q_evt_srm" -> 0.29, "q_evt_stickiness" -> 0.54,
     "q_evt_streaks" -> 0.51, "q_evt_transition_time" -> 1.25,
-    "q_evt_uplift" -> 0.72, "q_filter_range_disj" -> 0.29,
+    "q_evt_uplift" -> 0.83, "q_filter_range_disj" -> 0.29,
     "q_graph_adamic_adar" -> 0.85, "q_graph_assortativity" -> 0.75,
     "q_graph_betweenness" -> 0.48, "q_graph_bipartite" -> 0.40,
     "q_graph_bridges" -> 0.34, "q_graph_clustering" -> 0.46,
@@ -870,7 +878,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_graph_hits" -> 0.71, "q_graph_jaccard" -> 0.85,
     "q_graph_kcore" -> 0.60, "q_graph_lpa" -> 0.94,
     "q_graph_modularity" -> 0.28, "q_graph_pagerank" -> 1.18,
-    "q_graph_powerlaw" -> 1.07, "q_graph_triangles" -> 0.38,
+    "q_graph_powerlaw" -> 1.37, "q_graph_triangles" -> 0.38,
     "q_join_asof" -> 0.44, "q_join_bridge3" -> 1.06,
     "q_join_broadcast" -> 0.20, "q_join_dpp" -> 0.70,
     "q_join_full" -> 0.34, "q_join_fuzzy" -> 1.09,
@@ -882,18 +890,18 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_math_arith" -> 1.26, "q_media_dedup" -> 0.32,
     "q_media_frames" -> 0.24, "q_media_phash" -> 0.89,
     "q_media_shard" -> 0.25, "q_pipe_abtest" -> 0.74,
-    "q_pipe_curate" -> 2.05, "q_pipe_embed_qa" -> 0.93,
+    "q_pipe_curate" -> 3.06, "q_pipe_embed_qa" -> 0.93,
     "q_pipe_graph_health" -> 1.04, "q_pipe_ts_profile" -> 0.69,
     "q_proj_derived" -> 0.39, "q_samp_decay" -> 0.40,
-    "q_samp_group_split" -> 0.20, "q_samp_negative" -> 0.66,
+    "q_samp_group_split" -> 0.20, "q_samp_negative" -> 0.73,
     "q_samp_ppswor" -> 0.28, "q_samp_reservoir" -> 0.16,
-    "q_samp_systematic" -> 0.82, "q_samp_temperature" -> 0.40,
+    "q_samp_systematic" -> 0.78, "q_samp_temperature" -> 0.40,
     "q_sample_stratified" -> 0.26, "q_set_except" -> 0.46,
     "q_set_intersect" -> 0.37, "q_sink_append" -> 0.59,
     "q_sink_bucketed" -> 0.77, "q_sink_jdbc" -> 1.34,
     "q_sink_warehouse" -> 0.73, "q_sql_exists" -> 0.24,
     "q_sql_lateral" -> 0.39, "q_sql_recursive" -> 1.19,
-    "q_sql_report" -> 1.20, "q_sql_unpivot" -> 0.30,
+    "q_sql_report" -> 1.30, "q_sql_unpivot" -> 0.30,
     "q_src_binary" -> 0.14, "q_src_corrupt" -> 0.42,
     "q_src_csv" -> 0.48, "q_src_csv_dialect" -> 0.32,
     "q_src_csv_gzip" -> 0.53, "q_src_csv_multiline" -> 0.21,
@@ -921,8 +929,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_hapax" -> 0.23, "q_text_keyness" -> 0.28,
     "q_text_lang_confusion" -> 0.65, "q_text_lang_purity" -> 0.54,
     "q_text_langid" -> 0.75, "q_text_length_profile" -> 0.28,
-    "q_text_lm_score" -> 1.57, "q_text_minhash" -> 0.99,
-    "q_text_minhash_groups" -> 1.64, "q_text_ngram_jaccard" -> 0.69,
+    "q_text_lm_score" -> 1.47, "q_text_minhash" -> 0.37,
+    "q_text_minhash_groups" -> 0.92, "q_text_ngram_jaccard" -> 0.69,
     "q_text_ngram_lm" -> 0.56, "q_text_ngram_novelty" -> 0.86,
     "q_text_pack" -> 0.26, "q_text_pmi" -> 0.79,
     "q_text_quality" -> 0.56, "q_text_readability" -> 0.48,
@@ -931,7 +939,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_text_source_overlap" -> 0.89, "q_text_template" -> 0.29,
     "q_text_tfidf" -> 0.91, "q_text_tok_fertility" -> 0.23,
     "q_text_tokens" -> 0.43, "q_text_unicode_audit" -> 0.73,
-    "q_text_urls" -> 0.21, "q_text_vocab_coverage" -> 0.50,
+    "q_text_urls" -> 0.21, "q_text_vocab_coverage" -> 0.57,
     "q_text_winnowing" -> 1.44, "q_text_zipf" -> 0.25,
     "q_ts_anomaly" -> 0.64, "q_ts_autocorr" -> 0.33,
     "q_ts_backtest" -> 0.23, "q_ts_ccf" -> 0.39,
@@ -952,9 +960,9 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_ts_strength" -> 0.34, "q_ts_survival" -> 0.27,
     "q_ts_theil_sen" -> 0.35, "q_udaf_wavg" -> 0.64,
     "q_udf_parse_hours" -> 2.05, "q_udf_time_until_close" -> 0.35,
-    "q_udtf_hours_explode" -> 0.72, "q_vec_ann_ivf" -> 0.48,
-    "q_vec_ann_ivfpq" -> 0.63, "q_vec_ann_lsh" -> 0.90,
-    "q_vec_ann_nndescent" -> 3.86, "q_vec_ann_pq" -> 0.78,
+    "q_udtf_hours_explode" -> 0.72, "q_vec_ann_ivf" -> 0.63,
+    "q_vec_ann_ivfpq" -> 0.55, "q_vec_ann_lsh" -> 0.68,
+    "q_vec_ann_nndescent" -> 2.70, "q_vec_ann_pq" -> 0.53,
     "q_vec_binary_quant" -> 0.38, "q_vec_centroid" -> 0.47,
     "q_vec_cosine_dedup" -> 0.64, "q_vec_dedup_groups" -> 0.68,
     "q_vec_dedup_sweep" -> 0.62, "q_vec_dimstats" -> 0.24,
@@ -974,7 +982,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q_win_pctrank" -> 0.39, "q_win_range_frame" -> 0.56,
     "q_win_rank" -> 0.67, "q_win_rownum" -> 0.46,
     "q_win_running" -> 0.73, "q_win_sessionize" -> 1.00,
-    "q_win_skyline" -> 0.61, "q_win_streak" -> 0.52,
+    "q_win_skyline" -> 0.80, "q_win_streak" -> 0.52,
     "q_win_topk_group" -> 0.66, "q_win_zscore" -> 0.85)
 
   test("every >=0.5s budget covers its recorded cold-session price") {
